@@ -1,0 +1,183 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.catalog._
+import graft.cypher._
+import graft.exec.DataFrameBuilder
+import graft.planner.Planner
+
+/** Session facade: the Spark-native equivalent of the reference's HTTP
+  * server + graph catalog (brahmand/src/server/mod.rs:24-61,
+  * server/graph_catalog.rs). Holds the graph catalog, a table registry
+  * (name → DataFrame), and cached adjacency indexes; executes Cypher text
+  * into DataFrames.
+  *
+  * Where the reference stores the catalog as a versioned JSON row in
+  * ClickHouse and re-polls it every 60 s, we keep it as an in-memory
+  * versioned case class with JSON import/export ([[GraphCatalog.toJson]]) —
+  * on a real cluster the JSON lives in object storage and is re-read on a
+  * version bump; the planner runs wholly on the driver either way.
+  */
+final class GraftSession(val spark: SparkSession) {
+
+  @volatile private var _catalog = GraphCatalog()
+  def catalog: GraphCatalog = _catalog
+
+  private val tables = TrieMap.empty[String, DataFrame]
+  private val adjCache = TrieMap.empty[(String, Boolean), DataFrame]
+
+  // ---- registration --------------------------------------------------------
+
+  def registerTable(name: String, df: DataFrame): Unit = tables.put(name, df)
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(name, spark.table(name))
+
+  /** Register a node label backed by a registered table / temp view.
+    * Enforces the reference's node-id dtype constraint (integral —
+    * ddl_query.rs:90-92) and appends the id to the PK if absent
+    * (ddl_query.rs:94-96). */
+  def registerNode(
+      label: String, tableName: String, idColumn: String,
+      primaryKeys: Seq[String] = Seq.empty): NodeSchema = {
+    val df = table(tableName)
+    val idField = df.schema.fields.find(_.name == idColumn).getOrElse(
+      throw new GraftException(s"node $label: id column '$idColumn' not in table $tableName"))
+    idField.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+      case dt => throw new GraftException(
+        s"node $label: NODE ID must be an integral type, got $dt")
+    }
+    val pk = if (primaryKeys.isEmpty) Seq(idColumn)
+             else if (primaryKeys.contains(idColumn)) primaryKeys
+             else primaryKeys :+ idColumn
+    val schema = NodeSchema(label, tableName, idColumn, pk, df.columns.toSeq)
+    _catalog = _catalog.withNode(schema)
+    schema
+  }
+
+  /** Register a relationship backed by an edge-list table with
+    * `from_{FromLabel}` / `to_{ToLabel}` columns (the names the reference
+    * synthesizes — ddl_query.rs:259-261), or explicit column names. */
+  def registerRel(
+      label: String, tableName: String, fromLabel: String, toLabel: String,
+      fromColumn: String = null, toColumn: String = null,
+      adjIndex: Boolean = false): RelSchema = {
+    if (!_catalog.nodes.contains(fromLabel) || !_catalog.nodes.contains(toLabel))
+      throw new GraftException(
+        s"rel $label: endpoint labels must be registered first ($fromLabel, $toLabel)")
+    val df = table(tableName)
+    val fc = Option(fromColumn).getOrElse(s"from_$fromLabel")
+    val tc = Option(toColumn).getOrElse(s"to_$toLabel")
+    for (c <- Seq(fc, tc); if !df.columns.contains(c))
+      throw new GraftException(s"rel $label: column '$c' not in table $tableName")
+    val schema = RelSchema(label, tableName, fromLabel, toLabel, fc, tc,
+      df.columns.toSeq, adjIndex)
+    val indexes =
+      if (adjIndex) Seq(
+        RelIndexSchema(label, s"${label}_outgoing", outgoing = true),
+        RelIndexSchema(label, s"${label}_incoming", outgoing = false))
+      else Seq.empty
+    _catalog = _catalog.withRel(schema, indexes)
+    schema
+  }
+
+  /** Pre-aggregated adjacency index (`id, neighbors`): the Spark analogue of
+    * the reference's bitmap AggregatingMergeTree tables
+    * (ddl_query.rs:290-311). `collect_set` ≙ groupBitmap (deduplicated
+    * neighbor set). Built lazily, cached MEMORY_AND_DISK; at cluster scale
+    * this would instead be persisted as a bucketed table partitioned by id
+    * so index-backed hops co-locate with node scans. */
+  def adjIndex(relLabel: String, outgoing: Boolean): DataFrame =
+    adjCache.getOrElseUpdate((relLabel, outgoing), {
+      val r = _catalog.rel(relLabel)
+      val (key, value) = if (outgoing) (r.fromColumn, r.toColumn) else (r.toColumn, r.fromColumn)
+      table(r.tableName)
+        .groupBy(col(key).as("id"))
+        .agg(collect_set(col(value)).as("neighbors"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  // ---- query execution -----------------------------------------------------
+
+  /** Parse + plan + build. Parameters (`$name`) are bound before planning
+    * (the reference passes them through verbatim — to_sql_query.rs:266; we
+    * bind server-side). */
+  def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
+    CypherParser.parse(query) match {
+      case rq: ReadQuery =>
+        val bound = if (params.isEmpty) rq else bindParams(rq, params)
+        val plan = Planner.plan(bound, _catalog)
+        new DataFrameBuilder(this).build(plan)
+      case ddl: CreateNodeTable => executeDdl(ddl)
+      case ddl: CreateRelTable  => executeDdl(ddl)
+    }
+
+  private def bindParams(q: ReadQuery, params: Map[String, Any]): ReadQuery = {
+    def bi(item: ReturnItem) = item.copy(expr = Expr.bind(item.expr, params))
+    q.copy(
+      paths = q.paths.map(p => p.copy(
+        start = bindNode(p.start, params),
+        hops = p.hops.map { case (r, n) =>
+          (r.copy(props = r.props.map { case (k, v) => k -> Expr.bind(v, params) }),
+           bindNode(n, params))
+        })),
+      where = q.where.map(Expr.bind(_, params)),
+      withStages = q.withStages.map(s =>
+        s.copy(items = s.items.map(bi), where = s.where.map(Expr.bind(_, params)))),
+      returnItems = q.returnItems.map(bi),
+      orderBy = q.orderBy.map(o => o.copy(expr = Expr.bind(o.expr, params))))
+  }
+
+  private def bindNode(n: NodePattern, params: Map[String, Any]): NodePattern =
+    n.copy(props = n.props.map { case (k, v) => k -> Expr.bind(v, params) })
+
+  /** DDL executes against ALREADY-LOADED tables: `CREATE NODE TABLE X(...)`
+    * registers the table/view named `X` in the graph catalog (data loading
+    * in the reference likewise happens outside the engine, by inserting into
+    * ClickHouse directly — SURVEY.md §2.3). Returns a one-row status frame
+    * like the reference's DDL response. */
+  private def executeDdl(stmt: CypherStatement): DataFrame = {
+    import spark.implicits._
+    stmt match {
+      case CreateNodeTable(name, _, pk, nodeId) =>
+        registerNode(name, name, nodeId, pk)
+        Seq(s"node table $name registered (catalog v${_catalog.version})").toDF("status")
+      case CreateRelTable(name, from, to, _, adj) =>
+        registerRel(name, name, from, to, adjIndex = adj)
+        if (adj) { adjIndex(name, outgoing = true); adjIndex(name, outgoing = false) }
+        Seq(s"rel table $name registered (catalog v${_catalog.version})").toDF("status")
+      case _ => throw new GraftException("unsupported DDL")
+    }
+  }
+
+  // ---- output formats (reference server/models.rs:20-27) --------------------
+
+  def toJsonEachRow(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+
+  def toCsv(df: DataFrame, header: Boolean = false): Seq[String] = {
+    val rows = df.collect().toSeq.map(_.toSeq.map {
+      case null => ""
+      case s: String => "\"" + s.replace("\"", "\"\"") + "\""
+      case v => v.toString
+    }.mkString(","))
+    if (header) df.columns.mkString(",") +: rows else rows
+  }
+
+  def toPretty(df: DataFrame, rows: Int = 20): String = {
+    val header = df.columns.toSeq
+    val data = df.limit(rows).collect().toSeq
+      .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
+    val widths = (header +: data).transpose.map(_.map(_.length).max)
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |")
+    val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    (Seq(sep, line(header), sep) ++ data.map(line) :+ sep).mkString("\n")
+  }
+}

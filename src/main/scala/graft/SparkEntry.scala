@@ -1,13 +1,237 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.fixtures.TpchGraph
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry runs Cypher text end-to-end through the engine
+  * (parse → plan → DataFrame) against the graph derived from the sf-dir
+  * tables (FIXTURES.md §B); `oracleSql` holds the equivalent ANSI SQL the
+  * driver replays in DuckDB over the same parquet files.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TpchGraph.session(spark, "/root/testdata/sf0.001").cypher(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE r.r_name = 'ASIA'
+        |RETURN n.n_name AS n_name, count(*) AS cnt
+        |ORDER BY cnt DESC, n_name ASC;""".stripMargin)
+
+  private def cy(query: String, params: Map[String, Any] = Map.empty)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => TpchGraph.session(s, dir).cypher(query, params)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = graphQueries ++ PipelineEntries.queries
+
+  private def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scan + Projection (§2.1 #2/#6)
+    "q_node_scan" -> cy(
+      "MATCH (c:Customer) RETURN c.c_custkey AS c_custkey, c.c_name AS c_name;"),
+
+    // Filter with AND / literals (§2.1 #5, §2.2 operators)
+    "q_node_filter" -> cy(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 5000.0 AND c.c_mktsegment = 'BUILDING'
+        |RETURN c.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal;""".stripMargin),
+
+    // 1-hop traversal via the adjacency-index path (bitmap analogue —
+    // no rel props referenced, index available)
+    "q_hop_index" -> cy(
+      """MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey;""".stripMargin),
+
+    // 1-hop forced onto the edge-list path (rel property filter —
+    // filter_tagging.rs:152-154 semantics)
+    "q_hop_edgelist" -> cy(
+      """MATCH (c:Customer)-[pl:PLACED]->(o:Order)
+        |WHERE pl.o_orderdate < datetime('1997-01-01') AND c.c_mktsegment = 'AUTOMOBILE'
+        |RETURN c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey;""".stripMargin),
+
+    // 2-hop chain + implicit GROUP BY from mixed RETURN
+    "q_2hop" -> cy(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE r.r_name = 'ASIA'
+        |RETURN n.n_name AS n_name, count(*) AS cnt;""".stripMargin),
+
+    // 3-hop chain through two adjacency indexes (PLACED, CONTAINS —
+    // bitmap semantics dedup (order,part) pairs like groupBitmap)
+    "q_3hop" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part)
+        |RETURN c.c_mktsegment AS seg, count(*) AS cnt;""".stripMargin),
+
+    // global aggregates, no GROUP BY (group_by_building.rs:30-41)
+    "q_agg_global" -> cy(
+      """MATCH (o:Order) RETURN count(*) AS cnt, min(o.o_totalprice) AS min_p,
+        |max(o.o_totalprice) AS max_p, round(avg(o.o_totalprice), 2) AS avg_p,
+        |round(sum(o.o_totalprice), 2) AS sum_p;""".stripMargin),
+
+    // count(DISTINCT …) — unary Distinct wrap (expression.rs:113-121)
+    "q_count_distinct" -> cy(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |RETURN count(DISTINCT p.p_partkey) AS n_parts;""".stripMargin),
+
+    // grouped agg over a traversal + ordered top-k (count(alias)→count(id))
+    "q_topk" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.c_mktsegment = 'BUILDING'
+        |RETURN c.c_custkey AS c_custkey, count(o) AS cnt
+        |ORDER BY cnt DESC, c_custkey ASC LIMIT 10;""".stripMargin),
+
+    // ORDER BY + SKIP + LIMIT (LIMIT skip,n semantics — to_sql_query.rs:25-33)
+    "q_skip_limit" -> cy(
+      """MATCH (c:Customer) RETURN c.c_custkey AS c_custkey, c.c_acctbal AS bal
+        |ORDER BY bal DESC, c_custkey ASC SKIP 10 LIMIT 20;""".stripMargin),
+
+    // undirected same-label hop ⇒ UNION DISTINCT of both orientations
+    "q_undirected" -> cy(
+      """MATCH (a:Nation)-[:NATION_ADJ]-(b:Nation)
+        |RETURN a.n_name AS a_name, b.n_name AS b_name;""".stripMargin),
+
+    // cycle pattern ⇒ standalone-rel double-key join
+    "q_cycle" -> cy(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region),
+        |      (c)-[:CUST_REGION]->(r)
+        |RETURN r.r_name AS r_name, count(*) AS cnt;""".stripMargin),
+
+    // wrong-direction pattern ⇒ EMPTY result, not an error
+    // (query_planner/mod.rs:50-60)
+    "q_wrong_direction" -> cy(
+      "MATCH (o:Order)-[:PLACED]->(c:Customer) RETURN c.c_custkey AS c_custkey;"),
+
+    // working WITH pipeline + post-WITH WHERE (HAVING semantics) — extension
+    // over the reference, which parses WITH then drops it
+    "q_with_having" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c.c_custkey AS ck, count(o) AS cnt
+        |WHERE cnt > 12
+        |RETURN ck AS ck, cnt AS cnt;""".stripMargin),
+
+    // RETURN * expansion (projection_tagging.rs:31-59)
+    "q_return_star" -> cy(
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN *;"),
+
+    // expression operator vocabulary: IN list, NOT, IS NOT NULL, arithmetic
+    "q_expr_ops" -> cy(
+      """MATCH (o:Order)
+        |WHERE o.o_orderstatus IN ['O', 'F'] AND NOT (o.o_totalprice < 1000.0)
+        |  AND o.o_orderdate IS NOT NULL
+        |RETURN o.o_orderkey AS k, o.o_totalprice / 2.0 + 10.0 AS adj;""".stripMargin),
+
+    // client parameters, bound before planning
+    "q_param" -> cy(
+      "MATCH (c:Customer) WHERE c.c_mktsegment = $seg RETURN count(*) AS cnt;",
+      Map("seg" -> "BUILDING")),
+
+    // relationship-type inference from endpoint labels
+    // (schema_inference.rs:375-391)
+    "q_anon_rel" -> cy(
+      "MATCH (n:Nation)-[]->(r:Region) RETURN n.n_name AS n_name, r.r_name AS r_name;"),
+
+    // endpoint label inference from the relationship schema
+    "q_label_infer" -> cy(
+      "MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS cnt;"),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = graphOracles ++ PipelineEntries.oracleSql
+
+  private def graphOracles: Map[String, String] = Map(
+    "q_node_scan" ->
+      "SELECT c_custkey, c_name FROM customer",
+
+    "q_node_filter" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q_hop_index" ->
+      """SELECT c_custkey, o_orderkey FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q_hop_edgelist" ->
+      """SELECT c_custkey, o_orderkey FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE o_orderdate < TIMESTAMP '1997-01-01' AND c_mktsegment = 'AUTOMOBILE'""".stripMargin,
+
+    "q_2hop" ->
+      """SELECT n_name, count(*) AS cnt FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+
+    // adjacency-index path dedups (order,part) pairs — groupBitmap semantics
+    "q_3hop" ->
+      """SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        |  ON l.l_orderkey = o_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT count(*) AS cnt, min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+        |round(avg(o_totalprice), 2) AS avg_p, round(sum(o_totalprice), 2) AS sum_p
+        |FROM orders""".stripMargin,
+
+    "q_count_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+
+    "q_topk" ->
+      """SELECT c_custkey, count(o_orderkey) AS cnt FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_custkey ORDER BY cnt DESC, c_custkey ASC LIMIT 10""".stripMargin,
+
+    "q_skip_limit" ->
+      """SELECT c_custkey, c_acctbal AS bal FROM customer
+        |ORDER BY bal DESC, c_custkey ASC LIMIT 20 OFFSET 10""".stripMargin,
+
+    "q_undirected" ->
+      """WITH e AS (
+        |  SELECT n1.n_nationkey AS f, n2.n_nationkey AS t
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey),
+        |u AS (SELECT f, t FROM e UNION SELECT t, f FROM e)
+        |SELECT na.n_name AS a_name, nb.n_name AS b_name FROM u
+        |JOIN nation na ON na.n_nationkey = u.f
+        |JOIN nation nb ON nb.n_nationkey = u.t""".stripMargin,
+
+    "q_cycle" ->
+      """SELECT r_name, count(*) AS cnt FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_wrong_direction" ->
+      "SELECT c_custkey FROM customer WHERE 1 = 0",
+
+    "q_with_having" ->
+      """SELECT c_custkey AS ck, count(o_orderkey) AS cnt FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey HAVING count(o_orderkey) > 12""".stripMargin,
+
+    "q_return_star" ->
+      """SELECT n_nationkey, n_name, n_regionkey, r_regionkey, r_name
+        |FROM nation JOIN region ON r_regionkey = n_regionkey""".stripMargin,
+
+    "q_expr_ops" ->
+      """SELECT o_orderkey AS k, o_totalprice / 2.0 + 10.0 AS adj
+        |FROM orders
+        |WHERE o_orderstatus IN ('O', 'F') AND NOT (o_totalprice < 1000.0)
+        |  AND o_orderdate IS NOT NULL""".stripMargin,
+
+    "q_param" ->
+      "SELECT count(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "q_anon_rel" ->
+      """SELECT n_name, r_name FROM nation
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin,
+
+    "q_label_infer" ->
+      """SELECT count(*) AS cnt FROM customer
+        |JOIN orders ON o_custkey = c_custkey""".stripMargin,
+  )
 }

@@ -1,0 +1,171 @@
+package graft.cypher
+
+/** AST for the OpenCypher subset the reference engine accepts.
+  *
+  * Shape mirrors the reference grammar (reference:
+  * brahmand/src/open_cypher_parser/ast.rs:6-20, expression grammar
+  * ast.rs:197-291) but is re-expressed as idiomatic Scala ADTs. Divergences
+  * from the reference, both deliberate (SURVEY.md §2.2/§2.3):
+  *  - standard operator precedence (the reference folds symbol operators
+  *    left-associatively with no precedence);
+  *  - WITH is planned, not silently dropped (reference parses WITH then
+  *    ignores it — plan_builder.rs:16-48).
+  */
+sealed trait Expr
+
+object Expr {
+  /** value is Long | Double | Boolean | String | null. */
+  final case class Lit(value: Any) extends Expr
+  case object Star extends Expr
+  /** Pattern alias used as a value (`RETURN a`) or an output-column ref
+    * (`ORDER BY cnt`); disambiguated during planning. */
+  final case class Var(name: String) extends Expr
+  /** `a.prop` — exactly two segments, like the reference
+    * (expression.rs:272-293). */
+  final case class Prop(alias: String, column: String) extends Expr
+  /** `$name` — bound at the API layer before planning. */
+  final case class Param(name: String) extends Expr
+  final case class ListLit(items: Seq[Expr]) extends Expr
+  /** Function call; `distinct` covers `count(DISTINCT x)`. */
+  final case class Fn(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+  /** Binary op: + - * / % ^ = <> < > <= >= AND OR IN. */
+  final case class Bin(op: String, left: Expr, right: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+
+  /** Aggregate-function names, matching the reference's classifier list
+    * (logical_expr/mod.rs:255) plus Spark-native extras. */
+  val aggregateNames: Set[String] =
+    Set("count", "min", "max", "avg", "sum", "collect_list", "collect_set",
+        "stddev", "variance")
+
+  def isAggregate(e: Expr): Boolean = e match {
+    case Fn(name, _, _) if aggregateNames(name.toLowerCase) => true
+    case Fn(_, args, _)   => args.exists(isAggregate)
+    case Bin(_, l, r)     => isAggregate(l) || isAggregate(r)
+    case Not(x)           => isAggregate(x)
+    case Neg(x)           => isAggregate(x)
+    case IsNull(x, _)     => isAggregate(x)
+    case ListLit(xs)      => xs.exists(isAggregate)
+    case _                => false
+  }
+
+  /** All `Prop(alias, col)` references in an expression. */
+  def propRefs(e: Expr): Seq[(String, String)] = e match {
+    case Prop(a, c)    => Seq(a -> c)
+    case Fn(_, as, _)  => as.flatMap(propRefs)
+    case Bin(_, l, r)  => propRefs(l) ++ propRefs(r)
+    case Not(x)        => propRefs(x)
+    case Neg(x)        => propRefs(x)
+    case IsNull(x, _)  => propRefs(x)
+    case ListLit(xs)   => xs.flatMap(propRefs)
+    case _             => Seq.empty
+  }
+
+  /** Aliases referenced (Prop qualifiers + bare Vars). */
+  def referencedNames(e: Expr): Set[String] = e match {
+    case Prop(a, _)    => Set(a)
+    case Var(n)        => Set(n)
+    case Fn(_, as, _)  => as.flatMap(referencedNames).toSet
+    case Bin(_, l, r)  => referencedNames(l) ++ referencedNames(r)
+    case Not(x)        => referencedNames(x)
+    case Neg(x)        => referencedNames(x)
+    case IsNull(x, _)  => referencedNames(x)
+    case ListLit(xs)   => xs.flatMap(referencedNames).toSet
+    case _             => Set.empty
+  }
+
+  def containsOr(e: Expr): Boolean = e match {
+    case Bin("OR", _, _) => true
+    case Bin(_, l, r)    => containsOr(l) || containsOr(r)
+    case Not(x)          => containsOr(x)
+    case Neg(x)          => containsOr(x)
+    case IsNull(x, _)    => containsOr(x)
+    case Fn(_, as, _)    => as.exists(containsOr)
+    case ListLit(xs)     => xs.exists(containsOr)
+    case _               => false
+  }
+
+  /** Split a boolean expression into top-level AND conjuncts. */
+  def conjuncts(e: Expr): Seq[Expr] = e match {
+    case Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+    case other            => Seq(other)
+  }
+
+  /** Substitute `$param` placeholders with literal values. */
+  def bind(e: Expr, params: Map[String, Any]): Expr = e match {
+    case Param(n) =>
+      params.get(n) match {
+        case Some(v) => Lit(v)
+        case None    => throw new GraftException(s"unbound parameter: $$$n")
+      }
+    case Fn(n, as, d)  => Fn(n, as.map(bind(_, params)), d)
+    case Bin(o, l, r)  => Bin(o, bind(l, params), bind(r, params))
+    case Not(x)        => Not(bind(x, params))
+    case Neg(x)        => Neg(bind(x, params))
+    case IsNull(x, ng) => IsNull(bind(x, params), ng)
+    case ListLit(xs)   => ListLit(xs.map(bind(_, params)))
+    case other         => other
+  }
+}
+
+/** Direction of a relationship pattern as written. */
+sealed trait Dir
+object Dir {
+  case object Out extends Dir        // (a)-[r]->(b)
+  case object In extends Dir         // (a)<-[r]-(b)
+  case object Undirected extends Dir // (a)-[r]-(b)
+}
+
+final case class NodePattern(
+    alias: Option[String],
+    label: Option[String],
+    props: Seq[(String, Expr)])
+
+final case class RelPattern(
+    alias: Option[String],
+    relType: Option[String],
+    props: Seq[(String, Expr)],
+    dir: Dir)
+
+/** A linear path: node (rel node)*. */
+final case class PathPattern(start: NodePattern, hops: Seq[(RelPattern, NodePattern)])
+
+final case class ReturnItem(expr: Expr, alias: Option[String])
+final case class OrderItem(expr: Expr, ascending: Boolean)
+/** `WITH items [WHERE cond]` — a pipeline stage (our working version of the
+  * clause the reference drops). */
+final case class WithStage(items: Seq[ReturnItem], distinct: Boolean, where: Option[Expr])
+
+sealed trait CypherStatement
+
+final case class ReadQuery(
+    paths: Seq[PathPattern],
+    where: Option[Expr],
+    withStages: Seq[WithStage],
+    returnItems: Seq[ReturnItem],
+    returnDistinct: Boolean,
+    orderBy: Seq[OrderItem],
+    skip: Option[Long],
+    limit: Option[Long]) extends CypherStatement
+
+final case class ColumnDef(name: String, dtype: String, default: Option[Expr])
+
+/** CREATE NODE TABLE — reference ddl_query.rs:60-100. */
+final case class CreateNodeTable(
+    name: String,
+    columns: Seq[ColumnDef],
+    primaryKey: Seq[String],
+    nodeId: String) extends CypherStatement
+
+/** CREATE REL TABLE — reference ddl_query.rs:120-160 + create_rel_table_clause.rs:50-80. */
+final case class CreateRelTable(
+    name: String,
+    fromLabel: String,
+    toLabel: String,
+    columns: Seq[ColumnDef],
+    adjIndex: Boolean) extends CypherStatement
+
+class GraftException(msg: String) extends RuntimeException(msg)
+class DisconnectedPatternException(msg: String) extends GraftException(msg)

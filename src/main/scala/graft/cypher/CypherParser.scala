@@ -1,0 +1,289 @@
+package graft.cypher
+
+import scala.util.matching.Regex
+import scala.util.parsing.combinator.RegexParsers
+
+/** Recursive-descent parser for the OpenCypher subset of the reference
+  * (clause sequence: brahmand/src/open_cypher_parser/mod.rs:35-94).
+  *
+  * Grammar (all clauses optional except MATCH+RETURN for reads):
+  *   MATCH path (, path)*
+  *   [WHERE expr]
+  *   (WITH [DISTINCT] items [WHERE expr])*
+  *   RETURN [DISTINCT] items
+  *   [ORDER BY item [ASC|DESC], ...] [SKIP n] [LIMIT n] [;]
+  * plus DDL: CREATE NODE TABLE / CREATE REL TABLE.
+  *
+  * Unlike the reference (expression.rs:127-152, flat left-assoc fold), we
+  * use standard precedence: OR < AND < NOT < comparison/IN/IS NULL <
+  * additive < multiplicative < unary minus < ^ < atom.
+  */
+object CypherParser extends RegexParsers {
+
+  override protected val whiteSpace: Regex = """(\s|//[^\n]*)+""".r
+
+  private val reserved = Set(
+    "match", "where", "return", "with", "order", "by", "skip", "limit",
+    "as", "and", "or", "not", "in", "is", "null", "distinct", "asc",
+    "desc", "ascending", "descending", "create", "node", "rel", "table",
+    "from", "to", "primary", "key", "true", "false", "union", "optional",
+    "delete", "detach", "set", "remove", "adj", "index")
+
+  private def kw(s: String): Parser[String] =
+    (s"""(?i)\\b${Regex.quote(s)}\\b""").r ^^ (_ => s)
+
+  private val identRe = """[a-zA-Z_][a-zA-Z0-9_]*""".r
+
+  /** Identifier in an unambiguous position (label, rel type, property key,
+    * AS alias, DDL name): reserved words allowed. */
+  private def anyIdent: Parser[String] =
+    ("""`[^`]+`""".r ^^ (s => s.substring(1, s.length - 1))) | identRe
+
+  /** Identifier, excluding reserved words; backticks lift the restriction. */
+  private def ident: Parser[String] =
+    ("""`[^`]+`""".r ^^ (s => s.substring(1, s.length - 1))) |
+    Parser { in =>
+      identRe(in) match {
+        case Success(s, next) if !reserved(s.toLowerCase) => Success(s, next)
+        case Success(s, _) => Failure(s"reserved word '$s'", in)
+        case ns: NoSuccess => Failure(ns.msg, in)
+      }
+    }
+
+  // ---- literals -----------------------------------------------------------
+
+  private def numberLit: Parser[Expr] =
+    """\d+\.\d+([eE][+-]?\d+)?""".r ^^ (s => Expr.Lit(s.toDouble)) |
+    """\d+[eE][+-]?\d+""".r ^^ (s => Expr.Lit(s.toDouble)) |
+    """\d+""".r ^^ (s => Expr.Lit(s.toLong))
+
+  private def unescape(body: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n'   => sb.append('\n')
+          case 't'   => sb.append('\t')
+          case 'r'   => sb.append('\r')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def stringLit: Parser[Expr] =
+    """'(\\.|[^'\\])*'""".r ^^ (s => Expr.Lit(unescape(s.substring(1, s.length - 1)))) |
+    """"(\\.|[^"\\])*"""".r ^^ (s => Expr.Lit(unescape(s.substring(1, s.length - 1))))
+
+  private def literal: Parser[Expr] =
+    numberLit | stringLit |
+    kw("true") ^^ (_ => Expr.Lit(true)) |
+    kw("false") ^^ (_ => Expr.Lit(false)) |
+    kw("null") ^^ (_ => Expr.Lit(null))
+
+  // ---- expressions --------------------------------------------------------
+
+  def expression: Parser[Expr] = orExpr
+
+  private def orExpr: Parser[Expr] =
+    andExpr ~ rep(kw("or") ~> andExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => Expr.Bin("OR", a, b))
+    }
+
+  private def andExpr: Parser[Expr] =
+    notExpr ~ rep(kw("and") ~> notExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => Expr.Bin("AND", a, b))
+    }
+
+  private def notExpr: Parser[Expr] =
+    kw("not") ~> notExpr ^^ Expr.Not.apply | comparison
+
+  private def comparison: Parser[Expr] =
+    additive ~ rep(compRhs) ^^ { case h ~ t => t.foldLeft(h)((a, f) => f(a)) }
+
+  private def compRhs: Parser[Expr => Expr] =
+    (("<=" | ">=" | "<>" | "!=" | "=" | "<" | ">") ~ additive ^^ {
+      case op ~ r => (l: Expr) => Expr.Bin(if (op == "!=") "<>" else op, l, r)
+    }) |
+    (kw("in") ~> additive ^^ { r => (l: Expr) => Expr.Bin("IN", l, r) }) |
+    (kw("is") ~> kw("not") ~> kw("null") ^^ { _ => (l: Expr) => Expr.IsNull(l, negated = true) }) |
+    (kw("is") ~> kw("null") ^^ { _ => (l: Expr) => Expr.IsNull(l, negated = false) })
+
+  private def additive: Parser[Expr] =
+    multiplicative ~ rep(("+" | "-") ~ multiplicative) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => Expr.Bin(op, a, b) }
+    }
+
+  private def multiplicative: Parser[Expr] =
+    unary ~ rep(("*" | "/" | "%") ~ unary) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => Expr.Bin(op, a, b) }
+    }
+
+  private def unary: Parser[Expr] =
+    "-" ~> unary ^^ Expr.Neg.apply | "+" ~> unary | power
+
+  private def power: Parser[Expr] =
+    atom ~ opt("^" ~> unary) ^^ {
+      case b ~ Some(e) => Expr.Bin("^", b, e)
+      case b ~ None    => b
+    }
+
+  private def fnCall: Parser[Expr] =
+    ident ~ ("(" ~> opt(kw("distinct")) ~ repsep(expression, ",") <~ ")") ^^ {
+      case name ~ (d ~ args) => Expr.Fn(name, args, d.isDefined)
+    }
+
+  private def countStar: Parser[Expr] =
+    (identRe.filter(_.equalsIgnoreCase("count")) ~ "(" ~ "*" ~ ")") ^^ {
+      _ => Expr.Fn("count", Seq(Expr.Star))
+    }
+
+  private def propOrVar: Parser[Expr] =
+    ident ~ opt("." ~> anyIdent) ^^ {
+      case a ~ Some(c) => Expr.Prop(a, c)
+      case a ~ None    => Expr.Var(a)
+    }
+
+  private def atom: Parser[Expr] =
+    countStar |
+    literal |
+    ("$" ~> identRe) ^^ Expr.Param.apply |
+    ("[" ~> repsep(expression, ",") <~ "]") ^^ Expr.ListLit.apply |
+    fnCall |
+    propOrVar |
+    "*" ^^ (_ => Expr.Star) |
+    ("(" ~> expression <~ ")")
+
+  // ---- patterns -----------------------------------------------------------
+
+  private def mapProps: Parser[Seq[(String, Expr)]] =
+    "{" ~> repsep(anyIdent ~ (":" ~> expression), ",") <~ "}" ^^ {
+      _.map { case k ~ v => k -> v }
+    }
+
+  private def nodePattern: Parser[NodePattern] =
+    "(" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(mapProps) <~ ")" ^^ {
+      case a ~ l ~ p => NodePattern(a, l, p.getOrElse(Seq.empty))
+    }
+
+  private def relBody: Parser[(Option[String], Option[String], Seq[(String, Expr)])] =
+    "[" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(mapProps) <~ "]" ^^ {
+      case a ~ t ~ p => (a, t, p.getOrElse(Seq.empty))
+    }
+
+  private def relPattern: Parser[RelPattern] =
+    ("<-" ~> opt(relBody) <~ "-") ~ opt(">") ^^ {
+      case body ~ Some(_) => throw new GraftException("invalid relationship pattern '<-...->'")
+      case body ~ None =>
+        val (a, t, p) = body.getOrElse((None, None, Seq.empty))
+        RelPattern(a, t, p, Dir.In)
+    } |
+    ("-" ~> opt(relBody) <~ "-") ~ opt(">") ^^ {
+      case body ~ arrow =>
+        val (a, t, p) = body.getOrElse((None, None, Seq.empty))
+        RelPattern(a, t, p, if (arrow.isDefined) Dir.Out else Dir.Undirected)
+    }
+
+  private def pathPattern: Parser[PathPattern] =
+    nodePattern ~ rep(relPattern ~ nodePattern) ^^ {
+      case start ~ hops => PathPattern(start, hops.map { case r ~ n => (r, n) })
+    }
+
+  // ---- clauses ------------------------------------------------------------
+
+  private def returnItem: Parser[ReturnItem] =
+    expression ~ opt(kw("as") ~> anyIdent) ^^ { case e ~ a => ReturnItem(e, a) }
+
+  private def withClause: Parser[WithStage] =
+    kw("with") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~
+      opt(kw("where") ~> expression) ^^ {
+      case d ~ items ~ w => WithStage(items, d.isDefined, w)
+    }
+
+  private def orderItem: Parser[OrderItem] =
+    expression ~ opt(kw("asc") | kw("ascending") | kw("desc") | kw("descending")) ^^ {
+      case e ~ dir => OrderItem(e, !dir.exists(_.startsWith("desc")))
+    }
+
+  private def readQuery: Parser[ReadQuery] =
+    (kw("match") ~> rep1sep(pathPattern, ",")) ~
+      opt(kw("where") ~> expression) ~
+      rep(withClause) ~
+      (kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",")) ~
+      opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
+      opt(kw("skip") ~> """\d+""".r) ~
+      opt(kw("limit") ~> """\d+""".r) ^^ {
+      case paths ~ where ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
+        ReadQuery(paths, where, withs, items, dist.isDefined,
+          ord.getOrElse(Seq.empty), skip.map(_.toLong), limit.map(_.toLong))
+    }
+
+  // ---- DDL ----------------------------------------------------------------
+
+  /** Column dtype: identifier with optional parenthesized args, passed
+    * through verbatim like the reference (ddl_query.rs:158-173). */
+  private def dtype: Parser[String] =
+    identRe ~ opt("(" ~> """[^)]*""".r <~ ")") ^^ {
+      case n ~ Some(args) => s"$n($args)"
+      case n ~ None       => n
+    }
+
+  private def columnDef: Parser[ColumnDef] =
+    anyIdent ~ dtype ~ opt(kw("default") ~> literal) ^^ {
+      case n ~ t ~ d => ColumnDef(n, t, d)
+    }
+
+  private sealed trait NodeElem
+  private case class ColElem(c: ColumnDef) extends NodeElem
+  private case class PkElem(cols: Seq[String]) extends NodeElem
+  private case class IdElem(col: String) extends NodeElem
+  private case class FromToElem(from: String, to: String) extends NodeElem
+  private case class AdjElem(on: Boolean) extends NodeElem
+
+  private def nodeTableElem: Parser[NodeElem] =
+    (kw("primary") ~> kw("key") ~> "(" ~> rep1sep(anyIdent, ",") <~ ")") ^^ PkElem.apply |
+    (kw("node") ~> kw("id") ~> "(" ~> anyIdent <~ ")") ^^ IdElem.apply |
+    columnDef ^^ ColElem.apply
+
+  private def createNodeTable: Parser[CreateNodeTable] =
+    kw("create") ~> kw("node") ~> kw("table") ~> anyIdent ~
+      ("(" ~> rep1sep(nodeTableElem, ",") <~ ")") ^^ { case name ~ elems =>
+      val cols = elems.collect { case ColElem(c) => c }
+      val pk = elems.collect { case PkElem(cs) => cs }.flatten
+      val ids = elems.collect { case IdElem(c) => c }
+      if (ids.isEmpty) throw new GraftException(s"CREATE NODE TABLE $name: missing NODE ID")
+      if (ids.size > 1) throw new GraftException(s"CREATE NODE TABLE $name: multiple NODE ID")
+      if (pk.isEmpty) throw new GraftException(s"CREATE NODE TABLE $name: missing PRIMARY KEY")
+      CreateNodeTable(name, cols, pk, ids.head)
+    }
+
+  private def relTableElem: Parser[NodeElem] =
+    (kw("from") ~> anyIdent ~ (kw("to") ~> anyIdent)) ^^ { case f ~ t => FromToElem(f, t) } |
+    (kw("adj") ~> kw("index") ~> (kw("true") | kw("false"))) ^^ (b => AdjElem(b == "true")) |
+    columnDef ^^ ColElem.apply
+
+  private def createRelTable: Parser[CreateRelTable] =
+    kw("create") ~> kw("rel") ~> kw("table") ~> anyIdent ~
+      ("(" ~> rep1sep(relTableElem, ",") <~ ")") ^^ { case name ~ elems =>
+      val ft = elems.collect { case e: FromToElem => e }
+      if (ft.size != 1)
+        throw new GraftException(s"CREATE REL TABLE $name: exactly one FROM..TO required")
+      val cols = elems.collect { case ColElem(c) => c }
+      val adj = elems.collect { case AdjElem(b) => b }.headOption.getOrElse(false)
+      CreateRelTable(name, ft.head.from, ft.head.to, cols, adj)
+    }
+
+  private def statement: Parser[CypherStatement] =
+    (createNodeTable | createRelTable | readQuery) <~ opt(";")
+
+  def parse(query: String): CypherStatement =
+    parseAll(statement, query) match {
+      case Success(ast, _) => ast
+      case ns: NoSuccess =>
+        throw new GraftException(s"parse error at ${ns.next.pos}: ${ns.msg}")
+    }
+}

@@ -1,0 +1,312 @@
+package graft.exec
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.cypher._
+import graft.planner.{GraphPlan, ResolvedEdge, ResolvedNode}
+
+/** Builds a Spark DataFrame plan from a resolved [[GraphPlan]].
+  *
+  * This replaces the reference's SQL-text rendering
+  * (brahmand/src/clickhouse_query_generator/to_sql_query.rs) with a
+  * declarative DataFrame construction; Catalyst then performs predicate
+  * pushdown, column pruning, join reordering and physical strategy selection
+  * (broadcast vs shuffle) that the reference hand-rolled or delegated to
+  * ClickHouse (SURVEY.md §2.4, §4).
+  *
+  * Scale notes (100 TB design intent):
+  *  - joins are declared as equi-joins on node-id columns so Catalyst/AQE can
+  *    pick broadcast for small dimension nodes and shuffled hash/SMJ + skew
+  *    mitigation for large ones;
+  *  - node filters are applied directly above each scan (before any join) so
+  *    they reach the parquet reader as PushedFilters;
+  *  - the adjacency-index path reads a pre-aggregated, id-partitioned
+  *    neighbors table (the Spark analogue of the reference's bitmap
+  *    AggregatingMergeTree, graph_traversal_planning.rs:678-807) and explodes
+  *    it, avoiding a re-shuffle of the raw edge list for high-fanout hops.
+  */
+final class DataFrameBuilder(session: GraftSession) {
+
+  import ExprCompiler.compile
+
+  private val qualified: ExprCompiler.Resolver = _ => None
+
+  def build(plan: GraphPlan): DataFrame = {
+    val joined = buildJoins(plan)
+    val filtered = plan.residualFilter match {
+      case Some(f) => joined.filter(compile(rewriteAliasArgs(f, plan), qualified))
+      case None    => joined
+    }
+
+    // WITH stages (working version of the clause the reference drops —
+    // SURVEY.md §2.3).
+    var df = filtered
+    var flatNames: Option[Seq[String]] = None // None ⇒ still alias-qualified
+    for (stage <- plan.withStages) {
+      val (staged, names) = projectStage(df, stage.items, stage.distinct, plan, flatNames, Seq.empty)
+      df = staged
+      stage.where.foreach { w =>
+        df = df.filter(compile(w, qualified))
+      }
+      flatNames = Some(names)
+    }
+
+    // RETURN + ORDER BY (hidden sort columns) + SKIP/LIMIT
+    val (proj, names, hidden) =
+      projectWithSort(df, plan.returnItems, plan.returnDistinct, plan, flatNames, plan.orderBy)
+    var out = proj
+    if (plan.orderBy.nonEmpty) {
+      val sortCols = plan.orderBy.zipWithIndex.map { case (o, i) =>
+        val c = qcol(hidden(i))
+        if (o.ascending) c.asc else c.desc
+      }
+      out = out.orderBy(sortCols: _*)
+    }
+    plan.skip.foreach(n => out = out.offset(n.toInt))
+    plan.limit.foreach(n => out = out.limit(n.toInt))
+    if (hidden.exists(h => !names.contains(h)))
+      out = out.select(names.map(qcol): _*)
+    out
+  }
+
+  // ---- scans ---------------------------------------------------------------
+
+  private def nodeDF(rn: ResolvedNode, plan: GraphPlan): DataFrame = {
+    var df = session.table(rn.schema.tableName).alias(rn.alias)
+    for (f <- rn.pushedFilters)
+      df = df.filter(compile(rewriteAliasArgs(f, plan), qualified))
+    df
+  }
+
+  /** Edge scan normalized to pattern orientation: columns `__src`, `__dst`
+    * (+ property columns on the edge-list path). */
+  private def edgeDF(e: ResolvedEdge, plan: GraphPlan): DataFrame = {
+    val s = e.schema
+    val base = session.table(s.tableName)
+    val refCols = plan.referencedProps.getOrElse(e.alias, Set.empty).toSeq.sorted
+    val propCols = s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+
+    def edgeList(srcCol: String, dstCol: String): DataFrame =
+      base.select(col(srcCol).as("__src") +: col(dstCol).as("__dst") +:
+        propCols.map(col): _*)
+
+    val canUseIndex = s.hasAdjIndex && refCols.isEmpty && e.pushedFilters.isEmpty
+
+    val oriented: DataFrame =
+      if (e.invalidDirection) {
+        // Wrong-direction pattern ⇒ statically EMPTY result with the correct
+        // schema (reference query_planner/mod.rs:50-60: canned WHERE 1=0).
+        edgeList(s.toColumn, s.fromColumn).filter(lit(false))
+      } else if (e.undirectedSameLabel) {
+        // Both orientations, UNION DISTINCT over the referenced columns
+        // (reference graph_traversal_planning.rs:524-616, 694-763).
+        if (canUseIndex) {
+          val out = adjRead(s, outgoing = true)
+          val in = adjRead(s, outgoing = false)
+          out.union(in).distinct()
+        } else {
+          val cols = refCols
+          val fwd = base.select(col(s.fromColumn).as("__src") +: col(s.toColumn).as("__dst") +: cols.map(col): _*)
+          val bwd = base.select(col(s.toColumn).as("__src") +: col(s.fromColumn).as("__dst") +: cols.map(col): _*)
+          fwd.union(bwd).distinct()
+        }
+      } else {
+        val (srcCol, dstCol) =
+          if (e.srcIsFrom) (s.fromColumn, s.toColumn) else (s.toColumn, s.fromColumn)
+        if (canUseIndex) adjRead(s, outgoing = e.srcIsFrom)
+        else edgeList(srcCol, dstCol)
+      }
+
+    var df = oriented.alias(e.alias)
+    for (f <- e.pushedFilters)
+      df = df.filter(compile(rewriteAliasArgs(f, plan), qualified))
+    df
+  }
+
+  /** Pre-aggregated adjacency read: `(id, neighbors)` exploded back to an
+    * edge shape — the Spark analogue of
+    * `SELECT from_id, arrayJoin(bitmapToArray(to_id))` (reference
+    * graph_traversal_planning.rs:685-691). */
+  private def adjRead(s: graft.catalog.RelSchema, outgoing: Boolean): DataFrame =
+    session.adjIndex(s.label, outgoing)
+      .select(col("id").as("__src"), explode(col("neighbors")).as("__dst"))
+
+  // ---- joins ---------------------------------------------------------------
+
+  private def buildJoins(plan: GraphPlan): DataFrame = {
+    def idOf(alias: String): Column =
+      col(s"$alias.${plan.nodes(alias).schema.idColumn}")
+
+    var joined = nodeDF(plan.nodes(plan.anchor), plan)
+    val bound = mutable.Set(plan.anchor)
+    val pending = mutable.Buffer(plan.edges: _*)
+
+    while (pending.nonEmpty) {
+      val idx = pending.indexWhere(e => bound(e.srcAlias) || bound(e.dstAlias))
+      if (idx < 0)
+        throw new DisconnectedPatternException("disconnected match patterns")
+      val e = pending.remove(idx)
+      val eDF = edgeDF(e, plan)
+      val srcKey = col(s"${e.alias}.__src")
+      val dstKey = col(s"${e.alias}.__dst")
+      val srcBound = bound(e.srcAlias)
+      val dstBound = bound(e.dstAlias)
+
+      if (srcBound && dstBound) {
+        // cycle / standalone-rel: join on both endpoints at once
+        // (reference graph_join_inference.rs:251-256, 350-370)
+        joined = joined.join(eDF,
+          idOf(e.srcAlias) === srcKey && idOf(e.dstAlias) === dstKey, "inner")
+      } else if (srcBound) {
+        joined = joined
+          .join(eDF, idOf(e.srcAlias) === srcKey, "inner")
+          .join(nodeDF(plan.nodes(e.dstAlias), plan), dstKey === idOf(e.dstAlias), "inner")
+        bound += e.dstAlias
+      } else {
+        joined = joined
+          .join(eDF, idOf(e.dstAlias) === dstKey, "inner")
+          .join(nodeDF(plan.nodes(e.srcAlias), plan), srcKey === idOf(e.srcAlias), "inner")
+        bound += e.srcAlias
+      }
+    }
+    joined
+  }
+
+  // ---- projection ----------------------------------------------------------
+
+  private def qcol(name: String): Column = col(s"`$name`")
+
+  /** `count(a)` where `a` is a pattern alias → `count(<a's id column>)`
+    * (reference projection_tagging.rs:240-275). Also rewrites bare alias
+    * aggregate args on relationships to their `__src` key. */
+  private def rewriteAliasArgs(e: Expr, plan: GraphPlan): Expr = {
+    val relAliases = plan.edges.map(_.alias).toSet
+    def rw(x: Expr): Expr = x match {
+      case Expr.Var(a) if plan.nodes.contains(a) =>
+        Expr.Prop(a, plan.nodes(a).schema.idColumn)
+      case Expr.Var(a) if relAliases(a) => Expr.Prop(a, "__src")
+      case Expr.Fn(n, as, d)  => Expr.Fn(n, as.map(rw), d)
+      case Expr.Bin(o, l, r)  => Expr.Bin(o, rw(l), rw(r))
+      case Expr.Not(y)        => Expr.Not(rw(y))
+      case Expr.Neg(y)        => Expr.Neg(rw(y))
+      case Expr.IsNull(y, ng) => Expr.IsNull(rw(y), ng)
+      case Expr.ListLit(ys)   => Expr.ListLit(ys.map(rw))
+      case other              => other
+    }
+    e match {
+      // only rewrite alias references INSIDE expressions; top-level bare
+      // Var(alias) return items are expanded to columns elsewhere
+      case Expr.Var(_) => e
+      case _           => rw(e)
+    }
+  }
+
+  private def defaultName(e: Expr, i: Int): String = e match {
+    case Expr.Prop(_, c) => c
+    case Expr.Var(n)     => n
+    case Expr.Fn(n, _, _) => s"${n.toLowerCase}_$i"
+    case _               => s"col_$i"
+  }
+
+  /** Expand `*` and bare node/rel aliases into per-column items. Returns
+    * (outputName, compileExpr) pairs. */
+  private def expandItems(
+      items: Seq[ReturnItem], plan: GraphPlan,
+      flat: Option[Seq[String]]): Seq[(String, Expr)] = {
+    val relAliases = plan.edges.map(_.alias).toSet
+    val explicitAliases = // pattern order, explicitly named only (no __ synthetics)
+      (plan.nodes.keys ++ relAliases).filterNot(_.startsWith("__")).toSeq
+    val nodeOrder = plan.nodes.keys.toSeq
+
+    items.zipWithIndex.flatMap { case (ReturnItem(expr, alias), i) =>
+      expr match {
+        case Expr.Star if flat.isEmpty =>
+          // RETURN * — all explicitly-named aliases (reference
+          // projection_tagging.rs:31-59), nodes first in pattern order.
+          val nodes = nodeOrder.filterNot(_.startsWith("__"))
+          val rels = plan.edges.map(_.alias).filterNot(_.startsWith("__"))
+          nodes.flatMap { a =>
+            plan.nodes(a).schema.columns.map(c => c -> (Expr.Prop(a, c): Expr))
+          } ++ rels.flatMap { a =>
+            val s = plan.edges.find(_.alias == a).get.schema
+            s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+              .map(c => c -> (Expr.Prop(a, c): Expr))
+          }
+        case Expr.Var(a) if flat.isEmpty && plan.nodes.contains(a) =>
+          plan.nodes(a).schema.columns.map(c => c -> (Expr.Prop(a, c): Expr))
+        case Expr.Var(a) if flat.isEmpty && relAliases(a) =>
+          val s = plan.edges.find(_.alias == a).get.schema
+          s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+            .map(c => c -> (Expr.Prop(a, c): Expr))
+        case other =>
+          Seq((alias.getOrElse(defaultName(other, i)), rewriteAliasArgs(other, plan)))
+      }
+    }
+  }
+
+  /** Project a stage (WITH or RETURN): implicit GROUP BY derivation per
+    * Cypher semantics — grouping keys are the non-aggregate items
+    * (reference group_by_building.rs:21-45). */
+  private def projectStage(
+      df: DataFrame, items: Seq[ReturnItem], distinct: Boolean,
+      plan: GraphPlan, flat: Option[Seq[String]],
+      extraItems: Seq[(String, Expr)]): (DataFrame, Seq[String]) = {
+
+    val expanded = expandItems(items, plan, flat) ++ extraItems
+    val names = expanded.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate output column names: ${names.mkString(", ")}")
+
+    val hasAgg = expanded.exists { case (_, e) => Expr.isAggregate(e) }
+    var out =
+      if (hasAgg) {
+        val (aggs, keys) = expanded.partition { case (_, e) => Expr.isAggregate(e) }
+        val keyCols = keys.map { case (n, e) => compile(e, qualified).as(n) }
+        val aggCols = aggs.map { case (n, e) => compile(e, qualified).as(n) }
+        val grouped =
+          if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(names.map(qcol): _*)
+      } else {
+        df.select(expanded.map { case (n, e) => compile(e, qualified).as(n) }: _*)
+      }
+    if (distinct) out = out.distinct()
+    (out, names)
+  }
+
+  /** RETURN projection with ORDER BY support: order keys that are not output
+    * columns are added as hidden columns, then dropped after the sort. */
+  private def projectWithSort(
+      df: DataFrame, items: Seq[ReturnItem], distinct: Boolean,
+      plan: GraphPlan, flat: Option[Seq[String]],
+      orderBy: Seq[OrderItem]): (DataFrame, Seq[String], Seq[String]) = {
+
+    val visible = expandItems(items, plan, flat)
+    val visibleNames = visible.map(_._1)
+
+    // resolve each order key to an output name, or synthesize a hidden item
+    val hiddenItems = mutable.ArrayBuffer[(String, Expr)]()
+    val sortNames = orderBy.zipWithIndex.map { case (o, i) =>
+      val rewritten = rewriteAliasArgs(o.expr, plan)
+      o.expr match {
+        case Expr.Var(n) if visibleNames.contains(n) => n
+        case _ =>
+          visible.find(_._2 == rewritten) match {
+            case Some((n, _)) => n
+            case None =>
+              val h = s"__sort_$i"
+              hiddenItems += ((h, rewritten))
+              h
+          }
+      }
+    }
+
+    val (out, _) = projectStage(df, items, distinct = false, plan, flat, hiddenItems.toSeq)
+    val projected = if (distinct) out.distinct() else out
+    (projected, visibleNames, sortNames)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.exec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.cypher.{Expr, GraftException}
+
+/** Compiles [[graft.cypher.Expr]] trees to Spark [[Column]]s.
+  *
+  * The reference passes unknown scalar-function names through verbatim to
+  * ClickHouse (brahmand/src/clickhouse_query_generator/to_sql_query.rs:279-287);
+  * we are deliberately explicit instead: every function name must be in the
+  * registry (SURVEY.md §2.2). All entries map to codegen'd
+  * `org.apache.spark.sql.functions` builtins — no UDFs.
+  *
+  * `resolve` maps an alias-qualified property (or bare name) to a Column; the
+  * builder supplies a context-appropriate resolver (qualified `alias.col`
+  * pre-projection; output names post-projection).
+  */
+object ExprCompiler {
+
+  type Resolver = Expr => Option[Column]
+
+  def compile(e: Expr, resolve: Resolver): Column = e match {
+    case other if resolve(other).isDefined => resolve(other).get
+    case Expr.Lit(null)        => lit(null)
+    case Expr.Lit(v)           => lit(v)
+    case Expr.Star             => lit(1) // only valid inside count(*); guarded there
+    case Expr.Prop(a, c)       => col(s"$a.$c")
+    case Expr.Var(n)           => col(n)
+    case Expr.Param(n)         => throw new GraftException(s"unbound parameter $$$n")
+    case Expr.ListLit(items)   => array(items.map(compile(_, resolve)): _*)
+    case Expr.Neg(x)           => -compile(x, resolve)
+    case Expr.Not(x)           => !compile(x, resolve)
+    case Expr.IsNull(x, false) => compile(x, resolve).isNull
+    case Expr.IsNull(x, true)  => compile(x, resolve).isNotNull
+
+    case Expr.Bin(op, l, r) =>
+      lazy val lc = compile(l, resolve)
+      op match {
+        case "+"   => lc + compile(r, resolve)
+        case "-"   => lc - compile(r, resolve)
+        case "*"   => lc * compile(r, resolve)
+        case "/"   => lc / compile(r, resolve)
+        case "%"   => lc % compile(r, resolve)
+        case "^"   => pow(lc, compile(r, resolve))
+        case "="   => lc === compile(r, resolve)
+        case "<>"  => lc =!= compile(r, resolve)
+        case "<"   => lc < compile(r, resolve)
+        case ">"   => lc > compile(r, resolve)
+        case "<="  => lc <= compile(r, resolve)
+        case ">="  => lc >= compile(r, resolve)
+        case "AND" => lc && compile(r, resolve)
+        case "OR"  => lc || compile(r, resolve)
+        case "IN" =>
+          r match {
+            case Expr.ListLit(items) =>
+              val vals = items.map {
+                case Expr.Lit(v) => v
+                case other => throw new GraftException(s"IN list must be literals, got $other")
+              }
+              lc.isin(vals: _*)
+            case other => lc.isin(compile(other, resolve))
+          }
+        case other => throw new GraftException(s"unknown operator: $other")
+      }
+
+    case fn @ Expr.Fn(_, _, _) => compileFn(fn, resolve)
+  }
+
+  private def compileFn(fn: Expr.Fn, resolve: Resolver): Column = {
+    val name = fn.name.toLowerCase
+    def arg(i: Int): Column = compile(fn.args(i), resolve)
+    def args: Seq[Column] = fn.args.map(compile(_, resolve))
+    def litArg(i: Int): Any = fn.args(i) match {
+      case Expr.Lit(v) => v
+      case other => throw new GraftException(s"$name: argument ${i + 1} must be a literal, got $other")
+    }
+
+    name match {
+      // ---- aggregates (reference classifier list logical_expr/mod.rs:255) --
+      case "count" =>
+        fn.args.head match {
+          case Expr.Star => count(lit(1))
+          case _ if fn.distinct => count_distinct(arg(0), args.drop(1): _*)
+          case _ => count(arg(0))
+        }
+      case "sum"          => if (fn.distinct) sum_distinct(arg(0)) else sum(arg(0))
+      case "min"          => min(arg(0))
+      case "max"          => max(arg(0))
+      case "avg"          => avg(arg(0))
+      case "collect_list" | "collect" => collect_list(arg(0))
+      case "collect_set"  => collect_set(arg(0))
+      case "stddev"       => stddev(arg(0))
+      case "variance"     => variance(arg(0))
+
+      // ---- scalar registry --------------------------------------------------
+      case "toupper" | "upper"       => upper(arg(0))
+      case "tolower" | "lower"       => lower(arg(0))
+      case "length" | "char_length" | "size" => length(arg(0))
+      case "trim"                    => trim(arg(0))
+      case "ltrim"                   => ltrim(arg(0))
+      case "rtrim"                   => rtrim(arg(0))
+      case "reverse"                 => reverse(arg(0))
+      case "replace"                 => regexp_replace(arg(0), java.util.regex.Pattern.quote(litArg(1).toString), litArg(2).toString)
+      case "substring" | "substr"    =>
+        substring(arg(0), litArg(1).asInstanceOf[Long].toInt, if (fn.args.size > 2) litArg(2).asInstanceOf[Long].toInt else Int.MaxValue)
+      case "left"                    => substring(arg(0), 1, litArg(1).asInstanceOf[Long].toInt)
+      case "split"                   => split(arg(0), litArg(1).toString)
+      case "concat"                  => concat(args: _*)
+      case "startswith"              => arg(0).startsWith(arg(1))
+      case "endswith"                => arg(0).endsWith(arg(1))
+      case "contains"                => arg(0).contains(arg(1))
+      case "abs"                     => abs(arg(0))
+      case "round"                   => if (fn.args.size > 1) round(arg(0), litArg(1).asInstanceOf[Long].toInt) else round(arg(0))
+      case "floor"                   => floor(arg(0))
+      case "ceil" | "ceiling"        => ceil(arg(0))
+      case "sqrt"                    => sqrt(arg(0))
+      case "exp"                     => exp(arg(0))
+      case "ln"                      => log(arg(0))
+      case "log10"                   => log10(arg(0))
+      case "log2"                    => log2(arg(0))
+      case "sign"                    => signum(arg(0))
+      case "pow" | "power"           => pow(arg(0), arg(1))
+      case "coalesce"                => coalesce(args: _*)
+      case "tostring"                => arg(0).cast("string")
+      case "tointeger" | "toint"     => arg(0).cast("long")
+      case "tofloat"                 => arg(0).cast("double")
+      case "toboolean"               => arg(0).cast("boolean")
+      case "year"                    => year(arg(0))
+      case "month"                   => month(arg(0))
+      case "day"                     => dayofmonth(arg(0))
+      case "hour"                    => hour(arg(0))
+      case "minute"                  => minute(arg(0))
+      case "date"  | "todate"        => to_date(arg(0))
+      case "datetime" | "totimestamp" => to_timestamp(arg(0))
+      case "date_trunc"              => date_trunc(litArg(0).toString, arg(1))
+      case "date_format"             => date_format(arg(0), litArg(1).toString)
+
+      case other =>
+        // Deliberate divergence from the reference's verbatim pass-through
+        // (to_sql_query.rs:279-287): unknown functions are an error.
+        throw new GraftException(s"unknown function: $other")
+    }
+  }
+}

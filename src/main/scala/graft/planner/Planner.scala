@@ -1,0 +1,266 @@
+package graft.planner
+
+import graft.catalog.{GraphCatalog, NodeSchema, RelSchema}
+import graft.cypher._
+
+/** A node in the resolved match graph. */
+final case class ResolvedNode(
+    alias: String,
+    schema: NodeSchema,
+    pushedFilters: Seq[Expr])
+
+/** An edge in the resolved match graph, normalized to pattern orientation:
+  * `src -> dst` is the direction as written (In-direction hops were swapped
+  * during graph construction).
+  *
+  * `srcIsFrom`: whether the pattern's source endpoint maps to the schema's
+  * fromColumn. `undirectedSameLabel`: both orientations must be unioned
+  * (reference graph_traversal_planning.rs:524-616, 694-763).
+  * `invalidDirection`: pattern direction contradicts the schema — the query
+  * yields an EMPTY result, not an error (reference query_planner/mod.rs:50-60).
+  */
+final case class ResolvedEdge(
+    alias: String,
+    schema: RelSchema,
+    srcAlias: String,
+    dstAlias: String,
+    srcIsFrom: Boolean,
+    undirectedSameLabel: Boolean,
+    invalidDirection: Boolean,
+    pushedFilters: Seq[Expr])
+
+/** Resolved match graph + query shape, ready for DataFrame construction. */
+final case class GraphPlan(
+    nodes: Map[String, ResolvedNode],
+    edges: Seq[ResolvedEdge],
+    anchor: String,
+    residualFilter: Option[Expr],
+    withStages: Seq[WithStage],
+    returnItems: Seq[ReturnItem],
+    returnDistinct: Boolean,
+    orderBy: Seq[OrderItem],
+    skip: Option[Long],
+    limit: Option[Long],
+    /** columns referenced per alias anywhere in the query (used to prune
+      * unioned undirected edges and pick the adjacency-index path). */
+    referencedProps: Map[String, Set[String]])
+
+/** Semantic analysis: label/relationship inference (reference
+  * analyzer/schema_inference.rs), direction validation
+  * (query_validation.rs:43-132), filter tagging (filter_tagging.rs),
+  * anchor selection (optimizer/anchor_node_selection.rs:38-78).
+  *
+  * Everything *physical* (join strategy, pushdown, pruning) is left to
+  * Catalyst — see SURVEY.md §4.
+  */
+object Planner {
+
+  private final case class RawEdge(
+      alias: String, relType: Option[String],
+      src: String, dst: String, undirected: Boolean,
+      inline: Seq[Expr])
+
+  def plan(q: ReadQuery, catalog: GraphCatalog): GraphPlan = {
+    var synthetic = 0
+    def fresh(prefix: String): String = { synthetic += 1; s"__$prefix$synthetic" }
+
+    // -- collect node aliases, labels, inline filters ------------------------
+    val labels = scala.collection.mutable.Map[String, Option[String]]()
+    val nodeInline = scala.collection.mutable.Map[String, Vector[Expr]]().withDefaultValue(Vector.empty)
+    val order = scala.collection.mutable.ArrayBuffer[String]() // pattern order
+
+    def registerNode(n: NodePattern): String = {
+      val alias = n.alias.getOrElse(fresh("n"))
+      labels.get(alias) match {
+        case Some(existing) =>
+          (existing, n.label) match {
+            case (Some(a), Some(b)) if a != b =>
+              throw new GraftException(s"alias '$alias' bound to two labels: $a, $b")
+            case (None, some @ Some(_)) => labels(alias) = some
+            case _ =>
+          }
+        case None =>
+          labels(alias) = n.label
+          order += alias
+      }
+      nodeInline(alias) = nodeInline(alias) ++
+        n.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(alias, k), v) }
+      alias
+    }
+
+    val rawEdges = scala.collection.mutable.ArrayBuffer[RawEdge]()
+    for (path <- q.paths) {
+      var prev = registerNode(path.start)
+      for ((rel, node) <- path.hops) {
+        val cur = registerNode(node)
+        val relAlias = rel.alias.getOrElse(fresh("r"))
+        val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
+        val e = rel.dir match {
+          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline)
+          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline)
+          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline)
+        }
+        rawEdges += e
+        prev = cur
+      }
+    }
+
+    // standalone anonymous node is not allowed (reference match_clause.rs:271-275)
+    if (rawEdges.isEmpty && q.paths.exists(p => p.hops.isEmpty && p.start.alias.isEmpty))
+      throw new GraftException("standalone node pattern must be named")
+
+    // -- connectivity: multi-path patterns must share an alias ----------------
+    if (q.paths.size > 1) {
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      def union(a: String, b: String): Unit = parent(find(a)) = find(b)
+      order.foreach(a => parent(a) = a)
+      rawEdges.foreach(e => union(e.src, e.dst))
+      val roots = order.map(find).toSet
+      if (roots.size > 1)
+        throw new DisconnectedPatternException(
+          "disconnected match patterns (no shared alias)") // reference logical_plan/match_clause.rs:202-204
+    }
+
+    // -- label / relationship inference (fixpoint) ---------------------------
+    final case class EdgeState(raw: RawEdge, var schema: Option[RelSchema],
+                               var srcIsFrom: Boolean = true,
+                               var invalid: Boolean = false,
+                               var sameLabelUndirected: Boolean = false)
+    val states = rawEdges.map(e => new EdgeState(e, e.relType.map(catalog.rel))).toSeq
+
+    var changed = true
+    while (changed) {
+      changed = false
+      for (st <- states; if !st.invalid) {
+        val e = st.raw
+        st.schema match {
+          case Some(s) =>
+            val srcL = labels(e.src); val dstL = labels(e.dst)
+            if (!e.undirected) {
+              // directed: src must be fromLabel, dst toLabel
+              (srcL, dstL) match {
+                case (Some(a), _) if a != s.fromLabel => st.invalid = true
+                case (_, Some(b)) if b != s.toLabel   => st.invalid = true
+                case _ =>
+                  if (srcL.isEmpty) { labels(e.src) = Some(s.fromLabel); changed = true }
+                  if (dstL.isEmpty) { labels(e.dst) = Some(s.toLabel); changed = true }
+                  st.srcIsFrom = true
+              }
+            } else {
+              if (s.fromLabel == s.toLabel) {
+                st.sameLabelUndirected = true
+                if (srcL.isEmpty) { labels(e.src) = Some(s.fromLabel); changed = true }
+                if (dstL.isEmpty) { labels(e.dst) = Some(s.toLabel); changed = true }
+                if (labels(e.src).exists(_ != s.fromLabel) || labels(e.dst).exists(_ != s.toLabel))
+                  st.invalid = true
+              } else {
+                (srcL, dstL) match {
+                  case (Some(a), _) if a == s.fromLabel =>
+                    st.srcIsFrom = true
+                    if (dstL.isEmpty) { labels(e.dst) = Some(s.toLabel); changed = true }
+                    else if (!dstL.contains(s.toLabel)) st.invalid = true
+                  case (Some(a), _) if a == s.toLabel =>
+                    st.srcIsFrom = false
+                    if (dstL.isEmpty) { labels(e.src) = Some(s.toLabel); labels(e.dst) = Some(s.fromLabel); changed = true }
+                    else if (!dstL.contains(s.fromLabel)) st.invalid = true
+                  case (Some(_), _) => st.invalid = true
+                  case (None, Some(b)) if b == s.toLabel =>
+                    st.srcIsFrom = true; labels(e.src) = Some(s.fromLabel); changed = true
+                  case (None, Some(b)) if b == s.fromLabel =>
+                    st.srcIsFrom = false; labels(e.src) = Some(s.toLabel); changed = true
+                  case (None, Some(_)) => st.invalid = true
+                  case (None, None) => // wait for more info; resolved after loop
+                }
+              }
+            }
+          case None =>
+            // rel type unknown: infer from endpoint labels (reference
+            // schema_inference.rs:375-391 — first match wins)
+            (labels(e.src), labels(e.dst)) match {
+              case (Some(a), Some(b)) =>
+                val forward = catalog.relsBetween(a, b)
+                val backward = if (e.undirected) catalog.relsBetween(b, a) else Seq.empty
+                (forward.headOption, backward.headOption) match {
+                  case (Some(s), _) => st.schema = Some(s); st.srcIsFrom = true
+                    st.sameLabelUndirected = e.undirected && s.fromLabel == s.toLabel
+                    changed = true
+                  case (None, Some(s)) => st.schema = Some(s); st.srcIsFrom = false; changed = true
+                  case (None, None) => st.invalid = true // no connecting rel ⇒ empty result
+                }
+              case _ => // wait
+            }
+        }
+      }
+    }
+
+    // unresolved undirected different-label edges with no endpoint info:
+    // orient in pattern order (src = fromLabel)
+    for (st <- states; if !st.invalid) {
+      val e = st.raw
+      st.schema match {
+        case Some(s) =>
+          if (labels(e.src).isEmpty) labels(e.src) = Some(if (st.srcIsFrom) s.fromLabel else s.toLabel)
+          if (labels(e.dst).isEmpty) labels(e.dst) = Some(if (st.srcIsFrom) s.toLabel else s.fromLabel)
+        case None =>
+          throw new GraftException(
+            s"could not infer relationship type for '${e.alias}' " +
+            "(no endpoint labels known)")
+      }
+    }
+
+    for (a <- order; if labels(a).isEmpty)
+      throw new GraftException(s"could not infer label for node '$a'")
+
+    // -- filter tagging -------------------------------------------------------
+    val relAliases = states.map(_.raw.alias).toSet
+    val nodeAliases = order.toSet
+    val whereConjs = q.where.map(Expr.conjuncts).getOrElse(Seq.empty)
+    val nodePushed = scala.collection.mutable.Map[String, Vector[Expr]]().withDefaultValue(Vector.empty)
+    val relPushed = scala.collection.mutable.Map[String, Vector[Expr]]().withDefaultValue(Vector.empty)
+    val residual = scala.collection.mutable.ArrayBuffer[Expr]()
+
+    for ((a, fs) <- nodeInline; f <- fs) nodePushed(a) = nodePushed(a) :+ f
+    for (st <- states; f <- st.raw.inline) relPushed(st.raw.alias) = relPushed(st.raw.alias) :+ f
+
+    for (c <- whereConjs) {
+      val refs = Expr.referencedNames(c).intersect(nodeAliases ++ relAliases)
+      if (Expr.isAggregate(c)) residual += c
+      else refs.toSeq match {
+        case Seq(single) if nodeAliases(single) => nodePushed(single) = nodePushed(single) :+ c
+        case Seq(single) if relAliases(single)  => relPushed(single) = relPushed(single) :+ c
+        case _ => residual += c
+      }
+    }
+
+    // -- anchor selection (reference anchor_node_selection.rs:38-78) ----------
+    val anchor = order.maxBy { a =>
+      val fs = nodePushed(a)
+      (fs.size, if (fs.exists(Expr.containsOr)) 1 else 0, -order.indexOf(a))
+    }
+
+    // -- referenced columns per alias -----------------------------------------
+    val allExprs: Seq[Expr] =
+      q.where.toSeq ++ q.returnItems.map(_.expr) ++ q.orderBy.map(_.expr) ++
+      q.withStages.flatMap(s => s.items.map(_.expr) ++ s.where.toSeq) ++
+      nodeInline.values.flatten ++ states.flatMap(_.raw.inline)
+    val refProps: Map[String, Set[String]] =
+      allExprs.flatMap(Expr.propRefs).groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
+
+    // ListMap: preserve pattern order (RETURN * expansion + deterministic
+    // join construction depend on it)
+    val nodes = scala.collection.immutable.ListMap(order.map { a =>
+      a -> ResolvedNode(a, catalog.node(labels(a).get), nodePushed(a))
+    }.toSeq: _*)
+
+    val edges = states.map { st =>
+      ResolvedEdge(st.raw.alias, st.schema.get, st.raw.src, st.raw.dst,
+        st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias))
+    }
+
+    GraphPlan(nodes, edges, anchor,
+      residual.reduceOption(Expr.Bin("AND", _, _)),
+      q.withStages, q.returnItems, q.returnDistinct, q.orderBy, q.skip, q.limit,
+      refProps)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * All math is done with higher-order array expressions in double precision
+  * (deterministic left-to-right folds — reproducible across engines and
+  * cluster sizes). No UDFs.
+  *
+  * Scale design:
+  *  - [[bruteForceTopK]] broadcasts the (small) query set and scans the
+  *    corpus once: cost O(|Q|·N·d) FLOPs, one shuffle for the per-query
+  *    top-k (partial `row_number` prune happens map-side via
+  *    TakeOrdered-style window + filter under AQE).
+  *  - [[lshTopK]] buckets vectors by a deterministic random-hyperplane
+  *    sign code and only compares within matching buckets — the 100 TB
+  *    path: candidate generation is an equi-join on the code, so the
+  *    all-pairs scan disappears; recall is tunable via `planes` (code
+  *    width) and `probes` is emulated by comparing codes within Hamming
+  *    distance 1 (bit-flip expansion of the query code).
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded). Similarity is rounded to 6 dp before ranking
+    * (with id tie-break) so results are stable across summation orders. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+
+    val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6).as("sim"))
+
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+
+  /** Deterministic ±1 hyperplanes: plane p, dimension d → sign from a
+    * seeded RNG. Literal arrays — evaluated once per row, codegen'd. */
+  private def planeLits(planes: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(array((0 until dim).map(_ =>
+      lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*))
+  }
+
+  /** Sign-random-projection code: bit p set iff v · plane_p > 0. */
+  def srpCode(v: Column, planes: Int, dim: Int, seed: Long = 7L): Column =
+    planeLits(planes, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(v, p) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share a hyperplane sign-code with the
+    * query (plus all Hamming-1 neighbor codes of the query — the "probe"
+    * expansion), then exact cosine + top-k within candidates. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 12,
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+      .withColumn("code", srpCode(col("cv"), planes, dim))
+
+    val qBase = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qcode", srpCode(col("qv"), planes, dim))
+
+    // probe expansion: the query's own code + every Hamming-1 code
+    val probeCodes = array(
+      (col("qcode") +: (0 until planes).map(i =>
+        col("qcode").bitwiseXOR(lit(1L << i)))): _*)
+    val q = qBase.withColumn("probe", explode(probeCodes))
+
+    val sims = c.join(broadcast(q), col("code") === col("probe") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6).as("sim"))
+      .distinct() // a candidate may match several probes
+
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+
+  /** IVF-style ANN: corpus is partitioned by nearest coarse centroid
+    * (deterministically chosen seed vectors); queries probe the `nprobe`
+    * nearest centroid lists. The 100 TB layout: cluster assignment is a
+    * narrow map, per-list storage is partition-pruned at read time. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+
+    // deterministic coarse centroids: the nlist lowest-id vectors
+    val cents = c.orderBy("nid").limit(nlist)
+      .select(col("nid").as("cent_id"), col("cv").as("cent"), col("cnorm").as("centnorm"))
+
+    val assigned = c.join(broadcast(cents), lit(true))
+      .withColumn("csim", dot(col("cv"), col("cent")) / (col("cnorm") * col("centnorm")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("nid").orderBy(col("csim").desc, col("cent_id").asc)))
+      .filter(col("crank") === 1)
+      .select(col("nid"), col("cv"), col("cnorm"), col("cent_id").as("list_id"))
+
+    val qAssigned = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", dot(col("qv"), col("cent")) / (col("qnorm") * col("centnorm")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cent_id").asc)))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("cent_id").as("list_id"))
+
+    val sims = assigned.join(qAssigned, Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6).as("sim"))
+      .distinct()
+
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data curation: quality scoring,
+  * token counting, language identification, document fingerprinting.
+  * Expression-only (codegen-friendly), one narrow projection per operator —
+  * no shuffles, so they scale linearly with input size.
+  */
+object TextAnalysis {
+
+  private val StopWords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Quality features + a composite score in [0,1]:
+    * 0.5·min(tokens,100)/100 + 0.3·stopword-ratio + 0.2·(1−min(punct,20)/20).
+    * Deterministic and SQL-mirrorable (oracle-checked). */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val stopArr = array(StopWords.map(lit): _*)
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("long").as("punct_cnt"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_cnt"))
+      .withColumn("score", round(
+        least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.5 +
+        col("stop_cnt").cast("double") / col("n_tokens") * 0.3 +
+        (lit(1.0) - least(col("punct_cnt"), lit(20)).cast("double") / 20.0) * 0.2, 4))
+  }
+
+  /** Whitespace token count + a BPE-ish subword count (letter runs, digit
+    * runs, single symbols — the classic pre-tokenizer regex). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        .cast("long").as("sub_tokens"))
+
+  /** Per-language marker lexicons for the n-gram/stopword scoring heuristic.
+    * Small on purpose: the operator demonstrates the scalable shape
+    * (dictionary scoring as a single projection); production would broadcast
+    * a real trigram profile table. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "was", "that", "with", "for", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "con", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "que", "pour"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "per", "sono", "una", "con"))
+
+  /** Language-ID heuristic: argmax over marker-word hit counts, with a CJK
+    * character-ratio shortcut for zh/ja. Returns (doc_id, lang_pred,
+    * marker_hits). */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val scoreCols = LangMarkers.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t))).as(s"score_$lang")
+    }
+    val cjkCount = length(regexp_replace(col("text"), "[^\\x{4E00}-\\x{9FFF}]", ""))
+
+    var df = docs.select((col("doc_id") +: col("text") +: scoreCols): _*)
+      .withColumn("cjk", cjkCount)
+    // argmax with deterministic tie order = LangMarkers order
+    val best = LangMarkers.map(_._1).foldLeft((lit(-1), lit("und"))) {
+      case ((bestScore, bestLang), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, s).otherwise(bestScore),
+         when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    df.select(
+      col("doc_id"),
+      when(col("cjk") * 2 > length(col("text")), lit("zh")).otherwise(best._2).as("lang_pred"),
+      greatest((LangMarkers.map(m => col(s"score_${m._1}")) :+ lit(0)): _*).as("marker_hits"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al.): xxhash64 over 4-word
+    * shingles, sliding window of 4, keep each window's min hash. Returns
+    * (doc_id, n_fingerprints, fp_min) — the compact sketch used for
+    * plagiarism-style containment detection. */
+  def fingerprints(docs: DataFrame, k: Int = 4, window: Int = 4): DataFrame = {
+    val sh = Dedup.shingles(col("text"), k)
+    val hs = transform(sh, s => xxhash64(s))
+    val nWin = greatest(size(hs) - (window - 1), lit(1))
+    val mins = transform(sequence(lit(0), nWin - 1),
+      i => array_min(slice(hs, i + 1, lit(window))))
+    docs.select(
+      col("doc_id"),
+      array_distinct(mins).as("fps"))
+    .select(
+      col("doc_id"),
+      size(col("fps")).as("n_fp"),
+      array_min(col("fps")).as("fp_min"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming at all (SURVEY.md §2.5) — this is the
+  * extension slot. Each transform is written against a plain DataFrame so
+  * the SAME function serves batch (driver correctness checks) and streaming
+  * (`spark.readStream` input): the Structured Streaming contract is that the
+  * logical plan is identical, only the source/sink differ.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts+sums per event type. On a stream, prepend
+    * [[withWatermark]] so state for closed windows is dropped. */
+  def tumblingCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming variant: 2-hour watermark bounds state; append-mode safe. */
+  def streamingTumblingCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Gap-based sessionization (batch formulation): a new session starts when
+    * the inter-event gap exceeds `gapMinutes`. Window-function cumulative
+    * trick — one shuffle on user_id. The streaming formulation of the same
+    * semantics uses `session_window` (see [[streamingSessionCounts]]). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming-native sessionization: `session_window` + watermark. */
+  def streamingSessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -36,7 +36,26 @@ object Dedup {
 
   def tokens(textCol: Column): Column = split(lower(trim(textCol)), "\\s+")
 
-  /** Distinct n-word shingles; shorter docs collapse to a single shingle. */
+  /** Distinct n-word shingles from a MATERIALIZED token-array column.
+    * `toks` must be an attribute, not an inline expression: it is referenced
+    * from the lambda body, and Catalyst re-evaluates inlined producer
+    * expressions per array element (no CSE inside lambdas). The second
+    * reference in the sequence bound keeps CollapseProject from inlining. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Adds a distinct-shingle column via a staged token projection. */
+  def withShingles(df: DataFrame, textCol: String, n: Int = 3,
+      out: String = "sh"): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(out, shinglesFromTokens(col("__toks"), n))
+      .drop("__toks")
+
+  /** Convenience single-expression form — fine for tests/small data; for
+    * hot paths use [[withShingles]] (see [[shinglesFromTokens]] note). */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val toks = tokens(textCol)
     val count = greatest(size(toks) - (n - 1), lit(1))
@@ -46,22 +65,29 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------------
 
-  /** 120 hashes = 15 bands x 8 rows: s-curve threshold (1/15)^(1/8) ~= 0.71,
-    * so pairs with true Jaccard >= 0.8 are caught with prob > 0.99. */
-  val NumHashes = 120
-  val Bands = 15
+  /** 96 hashes = 12 bands x 8 rows: s-curve threshold (1/12)^(1/8) ~= 0.73,
+    * so pairs with true Jaccard >= 0.8 are caught with prob ~0.9 per band
+    * set (0.999+ for the J>=0.9 pairs dedup actually targets). 96 keeps the
+    * signature aggregate under spark.sql.codegen.maxFields (100) so the
+    * whole-stage-codegen path stays enabled — 120 fields silently falls
+    * back to interpreted aggregation. */
+  val NumHashes = 96
+  val Bands = 12
   val Rows = 8
 
-  /** MinHash signature (array<bigint>, length [[NumHashes]]) of a shingle
-    * array — one pass over the shingles per row, no shuffle. The hash
-    * family is xxhash64 re-seeded by the function index k (each shingle's
-    * base hash is computed once, then k mixes it) — deterministic across
-    * runs/executors and safe under ANSI mode (no wrapping arithmetic). */
-  def minhashSignature(shingleCol: Column): Column = {
-    val hs = transform(shingleCol, s => xxhash64(s))
+  /** MinHash signature (array<bigint>, length [[NumHashes]]) from a column
+    * of pre-hashed shingles — one pass per row, no shuffle. The hash family
+    * is xxhash64 re-seeded by the function index k (each shingle's base
+    * hash is computed once in a PRIOR projection, then k mixes it) —
+    * deterministic across runs/executors and safe under ANSI mode.
+    *
+    * IMPORTANT perf note: `hashedShingles` must be a materialized column
+    * (attribute), not an inline expression — Catalyst does not de-duplicate
+    * common subexpressions inside higher-order-function lambdas, so an
+    * inline expression would be recomputed [[NumHashes]] times per row. */
+  def minhashSignature(hashedShingles: Column): Column =
     transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(hs, h => xxhash64(h, k))))
-  }
+      k => array_min(transform(hashedShingles, h => xxhash64(h, k))))
 
   /** One murmur3 bucket id per band (hash of the band's signature slice). */
   def bandHashes(sig: Column): Column =
@@ -78,13 +104,37 @@ object Dedup {
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
 
-    val prep = docs.select(
-        col(idCol).as("id"),
-        shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
+    // repartition by id BEFORE the CPU-heavy per-row work: small/few input
+    // splits otherwise serialize hashing on a handful of cores, and the
+    // subsequent groupBy("id") reuses this exact hash partitioning (no
+    // second exchange)
+    val prep = withShingles(
+      docs.select(col(idCol).as("id"), col(textCol)).repartition(col("id")), textCol)
+      .select(col("id"), col("sh"))
 
-    val banded = prep
-      .select(col("id"), posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+    // Distributed minhash, flat-column formulation: explode shingles, then
+    // 120 codegen'd min(xxhash64(h, k)) aggregates (map-side combinable —
+    // the shuffle carries one 120-slot buffer per doc, not the shingles).
+    // Deliberately NOT the HOF-lambda formulation: lambda bodies are
+    // interpreted and re-evaluate any inlined producer expression per
+    // element, which Catalyst will not CSE.
+    val exploded = prep
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val sigCols = (0 until NumHashes).map(k =>
+      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    // persist: the signature table feeds THREE consumers (bucket-size stats
+    // + both sides of the candidate self-join); without it the whole
+    // explode+aggregate lineage is recomputed per consumer. ~NumHashes
+    // longs per doc — tiny relative to the compute it saves. At cluster
+    // scale this is the materialized signature table you would write out.
+    val sig = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bandCols = (0 until Bands).map(b =>
+      hash((b * Rows until (b + 1) * Rows).map(i => col(s"m$i")): _*).as(s"b$b"))
+    val banded = sig
+      .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
 
     val okBuckets = banded.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
@@ -98,15 +148,19 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    val sets = prep.select(col("id"), col("sh"))
+    // exact-Jaccard verify on hashed shingles (cheap long-array intersect)
+    val sets = prep
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .withColumn("sz", size(col("hs")))
     cand
-      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-        size(array_union(col("sha"), col("shb"))), 4))
+      .join(sets.select(col("id").as("a"), col("hs").as("ha"), col("sz").as("za")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hb"), col("sz").as("zb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ha"), col("hb"))).as("i"),
+        (col("za") + col("zb")).as("s"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("s") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   // ---- SimHash ---------------------------------------------------------------
@@ -132,7 +186,21 @@ object Dedup {
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 6): DataFrame = {
 
-    val prep = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    // flat-column formulation (same rationale as minhashPairs): explode
+    // shingle hashes, 64 codegen'd ±1 vote sums, assemble bits in a project
+    val exploded = withShingles(
+        docs.select(col(idCol).as("id"), col(textCol)).repartition(col("id")), textCol)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val voteCols = (0 until 64).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"v$j"))
+    val votes = exploded.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val simCol = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    // persist: consumed by both sides of the chunk-bucket self-join
+    val prep = votes.select(col("id"), simCol.as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val chunks = array((0 until 4).map(c =>
       shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val chunked = prep.select(col("id"), col("sim"),
@@ -156,17 +224,31 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, threshold: Double = 0.5): DataFrame = {
 
-    val prep = docs.select(
-      col("doc_id").as("id"), col("lang"),
-      floor(col("n_chars") / 100).as("blk"),
-      shingles(col("text")).as("sh"))
+    // shingles pre-hashed to longs: array_intersect on fixed-width longs is
+    // far cheaper than on strings, and |A∪B| = |A|+|B|−|A∩B| avoids a
+    // second set operation (shingle arrays are already distinct)
+    val prep = withShingles(
+        docs.select(col("doc_id").as("id"), col("lang"),
+          floor(col("n_chars") / 100).as("blk"), col("text"))
+          .repartition(col("id")), "text")
+      .select(col("id"), col("lang"), col("blk"),
+        transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .withColumn("sz", size(col("hs")))
 
+    // size-ratio prefilter: J(A,B) <= min/max, so J >= t implies
+    // min >= t*max — prunes candidates before the (expensive) intersect
+    // without changing the result set
     prep.alias("x").join(prep.alias("y"),
         col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-        col("x.id") < col("y.id"))
+        col("x.id") < col("y.id") &&
+        least(col("x.sz"), col("y.sz")).cast("double") >=
+          greatest(col("x.sz"), col("y.sz")) * threshold)
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-              size(array_union(col("x.sh"), col("y.sh"))), 4).as("jaccard"))
+        size(array_intersect(col("x.hs"), col("y.hs"))).as("i"),
+        (col("x.sz") + col("y.sz")).as("s"))
+      // i referenced twice ⇒ CollapseProject keeps the intersect materialized
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("s") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

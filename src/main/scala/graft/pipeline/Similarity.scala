@@ -27,10 +27,22 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Generic HOF dot product — interpreted per element; fine for one-off
+    * per-row use, too slow for the per-candidate hot path (use [[dotFixed]]
+    * with a known dimension there: unrolled, whole-stage-codegen'd, and the
+    * same left-to-right summation order, so results are bit-identical). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normFixed(a: Column, dim: Int): Column = sqrt(dotFixed(a, a, dim))
+
+  /** Embedding dimension of the fixture corpus (embeddings.parquet). */
+  val DefaultDim = 64
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded). Similarity is rounded to 6 dp before ranking
@@ -39,14 +51,18 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
+    // repartition: spread the O(|Q|·N·d) dot-product work across cores even
+    // when the corpus arrives as a single input split
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cnorm", norm(col("cv")))
+      .repartition(col("nid"))
+      .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qnorm", normFixed(col("qv"), DefaultDim))
 
     val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6).as("sim"))
+        round(dotFixed(col("qv"), col("cv"), DefaultDim) /
+              (col("qnorm") * col("cnorm")), 6).as("sim"))
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -65,7 +81,7 @@ object Similarity {
   /** Sign-random-projection code: bit p set iff v · plane_p > 0. */
   def srpCode(v: Column, planes: Int, dim: Int, seed: Long = 7L): Column =
     planeLits(planes, dim, seed).zipWithIndex.map { case (p, i) =>
-      when(dot(v, p) > 0, lit(1L << i)).otherwise(0L)
+      when(dotFixed(v, p, dim) > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: candidates share a hyperplane sign-code with the
@@ -76,11 +92,12 @@ object Similarity {
       dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cnorm", norm(col("cv")))
+      .repartition(col("nid"))
+      .withColumn("cnorm", normFixed(col("cv"), dim))
       .withColumn("code", srpCode(col("cv"), planes, dim))
 
     val qBase = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qnorm", normFixed(col("qv"), dim))
       .withColumn("qcode", srpCode(col("qv"), planes, dim))
 
     // probe expansion: the query's own code + every Hamming-1 code
@@ -91,7 +108,8 @@ object Similarity {
 
     val sims = c.join(broadcast(q), col("code") === col("probe") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6).as("sim"))
+        round(dotFixed(col("qv"), col("cv"), dim) /
+              (col("qnorm") * col("cnorm")), 6).as("sim"))
       .distinct() // a candidate may match several probes
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
@@ -109,23 +127,26 @@ object Similarity {
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cnorm", norm(col("cv")))
+      .repartition(col("nid"))
+      .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
 
     // deterministic coarse centroids: the nlist lowest-id vectors
     val cents = c.orderBy("nid").limit(nlist)
       .select(col("nid").as("cent_id"), col("cv").as("cent"), col("cnorm").as("centnorm"))
 
     val assigned = c.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot(col("cv"), col("cent")) / (col("cnorm") * col("centnorm")))
+      .withColumn("csim", dotFixed(col("cv"), col("cent"), DefaultDim) /
+        (col("cnorm") * col("centnorm")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("nid").orderBy(col("csim").desc, col("cent_id").asc)))
       .filter(col("crank") === 1)
       .select(col("nid"), col("cv"), col("cnorm"), col("cent_id").as("list_id"))
 
     val qAssigned = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qnorm", normFixed(col("qv"), DefaultDim))
       .join(broadcast(cents), lit(true))
-      .withColumn("csim", dot(col("qv"), col("cent")) / (col("qnorm") * col("centnorm")))
+      .withColumn("csim", dotFixed(col("qv"), col("cent"), DefaultDim) /
+        (col("qnorm") * col("centnorm")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cent_id").asc)))
       .filter(col("crank") <= nprobe)
@@ -134,7 +155,8 @@ object Similarity {
     val sims = assigned.join(qAssigned, Seq("list_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6).as("sim"))
+        round(dotFixed(col("qv"), col("cv"), DefaultDim) /
+              (col("qnorm") * col("cnorm")), 6).as("sim"))
       .distinct()
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)

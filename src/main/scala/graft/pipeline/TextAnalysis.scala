@@ -82,17 +82,16 @@ object TextAnalysis {
     * (doc_id, n_fingerprints, fp_min) — the compact sketch used for
     * plagiarism-style containment detection. */
   def fingerprints(docs: DataFrame, k: Int = 4, window: Int = 4): DataFrame = {
-    val sh = Dedup.shingles(col("text"), k)
-    val hs = transform(sh, s => xxhash64(s))
-    val nWin = greatest(size(hs) - (window - 1), lit(1))
-    val mins = transform(sequence(lit(0), nWin - 1),
-      i => array_min(slice(hs, i + 1, lit(window))))
-    docs.select(
-      col("doc_id"),
-      array_distinct(mins).as("fps"))
-    .select(
-      col("doc_id"),
-      size(col("fps")).as("n_fp"),
-      array_min(col("fps")).as("fp_min"))
+    // staged projections: each array is a materialized attribute before the
+    // next HOF references it repeatedly (no CSE inside lambda bodies)
+    Dedup.withShingles(docs.select(col("doc_id"), col("text")), "text", k)
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("mins", transform(
+        sequence(lit(0), greatest(size(col("hs")) - (window - 1), lit(1)) - 1),
+        i => array_min(slice(col("hs"), i + 1, lit(window)))))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("mins"))).as("n_fp"),
+        array_min(col("mins")).as("fp_min"))
   }
 }

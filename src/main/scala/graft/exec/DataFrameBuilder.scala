@@ -222,29 +222,38 @@ final class DataFrameBuilder(session: GraftSession) {
       (plan.nodes.keys ++ relAliases).filterNot(_.startsWith("__")).toSeq
     val nodeOrder = plan.nodes.keys.toSeq
 
-    items.zipWithIndex.flatMap { case (ReturnItem(expr, alias), i) =>
-      expr match {
-        case Expr.Star if flat.isEmpty =>
-          // RETURN * — all explicitly-named aliases (reference
-          // projection_tagging.rs:31-59), nodes first in pattern order.
-          val nodes = nodeOrder.filterNot(_.startsWith("__"))
-          val rels = plan.edges.map(_.alias).filterNot(_.startsWith("__"))
-          nodes.flatMap { a =>
-            plan.nodes(a).schema.columns.map(c => c -> (Expr.Prop(a, c): Expr))
-          } ++ rels.flatMap { a =>
+    // expanded items carry their source alias so colliding column names
+    // (e.g. two same-label nodes in RETURN *) can be prefixed
+    val raw: Seq[(Option[String], String, Expr)] =
+      items.zipWithIndex.flatMap { case (ReturnItem(expr, alias), i) =>
+        expr match {
+          case Expr.Star if flat.isEmpty =>
+            // RETURN * — all explicitly-named aliases (reference
+            // projection_tagging.rs:31-59), nodes first in pattern order.
+            val nodes = nodeOrder.filterNot(_.startsWith("__"))
+            val rels = plan.edges.map(_.alias).filterNot(_.startsWith("__"))
+            nodes.flatMap { a =>
+              plan.nodes(a).schema.columns.map(c => (Some(a), c, Expr.Prop(a, c): Expr))
+            } ++ rels.flatMap { a =>
+              val s = plan.edges.find(_.alias == a).get.schema
+              s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+                .map(c => (Some(a), c, Expr.Prop(a, c): Expr))
+            }
+          case Expr.Var(a) if flat.isEmpty && plan.nodes.contains(a) =>
+            plan.nodes(a).schema.columns.map(c => (Some(a), c, Expr.Prop(a, c): Expr))
+          case Expr.Var(a) if flat.isEmpty && relAliases(a) =>
             val s = plan.edges.find(_.alias == a).get.schema
             s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
-              .map(c => c -> (Expr.Prop(a, c): Expr))
-          }
-        case Expr.Var(a) if flat.isEmpty && plan.nodes.contains(a) =>
-          plan.nodes(a).schema.columns.map(c => c -> (Expr.Prop(a, c): Expr))
-        case Expr.Var(a) if flat.isEmpty && relAliases(a) =>
-          val s = plan.edges.find(_.alias == a).get.schema
-          s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
-            .map(c => c -> (Expr.Prop(a, c): Expr))
-        case other =>
-          Seq((alias.getOrElse(defaultName(other, i)), rewriteAliasArgs(other, plan)))
+              .map(c => (Some(a), c, Expr.Prop(a, c): Expr))
+          case other =>
+            Seq((None, alias.getOrElse(defaultName(other, i)),
+              rewriteAliasArgs(other, plan)))
+        }
       }
+    val dup = raw.groupBy(_._2).filter(_._2.size > 1).keySet
+    raw.map {
+      case (Some(a), n, e) if dup(n) => (s"${a}_$n", e)
+      case (_, n, e)                 => (n, e)
     }
   }
 

@@ -48,20 +48,20 @@ object Similarity {
     * vectors (self excluded). Similarity is rounded to 6 dp before ranking
     * (with id tie-break) so results are stable across summation orders. */
   def bruteForceTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, dim: Int = DefaultDim,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
     // repartition: spread the O(|Q|·N·d) dot-product work across cores even
     // when the corpus arrives as a single input split
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
       .repartition(col("nid"))
-      .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
+      .withColumn("cnorm", normFixed(col("cv"), dim))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", normFixed(col("qv"), DefaultDim))
+      .withColumn("qnorm", normFixed(col("qv"), dim))
 
     val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(dotFixed(col("qv"), col("cv"), DefaultDim) /
+        round(dotFixed(col("qv"), col("cv"), dim) /
               (col("qnorm") * col("cnorm")), 6).as("sim"))
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
@@ -84,33 +84,48 @@ object Similarity {
       when(dotFixed(v, p, dim) > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: candidates share a hyperplane sign-code with the
-    * query (plus all Hamming-1 neighbor codes of the query — the "probe"
-    * expansion), then exact cosine + top-k within candidates. */
+  /** Multi-table LSH ANN (classic (L, b) sign-random-projection scheme):
+    * L independent b-bit code tables; a corpus vector is a candidate if it
+    * shares a code with the query in ANY table (plus Hamming-1 probes per
+    * table). Exact cosine + top-k within candidates.
+    *
+    * Recall for bit-agreement prob p is 1−(1−p^b)^L — tuned via (L, b);
+    * b should grow ~log2(N) so bucket occupancy stays constant. Candidate
+    * generation is an equi-join on (table, code): at 100 TB this replaces
+    * the all-pairs scan with L bounded bucket joins. */
   def lshTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 12,
-      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 6,
+      tables: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    def codes(v: Column): Column = array((0 until tables).map(t =>
+      srpCode(v, planes, dim, seed = 7L + t * 1000L)): _*)
 
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
       .repartition(col("nid"))
       .withColumn("cnorm", normFixed(col("cv"), dim))
-      .withColumn("code", srpCode(col("cv"), planes, dim))
+      .select(col("nid"), col("cv"), col("cnorm"),
+        posexplode(codes(col("cv"))).as(Seq("tbl", "code")))
 
     val qBase = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", normFixed(col("qv"), dim))
-      .withColumn("qcode", srpCode(col("qv"), planes, dim))
+      .select(col("qid"), col("qv"), col("qnorm"),
+        posexplode(codes(col("qv"))).as(Seq("tbl", "qcode")))
 
-    // probe expansion: the query's own code + every Hamming-1 code
-    val probeCodes = array(
-      (col("qcode") +: (0 until planes).map(i =>
-        col("qcode").bitwiseXOR(lit(1L << i)))): _*)
-    val q = qBase.withColumn("probe", explode(probeCodes))
+    // per-table probe expansion: own code + all Hamming-1 codes
+    val probes = array((col("qcode") +: (0 until planes).map(i =>
+      col("qcode").bitwiseXOR(lit(1L << i)))): _*)
+    val q = qBase.withColumn("probe", explode(probes))
+      .select(col("qid"), col("qv"), col("qnorm"),
+        col("tbl").as("qtbl"), col("probe"))
 
-    val sims = c.join(broadcast(q), col("code") === col("probe") && col("qid") =!= col("nid"))
+    val sims = c.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("code") === col("probe") &&
+        col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dotFixed(col("qv"), col("cv"), dim) /
               (col("qnorm") * col("cnorm")), 6).as("sim"))
-      .distinct() // a candidate may match several probes
+      .distinct() // a candidate may match several tables/probes
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w))

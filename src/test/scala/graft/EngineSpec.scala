@@ -1,0 +1,183 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.{DisconnectedPatternException, GraftException}
+
+/** End-to-end Cypher → DataFrame tests on a small in-memory graph:
+  * users 1-5 (u1..u5), Follows = {1→2, 1→3, 2→3, 3→4, 2→1},
+  * Posts 10-12, Created = {1→10, 2→10, 2→11, 3→12}. */
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("users",
+      Seq((1L, "u1", "berlin"), (2L, "u2", "paris"), (3L, "u3", "berlin"),
+          (4L, "u4", "rome"), (5L, "u5", "paris"))
+        .toDF("id", "name", "city"))
+    g.registerTable("posts",
+      Seq((10L, "p10"), (11L, "p11"), (12L, "p12")).toDF("id", "title"))
+    g.registerTable("Follows",
+      Seq((1L, 2L, 2019), (1L, 3L, 2020), (2L, 3L, 2021), (3L, 4L, 2022), (2L, 1L, 2023))
+        .toDF("from_User", "to_User", "since"))
+    g.registerTable("Created",
+      Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)).toDF("from_User", "to_Post"))
+    g.registerNode("User", "users", "id")
+    g.registerNode("Post", "posts", "id")
+    g.registerRel("Follows", "Follows", "User", "User", adjIndex = true)
+    g.registerRel("Created", "Created", "User", "Post")
+    g
+  }
+
+  test("1-hop directed traversal with inline filter") {
+    val df = gs.cypher("MATCH (a:User {name:'u1'})-[:Follows]->(b:User) RETURN b.id AS id;")
+    assert(longs(df) == Set(2L, 3L))
+  }
+
+  test("adjacency-index path and edge-list path agree") {
+    val viaIndex = gs.cypher(
+      "MATCH (a:User {name:'u1'})-[:Follows]->(b:User) RETURN b.id AS id;")
+    val viaEdgeList = gs.cypher( // rel-property filter forces edge list
+      "MATCH (a:User {name:'u1'})-[f:Follows]->(b:User) WHERE f.since > 0 RETURN b.id AS id;")
+    assert(longs(viaIndex) == longs(viaEdgeList))
+  }
+
+  test("2-hop chain") {
+    val df = gs.cypher(
+      "MATCH (a:User {name:'u1'})-[:Follows]->(b:User)-[:Follows]->(c:User) RETURN c.id AS id;")
+    assert(longs(df) == Set(1L, 3L, 4L))
+  }
+
+  test("undirected same-label hop is UNION DISTINCT of both orientations") {
+    val df = gs.cypher("MATCH (a:User {name:'u2'})-[:Follows]-(b:User) RETURN b.id AS id;")
+    assert(longs(df) == Set(1L, 3L))
+  }
+
+  test("cycle pattern (standalone-rel double-key join)") {
+    val df = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)-[:Follows]->(c:User), (a)-[:Follows]->(c)
+        |RETURN a.id AS aid, c.id AS cid;""".stripMargin)
+    assert(rows(df) == Set(Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("wrong-direction pattern yields empty result, not an error") {
+    val df = gs.cypher("MATCH (p:Post)-[:Created]->(u:User) RETURN u.id AS id;")
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("id"))
+  }
+
+  test("grouped aggregate with count(alias) and ordered top-k") {
+    val df = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |RETURN a.name AS name, count(b) AS c ORDER BY c DESC, name ASC LIMIT 2;""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("u1", 2L), ("u2", 2L)))
+  }
+
+  test("global aggregates without GROUP BY") {
+    val df = gs.cypher(
+      "MATCH (u:User) RETURN count(*) AS n, min(u.id) AS lo, max(u.id) AS hi, avg(u.id) AS m;")
+    val r = df.collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1L && r.getLong(2) == 5L && r.getDouble(3) == 3.0)
+  }
+
+  test("count(DISTINCT …) and RETURN DISTINCT") {
+    val d1 = gs.cypher("MATCH (u:User)-[:Created]->(p:Post) RETURN count(DISTINCT p.id) AS n;")
+    assert(d1.collect().head.getLong(0) == 3L)
+    val d2 = gs.cypher("MATCH (u:User)-[:Created]->(p:Post) RETURN DISTINCT p.id AS id;")
+    assert(longs(d2) == Set(10L, 11L, 12L))
+  }
+
+  test("ORDER BY + SKIP + LIMIT") {
+    val df = gs.cypher("MATCH (u:User) RETURN u.id AS id ORDER BY id ASC SKIP 1 LIMIT 2;")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("WITH pipeline with post-WITH WHERE (HAVING semantics)") {
+    val df = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |WITH a.name AS name, count(b) AS c WHERE c > 1
+        |RETURN name, c;""".stripMargin)
+    assert(rows(df) == Set(Seq("u1", 2L), Seq("u2", 2L)))
+  }
+
+  test("RETURN * expands explicitly-named aliases") {
+    val df = gs.cypher("MATCH (u:User {name:'u4'})-[]-(v:User) RETURN *;")
+    // colliding names from same-label aliases get alias prefixes
+    assert(df.columns.toSeq ==
+      Seq("u_id", "u_name", "u_city", "v_id", "v_name", "v_city"))
+  }
+
+  test("expression vocabulary: IN, NOT, IS NULL, arithmetic, functions") {
+    val df = gs.cypher(
+      """MATCH (u:User)
+        |WHERE u.city IN ['berlin', 'rome'] AND NOT (u.id < 1) AND u.name IS NOT NULL
+        |RETURN u.id AS id, u.id * 2 + 1 AS x, toUpper(u.city) AS c;""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 3L, "BERLIN"), (3L, 7L, "BERLIN"), (4L, 9L, "ROME")))
+  }
+
+  test("parameters bind before planning") {
+    val df = gs.cypher("MATCH (u:User) WHERE u.city = $c RETURN count(*) AS n;",
+      Map("c" -> "paris"))
+    assert(df.collect().head.getLong(0) == 2L)
+  }
+
+  test("relationship-type inference from endpoint labels") {
+    val df = gs.cypher("MATCH (u:User {name:'u2'})-[]->(p:Post) RETURN p.id AS id;")
+    assert(longs(df) == Set(10L, 11L))
+  }
+
+  test("endpoint label inference from relationship schema") {
+    val df = gs.cypher("MATCH (u)-[:Created]->(p) RETURN count(*) AS n;")
+    assert(df.collect().head.getLong(0) == 4L)
+  }
+
+  test("disconnected multi-pattern is rejected (reference parity)") {
+    assertThrows[DisconnectedPatternException](
+      gs.cypher("MATCH (a:User), (b:Post) RETURN a.id AS x;"))
+  }
+
+  test("standalone anonymous node is rejected (reference parity)") {
+    assertThrows[GraftException](gs.cypher("MATCH (:User) RETURN 1 AS x;"))
+  }
+
+  test("unknown label / unknown function are explicit errors") {
+    assertThrows[GraftException](gs.cypher("MATCH (x:Nope) RETURN x.id AS i;"))
+    assertThrows[GraftException](
+      gs.cypher("MATCH (u:User) RETURN mystery_fn(u.id) AS z;"))
+  }
+
+  test("DDL statements register catalog entries end-to-end") {
+    import spark.implicits._
+    val g2 = new GraftSession(spark)
+    Seq((1L, "a"), (2L, "b")).toDF("nid", "label").createOrReplaceTempView("Thing")
+    Seq((1L, 2L)).toDF("from_Thing", "to_Thing").createOrReplaceTempView("Rel")
+    g2.cypher("CREATE NODE TABLE Thing (nid UInt64, label String, PRIMARY KEY (nid), NODE ID (nid));")
+    g2.cypher("CREATE REL TABLE Rel (FROM Thing TO Thing, ADJ INDEX true);")
+    assert(g2.catalog.nodes.contains("Thing") && g2.catalog.rels("Rel").hasAdjIndex)
+    val df = g2.cypher("MATCH (a:Thing)-[:Rel]->(b:Thing) RETURN b.label AS l;")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("b"))
+    // catalog JSON round-trip
+    val json = g2.catalog.toJson
+    val back = graft.catalog.GraphCatalog.fromJson(json)
+    assert(back.nodes.keySet == g2.catalog.nodes.keySet)
+    assert(back.rels("Rel").fromColumn == "from_Thing")
+  }
+
+  test("node-id dtype validation (reference ddl_query.rs:90-92 parity)") {
+    import spark.implicits._
+    val g2 = new GraftSession(spark)
+    g2.registerTable("bad", Seq(("x", 1L)).toDF("sid", "v"))
+    assertThrows[GraftException](g2.registerNode("Bad", "bad", "sid"))
+  }
+
+  test("output formats") {
+    val df = gs.cypher("MATCH (u:User {name:'u1'}) RETURN u.id AS id, u.name AS name;")
+    assert(gs.toJsonEachRow(df) == Seq("""{"id":1,"name":"u1"}"""))
+    assert(gs.toCsv(df, header = true) == Seq("id,name", "1,\"u1\""))
+    assert(gs.toPretty(df).contains("u1"))
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base, "en", "s0", base.length.toLong),
+      (2L, base, "en", "s1", base.length.toLong),                       // exact dup of 1
+      (3L, base.replace("today", "tomorrow"), "en", "s0",               // near dup of 1
+        base.length.toLong),
+      (4L, "completely different words about spark catalyst optimizer rules and codegen stages here",
+        "en", "s0", 90L),
+      (5L, "unrelated short text", "en", "s1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup keeps min id with dup count") {
+    val got = rows(Dedup.exact(docs))
+    assert(got.contains(Seq(1L, 2L))) // doc 1+2 identical
+    assert(got.size == 4)             // 4 distinct texts
+  }
+
+  test("minhash finds exact and near duplicates, no false positives") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // 1-word change
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
+  }
+
+  test("minhash jaccard matches exact shingle jaccard") {
+    val j = Dedup.minhashPairs(docs, threshold = 0.1)
+      .filter(col("a") === 1L && col("b") === 3L)
+      .collect().head.getDouble(2)
+    // exact: shingles differ only in windows touching the last word
+    val sh = Dedup.withShingles(docs, "text").select(col("doc_id"), col("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = sh(1L).intersect(sh(3L)).size.toDouble / sh(1L).union(sh(3L)).size
+    assert(math.abs(j - expected) < 1e-4)
+  }
+
+  test("simhash near-dup pairs include the planted duplicates") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard blocked pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.5 && j < 1.0 })
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+
+  test("brute-force top-k: k rows per query, sim in [-1,1], self excluded") {
+    val out = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+    val n = queries.count()
+    assert(out.length == 5 * n)
+    assert(out.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // rank 1 has the max sim per query
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).toSeq == rs.map(_.getDouble(2)).sortBy(-_).toSeq)
+    }
+  }
+
+  test("hand-computed cosine on tiny vectors") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(tiny, tiny.filter($"vec_id" === 0L), k = 3, dim = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(2L) == math.round(1.0 / math.sqrt(2) * 1e6) / 1e6)
+    assert(out(1L) == 0.0 && out(3L) == -1.0)
+  }
+
+  test("LSH ANN recall vs brute force >= 0.6 on fixtures") {
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall")
+  }
+
+  test("IVF ANN recall vs brute force >= 0.5 on fixtures") {
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("quality features on a known string") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat, and a dog!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(d).collect().head
+    assert(r.getLong(1) == 5L) // tokens
+    assert(r.getLong(2) == 2L) // , and !
+    assert(r.getLong(3) == 3L) // the, and, a
+  }
+
+  test("token counts: whitespace vs subword") {
+    import spark.implicits._
+    val d = Seq((1L, "hello world42 x-y")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d).collect().head
+    assert(r.getLong(1) == 3L)
+    // hello | world | 42 | x | - | y
+    assert(r.getLong(2) == 6L)
+  }
+
+  test("language id on real sentences") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat was on the mat and it was happy with the sun"),
+      (2L, "el gato es negro y la casa es grande por la noche"),
+      (3L, "der hund ist nicht klein und das haus ist alt"),
+      (4L, "le chat est dans la maison et les enfants sont pour la paix"),
+      (5L, "你好世界这是一个测试"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("fingerprints deterministic and content-sensitive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally different content that shares nothing at all here"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("binary column plumbing + batched stub decode") {
+    import spark.implicits._
+    val d = Seq((1L, "abc"), (2L, "x" * 700)).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(spark, Multimodal.attachBinary(d))
+    assert(out.columns.toSeq == Seq("doc_id", "n_bytes", "width", "height", "format"))
+    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) == ((3L, 67L, 85L)))
+    assert(m(2L) == ((700L, 124L, 64L + (700L * 7) % 480)))
+  }
+}

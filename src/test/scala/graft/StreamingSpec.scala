@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(2, t("2024-01-01 10:20:00"), 1, "click", 2.0),
+    Ev(3, t("2024-01-01 10:59:00"), 2, "view", 3.0),
+    Ev(4, t("2024-01-01 11:01:00"), 1, "click", 4.0),
+    Ev(5, t("2024-01-01 12:30:00"), 1, "view", 5.0),
+    Ev(6, t("2024-01-01 12:40:00"), 2, "view", 6.0))
+
+  test("streaming tumbling counts equal the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+
+    val q = StreamingOps.streamingTumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("agg_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = rows(spark.table("agg_out"))
+    val batch = rows(StreamingOps.tumblingCounts(events.toDF()))
+    assert(streamed == batch)
+    assert(batch.contains(Seq("2024-01-01 10:00", "click", 2L, 3.0)))
+  }
+
+  test("gap sessionization") {
+    import spark.implicits._
+    // user 1: 10:05,10:20 (one session), 11:01 (>30min? 41min -> new), 12:30 (new) = 3
+    // user 2: 10:59, 12:40 = 2 sessions
+    val out = StreamingOps.sessionize(events.toDF(), gapMinutes = 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 4L)))
+    assert(out(2L) == ((2L, 2L)))
+  }
+
+  test("streaming session_window variant runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = StreamingOps.streamingSessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("sess_out").count()
+    assert(n == 5L) // 3 sessions for user 1 + 2 for user 2
+  }
+}

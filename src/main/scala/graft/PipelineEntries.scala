@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.fixtures.TpchGraph
+import graft.graph.GraphAlgorithms
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
@@ -80,6 +82,20 @@ object PipelineEntries {
 
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
+
+    // GraphX connected components over the same-label NATION_ADJ edge
+    // list; component id = min member id ⇒ SQL-oracle-checkable
+    "g_concomp" -> ((s, dir) =>
+      GraphAlgorithms.connectedComponents(TpchGraph.session(s, dir), "NATION_ADJ")),
+
+    // GraphX static PageRank (fixed 10 iterations; rows-only check,
+    // properties asserted in GraphSpec)
+    "g_pagerank" -> ((s, dir) =>
+      GraphAlgorithms.pageRank(TpchGraph.session(s, dir), "NATION_ADJ")),
+
+    // degree distribution from the edge list — oracle-checked
+    "g_degrees" -> ((s, dir) =>
+      GraphAlgorithms.degrees(TpchGraph.session(s, dir), "NATION_ADJ")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,5 +180,22 @@ object PipelineEntries {
         |       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "g_concomp" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
+        |FROM nation""".stripMargin,
+
+    "g_degrees" ->
+      """WITH e AS (
+        |  SELECT n1.n_nationkey AS f, n2.n_nationkey AS t
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey),
+        |o AS (SELECT CAST(f AS BIGINT) AS id, count(*) AS out_degree FROM e GROUP BY 1),
+        |i AS (SELECT CAST(t AS BIGINT) AS id, count(*) AS in_degree FROM e GROUP BY 1)
+        |SELECT COALESCE(o.id, i.id) AS id,
+        |       COALESCE(out_degree, 0) AS out_degree,
+        |       COALESCE(in_degree, 0) AS in_degree
+        |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.GraftSession
+
+/** Whole-graph analytics over catalog relationships via GraphX — the
+  * complement to the per-query traversal engine (SURVEY.md §1.3: edge-list
+  * DataFrames double as GraphX `Edge` RDD input when global algorithms are
+  * wanted; the reference has no equivalent — ClickHouse can't iterate).
+  *
+  * Scale notes: GraphX partitions edges (EdgePartition2D keeps the
+  * replication factor at O(sqrt(numParts))) and iterates with joins over
+  * partitioned RDDs — the same shuffle discipline the DataFrame engine
+  * uses. Vertices come from the node tables so isolated nodes keep their
+  * identity in component/rank outputs.
+  */
+object GraphAlgorithms {
+
+  /** Edge RDD of a registered relationship (weight 1.0). */
+  def edges(gs: GraftSession, relLabel: String): RDD[Edge[Double]] = {
+    val r = gs.catalog.rel(relLabel)
+    gs.table(r.tableName)
+      .select(col(r.fromColumn).cast("long"), col(r.toColumn).cast("long"))
+      .rdd.map(row => Edge(row.getLong(0), row.getLong(1), 1.0))
+  }
+
+  /** Vertex RDD = union of both endpoint node tables' id columns. */
+  def vertices(gs: GraftSession, relLabel: String): RDD[(VertexId, Unit)] = {
+    val r = gs.catalog.rel(relLabel)
+    val ids = Seq(r.fromLabel, r.toLabel).distinct.map { label =>
+      val n = gs.catalog.node(label)
+      gs.table(n.tableName).select(col(n.idColumn).cast("long"))
+    }.reduce(_ union _).distinct()
+    ids.rdd.map(row => (row.getLong(0), ()))
+  }
+
+  def graph(gs: GraftSession, relLabel: String): Graph[Unit, Double] =
+    Graph(vertices(gs, relLabel), edges(gs, relLabel), (),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+
+  /** Connected components (undirected reachability); component id = the
+    * minimum vertex id in the component. Returns (id, component). */
+  def connectedComponents(gs: GraftSession, relLabel: String): DataFrame = {
+    val spark = gs.spark
+    import spark.implicits._
+    graph(gs, relLabel).connectedComponents()
+      .vertices.map { case (id, comp) => (id, comp) }
+      .toDF("id", "component")
+  }
+
+  /** PageRank (fixed iterations for determinism). Returns (id, rank). */
+  def pageRank(gs: GraftSession, relLabel: String, iters: Int = 10,
+      resetProb: Double = 0.15): DataFrame = {
+    val spark = gs.spark
+    import spark.implicits._
+    graph(gs, relLabel).staticPageRank(iters, resetProb)
+      .vertices.map { case (id, rank) => (id, rank) }
+      .toDF("id", "rank")
+  }
+
+  /** Per-vertex triangle count (undirected; edges canonicalized). */
+  def triangleCount(gs: GraftSession, relLabel: String): DataFrame = {
+    val spark = gs.spark
+    import spark.implicits._
+    // triangleCount requires canonical orientation (src < dst) + dedup
+    val canon = edges(gs, relLabel)
+      .map(e => if (e.srcId < e.dstId) (e.srcId, e.dstId) else (e.dstId, e.srcId))
+      .distinct()
+      .map { case (s, d) => Edge(s, d, 1.0) }
+    Graph.fromEdges(canon, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .triangleCount()
+      .vertices.map { case (id, n) => (id, n.toLong) }
+      .toDF("id", "triangles")
+  }
+
+  /** In/out degree per vertex from the edge list (pure DataFrame op). */
+  def degrees(gs: GraftSession, relLabel: String): DataFrame = {
+    val r = gs.catalog.rel(relLabel)
+    val e = gs.table(r.tableName)
+    val outD = e.groupBy(col(r.fromColumn).cast("long").as("id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val inD = e.groupBy(col(r.toColumn).cast("long").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    outD.join(inD, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphAlgorithms
+
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("users",
+      Seq((1L, "u1"), (2L, "u2"), (3L, "u3"), (4L, "u4"), (5L, "u5")).toDF("id", "name"))
+    g.registerTable("Follows",
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 1L))
+        .toDF("from_User", "to_User"))
+    g.registerNode("User", "users", "id")
+    g.registerRel("Follows", "Follows", "User", "User")
+    g
+  }
+
+  test("connected components: min-id per component, isolated vertex kept") {
+    val cc = GraphAlgorithms.connectedComponents(gs, "Follows")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+  }
+
+  test("static pagerank: ranks sum to ~numVertices, sinks lowest") {
+    val pr = GraphAlgorithms.pageRank(gs, "Follows")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 5.0) < 0.35) // dangling mass tolerance
+    assert(pr(5L) < pr(3L)) // isolated vertex below well-connected one
+  }
+
+  test("triangle count") {
+    val tc = GraphAlgorithms.triangleCount(gs, "Follows")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(1L) == 1L && tc(2L) == 1L && tc(3L) == 1L && tc(4L) == 0L)
+  }
+
+  test("degrees from edge list") {
+    val d = GraphAlgorithms.degrees(gs, "Follows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d.contains((1L, 2L, 1L))) // out {2,3}, in {2->1}
+    assert(d.contains((4L, 0L, 1L)))
+  }
+}

@@ -284,6 +284,19 @@ object CypherParser extends RegexParsers {
     parseAll(statement, query) match {
       case Success(ast, _) => ast
       case ns: NoSuccess =>
+        // Reference parity: SET/REMOVE/DELETE parse but are rejected as
+        // unsupported (handlers.rs:65-76 → UnsupportedDDLQuery); CREATE
+        // instance inserts are ignored by the planner — we reject loudly.
+        val unsupported = """(?i)\b(detach\s+delete|delete|set|remove)\b""".r
+        val createInstance = """(?i)\bcreate\s*\(""".r
+        if (createInstance.findFirstIn(query).isDefined)
+          throw new GraftException(
+            "CREATE instance inserts are not supported; load data by writing " +
+            "to the backing tables (reference parity)")
+        if (unsupported.findFirstIn(query).isDefined)
+          throw new GraftException(
+            "SET/REMOVE/DELETE are not supported (reference parity: Update/" +
+            "Delete queries are rejected)")
         throw new GraftException(s"parse error at ${ns.next.pos}: ${ns.msg}")
     }
 }

@@ -26,6 +26,8 @@ import graft.planner.Planner
   */
 final class GraftSession(val spark: SparkSession) {
 
+  graft.functions.GraftFunctions.register(spark) // graft_dot / graft_cosine
+
   @volatile private var _catalog = GraphCatalog()
   def catalog: GraphCatalog = _catalog
 

@@ -136,6 +136,9 @@ object ExprCompiler {
       case "datetime" | "totimestamp" => to_timestamp(arg(0))
       case "date_trunc"              => date_trunc(litArg(0).toString, arg(1))
       case "date_format"             => date_format(arg(0), litArg(1).toString)
+      // native fused-loop vector expressions (graft.functions)
+      case "dot_product"             => call_function("graft_dot", arg(0), arg(1))
+      case "cosine_similarity"       => call_function("graft_cosine", arg(0), arg(1))
 
       case other =>
         // Deliberate divergence from the reference's verbatim pass-through

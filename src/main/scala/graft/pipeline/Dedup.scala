@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Document deduplication for large-scale training-data pipelines.
   *
   * Everything is expression-based (`org.apache.spark.sql.functions` +
@@ -103,6 +105,7 @@ object Dedup {
   def minhashPairs(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
 
     // repartition by id BEFORE the CPU-heavy per-row work: small/few input
     // splits otherwise serialize hashing on a handful of cores, and the
@@ -150,13 +153,13 @@ object Dedup {
 
     // exact-Jaccard verify on hashed shingles (cheap long-array intersect)
     val sets = prep
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
       .withColumn("sz", size(col("hs")))
     cand
       .join(sets.select(col("id").as("a"), col("hs").as("ha"), col("sz").as("za")), "a")
       .join(sets.select(col("id").as("b"), col("hs").as("hb"), col("sz").as("zb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("ha"), col("hb"))).as("i"),
+        GraftFunctions.sortedIntersectCount(col("ha"), col("hb")).as("i"),
         (col("za") + col("zb")).as("s"))
       .select(col("a"), col("b"),
         round(col("i").cast("double") / (col("s") - col("i")), 4).as("jaccard"))
@@ -223,6 +226,7 @@ object Dedup {
     * near-duplicates land in the same length bucket. */
   def ngramJaccardPairs(
       docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
 
     // shingles pre-hashed to longs: array_intersect on fixed-width longs is
     // far cheaper than on strings, and |A∪B| = |A|+|B|−|A∩B| avoids a
@@ -232,7 +236,7 @@ object Dedup {
           floor(col("n_chars") / 100).as("blk"), col("text"))
           .repartition(col("id")), "text")
       .select(col("id"), col("lang"), col("blk"),
-        transform(col("sh"), s => xxhash64(s)).as("hs"))
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
       .withColumn("sz", size(col("hs")))
 
     // size-ratio prefilter: J(A,B) <= min/max, so J >= t implies
@@ -244,7 +248,9 @@ object Dedup {
         least(col("x.sz"), col("y.sz")).cast("double") >=
           greatest(col("x.sz"), col("y.sz")) * threshold)
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        size(array_intersect(col("x.hs"), col("y.hs"))).as("i"),
+        // native merge-intersect over the pre-sorted hash arrays: no
+        // per-pair hash-set allocation (graft.functions.SortedIntersectCount)
+        GraftFunctions.sortedIntersectCount(col("x.hs"), col("y.hs")).as("i"),
         (col("x.sz") + col("y.sz")).as("s"))
       // i referenced twice ⇒ CollapseProject keeps the intersect materialized
       .select(col("a"), col("b"),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
@@ -34,8 +36,10 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def dotFixed(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+  /** Fused-loop native expression (see graft.functions.DotProduct); the
+    * `dim` parameter is kept for API stability but unnecessary — the
+    * codegen'd loop runs over the arrays' common length. */
+  def dotFixed(a: Column, b: Column, dim: Int): Column = GraftFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -50,6 +54,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int = 5, dim: Int = DefaultDim,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
 
     // repartition: spread the O(|Q|·N·d) dot-product work across cores even
     // when the corpus arrives as a single input split
@@ -97,6 +102,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 6,
       tables: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
 
     def codes(v: Column): Column = array((0 until tables).map(t =>
       srpCode(v, planes, dim, seed = 7L + t * 1000L)): _*)
@@ -140,6 +146,7 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int = 5, nlist: Int = 16,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
 
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
       .repartition(col("nid"))

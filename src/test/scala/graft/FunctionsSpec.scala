@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.pipeline.Similarity
+
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val df = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(2.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+  }
+
+  test("graft_dot matches the HOF formulation bit-for-bit") {
+    val got = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("native"),
+      Similarity.dot(
+        transform(col("a"), x => x.cast("double")),
+        transform(col("b"), x => x.cast("double"))).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(got.head.getDouble(0) == 32.0)
+  }
+
+  test("graft_cosine: orthogonal=0, parallel=1") {
+    val got = df.select(GraftFunctions.cosine(col("a"), col("b"))).collect()
+    assert(got(1).getDouble(0) == 0.0)
+    assert(got(2).getDouble(0) == 1.0)
+  }
+
+  test("registered for SQL text") {
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs ORDER BY d DESC LIMIT 1")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("null array yields null") {
+    import spark.implicits._
+    val d = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(d.select(GraftFunctions.dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("usable from Cypher through the function registry") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("vtab", Seq((1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 4.0f))).toDF("id", "v"))
+    g.registerNode("Vec", "vtab", "id")
+    val out = g.cypher(
+      "MATCH (v:Vec) RETURN v.id AS id, round(cosine_similarity(v.v, v.v), 4) AS c;")
+    assert(out.collect().map(_.getDouble(1)).toSet == Set(1.0))
+  }
+}

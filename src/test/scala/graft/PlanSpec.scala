@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.TpchGraph
+
+/** Plan-shape assertions: the scale properties the engine promises must be
+  * visible in the physical plan, not just fast on small data.
+  * (SURVEY.md §4 — pushdown/pruning/join strategy are Catalyst's job; these
+  * tests pin that our plans actually let Catalyst do it.) */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs = TpchGraph.session(spark, "/root/testdata/sf0.001")
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("node filters reach the parquet scan as PushedFilters") {
+    val plan = formatted(gs.cypher(
+      """MATCH (c:Customer)-[pl:PLACED]->(o:Order)
+        |WHERE pl.o_orderdate < datetime('1997-01-01') AND c.c_mktsegment = 'AUTOMOBILE'
+        |RETURN c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey;""".stripMargin))
+    assert(plan.contains("EqualTo(c_mktsegment,AUTOMOBILE)"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+  }
+
+  test("scans read only referenced columns (column pruning)") {
+    val plan = formatted(gs.cypher(
+      "MATCH (c:Customer) RETURN c.c_custkey AS k;"))
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint>"), plan)
+  }
+
+  test("ordered top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = formatted(gs.cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS k, count(o) AS cnt ORDER BY cnt DESC, k ASC LIMIT 5;""".stripMargin))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dimension joins are broadcast (no shuffle of the big side)") {
+    val plan = formatted(gs.cypher(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE r.r_name = 'ASIA' RETURN n.n_name AS n, count(*) AS cnt;""".stripMargin))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("wrong-direction empty result folds to an empty relation") {
+    val df = gs.cypher("MATCH (o:Order)-[:PLACED]->(c:Customer) RETURN c.c_custkey AS k;")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LocalRelation <empty>") || df.count() == 0, optimized)
+  }
+
+  test("aggregation is partial+final (map-side combine)") {
+    val plan = formatted(gs.cypher(
+      "MATCH (o:Order) RETURN o.o_orderstatus AS s, count(*) AS cnt;"))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 2, plan) // partial + final
+  }
+}

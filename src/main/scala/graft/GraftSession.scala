@@ -93,18 +93,82 @@ final class GraftSession(val spark: SparkSession) {
   /** Pre-aggregated adjacency index (`id, neighbors`): the Spark analogue of
     * the reference's bitmap AggregatingMergeTree tables
     * (ddl_query.rs:290-311). `collect_set` ≙ groupBitmap (deduplicated
-    * neighbor set). Built lazily, cached MEMORY_AND_DISK; at cluster scale
-    * this would instead be persisted as a bucketed table partitioned by id
-    * so index-backed hops co-locate with node scans. */
+    * neighbor set). Built lazily, cached MEMORY_AND_DISK; call
+    * [[persistAdjIndex]] for the durable bucketed layout. */
   def adjIndex(relLabel: String, outgoing: Boolean): DataFrame =
-    adjCache.getOrElseUpdate((relLabel, outgoing), {
-      val r = _catalog.rel(relLabel)
-      val (key, value) = if (outgoing) (r.fromColumn, r.toColumn) else (r.toColumn, r.fromColumn)
-      table(r.tableName)
-        .groupBy(col(key).as("id"))
-        .agg(collect_set(col(value)).as("neighbors"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    adjCache.getOrElseUpdate((relLabel, outgoing),
+      buildAdjIndex(relLabel, outgoing).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Point this session's adjacency reads at tables previously written by
+    * [[persistAdjIndex]] (possibly by another process — the discovery step
+    * a fresh session performs after loading a persisted catalog). */
+  def attachAdjIndex(relLabel: String): Unit =
+    for (outgoing <- Seq(true, false)) {
+      val name = adjTableName(relLabel, outgoing)
+      require(spark.catalog.tableExists(name), s"no persisted index table $name")
+      adjCache.put((relLabel, outgoing), spark.table(name))
+    }
+
+  private def adjTableName(relLabel: String, outgoing: Boolean): String =
+    s"${relLabel.toLowerCase}_${if (outgoing) "outgoing" else "incoming"}"
+
+  private def buildAdjIndex(relLabel: String, outgoing: Boolean): DataFrame = {
+    val r = _catalog.rel(relLabel)
+    val (key, value) = if (outgoing) (r.fromColumn, r.toColumn) else (r.toColumn, r.fromColumn)
+    table(r.tableName)
+      .groupBy(col(key).as("id"))
+      .agg(collect_set(col(value)).as("neighbors"))
+  }
+
+  /** Durable adjacency index: bucketed-by-id managed tables
+    * `{rel}_outgoing` / `{rel}_incoming` (the reference's MV-fed index
+    * tables, ddl_query.rs:290-311). Bucketing by the join key means
+    * index-backed hops read pre-shuffled data — on a cluster, the
+    * hash-partitioned layout survives restarts and joins against it skip
+    * the exchange when bucket counts line up. */
+  def persistAdjIndex(relLabel: String, buckets: Int = 32): Unit = {
+    for (outgoing <- Seq(true, false)) {
+      val name = adjTableName(relLabel, outgoing)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      // clear an orphaned managed-table location (e.g. after a crash the
+      // in-memory catalog forgets the table but the directory survives)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      buildAdjIndex(relLabel, outgoing)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet")
+        .saveAsTable(name)
+      adjCache.put((relLabel, outgoing), spark.table(name))
+    }
+  }
+
+  // ---- catalog persistence (reference server/graph_catalog.rs:127-219) ------
+
+  /** Persist the catalog as versioned JSON (the reference stores the same
+    * document in a ReplacingMergeTree row). */
+  def saveCatalog(path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), _catalog.toJson)
+
+  /** Load a catalog document, replacing the in-memory one. */
+  def loadCatalog(path: String): GraphCatalog = {
+    val c = GraphCatalog.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    _catalog = c
+    c
+  }
+
+  /** Re-read the persisted catalog only if its version advanced — the
+    * single-process analogue of the reference's 60 s version poll
+    * (graph_catalog.rs:178-219). Returns true if refreshed. */
+  def refreshCatalogIfNewer(path: String): Boolean = {
+    val onDisk = GraphCatalog.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    if (onDisk.version > _catalog.version) { _catalog = onDisk; true }
+    else false
+  }
 
   // ---- query execution -----------------------------------------------------
 

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshGraph(): GraftSession = {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("users", Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("id", "name"))
+    g.registerTable("Follows", Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("from_User", "to_User"))
+    g.registerNode("User", "users", "id")
+    g.registerRel("Follows", "Follows", "User", "User", adjIndex = true)
+    g
+  }
+
+  test("bucketed adjacency-index persistence: same results, table-backed") {
+    val g = freshGraph()
+    val q = "MATCH (a:User {name:'u1'})-[:Follows]->(b:User) RETURN b.id AS id;"
+    val before = longs(g.cypher(q))
+    g.persistAdjIndex("Follows", buckets = 4)
+    assert(spark.catalog.tableExists("follows_outgoing"))
+    val after = longs(g.cypher(q))
+    assert(before == after && after == Set(2L, 3L))
+    // a fresh session with the same catalog attaches the persisted tables
+    val g3 = freshGraph()
+    g3.attachAdjIndex("Follows")
+    assert(longs(g3.cypher(q)) == Set(2L, 3L))
+    val adj = g.adjIndex("Follows", outgoing = true)
+    assert(adj.columns.toSeq == Seq("id", "neighbors"))
+    spark.sql("DROP TABLE IF EXISTS follows_outgoing")
+    spark.sql("DROP TABLE IF EXISTS follows_incoming")
+  }
+
+  test("catalog save / load / version-poll refresh") {
+    val g = freshGraph()
+    val path = Files.createTempFile("graft_catalog", ".json").toString
+    g.saveCatalog(path)
+
+    val g2 = new GraftSession(spark)
+    g2.loadCatalog(path)
+    assert(g2.catalog.nodes.keySet == Set("User"))
+    assert(g2.catalog.rels("Follows").hasAdjIndex)
+
+    // no newer version on disk -> no refresh
+    assert(!g2.refreshCatalogIfNewer(path))
+
+    // bump: register another node in g, save, then g2 sees the new version
+    import spark.implicits._
+    g.registerTable("posts", Seq((10L, "p")).toDF("id", "title"))
+    g.registerNode("Post", "posts", "id")
+    g.saveCatalog(path)
+    assert(g2.refreshCatalogIfNewer(path))
+    assert(g2.catalog.nodes.keySet == Set("User", "Post"))
+  }
+}

@@ -43,21 +43,24 @@ final class DataFrameBuilder(session: GraftSession) {
     }
 
     // WITH stages (working version of the clause the reference drops —
-    // SURVEY.md §2.3).
+    // SURVEY.md §2.3). Node/rel aliases named in a WITH are CARRIED through
+    // as dot-qualified columns so later stages can keep using `a.prop`.
     var df = filtered
-    var flatNames: Option[Seq[String]] = None // None ⇒ still alias-qualified
+    var ctx = StageCtx(qualifiedGraph = true, Map.empty)
     for (stage <- plan.withStages) {
-      val (staged, names) = projectStage(df, stage.items, stage.distinct, plan, flatNames, Seq.empty)
+      val (staged, _, carried) =
+        projectStage(df, stage.items, stage.distinct, plan, ctx, Seq.empty, carry = true)
       df = staged
+      val next = StageCtx(qualifiedGraph = false, carried)
       stage.where.foreach { w =>
-        df = df.filter(compile(w, qualified))
+        df = df.filter(compile(rewriteAliasArgs(w, plan), next.resolver))
       }
-      flatNames = Some(names)
+      ctx = next
     }
 
     // RETURN + ORDER BY (hidden sort columns) + SKIP/LIMIT
     val (proj, names, hidden) =
-      projectWithSort(df, plan.returnItems, plan.returnDistinct, plan, flatNames, plan.orderBy)
+      projectWithSort(df, plan.returnItems, plan.returnDistinct, plan, ctx, plan.orderBy)
     var out = proj
     if (plan.orderBy.nonEmpty) {
       val sortCols = plan.orderBy.zipWithIndex.map { case (o, i) =>
@@ -180,6 +183,19 @@ final class DataFrameBuilder(session: GraftSession) {
 
   private def qcol(name: String): Column = col(s"`$name`")
 
+  /** Projection scope: `qualifiedGraph` = pre-WITH (pattern aliases resolve
+    * against the join tree); afterwards a flat scope where aliases named in
+    * the WITH survive as dot-qualified columns (`carried`: alias → column
+    * names). */
+  private final case class StageCtx(
+      qualifiedGraph: Boolean, carried: Map[String, Seq[String]]) {
+    def resolver: ExprCompiler.Resolver = {
+      case Expr.Prop(a, c) if !qualifiedGraph && carried.contains(a) =>
+        Some(col(s"`$a.$c`"))
+      case _ => None
+    }
+  }
+
   /** `count(a)` where `a` is a pattern alias → `count(<a's id column>)`
     * (reference projection_tagging.rs:240-275). Also rewrites bare alias
     * aggregate args on relationships to their `__src` key. */
@@ -212,49 +228,59 @@ final class DataFrameBuilder(session: GraftSession) {
     case _               => s"col_$i"
   }
 
-  /** Expand `*` and bare node/rel aliases into per-column items. Returns
-    * (outputName, compileExpr) pairs. */
+  /** Expand `*` and bare node/rel aliases into per-column items.
+    * `carry = true` (WITH stages) names expanded alias columns `a.col` and
+    * reports them in the carried map; otherwise names are plain column
+    * names with alias prefixes on collision. Returns ((name, expr) pairs,
+    * carried alias → columns). */
   private def expandItems(
-      items: Seq[ReturnItem], plan: GraphPlan,
-      flat: Option[Seq[String]]): Seq[(String, Expr)] = {
+      items: Seq[ReturnItem], plan: GraphPlan, ctx: StageCtx,
+      carry: Boolean): (Seq[(String, Expr)], Map[String, Seq[String]]) = {
     val relAliases = plan.edges.map(_.alias).toSet
-    val explicitAliases = // pattern order, explicitly named only (no __ synthetics)
-      (plan.nodes.keys ++ relAliases).filterNot(_.startsWith("__")).toSeq
     val nodeOrder = plan.nodes.keys.toSeq
+    val carriedOut = mutable.Map[String, Seq[String]]()
+
+    def colsOf(a: String): Seq[String] =
+      if (plan.nodes.contains(a) && ctx.qualifiedGraph) plan.nodes(a).schema.columns
+      else if (relAliases(a) && ctx.qualifiedGraph) {
+        val sch = plan.edges.find(_.alias == a).get.schema
+        sch.columns.filter(c => c != sch.fromColumn && c != sch.toColumn)
+      } else ctx.carried.getOrElse(a, Seq.empty)
+
+    def expandAlias(a: String): Seq[(Option[String], String, Expr)] = {
+      val cols = colsOf(a)
+      if (carry) carriedOut(a) = cols
+      cols.map(c => (Some(a), if (carry) s"$a.$c" else c, Expr.Prop(a, c): Expr))
+    }
+
+    def isAlias(a: String): Boolean =
+      if (ctx.qualifiedGraph) plan.nodes.contains(a) || relAliases(a)
+      else ctx.carried.contains(a)
 
     // expanded items carry their source alias so colliding column names
     // (e.g. two same-label nodes in RETURN *) can be prefixed
     val raw: Seq[(Option[String], String, Expr)] =
       items.zipWithIndex.flatMap { case (ReturnItem(expr, alias), i) =>
         expr match {
-          case Expr.Star if flat.isEmpty =>
+          case Expr.Star if ctx.qualifiedGraph =>
             // RETURN * — all explicitly-named aliases (reference
             // projection_tagging.rs:31-59), nodes first in pattern order.
-            val nodes = nodeOrder.filterNot(_.startsWith("__"))
-            val rels = plan.edges.map(_.alias).filterNot(_.startsWith("__"))
-            nodes.flatMap { a =>
-              plan.nodes(a).schema.columns.map(c => (Some(a), c, Expr.Prop(a, c): Expr))
-            } ++ rels.flatMap { a =>
-              val s = plan.edges.find(_.alias == a).get.schema
-              s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
-                .map(c => (Some(a), c, Expr.Prop(a, c): Expr))
-            }
-          case Expr.Var(a) if flat.isEmpty && plan.nodes.contains(a) =>
-            plan.nodes(a).schema.columns.map(c => (Some(a), c, Expr.Prop(a, c): Expr))
-          case Expr.Var(a) if flat.isEmpty && relAliases(a) =>
-            val s = plan.edges.find(_.alias == a).get.schema
-            s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
-              .map(c => (Some(a), c, Expr.Prop(a, c): Expr))
+            (nodeOrder ++ plan.edges.map(_.alias))
+              .filterNot(_.startsWith("__")).flatMap(expandAlias)
+          case Expr.Star =>
+            ctx.carried.keys.toSeq.sorted.flatMap(expandAlias)
+          case Expr.Var(a) if isAlias(a) => expandAlias(a)
           case other =>
             Seq((None, alias.getOrElse(defaultName(other, i)),
               rewriteAliasArgs(other, plan)))
         }
       }
     val dup = raw.groupBy(_._2).filter(_._2.size > 1).keySet
-    raw.map {
-      case (Some(a), n, e) if dup(n) => (s"${a}_$n", e)
-      case (_, n, e)                 => (n, e)
+    val named = raw.map {
+      case (Some(a), n, e) if dup(n) && !carry => (s"${a}_$n", e)
+      case (_, n, e)                           => (n, e)
     }
+    (named, carriedOut.toMap)
   }
 
   /** Project a stage (WITH or RETURN): implicit GROUP BY derivation per
@@ -262,39 +288,42 @@ final class DataFrameBuilder(session: GraftSession) {
     * (reference group_by_building.rs:21-45). */
   private def projectStage(
       df: DataFrame, items: Seq[ReturnItem], distinct: Boolean,
-      plan: GraphPlan, flat: Option[Seq[String]],
-      extraItems: Seq[(String, Expr)]): (DataFrame, Seq[String]) = {
+      plan: GraphPlan, ctx: StageCtx,
+      extraItems: Seq[(String, Expr)],
+      carry: Boolean): (DataFrame, Seq[String], Map[String, Seq[String]]) = {
 
-    val expanded = expandItems(items, plan, flat) ++ extraItems
+    val (itemsExpanded, carried) = expandItems(items, plan, ctx, carry)
+    val expanded = itemsExpanded ++ extraItems
     val names = expanded.map(_._1)
     require(names.distinct.size == names.size,
       s"duplicate output column names: ${names.mkString(", ")}")
+    val resolve = ctx.resolver
 
     val hasAgg = expanded.exists { case (_, e) => Expr.isAggregate(e) }
     var out =
       if (hasAgg) {
         val (aggs, keys) = expanded.partition { case (_, e) => Expr.isAggregate(e) }
-        val keyCols = keys.map { case (n, e) => compile(e, qualified).as(n) }
-        val aggCols = aggs.map { case (n, e) => compile(e, qualified).as(n) }
+        val keyCols = keys.map { case (n, e) => compile(e, resolve).as(n) }
+        val aggCols = aggs.map { case (n, e) => compile(e, resolve).as(n) }
         val grouped =
           if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
         grouped.select(names.map(qcol): _*)
       } else {
-        df.select(expanded.map { case (n, e) => compile(e, qualified).as(n) }: _*)
+        df.select(expanded.map { case (n, e) => compile(e, resolve).as(n) }: _*)
       }
     if (distinct) out = out.distinct()
-    (out, names)
+    (out, names, carried)
   }
 
   /** RETURN projection with ORDER BY support: order keys that are not output
     * columns are added as hidden columns, then dropped after the sort. */
   private def projectWithSort(
       df: DataFrame, items: Seq[ReturnItem], distinct: Boolean,
-      plan: GraphPlan, flat: Option[Seq[String]],
+      plan: GraphPlan, ctx: StageCtx,
       orderBy: Seq[OrderItem]): (DataFrame, Seq[String], Seq[String]) = {
 
-    val visible = expandItems(items, plan, flat)
+    val (visible, _) = expandItems(items, plan, ctx, carry = false)
     val visibleNames = visible.map(_._1)
 
     // resolve each order key to an output name, or synthesize a hidden item
@@ -314,7 +343,8 @@ final class DataFrameBuilder(session: GraftSession) {
       }
     }
 
-    val (out, _) = projectStage(df, items, distinct = false, plan, flat, hiddenItems.toSeq)
+    val (out, _, _) =
+      projectStage(df, items, distinct = false, plan, ctx, hiddenItems.toSeq, carry = false)
     val projected = if (distinct) out.distinct() else out
     (projected, visibleNames, sortNames)
   }

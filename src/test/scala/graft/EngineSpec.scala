@@ -103,6 +103,24 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(df) == Set(Seq("u1", 2L), Seq("u2", 2L)))
   }
 
+  test("WITH carries node bindings: WITH a, count(b) ... RETURN a.prop") {
+    val df = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |WITH a, count(b) AS c WHERE c > 1
+        |RETURN a.name AS name, a.city AS city, c AS c;""".stripMargin)
+    assert(rows(df) == Set(Seq("u1", "berlin", 2L), Seq("u2", "paris", 2L)))
+  }
+
+  test("two chained WITH stages") {
+    val df = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |WITH a, count(b) AS c
+        |WITH a, c WHERE c > 1
+        |RETURN a.name AS name, c AS c ORDER BY name ASC;""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("u1", 2L), ("u2", 2L)))
+  }
+
   test("RETURN * expands explicitly-named aliases") {
     val df = gs.cypher("MATCH (u:User {name:'u4'})-[]-(v:User) RETURN *;")
     // colliding names from same-label aliases get alias prefixes

@@ -133,6 +133,17 @@ object SparkEntry {
     // endpoint label inference from the relationship schema
     "q_label_infer" -> cy(
       "MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS cnt;"),
+
+    // bounded var-length hop (extension; distinct-pair reachability)
+    "q_varlen" -> cy(
+      """MATCH (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
+        |RETURN a.n_nationkey AS a_id, b.n_nationkey AS b_id;""".stripMargin),
+
+    // WITH carrying a node binding + second aggregation over it
+    "q_with_carry" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS cnt WHERE cnt >= 15
+        |RETURN c.c_mktsegment AS seg, count(*) AS n, max(cnt) AS mx;""".stripMargin),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,5 +244,21 @@ object SparkEntry {
     "q_label_infer" ->
       """SELECT count(*) AS cnt FROM customer
         |JOIN orders ON o_custkey = c_custkey""".stripMargin,
+
+    "q_varlen" ->
+      """WITH e AS (
+        |  SELECT n1.n_nationkey AS f, n2.n_nationkey AS t
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey),
+        |h2 AS (SELECT e1.f, e2.t FROM e e1 JOIN e e2 ON e1.t = e2.f),
+        |u AS (SELECT f, t FROM e UNION SELECT f, t FROM h2)
+        |SELECT f AS a_id, t AS b_id FROM u""".stripMargin,
+
+    "q_with_carry" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n, max(cnt) AS mx FROM (
+        |  SELECT c_custkey, c_mktsegment, count(*) AS cnt FROM customer
+        |  JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_mktsegment HAVING count(*) >= 15)
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }

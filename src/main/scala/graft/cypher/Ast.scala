@@ -127,7 +127,10 @@ final case class RelPattern(
     alias: Option[String],
     relType: Option[String],
     props: Seq[(String, Expr)],
-    dir: Dir)
+    dir: Dir,
+    /** `*min..max` bounded variable-length hop (extension beyond the
+      * reference grammar, which has no `*` paths — SURVEY.md §2.3). */
+    varLength: Option[(Int, Int)] = None)
 
 /** A linear path: node (rel node)*. */
 final case class PathPattern(start: NodePattern, hops: Seq[(RelPattern, NodePattern)])

@@ -170,22 +170,30 @@ object CypherParser extends RegexParsers {
       case a ~ l ~ p => NodePattern(a, l, p.getOrElse(Seq.empty))
     }
 
-  private def relBody: Parser[(Option[String], Option[String], Seq[(String, Expr)])] =
-    "[" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(mapProps) <~ "]" ^^ {
-      case a ~ t ~ p => (a, t, p.getOrElse(Seq.empty))
+  private def varLen: Parser[(Int, Int)] =
+    "*" ~> opt("""\d+""".r) ~ opt(".." ~> """\d+""".r) ^^ {
+      case lo ~ hi =>
+        val l = lo.map(_.toInt).getOrElse(1)
+        (l, hi.map(_.toInt).orElse(lo.map(_.toInt)).getOrElse(l))
+    }
+
+  private def relBody
+      : Parser[(Option[String], Option[String], Seq[(String, Expr)], Option[(Int, Int)])] =
+    "[" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(varLen) ~ opt(mapProps) <~ "]" ^^ {
+      case a ~ t ~ v ~ p => (a, t, p.getOrElse(Seq.empty), v)
     }
 
   private def relPattern: Parser[RelPattern] =
     ("<-" ~> opt(relBody) <~ "-") ~ opt(">") ^^ {
       case body ~ Some(_) => throw new GraftException("invalid relationship pattern '<-...->'")
       case body ~ None =>
-        val (a, t, p) = body.getOrElse((None, None, Seq.empty))
-        RelPattern(a, t, p, Dir.In)
+        val (a, t, p, v) = body.getOrElse((None, None, Seq.empty, None))
+        RelPattern(a, t, p, Dir.In, v)
     } |
     ("-" ~> opt(relBody) <~ "-") ~ opt(">") ^^ {
       case body ~ arrow =>
-        val (a, t, p) = body.getOrElse((None, None, Seq.empty))
-        RelPattern(a, t, p, if (arrow.isDefined) Dir.Out else Dir.Undirected)
+        val (a, t, p, v) = body.getOrElse((None, None, Seq.empty, None))
+        RelPattern(a, t, p, if (arrow.isDefined) Dir.Out else Dir.Undirected, v)
     }
 
   private def pathPattern: Parser[PathPattern] =

@@ -99,6 +99,21 @@ final class DataFrameBuilder(session: GraftSession) {
 
     val canUseIndex = s.hasAdjIndex && refCols.isEmpty && e.pushedFilters.isEmpty
 
+    // bounded var-length hop: iterated self-join over the single-hop pair
+    // set, distinct-pair reachability semantics. Each composition is an
+    // equi-join Catalyst can broadcast/shuffle; `distinct` bounds growth.
+    def composeHops(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
+      val hops = scala.collection.mutable.ArrayBuffer(h1)
+      for (_ <- 2 to hi) {
+        val prev = hops.last.alias("l")
+        val next = prev.join(h1.alias("r"), col("l.__dst") === col("r.__src"))
+          .select(col("l.__src").as("__src"), col("r.__dst").as("__dst"))
+          .distinct()
+        hops += next
+      }
+      hops.slice(lo - 1, hi).reduce(_ union _).distinct()
+    }
+
     val oriented: DataFrame =
       if (e.invalidDirection) {
         // Wrong-direction pattern ⇒ statically EMPTY result with the correct
@@ -123,6 +138,15 @@ final class DataFrameBuilder(session: GraftSession) {
         if (canUseIndex) adjRead(s, outgoing = e.srcIsFrom)
         else edgeList(srcCol, dstCol)
       }
+
+    e.varLength match {
+      case Some((lo, hi)) if !e.invalidDirection =>
+        val h1 =
+          if (e.undirectedSameLabel) oriented.select("__src", "__dst")
+          else oriented.select("__src", "__dst").distinct()
+        return composeHops(h1, lo, hi).alias(e.alias)
+      case _ =>
+    }
 
     var df = oriented.alias(e.alias)
     for (f <- e.pushedFilters)

@@ -27,7 +27,10 @@ final case class ResolvedEdge(
     srcIsFrom: Boolean,
     undirectedSameLabel: Boolean,
     invalidDirection: Boolean,
-    pushedFilters: Seq[Expr])
+    pushedFilters: Seq[Expr],
+    /** bounded `*min..max` hop — composed by iterated self-join with
+      * distinct-pair reachability semantics (extension; see SURVEY.md §8.5) */
+    varLength: Option[(Int, Int)] = None)
 
 /** Resolved match graph + query shape, ready for DataFrame construction. */
 final case class GraphPlan(
@@ -58,7 +61,7 @@ object Planner {
   private final case class RawEdge(
       alias: String, relType: Option[String],
       src: String, dst: String, undirected: Boolean,
-      inline: Seq[Expr])
+      inline: Seq[Expr], varLength: Option[(Int, Int)])
 
   def plan(q: ReadQuery, catalog: GraphCatalog): GraphPlan = {
     var synthetic = 0
@@ -96,9 +99,9 @@ object Planner {
         val relAlias = rel.alias.getOrElse(fresh("r"))
         val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
         val e = rel.dir match {
-          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline)
-          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline)
-          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline)
+          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength)
+          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength)
+          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength)
         }
         rawEdges += e
         prev = cur
@@ -254,8 +257,22 @@ object Planner {
     }.toSeq: _*)
 
     val edges = states.map { st =>
+      st.raw.varLength.foreach { case (lo, hi) =>
+        val sch = st.schema.get
+        if (lo < 1 || hi < lo)
+          throw new GraftException(s"invalid var-length bounds *$lo..$hi on '${st.raw.alias}'")
+        if (hi > 1 && sch.fromLabel != sch.toLabel)
+          throw new GraftException(
+            s"var-length hop on '${st.raw.alias}' requires a same-label relationship " +
+            s"(${sch.label}: ${sch.fromLabel}->${sch.toLabel} cannot compose)")
+        if (relPushed(st.raw.alias).nonEmpty ||
+            refProps.getOrElse(st.raw.alias, Set.empty).nonEmpty)
+          throw new GraftException(
+            s"relationship properties are not addressable on the var-length hop '${st.raw.alias}'")
+      }
       ResolvedEdge(st.raw.alias, st.schema.get, st.raw.src, st.raw.dst,
-        st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias))
+        st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias),
+        st.raw.varLength)
     }
 
     GraphPlan(nodes, edges, anchor,

@@ -121,6 +121,22 @@ class EngineSpec extends AnyFunSuite {
       Seq(("u1", 2L), ("u2", 2L)))
   }
 
+  test("bounded var-length hop: distinct-pair reachability") {
+    val df1 = gs.cypher(
+      "MATCH (a:User {name:'u1'})-[:Follows*1..2]->(b:User) RETURN b.id AS id;")
+    assert(longs(df1) == Set(1L, 2L, 3L, 4L))
+    val df2 = gs.cypher(
+      "MATCH (a:User {name:'u1'})-[:Follows*2..2]->(b:User) RETURN b.id AS id;")
+    assert(longs(df2) == Set(1L, 3L, 4L))
+  }
+
+  test("var-length hop rejects non-composable and property-addressed rels") {
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (u:User)-[:Created*1..2]->(p:Post) RETURN p.id AS id;"))
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (a:User)-[f:Follows*1..2]->(b:User) WHERE f.since > 0 RETURN b.id AS id;"))
+  }
+
   test("RETURN * expands explicitly-named aliases") {
     val df = gs.cypher("MATCH (u:User {name:'u4'})-[]-(v:User) RETURN *;")
     // colliding names from same-label aliases get alias prefixes

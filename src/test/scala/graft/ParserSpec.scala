@@ -68,6 +68,13 @@ class ParserSpec extends AnyFunSuite {
     assert(q.skip.contains(5L) && q.limit.contains(10L))
   }
 
+  test("var-length bounds") {
+    val q = read("MATCH (a:U)-[:R*1..3]->(b:U) RETURN b.x;")
+    assert(q.paths.head.hops.head._1.varLength.contains((1, 3)))
+    val q2 = read("MATCH (a:U)-[r:R*2]->(b:U) RETURN b.x;")
+    assert(q2.paths.head.hops.head._1.varLength.contains((2, 2)))
+  }
+
   test("parameters") {
     val q = read("MATCH (a:U) WHERE a.name = $name RETURN a.id;")
     assert(q.where.get == Bin("=", Prop("a", "name"), Param("name")))

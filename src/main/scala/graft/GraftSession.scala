@@ -195,6 +195,14 @@ final class GraftSession(val spark: SparkSession) {
            bindNode(n, params))
         })),
       where = q.where.map(Expr.bind(_, params)),
+      optionalMatches = q.optionalMatches.map(om => om.copy(
+        paths = om.paths.map(p => p.copy(
+          start = bindNode(p.start, params),
+          hops = p.hops.map { case (r, n) =>
+            (r.copy(props = r.props.map { case (k, v) => k -> Expr.bind(v, params) }),
+             bindNode(n, params))
+          })),
+        where = om.where.map(Expr.bind(_, params)))),
       withStages = q.withStages.map(s =>
         s.copy(items = s.items.map(bi), where = s.where.map(Expr.bind(_, params)))),
       returnItems = q.returnItems.map(bi),

@@ -139,6 +139,12 @@ object SparkEntry {
       """MATCH (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
         |RETURN a.n_nationkey AS a_id, b.n_nationkey AS b_id;""".stripMargin),
 
+    // OPTIONAL MATCH (left-outer semantics; WHERE joins the ON condition)
+    "q_optional" -> cy(
+      """MATCH (c:Customer)
+        |OPTIONAL MATCH (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 100000.0
+        |RETURN c.c_custkey AS ck, count(o) AS cnt;""".stripMargin),
+
     // WITH carrying a node binding + second aggregation over it
     "q_with_carry" -> cy(
       """MATCH (c:Customer)-[:PLACED]->(o:Order)
@@ -253,6 +259,11 @@ object SparkEntry {
         |h2 AS (SELECT e1.f, e2.t FROM e e1 JOIN e e2 ON e1.t = e2.f),
         |u AS (SELECT f, t FROM e UNION SELECT f, t FROM h2)
         |SELECT f AS a_id, t AS b_id FROM u""".stripMargin,
+
+    "q_optional" ->
+      """SELECT c_custkey AS ck, count(o_orderkey) AS cnt FROM customer
+        |LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 100000.0
+        |GROUP BY c_custkey""".stripMargin,
 
     "q_with_carry" ->
       """SELECT c_mktsegment AS seg, count(*) AS n, max(cnt) AS mx FROM (

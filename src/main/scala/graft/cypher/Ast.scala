@@ -143,6 +143,11 @@ final case class WithStage(items: Seq[ReturnItem], distinct: Boolean, where: Opt
 
 sealed trait CypherStatement
 
+/** `OPTIONAL MATCH paths [WHERE cond]` — left-outer extension of the main
+  * pattern (extension beyond the reference grammar; the WHERE belongs to
+  * the optional block, i.e. it participates in the join condition). */
+final case class OptionalMatch(paths: Seq[PathPattern], where: Option[Expr])
+
 final case class ReadQuery(
     paths: Seq[PathPattern],
     where: Option[Expr],
@@ -151,7 +156,8 @@ final case class ReadQuery(
     returnDistinct: Boolean,
     orderBy: Seq[OrderItem],
     skip: Option[Long],
-    limit: Option[Long]) extends CypherStatement
+    limit: Option[Long],
+    optionalMatches: Seq[OptionalMatch] = Seq.empty) extends CypherStatement
 
 final case class ColumnDef(name: String, dtype: String, default: Option[Expr])
 

@@ -217,17 +217,24 @@ object CypherParser extends RegexParsers {
       case e ~ dir => OrderItem(e, !dir.exists(_.startsWith("desc")))
     }
 
+  private def optionalMatch: Parser[OptionalMatch] =
+    kw("optional") ~> kw("match") ~> rep1sep(pathPattern, ",") ~
+      opt(kw("where") ~> expression) ^^ {
+      case paths ~ w => OptionalMatch(paths, w)
+    }
+
   private def readQuery: Parser[ReadQuery] =
     (kw("match") ~> rep1sep(pathPattern, ",")) ~
       opt(kw("where") ~> expression) ~
+      rep(optionalMatch) ~
       rep(withClause) ~
       (kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",")) ~
       opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
       opt(kw("skip") ~> """\d+""".r) ~
       opt(kw("limit") ~> """\d+""".r) ^^ {
-      case paths ~ where ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
+      case paths ~ where ~ opts ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
         ReadQuery(paths, where, withs, items, dist.isDefined,
-          ord.getOrElse(Seq.empty), skip.map(_.toLong), limit.map(_.toLong))
+          ord.getOrElse(Seq.empty), skip.map(_.toLong), limit.map(_.toLong), opts)
     }
 
   // ---- DDL ----------------------------------------------------------------

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftSession
 import graft.cypher._
-import graft.planner.{GraphPlan, ResolvedEdge, ResolvedNode}
+import graft.planner.{GraphPlan, ResolvedEdge, ResolvedNode, ResolvedOptionalBlock}
 
 /** Builds a Spark DataFrame plan from a resolved [[GraphPlan]].
   *
@@ -37,10 +37,12 @@ final class DataFrameBuilder(session: GraftSession) {
 
   def build(plan: GraphPlan): DataFrame = {
     val joined = buildJoins(plan)
-    val filtered = plan.residualFilter match {
+    var filtered = plan.residualFilter match {
       case Some(f) => joined.filter(compile(rewriteAliasArgs(f, plan), qualified))
       case None    => joined
     }
+    for (block <- plan.optionals)
+      filtered = applyOptional(filtered, block, plan)
 
     // WITH stages (working version of the clause the reference drops —
     // SURVEY.md §2.3). Node/rel aliases named in a WITH are CARRIED through
@@ -201,6 +203,59 @@ final class DataFrameBuilder(session: GraftSession) {
       }
     }
     joined
+  }
+
+  /** OPTIONAL MATCH block ⇒ LEFT OUTER JOIN: the block's edges + new node
+    * scans are inner-joined into a sub-plan; endpoints on already-bound
+    * (external) aliases become the ON condition, along with the block's
+    * residual WHERE (per Cypher, an optional block's WHERE participates in
+    * matching, never filters preserved rows). */
+  private def applyOptional(
+      main: DataFrame, block: ResolvedOptionalBlock, plan: GraphPlan): DataFrame = {
+    def idOf(alias: String): Column =
+      col(s"$alias.${plan.nodes(alias).schema.idColumn}")
+    val internal = block.internalAliases
+
+    var sub: DataFrame = null
+    val bound = mutable.Set[String]()
+    val external = mutable.ArrayBuffer[Column]()
+    val pending = mutable.Buffer(block.edges: _*)
+
+    while (pending.nonEmpty) {
+      val idx = pending.indexWhere { e =>
+        sub == null || bound(e.srcAlias) || bound(e.dstAlias) ||
+        (!internal(e.srcAlias) && !internal(e.dstAlias))
+      }
+      if (idx < 0)
+        throw new GraftException("optional pattern must be connected")
+      val e = pending.remove(idx)
+      val eDF = edgeDF(e, plan)
+      val endpoints = Seq(
+        (e.srcAlias, col(s"${e.alias}.__src")),
+        (e.dstAlias, col(s"${e.alias}.__dst")))
+
+      if (sub == null) sub = eDF
+      else {
+        val attach = endpoints.collect {
+          case (a, key) if internal(a) && bound(a) => idOf(a) === key
+        }
+        sub =
+          if (attach.nonEmpty) sub.join(eDF, attach.reduce(_ && _), "inner")
+          else sub.crossJoin(eDF) // pure-external second component (rare)
+      }
+      for ((a, key) <- endpoints) {
+        if (internal(a) && !bound(a)) {
+          sub = sub.join(nodeDF(plan.nodes(a), plan), key === idOf(a), "inner")
+          bound += a
+        } else if (!internal(a)) {
+          external += (idOf(a) === key)
+        }
+      }
+    }
+
+    val conds = external.toSeq ++
+      block.residual.map(f => compile(rewriteAliasArgs(f, plan), qualified)).toSeq
+    main.join(sub, conds.reduce(_ && _), "left_outer")
   }
 
   // ---- projection ----------------------------------------------------------

@@ -46,7 +46,17 @@ final case class GraphPlan(
     limit: Option[Long],
     /** columns referenced per alias anywhere in the query (used to prune
       * unioned undirected edges and pick the adjacency-index path). */
-    referencedProps: Map[String, Set[String]])
+    referencedProps: Map[String, Set[String]],
+    /** OPTIONAL MATCH blocks, applied as left-outer joins after the main
+      * pattern (extension — SURVEY.md §8.5). */
+    optionals: Seq[ResolvedOptionalBlock] = Seq.empty)
+
+/** One OPTIONAL MATCH block: its edges, the aliases it introduces, and the
+  * residual predicate that belongs in the left-join ON condition. */
+final case class ResolvedOptionalBlock(
+    edges: Seq[ResolvedEdge],
+    internalAliases: Set[String],
+    residual: Option[Expr])
 
 /** Semantic analysis: label/relationship inference (reference
   * analyzer/schema_inference.rs), direction validation
@@ -61,7 +71,8 @@ object Planner {
   private final case class RawEdge(
       alias: String, relType: Option[String],
       src: String, dst: String, undirected: Boolean,
-      inline: Seq[Expr], varLength: Option[(Int, Int)])
+      inline: Seq[Expr], varLength: Option[(Int, Int)],
+      block: Int) // -1 = main pattern, i = optionalMatches(i)
 
   def plan(q: ReadQuery, catalog: GraphCatalog): GraphPlan = {
     var synthetic = 0
@@ -72,8 +83,13 @@ object Planner {
     val nodeInline = scala.collection.mutable.Map[String, Vector[Expr]]().withDefaultValue(Vector.empty)
     val order = scala.collection.mutable.ArrayBuffer[String]() // pattern order
 
+    // inline props on an alias that pre-exists the current optional block
+    // must join-condition-filter, not scan-filter, the main side
+    var blockResidualSink: Option[scala.collection.mutable.ArrayBuffer[Expr]] = None
+
     def registerNode(n: NodePattern): String = {
       val alias = n.alias.getOrElse(fresh("n"))
+      var preExisting = true
       labels.get(alias) match {
         case Some(existing) =>
           (existing, n.label) match {
@@ -85,9 +101,13 @@ object Planner {
         case None =>
           labels(alias) = n.label
           order += alias
+          preExisting = false
       }
-      nodeInline(alias) = nodeInline(alias) ++
-        n.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(alias, k), v) }
+      val inline = n.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(alias, k), v) }
+      blockResidualSink match {
+        case Some(sink) if preExisting => sink ++= inline
+        case _ => nodeInline(alias) = nodeInline(alias) ++ inline
+      }
       alias
     }
 
@@ -99,13 +119,41 @@ object Planner {
         val relAlias = rel.alias.getOrElse(fresh("r"))
         val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
         val e = rel.dir match {
-          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength)
-          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength)
-          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength)
+          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, -1)
+          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, -1)
+          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, -1)
         }
         rawEdges += e
         prev = cur
       }
+    }
+    val mainAliases: Set[String] = order.toSet
+    val mainEdgeCount = rawEdges.size
+
+    // -- OPTIONAL MATCH blocks -------------------------------------------------
+    val blockResiduals = q.optionalMatches.indices
+      .map(_ => scala.collection.mutable.ArrayBuffer[Expr]())
+    val blockNewAliases = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    for ((blk, bi) <- q.optionalMatches.zipWithIndex) {
+      blockResidualSink = Some(blockResiduals(bi))
+      val before = order.toSet
+      for (path <- blk.paths) {
+        var prev = registerNode(path.start)
+        for ((rel, node) <- path.hops) {
+          val cur = registerNode(node)
+          val relAlias = rel.alias.getOrElse(fresh("r"))
+          val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
+          val e = rel.dir match {
+            case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, bi)
+            case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, bi)
+            case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, bi)
+          }
+          rawEdges += e
+          prev = cur
+        }
+      }
+      blockNewAliases += (order.toSet -- before)
+      blockResidualSink = None
     }
 
     // standalone anonymous node is not allowed (reference match_clause.rs:271-275)
@@ -117,12 +165,25 @@ object Planner {
       val parent = scala.collection.mutable.Map[String, String]()
       def find(x: String): String = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
       def union(a: String, b: String): Unit = parent(find(a)) = find(b)
-      order.foreach(a => parent(a) = a)
-      rawEdges.foreach(e => union(e.src, e.dst))
-      val roots = order.map(find).toSet
+      mainAliases.foreach(a => parent(a) = a)
+      rawEdges.take(mainEdgeCount).foreach(e => union(e.src, e.dst))
+      val roots = mainAliases.map(find)
       if (roots.size > 1)
         throw new DisconnectedPatternException(
           "disconnected match patterns (no shared alias)") // reference logical_plan/match_clause.rs:202-204
+    }
+    // each optional block must attach to an already-bound alias
+    var boundSoFar = mainAliases
+    for ((blk, bi) <- q.optionalMatches.zipWithIndex) {
+      val blockEdges = rawEdges.filter(_.block == bi)
+      if (blockEdges.isEmpty)
+        throw new DisconnectedPatternException(
+          s"OPTIONAL MATCH #${bi + 1} must contain at least one relationship")
+      val touched = blockEdges.flatMap(e => Seq(e.src, e.dst)).toSet
+      if (touched.intersect(boundSoFar).isEmpty)
+        throw new DisconnectedPatternException(
+          s"OPTIONAL MATCH #${bi + 1} shares no alias with the preceding pattern")
+      boundSoFar ++= blockNewAliases(bi)
     }
 
     // -- label / relationship inference (fixpoint) ---------------------------
@@ -226,18 +287,38 @@ object Planner {
     for ((a, fs) <- nodeInline; f <- fs) nodePushed(a) = nodePushed(a) :+ f
     for (st <- states; f <- st.raw.inline) relPushed(st.raw.alias) = relPushed(st.raw.alias) :+ f
 
+    val mainRelAliases = rawEdges.take(mainEdgeCount).map(_.alias).toSet
     for (c <- whereConjs) {
-      val refs = Expr.referencedNames(c).intersect(nodeAliases ++ relAliases)
+      val allRefs = Expr.referencedNames(c).intersect(nodeAliases ++ relAliases)
+      if (allRefs.exists(a => !mainAliases(a) && !mainRelAliases(a)))
+        throw new GraftException(
+          "WHERE on the main MATCH cannot reference aliases introduced by a " +
+          "later OPTIONAL MATCH (out of scope)")
       if (Expr.isAggregate(c)) residual += c
-      else refs.toSeq match {
+      else allRefs.toSeq match {
         case Seq(single) if nodeAliases(single) => nodePushed(single) = nodePushed(single) :+ c
         case Seq(single) if relAliases(single)  => relPushed(single) = relPushed(single) :+ c
         case _ => residual += c
       }
     }
+    // optional-block WHERE: internal single-alias conjuncts push to scans
+    // inside the block; everything else joins the ON condition
+    for ((blk, bi) <- q.optionalMatches.zipWithIndex) {
+      val internalNodes = blockNewAliases(bi)
+      val internalRels = rawEdges.filter(_.block == bi).map(_.alias).toSet
+      for (c <- blk.where.map(Expr.conjuncts).getOrElse(Seq.empty)) {
+        Expr.referencedNames(c).intersect(nodeAliases ++ relAliases).toSeq match {
+          case Seq(single) if internalNodes(single) =>
+            nodePushed(single) = nodePushed(single) :+ c
+          case Seq(single) if internalRels(single) =>
+            relPushed(single) = relPushed(single) :+ c
+          case _ => blockResiduals(bi) += c
+        }
+      }
+    }
 
     // -- anchor selection (reference anchor_node_selection.rs:38-78) ----------
-    val anchor = order.maxBy { a =>
+    val anchor = order.filter(mainAliases).maxBy { a =>
       val fs = nodePushed(a)
       (fs.size, if (fs.exists(Expr.containsOr)) 1 else 0, -order.indexOf(a))
     }
@@ -246,7 +327,8 @@ object Planner {
     val allExprs: Seq[Expr] =
       q.where.toSeq ++ q.returnItems.map(_.expr) ++ q.orderBy.map(_.expr) ++
       q.withStages.flatMap(s => s.items.map(_.expr) ++ s.where.toSeq) ++
-      nodeInline.values.flatten ++ states.flatMap(_.raw.inline)
+      nodeInline.values.flatten ++ states.flatMap(_.raw.inline) ++
+      q.optionalMatches.flatMap(_.where) ++ blockResiduals.flatten
     val refProps: Map[String, Set[String]] =
       allExprs.flatMap(Expr.propRefs).groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
 
@@ -274,10 +356,18 @@ object Planner {
         st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias),
         st.raw.varLength)
     }
+    val (mainEdges, optEdges) = edges.zip(states).partition(_._2.raw.block == -1)
 
-    GraphPlan(nodes, edges, anchor,
+    val optionalBlocks = q.optionalMatches.indices.map { bi =>
+      ResolvedOptionalBlock(
+        optEdges.collect { case (e, st) if st.raw.block == bi => e },
+        blockNewAliases(bi),
+        blockResiduals(bi).reduceOption(Expr.Bin("AND", _, _)))
+    }
+
+    GraphPlan(nodes, mainEdges.map(_._1), anchor,
       residual.reduceOption(Expr.Bin("AND", _, _)),
       q.withStages, q.returnItems, q.returnDistinct, q.orderBy, q.skip, q.limit,
-      refProps)
+      refProps, optionalBlocks)
   }
 }

@@ -137,6 +137,31 @@ class EngineSpec extends AnyFunSuite {
       "MATCH (a:User)-[f:Follows*1..2]->(b:User) WHERE f.since > 0 RETURN b.id AS id;"))
   }
 
+  test("OPTIONAL MATCH: unmatched rows survive with nulls, count skips them") {
+    val df = gs.cypher(
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[:Created]->(p:Post)
+        |RETURN u.name AS name, count(p) AS n;""".stripMargin)
+    assert(rows(df) == Set(
+      Seq("u1", 1L), Seq("u2", 2L), Seq("u3", 1L), Seq("u4", 0L), Seq("u5", 0L)))
+  }
+
+  test("OPTIONAL MATCH WHERE participates in matching, not row filtering") {
+    val df = gs.cypher(
+      """MATCH (u:User)
+        |OPTIONAL MATCH (u)-[:Follows]->(v:User) WHERE v.city = 'berlin'
+        |RETURN u.name AS name, count(v) AS n;""".stripMargin)
+    assert(rows(df) == Set(
+      Seq("u1", 1L), Seq("u2", 2L), Seq("u3", 0L), Seq("u4", 0L), Seq("u5", 0L)))
+  }
+
+  test("main WHERE cannot reference OPTIONAL MATCH aliases (scoping)") {
+    assertThrows[GraftException](gs.cypher(
+      """MATCH (u:User) WHERE p.id > 0
+        |OPTIONAL MATCH (u)-[:Created]->(p:Post)
+        |RETURN u.name AS name;""".stripMargin))
+  }
+
   test("RETURN * expands explicitly-named aliases") {
     val df = gs.cypher("MATCH (u:User {name:'u4'})-[]-(v:User) RETURN *;")
     // colliding names from same-label aliases get alias prefixes

@@ -79,6 +79,23 @@ object GraphAlgorithms {
       .toDF("id", "triangles")
   }
 
+  /** Single-source-set shortest paths (hop counts) to the given landmark
+    * vertices, via GraphX's Pregel-based ShortestPaths. Returns one row per
+    * (vertex, landmark) pair that is reachable: (id, landmark, distance).
+    * Covers the shortestPath capability the Cypher surface omits. */
+  def shortestPaths(gs: GraftSession, relLabel: String,
+      landmarks: Seq[Long]): DataFrame = {
+    val spark = gs.spark
+    import spark.implicits._
+    org.apache.spark.graphx.lib.ShortestPaths
+      .run(graph(gs, relLabel), landmarks)
+      .vertices
+      .flatMap { case (id, spmap) =>
+        spmap.map { case (landmark, dist) => (id, landmark: Long, dist.toLong) }
+      }
+      .toDF("id", "landmark", "distance")
+  }
+
   /** In/out degree per vertex from the edge list (pure DataFrame op). */
   def degrees(gs: GraftSession, relLabel: String): DataFrame = {
     val r = gs.catalog.rel(relLabel)

@@ -39,6 +39,13 @@ class GraphSpec extends AnyFunSuite {
     assert(tc(1L) == 1L && tc(2L) == 1L && tc(3L) == 1L && tc(4L) == 0L)
   }
 
+  test("shortest paths to landmarks (hop counts)") {
+    val sp = GraphAlgorithms.shortestPaths(gs, "Follows", Seq(4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 3->4 (1 hop); 1->3->4 and 2->3->4 (2 hops); 4 itself 0; 5 unreachable
+    assert(sp == Map(4L -> 0L, 3L -> 1L, 1L -> 2L, 2L -> 2L))
+  }
+
   test("degrees from edge list") {
     val d = GraphAlgorithms.degrees(gs, "Follows")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -134,6 +134,30 @@ object SparkEntry {
     "q_label_infer" -> cy(
       "MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS cnt;"),
 
+    // scalar string-function registry
+    "q_string_fns" -> cy(
+      """MATCH (c:Customer) WHERE c.c_custkey % 50 = 0
+        |RETURN c.c_custkey AS k, toUpper(c.c_name) AS un,
+        |       substring(c.c_name, 1, 4) AS pre, length(c.c_name) AS len;""".stripMargin),
+
+    // scalar math-function registry (IEEE-exact ops only — no rounding
+    // boundary sensitivity)
+    "q_math_fns" -> cy(
+      """MATCH (o:Order) WHERE o.o_orderkey % 100 = 0
+        |RETURN o.o_orderkey AS k, sqrt(o.o_totalprice) AS sq,
+        |       floor(o.o_totalprice) AS fl, ceil(o.o_totalprice) AS ce,
+        |       abs(o.o_totalprice - 1000.0) AS ab;""".stripMargin),
+
+    // RETURN DISTINCT
+    "q_return_distinct" -> cy(
+      "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg;"),
+
+    // undirected hop between DIFFERENT labels: orientation resolved from
+    // the relationship schema (no union needed)
+    "q_undirected_hetero" -> cy(
+      """MATCH (c:Customer)-[:PLACED]-(o:Order) WHERE c.c_mktsegment = 'MACHINERY'
+        |RETURN count(*) AS cnt;""".stripMargin),
+
     // bounded var-length hop (extension; distinct-pair reachability)
     "q_varlen" -> cy(
       """MATCH (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
@@ -250,6 +274,46 @@ object SparkEntry {
     "q_label_infer" ->
       """SELECT count(*) AS cnt FROM customer
         |JOIN orders ON o_custkey = c_custkey""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,
+        |CAST(length(c_name) AS INTEGER) AS len
+        |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT o_orderkey AS k, sqrt(o_totalprice) AS sq,
+        |CAST(floor(o_totalprice) AS BIGINT) AS fl,
+        |CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+        |abs(o_totalprice - 1000.0) AS ab
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+
+    "q_return_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+
+    "q_undirected_hetero" ->
+      """SELECT count(*) AS cnt FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,
+        |CAST(length(c_name) AS INTEGER) AS len
+        |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT o_orderkey AS k, sqrt(o_totalprice) AS sq,
+        |CAST(floor(o_totalprice) AS BIGINT) AS fl,
+        |CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+        |abs(o_totalprice - 1000.0) AS ab
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+
+    "q_return_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+
+    "q_undirected_hetero" ->
+      """SELECT count(*) AS cnt FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
 
     "q_varlen" ->
       """WITH e AS (

@@ -83,6 +83,19 @@ object PipelineEntries {
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
 
+    // composite curation pipeline: exact-dedup -> quality gate -> per-lang
+    // corpus stats (operators composing end-to-end) — oracle-checked
+    "p_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keep = Dedup.exact(d).select("doc_id")
+      val quality = TextAnalysis.qualityFeatures(d).select("doc_id", "n_tokens", "score")
+      d.join(keep, "doc_id")
+        .join(quality, "doc_id")
+        .filter(col("score") >= 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+    }),
+
     // GraphX connected components over the same-label NATION_ADJ edge
     // list; component id = min member id ⇒ SQL-oracle-checkable
     "g_concomp" -> ((s, dir) =>
@@ -180,6 +193,28 @@ object PipelineEntries {
         |       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "p_curate" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         round(least(len(toks), 100) / 100.0 * 0.5 +
+        |               CAST(len(list_filter(toks, t -> list_contains(
+        |                 ['the','a','an','of','and','to','in','is','it','that'], t))) AS DOUBLE)
+        |                 / len(toks) * 0.3 +
+        |               (1.0 - least(length(text) -
+        |                 length(regexp_replace(text, '[[:punct:]]', '', 'g')), 20) / 20.0) * 0.2,
+        |               4) AS score
+        |  FROM (SELECT doc_id, text,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT d.lang, count(*) AS n_docs, sum(q.n_tokens) AS total_tokens
+        |FROM documents d
+        |JOIN keep k ON k.doc_id = d.doc_id
+        |JOIN q ON q.doc_id = d.doc_id
+        |WHERE q.score >= 0.5
+        |GROUP BY d.lang""".stripMargin,
 
     "g_concomp" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

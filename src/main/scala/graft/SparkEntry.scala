@@ -134,6 +134,14 @@ object SparkEntry {
     "q_label_infer" -> cy(
       "MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS cnt;"),
 
+    // CASE WHEN expression + grouping on it
+    "q_case" -> cy(
+      """MATCH (o:Order)
+        |RETURN CASE WHEN o.o_totalprice > 250000.0 THEN 'big'
+        |            WHEN o.o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |       count(*) AS cnt;""".stripMargin),
+
     // scalar string-function registry
     "q_string_fns" -> cy(
       """MATCH (c:Customer) WHERE c.c_custkey % 50 = 0
@@ -275,6 +283,18 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM customer
         |JOIN orders ON o_custkey = c_custkey""".stripMargin,
 
+    "q_case" ->
+      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_case" ->
+      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "q_string_fns" ->
       """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,
         |CAST(length(c_name) AS INTEGER) AS len
@@ -294,6 +314,18 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM customer
         |JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    "q_case" ->
+      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_case" ->
+      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
+        |            WHEN o_totalprice > 100000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_string_fns" ->
       """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,

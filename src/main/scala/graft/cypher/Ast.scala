@@ -33,6 +33,8 @@ object Expr {
   final case class Not(e: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  /** `CASE WHEN c THEN v ... [ELSE d] END` (searched form). */
+  final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
 
   /** Aggregate-function names, matching the reference's classifier list
     * (logical_expr/mod.rs:255) plus Spark-native extras. */
@@ -48,6 +50,8 @@ object Expr {
     case Neg(x)           => isAggregate(x)
     case IsNull(x, _)     => isAggregate(x)
     case ListLit(xs)      => xs.exists(isAggregate)
+    case CaseWhen(bs, o)  => bs.exists { case (c, v) => isAggregate(c) || isAggregate(v) } ||
+                             o.exists(isAggregate)
     case _                => false
   }
 
@@ -60,6 +64,8 @@ object Expr {
     case Neg(x)        => propRefs(x)
     case IsNull(x, _)  => propRefs(x)
     case ListLit(xs)   => xs.flatMap(propRefs)
+    case CaseWhen(bs, o) => bs.flatMap { case (c, v) => propRefs(c) ++ propRefs(v) } ++
+                            o.toSeq.flatMap(propRefs)
     case _             => Seq.empty
   }
 
@@ -73,6 +79,9 @@ object Expr {
     case Neg(x)        => referencedNames(x)
     case IsNull(x, _)  => referencedNames(x)
     case ListLit(xs)   => xs.flatMap(referencedNames).toSet
+    case CaseWhen(bs, o) => (bs.flatMap { case (c, v) =>
+                              referencedNames(c) ++ referencedNames(v) } ++
+                              o.toSeq.flatMap(referencedNames)).toSet
     case _             => Set.empty
   }
 
@@ -84,6 +93,8 @@ object Expr {
     case IsNull(x, _)    => containsOr(x)
     case Fn(_, as, _)    => as.exists(containsOr)
     case ListLit(xs)     => xs.exists(containsOr)
+    case CaseWhen(bs, o) => bs.exists { case (c, v) => containsOr(c) || containsOr(v) } ||
+                            o.exists(containsOr)
     case _               => false
   }
 
@@ -106,6 +117,9 @@ object Expr {
     case Neg(x)        => Neg(bind(x, params))
     case IsNull(x, ng) => IsNull(bind(x, params), ng)
     case ListLit(xs)   => ListLit(xs.map(bind(_, params)))
+    case CaseWhen(bs, o) => CaseWhen(
+      bs.map { case (c, v) => (bind(c, params), bind(v, params)) },
+      o.map(bind(_, params)))
     case other         => other
   }
 }

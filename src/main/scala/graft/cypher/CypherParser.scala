@@ -27,7 +27,8 @@ object CypherParser extends RegexParsers {
     "as", "and", "or", "not", "in", "is", "null", "distinct", "asc",
     "desc", "ascending", "descending", "create", "node", "rel", "table",
     "from", "to", "primary", "key", "true", "false", "union", "optional",
-    "delete", "detach", "set", "remove", "adj", "index")
+    "delete", "detach", "set", "remove", "adj", "index",
+    "case", "when", "then", "end", "else", "unwind")
 
   private def kw(s: String): Parser[String] =
     (s"""(?i)\\b${Regex.quote(s)}\\b""").r ^^ (_ => s)
@@ -148,8 +149,16 @@ object CypherParser extends RegexParsers {
       case a ~ None    => Expr.Var(a)
     }
 
+  private def caseExpr: Parser[Expr] =
+    kw("case") ~> rep1(kw("when") ~> expression ~ (kw("then") ~> expression)) ~
+      opt(kw("else") ~> expression) <~ kw("end") ^^ {
+      case branches ~ dflt =>
+        Expr.CaseWhen(branches.map { case c ~ v => (c, v) }, dflt)
+    }
+
   private def atom: Parser[Expr] =
     countStar |
+    caseExpr |
     literal |
     ("$" ~> identRe) ^^ Expr.Param.apply |
     ("[" ~> repsep(expression, ",") <~ "]") ^^ Expr.ListLit.apply |

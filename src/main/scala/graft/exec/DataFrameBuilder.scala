@@ -290,6 +290,8 @@ final class DataFrameBuilder(session: GraftSession) {
       case Expr.Neg(y)        => Expr.Neg(rw(y))
       case Expr.IsNull(y, ng) => Expr.IsNull(rw(y), ng)
       case Expr.ListLit(ys)   => Expr.ListLit(ys.map(rw))
+      case Expr.CaseWhen(bs, o) =>
+        Expr.CaseWhen(bs.map { case (c, v) => (rw(c), rw(v)) }, o.map(rw))
       case other              => other
     }
     e match {

@@ -65,6 +65,13 @@ object ExprCompiler {
         case other => throw new GraftException(s"unknown operator: $other")
       }
 
+    case Expr.CaseWhen(branches, otherwise) =>
+      val start = when(compile(branches.head._1, resolve), compile(branches.head._2, resolve))
+      val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) =>
+        acc.when(compile(c, resolve), compile(v, resolve))
+      }
+      otherwise.map(o => chained.otherwise(compile(o, resolve))).getOrElse(chained)
+
     case fn @ Expr.Fn(_, _, _) => compileFn(fn, resolve)
   }
 

@@ -178,6 +178,15 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L, "BERLIN"), (3L, 7L, "BERLIN"), (4L, 9L, "ROME")))
   }
 
+  test("CASE WHEN end-to-end") {
+    val df = gs.cypher(
+      """MATCH (u:User)
+        |RETURN CASE WHEN u.city = 'berlin' THEN 'de'
+        |            WHEN u.city = 'paris' THEN 'fr' ELSE 'other' END AS cc,
+        |       count(*) AS n;""".stripMargin)
+    assert(rows(df) == Set(Seq("de", 2L), Seq("fr", 2L), Seq("other", 1L)))
+  }
+
   test("parameters bind before planning") {
     val df = gs.cypher("MATCH (u:User) WHERE u.city = $c RETURN count(*) AS n;",
       Map("c" -> "paris"))

@@ -75,6 +75,13 @@ class ParserSpec extends AnyFunSuite {
     assert(q2.paths.head.hops.head._1.varLength.contains((2, 2)))
   }
 
+  test("CASE WHEN expression") {
+    val q = read(
+      "MATCH (a:U) RETURN CASE WHEN a.x > 1 THEN 'hi' ELSE 'lo' END AS b;")
+    assert(q.returnItems.head.expr == CaseWhen(
+      Seq((Bin(">", Prop("a", "x"), Lit(1L)), Lit("hi"))), Some(Lit("lo"))))
+  }
+
   test("parameters") {
     val q = read("MATCH (a:U) WHERE a.name = $name RETURN a.id;")
     assert(q.where.get == Bin("=", Prop("a", "name"), Param("name")))

@@ -206,6 +206,7 @@ final class GraftSession(val spark: SparkSession) {
       withStages = q.withStages.map(s =>
         s.copy(items = s.items.map(bi), where = s.where.map(Expr.bind(_, params)))),
       returnItems = q.returnItems.map(bi),
+      unwinds = q.unwinds.map(u => u.copy(expr = Expr.bind(u.expr, params))),
       orderBy = q.orderBy.map(o => o.copy(expr = Expr.bind(o.expr, params))))
   }
 

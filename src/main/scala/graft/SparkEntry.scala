@@ -134,6 +134,11 @@ object SparkEntry {
     "q_label_infer" -> cy(
       "MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS cnt;"),
 
+    // UNWIND: list explode joined to the pattern
+    "q_unwind" -> cy(
+      """MATCH (r:Region) UNWIND [1, 2, 3] AS x
+        |RETURN r.r_name AS name, x AS x;""".stripMargin),
+
     // CASE WHEN expression + grouping on it
     "q_case" -> cy(
       """MATCH (o:Order)
@@ -283,11 +288,19 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM customer
         |JOIN orders ON o_custkey = c_custkey""".stripMargin,
 
+    "q_unwind" ->
+      """SELECT r_name AS name, x FROM region
+        |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
+
     "q_case" ->
       """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_unwind" ->
+      """SELECT r_name AS name, x FROM region
+        |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
 
     "q_case" ->
       """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
@@ -315,11 +328,19 @@ object SparkEntry {
         |JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
 
+    "q_unwind" ->
+      """SELECT r_name AS name, x FROM region
+        |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
+
     "q_case" ->
       """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_unwind" ->
+      """SELECT r_name AS name, x FROM region
+        |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
 
     "q_case" ->
       """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'

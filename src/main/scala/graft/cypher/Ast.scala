@@ -40,7 +40,7 @@ object Expr {
     * (logical_expr/mod.rs:255) plus Spark-native extras. */
   val aggregateNames: Set[String] =
     Set("count", "min", "max", "avg", "sum", "collect_list", "collect_set",
-        "stddev", "variance")
+        "stddev", "variance", "approx_count_distinct")
 
   def isAggregate(e: Expr): Boolean = e match {
     case Fn(name, _, _) if aggregateNames(name.toLowerCase) => true
@@ -162,6 +162,9 @@ sealed trait CypherStatement
   * the optional block, i.e. it participates in the join condition). */
 final case class OptionalMatch(paths: Seq[PathPattern], where: Option[Expr])
 
+/** `UNWIND list AS name` — one output row per list element (extension). */
+final case class Unwind(expr: Expr, name: String)
+
 final case class ReadQuery(
     paths: Seq[PathPattern],
     where: Option[Expr],
@@ -171,7 +174,8 @@ final case class ReadQuery(
     orderBy: Seq[OrderItem],
     skip: Option[Long],
     limit: Option[Long],
-    optionalMatches: Seq[OptionalMatch] = Seq.empty) extends CypherStatement
+    optionalMatches: Seq[OptionalMatch] = Seq.empty,
+    unwinds: Seq[Unwind] = Seq.empty) extends CypherStatement
 
 final case class ColumnDef(name: String, dtype: String, default: Option[Expr])
 

@@ -232,18 +232,25 @@ object CypherParser extends RegexParsers {
       case paths ~ w => OptionalMatch(paths, w)
     }
 
+  private def unwindClause: Parser[Unwind] =
+    kw("unwind") ~> expression ~ (kw("as") ~> anyIdent) ^^ {
+      case e ~ n => Unwind(e, n)
+    }
+
   private def readQuery: Parser[ReadQuery] =
     (kw("match") ~> rep1sep(pathPattern, ",")) ~
       opt(kw("where") ~> expression) ~
       rep(optionalMatch) ~
+      rep(unwindClause) ~
       rep(withClause) ~
       (kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",")) ~
       opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
       opt(kw("skip") ~> """\d+""".r) ~
       opt(kw("limit") ~> """\d+""".r) ^^ {
-      case paths ~ where ~ opts ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
+      case paths ~ where ~ opts ~ unwinds ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
         ReadQuery(paths, where, withs, items, dist.isDefined,
-          ord.getOrElse(Seq.empty), skip.map(_.toLong), limit.map(_.toLong), opts)
+          ord.getOrElse(Seq.empty), skip.map(_.toLong), limit.map(_.toLong),
+          opts, unwinds)
     }
 
   // ---- DDL ----------------------------------------------------------------

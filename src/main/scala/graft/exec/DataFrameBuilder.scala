@@ -43,6 +43,9 @@ final class DataFrameBuilder(session: GraftSession) {
     }
     for (block <- plan.optionals)
       filtered = applyOptional(filtered, block, plan)
+    for (u <- plan.unwinds)
+      filtered = filtered.withColumn(u.name,
+        explode(compile(rewriteAliasArgs(u.expr, plan), qualified)))
 
     // WITH stages (working version of the clause the reference drops —
     // SURVEY.md §2.3). Node/rel aliases named in a WITH are CARRIED through

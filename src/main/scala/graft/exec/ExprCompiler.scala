@@ -99,6 +99,7 @@ object ExprCompiler {
       case "collect_list" | "collect" => collect_list(arg(0))
       case "collect_set"  => collect_set(arg(0))
       case "stddev"       => stddev(arg(0))
+      case "approx_count_distinct" => approx_count_distinct(arg(0))
       case "variance"     => variance(arg(0))
 
       // ---- scalar registry --------------------------------------------------

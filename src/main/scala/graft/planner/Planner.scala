@@ -49,7 +49,9 @@ final case class GraphPlan(
     referencedProps: Map[String, Set[String]],
     /** OPTIONAL MATCH blocks, applied as left-outer joins after the main
       * pattern (extension — SURVEY.md §8.5). */
-    optionals: Seq[ResolvedOptionalBlock] = Seq.empty)
+    optionals: Seq[ResolvedOptionalBlock] = Seq.empty,
+    /** UNWIND stages applied after joins/optionals (extension). */
+    unwinds: Seq[Unwind] = Seq.empty)
 
 /** One OPTIONAL MATCH block: its edges, the aliases it introduces, and the
   * residual predicate that belongs in the left-join ON condition. */
@@ -368,6 +370,6 @@ object Planner {
     GraphPlan(nodes, mainEdges.map(_._1), anchor,
       residual.reduceOption(Expr.Bin("AND", _, _)),
       q.withStages, q.returnItems, q.returnDistinct, q.orderBy, q.skip, q.limit,
-      refProps, optionalBlocks)
+      refProps, optionalBlocks, q.unwinds)
   }
 }

@@ -187,6 +187,18 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(df) == Set(Seq("de", 2L), Seq("fr", 2L), Seq("other", 1L)))
   }
 
+  test("UNWIND explodes list literals per row") {
+    val df = gs.cypher(
+      "MATCH (u:User {name:'u1'}) UNWIND [10, 20] AS x RETURN u.id AS id, x AS x;")
+    assert(rows(df) == Set(Seq(1L, 10L), Seq(1L, 20L)))
+  }
+
+  test("approx_count_distinct is available as an aggregate") {
+    val df = gs.cypher(
+      "MATCH (u:User) RETURN approx_count_distinct(u.city) AS n;")
+    assert(df.collect().head.getLong(0) == 3L)
+  }
+
   test("parameters bind before planning") {
     val df = gs.cypher("MATCH (u:User) WHERE u.city = $c RETURN count(*) AS n;",
       Map("c" -> "paris"))

@@ -427,6 +427,12 @@ final class DataFrameBuilder(session: GraftSession) {
       }
     }
 
+    // RETURN DISTINCT + a sort key that is not a returned column would
+    // require deduplicating on hidden columns (wrong result) — reject with
+    // a clear message (standard Cypher restricts this the same way).
+    if (distinct && hiddenItems.nonEmpty)
+      throw new GraftException(
+        "ORDER BY with RETURN DISTINCT must order by returned columns")
     val (out, _, _) =
       projectStage(df, items, distinct = false, plan, ctx, hiddenItems.toSeq, carry = false)
     val projected = if (distinct) out.distinct() else out

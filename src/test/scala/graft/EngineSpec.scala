@@ -187,6 +187,11 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(df) == Set(Seq("de", 2L), Seq("fr", 2L), Seq("other", 1L)))
   }
 
+  test("RETURN DISTINCT with non-returned sort key is rejected") {
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN DISTINCT u.city AS c ORDER BY u.id;"))
+  }
+
   test("UNWIND explodes list literals per row") {
     val df = gs.cypher(
       "MATCH (u:User {name:'u1'}) UNWIND [10, 20] AS x RETURN u.id AS id, x AS x;")

@@ -53,6 +53,12 @@ class PlanSpec extends AnyFunSuite {
     assert(optimized.contains("LocalRelation <empty>") || df.count() == 0, optimized)
   }
 
+  test("adjacency-index path reads the cached neighbors table + explode") {
+    val plan = formatted(gs.cypher(
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN count(*) AS cnt;"))
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Generate"), plan)
+  }
+
   test("aggregation is partial+final (map-side combine)") {
     val plan = formatted(gs.cypher(
       "MATCH (o:Order) RETURN o.o_orderstatus AS s, count(*) AS cnt;"))

@@ -134,6 +134,12 @@ object SparkEntry {
     "q_label_infer" -> cy(
       "MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS cnt;"),
 
+    // consecutive MATCH clauses join on shared aliases
+    "q_multi_match" -> cy(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |RETURN r.r_name AS r_name, count(*) AS cnt;""".stripMargin),
+
     // UNWIND: list explode joined to the pattern
     "q_unwind" -> cy(
       """MATCH (r:Region) UNWIND [1, 2, 3] AS x
@@ -288,6 +294,12 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM customer
         |JOIN orders ON o_custkey = c_custkey""".stripMargin,
 
+    "q_multi_match" ->
+      """SELECT r_name, count(*) AS cnt FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
+
     "q_unwind" ->
       """SELECT r_name AS name, x FROM region
         |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
@@ -297,6 +309,12 @@ object SparkEntry {
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_multi_match" ->
+      """SELECT r_name, count(*) AS cnt FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "q_unwind" ->
       """SELECT r_name AS name, x FROM region
@@ -328,6 +346,12 @@ object SparkEntry {
         |JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
 
+    "q_multi_match" ->
+      """SELECT r_name, count(*) AS cnt FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
+
     "q_unwind" ->
       """SELECT r_name AS name, x FROM region
         |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
@@ -337,6 +361,12 @@ object SparkEntry {
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_multi_match" ->
+      """SELECT r_name, count(*) AS cnt FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "q_unwind" ->
       """SELECT r_name AS name, x FROM region

@@ -238,7 +238,7 @@ object CypherParser extends RegexParsers {
     }
 
   private def readQuery: Parser[ReadQuery] =
-    (kw("match") ~> rep1sep(pathPattern, ",")) ~
+    rep1(kw("match") ~> rep1sep(pathPattern, ",")) ~
       opt(kw("where") ~> expression) ~
       rep(optionalMatch) ~
       rep(unwindClause) ~
@@ -247,7 +247,9 @@ object CypherParser extends RegexParsers {
       opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
       opt(kw("skip") ~> """\d+""".r) ~
       opt(kw("limit") ~> """\d+""".r) ^^ {
-      case paths ~ where ~ opts ~ unwinds ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
+      case pathGroups ~ where ~ opts ~ unwinds ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
+        // consecutive MATCH clauses are inner-joined like comma patterns
+        val paths = pathGroups.flatten
         ReadQuery(paths, where, withs, items, dist.isDefined,
           ord.getOrElse(Seq.empty), skip.map(_.toLong), limit.map(_.toLong),
           opts, unwinds)

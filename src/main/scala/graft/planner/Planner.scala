@@ -296,8 +296,11 @@ object Planner {
         throw new GraftException(
           "WHERE on the main MATCH cannot reference aliases introduced by a " +
           "later OPTIONAL MATCH (out of scope)")
-      if (Expr.isAggregate(c)) residual += c
-      else allRefs.toSeq match {
+      if (Expr.isAggregate(c))
+        throw new GraftException(
+          "aggregate functions are not allowed in WHERE; filter after " +
+          "aggregation with 'WITH ... WHERE' instead")
+      allRefs.toSeq match {
         case Seq(single) if nodeAliases(single) => nodePushed(single) = nodePushed(single) :+ c
         case Seq(single) if relAliases(single)  => relPushed(single) = relPushed(single) :+ c
         case _ => residual += c

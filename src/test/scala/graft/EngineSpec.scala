@@ -192,6 +192,28 @@ class EngineSpec extends AnyFunSuite {
       "MATCH (u:User) RETURN DISTINCT u.city AS c ORDER BY u.id;"))
   }
 
+  test("consecutive MATCH clauses join on shared aliases") {
+    val df = gs.cypher(
+      """MATCH (a:User {name:'u1'})-[:Follows]->(b:User)
+        |MATCH (b)-[:Follows]->(c:User)
+        |RETURN c.id AS id;""".stripMargin)
+    assert(longs(df) == Set(1L, 3L, 4L))
+  }
+
+  test("aggregates in WHERE get a WITH hint, not an analysis error") {
+    val e = intercept[GraftException](gs.cypher(
+      "MATCH (u:User)-[:Follows]->(v:User) WHERE count(v) > 1 RETURN u.id AS id;"))
+    assert(e.getMessage.contains("WITH"))
+  }
+
+  test("ORDER BY carried-alias property after WITH") {
+    val df = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |WITH a, count(b) AS c
+        |RETURN a.name AS name, c AS c ORDER BY a.name DESC LIMIT 2;""".stripMargin)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("u3", "u2"))
+  }
+
   test("UNWIND explodes list literals per row") {
     val df = gs.cypher(
       "MATCH (u:User {name:'u1'}) UNWIND [10, 20] AS x RETURN u.id AS id, x AS x;")

@@ -198,7 +198,10 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
-    "graft_isect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))))
+    "graft_isect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    // aggregate: k-slot minhash signature over pre-hashed shingles
+    "graft_minhash" -> (exprs => MinHashAgg(exprs.head,
+      graft.pipeline.Dedup.NumHashes)))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -212,6 +215,8 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_isect", a, b)
+  def minhashSignatureAgg(hashedShingle: Column): Column =
+    call_function("graft_minhash", hashedShingle)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers the

@@ -124,18 +124,18 @@ object Dedup {
     val exploded = prep
       .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
-    val sigCols = (0 until NumHashes).map(k =>
-      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    // single TypedImperativeAggregate: one Array[Long] buffer per group,
+    // one update loop per row, map-side combinable (element-wise min).
     // persist: the signature table feeds THREE consumers (bucket-size stats
     // + both sides of the candidate self-join); without it the whole
-    // explode+aggregate lineage is recomputed per consumer. ~NumHashes
-    // longs per doc — tiny relative to the compute it saves. At cluster
+    // explode+aggregate lineage is recomputed per consumer. At cluster
     // scale this is the materialized signature table you would write out.
-    val sig = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = exploded.groupBy("id")
+      .agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = (0 until Bands).map(b =>
-      hash((b * Rows until (b + 1) * Rows).map(i => col(s"m$i")): _*).as(s"b$b"))
+      hash(slice(col("sig"), lit(b * Rows + 1), lit(Rows))).as(s"b$b"))
     val banded = sig
       .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
 

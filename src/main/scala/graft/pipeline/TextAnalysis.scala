@@ -16,7 +16,14 @@ object TextAnalysis {
   /** Quality features + a composite score in [0,1]:
     * 0.5·min(tokens,100)/100 + 0.3·stopword-ratio + 0.2·(1−min(punct,20)/20).
     * Deterministic and SQL-mirrorable (oracle-checked). */
-  def qualityFeatures(docs: DataFrame): DataFrame = {
+  def qualityFeatures(docs: DataFrame): DataFrame =
+    qualityFeaturesRaw(docs).withColumn("score", round(col("score"), 4))
+
+  /** Same features with the UNROUNDED score. Downstream threshold gates must
+    * use this form: gating on a 4-dp-rounded float at a round threshold
+    * (0.5) flips boundary docs between engines whose rounding modes differ
+    * (Spark HALF_UP vs DuckDB) — the round-1 `p_curate` oracle failure. */
+  def qualityFeaturesRaw(docs: DataFrame): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val stopArr = array(StopWords.map(lit): _*)
     docs.select(
@@ -25,10 +32,10 @@ object TextAnalysis {
         (length(col("text")) -
           length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("long").as("punct_cnt"),
         size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_cnt"))
-      .withColumn("score", round(
+      .withColumn("score",
         least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.5 +
         col("stop_cnt").cast("double") / col("n_tokens") * 0.3 +
-        (lit(1.0) - least(col("punct_cnt"), lit(20)).cast("double") / 20.0) * 0.2, 4))
+        (lit(1.0) - least(col("punct_cnt"), lit(20)).cast("double") / 20.0) * 0.2)
   }
 
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit

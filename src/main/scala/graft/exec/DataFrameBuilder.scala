@@ -433,6 +433,15 @@ final class DataFrameBuilder(session: GraftSession) {
     if (distinct && hiddenItems.nonEmpty)
       throw new GraftException(
         "ORDER BY with RETURN DISTINCT must order by returned columns")
+    // Aggregating RETURN + a non-aggregate hidden sort key would silently
+    // widen the implicit GROUP BY (changing result cardinality) — standard
+    // Cypher rejects such queries; so do we. Hidden AGGREGATE sort items
+    // (ORDER BY count(*) not in RETURN) are fine: they become extra agg
+    // columns, never grouping keys.
+    if (visible.exists { case (_, e) => Expr.isAggregate(e) } &&
+        hiddenItems.exists { case (_, e) => !Expr.isAggregate(e) })
+      throw new GraftException(
+        "in an aggregating RETURN, ORDER BY must reference returned columns or aggregates")
     val (out, _, _) =
       projectStage(df, items, distinct = false, plan, ctx, hiddenItems.toSeq, carry = false)
     val projected = if (distinct) out.distinct() else out

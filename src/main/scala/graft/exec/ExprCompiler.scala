@@ -54,13 +54,16 @@ object ExprCompiler {
         case "OR"  => lc || compile(r, resolve)
         case "IN" =>
           r match {
-            case Expr.ListLit(items) =>
-              val vals = items.map {
-                case Expr.Lit(v) => v
-                case other => throw new GraftException(s"IN list must be literals, got $other")
-              }
-              lc.isin(vals: _*)
-            case other => lc.isin(compile(other, resolve))
+            case Expr.ListLit(items) if items.forall {
+                case Expr.Lit(_) => true; case _ => false } =>
+              // all-literal list → isin (codegen InSet for long lists)
+              lc.isin(items.collect { case Expr.Lit(v) => v }: _*)
+            case other =>
+              // non-literal rhs: Cypher requires a LIST value — compile to
+              // array_contains (membership). A scalar rhs fails analysis
+              // with a type error, matching Cypher's semantics; the old
+              // `isin(col)` form silently degraded to equality.
+              array_contains(compile(other, resolve), lc)
           }
         case other => throw new GraftException(s"unknown operator: $other")
       }
@@ -105,7 +108,11 @@ object ExprCompiler {
       // ---- scalar registry --------------------------------------------------
       case "toupper" | "upper"       => upper(arg(0))
       case "tolower" | "lower"       => lower(arg(0))
-      case "length" | "char_length" | "size" => length(arg(0))
+      case "length" | "char_length"  => length(arg(0))
+      // Cypher size() is polymorphic (list length / string chars) — Spark's
+      // size/length builtins are each mono-typed, so dispatch via the native
+      // graft_size expression (type-resolved once at analysis).
+      case "size"                    => call_function("graft_size", arg(0))
       case "trim"                    => trim(arg(0))
       case "ltrim"                   => ltrim(arg(0))
       case "rtrim"                   => rtrim(arg(0))

@@ -192,6 +192,42 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_size(x)`: Cypher `size()` — element count for arrays/maps,
+  * character count for strings, byte count for binary. Spark has no
+  * polymorphic builtin (`size` is collections-only, `length` is
+  * strings-only); type dispatch happens once at analysis/codegen time, so
+  * the generated code is the same as the mono-typed builtin's. */
+case class PolySize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "graft_size"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType | _: MapType | _: StringType | BinaryType | NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array, map, string or binary argument, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case _: ArrayType => v.asInstanceOf[ArrayData].numElements()
+    case _: MapType => v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements()
+    case _: StringType => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numChars()
+    case _ => v.asInstanceOf[Array[Byte]].length
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case _: ArrayType | _: MapType => defineCodeGen(ctx, ev, c => s"$c.numElements()")
+      case _: StringType             => defineCodeGen(ctx, ev, c => s"$c.numChars()")
+      case _                         => defineCodeGen(ctx, ev, c => s"$c.length")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): PolySize =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API. */
 object GraftFunctions {
 
@@ -199,6 +235,7 @@ object GraftFunctions {
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "graft_isect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    "graft_size" -> (exprs => PolySize(exprs.head)),
     // aggregate: k-slot minhash signature over pre-hashed shingles
     "graft_minhash" -> (exprs => MinHashAgg(exprs.head,
       graft.pipeline.Dedup.NumHashes)))

@@ -281,6 +281,36 @@ class EngineSpec extends AnyFunSuite {
     assertThrows[GraftException](g2.registerNode("Bad", "bad", "sid"))
   }
 
+  test("size() is polymorphic: list length and string char count") {
+    val df = gs.cypher(
+      "MATCH (u:User {name:'u1'}) RETURN size([1, 2, 3]) AS ls, size(u.city) AS cs;")
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 6)))
+  }
+
+  test("IN with a list-valued (non-literal) rhs is membership, not equality") {
+    // split() returns array<string>; the old isin(col) form compiled this
+    // to equality against the array and matched nothing
+    val df = gs.cypher(
+      "MATCH (u:User) WHERE u.name IN split('u1,u3', ',') RETURN u.id AS id;")
+    assert(longs(df) == Set(1L, 3L))
+    // list literal containing a non-literal expression
+    val df2 = gs.cypher(
+      "MATCH (u:User) WHERE 2 IN [u.id, u.id + 1] RETURN u.id AS id;")
+    assert(longs(df2) == Set(1L, 2L))
+  }
+
+  test("aggregating RETURN rejects a non-aggregate hidden ORDER BY key") {
+    // ORDER BY u.name would silently widen the GROUP BY to (city, name)
+    assertThrows[GraftException](gs.cypher(
+      """MATCH (u:User)-[:Follows]->(b:User)
+        |RETURN u.city AS city, count(*) AS c ORDER BY u.name;""".stripMargin))
+    // a hidden AGGREGATE sort key is legal: extra agg column, not a key
+    val df = gs.cypher(
+      """MATCH (u:User)-[:Follows]->(b:User)
+        |RETURN u.name AS name ORDER BY count(b.id) DESC, name ASC LIMIT 1;""".stripMargin)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("u1"))
+  }
+
   test("output formats") {
     val df = gs.cypher("MATCH (u:User {name:'u1'}) RETURN u.id AS id, u.name AS name;")
     assert(gs.toJsonEachRow(df) == Seq("""{"id":1,"name":"u1"}"""))

@@ -104,17 +104,187 @@ object PipelineEntries {
     "g_concomp" -> ((s, dir) =>
       GraphAlgorithms.connectedComponents(TpchGraph.session(s, dir), "NATION_ADJ")),
 
-    // GraphX static PageRank (fixed 10 iterations; rows-only check,
-    // properties asserted in GraphSpec)
+    // GraphX static PageRank, fixed 10 iterations — oracle-checked against
+    // an unrolled-iteration DuckDB mirror; ranks rounded to 6 dp so the
+    // nondeterministic message-sum order inside aggregateMessages can never
+    // flip the compare
     "g_pagerank" -> ((s, dir) =>
-      GraphAlgorithms.pageRank(TpchGraph.session(s, dir), "NATION_ADJ")),
+      GraphAlgorithms.pageRank(TpchGraph.session(s, dir), "NATION_ADJ")
+        .withColumn("rank", round(col("rank"), 6))),
 
     // degree distribution from the edge list — oracle-checked
     "g_degrees" -> ((s, dir) =>
       GraphAlgorithms.degrees(TpchGraph.session(s, dir), "NATION_ADJ")),
   )
 
+  // ---- generated oracle SQL -----------------------------------------------
+
+  /** DuckDB mirror of [[TextAnalysis.langId]]: per-language marker counts,
+    * argmax with first-match-wins tie order (the fold updates only on
+    * strictly-greater, so the winner is the FIRST language attaining the
+    * max), CJK character-ratio shortcut. */
+  private def langIdOracleSql: String = {
+    val langs = TextAnalysis.LangMarkers
+    val scoreCols = langs.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    // first lang whose score >= all later langs' scores wins
+    val names = langs.map(_._1)
+    val caseChain = names.init.zipWithIndex.map { case (lang, i) =>
+      val rest = names.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$lang'"
+    }.mkString("\n       ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, text,
+       |    $scoreCols,
+       |    length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN cjk * 2 > length(text) THEN 'zh'
+       |       $caseChain
+       |       ELSE '${names.last}' END AS lang_pred,
+       |  greatest(${names.map(n => s"s_$n").mkString(", ")}, 0) AS marker_hits
+       |FROM s""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.lshTopK]]: the ±1 hyperplane signs are
+    * generated from the SAME seeded RNG ([[Similarity.planeSigns]]) and
+    * embedded as sign patterns, so both engines compute identical SRP
+    * codes; the per-table Hamming-1 probe expansion collapses to
+    * `bit_count(xor(codes)) <= 1`. All-pairs in DuckDB (fine at oracle
+    * scale); the Spark side stays the bucketed equi-join. */
+  private def lshOracleSql(k: Int = 5, planes: Int = 6, tables: Int = 8,
+      dim: Int = 64): String = {
+    def codeExpr(t: Int): String = {
+      val signs = Similarity.planeSigns(planes, dim, seed = 7L + t * 1000L)
+      signs.zipWithIndex.map { case (s, p) =>
+        val pos = s.zipWithIndex.collect { case (true, j) => j + 1 }.mkString(",")
+        s"(CASE WHEN list_sum(list_transform(range(1,${dim + 1}), " +
+          s"j -> CASE WHEN list_contains([$pos], j) THEN v[j] ELSE -v[j] END)) > 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }.mkString("CAST(", " + ", " AS BIGINT)")
+    }
+    val codeCols = (0 until tables).map(t => s"${codeExpr(t)} AS c$t").mkString(",\n    ")
+    val probeCond = (0 until tables)
+      .map(t => s"bit_count(xor(x.c$t, q.c$t)) <= 1").mkString(" OR ")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, v, nrm,
+       |    $codeCols
+       |  FROM n),
+       |s AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |         round(list_sum(list_transform(range(1,${dim + 1}), i -> q.v[i] * x.v[i])) /
+       |               (q.nrm * x.nrm), 6) AS sim
+       |  FROM codes x JOIN codes q
+       |    ON q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id AND ($probeCond))
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM s)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.ivfTopK]]: centroids = the nlist
+    * lowest-id vectors, assignment by 6-dp-rounded cosine (ties to the
+    * lower cent_id — matching the Spark side, which also ranks on the
+    * rounded value), queries probe the nprobe nearest lists. */
+  private def ivfOracleSql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      dim: Int = 64): String = {
+    val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cent, nrm AS centnorm
+       |  FROM n ORDER BY vec_id LIMIT $nlist),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY $csim DESC, c.cent_id ASC) AS crank
+       |    FROM n, cents c) WHERE crank = 1),
+       |qa AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cent_id AS list_id FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY $csim DESC, c.cent_id ASC) AS crank
+       |    FROM n, cents c WHERE n.vec_id % 50 = 0) WHERE crank <= $nprobe),
+       |s AS (
+       |  SELECT qa.qid, a.vec_id AS nid,
+       |         round(list_sum(list_transform(range(1,${dim + 1}), i -> qa.qv[i] * a.v[i])) /
+       |               (qa.qnrm * a.nrm), 6) AS sim
+       |  FROM assigned a JOIN qa ON a.list_id = qa.list_id
+       |  WHERE a.vec_id <> qa.qid)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM s)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of GraphX staticPageRank on the NATION_ADJ edge list:
+    * ranks start at 1.0 and iterate rank = 0.15 + 0.85·Σ(in-rank/out-deg)
+    * — unrolled to `iters` chained CTEs (no recursion needed for a fixed
+    * iteration count), then normalized so ranks sum to the vertex count
+    * (GraphX normalizes the final rank sum since SPARK-18847). All
+    * arithmetic forced to DOUBLE (DuckDB defaults numeric literals to
+    * DECIMAL). */
+  private def pagerankOracleSql(iters: Int = 10): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT v.id, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(m.s, 0) AS rank
+         |  FROM v LEFT JOIN (
+         |    SELECT e.t AS id, sum(p${i - 1}.rank / d.dout) AS s
+         |    FROM e JOIN p${i - 1} ON p${i - 1}.id = e.f JOIN d ON d.f = e.f
+         |    GROUP BY e.t) m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS f, CAST(n2.n_nationkey AS BIGINT) AS t
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey),
+       |d AS (SELECT f, count(*) AS dout FROM e GROUP BY f),
+       |v AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+       |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
+       |$steps,
+       |tot AS (SELECT sum(rank) AS s, count(*) AS n FROM p$iters)
+       |SELECT id, round(rank * tot.n / tot.s, 6) AS rank FROM p$iters, tot""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "p_lang_id" -> langIdOracleSql,
+
+    // exact all-pairs Jaccard at J>=0.8: the seeded 12x8 LSH bands catch
+    // every such pair at oracle corpus scale (recall validated empirically
+    // and asserted in PipelineSpec), so the candidate-generated Spark
+    // result equals the exhaustive set
+    "p_dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    "p_ann_lsh" -> lshOracleSql(),
+    "p_ann_ivf" -> ivfOracleSql(),
+    "g_pagerank" -> pagerankOracleSql(),
+
     "p_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text",
 

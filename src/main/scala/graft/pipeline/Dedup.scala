@@ -110,20 +110,20 @@ object Dedup {
     // repartition by id BEFORE the CPU-heavy per-row work: small/few input
     // splits otherwise serialize hashing on a handful of cores, and the
     // subsequent groupBy("id") reuses this exact hash partitioning (no
-    // second exchange)
+    // second exchange).
+    // The tokenize→shingle→hash chain runs ONCE and is persisted as a
+    // compact (id, array<bigint>) table feeding both the signature
+    // aggregate and the exact-verify hash sets — round 1 recomputed the
+    // whole string-shingling lineage for each consumer.
     val prep = withShingles(
       docs.select(col(idCol).as("id"), col(textCol)).repartition(col("id")), textCol)
-      .select(col("id"), col("sh"))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Distributed minhash, flat-column formulation: explode shingles, then
-    // 120 codegen'd min(xxhash64(h, k)) aggregates (map-side combinable —
-    // the shuffle carries one 120-slot buffer per doc, not the shingles).
-    // Deliberately NOT the HOF-lambda formulation: lambda bodies are
-    // interpreted and re-evaluate any inlined producer expression per
-    // element, which Catalyst will not CSE.
-    val exploded = prep
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    // Distributed minhash, flat-column formulation: explode hashed
+    // shingles into a single aggregated pass (map-side combinable — the
+    // shuffle carries one signature buffer per doc, not the shingles).
+    val exploded = prep.select(col("id"), explode(col("hs")).as("h"))
     // single TypedImperativeAggregate: one Array[Long] buffer per group,
     // one update loop per row, map-side combinable (element-wise min).
     // persist: the signature table feeds THREE consumers (bucket-size stats
@@ -151,9 +151,10 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    // exact-Jaccard verify on hashed shingles (cheap long-array intersect)
+    // exact-Jaccard verify on hashed shingles (cheap long-array intersect);
+    // reuses the persisted hashed prep — only the sort is new work
     val sets = prep
-      .select(col("id"), array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
+      .select(col("id"), array_sort(col("hs")).as("hs"))
       .withColumn("sz", size(col("hs")))
     cand
       .join(sets.select(col("id").as("a"), col("hs").as("ha"), col("sz").as("za")), "a")
@@ -184,10 +185,15 @@ object Dedup {
 
   /** Near-duplicate pairs by SimHash Hamming distance, blocked on the four
     * 16-bit chunks (pairs within distance `maxHamming` share at least one
-    * chunk with high probability for small distances). */
+    * chunk with high probability for small distances).
+    *
+    * `maxBucketSize` drops pathological chunk buckets before the self-join
+    * (mirroring [[minhashPairs]]): on a boilerplate-heavy corpus thousands
+    * of docs share a 16-bit chunk value and the bucket contributes B²
+    * candidate pairs — cap it and dedup those docs via [[exact]] instead. */
   def simhashPairs(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, maxBucketSize: Int = 10000): DataFrame = {
 
     // flat-column formulation (same rationale as minhashPairs): explode
     // shingle hashes, 64 codegen'd ±1 vote sums, assemble bits in a project
@@ -209,13 +215,22 @@ object Dedup {
     val chunked = prep.select(col("id"), col("sim"),
       posexplode(chunks).as(Seq("chunk", "cv")))
 
-    chunked.alias("x").join(chunked.alias("y"),
+    // prune singleton buckets (no pair can come from them) and cap
+    // pathological ones BEFORE the self-join
+    val okBuckets = chunked.groupBy("chunk", "cv").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+      .select("chunk", "cv")
+    val inBuckets = chunked.join(okBuckets, Seq("chunk", "cv"))
+
+    inBuckets.alias("x").join(inBuckets.alias("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the distinct: shrinks the dedup shuffle to
+      // the (tiny) accepted-pair set instead of every candidate pair
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ---- exact n-gram Jaccard (blocked) -----------------------------------------

@@ -75,13 +75,18 @@ object Similarity {
       .select("qid", "nid", "sim", "rank")
   }
 
-  /** Deterministic ±1 hyperplanes: plane p, dimension d → sign from a
-    * seeded RNG. Literal arrays — evaluated once per row, codegen'd. */
-  private def planeLits(planes: Int, dim: Int, seed: Long): Seq[Column] = {
+  /** Deterministic ±1 hyperplane signs from a seeded RNG — shared between
+    * the Spark plan and the DuckDB oracle-SQL generator (PipelineEntries),
+    * so both engines evaluate identical planes. */
+  def planeSigns(planes: Int, dim: Int, seed: Long): Seq[Seq[Boolean]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(planes)(array((0 until dim).map(_ =>
-      lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*))
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextBoolean()))
   }
+
+  /** Plane sign vectors as literal arrays — evaluated once per row, codegen'd. */
+  private def planeLits(planes: Int, dim: Int, seed: Long): Seq[Column] =
+    planeSigns(planes, dim, seed).map(signs =>
+      array(signs.map(s => lit(if (s) 1.0 else -1.0)): _*))
 
   /** Sign-random-projection code: bit p set iff v · plane_p > 0. */
   def srpCode(v: Column, planes: Int, dim: Int, seed: Long = 7L): Column =
@@ -156,9 +161,12 @@ object Similarity {
     val cents = c.orderBy("nid").limit(nlist)
       .select(col("nid").as("cent_id"), col("cv").as("cent"), col("cnorm").as("centnorm"))
 
+    // centroid similarity is ROUNDED to 6 dp before ranking: assignment then
+    // never depends on sub-ulp summation differences, so an external oracle
+    // (or a different cluster topology) reproduces identical lists
     val assigned = c.join(broadcast(cents), lit(true))
-      .withColumn("csim", dotFixed(col("cv"), col("cent"), DefaultDim) /
-        (col("cnorm") * col("centnorm")))
+      .withColumn("csim", round(dotFixed(col("cv"), col("cent"), DefaultDim) /
+        (col("cnorm") * col("centnorm")), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy("nid").orderBy(col("csim").desc, col("cent_id").asc)))
       .filter(col("crank") === 1)
@@ -167,8 +175,8 @@ object Similarity {
     val qAssigned = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", normFixed(col("qv"), DefaultDim))
       .join(broadcast(cents), lit(true))
-      .withColumn("csim", dotFixed(col("qv"), col("cent"), DefaultDim) /
-        (col("qnorm") * col("centnorm")))
+      .withColumn("csim", round(dotFixed(col("qv"), col("cent"), DefaultDim) /
+        (col("qnorm") * col("centnorm")), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cent_id").asc)))
       .filter(col("crank") <= nprobe)

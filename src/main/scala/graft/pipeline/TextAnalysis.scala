@@ -51,7 +51,7 @@ object TextAnalysis {
     * Small on purpose: the operator demonstrates the scalable shape
     * (dictionary scoring as a single projection); production would broadcast
     * a real trigram profile table. */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "was", "that", "with", "for", "it"),
     "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "con", "es"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
@@ -81,7 +81,8 @@ object TextAnalysis {
     df.select(
       col("doc_id"),
       when(col("cjk") * 2 > length(col("text")), lit("zh")).otherwise(best._2).as("lang_pred"),
-      greatest((LangMarkers.map(m => col(s"score_${m._1}")) :+ lit(0)): _*).as("marker_hits"))
+      greatest((LangMarkers.map(m => col(s"score_${m._1}")) :+ lit(0)): _*)
+        .cast("long").as("marker_hits"))
   }
 
   /** Winnowing fingerprints (Schleimer et al.): xxhash64 over 4-word

@@ -55,6 +55,48 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)))
   }
 
+  /** Independent reimplementation of 64-bit SimHash in plain Scala —
+    * shares only the xxhash64 primitive with the operator; shingling, bit
+    * votes, chunk blocking and Hamming filtering are re-coded here. This is
+    * the documented ground truth for `p_dedup_simhash` (not DuckDB-
+    * mirrorable: DuckDB has no xxhash64). */
+  private def refSimhash(text: String): Long = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val n = math.max(toks.size - 2, 1)
+    val sh = (0 until n).map(i => toks.slice(i, i + 3).mkString(" ")).distinct
+    val hs = sh.map(TestSpark.xxhash64Ref)
+    (0 until 64).map { j =>
+      val vote = hs.map(h => if ((h & (1L << j)) != 0) 1 else -1).sum
+      if (vote > 0) 1L << j else 0L
+    }.sum
+  }
+
+  test("simhash pairs equal the reference implementation's exact pair set") {
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sims = texts.map { case (id, t) => id -> refSimhash(t) }
+    def chunks(s: Long): Set[(Int, Long)] =
+      (0 until 4).map(c => c -> ((s >>> (c * 16)) & 0xFFFFL)).toSet
+    val maxHamming = 10
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if chunks(sims(a)).intersect(chunks(sims(b))).nonEmpty
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= maxHamming
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // hamming column itself must match the reference XOR popcount
+    val ham = Dedup.simhashPairs(docs, maxHamming = maxHamming)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    for ((p, h) <- ham)
+      assert(h == java.lang.Long.bitCount(sims(p._1) ^ sims(p._2)))
+  }
+
+  test("simhash bucket cap prunes oversized buckets") {
+    // with cap 1 every non-singleton bucket is dropped ⇒ no pairs at all
+    assert(Dedup.simhashPairs(docs, maxHamming = 64, maxBucketSize = 1).count() == 0)
+  }
+
   test("ngram jaccard blocked pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -160,6 +202,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
+  }
+
+  /** Independent winnowing reimplementation (Schleimer et al. §2): k-word
+    * distinct shingles, xxhash64, sliding window of w, per-window min. The
+    * documented ground truth for `p_fingerprint` (not DuckDB-mirrorable:
+    * DuckDB has no xxhash64). */
+  private def refWinnow(text: String, k: Int = 4, w: Int = 4): (Int, Long) = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val n = math.max(toks.size - (k - 1), 1)
+    val sh = (0 until n).map(i => toks.slice(i, i + k).mkString(" ")).distinct
+    val hs = sh.map(TestSpark.xxhash64Ref)
+    val m = math.max(hs.size - (w - 1), 1)
+    val mins = (0 until m).map(i => hs.slice(i, i + w).min)
+    (mins.distinct.size, mins.min)
+  }
+
+  test("fingerprints equal the reference winnowing implementation exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "a b"), // fewer tokens than shingle size k
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, t) <- texts)
+      assert(got(id) == refWinnow(t), s"doc $id")
   }
 }
 

@@ -21,4 +21,14 @@ object TestSpark {
 
   def longs(df: DataFrame): Set[Long] =
     df.collect().toSet[org.apache.spark.sql.Row].map(_.getLong(0))
+
+  /** Driver-side xxhash64 of a string — the SAME primitive the SQL
+    * `xxhash64(col)` function uses (seed 42), evaluated directly. Used by
+    * reference reimplementations of hash-based operators (simhash,
+    * winnowing) so specs assert exact outputs, not just properties. */
+  def xxhash64Ref(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+  }
 }

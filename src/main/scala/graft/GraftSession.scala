@@ -233,26 +233,58 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   // ---- output formats (reference server/models.rs:20-27) --------------------
+  // Row formats STREAM: toLocalIterator pulls one partition at a time to
+  // the driver, so a result far larger than driver memory (or
+  // spark.driver.maxResultSize, which only bounds collect()) flows through
+  // — the analogue of the reference's line-by-line response streaming
+  // (server/handlers.rs:145-221). Pretty formats are page-bounded by
+  // definition (limit(rows)), so buffering them is fine.
 
-  def toJsonEachRow(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+  /** Streaming JSONEachRow: one JSON object per row. */
+  def jsonRowIterator(df: DataFrame): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    df.toJSON.toLocalIterator().asScala
+  }
 
-  def toCsv(df: DataFrame, header: Boolean = false): Seq[String] = {
-    val rows = df.collect().toSeq.map(_.toSeq.map {
+  /** Streaming CSV rows (RFC-4180-style quoting for strings). */
+  def csvRowIterator(df: DataFrame, header: Boolean = false): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.toLocalIterator().asScala.map(_.toSeq.map {
       case null => ""
       case s: String => "\"" + s.replace("\"", "\"\"") + "\""
       case v => v.toString
     }.mkString(","))
-    if (header) df.columns.mkString(",") +: rows else rows
+    if (header) Iterator(df.columns.mkString(",")) ++ rows else rows
   }
 
-  def toPretty(df: DataFrame, rows: Int = 20): String = {
+  /** Buffered convenience forms (tests / small results). */
+  def toJsonEachRow(df: DataFrame): Seq[String] = jsonRowIterator(df).toSeq
+  def toCsv(df: DataFrame, header: Boolean = false): Seq[String] =
+    csvRowIterator(df, header).toSeq
+
+  private def prettyCells(df: DataFrame, rows: Int): (Seq[String], Seq[Seq[String]], Seq[Int]) = {
     val header = df.columns.toSeq
     val data = df.limit(rows).collect().toSeq
       .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
     val widths = (header +: data).transpose.map(_.map(_.length).max)
+    (header, data, widths)
+  }
+
+  def toPretty(df: DataFrame, rows: Int = 20): String = {
+    val (header, data, widths) = prettyCells(df, rows)
     def line(cells: Seq[String]) =
       cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |")
     val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
     (Seq(sep, line(header), sep) ++ data.map(line) :+ sep).mkString("\n")
+  }
+
+  /** PrettyCompact: header + one rule, no outer frame (a distinct format
+    * like the reference's — models.rs:20-27). */
+  def toPrettyCompact(df: DataFrame, rows: Int = 20): String = {
+    val (header, data, widths) = prettyCells(df, rows)
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString(" | ")
+    val sep = widths.map("-" * _).mkString("-+-")
+    (line(header) +: sep +: data.map(line)).mkString("\n")
   }
 }

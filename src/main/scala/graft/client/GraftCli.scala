@@ -1,0 +1,115 @@
+package graft.client
+
+import java.io.{BufferedReader, PrintStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** Interactive query client for a running [[graft.server.QueryServer]] —
+  * the Spark-native counterpart of the reference's CLI
+  * (/root/reference/brahmand-client/src/main.rs): reads statements until a
+  * terminating `;`, POSTs them to `/query`, prints the streamed response.
+  *
+  * Client commands (reference parity):
+  *   - `\q` / `exit`      quit
+  *   - `\format <F>`      switch output format (JSONEachRow, CSV,
+  *                        CSVWithNames, Pretty, PrettyCompact)
+  *
+  * Usage: `graft.client.GraftCli --url http://host:port [--format F] [-q "query"]`
+  * (`-q` runs one statement and exits — scriptable form).
+  */
+object GraftCli {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** One POST /query round trip; returns (status, body). The body is read
+    * as a stream and echoed line-by-line to `out` as it arrives. */
+  def post(url: String, query: String, format: String,
+      out: Option[PrintStream] = None): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val body = s"""{"query": "${jsonEscape(query)}", "format": "$format"}"""
+    val req = HttpRequest.newBuilder(URI.create(s"$url/query"))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+    val sb = new StringBuilder
+    val reader = new BufferedReader(
+      new java.io.InputStreamReader(resp.body(), StandardCharsets.UTF_8))
+    var line = reader.readLine()
+    while (line != null) {
+      out.foreach(_.println(line))
+      sb.append(line).append('\n')
+      line = reader.readLine()
+    }
+    reader.close()
+    (resp.statusCode(), sb.toString)
+  }
+
+  /** REPL loop over arbitrary streams (testable without a TTY). */
+  def run(in: BufferedReader, out: PrintStream, url: String,
+      initialFormat: String): Unit = {
+    var format = initialFormat
+    val buf = new StringBuilder
+    // ASCII-only banner: System.out may not be UTF-8 in a plain terminal
+    out.println(s"graft client - connected to $url (format: $format)")
+    out.print("graft> "); out.flush()
+    var line = in.readLine()
+    while (line != null) {
+      val trimmed = line.trim
+      if (buf.isEmpty && (trimmed == "\\q" || trimmed == "exit")) return
+      else if (buf.isEmpty && trimmed.startsWith("\\format")) {
+        trimmed.split("\\s+") match {
+          case Array(_, f) => format = f; out.println(s"format set to $f")
+          case _ => out.println("usage: \\format <JSONEachRow|CSV|CSVWithNames|Pretty|PrettyCompact>")
+        }
+      } else if (trimmed.nonEmpty) {
+        buf.append(line).append('\n')
+        if (trimmed.endsWith(";")) {
+          val query = buf.toString; buf.clear()
+          try {
+            val (code, body) = post(url, query, format)
+            if (code != 200) out.println(s"[$code] ${body.trim}")
+            else out.print(body)
+          } catch {
+            case e: Exception => out.println(s"connection error: ${e.getMessage}")
+          }
+        }
+      }
+      out.print(if (buf.isEmpty) "graft> " else "    -> "); out.flush()
+      line = in.readLine()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    var url = "http://localhost:8080"
+    var format = "Pretty"
+    var oneShot: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--url"    if i + 1 < args.length => url = args(i + 1); i += 2
+        case "--format" if i + 1 < args.length => format = args(i + 1); i += 2
+        case "-q"       if i + 1 < args.length => oneShot = Some(args(i + 1)); i += 2
+        case other =>
+          System.err.println(s"unknown argument: $other"); sys.exit(2)
+      }
+    }
+    oneShot match {
+      case Some(q) =>
+        val (code, _) = post(url, q, format, out = Some(System.out))
+        sys.exit(if (code == 200) 0 else 1)
+      case None =>
+        run(new BufferedReader(new java.io.InputStreamReader(System.in)),
+          System.out, url, format)
+    }
+  }
+}

@@ -48,17 +48,32 @@ final class QueryServer(gs: GraftSession, port: Int = 0) {
         case _ => "JSONEachRow"
       }
       val df = gs.cypher(query)
-      val out = format match {
-        case "JSONEachRow"   => gs.toJsonEachRow(df).mkString("", "\n", "\n")
-        case "CSV"           => gs.toCsv(df).mkString("", "\n", "\n")
-        case "CSVWithNames"  => gs.toCsv(df, header = true).mkString("", "\n", "\n")
-        case "Pretty" | "PrettyCompact" => gs.toPretty(df) + "\n"
-        case other => respond(ex, 400, s"unknown format: $other"); return
+      // Row formats stream CHUNKED through toLocalIterator — the driver
+      // never holds the full result (reference handlers.rs:145-221 streams
+      // the same way). Planning/analysis errors surface before any byte is
+      // written (the DataFrame is built above), so they still get a 400;
+      // a mid-stream executor failure truncates the chunked body, exactly
+      // as in the reference.
+      format match {
+        case "JSONEachRow"  => respondStream(ex, gs.jsonRowIterator(df))
+        case "CSV"          => respondStream(ex, gs.csvRowIterator(df))
+        case "CSVWithNames" => respondStream(ex, gs.csvRowIterator(df, header = true))
+        case "Pretty"        => respond(ex, 200, gs.toPretty(df) + "\n")
+        case "PrettyCompact" => respond(ex, 200, gs.toPrettyCompact(df) + "\n")
+        case other => respond(ex, 400, s"unknown format: $other")
       }
-      respond(ex, 200, out)
     } catch {
       case e: Throwable => respond(ex, 400, s"error: ${e.getMessage}")
     }
+  }
+
+  private def respondStream(ex: HttpExchange, rows: Iterator[String]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(200, 0) // length 0 ⇒ chunked transfer encoding
+    val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+    try rows.foreach { r =>
+      os.write(r.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+    } finally os.close()
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -274,6 +274,36 @@ class EngineSpec extends AnyFunSuite {
     assert(back.rels("Rel").fromColumn == "from_Thing")
   }
 
+  test("physical DDL: fresh CREATE makes a real parquet table, DEFAULTs apply") {
+    val g2 = new GraftSession(spark)
+    // no backing table loaded ⇒ a managed parquet table is created with the
+    // declared schema (reference ddl_query.rs:158-173)
+    g2.cypher(
+      "CREATE NODE TABLE Item (iid UInt64, label String DEFAULT 'none', PRIMARY KEY (iid), NODE ID (iid));")
+    assert(spark.catalog.tableExists("Item"))
+    assert(spark.table("Item").schema("iid").dataType.typeName == "long")
+    spark.sql("INSERT INTO Item VALUES (1, 'a'), (2, DEFAULT)")
+    val df = g2.cypher("MATCH (i:Item) RETURN i.iid AS id, i.label AS l;")
+    assert(rows(df) == Set(Seq(1L, "a"), Seq(2L, "none")))
+
+    // fresh REL table synthesizes from_/to_ key columns typed after the
+    // endpoint node ids (ddl_query.rs:259-261), plus declared props
+    g2.cypher("CREATE REL TABLE ItemRel (FROM Item TO Item, w Float64);")
+    assert(spark.table("ItemRel").columns.toSeq == Seq("from_Item", "to_Item", "w"))
+    spark.sql("INSERT INTO ItemRel VALUES (1, 2, 0.5)")
+    val d2 = g2.cypher("MATCH (a:Item)-[r:ItemRel]->(b:Item) WHERE r.w > 0.1 RETURN b.label AS l;")
+    assert(d2.collect().map(_.getString(0)).toSeq == Seq("none"))
+
+    // declared columns are VALIDATED against an already-loaded table
+    // (round 1 silently ignored the column list)
+    import spark.implicits._
+    Seq((1L, "x")).toDF("vid", "v").createOrReplaceTempView("Vexisting")
+    assertThrows[GraftException](g2.cypher(
+      "CREATE NODE TABLE Vexisting (nosuch String, PRIMARY KEY (vid), NODE ID (vid));"))
+
+    spark.sql("DROP TABLE Item"); spark.sql("DROP TABLE ItemRel")
+  }
+
   test("node-id dtype validation (reference ddl_query.rs:90-92 parity)") {
     import spark.implicits._
     val g2 = new GraftSession(spark)

@@ -170,6 +170,32 @@ final class GraftSession(val spark: SparkSession) {
     else false
   }
 
+  @volatile private var refreshThread: Thread = null
+
+  /** Background version poll (reference graph_catalog.rs:178-219 polls
+    * every 60 s): a daemon thread re-reads `path` every `intervalMs` and
+    * swaps the catalog in when the version advanced. Idempotent start;
+    * read failures are ignored until the next tick (the writer may be
+    * mid-save). */
+  def startCatalogRefresh(path: String, intervalMs: Long = 60000L): Unit = synchronized {
+    if (refreshThread != null) return
+    val t = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        try refreshCatalogIfNewer(path)
+        catch { case _: InterruptedException => return; case _: Exception => }
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => return }
+      }
+    }, "graft-catalog-refresh")
+    t.setDaemon(true)
+    t.start()
+    refreshThread = t
+  }
+
+  def stopCatalogRefresh(): Unit = synchronized {
+    if (refreshThread != null) { refreshThread.interrupt(); refreshThread = null }
+  }
+
   // ---- query execution -----------------------------------------------------
 
   /** Parse + plan + build. Parameters (`$name`) are bound before planning

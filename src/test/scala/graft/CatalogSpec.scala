@@ -56,4 +56,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(g2.refreshCatalogIfNewer(path))
     assert(g2.catalog.nodes.keySet == Set("User", "Post"))
   }
+
+  test("background catalog refresh picks up a version bump") {
+    val g = freshGraph()
+    val path = Files.createTempFile("graft_catalog_bg", ".json").toString
+    g.saveCatalog(path)
+
+    val g2 = new GraftSession(spark)
+    g2.loadCatalog(path)
+    g2.startCatalogRefresh(path, intervalMs = 50L)
+    g2.startCatalogRefresh(path, intervalMs = 50L) // idempotent
+    try {
+      import spark.implicits._
+      g.registerTable("posts2", Seq((10L, "p")).toDF("id", "title"))
+      g.registerNode("Post2", "posts2", "id")
+      g.saveCatalog(path)
+      val deadline = System.currentTimeMillis() + 5000
+      while (!g2.catalog.nodes.contains("Post2") &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(g2.catalog.nodes.contains("Post2"))
+    } finally g2.stopCatalogRefresh()
+  }
 }

@@ -112,31 +112,42 @@ object Similarity {
     def codes(v: Column): Column = array((0 until tables).map(t =>
       srpCode(v, planes, dim, seed = 7L + t * 1000L)): _*)
 
-    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+    // Vectors and codes are SEPARATE tables: the bucket join + candidate
+    // dedup flow only (id, table, code) — two longs and a short — never the
+    // 64-double embedding payload. Round 1 carried the vectors through the
+    // candidate join, which multiplied the shuffled bytes by the bucket
+    // occupancy (quadratic in corpus-per-bucket: the sf1 bench spent 68 s
+    // here). Vectors re-join AFTER the (qid, nid) distinct, so each dot
+    // product is computed exactly once per unique candidate pair.
+    val cVecs = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
       .repartition(col("nid"))
       .withColumn("cnorm", normFixed(col("cv"), dim))
-      .select(col("nid"), col("cv"), col("cnorm"),
-        posexplode(codes(col("cv"))).as(Seq("tbl", "code")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cCodes = cVecs.select(col("nid"),
+      posexplode(codes(col("cv"))).as(Seq("tbl", "code")))
 
-    val qBase = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+    val qVecs = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", normFixed(col("qv"), dim))
-      .select(col("qid"), col("qv"), col("qnorm"),
-        posexplode(codes(col("qv"))).as(Seq("tbl", "qcode")))
-
     // per-table probe expansion: own code + all Hamming-1 codes
     val probes = array((col("qcode") +: (0 until planes).map(i =>
       col("qcode").bitwiseXOR(lit(1L << i)))): _*)
-    val q = qBase.withColumn("probe", explode(probes))
-      .select(col("qid"), col("qv"), col("qnorm"),
-        col("tbl").as("qtbl"), col("probe"))
+    val qProbes = qVecs
+      .select(col("qid"), posexplode(codes(col("qv"))).as(Seq("tbl", "qcode")))
+      .withColumn("probe", explode(probes))
+      .select(col("qid"), col("tbl").as("qtbl"), col("probe"))
 
-    val sims = c.join(broadcast(q),
+    val candIds = cCodes.join(broadcast(qProbes),
         col("tbl") === col("qtbl") && col("code") === col("probe") &&
         col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .distinct() // a candidate may match several tables/probes
+
+    val sims = candIds
+      .join(broadcast(qVecs), "qid")
+      .join(cVecs, "nid")
       .select(col("qid"), col("nid"),
         round(dotFixed(col("qv"), col("cv"), dim) /
               (col("qnorm") * col("cnorm")), 6).as("sim"))
-      .distinct() // a candidate may match several tables/probes
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w))

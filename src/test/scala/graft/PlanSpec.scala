@@ -65,4 +65,44 @@ class PlanSpec extends AnyFunSuite {
     val hashAggs = "HashAggregate".r.findAllIn(plan).size
     assert(hashAggs >= 2, plan) // partial + final
   }
+
+  test("no CartesianProduct in ANY driver-contract query plan") {
+    // non-equi joins are allowed to be BroadcastNestedLoop (bounded by a
+    // broadcast side); an unpartitioned CartesianProduct never is
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("bucketed adjacency index join shuffles only the probe side") {
+    // disable auto-broadcast so the join would otherwise need BOTH sides
+    // exchanged; the bucketed index side must come pre-partitioned
+    val gsB = TpchGraph.session(spark, "/root/testdata/sf0.001")
+    gsB.persistAdjIndex("PLACED", buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val df = gsB.cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c.c_custkey AS k, o.o_orderkey AS ok;")
+      val plan = df.queryExecution.sparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def hasIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "placed_outgoing") => f }.nonEmpty
+      // the bucketed scan must exist...
+      assert(hasIndexScan(plan), s"no bucketed index scan in:\n$plan")
+      // ...and NO shuffle may sit between it and its join: the bucketed
+      // layout feeds the join pre-partitioned (probe sides still shuffle)
+      val shuffledIndex = plan.collect {
+        case e: ShuffleExchangeLike if hasIndexScan(e) => e }
+      assert(shuffledIndex.isEmpty,
+        s"index side got re-shuffled despite bucketing:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS placed_outgoing")
+      spark.sql("DROP TABLE IF EXISTS placed_incoming")
+    }
+  }
 }

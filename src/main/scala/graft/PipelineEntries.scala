@@ -61,6 +61,21 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // embedding-cosine near-dup pairs over the fixture corpus plus
+    // DETERMINISTIC planted near-duplicates (first component scaled 1.05 in
+    // double precision, id offset 1,000,000 — mirrored exactly in the
+    // oracle SQL). The fixture embeddings are near-orthogonal (max natural
+    // pairwise cosine ~0.51), so the exact result is the planted pair set
+    // — a strong oracle for both candidate generation and the verify step.
+    "p_dedup_embed" -> ((s, dir) => {
+      val eD = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = eD.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * 1.05).otherwise(x)).as("embedding"))
+      Similarity.cosinePairs(eD.unionAll(pert), threshold = 0.99)
+    }),
+
     // quality scoring — oracle-checked
     "p_text_quality" -> ((s, dir) => TextAnalysis.qualityFeatures(docs(s, dir))),
 
@@ -280,6 +295,25 @@ object PipelineEntries {
         |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
         |  FROM t x JOIN t y ON x.doc_id < y.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    // exhaustive all-pairs cosine over corpus + planted perturbations:
+    // the LSH-bucketed Spark result must equal the exact set
+    "p_dedup_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(range(1,65), i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END) AS v
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pert)),
+        |s AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         round(list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i])) /
+        |               (x.nrm * y.nrm), 6) AS cosine
+        |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+        |SELECT a, b, cosine FROM s WHERE cosine >= 0.99""".stripMargin,
 
     "p_ann_lsh" -> lshOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),

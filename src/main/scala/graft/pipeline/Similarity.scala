@@ -155,6 +155,63 @@ object Similarity {
       .select("qid", "nid", "sim", "rank")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS: all (a < b) with
+    * cosine(v_a, v_b) >= threshold — the embedding-space member of the
+    * dedup family (exact, MinHash, SimHash, n-gram, embedding-cosine).
+    *
+    * Candidate generation is multi-table SRP-LSH with Hamming-1 probes,
+    * never all-pairs: for true near-duplicates (threshold >= ~0.9,
+    * angle <= ~26°) the per-table bit-agreement probability p = 1 − θ/π
+    * makes the L-table miss rate (1 − (p^b + b·p^(b−1)(1−p)))^L
+    * negligible. Same two scale disciplines as [[lshTopK]]: the bucket
+    * join flows only (id, table, code) with the vectors re-joined once
+    * per unique candidate pair, and `maxBucketSize` caps degenerate
+    * buckets (a corpus of near-identical vectors). Exact cosine verify
+    * on the deduplicated pair set. */
+  def cosinePairs(
+      vectors: DataFrame, threshold: Double = 0.95, planes: Int = 8,
+      tables: Int = 6, dim: Int = 64, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+
+    def codesArr(v: Column): Column = array((0 until tables).map(t =>
+      srpCode(v, planes, dim, seed = 7L + t * 1000L)): _*)
+
+    val vecs = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+      .withColumn("nrm", normFixed(col("v"), dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = vecs.select(col("id"),
+      posexplode(codesArr(col("v"))).as(Seq("tbl", "code")))
+
+    val okBuckets = codes.groupBy("tbl", "code").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+      .select("tbl", "code")
+    val inBuckets = codes.join(okBuckets, Seq("tbl", "code"))
+
+    // Hamming-1 coverage with an equi-join: LEFT side expands each code
+    // to {code} ∪ {code ⊕ bit}; joining probe = raw RIGHT code catches
+    // every pair within Hamming distance 1 per table
+    val probes = array((col("code") +: (0 until planes).map(i =>
+      col("code").bitwiseXOR(lit(1L << i)))): _*)
+    val expanded = inBuckets.select(col("id"), col("tbl"),
+      explode(probes).as("probe"))
+
+    val cand = expanded.alias("x").join(inBuckets.alias("y"),
+        col("x.tbl") === col("y.tbl") && col("x.probe") === col("y.code") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    cand
+      .join(vecs.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(vecs.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(dotFixed(col("va"), col("vb"), dim) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF-style ANN: corpus is partitioned by nearest coarse centroid
     * (deterministically chosen seed vectors); queries probe the `nprobe`
     * nearest centroid lists. The 100 TB layout: cluster assignment is a

@@ -146,6 +146,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("cosinePairs equals brute-force all-pairs on planted near-dups") {
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val base = emb.select(col("vec_id"),
+      atransform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val pert = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      atransform(col("embedding"), (x, i) =>
+        when(i === 0, x * 1.05).otherwise(x)).as("embedding"))
+    val corpus = base.unionAll(pert)
+    val got = Similarity.cosinePairs(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force exact: every vec pairs with its perturbed twin only
+    val v = corpus.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      a <- v.keys; b <- v.keys if a < b
+      if math.rint(cos(v(a), v(b)) * 1e6) / 1e6 >= 0.99
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty && got == expected)
+    assert(expected == v.keys.filter(_ < 1000000L).map(i => (i, i + 1000000L)).toSet)
+  }
+
   test("IVF ANN recall vs brute force >= 0.5 on fixtures") {
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -208,10 +208,11 @@ object PipelineEntries {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** DuckDB mirror of [[Similarity.ivfTopK]]: centroids = the nlist
-    * lowest-id vectors, assignment by 6-dp-rounded cosine (ties to the
-    * lower cent_id — matching the Spark side, which also ranks on the
-    * rounded value), queries probe the nprobe nearest lists. */
+  /** DuckDB mirror of [[Similarity.ivfTopK]]: seed centroids = the nlist
+    * lowest-id vectors, ONE Lloyd refinement (assign under 6-dp-rounded
+    * cosine with ties to the lower cent_id — matching the Spark side,
+    * which also ranks on the rounded value — then element-wise means),
+    * then final assignment; queries probe the nprobe nearest lists. */
   private def ivfOracleSql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       dim: Int = 64): String = {
     val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
@@ -219,9 +220,25 @@ object PipelineEntries {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
        |  FROM embeddings),
-       |cents AS (
+       |seeds AS (
        |  SELECT vec_id AS cent_id, v AS cent, nrm AS centnorm
        |  FROM n ORDER BY vec_id LIMIT $nlist),
+       |a0 AS (
+       |  SELECT vec_id, v, cent_id AS list_id FROM (
+       |    SELECT n.vec_id, n.v, c.cent_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY $csim DESC, c.cent_id ASC) AS crank
+       |    FROM n, seeds c) WHERE crank = 1),
+       |cmean AS (
+       |  SELECT list_id AS cent_id, list(av ORDER BY i) AS cent FROM (
+       |    SELECT list_id, t.i, avg(v[t.i]) AS av
+       |    FROM a0, range(1, ${dim + 1}) t(i)
+       |    GROUP BY list_id, t.i)
+       |  GROUP BY list_id),
+       |cents AS (
+       |  SELECT cent_id, cent,
+       |         sqrt(list_sum(list_transform(cent, x -> x * x))) AS centnorm
+       |  FROM cmean),
        |assigned AS (
        |  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
        |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
@@ -322,20 +339,21 @@ object PipelineEntries {
     "p_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text",
 
+    // exhaustive all-pairs in the oracle; the Spark side must reproduce it
+    // exactly through prefix filtering (lossless by construction)
     "p_dedup_ngram" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS blk,
+        |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
         |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, lang, n_chars,
+        |  FROM (SELECT doc_id,
         |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |        FROM documents))
         |SELECT a, b, jaccard FROM (
         |  SELECT x.doc_id AS a, y.doc_id AS b,
         |         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
         |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |  FROM t x JOIN t y
-        |    ON x.lang = y.lang AND x.blk = y.blk AND x.doc_id < y.doc_id)
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
 
     "p_embed_topk" ->

@@ -21,9 +21,10 @@ import graft.functions.GraftFunctions
   *  - [[simhashPairs]]: 64-bit SimHash, blocked on 16-bit chunks (any pair
   *    within Hamming distance 16 shares a chunk by pigeonhole when d<=3 per
   *    chunk-region; standard 4-chunk blocking catches d<=~6 reliably).
-  *  - [[ngramJaccardPairs]]: exact word-shingle Jaccard within
-  *    (lang, length-bucket) blocks — the deterministic, oracle-checkable
-  *    counterpart of MinHash.
+  *  - [[ngramJaccardPairs]]: EXACT word-shingle Jaccard via rarest-first
+  *    prefix filtering (AllPairs/PPJoin) — the deterministic,
+  *    oracle-checkable counterpart of MinHash, with candidate count
+  *    proportional to truly-similar pairs instead of corpus².
   */
 object Dedup {
 
@@ -233,40 +234,69 @@ object Dedup {
       .distinct()
   }
 
-  // ---- exact n-gram Jaccard (blocked) -----------------------------------------
+  // ---- exact n-gram Jaccard (prefix-filtered similarity join) ---------------
 
-  /** Exact 3-word-shingle Jaccard within (lang, n_chars/100) blocks —
-    * deterministic and SQL-expressible, used as the DuckDB-checkable
-    * counterpart of MinHash. Blocking keeps the pair count linear-ish:
-    * near-duplicates land in the same length bucket. */
+  /** EXACT all-pairs 3-word-shingle Jaccard >= threshold — the
+    * deterministic, DuckDB-checkable counterpart of MinHash, implemented
+    * as a canonical AllPairs/PPJoin-style prefix-filtered similarity join
+    * (Bayardo et al., WWW'07) rather than an all-pairs or length-blocked
+    * self-join:
+    *
+    *  1. shingle sets are pre-hashed to longs and ordered RAREST-FIRST
+    *     under a global (frequency, hash) total order;
+    *  2. each doc exposes only its PREFIX — the first
+    *     |A| − ⌈t·|A|⌉ + 1 elements. Two sets with J ≥ t must share a
+    *     prefix element under any common total order (their overlap is
+    *     ≥ ⌈t·max(|A|,|B|)⌉), so the prefix equi-join loses NOTHING;
+    *  3. rarest-first ordering keeps common-phrase shingles out of
+    *     prefixes, so join buckets stay small on natural text;
+    *  4. the lossless size-ratio bound (J ≥ t ⇒ min ≥ t·max) prunes
+    *     before the exact merge-intersect verify.
+    *
+    * Candidate count is proportional to genuinely-similar pairs, not
+    * corpus², which is what survives a 1000-executor corpus. */
   def ngramJaccardPairs(
       docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
 
-    // shingles pre-hashed to longs: array_intersect on fixed-width longs is
-    // far cheaper than on strings, and |A∪B| = |A|+|B|−|A∩B| avoids a
-    // second set operation (shingle arrays are already distinct)
+    // one persisted hashed-shingle prep (id, array<bigint>) like minhash
     val prep = withShingles(
-        docs.select(col("doc_id").as("id"), col("lang"),
-          floor(col("n_chars") / 100).as("blk"), col("text"))
-          .repartition(col("id")), "text")
-      .select(col("id"), col("lang"), col("blk"),
-        array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
+        docs.select(col("doc_id").as("id"), col("text")).repartition(col("id")), "text")
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // verify side: sorted-by-hash arrays for the zero-alloc merge-intersect
+    val sets = prep.select(col("id"), array_sort(col("hs")).as("hs"))
       .withColumn("sz", size(col("hs")))
 
-    // size-ratio prefilter: J(A,B) <= min/max, so J >= t implies
-    // min >= t*max — prunes candidates before the (expensive) intersect
-    // without changing the result set
-    prep.alias("x").join(prep.alias("y"),
-        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-        col("x.id") < col("y.id") &&
+    // global shingle frequencies → rarest-first total order (cnt, h)
+    val tok = prep.select(col("id"), explode(col("hs")).as("h"))
+    val freq = tok.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val ordered = tok.join(freq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("h")))).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+
+    // prefix length L = sz − ⌈t·sz⌉ + 1 (per row)
+    val prefix = ordered.select(col("id"), col("sz"),
+      explode(slice(col("ordered"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))).as("p"))
+
+    val cand = prefix.alias("x").join(prefix.alias("y"),
+        col("x.p") === col("y.p") && col("x.id") < col("y.id") &&
         least(col("x.sz"), col("y.sz")).cast("double") >=
           greatest(col("x.sz"), col("y.sz")) * threshold)
-      .select(col("x.id").as("a"), col("y.id").as("b"),
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    cand
+      .join(sets.select(col("id").as("a"), col("hs").as("ha"), col("sz").as("za")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hb"), col("sz").as("zb")), "b")
+      .select(col("a"), col("b"),
         // native merge-intersect over the pre-sorted hash arrays: no
         // per-pair hash-set allocation (graft.functions.SortedIntersectCount)
-        GraftFunctions.sortedIntersectCount(col("x.hs"), col("y.hs")).as("i"),
-        (col("x.sz") + col("y.sz")).as("s"))
+        GraftFunctions.sortedIntersectCount(col("ha"), col("hb")).as("i"),
+        (col("za") + col("zb")).as("s"))
       // i referenced twice ⇒ CollapseProject keeps the intersect materialized
       .select(col("a"), col("b"),
         round(col("i").cast("double") / (col("s") - col("i")), 4).as("jaccard"))

@@ -159,28 +159,48 @@ object Similarity {
     * cosine(v_a, v_b) >= threshold — the embedding-space member of the
     * dedup family (exact, MinHash, SimHash, n-gram, embedding-cosine).
     *
-    * Candidate generation is multi-table SRP-LSH with Hamming-1 probes,
-    * never all-pairs: for true near-duplicates (threshold >= ~0.9,
-    * angle <= ~26°) the per-table bit-agreement probability p = 1 − θ/π
-    * makes the L-table miss rate (1 − (p^b + b·p^(b−1)(1−p)))^L
-    * negligible. Same two scale disciplines as [[lshTopK]]: the bucket
-    * join flows only (id, table, code) with the vectors re-joined once
-    * per unique candidate pair, and `maxBucketSize` caps degenerate
-    * buckets (a corpus of near-identical vectors). Exact cosine verify
-    * on the deduplicated pair set. */
+    * Candidate generation is multi-table SRP-LSH with an exact-code
+    * equi-join, never all-pairs. Two properties keep it sub-quadratic at
+    * ANY corpus size:
+    *
+    *  - **Adaptive code width**: `planes = 0` (default) sizes the code as
+    *    max(8, ⌈log2(N/32)⌉), so expected bucket occupancy stays ~constant
+    *    as the corpus grows — candidate count is O(N·L·occupancy), not
+    *    O(N²/2^b) with a fixed b. (A fixed 8-bit code was measured
+    *    quadratic at 40k vectors: 400 s; adaptive codes bring it back to
+    *    seconds.) Recall is deterministic in expectation: per-table bit
+    *    agreement p = 1 − θ/π, table miss = 1 − p^b, all-L miss =
+    *    (1 − p^b)^L — at threshold 0.99 (p ≈ 0.9974, b = 11, L = 8) the
+    *    miss rate is ~1e-13, so the exact-verified output equals the true
+    *    pair set with certainty at any realistic corpus size.
+    *  - The bucket join flows only (id, table, code); vectors re-join once
+    *    per unique candidate pair, and `maxBucketSize` caps degenerate
+    *    buckets (a corpus of near-identical vectors).
+    *
+    * Intended for true near-dup thresholds (>= ~0.95); for lower
+    * thresholds use [[lshTopK]]-style probing or raise `tables`. */
   def cosinePairs(
-      vectors: DataFrame, threshold: Double = 0.95, planes: Int = 8,
-      tables: Int = 6, dim: Int = 64, maxBucketSize: Int = 10000,
+      vectors: DataFrame, threshold: Double = 0.95, planes: Int = 0,
+      tables: Int = 8, dim: Int = 64, maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
-
-    def codesArr(v: Column): Column = array((0 until tables).map(t =>
-      srpCode(v, planes, dim, seed = 7L + t * 1000L)): _*)
 
     val vecs = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .repartition(col("id"))
       .withColumn("nrm", normFixed(col("v"), dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // adaptive code width: constant expected bucket occupancy (~32).
+    // The count() is one cheap job over the already-persisted vectors;
+    // recall stays ~1 for near-dup thresholds at ANY resulting b (see
+    // scaladoc), so results are invariant to the corpus size used here.
+    val b =
+      if (planes > 0) planes
+      else math.max(8, math.ceil(
+        math.log(math.max(vecs.count(), 64L).toDouble / 32.0) / math.log(2.0)).toInt)
+
+    def codesArr(v: Column): Column = array((0 until tables).map(t =>
+      srpCode(v, b, dim, seed = 7L + t * 1000L)): _*)
     val codes = vecs.select(col("id"),
       posexplode(codesArr(col("v"))).as(Seq("tbl", "code")))
 
@@ -189,16 +209,8 @@ object Similarity {
       .select("tbl", "code")
     val inBuckets = codes.join(okBuckets, Seq("tbl", "code"))
 
-    // Hamming-1 coverage with an equi-join: LEFT side expands each code
-    // to {code} ∪ {code ⊕ bit}; joining probe = raw RIGHT code catches
-    // every pair within Hamming distance 1 per table
-    val probes = array((col("code") +: (0 until planes).map(i =>
-      col("code").bitwiseXOR(lit(1L << i)))): _*)
-    val expanded = inBuckets.select(col("id"), col("tbl"),
-      explode(probes).as("probe"))
-
-    val cand = expanded.alias("x").join(inBuckets.alias("y"),
-        col("x.tbl") === col("y.tbl") && col("x.probe") === col("y.code") &&
+    val cand = inBuckets.alias("x").join(inBuckets.alias("y"),
+        col("x.tbl") === col("y.tbl") && col("x.code") === col("y.code") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
@@ -212,33 +224,55 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** IVF-style ANN: corpus is partitioned by nearest coarse centroid
-    * (deterministically chosen seed vectors); queries probe the `nprobe`
-    * nearest centroid lists. The 100 TB layout: cluster assignment is a
-    * narrow map, per-list storage is partition-pruned at read time. */
+  /** IVF-style ANN: corpus is partitioned by nearest coarse centroid;
+    * queries probe the `nprobe` nearest centroid lists. The 100 TB layout:
+    * cluster assignment is a narrow map, per-list storage is
+    * partition-pruned at read time.
+    *
+    * Centroids: deterministic seeds (the nlist lowest-id vectors) refined
+    * by `refineIters` Lloyd iterations — assign to nearest centroid,
+    * recompute centroids as element-wise means. Fully deterministic and
+    * SQL-mirrorable; assignment similarity is rounded to 6 dp so ranking
+    * never depends on sub-ulp summation order. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nprobe: Int = 4, refineIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
 
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
       .repartition(col("nid"))
       .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // deterministic coarse centroids: the nlist lowest-id vectors
-    val cents = c.orderBy("nid").limit(nlist)
+    // assign every vector to its nearest centroid under 6-dp-rounded
+    // cosine (ties → lower cent_id)
+    def assign(cents: DataFrame): DataFrame =
+      c.join(broadcast(cents), lit(true))
+        .withColumn("csim", round(dotFixed(col("cv"), col("cent"), DefaultDim) /
+          (col("cnorm") * col("centnorm")), 6))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("nid").orderBy(col("csim").desc, col("cent_id").asc)))
+        .filter(col("crank") === 1)
+        .select(col("nid"), col("cv"), col("cnorm"), col("cent_id").as("list_id"))
+
+    // deterministic seeds: the nlist lowest-id vectors
+    var cents = c.orderBy("nid").limit(nlist)
       .select(col("nid").as("cent_id"), col("cv").as("cent"), col("cnorm").as("centnorm"))
 
-    // centroid similarity is ROUNDED to 6 dp before ranking: assignment then
-    // never depends on sub-ulp summation differences, so an external oracle
-    // (or a different cluster topology) reproduces identical lists
-    val assigned = c.join(broadcast(cents), lit(true))
-      .withColumn("csim", round(dotFixed(col("cv"), col("cent"), DefaultDim) /
-        (col("cnorm") * col("centnorm")), 6))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("nid").orderBy(col("csim").desc, col("cent_id").asc)))
-      .filter(col("crank") === 1)
-      .select(col("nid"), col("cv"), col("cnorm"), col("cent_id").as("list_id"))
+    // Lloyd refinement: element-wise mean per list (empty lists drop out —
+    // deterministic on both engines)
+    for (_ <- 0 until refineIters) {
+      val avgCols = array((0 until DefaultDim).map(i =>
+        avg(element_at(col("cv"), i + 1))): _*)
+      cents = assign(cents)
+        .groupBy(col("list_id"))
+        .agg(avgCols.as("cent"))
+        .select(col("list_id").as("cent_id"), col("cent"),
+          normFixed(col("cent"), DefaultDim).as("centnorm"))
+    }
+
+    val assigned = assign(cents)
 
     val qAssigned = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", normFixed(col("qv"), DefaultDim))

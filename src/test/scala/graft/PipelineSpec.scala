@@ -97,11 +97,20 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(docs, maxHamming = 64, maxBucketSize = 1).count() == 0)
   }
 
-  test("ngram jaccard blocked pairs") {
+  test("ngram jaccard prefix-filtered join equals exact all-pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.5 && j < 1.0 })
+    // lossless vs driver-side brute force over the whole corpus
+    val sh = Dedup.withShingles(docs, "text").select(col("doc_id"), col("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if math.rint(j * 1e4) / 1e4 >= 0.5
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)) == expected)
   }
 }
 

@@ -55,4 +55,20 @@ object StreamingOps {
     events.withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Exact dedup on a STREAM of documents: first occurrence of each content
+    * hash within the watermark horizon passes, later duplicates are
+    * dropped. `dropDuplicatesWithinWatermark` keys state by the 64-bit
+    * content hash only (not the full text) and evicts state once the
+    * watermark passes — bounded memory at any throughput, the streaming
+    * complement of [[graft.pipeline.Dedup.exact]] for ingestion-time
+    * filtering (batch dedup then needs to handle only cross-horizon
+    * duplicates). `tsCol` is the event-time column a real feed carries. */
+  def streamingDedup(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__content_hash", xxhash64(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
 }

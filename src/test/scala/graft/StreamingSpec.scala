@@ -48,6 +48,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 2L)))
   }
 
+  test("streaming dedup drops later duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), "alpha beta"),
+      (2L, t("2024-01-01 10:01:00"), "gamma delta"),
+      (3L, t("2024-01-01 10:02:00"), "alpha beta"),   // dup of 1 -> dropped
+      (4L, t("2024-01-01 10:03:00"), "epsilon zeta"),
+      (5L, t("2024-01-01 10:04:00"), "gamma delta"))  // dup of 2 -> dropped
+    val q = StreamingOps.streamingDedup(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("dedup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // schema passes through unchanged (helper hash column dropped)
+    assert(spark.table("dedup_out").columns.toSeq == Seq("doc_id", "ts", "text"))
+  }
+
   test("streaming session_window variant runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

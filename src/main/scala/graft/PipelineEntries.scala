@@ -92,6 +92,14 @@ object PipelineEntries {
     "p_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.attachBinary(docs(s, dir)))),
 
+    // aspect-preserving resize plan (dims + 4dp scale) — oracle-checked
+    "p_mm_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(s, Multimodal.attachBinary(docs(s, dir)))),
+
+    // video-shaped frame sampling: one row per sampled frame — oracle-checked
+    "p_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.attachBinary(docs(s, dir)))),
+
     // tumbling-window agg (batch form of the streaming op) — oracle-checked
     "p_window" -> ((s, dir) => StreamingOps.tumblingCounts(events(s, dir))),
 
@@ -402,6 +410,29 @@ object PipelineEntries {
         |       'fake/raw' AS format
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |      FROM documents)""".stripMargin,
+
+    "p_mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, 64 + n % 640 AS w, 64 + (n * 7) % 480 AS h FROM m),
+        |s AS (
+        |  SELECT doc_id, w AS orig_w, h AS orig_h,
+        |         round(least(224.0 / w, 224.0 / h), 4) AS scale
+        |  FROM d)
+        |SELECT doc_id, orig_w, orig_h,
+        |       CAST(floor(orig_w * scale) AS BIGINT) AS out_w,
+        |       CAST(floor(orig_h * scale) AS BIGINT) AS out_h,
+        |       scale
+        |FROM s""".stripMargin,
+
+    "p_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 100 AS BIGINT) AS byte_off
+        |FROM (SELECT doc_id, unnest(range(0, n_frames, 4)) AS i FROM m)""".stripMargin,
 
     "p_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,

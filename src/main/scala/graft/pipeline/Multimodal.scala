@@ -50,4 +50,54 @@ object Multimodal {
       }
       .toDF()
   }
+
+  final case class ResizedImage(
+      doc_id: Long, orig_w: Long, orig_h: Long, out_w: Long, out_h: Long,
+      scale: Double)
+
+  /** Aspect-preserving fit-into-box resize plan: decode dims (stub), pick
+    * scale = min(tw/w, th/h) rounded to 4 dp, emit output dims. The
+    * pixel-resample step is the stubbed part; the per-record batch loop is
+    * where a real SIMD/codec resize would run. One narrow projection-shaped
+    * pass — no shuffle, scales linearly. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetW: Long = 224L, targetH: Long = 224L): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.map { r =>
+          val f = decodeStub(r)
+          // HALF_UP to match SQL round() semantics (half-even would flip
+          // boundary values against an external checker)
+          val scale = BigDecimal(math.min(
+              targetW.toDouble / f.width, targetH.toDouble / f.height))
+            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          ResizedImage(r.doc_id, f.width, f.height,
+            math.floor(f.width * scale).toLong, math.floor(f.height * scale).toLong,
+            scale)
+        })
+      }
+      .toDF()
+  }
+
+  final case class SampledFrame(doc_id: Long, frame_idx: Long, byte_off: Long)
+
+  /** Frame sampling plan for video-shaped payloads: the stub treats the
+    * payload as `n_bytes / 100 + 1` fixed-size frames and emits every
+    * `everyN`-th frame's (index, byte offset) — the fan-out row shape real
+    * frame extraction has (one input row → many frame rows), batched
+    * partition-locally, no shuffle. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      everyN: Long = 4L): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.flatMap { r =>
+          val nFrames = r.media.length.toLong / 100L + 1L
+          (0L until nFrames by everyN).iterator
+            .map(i => SampledFrame(r.doc_id, i, i * 100L))
+        })
+      }
+      .toDF()
+  }
 }

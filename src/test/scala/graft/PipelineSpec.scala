@@ -280,4 +280,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(1L) == ((3L, 67L, 85L)))
     assert(m(2L) == ((700L, 124L, 64L + (700L * 7) % 480)))
   }
+
+  test("resize plan: aspect-preserving fit into 224x224") {
+    import spark.implicits._
+    val d = Seq((1L, "x" * 700)).toDF("doc_id", "text") // dims 124 x 164
+    val r = Multimodal.resizeImages(spark, Multimodal.attachBinary(d)).collect().head
+    val scale = BigDecimal(math.min(224.0 / 124, 224.0 / 164))
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) == 124L && r.getLong(2) == 164L)
+    assert(r.getDouble(5) == scale)
+    assert(r.getLong(3) == math.floor(124 * scale).toLong)
+    assert(r.getLong(4) == math.floor(164 * scale).toLong)
+  }
+
+  test("frame sampling: one row per sampled frame, fan-out shape") {
+    import spark.implicits._
+    val d = Seq((1L, "x" * 950)).toDF("doc_id", "text") // 10 frames -> idx 0,4,8
+    val f = Multimodal.sampleFrames(spark, Multimodal.attachBinary(d))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(f == Set((0L, 0L), (4L, 400L), (8L, 800L)))
+  }
 }

@@ -91,7 +91,7 @@ object GraftCli {
 
   def main(args: Array[String]): Unit = {
     var url = "http://localhost:8080"
-    var format = "Pretty"
+    var format = "PrettyCompact" // reference client default (main.rs:35)
     var oneShot: Option[String] = None
     var i = 0
     while (i < args.length) {

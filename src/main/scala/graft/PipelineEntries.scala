@@ -63,14 +63,15 @@ object PipelineEntries {
 
     // embedding-cosine near-dup pairs over the fixture corpus plus
     // DETERMINISTIC planted near-duplicates (first component scaled 1.05 in
-    // double precision, id offset 1,000,000 — mirrored exactly in the
-    // oracle SQL). The fixture embeddings are near-orthogonal (max natural
+    // double precision, id offset 10^12 — far above any real or ScaleUp-
+    // strided vec_id — mirrored exactly in the oracle SQL). The fixture
+    // embeddings are near-orthogonal (max natural
     // pairwise cosine ~0.51), so the exact result is the planted pair set
     // — a strong oracle for both candidate generation and the verify step.
     "p_dedup_embed" -> ((s, dir) => {
       val eD = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val pert = eD.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      val pert = eD.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x * 1.05).otherwise(x)).as("embedding"))
       Similarity.cosinePairs(eD.unionAll(pert), threshold = 0.99)
@@ -128,9 +129,10 @@ object PipelineEntries {
       GraphAlgorithms.connectedComponents(TpchGraph.session(s, dir), "NATION_ADJ")),
 
     // GraphX static PageRank, fixed 10 iterations — oracle-checked against
-    // an unrolled-iteration DuckDB mirror; ranks rounded to 6 dp so the
-    // nondeterministic message-sum order inside aggregateMessages can never
-    // flip the compare
+    // an unrolled-iteration DuckDB mirror; ranks rounded to 6 dp, putting
+    // the ~1e-15 message-sum-order noise nine orders of magnitude below
+    // the rounding quantum (a rank sitting exactly on a 5e-7 boundary
+    // could still flip in principle — measure-zero in practice)
     "g_pagerank" -> ((s, dir) =>
       GraphAlgorithms.pageRank(TpchGraph.session(s, dir), "NATION_ADJ")
         .withColumn("rank", round(col("rank"), 6))),
@@ -239,7 +241,7 @@ object PipelineEntries {
        |    FROM n, seeds c) WHERE crank = 1),
        |cmean AS (
        |  SELECT list_id AS cent_id, list(av ORDER BY i) AS cent FROM (
-       |    SELECT list_id, t.i, avg(v[t.i]) AS av
+       |    SELECT list_id, t.i, round(avg(v[t.i]), 9) AS av
        |    FROM a0, range(1, ${dim + 1}) t(i)
        |    GROUP BY list_id, t.i)
        |  GROUP BY list_id),
@@ -327,7 +329,7 @@ object PipelineEntries {
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pert AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
+        |  SELECT vec_id + 1000000000000 AS vec_id,
         |         list_transform(range(1,65), i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END) AS v
         |  FROM base),
         |n AS (

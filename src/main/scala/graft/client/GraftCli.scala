@@ -31,23 +31,27 @@ object GraftCli {
       case c => c.toString
     }
 
-  /** One POST /query round trip; returns (status, body). The body is read
-    * as a stream and echoed line-by-line to `out` as it arrives. */
+  private lazy val client = HttpClient.newHttpClient()
+
+  /** One POST /query round trip; returns (status, body). When `out` is
+    * given and the status is 200, the body is echoed line-by-line AS IT
+    * ARRIVES and NOT accumulated — the client stays O(1) in result size,
+    * matching the server's chunked streaming (the returned body string is
+    * empty in that case). Error bodies are small and are returned. */
   def post(url: String, query: String, format: String,
       out: Option[PrintStream] = None): (Int, String) = {
-    val client = HttpClient.newHttpClient()
-    val body = s"""{"query": "${jsonEscape(query)}", "format": "$format"}"""
+    val payload = s"""{"query": "${jsonEscape(query)}", "format": "$format"}"""
     val req = HttpRequest.newBuilder(URI.create(s"$url/query"))
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofString(payload, StandardCharsets.UTF_8))
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+    val stream = out.isDefined && resp.statusCode() == 200
     val sb = new StringBuilder
     val reader = new BufferedReader(
       new java.io.InputStreamReader(resp.body(), StandardCharsets.UTF_8))
     var line = reader.readLine()
     while (line != null) {
-      out.foreach(_.println(line))
-      sb.append(line).append('\n')
+      if (stream) out.get.println(line) else sb.append(line).append('\n')
       line = reader.readLine()
     }
     reader.close()
@@ -76,9 +80,10 @@ object GraftCli {
         if (trimmed.endsWith(";")) {
           val query = buf.toString; buf.clear()
           try {
-            val (code, body) = post(url, query, format)
+            // 200-responses stream straight to `out`; only error bodies
+            // come back as a string
+            val (code, body) = post(url, query, format, out = Some(out))
             if (code != 200) out.println(s"[$code] ${body.trim}")
-            else out.print(body)
           } catch {
             case e: Exception => out.println(s"connection error: ${e.getMessage}")
           }
@@ -105,7 +110,8 @@ object GraftCli {
     }
     oneShot match {
       case Some(q) =>
-        val (code, _) = post(url, q, format, out = Some(System.out))
+        val (code, body) = post(url, q, format, out = Some(System.out))
+        if (code != 200) System.err.println(s"[$code] ${body.trim}")
         sys.exit(if (code == 200) 0 else 1)
       case None =>
         run(new BufferedReader(new java.io.InputStreamReader(System.in)),

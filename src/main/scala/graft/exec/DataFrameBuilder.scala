@@ -435,13 +435,32 @@ final class DataFrameBuilder(session: GraftSession) {
         "ORDER BY with RETURN DISTINCT must order by returned columns")
     // Aggregating RETURN + a non-aggregate hidden sort key would silently
     // widen the implicit GROUP BY (changing result cardinality) — standard
-    // Cypher rejects such queries; so do we. Hidden AGGREGATE sort items
-    // (ORDER BY count(*) not in RETURN) are fine: they become extra agg
-    // columns, never grouping keys.
-    if (visible.exists { case (_, e) => Expr.isAggregate(e) } &&
-        hiddenItems.exists { case (_, e) => !Expr.isAggregate(e) })
-      throw new GraftException(
-        "in an aggregating RETURN, ORDER BY must reference returned columns or aggregates")
+    // Cypher rejects such queries; so do we. Two hidden-item shapes remain
+    // legal: AGGREGATE sort items (ORDER BY count(*) not in RETURN) become
+    // extra agg columns, and expressions built ONLY from returned grouping
+    // keys (ORDER BY toUpper(city) with RETURN city, count(*)) — adding
+    // such a functionally-dependent key cannot change the group count.
+    def leafRefs(e: Expr): Seq[Expr] = e match {
+      case p: Expr.Prop         => Seq(p)
+      case v: Expr.Var          => Seq(v)
+      case Expr.Fn(_, as, _)    => as.flatMap(leafRefs)
+      case Expr.Bin(_, l, r)    => leafRefs(l) ++ leafRefs(r)
+      case Expr.Not(x)          => leafRefs(x)
+      case Expr.Neg(x)          => leafRefs(x)
+      case Expr.IsNull(x, _)    => leafRefs(x)
+      case Expr.ListLit(xs)     => xs.flatMap(leafRefs)
+      case Expr.CaseWhen(bs, o) =>
+        bs.flatMap { case (c, v) => leafRefs(c) ++ leafRefs(v) } ++ o.toSeq.flatMap(leafRefs)
+      case _                    => Seq.empty
+    }
+    if (visible.exists { case (_, e) => Expr.isAggregate(e) }) {
+      val keyExprs = visible.collect { case (_, e) if !Expr.isAggregate(e) => e }.toSet
+      for ((_, h) <- hiddenItems if !Expr.isAggregate(h))
+        if (!leafRefs(h).forall(l => keyExprs.contains(l)))
+          throw new GraftException(
+            "in an aggregating RETURN, ORDER BY must reference returned columns, " +
+            "expressions over them, or aggregates")
+    }
     val (out, _, _) =
       projectStage(df, items, distinct = false, plan, ctx, hiddenItems.toSeq, carry = false)
     val projected = if (distinct) out.distinct() else out

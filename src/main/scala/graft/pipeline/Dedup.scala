@@ -25,6 +25,11 @@ import graft.functions.GraftFunctions
   *    prefix filtering (AllPairs/PPJoin) — the deterministic,
   *    oracle-checkable counterpart of MinHash, with candidate count
   *    proportional to truly-similar pairs instead of corpus².
+  *
+  * Cache lifecycle: the pair-mining operators persist intermediate
+  * signature tables (they feed multiple consumers in one job). The cached
+  * blocks live until the session ends or [[PipelineCaches.clear]] — call
+  * it between jobs in a long-running session.
   */
 object Dedup {
 
@@ -259,6 +264,13 @@ object Dedup {
       docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
 
+    // The FINAL filter accepts 4-dp-ROUNDED jaccard >= threshold, so a pair
+    // with unrounded J in [threshold - 5e-5, threshold) still belongs in
+    // the result. Candidate pruning (prefix length, size ratio) must
+    // therefore be lossless down to the rounding window's lower edge, not
+    // just to the nominal threshold.
+    val tPrune = threshold - 5e-5
+
     // one persisted hashed-shingle prep (id, array<bigint>) like minhash
     val prep = withShingles(
         docs.select(col("doc_id").as("id"), col("text")).repartition(col("id")), "text")
@@ -277,15 +289,15 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("cnt"), col("h")))).as("ordered"))
       .withColumn("sz", size(col("ordered")))
 
-    // prefix length L = sz − ⌈t·sz⌉ + 1 (per row)
+    // prefix length L = sz − ⌈t·sz⌉ + 1 (per row, at the pruning threshold)
     val prefix = ordered.select(col("id"), col("sz"),
       explode(slice(col("ordered"), lit(1),
-        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))).as("p"))
+        (col("sz") - ceil(col("sz") * lit(tPrune)) + 1).cast("int"))).as("p"))
 
     val cand = prefix.alias("x").join(prefix.alias("y"),
         col("x.p") === col("y.p") && col("x.id") < col("y.id") &&
         least(col("x.sz"), col("y.sz")).cast("double") >=
-          greatest(col("x.sz"), col("y.sz")) * threshold)
+          greatest(col("x.sz"), col("y.sz")) * tPrune)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 

@@ -160,28 +160,32 @@ object Similarity {
     * dedup family (exact, MinHash, SimHash, n-gram, embedding-cosine).
     *
     * Candidate generation is multi-table SRP-LSH with an exact-code
-    * equi-join, never all-pairs. Two properties keep it sub-quadratic at
-    * ANY corpus size:
+    * equi-join, never all-pairs. Three properties keep it sub-quadratic
+    * with a QUANTIFIED recall floor at ANY corpus size:
     *
     *  - **Adaptive code width**: `planes = 0` (default) sizes the code as
-    *    max(8, ⌈log2(N/32)⌉), so expected bucket occupancy stays ~constant
-    *    as the corpus grows — candidate count is O(N·L·occupancy), not
-    *    O(N²/2^b) with a fixed b. (A fixed 8-bit code was measured
-    *    quadratic at 40k vectors: 400 s; adaptive codes bring it back to
-    *    seconds.) Recall is deterministic in expectation: per-table bit
-    *    agreement p = 1 − θ/π, table miss = 1 − p^b, all-L miss =
-    *    (1 − p^b)^L — at threshold 0.99 (p ≈ 0.9974, b = 11, L = 8) the
-    *    miss rate is ~1e-13, so the exact-verified output equals the true
-    *    pair set with certainty at any realistic corpus size.
+    *    b = max(8, ⌈log2(N/32)⌉), so expected bucket occupancy stays
+    *    ~constant as the corpus grows — candidate count is
+    *    O(N·L·occupancy), not O(N²/2^b) with a fixed b. (A fixed 8-bit
+    *    code was measured quadratic at 40k vectors: 400 s.)
+    *  - **Adaptive table count**: growing b hurts recall for pairs AT the
+    *    threshold (per-table bit agreement p = 1 − θ/π, per-table miss
+    *    1 − p^b rises with b), so `tables = 0` (default) solves
+    *    (1 − p^b)^L <= 1e-6 for L at the threshold angle — every pair
+    *    with cosine >= threshold is caught with probability >= 1 − 1e-6
+    *    regardless of corpus size, and pairs closer than the threshold
+    *    (the actual duplicates, cosine -> 1, p -> 1) are caught with
+    *    correspondingly higher probability. Candidates are still
+    *    exact-verified, so precision is always 1.
     *  - The bucket join flows only (id, table, code); vectors re-join once
     *    per unique candidate pair, and `maxBucketSize` caps degenerate
     *    buckets (a corpus of near-identical vectors).
     *
-    * Intended for true near-dup thresholds (>= ~0.95); for lower
-    * thresholds use [[lshTopK]]-style probing or raise `tables`. */
+    * Intended for true near-dup thresholds (>= ~0.95): the closer the
+    * threshold is to 1, the smaller the solved L. */
   def cosinePairs(
       vectors: DataFrame, threshold: Double = 0.95, planes: Int = 0,
-      tables: Int = 8, dim: Int = 64, maxBucketSize: Int = 10000,
+      tables: Int = 0, dim: Int = 64, maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
 
@@ -191,15 +195,22 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // adaptive code width: constant expected bucket occupancy (~32).
-    // The count() is one cheap job over the already-persisted vectors;
-    // recall stays ~1 for near-dup thresholds at ANY resulting b (see
-    // scaladoc), so results are invariant to the corpus size used here.
+    // The count() is one cheap job over the already-persisted vectors.
     val b =
       if (planes > 0) planes
       else math.max(8, math.ceil(
         math.log(math.max(vecs.count(), 64L).toDouble / 32.0) / math.log(2.0)).toInt)
+    // adaptive table count: per-table agreement at the THRESHOLD angle,
+    // solved for an all-tables miss rate <= 1e-6 (see scaladoc)
+    val L =
+      if (tables > 0) tables
+      else {
+        val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+        val tableMiss = 1.0 - math.pow(p, b)
+        math.max(4, math.ceil(math.log(1e-6) / math.log(tableMiss)).toInt)
+      }
 
-    def codesArr(v: Column): Column = array((0 until tables).map(t =>
+    def codesArr(v: Column): Column = array((0 until L).map(t =>
       srpCode(v, b, dim, seed = 7L + t * 1000L)): _*)
     val codes = vecs.select(col("id"),
       posexplode(codesArr(col("v"))).as(Seq("tbl", "code")))
@@ -260,11 +271,15 @@ object Similarity {
     var cents = c.orderBy("nid").limit(nlist)
       .select(col("nid").as("cent_id"), col("cv").as("cent"), col("cnorm").as("centnorm"))
 
-    // Lloyd refinement: element-wise mean per list (empty lists drop out —
-    // deterministic on both engines)
+    // Lloyd refinement: element-wise mean per list (empty lists drop out).
+    // Means are ROUNDED to 9 dp: Spark's partial-aggregate combine order is
+    // nondeterministic, so unrounded means differ by ulps across runs and
+    // engines; 9 dp (vs the 1e-16 noise floor) pins the centroid
+    // coordinates themselves, making everything downstream exactly
+    // reproducible rather than merely round-absorbed at the csim stage.
     for (_ <- 0 until refineIters) {
       val avgCols = array((0 until DefaultDim).map(i =>
-        avg(element_at(col("cv"), i + 1))): _*)
+        round(avg(element_at(col("cv"), i + 1)), 9)): _*)
       cents = assign(cents)
         .groupBy(col("list_id"))
         .agg(avgCols.as("cent"))

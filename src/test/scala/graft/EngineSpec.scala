@@ -339,6 +339,12 @@ class EngineSpec extends AnyFunSuite {
       """MATCH (u:User)-[:Follows]->(b:User)
         |RETURN u.name AS name ORDER BY count(b.id) DESC, name ASC LIMIT 1;""".stripMargin)
     assert(df.collect().map(_.getString(0)).toSeq == Seq("u1"))
+    // an expression built ONLY from returned grouping keys is also legal:
+    // grouping by (city, toUpper(city)) cannot change the group count
+    val df2 = gs.cypher(
+      """MATCH (u:User)-[:Follows]->(b:User)
+        |RETURN u.city AS city, count(*) AS c ORDER BY toUpper(u.city) DESC;""".stripMargin)
+    assert(df2.collect().map(_.getString(0)).toSeq == Seq("paris", "berlin"))
   }
 
   test("output formats") {

@@ -22,17 +22,24 @@ object Bench {
     // meaningful work.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).collect() catch { case _: Throwable => }
+    val warmFrames = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     try {
       val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(64).cache()
+      warmFrames += d
       graft.pipeline.Dedup.minhashPairs(d).count()
       graft.pipeline.Dedup.simhashPairs(d).count()
       graft.pipeline.Dedup.ngramJaccardPairs(d).count()
       graft.pipeline.TextAnalysis.qualityFeatures(d).count()
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).cache()
+      warmFrames += e
       graft.pipeline.Similarity.bruteForceTopK(e, e.limit(4)).count()
       graft.pipeline.Similarity.cosinePairs(e).count()
-      d.unpersist(); e.unpersist()
-    } catch { case _: Throwable => }
+    } catch { case _: Throwable => } finally {
+      // drop every warm-up cache (incl. the pipeline ops' internal
+      // signature tables) so the timed loop starts from clean storage
+      warmFrames.foreach(df => try df.unpersist() catch { case _: Throwable => })
+      graft.pipeline.PipelineCaches.clear()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

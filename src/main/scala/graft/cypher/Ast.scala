@@ -104,6 +104,41 @@ object Expr {
     case other            => Seq(other)
   }
 
+  /** Leaf column references (Prop / Var) of an expression. EXHAUSTIVE
+    * match on the sealed trait — a new Expr variant fails compilation
+    * here instead of silently slipping past callers that gate on the
+    * reference set (fail closed). */
+  def leafRefs(e: Expr): Seq[Expr] = e match {
+    case p: Prop         => Seq(p)
+    case v: Var          => Seq(v)
+    case Fn(_, as, _)    => as.flatMap(leafRefs)
+    case Bin(_, l, r)    => leafRefs(l) ++ leafRefs(r)
+    case Not(x)          => leafRefs(x)
+    case Neg(x)          => leafRefs(x)
+    case IsNull(x, _)    => leafRefs(x)
+    case ListLit(xs)     => xs.flatMap(leafRefs)
+    case CaseWhen(bs, o) =>
+      bs.flatMap { case (c, v) => leafRefs(c) ++ leafRefs(v) } ++
+        o.toSeq.flatMap(leafRefs)
+    case Lit(_) | Star | Param(_) => Seq.empty
+  }
+
+  /** Substitute [[Var]] leaves by name (e.g. RETURN-alias references inside
+    * ORDER BY expressions → the aliased source expression). */
+  def substVars(e: Expr, byName: Map[String, Expr]): Expr = e match {
+    case Var(n) if byName.contains(n) => byName(n)
+    case Fn(n, as, d)  => Fn(n, as.map(substVars(_, byName)), d)
+    case Bin(o, l, r)  => Bin(o, substVars(l, byName), substVars(r, byName))
+    case Not(x)        => Not(substVars(x, byName))
+    case Neg(x)        => Neg(substVars(x, byName))
+    case IsNull(x, ng) => IsNull(substVars(x, byName), ng)
+    case ListLit(xs)   => ListLit(xs.map(substVars(_, byName)))
+    case CaseWhen(bs, o) => CaseWhen(
+      bs.map { case (c, v) => (substVars(c, byName), substVars(v, byName)) },
+      o.map(substVars(_, byName)))
+    case other         => other
+  }
+
   /** Substitute `$param` placeholders with literal values. */
   def bind(e: Expr, params: Map[String, Any]): Expr = e match {
     case Param(n) =>

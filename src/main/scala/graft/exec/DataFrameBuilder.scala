@@ -410,10 +410,15 @@ final class DataFrameBuilder(session: GraftSession) {
     val (visible, _) = expandItems(items, plan, ctx, carry = false)
     val visibleNames = visible.map(_._1)
 
-    // resolve each order key to an output name, or synthesize a hidden item
+    // resolve each order key to an output name, or synthesize a hidden
+    // item. RETURN-alias references inside hidden expressions (ORDER BY
+    // toUpper(city) with RETURN ... AS city) are substituted by their
+    // source expressions — they must compile against the PRE-projection
+    // scope, where the alias name does not exist yet.
+    val aliasMap = visible.toMap
     val hiddenItems = mutable.ArrayBuffer[(String, Expr)]()
     val sortNames = orderBy.zipWithIndex.map { case (o, i) =>
-      val rewritten = rewriteAliasArgs(o.expr, plan)
+      val rewritten = Expr.substVars(rewriteAliasArgs(o.expr, plan), aliasMap)
       o.expr match {
         case Expr.Var(n) if visibleNames.contains(n) => n
         case _ =>
@@ -438,25 +443,13 @@ final class DataFrameBuilder(session: GraftSession) {
     // Cypher rejects such queries; so do we. Two hidden-item shapes remain
     // legal: AGGREGATE sort items (ORDER BY count(*) not in RETURN) become
     // extra agg columns, and expressions built ONLY from returned grouping
-    // keys (ORDER BY toUpper(city) with RETURN city, count(*)) — adding
-    // such a functionally-dependent key cannot change the group count.
-    def leafRefs(e: Expr): Seq[Expr] = e match {
-      case p: Expr.Prop         => Seq(p)
-      case v: Expr.Var          => Seq(v)
-      case Expr.Fn(_, as, _)    => as.flatMap(leafRefs)
-      case Expr.Bin(_, l, r)    => leafRefs(l) ++ leafRefs(r)
-      case Expr.Not(x)          => leafRefs(x)
-      case Expr.Neg(x)          => leafRefs(x)
-      case Expr.IsNull(x, _)    => leafRefs(x)
-      case Expr.ListLit(xs)     => xs.flatMap(leafRefs)
-      case Expr.CaseWhen(bs, o) =>
-        bs.flatMap { case (c, v) => leafRefs(c) ++ leafRefs(v) } ++ o.toSeq.flatMap(leafRefs)
-      case _                    => Seq.empty
-    }
+    // keys (ORDER BY toUpper(city) with RETURN u.city AS city, count(*),
+    // via either spelling — aliases were substituted above) — adding such
+    // a functionally-dependent key cannot change the group count.
     if (visible.exists { case (_, e) => Expr.isAggregate(e) }) {
       val keyExprs = visible.collect { case (_, e) if !Expr.isAggregate(e) => e }.toSet
       for ((_, h) <- hiddenItems if !Expr.isAggregate(h))
-        if (!leafRefs(h).forall(l => keyExprs.contains(l)))
+        if (!Expr.leafRefs(h).forall(l => keyExprs.contains(l)))
           throw new GraftException(
             "in an aggregating RETURN, ORDER BY must reference returned columns, " +
             "expressions over them, or aggregates")

@@ -27,9 +27,10 @@ import graft.functions.GraftFunctions
   *    proportional to truly-similar pairs instead of corpus².
   *
   * Cache lifecycle: the pair-mining operators persist intermediate
-  * signature tables (they feed multiple consumers in one job). The cached
-  * blocks live until the session ends or [[PipelineCaches.clear]] — call
-  * it between jobs in a long-running session.
+  * signature tables (they feed multiple consumers in one job), each
+  * registered with [[PipelineCaches]]. The cached blocks live until
+  * `PipelineCaches.clear()` — call it between jobs in a long-running
+  * session (it touches only pipeline-tracked frames, never other caches).
   */
 object Dedup {
 
@@ -125,6 +126,7 @@ object Dedup {
       docs.select(col(idCol).as("id"), col(textCol)).repartition(col("id")), textCol)
       .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
 
     // Distributed minhash, flat-column formulation: explode hashed
     // shingles into a single aggregated pass (map-side combinable — the
@@ -139,6 +141,7 @@ object Dedup {
     val sig = exploded.groupBy("id")
       .agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
 
     val bandCols = (0 until Bands).map(b =>
       hash(slice(col("sig"), lit(b * Rows + 1), lit(Rows))).as(s"b$b"))
@@ -215,6 +218,7 @@ object Dedup {
     // persist: consumed by both sides of the chunk-bucket self-join
     val prep = votes.select(col("id"), simCol.as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
 
     val chunks = array((0 until 4).map(c =>
       shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
@@ -276,6 +280,7 @@ object Dedup {
         docs.select(col("doc_id").as("id"), col("text")).repartition(col("id")), "text")
       .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
 
     // verify side: sorted-by-hash arrays for the zero-alloc merge-intersect
     val sets = prep.select(col("id"), array_sort(col("hs")).as("hs"))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 
 /** Cache lifecycle for the pipeline operators.
   *
@@ -10,13 +10,30 @@ import org.apache.spark.sql.SparkSession
   * tables because several consumers in the same job read them (re-deriving
   * the tokenize→shingle→hash lineage per consumer costs more than the
   * cache). Spark offers no "unpersist when the consuming query finishes"
-  * hook for a lazily-executed result, so the blocks stay cached for the
-  * session — exactly like GraphX's persisted graphs. One-shot jobs
+  * hook for a lazily-executed result, so the blocks stay cached until
+  * [[clear]] — exactly like GraphX's persisted graphs. One-shot jobs
   * (Verify, Bench) never notice; a long-running session (e.g. a
   * QueryServer embedding these operators) should clear between jobs.
+  *
+  * Only pipeline-created frames are tracked (weakly — a collected frame
+  * needs no cleanup): clearing does NOT touch other caches in the session,
+  * such as GraftSession's memoized adjacency indexes.
   */
 object PipelineCaches {
 
-  /** Unpersist every cached table/DataFrame block in the session. */
-  def clear(spark: SparkSession): Unit = spark.sqlContext.clearCache()
+  private val registry =
+    scala.collection.mutable.WeakHashMap.empty[DataFrame, Unit]
+
+  /** Register an (already persisted) pipeline intermediate for [[clear]];
+    * used via `.transform(PipelineCaches.track)` after each persist. */
+  private[pipeline] def track(df: DataFrame): DataFrame = synchronized {
+    registry.put(df, ())
+    df
+  }
+
+  /** Unpersist every pipeline-tracked intermediate. */
+  def clear(): Unit = synchronized {
+    registry.keys.foreach(df => try df.unpersist() catch { case _: Exception => })
+    registry.clear()
+  }
 }

@@ -123,6 +123,7 @@ object Similarity {
       .repartition(col("nid"))
       .withColumn("cnorm", normFixed(col("cv"), dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
     val cCodes = cVecs.select(col("nid"),
       posexplode(codes(col("cv"))).as(Seq("tbl", "code")))
 
@@ -193,6 +194,7 @@ object Similarity {
       .repartition(col("id"))
       .withColumn("nrm", normFixed(col("v"), dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
 
     // adaptive code width: constant expected bucket occupancy (~32).
     // The count() is one cheap job over the already-persisted vectors.
@@ -201,13 +203,18 @@ object Similarity {
       else math.max(8, math.ceil(
         math.log(math.max(vecs.count(), 64L).toDouble / 32.0) / math.log(2.0)).toInt)
     // adaptive table count: per-table agreement at the THRESHOLD angle,
-    // solved for an all-tables miss rate <= 1e-6 (see scaladoc)
+    // solved for an all-tables miss rate <= 1e-6 (see scaladoc). Capped at
+    // 64: thresholds much below ~0.95 would otherwise solve to hundreds of
+    // tables (p^b collapses) — beyond the cap the recall floor degrades
+    // gracefully instead of the job exploding, and such thresholds are
+    // outside this operator's documented near-dup regime anyway.
     val L =
       if (tables > 0) tables
       else {
         val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
         val tableMiss = 1.0 - math.pow(p, b)
-        math.max(4, math.ceil(math.log(1e-6) / math.log(tableMiss)).toInt)
+        math.min(64, math.max(4,
+          math.ceil(math.log(1e-6) / math.log(tableMiss)).toInt))
       }
 
     def codesArr(v: Column): Column = array((0 until L).map(t =>
@@ -255,6 +262,7 @@ object Similarity {
       .repartition(col("nid"))
       .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
 
     // assign every vector to its nearest centroid under 6-dp-rounded
     // cosine (ties → lower cent_id)

@@ -63,24 +63,35 @@ final class QueryServer(gs: GraftSession, port: Int = 0) {
         case other => respond(ex, 400, s"unknown format: $other")
       }
     } catch {
-      case e: Throwable =>
-        // If streaming already sent the 200/chunked header, the status
-        // cannot change any more: close the exchange so the client sees a
-        // TRUNCATED chunked body (the standard mid-stream failure signal)
-        // instead of masking the original error with a doomed second
-        // sendResponseHeaders.
-        try respond(ex, 400, s"error: ${e.getMessage}")
-        catch { case _: java.io.IOException => try ex.close() catch { case _: Throwable => } }
+      case e: Throwable => respond(ex, 400, s"error: ${e.getMessage}")
     }
   }
 
+  /** Streams rows chunked. Fully owns post-header error handling: once the
+    * 200/chunked header is out the status cannot change, and a normal
+    * close would emit the terminal chunk — making a PARTIAL body look
+    * complete to the client. On mid-stream failure an unmistakable
+    * in-band sentinel line is written before closing, so consumers can
+    * distinguish "finished" from "died after N rows". */
   private def respondStream(ex: HttpExchange, rows: Iterator[String]): Unit = {
     ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
     ex.sendResponseHeaders(200, 0) // length 0 ⇒ chunked transfer encoding
     val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
-    try rows.foreach { r =>
-      os.write(r.getBytes(StandardCharsets.UTF_8)); os.write('\n')
-    } finally os.close()
+    try {
+      rows.foreach { r =>
+        os.write(r.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+      }
+      os.close()
+    } catch {
+      case e: Throwable =>
+        try {
+          os.write(s"\n__GRAFT_STREAM_ERROR__: ${e.getMessage}\n"
+            .getBytes(StandardCharsets.UTF_8))
+          os.close()
+        } catch {
+          case _: Throwable => try ex.close() catch { case _: Throwable => }
+        }
+    }
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -62,12 +62,13 @@ object StreamingOps {
     * (64-bit hash, length) content key — not the full text — and evicts
     * state once the watermark passes: bounded memory at any throughput,
     * the streaming complement of [[graft.pipeline.Dedup.exact]] for
-    * ingestion-time filtering. The composite key pushes the silent-drop
-    * collision probability to the 2^-96 range at web scale (a pure 64-bit
-    * key reaches birthday territory around ~5e9 keys per horizon);
+    * ingestion-time filtering. The length component partitions the key
+    * space but adds little entropy on length-clustered corpora: within a
+    * length class the per-pair collision odds are still 2^-64, i.e.
+    * birthday territory around ~5e9 same-length keys per horizon —
     * pipelines that cannot tolerate ANY hash-collision loss should dedup
-    * exactly in batch downstream. `tsCol` is the event-time column a real
-    * feed carries. */
+    * exactly in batch downstream (Dedup.exact groups on the full text).
+    * `tsCol` is the event-time column a real feed carries. */
   def streamingDedup(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", horizon: String = "1 hour"): DataFrame = {
     require(!docs.columns.contains("__graft_ch") && !docs.columns.contains("__graft_cl"),

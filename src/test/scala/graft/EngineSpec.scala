@@ -345,6 +345,16 @@ class EngineSpec extends AnyFunSuite {
       """MATCH (u:User)-[:Follows]->(b:User)
         |RETURN u.city AS city, count(*) AS c ORDER BY toUpper(u.city) DESC;""".stripMargin)
     assert(df2.collect().map(_.getString(0)).toSeq == Seq("paris", "berlin"))
+    // ...and the RETURN-ALIAS spelling of the same query: the alias is
+    // substituted by its source expression before compiling the hidden key
+    val df3 = gs.cypher(
+      """MATCH (u:User)-[:Follows]->(b:User)
+        |RETURN u.city AS city, count(*) AS c ORDER BY toUpper(city) DESC;""".stripMargin)
+    assert(df3.collect().map(_.getString(0)).toSeq == Seq("paris", "berlin"))
+    // alias-expression ORDER BY also works WITHOUT aggregation
+    val df4 = gs.cypher(
+      """MATCH (u:User) RETURN u.name AS name ORDER BY toUpper(name) DESC LIMIT 2;""".stripMargin)
+    assert(df4.collect().map(_.getString(0)).toSeq == Seq("u5", "u4"))
   }
 
   test("output formats") {

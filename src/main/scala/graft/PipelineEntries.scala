@@ -222,8 +222,10 @@ object PipelineEntries {
     * lowest-id vectors, ONE Lloyd refinement (assign under 6-dp-rounded
     * cosine with ties to the lower cent_id — matching the Spark side,
     * which also ranks on the rounded value — then element-wise means),
-    * then final assignment; queries probe the nprobe nearest lists. */
-  private def ivfOracleSql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+    * then final assignment; queries probe the nprobe nearest lists.
+    * nlist mirrors the Spark auto default: min(4096, max(1, round(√N))),
+    * as a dynamic LIMIT subquery so the mirror tracks the corpus size. */
+  private def ivfOracleSql(k: Int = 5, nprobe: Int = 4,
       dim: Int = 64): String = {
     val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
     s"""WITH n AS (
@@ -232,7 +234,8 @@ object PipelineEntries {
        |  FROM embeddings),
        |seeds AS (
        |  SELECT vec_id AS cent_id, v AS cent, nrm AS centnorm
-       |  FROM n ORDER BY vec_id LIMIT $nlist),
+       |  FROM n ORDER BY vec_id
+       |  LIMIT (SELECT CAST(least(4096, greatest(1, round(sqrt(count(*))))) AS BIGINT) FROM n)),
        |a0 AS (
        |  SELECT vec_id, v, cent_id AS list_id FROM (
        |    SELECT n.vec_id, n.v, c.cent_id,
@@ -467,7 +470,7 @@ object PipelineEntries {
         |  FROM (SELECT doc_id, text,
         |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |        FROM documents))
-        |SELECT d.lang, count(*) AS n_docs, sum(q.n_tokens) AS total_tokens
+        |SELECT d.lang, count(*) AS n_docs, CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
         |FROM documents d
         |JOIN keep k ON k.doc_id = d.doc_id
         |JOIN q ON q.doc_id = d.doc_id

@@ -242,6 +242,25 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** A coarse centroid held on the driver: `nlist × dim` doubles — a few
+    * KB even at nlist = √(10⁹). Shipping centroids as expression literals
+    * (task-binary broadcast) makes every assignment a flat per-row argmax:
+    * no centroid join, no window, no shuffle. */
+  private case class Centroid(id: Long, cent: Array[Double], norm: Double)
+
+  /** Per-row array of `(csim, -cent_id)` structs against the literal
+    * centroid set — 6-dp-rounded cosine, flat codegen'd columns (no HOF
+    * lambdas, so `dotFixed` stays whole-stage-codegen'd). Struct ordering
+    * is lexicographic, so `array_max` = best csim with ties to the LOWER
+    * cent_id, and an ascending `array_sort` ends with the best entries. */
+  private def centSims(v: Column, vnorm: Column, cents: Seq[Centroid]): Column =
+    array(cents.map { ct =>
+      struct(
+        round(dotFixed(v, lit(ct.cent), DefaultDim) / (vnorm * lit(ct.norm)), 6)
+          .as("csim"),
+        lit(-ct.id).as("negid"))
+    }: _*)
+
   /** IVF-style ANN: corpus is partitioned by nearest coarse centroid;
     * queries probe the `nprobe` nearest centroid lists. The 100 TB layout:
     * cluster assignment is a narrow map, per-list storage is
@@ -251,9 +270,24 @@ object Similarity {
     * by `refineIters` Lloyd iterations — assign to nearest centroid,
     * recompute centroids as element-wise means. Fully deterministic and
     * SQL-mirrorable; assignment similarity is rounded to 6 dp so ranking
-    * never depends on sub-ulp summation order. */
+    * never depends on sub-ulp summation order.
+    *
+    * `nlist = 0` (default) auto-scales to ~√N (`max(1, round(√count))`),
+    * so per-probe work is `nprobe·N/√N = nprobe·√N` — the classic IVF
+    * balance point where list length and list count grow together. At
+    * sf0.01 (N=500) that is 22 lists, probe fraction 4/22 ≈ 18%; at sf1
+    * (N=20k) 141 lists, probe fraction 2.8% — the fraction FALLS as the
+    * corpus grows instead of scanning nprobe/16 = ¼ of it forever.
+    *
+    * Each Lloyd step is ONE corpus pass (assign + mean aggregate) and the
+    * refined centroids are collected back to the driver (nlist rows), so
+    * the final corpus assignment is computed exactly once — nothing
+    * re-executes centroid lineage. Beyond nlist ≈ 4k the flat argmax
+    * column would outgrow codegen; that regime wants sharded centroid
+    * tables (hierarchical coarse quantizer), which this corpus never
+    * reaches, so we cap the auto value there. */
   def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int = 5, nlist: Int = 16,
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, nlist: Int = 0,
       nprobe: Int = 4, refineIters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
@@ -264,20 +298,25 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
 
-    // assign every vector to its nearest centroid under 6-dp-rounded
-    // cosine (ties → lower cent_id)
-    def assign(cents: DataFrame): DataFrame =
-      c.join(broadcast(cents), lit(true))
-        .withColumn("csim", round(dotFixed(col("cv"), col("cent"), DefaultDim) /
-          (col("cnorm") * col("centnorm")), 6))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy("nid").orderBy(col("csim").desc, col("cent_id").asc)))
-        .filter(col("crank") === 1)
-        .select(col("nid"), col("cv"), col("cnorm"), col("cent_id").as("list_id"))
+    val lists =
+      if (nlist > 0) nlist
+      else math.min(4096L, math.max(1L, math.round(math.sqrt(c.count().toDouble)))).toInt
+
+    def collectCents(df: DataFrame): Seq[Centroid] =
+      df.collect().toSeq
+        .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_.id)
+
+    // nearest centroid per row: flat argmax over the literal centroid set
+    def assignBest(cents: Seq[Centroid]): DataFrame =
+      c.withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
+        .select(col("nid"), col("cv"), col("cnorm"),
+          (-col("best.negid")).as("list_id"))
 
     // deterministic seeds: the nlist lowest-id vectors
-    var cents = c.orderBy("nid").limit(nlist)
-      .select(col("nid").as("cent_id"), col("cv").as("cent"), col("cnorm").as("centnorm"))
+    var cents = collectCents(
+      c.orderBy("nid").limit(lists)
+        .select(col("nid"), col("cv"), col("cnorm")))
 
     // Lloyd refinement: element-wise mean per list (empty lists drop out).
     // Means are ROUNDED to 9 dp: Spark's partial-aggregate combine order is
@@ -288,24 +327,27 @@ object Similarity {
     for (_ <- 0 until refineIters) {
       val avgCols = array((0 until DefaultDim).map(i =>
         round(avg(element_at(col("cv"), i + 1)), 9)): _*)
-      cents = assign(cents)
-        .groupBy(col("list_id"))
-        .agg(avgCols.as("cent"))
-        .select(col("list_id").as("cent_id"), col("cent"),
-          normFixed(col("cent"), DefaultDim).as("centnorm"))
+      cents = collectCents(
+        assignBest(cents)
+          .groupBy(col("list_id"))
+          .agg(avgCols.as("cent"))
+          .select(col("list_id"), col("cent"),
+            normFixed(col("cent"), DefaultDim).as("centnorm")))
     }
 
-    val assigned = assign(cents)
+    val assigned = assignBest(cents)
 
+    // queries probe their nprobe best lists: ascending sort of the
+    // (csim, -cent_id) structs, take the LAST nprobe (= csim DESC,
+    // cent_id ASC), explode — narrow, shuffle-free
+    val probes = math.max(1, math.min(nprobe, cents.size))
     val qAssigned = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", normFixed(col("qv"), DefaultDim))
-      .join(broadcast(cents), lit(true))
-      .withColumn("csim", round(dotFixed(col("qv"), col("cent"), DefaultDim) /
-        (col("qnorm") * col("centnorm")), 6))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("csim").desc, col("cent_id").asc)))
-      .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qv"), col("qnorm"), col("cent_id").as("list_id"))
+      .withColumn("probe",
+        explode(slice(array_sort(centSims(col("qv"), col("qnorm"), cents)),
+          -probes, probes)))
+      .select(col("qid"), col("qv"), col("qnorm"),
+        (-col("probe.negid")).as("list_id"))
 
     val sims = assigned.join(qAssigned, Seq("list_id"))
       .filter(col("qid") =!= col("nid"))

@@ -1,6 +1,13 @@
 #!/usr/bin/env python3
-"""Driver-style correctness check: compare Verify output parquet vs DuckDB oracle."""
-import duckdb, json, sys, glob, os, math
+"""Driver-style correctness check: compare Verify output parquet vs DuckDB oracle.
+
+Dtype-strict: both sides are fetched as Arrow tables and values are rendered
+WITH their Python type, so a DuckDB HUGEINT/DECIMAL aggregate (-> Decimal)
+vs a Spark BIGINT (-> int) fails locally the same way the driver's value
+hasher does. (The old str(v)-only compare hid exactly that divergence and
+let the p_curate HUGEINT bug survive three driver rounds.)
+"""
+import duckdb, json, sys, glob
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
@@ -9,36 +16,39 @@ for t in ['customer','orders','lineitem','nation','region','part','supplier','do
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def typed_norm(tab):
+    """Sort columns by name, render each value as '<pytype>:<str>' (floats
+    rounded to 6dp first). int vs Decimal vs float all render distinctly."""
+    cols = sorted(tab.column_names)
+    data = [tab.column(c).to_pylist() for c in cols]
     out = []
-    for r in rows:
+    for i in range(tab.num_rows):
         vals = []
-        for i in order:
-            v = r[i]
+        for col in data:
+            v = col[i]
             if isinstance(v, float):
                 v = round(v, 6)
-            vals.append(str(v))
+            vals.append(f'{type(v).__name__}:{v}')
         out.append('|'.join(vals))
-    return sorted(out), [cols[i] for i in order]
+    return sorted(out), cols
 
 fails = 0
 for name in sorted(oracle):
     files = glob.glob(f'{outdir}/{name}/*.parquet')
     if not files:
         print(f'MISS {name}: no spark output'); fails += 1; continue
-    sq = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-    scols = [d[0] for d in sq.description]; srows = sq.fetchall()
+    stab = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetch_arrow_table()
     try:
-        oq = con.execute(oracle[name])
-        ocols = [d[0] for d in oq.description]; orows = oq.fetchall()
+        otab = con.execute(oracle[name]).fetch_arrow_table()
     except Exception as e:
         print(f'ORACLE-ERR {name}: {e}'); fails += 1; continue
-    sn, sc = norm(srows, scols); on, oc = norm(orows, ocols)
+    sn, sc = typed_norm(stab)
+    on, oc = typed_norm(otab)
     if sc != oc:
         print(f'COLS {name}: spark={sc} oracle={oc}'); fails += 1
     elif sn != on:
-        diff = [x for x in sn if x not in set(on)][:3] + ['---'] + [x for x in on if x not in set(sn)][:3]
+        oset = set(on); sset = set(sn)
+        diff = [x for x in sn if x not in oset][:3] + ['---'] + [x for x in on if x not in sset][:3]
         print(f'ROWS {name}: spark={len(sn)} oracle={len(on)} e.g. {diff[:7]}'); fails += 1
     else:
         print(f'OK   {name} rows={len(sn)}')

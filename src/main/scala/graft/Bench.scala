@@ -41,15 +41,44 @@ object Bench {
       graft.pipeline.PipelineCaches.clear()
     }
 
+    // ≥3 timed iterations per query, report the MEDIAN: single-shot timings
+    // on a 50-query single-JVM run swing 2-3x from cache-eviction and
+    // scheduling interplay (r02 vs r03 measured 11↔30 s on identical
+    // binaries), so per-query deltas were unactionable. Internal pipeline
+    // caches are cleared after every iteration so each one does the full
+    // work. A failing query is LOUD: error recorded in the JSON, printed to
+    // stderr, and the process exits nonzero — never a silent "-1 s" inside
+    // a healthy-looking run.
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < iters && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            errors(name) = e.toString.take(300)
+            System.err.println(s"BENCH FAIL $name: $e")
+        } finally {
+          graft.pipeline.PipelineCaches.clear()
+        }
+        i += 1
+      }
+      val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

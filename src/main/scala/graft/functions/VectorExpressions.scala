@@ -228,6 +228,75 @@ case class PolySize(child: Expression)
     copy(child = newChild)
 }
 
+/** Static xxhash64 helper callable from generated Java code (top-level
+  * Scala objects emit static forwarders). Seed 42 — identical to the
+  * `xxhash64` builtin's default, so `graft_simhash` over shingle strings
+  * equals the explode + `xxhash64` formulations bit-for-bit. */
+object SimHashUtil {
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(s, StringType, 42L)
+}
+
+/** `graft_simhash(shingles)`: 64-bit SimHash of an `array<string>` in ONE
+  * fused per-row pass — xxhash64 each shingle, ±1 vote per bit, sign sets
+  * the bit (votes > 0 → 1; ties → 0, matching the HOF and vote-aggregate
+  * formulations exactly). Replaces an explode + 64-column vote aggregate
+  * (512 B of shuffled aggregation state per doc) with a pure projection:
+  * zero shuffle, zero aggregation state, one JIT-tight loop. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = SimHashUtil.hash(arr.getUTF8String(i))
+      var j = 0
+      while (j < 64) { votes(j) += ((((h >>> j) & 1L).toInt) << 1) - 1; j += 1 }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reused vote buffer: one 64-int array per operator instance, not per row
+    val votes = ctx.addMutableState("int[]", "simhashVotes", v => s"$v = new int[64];")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      s"""
+         |java.util.Arrays.fill($votes, 0);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = graft.functions.SimHashUtil.hash($a.getUTF8String($i));
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $votes[$j] += (((int)(($h >>> $j) & 1L)) << 1) - 1;
+         |  }
+         |}
+         |long $s = 0L;
+         |for (int $k = 0; $k < 64; $k++) { if ($votes[$k] > 0) $s |= (1L << $k); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Session registration + Column-level API. */
 object GraftFunctions {
 
@@ -236,6 +305,7 @@ object GraftFunctions {
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "graft_isect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_size" -> (exprs => PolySize(exprs.head)),
+    "graft_simhash" -> (exprs => SimHash64(exprs.head)),
     // aggregate: k-slot minhash signature over pre-hashed shingles
     "graft_minhash" -> (exprs => MinHashAgg(exprs.head,
       graft.pipeline.Dedup.NumHashes)))
@@ -254,6 +324,7 @@ object GraftFunctions {
     call_function("graft_isect", a, b)
   def minhashSignatureAgg(hashedShingle: Column): Column =
     call_function("graft_minhash", hashedShingle)
+  def simhash64(shingles: Column): Column = call_function("graft_simhash", shingles)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers the

@@ -20,19 +20,35 @@ import graft.GraftSession
   * on the Spark driver exactly as in the reference, where the planner runs
   * in one process and distribution happens in the execution layer).
   */
-final class QueryServer(gs: GraftSession, port: Int = 0) {
+final class QueryServer(gs: GraftSession, port: Int = 0,
+    host: String = "0.0.0.0", poolSize: Int = 16) {
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/query", (exchange: HttpExchange) => handle(exchange))
-    server.setExecutor(null)
+    // Fixed daemon pool: requests are handled CONCURRENTLY, like the
+    // reference's per-request tokio tasks (handlers.rs:26) — with
+    // setExecutor(null) one slow streaming client would serialize every
+    // other request behind it on the dispatcher thread. Spark's scheduler
+    // is thread-safe; concurrent queries become concurrent jobs.
+    var n = 0
+    pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize, (r: Runnable) => {
+      val t = new Thread(r, { n += 1; s"graft-http-$n" })
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     try {

@@ -97,6 +97,18 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(docs, maxHamming = 64, maxBucketSize = 1).count() == 0)
   }
 
+  test("fused graft_simhash expression equals the HOF formulation per doc") {
+    graft.functions.GraftFunctions.register(TestSpark.spark)
+    val both = Dedup.withShingles(docs, "text")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("sh")).as("fused"),
+        Dedup.simhash(col("text")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: fused=${r.getLong(1)} hof=${r.getLong(2)}"))
+  }
+
   test("ngram jaccard prefix-filtered join equals exact all-pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

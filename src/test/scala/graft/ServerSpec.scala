@@ -114,4 +114,67 @@ class ServerSpec extends AnyFunSuite {
       assert(resp.body().count() == 200000L)
     } finally srv.stop()
   }
+
+  test("concurrent requests interleave: fast query completes while a slow one runs") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("cusers", Seq((1L, "u1"), (2L, "u2")).toDF("id", "name"))
+    g.registerNode("CUser", "cusers", "id")
+    // one partition that stalls 4 s before yielding rows — occupies a
+    // handler thread (and a Spark task) for the whole window
+    g.registerTable("slow_t",
+      spark.range(0, 2, 1, 1).mapPartitions { it => Thread.sleep(4000); it }.toDF("id"))
+    g.registerNode("Slow", "slow_t", "id")
+    val srv = new QueryServer(g)
+    val port = srv.start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val slowF = Future {
+        val r = post(port, """{"query": "MATCH (s:Slow) RETURN s.id AS id ORDER BY id;"}""")
+        (r, System.nanoTime())
+      }
+      Thread.sleep(500) // the slow request is definitely dispatched first
+      val (cq, bq) = post(port, """{"query": "MATCH (u:CUser) RETURN u.id AS id ORDER BY id;"}""")
+      val quickDone = System.nanoTime()
+      val ((cs, bs), slowDone) = Await.result(slowF, Duration(60, "s"))
+      assert(cq == 200 && bq == "{\"id\":1}\n{\"id\":2}\n")
+      assert(cs == 200 && bs == "{\"id\":0}\n{\"id\":1}\n")
+      // with setExecutor(null) the fast request queued behind the slow one
+      // on the single dispatcher thread; with the pool it must finish first
+      assert(quickDone < slowDone,
+        s"fast request queued behind slow one (${(quickDone - slowDone) / 1e6} ms after)")
+    } finally srv.stop()
+  }
+
+  test("Main.boot: env-configured boot serves queries, wires catalog poll, shuts down") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
+    val catPath = s"$dir/catalog.json"
+    val env = Map(
+      "GRAFT_HOST" -> "127.0.0.1",
+      "GRAFT_PORT" -> "0", // ephemeral
+      "GRAFT_DATA_DIR" -> "/root/testdata/sf0.001",
+      "GRAFT_CATALOG" -> catPath,
+      "GRAFT_CATALOG_POLL_MS" -> "100")
+    val (srv, gs, port) = graft.server.Main.boot(env.get, spark)
+    try {
+      // catalog was persisted at boot (fresh path) and the graph serves
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(catPath)))
+      val (c, b) = post(port,
+        """{"query": "MATCH (r:Region) RETURN count(*) AS n;"}""")
+      assert(c == 200 && b == "{\"n\":5}\n")
+      // version poll is live: bump the on-disk version, observe the swap
+      val bumped = gs.catalog.copy(version = gs.catalog.version + 1)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(catPath), bumped.toJson)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (gs.catalog.version != bumped.version && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(gs.catalog.version == bumped.version, "catalog poll never picked up the version bump")
+    } finally {
+      srv.stop()
+      gs.stopCatalogRefresh()
+    }
+  }
 }

@@ -58,19 +58,26 @@ object GraftCli {
     (resp.statusCode(), sb.toString)
   }
 
-  /** REPL loop over arbitrary streams (testable without a TTY). */
-  def run(in: BufferedReader, out: PrintStream, url: String,
-      initialFormat: String): Unit = {
-    var format = initialFormat
-    val buf = new StringBuilder
-    // ASCII-only banner: System.out may not be UTF-8 in a plain terminal
-    out.println(s"graft client - connected to $url (format: $format)")
-    out.print("graft> "); out.flush()
-    var line = in.readLine()
-    while (line != null) {
+  /** REPL line handling shared by the stream loop ([[run]]) and the JLine
+    * interactive loop: statement buffering until `;`, `\q`/`exit`,
+    * `\format`, streamed responses. */
+  private final class Repl(out: PrintStream, url: String, initialFormat: String) {
+    private var format = initialFormat
+    private val buf = new StringBuilder
+
+    def banner(): Unit =
+      // ASCII-only: System.out may not be UTF-8 in a plain terminal
+      out.println(s"graft client - connected to $url (format: $format)")
+
+    def prompt: String = if (buf.isEmpty) "graft> " else "    -> "
+
+    def abortStatement(): Unit = buf.clear()
+
+    /** Process one input line; false ⇒ quit. */
+    def handle(line: String): Boolean = {
       val trimmed = line.trim
-      if (buf.isEmpty && (trimmed == "\\q" || trimmed == "exit")) return
-      else if (buf.isEmpty && trimmed.startsWith("\\format")) {
+      if (buf.isEmpty && (trimmed == "\\q" || trimmed == "exit")) return false
+      if (buf.isEmpty && trimmed.startsWith("\\format")) {
         trimmed.split("\\s+") match {
           case Array(_, f) => format = f; out.println(s"format set to $f")
           case _ => out.println("usage: \\format <JSONEachRow|CSV|CSVWithNames|Pretty|PrettyCompact>")
@@ -89,9 +96,51 @@ object GraftCli {
           }
         }
       }
-      out.print(if (buf.isEmpty) "graft> " else "    -> "); out.flush()
+      true
+    }
+  }
+
+  /** REPL loop over arbitrary streams (testable without a TTY). */
+  def run(in: BufferedReader, out: PrintStream, url: String,
+      initialFormat: String): Unit = {
+    val repl = new Repl(out, url, initialFormat)
+    repl.banner()
+    out.print(repl.prompt); out.flush()
+    var line = in.readLine()
+    while (line != null) {
+      if (!repl.handle(line)) return
+      out.print(repl.prompt); out.flush()
       line = in.readLine()
     }
+  }
+
+  /** Interactive REPL on a real terminal: JLine line editing + persistent
+    * history (`~/.graft_history`) — parity with the reference client's
+    * rustyline editor (brahmand-client/src/main.rs:20-28, which loads and
+    * saves `history.txt` around the same read-eval loop). Ctrl-C aborts
+    * the statement in progress; Ctrl-D quits. */
+  def runInteractive(url: String, initialFormat: String): Unit = {
+    import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder, UserInterruptException}
+    import org.jline.terminal.TerminalBuilder
+    val terminal = TerminalBuilder.builder().system(true).build()
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .appName("graft")
+      .variable(LineReader.HISTORY_FILE,
+        java.nio.file.Paths.get(sys.props.getOrElse("user.home", "."), ".graft_history"))
+      .build()
+    val repl = new Repl(System.out, url, initialFormat)
+    repl.banner()
+    var going = true
+    while (going) {
+      try {
+        going = repl.handle(reader.readLine(repl.prompt))
+      } catch {
+        case _: UserInterruptException => repl.abortStatement() // Ctrl-C
+        case _: EndOfFileException => going = false             // Ctrl-D
+      }
+    }
+    terminal.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,7 +163,9 @@ object GraftCli {
         if (code != 200) System.err.println(s"[$code] ${body.trim}")
         sys.exit(if (code == 200) 0 else 1)
       case None =>
-        run(new BufferedReader(new java.io.InputStreamReader(System.in)),
+        // real TTY ⇒ JLine editor with history; piped stdin ⇒ stream loop
+        if (System.console() != null) runInteractive(url, format)
+        else run(new BufferedReader(new java.io.InputStreamReader(System.in)),
           System.out, url, format)
     }
   }

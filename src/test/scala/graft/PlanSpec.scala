@@ -75,6 +75,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assignment is window-free: exactly one Window (final top-k) in the plan") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    try {
+      val df = graft.pipeline.Similarity.ivfTopK(
+        emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0))
+      // the joined row_number() formulation put a per-vector window (a full
+      // N×nlist shuffle) inside EVERY assignment; the literal-argmax plan
+      // must keep the per-query top-k as the ONLY window left
+      val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.size == 1,
+        s"expected exactly 1 Window (final top-k), got ${wins.size}:\n" +
+          df.queryExecution.sparkPlan)
+    } finally graft.pipeline.PipelineCaches.clear()
+  }
+
   test("bucketed adjacency index join shuffles only the probe side") {
     // disable auto-broadcast so the join would otherwise need BOTH sides
     // exchanged; the bucketed index side must come pre-partitioned

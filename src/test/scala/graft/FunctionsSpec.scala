@@ -49,6 +49,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d.select(GraftFunctions.dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("graft_simhash: interpreted eval equals the independent xxhash64 reference") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val shingles = Seq("a b c", "b c d", "c d e", "the quick brown")
+    // direct eval() — the non-codegen path; the DedupSpec equality test
+    // covers the generated-code path
+    val got = graft.functions.SimHash64(
+      Literal.create(shingles, ArrayType(StringType))).eval(null)
+    val hs = shingles.map(TestSpark.xxhash64Ref)
+    val expected = (0 until 64).map { j =>
+      val vote = hs.map(h => if ((h & (1L << j)) != 0) 1 else -1).sum
+      if (vote > 0) 1L << j else 0L
+    }.sum
+    assert(got == expected)
+  }
+
   test("graft_minhash aggregate: signature semantics match per-slot minima") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -20,16 +20,7 @@ import java.nio.charset.StandardCharsets
   */
 object GraftCli {
 
-  private def jsonEscape(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def jsonEscape(s: String): String = graft.util.JsonUtil.escape(s)
 
   private lazy val client = HttpClient.newHttpClient()
 
@@ -131,16 +122,17 @@ object GraftCli {
       .build()
     val repl = new Repl(System.out, url, initialFormat)
     repl.banner()
-    var going = true
-    while (going) {
-      try {
-        going = repl.handle(reader.readLine(repl.prompt))
-      } catch {
-        case _: UserInterruptException => repl.abortStatement() // Ctrl-C
-        case _: EndOfFileException => going = false             // Ctrl-D
+    try {
+      var going = true
+      while (going) {
+        try {
+          going = repl.handle(reader.readLine(repl.prompt))
+        } catch {
+          case _: UserInterruptException => repl.abortStatement() // Ctrl-C
+          case _: EndOfFileException => going = false             // Ctrl-D
+        }
       }
-    }
-    terminal.close()
+    } finally terminal.close() // always restore the saved TTY attributes
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,8 +155,15 @@ object GraftCli {
         if (code != 200) System.err.println(s"[$code] ${body.trim}")
         sys.exit(if (code == 200) 0 else 1)
       case None =>
-        // real TTY ⇒ JLine editor with history; piped stdin ⇒ stream loop
-        if (System.console() != null) runInteractive(url, format)
+        // real TTY ⇒ JLine editor with history; piped stdin ⇒ stream loop.
+        // JDK 22+ returns a non-null Console even for redirected stdio, so
+        // prefer Console.isTerminal (reflective: absent on JDK <22).
+        val console = System.console()
+        val tty = console != null && (try {
+          classOf[java.io.Console].getMethod("isTerminal")
+            .invoke(console).asInstanceOf[Boolean]
+        } catch { case _: NoSuchMethodException => true })
+        if (tty) runInteractive(url, format)
         else run(new BufferedReader(new java.io.InputStreamReader(System.in)),
           System.out, url, format)
     }

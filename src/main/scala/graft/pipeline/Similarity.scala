@@ -292,15 +292,27 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
 
+    // null embeddings can never be neighbors or centroids — drop them up
+    // front (the literal-argmax below would otherwise NPE collecting a
+    // null seed vector)
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .filter(col("cv").isNotNull)
       .repartition(col("nid"))
       .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
 
+    val corpusSize = c.count()
+    // empty corpus ⇒ well-defined empty result (the pre-rewrite join
+    // formulation returned the same)
+    if (corpusSize == 0L) {
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "sim", "rank")
+    }
+
     val lists =
       if (nlist > 0) nlist
-      else math.min(4096L, math.max(1L, math.round(math.sqrt(c.count().toDouble)))).toInt
+      else math.min(4096L, math.max(1L, math.round(math.sqrt(corpusSize.toDouble)))).toInt
 
     def collectCents(df: DataFrame): Seq[Centroid] =
       df.collect().toSeq

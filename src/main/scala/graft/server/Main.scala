@@ -29,7 +29,8 @@ object Main {
 
   /** Boot from an env lookup (injectable for specs): builds the
     * [[GraftSession]] over the data dir, wires the catalog + poll, starts
-    * the HTTP server. Returns the server, session, and bound port. */
+    * the HTTP server and logs the RESOLVED host/port/data dir. Returns
+    * the server, session, and bound port. */
   def boot(env: String => Option[String], spark: SparkSession)
       : (QueryServer, GraftSession, Int) = {
     val host = env("GRAFT_HOST").getOrElse("0.0.0.0")
@@ -45,6 +46,7 @@ object Main {
 
     val srv = new QueryServer(gs, port, host)
     val bound = srv.start()
+    println(s"graft server listening on $host:$bound (data=$dataDir)")
     (srv, gs, bound)
   }
 
@@ -60,9 +62,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (srv, gs, port) = boot(sys.env.get, spark)
-    println(s"graft server listening on ${sys.env.getOrElse("GRAFT_HOST", "0.0.0.0")}:$port " +
-      s"(data=${sys.env.getOrElse("GRAFT_DATA_DIR", "/root/testdata/sf0.001")})")
+    val (srv, gs, _) = boot(sys.env.get, spark)
 
     val done = new CountDownLatch(1)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

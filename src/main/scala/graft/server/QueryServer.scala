@@ -34,9 +34,9 @@ final class QueryServer(gs: GraftSession, port: Int = 0,
     // setExecutor(null) one slow streaming client would serialize every
     // other request behind it on the dispatcher thread. Spark's scheduler
     // is thread-safe; concurrent queries become concurrent jobs.
-    var n = 0
+    val n = new java.util.concurrent.atomic.AtomicInteger()
     pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize, (r: Runnable) => {
-      val t = new Thread(r, { n += 1; s"graft-http-$n" })
+      val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
       t.setDaemon(true)
       t
     })

@@ -193,6 +193,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected == v.keys.filter(_ < 1000000000000L).map(i => (i, i + 1000000000000L)).toSet)
   }
 
+  test("IVF ANN: empty corpus and null embeddings are well-defined") {
+    import TestSpark.spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(empty, q).count() == 0)
+    // a null embedding among the lowest-id (seed) vectors must be skipped,
+    // not NPE during centroid collection
+    val withNull = Seq[(Long, Array[Float])]((1L, null))
+      .toDF("vec_id", "embedding")
+      .unionAll(emb.limit(100).select(col("vec_id") + 10, col("embedding"))
+        .as[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    val r = Similarity.ivfTopK(withNull, q, k = 3)
+    assert(r.count() > 0 && r.filter(col("nid") === 1L).count() == 0)
+  }
+
   test("IVF ANN recall vs brute force >= 0.5 on fixtures") {
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -120,10 +120,11 @@ class ServerSpec extends AnyFunSuite {
     val g = new GraftSession(spark)
     g.registerTable("cusers", Seq((1L, "u1"), (2L, "u2")).toDF("id", "name"))
     g.registerNode("CUser", "cusers", "id")
-    // one partition that stalls 4 s before yielding rows — occupies a
-    // handler thread (and a Spark task) for the whole window
+    // one partition that stalls 8 s before yielding rows — occupies a
+    // handler thread (and a Spark task) for the whole window; the wide
+    // margin keeps the ordering assertion below robust under load
     g.registerTable("slow_t",
-      spark.range(0, 2, 1, 1).mapPartitions { it => Thread.sleep(4000); it }.toDF("id"))
+      spark.range(0, 2, 1, 1).mapPartitions { it => Thread.sleep(8000); it }.toDF("id"))
     g.registerNode("Slow", "slow_t", "id")
     val srv = new QueryServer(g)
     val port = srv.start()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgorithms
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline operators surfaced as driver-checkable queries.
@@ -122,6 +122,28 @@ object PipelineEntries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
     }),
+
+    // deterministic stratified sampling (reproducible training mixes):
+    // per-lang keep rates compiled into one filter — oracle-checked
+    "p_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(docs(s, dir), Map("en" -> 50, "zh" -> 10),
+        defaultNum = 25).select("doc_id", "lang")),
+
+    // corpus-wide top-100 3-gram document frequencies — oracle-checked
+    "p_ngram_topk" -> ((s, dir) => Corpus.ngramTopK(docs(s, dir), k = 100)),
+
+    // benchmark-contamination: train docs sharing >=1 3-shingle with the
+    // (doc_id % 100 == 0) eval slice — oracle-checked
+    "p_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.contamination(
+        d.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(100)) === 0))
+    }),
+
+    // per-lang token-length stats with exact interpolated percentiles —
+    // oracle-checked against DuckDB quantile_cont
+    "p_length_stats" -> ((s, dir) => Corpus.lengthStats(docs(s, dir))),
 
     // GraphX connected components over the same-label NATION_ADJ edge
     // list; component id = min member id ⇒ SQL-oracle-checkable
@@ -476,6 +498,48 @@ object PipelineEntries {
         |JOIN q ON q.doc_id = d.doc_id
         |WHERE q.score >= 0.4999999990
         |GROUP BY d.lang""".stripMargin,
+
+    "p_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 1000003) % 100 <
+        |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END""".stripMargin,
+
+    "p_ngram_topk" ->
+      """WITH t AS (
+        |  SELECT list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT ngram, count(*) AS doc_freq
+        |FROM (SELECT unnest(sh) AS ngram FROM t)
+        |GROUP BY ngram
+        |ORDER BY doc_freq DESC, ngram ASC
+        |LIMIT 100""".stripMargin,
+
+    "p_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)),
+        |e AS (SELECT DISTINCT unnest(sh) AS ngram FROM t WHERE doc_id % 100 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS ngram FROM t WHERE doc_id % 100 <> 0)
+        |SELECT tr.doc_id, count(*) AS overlap_ngrams
+        |FROM tr JOIN e ON tr.ngram = e.ngram
+        |GROUP BY tr.doc_id""".stripMargin,
+
+    "p_length_stats" ->
+      """WITH n AS (
+        |  SELECT lang,
+        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       round(avg(n_tokens), 6) AS mean_tokens,
+        |       round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+        |       round(quantile_cont(n_tokens, 0.95), 6) AS p95,
+        |       round(quantile_cont(n_tokens, 0.99), 6) AS p99
+        |FROM n GROUP BY lang""".stripMargin,
 
     "g_concomp" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

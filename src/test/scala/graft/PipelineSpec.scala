@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 class DedupSpec extends AnyFunSuite {
   import TestSpark._
@@ -326,5 +326,76 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.sampleFrames(spark, Multimodal.attachBinary(d))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(f == Set((0L, 0L), (4L, 400L), (8L, 800L)))
+  }
+}
+
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val rates = Map("en" -> 50, "zh" -> 10)
+    val s1 = Corpus.stratifiedSample(docs, rates, defaultNum = 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.stratifiedSample(docs, rates, defaultNum = 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty) // same rows every run — no rand()
+    // exact membership is reproducible from the hash definition
+    val all = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = all.collect { case (id, lang)
+      if (id * 1000003L) % 100 < rates.getOrElse(lang, 25) => id }.toSet
+    assert(s1 == expected)
+    // rate bounds are validated
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(docs, Map("en" -> 200), defaultNum = 25)
+    }
+  }
+
+  test("ngram top-k: hand-checked document frequencies and tie order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "a b c"),     // "a b c"
+      (3L, "b c d e"))   // "b c d", "c d e"
+      .toDF("doc_id", "text")
+    val top = Corpus.ngramTopK(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b c" and "b c d" both have doc_freq 2; tie broken by ngram ASC
+    assert(top == Seq(("a b c", 2L), ("b c d", 2L)))
+  }
+
+  test("contamination counts distinct shared shingles against the eval set") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),  // shares "the quick brown", "quick brown fox" w/ eval
+      (2L, "totally clean document text here"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox sleeps"))
+      .toDF("doc_id", "text")
+    val got = Corpus.contamination(train, eval_)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L)) // doc 2 clean ⇒ absent, not zero
+  }
+
+  test("length stats: exact interpolated percentiles on a known multiset") {
+    import spark.implicits._
+    // token counts 1..5 for lang en: p50 = 3, p95 = 0.95*(5-1)=3.8 ⇒ 4.8
+    val d = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = Corpus.lengthStats(d).collect().head
+    assert(r.getString(0) == "en" && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0)          // mean
+    assert(r.getDouble(3) == 3.0)          // p50
+    assert(r.getDouble(4) == 4.8)          // p95: v(3) + 0.8*(v(4)-v(3))
+    assert(r.getDouble(5) == 4.96)         // p99: 0.99*4 = 3.96 ⇒ 4.96
+  }
+
+  test("ngram top-k plan: TakeOrderedAndProject, no global sort") {
+    val plan = Corpus.ngramTopK(docs, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 }

@@ -104,6 +104,9 @@ object PipelineEntries {
     // tumbling-window agg (batch form of the streaming op) — oracle-checked
     "p_window" -> ((s, dir) => StreamingOps.tumblingCounts(events(s, dir))),
 
+    // sliding-window agg (batch form; 1h windows every 15m) — oracle-checked
+    "p_window_sliding" -> ((s, dir) => StreamingOps.slidingCounts(events(s, dir))),
+
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
 
@@ -465,6 +468,16 @@ object PipelineEntries {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "p_window_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           - to_minutes(15 * t.k) AS ws,
+        |         event_type, value
+        |  FROM events, range(0, 4) t(k))
+        |GROUP BY 1, 2""".stripMargin,
 
     "p_sessionize" ->
       """WITH g AS (

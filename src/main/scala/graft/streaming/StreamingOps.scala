@@ -34,6 +34,31 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Sliding-window counts+sums per event type: each event lands in
+    * `windowDur / slideDur` overlapping windows (Spark's `window()` with a
+    * slide). Fan-out happens INSIDE the aggregation operator — no explode
+    * materializes, and the partial aggregate combines map-side, so the
+    * shuffle carries one row per (window, type) per partition regardless
+    * of event volume. */
+  def slidingCounts(events: DataFrame, windowDur: String = "1 hour",
+      slideDur: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming variant: 2-hour watermark bounds the open-window state. */
+  def streamingSlidingCounts(events: DataFrame, windowDur: String = "1 hour",
+      slideDur: String = "15 minutes"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** Gap-based sessionization (batch formulation): a new session starts when
     * the inter-event gap exceeds `gapMinutes`. Window-function cumulative
     * trick — one shuffle on user_id. The streaming formulation of the same

@@ -38,6 +38,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.contains(Seq("2024-01-01 10:00", "click", 2L, 3.0)))
   }
 
+  test("streaming sliding counts equal the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+
+    val q = StreamingOps.streamingSlidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("slide_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = rows(spark.table("slide_out"))
+    val batch = rows(StreamingOps.slidingCounts(events.toDF()))
+    assert(streamed == batch)
+    // event at 10:05 lands in 4 windows: 09:15, 09:30, 09:45, 10:00
+    val clickWindows = batch.filter(r => r(1) == "click").map(_.head)
+    assert(Seq("2024-01-01 09:15", "2024-01-01 09:30", "2024-01-01 09:45",
+      "2024-01-01 10:00").forall(clickWindows.contains))
+  }
+
   test("gap sessionization") {
     import spark.implicits._
     // user 1: 10:05,10:20 (one session), 11:01 (>30min? 41min -> new), 12:30 (new) = 3

@@ -39,6 +39,14 @@ object PipelineEntries {
     // exact n-gram Jaccard within (lang, length) blocks — oracle-checked
     "p_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
 
+    // transitive dup clustering: GraphX connected components over the
+    // exact pair graph; canonical id = min doc in cluster — oracle-checked
+    // against a recursive-CTE label propagation
+    "p_dedup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir), threshold = 0.5)),
+
+    // symmetric int8 embedding quantization (storage path) — oracle-checked
+    "p_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+
     // brute-force cosine top-5 for queries vec_id % 50 == 0 — oracle-checked
     "p_embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -393,6 +401,40 @@ object PipelineEntries {
         |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
         |  FROM t x JOIN t y ON x.doc_id < y.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "p_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)),
+        |e AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM t x JOIN t y ON x.doc_id < y.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |ue AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT ue.b AS id, cc.comp FROM cc JOIN ue ON ue.a = cc.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+
+    "p_quantize" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       round(maxabs / 127.0, 9) AS scale,
+        |       CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |            ELSE list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT)) END AS q
+        |FROM n""".stripMargin,
 
     "p_embed_topk" ->
       """WITH n AS (

@@ -317,4 +317,34 @@ object Dedup {
         round(col("i").cast("double") / (col("s") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ---- transitive dup clustering --------------------------------------------
+
+  /** Transitive dedup clusters: connected components over the exact
+    * n-gram-Jaccard pair graph ([[ngramJaccardPairs]]), so A~B and B~C
+    * land A, B, C in ONE cluster even when A~C alone misses the
+    * threshold — the canonicalization step a dedup pipeline runs after
+    * pair mining (keep `cluster_id`, drop the rest). Returns every doc
+    * with `cluster_id` = the minimum doc id in its component (singletons
+    * map to themselves).
+    *
+    * Scale: the pair graph is output-proportional (never all-pairs), and
+    * GraphX connected components is the standard whole-graph iteration —
+    * per-iteration shuffles proportional to the frontier, converging in
+    * O(diameter) steps (dup clusters are shallow: near-cliques). */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.storage.StorageLevel
+    val pairs = ngramJaccardPairs(docs, threshold)
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val verts = docs.select(col("doc_id").cast("long")).distinct()
+      .rdd.map(r => (r.getLong(0), ()))
+    Graph(verts, edges, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .connectedComponents()
+      .vertices.map { case (id, comp) => (id, comp) }
+      .toDF("doc_id", "cluster_id")
+  }
 }

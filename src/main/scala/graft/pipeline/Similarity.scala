@@ -242,6 +242,30 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Symmetric int8 quantization per vector: scale = max|x|/127, stored
+    * value = round(x/scale) ∈ [-127, 127]. The storage-path op for
+    * embedding stores — 4× smaller than float32, 8× than float64; cosine
+    * on int8 is exact enough for candidate generation with the fp
+    * re-check done on the (rare) retrieved vectors. Pure projection: no
+    * shuffle, scales with input splits. The scale factor is staged as a
+    * materialized column (HOF lambdas get no CSE — computing it inline
+    * would re-run the max fold per element). Zero vectors quantize to
+    * zeros with scale 0. */
+  def quantizeInt8(
+      vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__maxabs", array_max(transform(col("__v"), x => abs(x))))
+      .select(
+        col(idCol),
+        round(col("__maxabs") / 127.0, 9).as("scale"),
+        when(col("__maxabs") === 0.0,
+          transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"),
+            x => round(x * 127.0 / col("__maxabs"), 0).cast("long")))
+          .as("q"))
+
   /** A coarse centroid held on the driver: `nlist × dim` doubles — a few
     * KB even at nlist = √(10⁹). Shipping centroids as expression literals
     * (task-binary broadcast) makes every assignment a flat per-row argmax:

@@ -109,6 +109,16 @@ class DedupSpec extends AnyFunSuite {
       s"doc ${r.getLong(0)}: fused=${r.getLong(1)} hof=${r.getLong(2)}"))
   }
 
+  test("dup clusters: transitive closure with min-id canonical, singletons kept") {
+    val got = Dedup.dupClusters(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1,2 identical; 3 near-dup of 1 ⇒ one cluster rooted at 1
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    // 4, 5 unrelated ⇒ their own clusters
+    assert(got(4L) == 4L && got(5L) == 5L)
+    assert(got.size == 5)
+  }
+
   test("ngram jaccard prefix-filtered join equals exact all-pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -191,6 +201,19 @@ class SimilaritySpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(expected.nonEmpty && got == expected)
     assert(expected == v.keys.filter(_ < 1000000000000L).map(i => (i, i + 1000000000000L)).toSet)
+  }
+
+  test("int8 quantization: hand-checked values, zero vector, negatives") {
+    import TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, -1.0f)), // maxabs 1.0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))    // zero vector
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2))).toMap
+    assert(got(1L)._1 == 0.007874016) // 1/127 rounded HALF_UP at 9 dp
+    assert(got(1L)._2 == Seq(127L, -64L, 32L, -127L)) // -0.5*127 = -63.5 ⇒ HALF_UP away from zero
+    assert(got(2L) == ((0.0, Seq(0L, 0L, 0L, 0L))))
   }
 
   test("IVF ANN: empty corpus and null embeddings are well-defined") {

@@ -47,6 +47,10 @@ object PipelineEntries {
     // symmetric int8 embedding quantization (storage path) — oracle-checked
     "p_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
 
+    // seeded random-projection 64→16 reduction — oracle-checked (shared
+    // planeSigns RNG, mirrored sign patterns)
+    "p_reduce_dim" -> ((s, dir) => Similarity.reduceDim(emb(s, dir))),
+
     // brute-force cosine top-5 for queries vec_id % 50 == 0 — oracle-checked
     "p_embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -251,6 +255,23 @@ object PipelineEntries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.reduceDim]]: the SAME seeded ±1 sign
+    * vectors (shared [[Similarity.planeSigns]] RNG) embedded as sign
+    * patterns; 1/√16 = 0.25 is exact in binary and both engines sum
+    * left-to-right, so the 6-dp-rounded components are bit-identical. */
+  private def reduceDimOracleSql(outDim: Int = 16, dim: Int = 64,
+      seed: Long = 11L): String = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = Similarity.planeSigns(outDim, dim, seed).map { s =>
+      val pos = s.zipWithIndex.collect { case (true, j) => j + 1 }.mkString(",")
+      s"round(list_sum(list_transform(range(1,${dim + 1}), " +
+        s"j -> CASE WHEN list_contains([$pos], j) THEN v[j] ELSE -v[j] END)) " +
+        s"* CAST($scale AS DOUBLE), 6)"
+    }.mkString("[", ",\n    ", "]")
+    s"""SELECT vec_id, $comps AS reduced
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.ivfTopK]]: seed centroids = the nlist
     * lowest-id vectors, ONE Lloyd refinement (assign under 6-dp-rounded
     * cosine with ties to the lower cent_id — matching the Spark side,
@@ -380,6 +401,7 @@ object PipelineEntries {
 
     "p_ann_lsh" -> lshOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
+    "p_reduce_dim" -> reduceDimOracleSql(),
     "g_pagerank" -> pagerankOracleSql(),
 
     "p_dedup_exact" ->

@@ -242,6 +242,29 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Seeded ±1 random-projection dimensionality reduction (Achlioptas
+    * sign matrix): out_i = (1/√outDim) · v·s_i with s_i from the shared
+    * seeded RNG ([[planeSigns]] — the same generator the LSH oracle
+    * mirrors), components rounded to 6 dp. Distance-preserving in
+    * expectation (JL lemma); the cheap approximate-embedding path when
+    * full vectors are too wide to shuffle. Pure projection — codegen'd
+    * fused dots against literal sign vectors, no shuffle. `outDim` is a
+    * perfect square by default so 1/√outDim is exact in binary and the
+    * SQL mirror is bit-identical. */
+  def reduceDim(
+      vectors: DataFrame, outDim: Int = 16, dim: Int = DefaultDim,
+      seed: Long = 11L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = planeSigns(outDim, dim, seed).map { s =>
+      val plane = array(s.map(b => lit(if (b) 1.0 else -1.0)): _*)
+      round(dotFixed(col("__v"), plane, dim) * scale, 6)
+    }
+    vectors.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), array(comps: _*).as("reduced"))
+  }
+
   /** Symmetric int8 quantization per vector: scale = max|x|/127, stored
     * value = round(x/scale) ∈ [-127, 127]. The storage-path op for
     * embedding stores — 4× smaller than float32, 8× than float64; cosine

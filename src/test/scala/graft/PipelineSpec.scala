@@ -203,6 +203,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expected == v.keys.filter(_ < 1000000000000L).map(i => (i, i + 1000000000000L)).toSet)
   }
 
+  test("random-projection reduction matches an independent driver-side computation") {
+    val row = emb.orderBy("vec_id").limit(1).collect().head
+    val arr = row.getSeq[Float](1).map(_.toDouble)
+    val expected = Similarity.planeSigns(16, 64, 11L).map { s =>
+      var dot = 0.0
+      for (i <- arr.indices) dot += (if (s(i)) arr(i) else -arr(i))
+      BigDecimal(dot * 0.25)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Similarity.reduceDim(emb.orderBy("vec_id").limit(1))
+      .collect().head.getSeq[Double](1)
+    assert(got == expected)
+  }
+
   test("int8 quantization: hand-checked values, zero vector, negatives") {
     import TestSpark.spark.implicits._
     val d = Seq(

@@ -337,5 +337,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((new FunctionIdentifier("graft_isect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((new FunctionIdentifier("graft_size"),
+      new ExpressionInfo(classOf[PolySize].getName, "graft_size"),
+      (exprs: Seq[Expression]) => PolySize(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) =>
+        MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)))
   }
 }

@@ -255,6 +255,41 @@ object PipelineEntries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.pipeline.Corpus.lengthStats]] that
+    * reproduces Spark's exact `Percentile` interpolation OPERATION FOR
+    * OPERATION — `(higher − pos)·lo + (pos − lower)·hi` over the sorted
+    * values with pos = p·(n−1) — instead of DuckDB's `quantile_cont`
+    * (`lo + frac·(hi − lo)`), whose algebraically-equal-but-differently-
+    * ordered arithmetic can differ by 1 ulp and flip a 6-dp rounding at a
+    * decimal boundary (the p_curate failure class). */
+  private def lengthStatsOracleSql: String = {
+    def pct(tag: String): String =
+      s"""round(CASE WHEN ceil(pos$tag) = floor(pos$tag)
+         |           THEN CAST(arr[CAST(floor(pos$tag) AS BIGINT) + 1] AS DOUBLE)
+         |           ELSE (ceil(pos$tag) - pos$tag) * arr[CAST(floor(pos$tag) AS BIGINT) + 1]
+         |              + (pos$tag - floor(pos$tag)) * arr[CAST(ceil(pos$tag) AS BIGINT) + 1]
+         |      END, 6) AS p$tag""".stripMargin
+    s"""WITH n AS (
+       |  SELECT lang,
+       |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS mean_tokens,
+       |         list(n_tokens ORDER BY n_tokens) AS arr
+       |  FROM n GROUP BY lang),
+       |p AS (
+       |  SELECT lang, n_docs, mean_tokens, arr,
+       |         CAST(0.5 AS DOUBLE)  * (n_docs - 1) AS pos50,
+       |         CAST(0.95 AS DOUBLE) * (n_docs - 1) AS pos95,
+       |         CAST(0.99 AS DOUBLE) * (n_docs - 1) AS pos99
+       |  FROM g)
+       |SELECT lang, n_docs, mean_tokens,
+       |  ${pct("50")},
+       |  ${pct("95")},
+       |  ${pct("99")}
+       |FROM p""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.reduceDim]]: the SAME seeded ±1 sign
     * vectors (shared [[Similarity.planeSigns]] RNG) embedded as sign
     * patterns; 1/√16 = 0.25 is exact in binary and both engines sum
@@ -578,7 +613,7 @@ object PipelineEntries {
 
     "p_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 1000003) % 100 <
+        |WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647 % 100 <
         |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END""".stripMargin,
 
     "p_ngram_topk" ->
@@ -606,17 +641,7 @@ object PipelineEntries {
         |FROM tr JOIN e ON tr.ngram = e.ngram
         |GROUP BY tr.doc_id""".stripMargin,
 
-    "p_length_stats" ->
-      """WITH n AS (
-        |  SELECT lang,
-        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents)
-        |SELECT lang, count(*) AS n_docs,
-        |       round(avg(n_tokens), 6) AS mean_tokens,
-        |       round(quantile_cont(n_tokens, 0.5), 6) AS p50,
-        |       round(quantile_cont(n_tokens, 0.95), 6) AS p95,
-        |       round(quantile_cont(n_tokens, 0.99), 6) AS p99
-        |FROM n GROUP BY lang""".stripMargin,
+    "p_length_stats" -> lengthStatsOracleSql,
 
     "g_concomp" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

@@ -300,20 +300,29 @@ case class SimHash64(child: Expression)
 /** Session registration + Column-level API. */
 object GraftFunctions {
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
-    "graft_isect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
-    "graft_size" -> (exprs => PolySize(exprs.head)),
-    "graft_simhash" -> (exprs => SimHash64(exprs.head)),
+  /** Single source of truth for every graft function: name, implementing
+    * class (for `ExpressionInfo`), builder. Session registration AND the
+    * `SparkSessionExtensions` injection both iterate THIS list, so a new
+    * expression can never be visible on one path and missing on the
+    * other. */
+  private[functions] val builders
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("graft_cosine", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ("graft_isect", classOf[SortedIntersectCount],
+      exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    ("graft_size", classOf[PolySize], exprs => PolySize(exprs.head)),
+    ("graft_simhash", classOf[SimHash64], exprs => SimHash64(exprs.head)),
     // aggregate: k-slot minhash signature over pre-hashed shingles
-    "graft_minhash" -> (exprs => MinHashAgg(exprs.head,
-      graft.pipeline.Dedup.NumHashes)))
+    ("graft_minhash", classOf[MinHashAgg],
+      exprs => MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, _, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
@@ -330,25 +339,9 @@ object GraftFunctions {
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers the
   * vector functions as permanent built-ins for pure-SQL users. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((new FunctionIdentifier("graft_isect"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect"),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
-    e.injectFunction((new FunctionIdentifier("graft_size"),
-      new ExpressionInfo(classOf[PolySize].getName, "graft_size"),
-      (exprs: Seq[Expression]) => PolySize(exprs.head)))
-    e.injectFunction((new FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    e.injectFunction((new FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
-      (exprs: Seq[Expression]) =>
-        MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, cls, b) =>
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), b))
+    }
 }

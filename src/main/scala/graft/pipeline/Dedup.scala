@@ -340,7 +340,9 @@ object Dedup {
     val pairs = ngramJaccardPairs(docs, threshold)
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val verts = docs.select(col("doc_id").cast("long")).distinct()
+    // no distinct(): doc_id is the table key, and GraphX's vertex RDD
+    // dedups by id during graph construction anyway
+    val verts = docs.select(col("doc_id").cast("long"))
       .rdd.map(r => (r.getLong(0), ()))
     Graph(verts, edges, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
       .connectedComponents()

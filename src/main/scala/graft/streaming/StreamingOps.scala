@@ -15,24 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
-  /** Tumbling-window counts+sums per event type. On a stream, prepend
-    * [[withWatermark]] so state for closed windows is dropped. */
-  def tumblingCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
-    events
-      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+  /** Shared body for the four windowed-count variants: ONE place owns the
+    * aggregation shape and the `yyyy-MM-dd HH:mm` output format, which
+    * must stay in sync with the DuckDB oracles (`p_window`,
+    * `p_window_sliding`) AND between the batch/stream pair each spec pins
+    * for equality. Tumbling = sliding with slideDur == windowDur. */
+  private def windowedCounts(events: DataFrame, windowDur: String,
+      slideDur: String, watermark: Option[String]): DataFrame =
+    watermark.fold(events)(events.withWatermark("ts", _))
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Tumbling-window counts+sums per event type. */
+  def tumblingCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    windowedCounts(events, windowDur, windowDur, watermark = None)
+
   /** Streaming variant: 2-hour watermark bounds state; append-mode safe. */
   def streamingTumblingCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
-      .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
-        col("event_type"), col("cnt"), col("sum_value"))
+    windowedCounts(events, windowDur, windowDur, watermark = Some("2 hours"))
 
   /** Sliding-window counts+sums per event type: each event lands in
     * `windowDur / slideDur` overlapping windows (Spark's `window()` with a
@@ -42,22 +45,12 @@ object StreamingOps {
     * of event volume. */
   def slidingCounts(events: DataFrame, windowDur: String = "1 hour",
       slideDur: String = "15 minutes"): DataFrame =
-    events
-      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
-      .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
-        col("event_type"), col("cnt"), col("sum_value"))
+    windowedCounts(events, windowDur, slideDur, watermark = None)
 
   /** Streaming variant: 2-hour watermark bounds the open-window state. */
   def streamingSlidingCounts(events: DataFrame, windowDur: String = "1 hour",
       slideDur: String = "15 minutes"): DataFrame =
-    events.withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
-      .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
-        col("event_type"), col("cnt"), col("sum_value"))
+    windowedCounts(events, windowDur, slideDur, watermark = Some("2 hours"))
 
   /** Gap-based sessionization (batch formulation): a new session starts when
     * the inter-event gap exceeds `gapMinutes`. Window-function cumulative

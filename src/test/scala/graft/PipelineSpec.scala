@@ -383,8 +383,16 @@ class CorpusSpec extends AnyFunSuite {
     val all = docs.select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val expected = all.collect { case (id, lang)
-      if (id * 1000003L) % 100 < rates.getOrElse(lang, 25) => id }.toSet
+      if (id % 2147483647L) * 48271L % 2147483647L * 48271L % 2147483647L % 100 <
+        rates.getOrElse(lang, 25) => id }.toSet
     assert(s1 == expected)
+    // strided ids (all multiples of 100) must still sample at ~the rate:
+    // a non-mixing (id*a) % 100 would keep 0% or 100% of them
+    import TestSpark.spark.implicits._
+    val strided = (1 to 2000).map(i => (i * 100L, "en")).toDF("doc_id", "lang")
+    val kept = Corpus.stratifiedSample(strided, Map("en" -> 25), defaultNum = 25)
+      .count().toDouble / 2000
+    assert(kept > 0.15 && kept < 0.35, s"strided keep rate $kept far from 0.25")
     // rate bounds are validated
     intercept[IllegalArgumentException] {
       Corpus.stratifiedSample(docs, Map("en" -> 200), defaultNum = 25)

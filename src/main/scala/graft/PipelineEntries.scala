@@ -44,12 +44,22 @@ object PipelineEntries {
     // against a recursive-CTE label propagation
     "p_dedup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir), threshold = 0.5)),
 
-    // symmetric int8 embedding quantization (storage path) — oracle-checked
-    "p_quantize" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    // symmetric int8 embedding quantization (storage path) — oracle-checked.
+    // The library op returns (vec_id, scale, q: array<long>); the gate entry
+    // posexplodes to one scalar row per component so the driver's pandas
+    // checker can sort/hash it (array cells are unhashable there).
+    "p_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir))
+        .select(col("vec_id"), col("scale"), posexplode(col("q")).as(Seq("idx", "qval")))
+        .withColumn("idx", col("idx").cast("long"))),
 
     // seeded random-projection 64→16 reduction — oracle-checked (shared
-    // planeSigns RNG, mirrored sign patterns)
-    "p_reduce_dim" -> ((s, dir) => Similarity.reduceDim(emb(s, dir))),
+    // planeSigns RNG, mirrored sign patterns); posexploded for the same
+    // checker-compatibility reason as p_quantize.
+    "p_reduce_dim" -> ((s, dir) =>
+      Similarity.reduceDim(emb(s, dir))
+        .select(col("vec_id"), posexplode(col("reduced")).as(Seq("idx", "comp")))
+        .withColumn("idx", col("idx").cast("long"))),
 
     // brute-force cosine top-5 for queries vec_id % 50 == 0 — oracle-checked
     "p_embed_topk" -> ((s, dir) => {
@@ -303,8 +313,14 @@ object PipelineEntries {
         s"j -> CASE WHEN list_contains([$pos], j) THEN v[j] ELSE -v[j] END)) " +
         s"* CAST($scale AS DOUBLE), 6)"
     }.mkString("[", ",\n    ", "]")
-    s"""SELECT vec_id, $comps AS reduced
-       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+    // exploded to (vec_id, idx, comp) scalar rows — mirrors the Spark
+    // side's posexplode (driver checker cannot sort list cells).
+    s"""WITH r AS (
+       |  SELECT vec_id, $comps AS reduced
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+       |SELECT vec_id, CAST(t.range AS BIGINT) AS idx,
+       |       reduced[CAST(t.range AS INT) + 1] AS comp
+       |FROM r CROSS JOIN range(0, $outDim) t""".stripMargin
   }
 
   /** DuckDB mirror of [[Similarity.ivfTopK]]: seed centroids = the nlist
@@ -482,16 +498,23 @@ object PipelineEntries {
         |  SELECT ue.b AS id, cc.comp FROM cc JOIN ue ON ue.a = cc.id)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id""".stripMargin,
 
+    // exploded to (vec_id, scale, idx, qval) scalar rows — mirrors the
+    // posexplode on the Spark side; list cells are unsortable in the
+    // driver's pandas-based checker. idx is 0-based like posexplode.
     "p_quantize" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
-        |  FROM embeddings)
-        |SELECT vec_id,
-        |       round(maxabs / 127.0, 9) AS scale,
-        |       CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |            ELSE list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT)) END AS q
-        |FROM n""".stripMargin,
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |         round(maxabs / 127.0, 9) AS scale,
+        |         CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT)) END AS q
+        |  FROM n)
+        |SELECT vec_id, scale, CAST(t.range AS BIGINT) AS idx,
+        |       q[CAST(t.range AS INT) + 1] AS qval
+        |FROM qv CROSS JOIN range(0, 64) t""".stripMargin,
 
     "p_embed_topk" ->
       """WITH n AS (

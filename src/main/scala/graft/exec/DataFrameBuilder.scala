@@ -106,15 +106,27 @@ final class DataFrameBuilder(session: GraftSession) {
 
     // bounded var-length hop: iterated self-join over the single-hop pair
     // set, distinct-pair reachability semantics. Each composition is an
-    // equi-join Catalyst can broadcast/shuffle; `distinct` bounds growth.
+    // equi-join Catalyst can broadcast/shuffle. The hop set is at most as
+    // large as the edge table, so the base table's optimizer stats are a
+    // safe upper bound for a broadcast decision — the explode/distinct
+    // lineage hides that bound from Catalyst's own estimator, which is why
+    // the hint is lifted here instead of left to the planner. Per-level
+    // `distinct` bounds path-count growth for the NEXT composition; the
+    // last level needs none (the final union-distinct dedups it, and the
+    // hash aggregate's map-side combine absorbs path multiplicity without
+    // an extra sequential shuffle stage).
     def composeHops(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
+      val smallEdges = scala.util.Try {
+        base.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          session.spark.sessionState.conf.autoBroadcastJoinThreshold
+      }.getOrElse(false)
+      val rhs = if (smallEdges) broadcast(h1) else h1
       val hops = scala.collection.mutable.ArrayBuffer(h1)
-      for (_ <- 2 to hi) {
+      for (level <- 2 to hi) {
         val prev = hops.last.alias("l")
-        val next = prev.join(h1.alias("r"), col("l.__dst") === col("r.__src"))
+        val next = prev.join(rhs.alias("r"), col("l.__dst") === col("r.__src"))
           .select(col("l.__src").as("__src"), col("r.__dst").as("__dst"))
-          .distinct()
-        hops += next
+        hops += (if (level < hi) next.distinct() else next)
       }
       hops.slice(lo - 1, hi).reduce(_ union _).distinct()
     }

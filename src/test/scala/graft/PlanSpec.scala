@@ -47,6 +47,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("var-length hop composition joins broadcast when the edge table is small") {
+    // the hop set is bounded by the edge table, so a small edge table must
+    // give BHJ compositions (stage-depth matters: an SMJ adds two exchanges
+    // + sorts per level to a query whose cost is pure scheduler latency)
+    val plan = formatted(gs.cypher(
+      """MATCH (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
+        |RETURN a.n_nationkey AS a_id, b.n_nationkey AS b_id;""".stripMargin))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("wrong-direction empty result folds to an empty relation") {
     val df = gs.cypher("MATCH (o:Order)-[:PLACED]->(c:Customer) RETURN c.c_custkey AS k;")
     val optimized = df.queryExecution.optimizedPlan.toString

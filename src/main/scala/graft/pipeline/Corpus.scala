@@ -71,8 +71,9 @@ object Corpus {
     * once). Deterministic tie-break: count DESC, shingle ASC. */
   def ngramTopK(docs: DataFrame, k: Int = 100, n: Int = 3,
       textCol: String = "text"): DataFrame =
-    Dedup.withShingles(docs.select(col(textCol)), textCol, n)
-      .select(explode(col("sh")).as("ngram"))
+    Explodes.explodeNoInfer(
+        Dedup.withShingles(docs.select(col(textCol)), textCol, n),
+        Seq.empty, col("sh"), "ngram")
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram").asc)
       .limit(k)
@@ -83,10 +84,12 @@ object Corpus {
     * never leaves the filter. */
   def contamination(train: DataFrame, eval_ : DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalShingles = Dedup.withShingles(eval_.select(col(textCol)), textCol, n)
-      .select(explode(col("sh")).as("ngram")).distinct()
-    Dedup.withShingles(train.select(col(idCol), col(textCol)), textCol, n)
-      .select(col(idCol), explode(col("sh")).as("ngram"))
+    val evalShingles = Explodes.explodeNoInfer(
+      Dedup.withShingles(eval_.select(col(textCol)), textCol, n),
+      Seq.empty, col("sh"), "ngram").distinct()
+    Explodes.explodeNoInfer(
+        Dedup.withShingles(train.select(col(idCol), col(textCol)), textCol, n),
+        Seq(col(idCol)), col("sh"), "ngram")
       .join(broadcast(evalShingles), "ngram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("overlap_ngrams")) // shingles are distinct per doc

@@ -187,6 +187,19 @@ object PipelineEntries {
     // degree distribution from the edge list — oracle-checked
     "g_degrees" -> ((s, dir) =>
       GraphAlgorithms.degrees(TpchGraph.session(s, dir), "NATION_ADJ")),
+
+    // GraphX per-vertex triangle count over NATION_ADJ (each region is a
+    // K5 clique ⇒ 6 per vertex) — oracle-checked against a triangle-
+    // enumeration CTE
+    "g_triangles" -> ((s, dir) =>
+      GraphAlgorithms.triangleCount(TpchGraph.session(s, dir), "NATION_ADJ")),
+
+    // GraphX Pregel shortest paths (hop counts) to fixed landmarks over
+    // the sparse NATION_NEXT successor chain — oracle-checked against a
+    // recursive-CTE BFS. Distances follow edge direction (v → … → lm).
+    "g_shortest" -> ((s, dir) =>
+      GraphAlgorithms.shortestPaths(TpchGraph.session(s, dir), "NATION_NEXT",
+        Seq(24L, 10L, 3L))),
   )
 
   // ---- generated oracle SQL -----------------------------------------------
@@ -682,5 +695,45 @@ object PipelineEntries {
         |       COALESCE(out_degree, 0) AS out_degree,
         |       COALESCE(in_degree, 0) AS in_degree
         |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin,
+
+    // triangle enumeration over the canonical (f < t) edge set: each
+    // triangle a<b<c found once, per-vertex count = appearances in any
+    // corner; vertices with edges but no triangles still get a 0 row
+    // (GraphX's vertex set = edge endpoints)
+    "g_triangles" ->
+      """WITH e AS (
+        |  SELECT n1.n_nationkey AS f, n2.n_nationkey AS t
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey),
+        |tri AS (
+        |  SELECT e1.f AS a, e1.t AS b, e2.t AS c
+        |  FROM e e1 JOIN e e2 ON e2.f = e1.t
+        |  JOIN e e3 ON e3.f = e1.f AND e3.t = e2.t),
+        |m AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri),
+        |verts AS (SELECT f AS id FROM e UNION SELECT t AS id FROM e),
+        |cnt AS (SELECT id, count(*) AS triangles FROM m GROUP BY id)
+        |SELECT CAST(verts.id AS BIGINT) AS id,
+        |       CAST(COALESCE(cnt.triangles, 0) AS BIGINT) AS triangles
+        |FROM verts LEFT JOIN cnt ON cnt.id = verts.id""".stripMargin,
+
+    // BFS from each landmark expanding BACKWARD along the successor
+    // chain (GraphX ShortestPaths messages flow dst→src, so a vertex's
+    // distance is the directed hop count v → … → landmark); the chain
+    // next() is a function so each (id, landmark) appears exactly once
+    "g_shortest" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT n1.n_nationkey AS f, min(n2.n_nationkey) AS t
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey AND n2.n_nationkey > n1.n_nationkey
+        |  GROUP BY n1.n_nationkey),
+        |bfs AS (
+        |  SELECT CAST(lm AS BIGINT) AS id, CAST(lm AS BIGINT) AS landmark,
+        |         0 AS dist
+        |  FROM (VALUES (24), (10), (3)) t(lm)
+        |  UNION ALL
+        |  SELECT CAST(nxt.f AS BIGINT), bfs.landmark, bfs.dist + 1
+        |  FROM bfs JOIN nxt ON CAST(nxt.t AS BIGINT) = bfs.id)
+        |SELECT id, landmark, CAST(dist AS BIGINT) AS distance FROM bfs""".stripMargin,
   )
 }

@@ -88,6 +88,17 @@ object TpchGraph {
               col("n2.n_nationkey").as("to_Nation")))
     gs.registerRel("NATION_ADJ", "NATION_ADJ", "Nation", "Nation")
 
+    // sparse successor chain within a region (each nation → next-higher
+    // key): gives the BFS fixtures real multi-hop distances, unlike the
+    // complete per-region NATION_ADJ DAG where everything is 0 or 1 hop
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_regionkey").orderBy("n_nationkey")
+    gs.registerTable("NATION_NEXT", nation
+      .select(col("n_nationkey").as("from_Nation"),
+              lead(col("n_nationkey"), 1).over(w).as("to_Nation"))
+      .filter(col("to_Nation").isNotNull))
+    gs.registerRel("NATION_NEXT", "NATION_NEXT", "Nation", "Nation")
+
     // customer→region shortcut edge; closes the FROM_NATION/IN_REGION triangle
     gs.registerTable("CUST_REGION", customer.join(nation,
         col("c_nationkey") === col("n_nationkey"))

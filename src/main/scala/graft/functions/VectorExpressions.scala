@@ -319,11 +319,18 @@ object GraftFunctions {
     ("graft_minhash", classOf[MinHashAgg],
       exprs => MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)))
 
-  /** Idempotent per-session registration (temp functions). */
+  /** Idempotent per-session registration (temp functions). Names already
+    * present are left untouched — every library op calls this on entry,
+    * and re-registering emitted a "replaced a previously registered
+    * function" warning per name per call (the only log noise in an
+    * otherwise clean bench run). A user who shadowed a `graft_*` name
+    * keeps their binding; use [[GraftExtensions]] for permanent
+    * conflict-free registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, _, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      if (!reg.functionExists(new FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 

@@ -115,9 +115,21 @@ final class GraftSession(val spark: SparkSession) {
   private def buildAdjIndex(relLabel: String, outgoing: Boolean): DataFrame = {
     val r = _catalog.rel(relLabel)
     val (key, value) = if (outgoing) (r.fromColumn, r.toColumn) else (r.toColumn, r.fromColumn)
-    table(r.tableName)
-      .groupBy(col(key).as("id"))
-      .agg(collect_set(col(value)).as("neighbors"))
+    val edges = table(r.tableName)
+    // bigint keys (every TPC-H-style id) aggregate through the Roaring
+    // bitmap: compressed buffers + OR-merges where collect_set pays boxed
+    // hash-set inserts — the difference IS the power-law hot groups.
+    // Output is a sorted array<bigint>, so the read shape, the explode
+    // path, and the persisted bucketed tables are unchanged (sorted also
+    // makes the persisted index deterministic). Non-bigint keys (custom
+    // DDL dtypes) keep the dtype-preserving collect_set path.
+    val isLong = edges.schema(value).dataType ==
+      org.apache.spark.sql.types.LongType
+    graft.functions.GraftFunctions.register(spark)
+    edges.groupBy(col(key).as("id"))
+      .agg(
+        (if (isLong) graft.functions.GraftFunctions.bitmapNeighborsAgg(col(value))
+         else collect_set(col(value))).as("neighbors"))
   }
 
   /** Durable adjacency index: bucketed-by-id managed tables

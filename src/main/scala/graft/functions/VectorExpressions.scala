@@ -317,7 +317,10 @@ object GraftFunctions {
     ("graft_simhash", classOf[SimHash64], exprs => SimHash64(exprs.head)),
     // aggregate: k-slot minhash signature over pre-hashed shingles
     ("graft_minhash", classOf[MinHashAgg],
-      exprs => MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)))
+      exprs => MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)),
+    // aggregate: Roaring-bitmap neighbor set → sorted array<bigint>
+    ("graft_bitmap_neighbors", classOf[BitmapNeighborsAgg],
+      exprs => BitmapNeighborsAgg(exprs.head)))
 
   /** Idempotent per-session registration (temp functions). Names already
     * present are left untouched — every library op calls this on entry,
@@ -340,6 +343,8 @@ object GraftFunctions {
     call_function("graft_isect", a, b)
   def minhashSignatureAgg(hashedShingle: Column): Column =
     call_function("graft_minhash", hashedShingle)
+  def bitmapNeighborsAgg(id: Column): Column =
+    call_function("graft_bitmap_neighbors", id)
   def simhash64(shingles: Column): Column = call_function("graft_simhash", shingles)
 }
 

@@ -87,6 +87,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sig7 == sig(1L))
   }
 
+  test("graft_bitmap_neighbors equals sorted collect_set, incl. shuffle-merge path") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // enough rows across partitions to force serialize/deserialize + merge;
+    // duplicate edges must dedup; skewed key 0 gets a big neighbor set
+    val edges = spark.range(0, 5000)
+      .select((col("id") % 50).as("src"), (col("id") % 997).as("dst"))
+      .union(spark.range(0, 2000).select(lit(0L).as("src"), (col("id") * 3).as("dst")))
+      .repartition(8)
+    val bitmap = edges.groupBy("src")
+      .agg(GraftFunctions.bitmapNeighborsAgg(col("dst")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reference = edges.groupBy("src")
+      .agg(array_sort(collect_set(col("dst"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bitmap.keySet == reference.keySet)
+    bitmap.foreach { case (k, n) =>
+      assert(n == reference(k), s"neighbor set mismatch for key $k")
+      assert(n == n.sorted, s"bitmap output not ascending for key $k")
+    }
+  }
+
+  test("adjacency index built through the bitmap aggregate reads identically") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("btab", Seq(1L, 2L, 3L).toDF("id"))
+    g.registerNode("BN", "btab", "id")
+    g.registerTable("BE", Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L))
+      .toDF("from_BN", "to_BN"))
+    g.registerRel("BE", "BE", "BN", "BN", adjIndex = true)
+    val out = g.adjIndex("BE", outgoing = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out == Map(1L -> Seq(2L, 3L), 2L -> Seq(3L)))
+  }
+
   test("usable from Cypher through the function registry") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -320,7 +320,14 @@ object GraftFunctions {
       exprs => MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)),
     // aggregate: Roaring-bitmap neighbor set → sorted array<bigint>
     ("graft_bitmap_neighbors", classOf[BitmapNeighborsAgg],
-      exprs => BitmapNeighborsAgg(exprs.head)))
+      exprs => BitmapNeighborsAgg(exprs.head)),
+    // all L sign-random-projection codes fused into one pass; geometry
+    // args must be foldable (they parameterize the generated code)
+    ("graft_srp_codes", classOf[SrpCodesExpr], exprs => {
+      def i(e: Expression) = e.eval().asInstanceOf[Number].intValue
+      def l(e: Expression) = e.eval().asInstanceOf[Number].longValue
+      SrpCodesExpr(exprs(0), i(exprs(1)), i(exprs(2)), i(exprs(3)), l(exprs(4)))
+    }))
 
   /** Idempotent per-session registration (temp functions). Names already
     * present are left untouched — every library op calls this on entry,
@@ -345,6 +352,12 @@ object GraftFunctions {
     call_function("graft_minhash", hashedShingle)
   def bitmapNeighborsAgg(id: Column): Column =
     call_function("graft_bitmap_neighbors", id)
+  def srpCodes(v: Column, tables: Int, planes: Int, dim: Int,
+      baseSeed: Long = 7L): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_srp_codes", v,
+      lit(tables), lit(planes), lit(dim), lit(baseSeed))
+  }
   def simhash64(shingles: Column): Column = call_function("graft_simhash", shingles)
 }
 

@@ -109,8 +109,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
 
-    def codes(v: Column): Column = array((0 until tables).map(t =>
-      srpCode(v, planes, dim, seed = 7L + t * 1000L)): _*)
+    // fused native expression: the composed array(srpCode × L) form
+    // generates L·b·dim statements and falls out of JIT compilation at
+    // realistic (L, b) — see SrpCodesExpr scaladoc. Bit-identical codes.
+    def codes(v: Column): Column =
+      GraftFunctions.srpCodes(v, tables, planes, dim)
 
     // Vectors and codes are SEPARATE tables: the bucket join + candidate
     // dedup flow only (id, table, code) — two longs and a short — never the
@@ -217,8 +220,9 @@ object Similarity {
           math.ceil(math.log(1e-6) / math.log(tableMiss)).toInt))
       }
 
-    def codesArr(v: Column): Column = array((0 until L).map(t =>
-      srpCode(v, b, dim, seed = 7L + t * 1000L)): _*)
+    // fused native expression (see SrpCodesExpr scaladoc; bit-identical)
+    def codesArr(v: Column): Column =
+      GraftFunctions.srpCodes(v, L, b, dim)
     val codes = vecs.select(col("id"),
       posexplode(codesArr(col("v"))).as(Seq("tbl", "code")))
 

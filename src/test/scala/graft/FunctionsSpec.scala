@@ -122,6 +122,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == Map(1L -> Seq(2L, 3L), 2L -> Seq(3L)))
   }
 
+  test("graft_srp_codes equals the composed array(srpCode x L) form bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(99)
+    val dim = 64
+    val vecs = Seq.fill(200)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val tables = 13; val planes = 9
+    val composed = array((0 until tables).map(t =>
+      Similarity.srpCode(
+        transform(col("v"), x => x.cast("double")), planes, dim,
+        seed = 7L + t * 1000L)): _*)
+    val got = vecs.select(col("id"),
+        GraftFunctions.srpCodes(col("v"), tables, planes, dim).as("fused"),
+        composed.as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"mismatch for id ${r.getLong(0)}")
+    }
+    // interpreted eval agrees with the codegen'd DataFrame path: run the
+    // expression directly over one of the same vectors
+    val sample = vecs.select(col("id"), col("v")).collect().head
+    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      sample.getSeq[Float](1),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val interp = graft.functions.SrpCodesExpr(lit0, tables, planes, dim, 7L)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    val fusedForSample = got.find(_.getLong(0) == sample.getLong(0)).get.getSeq[Long](1)
+    assert(interp == fusedForSample)
+  }
+
   test("usable from Cypher through the function registry") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -327,6 +327,16 @@ object GraftFunctions {
       def i(e: Expression) = e.eval().asInstanceOf[Number].intValue
       def l(e: Expression) = e.eval().asInstanceOf[Number].longValue
       SrpCodesExpr(exprs(0), i(exprs(1)), i(exprs(2)), i(exprs(3)), l(exprs(4)))
+    }),
+    // per-row (csim, -cent_id) struct array vs a foldable centroid set
+    // (ids / flat matrix / norms as array literals, evaluated at build)
+    ("graft_cent_sims", classOf[CentroidSimsExpr], exprs => {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val ids = exprs(2).eval().asInstanceOf[ArrayData].toLongArray.toSeq
+      val cents = exprs(3).eval().asInstanceOf[ArrayData].toDoubleArray.toSeq
+      val norms = exprs(4).eval().asInstanceOf[ArrayData].toDoubleArray.toSeq
+      val dim = exprs(5).eval().asInstanceOf[Number].intValue
+      CentroidSimsExpr(exprs(0), exprs(1), ids, cents, norms, dim)
     }))
 
   /** Idempotent per-session registration (temp functions). Names already
@@ -357,6 +367,12 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_srp_codes", v,
       lit(tables), lit(planes), lit(dim), lit(baseSeed))
+  }
+  def centroidSims(v: Column, vnorm: Column, ids: Array[Long],
+      centsFlat: Array[Double], norms: Array[Double], dim: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_cent_sims", v, vnorm,
+      lit(ids), lit(centsFlat), lit(norms), lit(dim))
   }
   def simhash64(shingles: Column): Column = call_function("graft_simhash", shingles)
 }

@@ -299,18 +299,18 @@ object Similarity {
     * no centroid join, no window, no shuffle. */
   private case class Centroid(id: Long, cent: Array[Double], norm: Double)
 
-  /** Per-row array of `(csim, -cent_id)` structs against the literal
-    * centroid set — 6-dp-rounded cosine, flat codegen'd columns (no HOF
-    * lambdas, so `dotFixed` stays whole-stage-codegen'd). Struct ordering
-    * is lexicographic, so `array_max` = best csim with ties to the LOWER
-    * cent_id, and an ascending `array_sort` ends with the best entries. */
+  /** Per-row array of `(csim, -cent_id)` structs against the centroid
+    * set, fused into one compiled pass ([[graft.functions
+    * .CentroidSimsExpr]] — the literal `array(struct(...) × nlist)` form
+    * blew past JIT method limits and dropped the stage into the bytecode
+    * interpreter, and bounded nlist at ≈4k on codegen size). Struct
+    * ordering is lexicographic, so `array_max` = best csim with ties to
+    * the LOWER cent_id, and an ascending `array_sort` ends with the best
+    * entries. Centroids must arrive sorted by ascending id. */
   private def centSims(v: Column, vnorm: Column, cents: Seq[Centroid]): Column =
-    array(cents.map { ct =>
-      struct(
-        round(dotFixed(v, lit(ct.cent), DefaultDim) / (vnorm * lit(ct.norm)), 6)
-          .as("csim"),
-        lit(-ct.id).as("negid"))
-    }: _*)
+    GraftFunctions.centroidSims(v, vnorm,
+      cents.map(_.id).toArray, cents.flatMap(_.cent.toSeq).toArray,
+      cents.map(_.norm).toArray, DefaultDim)
 
   /** IVF-style ANN: corpus is partitioned by nearest coarse centroid;
     * queries probe the `nprobe` nearest centroid lists. The 100 TB layout:
@@ -333,10 +333,12 @@ object Similarity {
     * Each Lloyd step is ONE corpus pass (assign + mean aggregate) and the
     * refined centroids are collected back to the driver (nlist rows), so
     * the final corpus assignment is computed exactly once — nothing
-    * re-executes centroid lineage. Beyond nlist ≈ 4k the flat argmax
-    * column would outgrow codegen; that regime wants sharded centroid
-    * tables (hierarchical coarse quantizer), which this corpus never
-    * reaches, so we cap the auto value there. */
+    * re-executes centroid lineage. The auto nlist is capped at 4096 — no
+    * longer a codegen limit (the fused [[graft.functions
+    * .CentroidSimsExpr]] loops over an arbitrary centroid matrix), but
+    * √N > 4096 means N > 16M vectors per job, the regime where a
+    * hierarchical coarse quantizer beats one flat centroid list anyway,
+    * and the DuckDB oracle mirrors the same `least(4096, …)`. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int = 5, nlist: Int = 0,
       nprobe: Int = 4, refineIters: Int = 1,

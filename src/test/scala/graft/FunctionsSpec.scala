@@ -155,6 +155,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(interp == fusedForSample)
   }
 
+  test("CentroidSimsExpr equals the literal struct-array form bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val dim = 64
+    val vecs = Seq.fill(300)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("v"), col("v"))))
+    val cents = Seq.tabulate(17) { c =>
+      (c.toLong * 3, Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }.map { case (id, cent) =>
+      (id, cent, math.sqrt(cent.map(x => x * x).sum))
+    }
+    // the replaced formulation: literal arrays + Spark round()
+    val literalForm = array(cents.map { case (id, cent, nrm) =>
+      struct(
+        round(GraftFunctions.dot(col("v"), lit(cent)) / (col("nrm") * lit(nrm)), 6)
+          .as("csim"),
+        lit(-id).as("negid"))
+    }: _*)
+    val fused = GraftFunctions.centroidSims(col("v"), col("nrm"),
+      cents.map(_._1).toArray, cents.flatMap(_._2.toSeq).toArray,
+      cents.map(_._3).toArray, dim)
+    val rows = vecs.select(col("id"), fused.as("f"), literalForm.as("l")).collect()
+    rows.foreach { r =>
+      val f = r.getSeq[org.apache.spark.sql.Row](1)
+      val l = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(f.size == l.size)
+      f.zip(l).foreach { case (a, b) =>
+        // bit-for-bit: compare raw double bits, not ==
+        assert(java.lang.Double.doubleToLongBits(a.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(b.getDouble(0)),
+          s"csim mismatch id=${r.getLong(0)}: ${a.getDouble(0)} vs ${b.getDouble(0)}")
+        assert(a.getLong(1) == b.getLong(1))
+      }
+    }
+  }
+
   test("usable from Cypher through the function registry") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgorithms
-import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Explodes, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline operators surfaced as driver-checkable queries.
@@ -48,17 +48,19 @@ object PipelineEntries {
     // The library op returns (vec_id, scale, q: array<long>); the gate entry
     // posexplodes to one scalar row per component so the driver's pandas
     // checker can sort/hash it (array cells are unhashable there).
+    // posexplodeNoInfer: the inferred size(q) > 0 pre-filter would
+    // re-derive the HOF quantization lineage per element (see Explodes)
     "p_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(emb(s, dir))
-        .select(col("vec_id"), col("scale"), posexplode(col("q")).as(Seq("idx", "qval")))
+      Explodes.posexplodeNoInfer(Similarity.quantizeInt8(emb(s, dir)),
+          Seq(col("vec_id"), col("scale")), col("q"), "idx", "qval")
         .withColumn("idx", col("idx").cast("long"))),
 
     // seeded random-projection 64→16 reduction — oracle-checked (shared
     // planeSigns RNG, mirrored sign patterns); posexploded for the same
     // checker-compatibility reason as p_quantize.
     "p_reduce_dim" -> ((s, dir) =>
-      Similarity.reduceDim(emb(s, dir))
-        .select(col("vec_id"), posexplode(col("reduced")).as(Seq("idx", "comp")))
+      Explodes.posexplodeNoInfer(Similarity.reduceDim(emb(s, dir)),
+          Seq(col("vec_id")), col("reduced"), "idx", "comp")
         .withColumn("idx", col("idx").cast("long"))),
 
     // brute-force cosine top-5 for queries vec_id % 50 == 0 — oracle-checked

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Do NOT use for arrays that may CONTAIN null elements: plain explode
   * keeps such rows, these helpers drop them.
   */
-private[pipeline] object Explodes {
+private[graft] object Explodes {
 
   /** `df.select(keep :+ explode(arr).as(as))` minus the inferred-filter
     * recomputation. Precondition: array elements are never null. */

@@ -172,6 +172,13 @@ object PipelineEntries {
     // oracle-checked against DuckDB quantile_cont
     "p_length_stats" -> ((s, dir) => Corpus.lengthStats(docs(s, dir))),
 
+    // Gopher-style word-repetition quality signals — oracle-checked
+    "p_repetition" -> ((s, dir) => Corpus.repetitionStats(docs(s, dir))),
+
+    // deterministic sharded sequence packing — oracle-checked against an
+    // identical window formulation
+    "p_pack" -> ((s, dir) => Corpus.packSequences(docs(s, dir))),
+
     // GraphX connected components over the same-label NATION_ADJ edge
     // list; component id = min member id ⇒ SQL-oracle-checkable
     "g_concomp" -> ((s, dir) =>
@@ -680,6 +687,51 @@ object PipelineEntries {
         |GROUP BY tr.doc_id""".stripMargin,
 
     "p_length_stats" -> lengthStatsOracleSql,
+
+    // word + raw-2-gram repetition fractions; the 1-token doc contributes
+    // its single word as the lone "2-gram" (greatest(len-1, 1) mirrors
+    // the Spark sequence bound)
+    "p_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w0 GROUP BY doc_id, w),
+        |w AS (
+        |  SELECT doc_id, sum(c) AS wtotal, count(*) AS wuniq, max(c) AS wtop
+        |  FROM wc GROUP BY doc_id),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |                i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM t),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g0 GROUP BY doc_id, gram),
+        |g AS (
+        |  SELECT doc_id, sum(c) AS gtotal, count(*) AS guniq
+        |  FROM gc GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |       round(1.0 - CAST(wuniq AS DOUBLE) / wtotal, 6) AS dup_word_frac,
+        |       round(CAST(wtop AS DOUBLE) / wtotal, 6) AS top_word_frac,
+        |       round(1.0 - CAST(guniq AS DOUBLE) / gtotal, 6) AS dup_2gram_frac
+        |FROM w JOIN g ON w.doc_id = g.doc_id""".stripMargin,
+
+    // identical window formulation: running token sum per shard in id
+    // order, bin = where the document STARTS
+    "p_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |              AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS seq_bin
+        |FROM c""".stripMargin,
 
     "g_concomp" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

@@ -95,6 +95,75 @@ object Corpus {
       .agg(count(lit(1)).as("overlap_ngrams")) // shingles are distinct per doc
   }
 
+  /** Gopher-style word-repetition quality signals per document (the
+    * repetition family of Rae et al. 2021 §A1.1, word-level because the
+    * corpus fixture has no line structure):
+    *  - `dup_word_frac`: 1 − distinct/total words — high for "spam spam
+    *    spam" boilerplate;
+    *  - `top_word_frac`: occurrences of the most frequent word / total —
+    *    high for keyword stuffing;
+    *  - `dup_2gram_frac`: 1 − distinct/total word 2-grams.
+    * All 6-dp-rounded doubles; filters gate on raw comparisons against
+    * interior thresholds downstream, never on the rounded boundary.
+    *
+    * Scale shape: explode → two (doc, term) count aggregations → per-doc
+    * rollup — the same map-side-combinable count shuffles as
+    * [[ngramTopK]], keyed by (doc, term) so no group ever exceeds one
+    * document's vocabulary. No driver state, no windows. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toksDf = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+    val words = Explodes.explodeNoInfer(
+      toksDf, Seq(col(idCol)), col("__toks"), "w")
+    val wstats = words.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("wtotal"), count(lit(1)).as("wuniq"), max("c").as("wtop"))
+    // raw (non-distinct) 2-grams via the same staged-token projection;
+    // a 1-token doc contributes its single word as the lone "2-gram"
+    val gramsDf = toksDf.withColumn("__g",
+      transform(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(1)) - 1),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2)))))
+    val gstats = Explodes.explodeNoInfer(
+        gramsDf, Seq(col(idCol)), col("__g"), "g")
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("gtotal"), count(lit(1)).as("guniq"))
+    wstats.join(gstats, idCol)
+      .select(col(idCol),
+        round(lit(1.0) - col("wuniq").cast("double") / col("wtotal"), 6)
+          .as("dup_word_frac"),
+        round(col("wtop").cast("double") / col("wtotal"), 6)
+          .as("top_word_frac"),
+        round(lit(1.0) - col("guniq").cast("double") / col("gtotal"), 6)
+          .as("dup_2gram_frac"))
+  }
+
+  /** Deterministic sharded sequence packing: assign each document a
+    * (shard, seq_bin) slot for fixed-length training-sequence assembly.
+    * Documents are packed greedily in id order WITHIN a shard; a document
+    * whose tokens straddle a boundary belongs to the bin where it starts
+    * (spillover packing — the assembler then splits at the boundary).
+    *
+    * Scale shape: packing is cumulative, so a single global order would
+    * serialize the corpus through one partition; real pipelines pack
+    * within shards, and `shards` is the parallelism unit (set it ≈ the
+    * cluster's write parallelism at 100 TB). One shuffle on the shard
+    * key; the per-shard running sum is a standard window. */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048, shards: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("seq_bin",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        col("cum_tokens"), col("seq_bin"))
+  }
+
   /** Per-language corpus length statistics over whitespace token counts:
     * doc count, mean (6 dp), and exact p50/p95/p99 (linear interpolation —
     * matches DuckDB `quantile_cont` for the oracle). */

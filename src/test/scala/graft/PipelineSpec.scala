@@ -443,4 +443,41 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("repetition stats: hand-checked fractions") {
+    import spark.implicits._
+    val d = Seq(
+      // 4 words, 3 distinct ("spam" twice), top word 2/4;
+      // 2-grams: "spam spam","spam a","a b" — 3 total, 3 distinct
+      (1L, "spam spam a b"),
+      // all same word: dup_word 1-1/3, top 3/3, 2-grams "x x","x x" dup 1-1/2
+      (2L, "x x x"),
+      // single word: 1 word, lone "2-gram" = the word itself
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((0.25, 0.5, 0.0)))
+    assert(got(2L) == ((0.666667, 1.0, 0.5))) // 1 - 1/3 rounded to 6 dp
+    assert(got(3L) == ((0.0, 1.0, 0.0)))
+  }
+
+  test("sequence packing: running sums and bin spillover within shards") {
+    import spark.implicits._
+    // one shard (ids 0,8,16 ≡ 0 mod 8): token counts 3, 2, 4
+    // cum: 3, 5, 9; with seqLen=4 the bins-where-doc-starts are 0, 0, 1
+    val d = Seq(
+      (0L, "a b c"), (8L, "d e"), (16L, "f g h i"))
+      .toDF("doc_id", "text")
+    val got = Corpus.packSequences(d, seqLen = 4, shards = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) == ((0L, 3L, 3L, 0L)))
+    assert(got(8L) == ((0L, 2L, 5L, 0L)))
+    assert(got(16L) == ((0L, 4L, 9L, 1L)))
+    // determinism
+    assert(Corpus.packSequences(d, seqLen = 4, shards = 8).collect().toSeq ==
+      Corpus.packSequences(d, seqLen = 4, shards = 8).collect().toSeq)
+  }
 }

@@ -153,6 +153,20 @@ object SparkEntry {
         |            ELSE 'small' END AS bucket,
         |       count(*) AS cnt;""".stripMargin),
 
+    // collect() list aggregate (Cypher extension; the reference's engine
+    // would map it to a grouped-array aggregate). Parallel aggregation
+    // gives no stable element order, so the gate entry sorts and joins the
+    // list into one scalar string the driver's pandas checker can hash —
+    // the Cypher surface itself returns the array.
+    "q_collect" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col, sort_array}
+      TpchGraph.session(s, dir).cypher(
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+          |RETURN r.r_name AS r_name, collect(n.n_name) AS names,
+          |       count(*) AS cnt;""".stripMargin)
+        .withColumn("names", array_join(sort_array(col("names")), ","))
+    }),
+
     // scalar string-function registry
     "q_string_fns" -> cy(
       """MATCH (c:Customer) WHERE c.c_custkey % 50 = 0
@@ -309,6 +323,12 @@ object SparkEntry {
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_collect" ->
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS names,
+        |       count(*) AS cnt
+        |FROM nation JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "q_string_fns" ->
       """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,

@@ -39,8 +39,8 @@ object Expr {
   /** Aggregate-function names, matching the reference's classifier list
     * (logical_expr/mod.rs:255) plus Spark-native extras. */
   val aggregateNames: Set[String] =
-    Set("count", "min", "max", "avg", "sum", "collect_list", "collect_set",
-        "stddev", "variance", "approx_count_distinct")
+    Set("count", "min", "max", "avg", "sum", "collect", "collect_list",
+        "collect_set", "stddev", "variance", "approx_count_distinct")
 
   def isAggregate(e: Expr): Boolean = e match {
     case Fn(name, _, _) if aggregateNames(name.toLowerCase) => true

@@ -99,7 +99,8 @@ object ExprCompiler {
       case "min"          => min(arg(0))
       case "max"          => max(arg(0))
       case "avg"          => avg(arg(0))
-      case "collect_list" | "collect" => collect_list(arg(0))
+      case "collect_list" | "collect" =>
+        if (fn.distinct) collect_set(arg(0)) else collect_list(arg(0))
       case "collect_set"  => collect_set(arg(0))
       case "stddev"       => stddev(arg(0))
       case "approx_count_distinct" => approx_count_distinct(arg(0))

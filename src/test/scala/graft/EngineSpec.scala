@@ -220,6 +220,28 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(df) == Set(Seq(1L, 10L), Seq(1L, 20L)))
   }
 
+  test("collect() groups values into lists; DISTINCT dedups") {
+    val df = gs.cypher(
+      """MATCH (u:User)-[:Created]->(p:Post)
+        |RETURN u.name AS name, collect(p.title) AS titles;""".stripMargin)
+    val got = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
+    assert(got == Map("u1" -> Seq("p10"), "u2" -> Seq("p10", "p11"),
+                      "u3" -> Seq("p12")))
+    // DISTINCT: u2 follows via two cities? use city collect over Follows
+    val d = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |RETURN collect(DISTINCT b.city) AS cities;""".stripMargin)
+    assert(d.collect().head.getSeq[String](0).sorted == Seq("berlin", "paris", "rome"))
+  }
+
+  test("collect() classifies as an aggregate for implicit grouping") {
+    // mixed RETURN (key + collect) must group, not error or cross-join
+    val df = gs.cypher(
+      "MATCH (u:User) RETURN u.city AS city, collect(u.name) AS names;")
+    assert(df.count() == 3)
+  }
+
   test("approx_count_distinct is available as an aggregate") {
     val df = gs.cypher(
       "MATCH (u:User) RETURN approx_count_distinct(u.city) AS n;")

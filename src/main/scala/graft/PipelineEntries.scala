@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgorithms
-import graft.pipeline.{Corpus, Dedup, Explodes, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Explodes, Metadata, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline operators surfaced as driver-checkable queries.
@@ -133,6 +133,18 @@ object PipelineEntries {
 
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
+
+    // typed JSON metadata extraction (explicit DDL schema, no inference
+    // pass) + filter on the extracted field — oracle-checked
+    "p_json" -> ((s, dir) =>
+      Metadata.parseJson(events(s, dir), "props", "k INT")
+        .filter(col("k") >= 50)
+        .select(col("event_id"), col("k"), col("event_type"))),
+
+    // bucketed profile of a numeric JSON field (parse -> bucket -> one
+    // map-side-combinable agg) — oracle-checked
+    "p_json_profile" -> ((s, dir) =>
+      Metadata.profileIntField(events(s, dir), "props", "k", 10, col("value"))),
 
     // composite curation pipeline: exact-dedup -> quality gate -> per-lang
     // corpus stats (operators composing end-to-end) — oracle-checked.
@@ -633,6 +645,20 @@ object PipelineEntries {
         |       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "p_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       event_type
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50""".stripMargin,
+
+    "p_json_profile" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0)
+        |         AS INTEGER) AS bucket,
+        |       count(*) AS cnt, round(avg(value), 6) AS avg_payload
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "p_curate" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),

@@ -481,3 +481,36 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.packSequences(d, seqLen = 4, shards = 8).collect().toSeq)
   }
 }
+
+class MetadataSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("JSON metadata extraction: typed fields, corrupt rows become NULL") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": 42}"""),
+      (3L, "not json at all"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "props")
+    val got = pipeline.Metadata.parseJson(d, "props", "k INT, tag STRING")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(r.fieldIndex("k"))), Option(r.get(r.fieldIndex("tag"))))))
+      .toMap
+    assert(got(1L) == ((Some(7), Some("a"))))
+    assert(got(2L) == ((Some(42), None)))      // missing field -> NULL
+    assert(got(3L) == ((None, None)))          // corrupt row survives as NULLs
+    assert(got(4L) == ((None, None)))
+  }
+
+  test("JSON int-field profile: buckets, counts, averages") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, """{"k": 3}""", 10.0), (2L, """{"k": 7}""", 20.0),
+      (3L, """{"k": 12}""", 30.0), (4L, "garbage", 99.0))
+      .toDF("id", "props", "value")
+    val got = pipeline.Metadata.profileIntField(d, "props", "k", 10, col("value"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(0 -> ((2L, 15.0)), 1 -> ((1L, 30.0))))
+  }
+}

@@ -168,6 +168,13 @@ object PipelineEntries {
       Corpus.stratifiedSample(docs(s, dir), Map("en" -> 50, "zh" -> 10),
         defaultNum = 25).select("doc_id", "lang")),
 
+    // weighted mixture resampling: src0 upsampled 2.5x, src1 kept at 30%,
+    // rest at 1.0 — oracle-checked (MINSTD² mirror + range() explode)
+    "p_mix" -> ((s, dir) =>
+      Corpus.mixtureSample(docs(s, dir),
+        Map("src0" -> 2.5, "src1" -> 0.3), defaultWeight = 1.0)
+        .select("doc_id", "source", "epoch")),
+
     // corpus-wide top-100 3-gram document frequencies — oracle-checked
     "p_ngram_topk" -> ((s, dir) => Corpus.ngramTopK(docs(s, dir), k = 100)),
 
@@ -686,6 +693,25 @@ object PipelineEntries {
       """SELECT doc_id, lang FROM documents
         |WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647 % 100 <
         |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END""".stripMargin,
+
+    // same MINSTD² mirror; epochs = floor(w) + one more when the id-hash
+    // bucket clears the fractional numerator
+    "p_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source = 'src0' THEN 2.5
+        |              WHEN source = 'src1' THEN 0.3 ELSE 1.0 END AS wt,
+        |         ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |           % 2147483647 % 1000000 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(wt) AS BIGINT) +
+        |         CASE WHEN h < CAST(round((wt - floor(wt)) * 1000000) AS BIGINT)
+        |              THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+        |FROM c WHERE n > 0""".stripMargin,
 
     "p_ngram_topk" ->
       """WITH t AS (

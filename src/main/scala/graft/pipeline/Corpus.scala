@@ -66,6 +66,38 @@ object Corpus {
     docs.filter(hash(col(idCol), den) < numCol)
   }
 
+  /** Weighted mixture resampling: per-source epoch weights, the standard
+    * way a training mix up/down-samples its constituent corpora (weight
+    * 2.5 ⇒ every doc twice plus a deterministic half of them a third
+    * time; 0.3 ⇒ a deterministic 30% kept once). Emits one row per
+    * (doc, epoch) with an `epoch` index 0..n-1.
+    *
+    * Scale notes (100 TB): entirely narrow — a literal CASE chain for
+    * the weight (no join), the same MINSTD² id-hash as
+    * [[stratifiedSample]] for the fractional keep, and a
+    * `sequence`+`explode` fan-out for whole epochs. No shuffle at any
+    * size. Upsampled payload bytes duplicate at the exploded rows — for
+    * multi-epoch mixes over wide rows, select ids first and re-attach the
+    * payload after whatever consumes the mix (e.g. [[packSequences]]).
+    * The filter precedes the explode, so weight-0 sources never generate. */
+  def mixtureSample(
+      docs: DataFrame, weights: Map[String, Double], defaultWeight: Double = 1.0,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      den: Int = 1000000): DataFrame = {
+    require(weights.values.forall(_ >= 0.0) && defaultWeight >= 0.0,
+      "mixture weights must be non-negative")
+    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val whole = floor(wCol).cast("long")
+    val fracNum = round((wCol - floor(wCol)) * den).cast("long")
+    val copies = whole +
+      when(lcgBucket(col(idCol), den) < fracNum, lit(1L)).otherwise(lit(0L))
+    docs.withColumn("_n", copies).filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+
   /** Corpus-wide top-k n-word shingles by document frequency (distinct
     * shingles per doc, so boilerplate repeated inside one document counts
     * once). Deterministic tie-break: count DESC, shingle ASC. */

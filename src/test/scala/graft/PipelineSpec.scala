@@ -480,6 +480,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.packSequences(d, seqLen = 4, shards = 8).collect().toSeq ==
       Corpus.packSequences(d, seqLen = 4, shards = 8).collect().toSeq)
   }
+
+  test("mixture sampling: whole epochs exact, weight-0 dropped, frac = stratified") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i =>
+      (i, if (i < 10) "a" else if (i < 20) "b" else "c", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.mixtureSample(d, Map("a" -> 2.0, "b" -> 0.0),
+        defaultWeight = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 10 docs x 2 epochs; b: dropped entirely; c: 20 docs x 1 epoch
+    assert(got == Map("a" -> 20L, "c" -> 20L))
+
+    // fractional-only weight keeps exactly the stratifiedSample rows, at epoch 0
+    val frac = Corpus.mixtureSample(d, Map.empty, defaultWeight = 0.25, den = 100)
+    val strat = Corpus.stratifiedSample(d, Map.empty, defaultNum = 25, den = 100,
+      strataCol = "source")
+    assert(frac.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      strat.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(frac.select("epoch").collect().forall(_.getLong(0) == 0L))
+    // determinism
+    assert(Corpus.mixtureSample(d, Map("a" -> 2.5)).count() ==
+      Corpus.mixtureSample(d, Map("a" -> 2.5)).count())
+  }
 }
 
 class MetadataSpec extends AnyFunSuite {

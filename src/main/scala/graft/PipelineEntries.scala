@@ -39,6 +39,10 @@ object PipelineEntries {
     // exact n-gram Jaccard within (lang, length) blocks — oracle-checked
     "p_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
 
+    // duplicated-span coverage: fraction of each doc's tokens inside a
+    // 5-gram shared with >=2 docs (substring-dedup signal) — oracle-checked
+    "p_span_dedup" -> ((s, dir) => Dedup.dupSpanCoverage(docs(s, dir))),
+
     // transitive dup clustering: GraphX connected components over the
     // exact pair graph; canonical id = min doc in cluster — oracle-checked
     // against a recursive-CTE label propagation
@@ -498,6 +502,38 @@ object PipelineEntries {
 
     "p_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text",
+
+    // positional 5-grams (same short-doc bound as the Spark side); interval
+    // union via lead(): consecutive starts p, p' overlap when p' - p < 5
+    "p_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+        |p AS (
+        |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(toks[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, n_tokens, toks,
+        |               unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
+        |        FROM m)),
+        |df AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM p)
+        |  GROUP BY gram HAVING count(*) >= 2),
+        |c AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM p JOIN df USING (gram)),
+        |s AS (
+        |  SELECT doc_id,
+        |         count(*) AS dup_positions,
+        |         sum(least(5, n_tokens - pos, coalesce(nxt - pos, 5))) AS covered
+        |  FROM c GROUP BY doc_id)
+        |SELECT m.doc_id, m.n_tokens,
+        |       CAST(coalesce(s.dup_positions, 0) AS BIGINT) AS dup_positions,
+        |       CAST(coalesce(s.covered, 0) AS BIGINT) AS covered_tokens,
+        |       round(coalesce(s.covered, 0) / CAST(m.n_tokens AS DOUBLE), 6)
+        |         AS coverage
+        |FROM m LEFT JOIN s ON m.doc_id = s.doc_id""".stripMargin,
 
     // exhaustive all-pairs in the oracle; the Spark side must reproduce it
     // exactly through prefix filtering (lossless by construction)

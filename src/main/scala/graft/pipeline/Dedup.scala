@@ -349,4 +349,64 @@ object Dedup {
       .vertices.map { case (id, comp) => (id, comp) }
       .toDF("doc_id", "cluster_id")
   }
+
+  /** Duplicated-span coverage: per document, the fraction of tokens lying
+    * inside an n-gram that also occurs in at least `minDocFreq` documents
+    * corpus-wide — the shingle-based approximation of exact substring
+    * deduplication (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": long spans shared across documents are
+    * memorization fuel; this scores each doc by how much of it is such a
+    * span). Only cross-document repetition counts: a phrase repeated
+    * inside a single document leaves its coverage at 0.
+    *
+    * Shape: positional (not distinct) n-gram explode → doc-frequency
+    * aggregate (distinct (doc, gram) then per-gram count — both map-side
+    * combinable) → semi-join positions against the duplicated-gram set →
+    * per-doc interval union via one lead() window. At 100 TB the gram
+    * doc-freq aggregate is the big shuffle (same shape as [[minhashPairs]]'
+    * signature pass); the duplicated-gram set is typically orders of
+    * magnitude smaller than the corpus and AQE will broadcast it into the
+    * position join. For production runs key the join on `xxhash64(gram)`
+    * instead of the string (kept raw here for SQL-oracle parity).
+    *
+    * Interval union on gram START positions: consecutive starts p, p'
+    * overlap when p' − p < n, so each position contributes
+    * `min(n, p' − p, n_tokens − p)` covered tokens — a single sorted
+    * window per doc, no quadratic interval merge. */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 5, minDocFreq: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    // positional grams, mirroring shinglesFromTokens' short-doc bound
+    // (docs shorter than n contribute their whole text as one gram)
+    val gramArr = transform(
+      sequence(lit(0), greatest(size(col("__toks")) - (n - 1), lit(1)) - 1),
+      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))
+    val pos = Explodes.posexplodeNoInfer(
+      toksDf.withColumn("__grams", gramArr),
+      Seq(col(idCol), col("n_tokens")), col("__grams"), "pos", "gram")
+      .withColumn("pos", col("pos").cast("long"))
+    val dupGrams = pos.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .select("gram")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val contrib = pos.join(dupGrams, "gram")
+      .withColumn("__next", lead(col("pos"), 1).over(w))
+      .withColumn("__covered",
+        least(lit(n.toLong), col("n_tokens") - col("pos"),
+              coalesce(col("__next") - col("pos"), lit(n.toLong))))
+    val perDoc = contrib.groupBy(col(idCol), col("n_tokens"))
+      .agg(count(lit(1)).as("dup_positions"),
+           sum("__covered").cast("long").as("covered_tokens"))
+    docs.select(col(idCol))
+      .join(perDoc.drop("n_tokens"), Seq(idCol), "left")
+      .join(toksDf.select(col(idCol), col("n_tokens")), Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("coverage"))
+  }
 }

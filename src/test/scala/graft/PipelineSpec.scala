@@ -37,6 +37,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
   }
 
+  test("dup-span coverage: hand-checked interval union over shared 3-grams") {
+    import spark.implicits._
+    // d1/d2 share "a b c" and "b c d" -> in each doc the two overlapping
+    // gram starts cover exactly 4 tokens; d3 shares nothing
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c d z"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(d, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((6L, 2L, 4L, 0.666667)))
+    assert(got(2L) == ((7L, 2L, 4L, 0.571429)))
+    assert(got(3L) == ((6L, 0L, 0L, 0.0)))
+    // exact-dup pair: full coverage on both sides
+    val full = Seq((1L, "a b c d"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupSpanCoverage(full, n = 3).collect()
+      .forall(_.getDouble(4) == 1.0))
+  }
+
   test("minhash jaccard matches exact shingle jaccard") {
     val j = Dedup.minhashPairs(docs, threshold = 0.1)
       .filter(col("a") === 1L && col("b") === 3L)

@@ -117,6 +117,10 @@ object PipelineEntries {
     // winnowing fingerprints (rolling min-hash sketch)
     "p_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
 
+    // corpus-trained bigram-LM scoring (CCNet-style perplexity filter) —
+    // oracle-checked
+    "p_lm_score" -> ((s, dir) => TextAnalysis.bigramLmScore(docs(s, dir))),
+
     // multimodal: binary column → batched stub decode — oracle-checked
     "p_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.attachBinary(docs(s, dir)))),
@@ -457,6 +461,27 @@ object PipelineEntries {
 
   def oracleSql: Map[String, String] = Map(
     "p_lang_id" -> langIdOracleSql,
+
+    // identical model formulation: context counts derived from the bigram
+    // table, vocab over ALL token positions, add-1 smoothing
+    "p_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+        |  WHERE len(toks) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY w1, w2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(toks) AS w FROM t)),
+        |s AS (
+        |  SELECT b.doc_id,
+        |         -ln((cb.cb + 1.0) / (cu.cu + 1.0 * v.v)) AS nll
+        |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     // exact all-pairs Jaccard at J>=0.8: the seeded 12x8 LSH bands catch
     // every such pair at oracle corpus scale (recall validated empirically

@@ -102,4 +102,50 @@ object TextAnalysis {
         size(array_distinct(col("mins"))).as("n_fp"),
         array_min(col("mins")).as("fp_min"))
   }
+
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * perplexity quality filter: docs whose word transitions are unusual
+    * for the corpus score high (avg negative log-likelihood in nats) and
+    * get cut or down-weighted. Add-k smoothing with context counts derived
+    * from the bigram table (c(w1) = Σ_w2 c(w1,w2)), so
+    * P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V); unseen contexts degrade to
+    * the uniform 1/V. Docs with fewer than two tokens have no transitions
+    * and are omitted (mirrored by the oracle).
+    *
+    * Scale notes (100 TB): the model is bounded by the OBSERVED bigram
+    * count (≪ vocab², ≪ corpus) — two map-side-combinable aggregates
+    * build it, one `(w1,w2)` equi-join applies it (AQE broadcasts the
+    * model when it fits), and the vocab size arrives via a 1-row
+    * cross-join rather than a driver collect. Pass `modelDocs` to train
+    * on one corpus (e.g. a trusted slice) and score another — the left
+    * joins keep unseen bigrams/contexts finite via the smoothing floor. */
+  def bigramLmScore(docs: DataFrame, k: Double = 1.0,
+      modelDocs: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, "add-k smoothing requires k > 0")
+    def bigrams(d: DataFrame): DataFrame = {
+      val toksDf = d.select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 2)
+      val pairArr = transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+                    element_at(col("__toks"), i + 2).as("w2")))
+      Explodes.explodeNoInfer(toksDf.withColumn("__bg", pairArr),
+          Seq(col("doc_id")), col("__bg"), "bg")
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val train = modelDocs.getOrElse(docs)
+    val cb = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    val vocab = train
+      .select(explode(Dedup.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bigrams(docs)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll",
+        -log((coalesce(col("cb"), lit(0L)) + k) /
+             (coalesce(col("cu"), lit(0L)) + col("v") * k)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__nll")), 6).as("avg_nll"))
+  }
 }

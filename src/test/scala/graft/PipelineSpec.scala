@@ -310,6 +310,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
   }
 
+  test("bigram LM score: hand-computed add-1 smoothed NLL") {
+    import spark.implicits._
+    // corpus: "a b a b", "a c" -> V=3; cb: (a,b)=2 (b,a)=1 (a,c)=1;
+    // cu: a=3, b=1. P(b|a)=3/6, P(a|b)=2/4, P(c|a)=2/6
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 0.693147)))   // ln 2
+    assert(got(2L) == ((1L, 1.098612)))   // ln 3
+    // held-out scoring: every transition unseen -> uniform 1/V floor
+    val held = Seq((3L, "z z z")).toDF("doc_id", "text")
+    val h = TextAnalysis.bigramLmScore(held, modelDocs = Some(d)).collect().head
+    assert(h.getLong(1) == 2L && h.getDouble(2) == 1.098612) // ln 3
+    // sub-2-token docs have no transitions and are omitted
+    val tiny = Seq((4L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLmScore(tiny).count() == 0)
+  }
+
   test("fingerprints deterministic and content-sensitive") {
     import spark.implicits._
     val d = Seq(

@@ -121,6 +121,14 @@ object PipelineEntries {
     // oracle-checked
     "p_lm_score" -> ((s, dir) => TextAnalysis.bigramLmScore(docs(s, dir))),
 
+    // pattern scrubbing: the PII email preset (0 hits on the synthetic
+    // corpus — plumbing proof) plus a lexical pattern with real hits so
+    // counts and redacted text are non-trivially oracle-checked
+    "p_pii" -> ((s, dir) =>
+      TextAnalysis.scrubPatterns(docs(s, dir), Seq(
+        ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+        ("entity", """\b(customer|line)\b""", "<ENT>")))),
+
     // multimodal: binary column → batched stub decode — oracle-checked
     "p_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.attachBinary(docs(s, dir)))),
@@ -482,6 +490,20 @@ object PipelineEntries {
         |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // same patterns verbatim (Java-regex/RE2 common syntax); DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "p_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|line)\b')) AS BIGINT)
+        |    AS n_entity,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '\b(customer|line)\b', '<ENT>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
 
     // exact all-pairs Jaccard at J>=0.8: the seeded 12x8 LSH bands catch
     // every such pair at oracle corpus scale (recall validated empirically

@@ -103,6 +103,38 @@ object TextAnalysis {
         array_min(col("mins")).as("fp_min"))
   }
 
+  /** PII-style pattern scrubbing: count and redact every occurrence of
+    * each named regex, applied in declaration order (later patterns see
+    * earlier redactions — order matters when patterns overlap). The
+    * defaults cover the classic PII trio (emails, IPv4, US-style phone
+    * numbers); pass custom patterns for domain-specific scrubs.
+    *
+    * Output: one `n_<name>` match count per pattern plus the fully
+    * scrubbed text. Pure narrow projection — regexp_count/regexp_replace
+    * are codegen'd, no shuffle at any scale. Patterns stay inside both
+    * Java-regex and RE2 common syntax so the DuckDB oracle replays them
+    * verbatim. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phone", """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""", "<PHONE>"))
+
+  def scrubPatterns(docs: DataFrame,
+      patterns: Seq[(String, String, String)] = PiiPatterns,
+      textCol: String = "text"): DataFrame = {
+    require(patterns.nonEmpty, "scrubPatterns needs at least one pattern")
+    val counted = patterns.foldLeft(docs) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val scrubbed = patterns.foldLeft(col(textCol)) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    counted.withColumn("scrubbed", scrubbed)
+      .select(col("doc_id") +:
+        patterns.map { case (name, _, _) => col(s"n_$name") } :+
+        col("scrubbed"): _*)
+  }
+
   /** Corpus-trained bigram language-model scoring — the CCNet-style
     * perplexity quality filter: docs whose word transitions are unusual
     * for the corpus score high (avg negative log-likelihood in nats) and

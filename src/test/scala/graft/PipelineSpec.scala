@@ -310,6 +310,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
   }
 
+  test("pattern scrub: PII counts and ordered redaction") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob@example.com or alice@test.org, call 555-123-4567 from 10.0.0.1"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPatterns(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1L && got(1L)._3 == 1L)
+    assert(got(1L)._4 ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE> from <IP>")
+    assert(got(2L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
   test("bigram LM score: hand-computed add-1 smoothed NLL") {
     import spark.implicits._
     // corpus: "a b a b", "a c" -> V=3; cb: (a,b)=2 (b,a)=1 (a,c)=1;

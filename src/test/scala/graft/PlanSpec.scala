@@ -86,6 +86,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling and pattern scrub are shuffle-free narrow plans") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((name, df) <- Seq(
+        "mixtureSample" -> graft.pipeline.Corpus.mixtureSample(
+          docs, Map("src0" -> 2.5), defaultWeight = 0.7),
+        "scrubPatterns" -> graft.pipeline.TextAnalysis.scrubPatterns(docs),
+        "parseJson" -> graft.pipeline.Metadata.parseJson(
+          docs.selectExpr("doc_id", "'{\"k\":1}' AS props"), "props", "k INT"))) {
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty, s"$name plan shuffles:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("dup-span coverage: one window, doc-freq aggregate is partial+final") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.pipeline.Dedup.dupSpanCoverage(docs)
+    val plan = formatted(df)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.size == 1, s"expected exactly 1 Window (interval union), got ${wins.size}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("IVF assignment is window-free: exactly one Window (final top-k) in the plan") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import org.apache.spark.sql.execution.window.WindowExec

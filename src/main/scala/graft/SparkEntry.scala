@@ -153,6 +153,19 @@ object SparkEntry {
         |            ELSE 'small' END AS bucket,
         |       count(*) AS cnt;""".stripMargin),
 
+    // pattern predicate under NOT ⇒ left anti join (extension): customers
+    // not from NATION_7 — the unbound endpoint carries an inline prop filter,
+    // so the anti-joined pair set is pre-restricted by a nested semi-join
+    "q_not_exists" -> cy(
+      """MATCH (c:Customer) WHERE NOT (c)-[:FROM_NATION]->({n_name: 'NATION_7'})
+        |RETURN c.c_custkey AS c_custkey, c.c_mktsegment AS seg;""".stripMargin),
+
+    // positive pattern predicate ⇒ left semi join: nations with at least
+    // one supplier
+    "q_exists" -> cy(
+      """MATCH (n:Nation) WHERE (:Supplier)-[:SUPP_NATION]->(n)
+        |RETURN n.n_name AS n_name;""".stripMargin),
+
     // collect() list aggregate (Cypher extension; the reference's engine
     // would map it to a grouped-array aggregate). Parallel aggregation
     // gives no stable element order, so the gate entry sorts and joins the
@@ -323,6 +336,15 @@ object SparkEntry {
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_not_exists" ->
+      """SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |WHERE c_nationkey NOT IN
+        |      (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')""".stripMargin,
+
+    "q_exists" ->
+      """SELECT n_name FROM nation
+        |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)""".stripMargin,
 
     "q_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS names,

@@ -35,6 +35,12 @@ object Expr {
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   /** `CASE WHEN c THEN v ... [ELSE d] END` (searched form). */
   final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+  /** Pattern used as a boolean predicate in WHERE — `(a)-[:R]->(b)`,
+    * optionally under NOT (extension beyond the reference grammar, which
+    * panics on path-patterns-as-expressions — render_expr.rs:139-140).
+    * Compiles to a left semi / anti join; only supported as a top-level
+    * WHERE conjunct (planner-enforced). */
+  final case class PatternPred(path: PathPattern) extends Expr
 
   /** Aggregate-function names, matching the reference's classifier list
     * (logical_expr/mod.rs:255) plus Spark-native extras. */
@@ -82,7 +88,23 @@ object Expr {
     case CaseWhen(bs, o) => (bs.flatMap { case (c, v) =>
                               referencedNames(c) ++ referencedNames(v) } ++
                               o.toSeq.flatMap(referencedNames)).toSet
+    case PatternPred(p)  =>
+      (p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet
     case _             => Set.empty
+  }
+
+  def containsPatternPred(e: Expr): Boolean = e match {
+    case PatternPred(_)  => true
+    case Fn(_, as, _)    => as.exists(containsPatternPred)
+    case Bin(_, l, r)    => containsPatternPred(l) || containsPatternPred(r)
+    case Not(x)          => containsPatternPred(x)
+    case Neg(x)          => containsPatternPred(x)
+    case IsNull(x, _)    => containsPatternPred(x)
+    case ListLit(xs)     => xs.exists(containsPatternPred)
+    case CaseWhen(bs, o) => bs.exists { case (c, v) =>
+                              containsPatternPred(c) || containsPatternPred(v) } ||
+                            o.exists(containsPatternPred)
+    case _               => false
   }
 
   def containsOr(e: Expr): Boolean = e match {
@@ -120,6 +142,9 @@ object Expr {
     case CaseWhen(bs, o) =>
       bs.flatMap { case (c, v) => leafRefs(c) ++ leafRefs(v) } ++
         o.toSeq.flatMap(leafRefs)
+    // a pattern predicate's inline prop VALUES are literal/param-only
+    // (planner-enforced); its alias references are join keys, not columns
+    case PatternPred(_) => Seq.empty
     case Lit(_) | Star | Param(_) => Seq.empty
   }
 
@@ -146,6 +171,13 @@ object Expr {
         case Some(v) => Lit(v)
         case None    => throw new GraftException(s"unbound parameter: $$$n")
       }
+    case PatternPred(p) =>
+      def bindNode(np: NodePattern) =
+        np.copy(props = np.props.map { case (k, v) => (k, bind(v, params)) })
+      def bindRel(rp: RelPattern) =
+        rp.copy(props = rp.props.map { case (k, v) => (k, bind(v, params)) })
+      PatternPred(PathPattern(bindNode(p.start),
+        p.hops.map { case (r, n) => (bindRel(r), bindNode(n)) }))
     case Fn(n, as, d)  => Fn(n, as.map(bind(_, params)), d)
     case Bin(o, l, r)  => Bin(o, bind(l, params), bind(r, params))
     case Not(x)        => Not(bind(x, params))

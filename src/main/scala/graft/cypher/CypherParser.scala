@@ -162,10 +162,19 @@ object CypherParser extends RegexParsers {
     literal |
     ("$" ~> identRe) ^^ Expr.Param.apply |
     ("[" ~> repsep(expression, ",") <~ "]") ^^ Expr.ListLit.apply |
+    patternPredicate |
     fnCall |
     propOrVar |
     "*" ^^ (_ => Expr.Star) |
     ("(" ~> expression <~ ")")
+
+  /** `(a)-[:R]->(b)` as a boolean WHERE predicate (needs >=1 hop, so a
+    * plain parenthesized expression backtracks to the alternative below). */
+  private def patternPredicate: Parser[Expr] =
+    nodePattern ~ rep1(relPattern ~ nodePattern) ^^ {
+      case start ~ hops =>
+        Expr.PatternPred(PathPattern(start, hops.map { case r ~ n => (r, n) }))
+    }
 
   // ---- patterns -----------------------------------------------------------
 

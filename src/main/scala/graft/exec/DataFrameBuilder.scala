@@ -41,6 +41,8 @@ final class DataFrameBuilder(session: GraftSession) {
       case Some(f) => joined.filter(compile(rewriteAliasArgs(f, plan), qualified))
       case None    => joined
     }
+    for (pp <- plan.patternPreds)
+      filtered = applyPatternPred(filtered, pp, plan)
     for (block <- plan.optionals)
       filtered = applyOptional(filtered, block, plan)
     for (u <- plan.unwinds)
@@ -218,6 +220,59 @@ final class DataFrameBuilder(session: GraftSession) {
       }
     }
     joined
+  }
+
+  /** `WHERE [NOT] (a)-[:R]->(b)` ⇒ LEFT SEMI / LEFT ANTI join against the
+    * predicate pattern's (from, to) pair set (extension — SURVEY.md §8.5).
+    *
+    * Scale notes: semi/anti joins shuffle only join keys plus the main
+    * frame — the pair subquery carries exactly two id columns (unbound
+    * endpoints are pre-filtered with their own semi-joins, so no payload
+    * from the predicate side ever reaches the main frame), and Catalyst
+    * broadcasts the pair set when small. Undirected same-label predicates
+    * union the swapped orientation rather than OR-ing a non-equi
+    * condition (which would force a nested-loop join). */
+  private def applyPatternPred(
+      main: DataFrame, pp: graft.planner.ResolvedPatternPred,
+      plan: GraphPlan): DataFrame = {
+    if (pp.alwaysFalse)
+      return if (pp.negated) main else main.limit(0)
+    def idOf(alias: String): Column =
+      col(s"$alias.${plan.nodes(alias).schema.idColumn}")
+    val s = pp.schema
+
+    var edge = session.table(s.tableName).alias(pp.relAlias)
+    for (f <- pp.relFilters)
+      edge = edge.filter(compile(f, qualified))
+    var pairs = edge.select(
+      col(s"${pp.relAlias}.${s.fromColumn}").as("__ppf"),
+      col(s"${pp.relAlias}.${s.toColumn}").as("__ppt"))
+
+    // unbound endpoint with inline props: keep only edges whose endpoint id
+    // passes the node-table filter (semi-join — ids only, no payload)
+    def restrict(p: DataFrame, end: graft.planner.PredEndpoint, key: String): DataFrame =
+      if (end.bound || end.filters.isEmpty) p
+      else {
+        var nd = session.table(end.schema.tableName).alias(end.alias)
+        for (f <- end.filters) nd = nd.filter(compile(f, qualified))
+        p.join(nd, col(key) === col(s"${end.alias}.${end.schema.idColumn}"),
+          "left_semi")
+      }
+    pairs = restrict(restrict(pairs, pp.fromEnd, "__ppf"), pp.toEnd, "__ppt")
+
+    val oriented =
+      if (pp.bothOrientations)
+        pairs.unionByName(pairs.select(
+          col("__ppt").as("__ppf"), col("__ppf").as("__ppt")))
+      else pairs
+    val sub = oriented.alias("__pp")
+
+    val conds =
+      (if (pp.fromEnd.bound) Seq(idOf(pp.fromEnd.alias) === col("__pp.__ppf"))
+       else Seq.empty) ++
+      (if (pp.toEnd.bound) Seq(idOf(pp.toEnd.alias) === col("__pp.__ppt"))
+       else Seq.empty)
+    main.join(sub, conds.reduce(_ && _), if (pp.negated) "left_anti" else "left_semi")
   }
 
   /** OPTIONAL MATCH block ⇒ LEFT OUTER JOIN: the block's edges + new node

@@ -51,7 +51,10 @@ final case class GraphPlan(
       * pattern (extension — SURVEY.md §8.5). */
     optionals: Seq[ResolvedOptionalBlock] = Seq.empty,
     /** UNWIND stages applied after joins/optionals (extension). */
-    unwinds: Seq[Unwind] = Seq.empty)
+    unwinds: Seq[Unwind] = Seq.empty,
+    /** `WHERE [NOT] (a)-[:R]->(b)` predicates ⇒ left semi/anti joins
+      * (extension). */
+    patternPreds: Seq[ResolvedPatternPred] = Seq.empty)
 
 /** One OPTIONAL MATCH block: its edges, the aliases it introduces, and the
   * residual predicate that belongs in the left-join ON condition. */
@@ -59,6 +62,32 @@ final case class ResolvedOptionalBlock(
     edges: Seq[ResolvedEdge],
     internalAliases: Set[String],
     residual: Option[Expr])
+
+/** One endpoint of a WHERE pattern predicate, normalized to the rel
+  * schema's from/to orientation. `filters` only populate for UNBOUND
+  * endpoints (inline props desugared against the synthetic alias); a
+  * bound endpoint's inline props become ordinary residual filters. */
+final case class PredEndpoint(
+    alias: String,
+    bound: Boolean,
+    schema: NodeSchema,
+    filters: Seq[Expr])
+
+/** `WHERE [NOT] (a)-[:R]->(b)` resolved to a semi/anti-join spec
+  * (extension — the reference grammar rejects patterns as expressions).
+  * `bothOrientations`: undirected same-label predicate matches either
+  * edge direction. `alwaysFalse`: the written direction/labels contradict
+  * the schema — positive predicate yields an empty result, negated one is
+  * a no-op (mirrors the main-pattern wrong-direction semantics). */
+final case class ResolvedPatternPred(
+    schema: RelSchema,
+    relAlias: String,
+    relFilters: Seq[Expr],
+    fromEnd: PredEndpoint,
+    toEnd: PredEndpoint,
+    bothOrientations: Boolean,
+    negated: Boolean,
+    alwaysFalse: Boolean)
 
 /** Semantic analysis: label/relationship inference (reference
   * analyzer/schema_inference.rs), direction validation
@@ -290,20 +319,132 @@ object Planner {
     for (st <- states; f <- st.raw.inline) relPushed(st.raw.alias) = relPushed(st.raw.alias) :+ f
 
     val mainRelAliases = rawEdges.take(mainEdgeCount).map(_.alias).toSet
-    for (c <- whereConjs) {
-      val allRefs = Expr.referencedNames(c).intersect(nodeAliases ++ relAliases)
-      if (allRefs.exists(a => !mainAliases(a) && !mainRelAliases(a)))
+
+    // -- WHERE pattern predicates: `[NOT] (a)-[:R]->(b)` ⇒ semi/anti join ----
+    val patternPreds = scala.collection.mutable.ArrayBuffer[ResolvedPatternPred]()
+    def resolvePatternPred(p: PathPattern, negated: Boolean): ResolvedPatternPred = {
+      if (p.hops.size != 1)
+        throw new GraftException(
+          "pattern predicates support exactly one relationship hop")
+      val (rel, endPat) = p.hops.head
+      if (rel.varLength.isDefined)
+        throw new GraftException("pattern predicates cannot use var-length hops")
+      val (srcPat, dstPat) = (p.start, endPat)
+
+      def boundOf(np: NodePattern): Option[String] = np.alias.filter(mainAliases)
+      for (np <- Seq(srcPat, dstPat); a <- np.alias
+           if !mainAliases(a) && nodeAliases(a))
         throw new GraftException(
           "WHERE on the main MATCH cannot reference aliases introduced by a " +
           "later OPTIONAL MATCH (out of scope)")
-      if (Expr.isAggregate(c))
+      val srcBound = boundOf(srcPat); val dstBound = boundOf(dstPat)
+      if (srcBound.isEmpty && dstBound.isEmpty)
         throw new GraftException(
-          "aggregate functions are not allowed in WHERE; filter after " +
-          "aggregation with 'WITH ... WHERE' instead")
-      allRefs.toSeq match {
-        case Seq(single) if nodeAliases(single) => nodePushed(single) = nodePushed(single) :+ c
-        case Seq(single) if relAliases(single)  => relPushed(single) = relPushed(single) :+ c
-        case _ => residual += c
+          "a pattern predicate must anchor on at least one bound alias")
+      def labelOf(np: NodePattern, bound: Option[String]): Option[String] =
+        bound.flatMap(labels(_)).orElse(np.label)
+      for ((np, b) <- Seq((srcPat, srcBound), (dstPat, dstBound)); a <- b;
+           written <- np.label; actual <- labels(a) if written != actual)
+        throw new GraftException(
+          s"pattern predicate label :$written conflicts with $a's label :$actual")
+      val srcL = labelOf(srcPat, srcBound); val dstL = labelOf(dstPat, dstBound)
+
+      def fits(s: RelSchema, a: Option[String], b: Option[String]): Boolean =
+        a.forall(_ == s.fromLabel) && b.forall(_ == s.toLabel)
+      val candidates = rel.relType match {
+        case Some(t) => Seq(catalog.rel(t))
+        case None    => catalog.rels.values.toSeq.sortBy(_.label)
+      }
+      // (schema, srcIsFrom) orientations compatible with direction+labels
+      val fitting: Seq[(RelSchema, Boolean)] = candidates.flatMap { s =>
+        val normal = fits(s, srcL, dstL)
+        val swapped = fits(s, dstL, srcL)
+        rel.dir match {
+          case Dir.Out => if (normal) Seq((s, true)) else Seq.empty
+          case Dir.In  => if (swapped) Seq((s, false)) else Seq.empty
+          case Dir.Undirected =>
+            (if (normal) Seq((s, true)) else Seq.empty) ++
+            (if (swapped) Seq((s, false)) else Seq.empty)
+        }
+      }
+      if (rel.relType.isEmpty && fitting.map(_._1.label).distinct.size > 1)
+        throw new GraftException(
+          s"ambiguous pattern predicate: matches ${fitting.map(_._1.label).distinct.mkString(", ")}")
+      if (rel.relType.isEmpty && fitting.isEmpty)
+        throw new GraftException(
+          "cannot infer a relationship type for the pattern predicate")
+
+      val relAlias = fresh("ppr")
+      val relFilters = rel.props.map { case (k, v) =>
+        Expr.Bin("=", Expr.Prop(relAlias, k), v) }
+      def endpoint(np: NodePattern, bound: Option[String], label: String): PredEndpoint =
+        bound match {
+          case Some(a) =>
+            // bound endpoint's inline props desugar to plain residual
+            // filters — valid ONLY for a positive predicate (under NOT the
+            // prop belongs inside the negated existential, not outside it)
+            if (negated && np.props.nonEmpty)
+              throw new GraftException(
+                s"inline properties on bound alias '$a' inside NOT(pattern) " +
+                "are ambiguous; move the condition into WHERE explicitly")
+            for ((k, v) <- np.props) residual += Expr.Bin("=", Expr.Prop(a, k), v)
+            PredEndpoint(a, bound = true, catalog.node(labels(a).get), Seq.empty)
+          case None =>
+            val alias = fresh("ppn")
+            val fs = np.props.map { case (k, v) =>
+              if (Expr.leafRefs(v).nonEmpty)
+                throw new GraftException(
+                  "pattern predicate property values must be literals or parameters")
+              Expr.Bin("=", Expr.Prop(alias, k), v)
+            }
+            PredEndpoint(alias, bound = false, catalog.node(label), fs)
+        }
+      fitting match {
+        case Seq() => // explicit rel type, direction/labels contradict: const false
+          val s = candidates.head
+          ResolvedPatternPred(s, relAlias, relFilters,
+            endpoint(srcPat, srcBound, s.fromLabel),
+            endpoint(dstPat, dstBound, s.toLabel),
+            bothOrientations = false, negated = negated, alwaysFalse = true)
+        case orients =>
+          val s = orients.head._1
+          val both = orients.size > 1 && s.fromLabel == s.toLabel
+          val srcIsFrom = orients.head._2
+          val (fromPat, fromBound, toPat, toBound) =
+            if (srcIsFrom) (srcPat, srcBound, dstPat, dstBound)
+            else (dstPat, dstBound, srcPat, srcBound)
+          ResolvedPatternPred(s, relAlias, relFilters,
+            endpoint(fromPat, fromBound, s.fromLabel),
+            endpoint(toPat, toBound, s.toLabel),
+            bothOrientations = both, negated = negated, alwaysFalse = false)
+      }
+    }
+
+    for (c <- whereConjs) {
+      c match {
+        case Expr.PatternPred(p) =>
+          patternPreds += resolvePatternPred(p, negated = false)
+        case Expr.Not(Expr.PatternPred(p)) =>
+          patternPreds += resolvePatternPred(p, negated = true)
+        case _ if Expr.containsPatternPred(c) =>
+          throw new GraftException(
+            "pattern predicates are only supported as top-level WHERE " +
+            "conjuncts, optionally under a single NOT")
+        case _ =>
+          val allRefs = Expr.referencedNames(c).intersect(nodeAliases ++ relAliases)
+          if (allRefs.exists(a => !mainAliases(a) && !mainRelAliases(a)))
+            throw new GraftException(
+              "WHERE on the main MATCH cannot reference aliases introduced by a " +
+              "later OPTIONAL MATCH (out of scope)")
+          if (Expr.isAggregate(c))
+            throw new GraftException(
+              "aggregate functions are not allowed in WHERE; filter after " +
+              "aggregation with 'WITH ... WHERE' instead")
+          allRefs.toSeq match {
+            case Seq(single) if nodeAliases(single) => nodePushed(single) = nodePushed(single) :+ c
+            case Seq(single) if relAliases(single)  => relPushed(single) = relPushed(single) :+ c
+            case _ => residual += c
+          }
       }
     }
     // optional-block WHERE: internal single-alias conjuncts push to scans
@@ -312,6 +453,9 @@ object Planner {
       val internalNodes = blockNewAliases(bi)
       val internalRels = rawEdges.filter(_.block == bi).map(_.alias).toSet
       for (c <- blk.where.map(Expr.conjuncts).getOrElse(Seq.empty)) {
+        if (Expr.containsPatternPred(c))
+          throw new GraftException(
+            "pattern predicates are only supported in the main MATCH's WHERE")
         Expr.referencedNames(c).intersect(nodeAliases ++ relAliases).toSeq match {
           case Seq(single) if internalNodes(single) =>
             nodePushed(single) = nodePushed(single) :+ c
@@ -373,6 +517,6 @@ object Planner {
     GraphPlan(nodes, mainEdges.map(_._1), anchor,
       residual.reduceOption(Expr.Bin("AND", _, _)),
       q.withStages, q.returnItems, q.returnDistinct, q.orderBy, q.skip, q.limit,
-      refProps, optionalBlocks, q.unwinds)
+      refProps, optionalBlocks, q.unwinds, patternPreds.toSeq)
   }
 }

@@ -220,6 +220,56 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(df) == Set(Seq(1L, 10L), Seq(1L, 20L)))
   }
 
+  test("pattern predicate: positive existential semi-join") {
+    val df = gs.cypher(
+      "MATCH (a:User) WHERE (a)-[:Follows]->(:User) RETURN a.id AS id;")
+    assert(longs(df) == Set(1L, 2L, 3L))
+  }
+
+  test("pattern predicate: NOT (anti-join)") {
+    val df = gs.cypher(
+      "MATCH (a:User) WHERE NOT (a)-[:Follows]->(:User) RETURN a.id AS id;")
+    assert(longs(df) == Set(4L, 5L))
+  }
+
+  test("pattern predicate: both endpoints bound (non-mutual follows)") {
+    val df = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |WHERE NOT (b)-[:Follows]->(a)
+        |RETURN a.id AS a_id, b.id AS b_id;""".stripMargin)
+    assert(rows(df) == Set(Seq(1L, 3L), Seq(2L, 3L), Seq(3L, 4L)))
+  }
+
+  test("pattern predicate: unbound endpoint with inline props") {
+    val df = gs.cypher(
+      "MATCH (a:User) WHERE (a)-[:Follows]->({city: 'berlin'}) RETURN a.id AS id;")
+    assert(longs(df) == Set(1L, 2L))
+  }
+
+  test("pattern predicate: rel type inferred from endpoint label") {
+    val df = gs.cypher(
+      "MATCH (a:User) WHERE NOT (a)-[]->(:Post) RETURN a.id AS id;")
+    assert(longs(df) == Set(4L, 5L))
+  }
+
+  test("pattern predicate: incoming and undirected directions") {
+    val in = gs.cypher(
+      "MATCH (a:User) WHERE (a)<-[:Follows]-(:User) RETURN a.id AS id;")
+    assert(longs(in) == Set(1L, 2L, 3L, 4L))
+    val und = gs.cypher(
+      "MATCH (a:User {name:'u4'}) WHERE (a)-[:Follows]-(:User) RETURN a.id AS id;")
+    assert(longs(und) == Set(4L)) // only an incoming edge; undirected sees it
+  }
+
+  test("pattern predicate: rejected outside top-level WHERE conjuncts") {
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE (a)-[:Follows]->(:User) OR a.id = 5 RETURN a.id AS id;"))
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE (a)-[:Follows]->(:User)-[:Follows]->(:User) RETURN a.id AS id;"))
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE (:User)-[:Follows]->(:User) RETURN a.id AS id;"))
+  }
+
   test("collect() groups values into lists; DISTINCT dedups") {
     val df = gs.cypher(
       """MATCH (u:User)-[:Created]->(p:Post)

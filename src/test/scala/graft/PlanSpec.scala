@@ -86,6 +86,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pattern predicates compile to semi/anti hash joins, ids only") {
+    val anti = formatted(gs.cypher(
+      """MATCH (c:Customer) WHERE NOT (c)-[:FROM_NATION]->({n_name: 'NATION_7'})
+        |RETURN c.c_custkey AS k;""".stripMargin))
+    assert(anti.contains("LeftAnti"), anti)
+    val semi = formatted(gs.cypher(
+      """MATCH (n:Nation) WHERE (:Supplier)-[:SUPP_NATION]->(n)
+        |RETURN n.n_name AS n_name;""".stripMargin))
+    assert(semi.contains("LeftSemi"), semi)
+    assert(!semi.contains("CartesianProduct") && !anti.contains("CartesianProduct"))
+  }
+
   test("mixture sampling and pattern scrub are shuffle-free narrow plans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -121,6 +121,10 @@ object PipelineEntries {
     // oracle-checked
     "p_lm_score" -> ((s, dir) => TextAnalysis.bigramLmScore(docs(s, dir))),
 
+    // top-3 TF-IDF terms per doc (6-dp-rounded before ranking, term-asc
+    // ties) — oracle-checked
+    "p_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir))),
+
     // pattern scrubbing: the PII email preset (0 hits on the synthetic
     // corpus — plumbing proof) plus a lexical pattern with real hits so
     // counts and redacted text are non-trivially oracle-checked
@@ -490,6 +494,26 @@ object PipelineEntries {
         |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // identical formulation: df derived from the tf table, raw-count idf,
+    // round-then-rank with term-asc tie-break
+    "p_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf,
+        |         round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // same patterns verbatim (Java-regex/RE2 common syntax); DuckDB
     // regexp_replace needs the 'g' flag to match Spark's replace-all

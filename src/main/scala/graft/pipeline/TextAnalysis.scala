@@ -103,6 +103,36 @@ object TextAnalysis {
         array_min(col("mins")).as("fp_min"))
   }
 
+  /** Top-k TF-IDF terms per document — the classic keyword/topic signal
+    * for corpus exploration and domain tagging. idf = ln(N/df) on raw
+    * counts; scores are rounded to 6 dp BEFORE ranking so the rank is
+    * stable across engines whose libm may differ in the last ulp
+    * (ties break on the term string, ascending).
+    *
+    * Scale notes (100 TB): term-frequency aggregate (one shuffle,
+    * map-side combinable), document-frequency derived FROM the tf table
+    * (second, much smaller shuffle on term), corpus size N as a 1-row
+    * broadcast cross-join, and a per-doc window for the top-k whose
+    * partitions are each a single document's vocabulary — never large.
+    * For open-vocabulary corpora key the term shuffles on
+    * `xxhash64(term)` and resolve strings post-hoc (kept raw here for
+    * SQL-oracle parity). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+    val terms = Explodes.explodeNoInfer(toksDf, Seq(col("doc_id")), col("__toks"), "term")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
   /** PII-style pattern scrubbing: count and redact every occurrence of
     * each named regex, applied in declaration order (later patterns see
     * earlier redactions — order matters when patterns overlap). The

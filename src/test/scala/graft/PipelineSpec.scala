@@ -310,6 +310,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
   }
 
+  test("tfidf top terms: hand-checked scores, ranks, tie-break") {
+    import spark.implicits._
+    // N=3; df: x=1, y=2, z=2; ln(3)=1.098612, ln(1.5)=0.405465
+    val d = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((1L, 1L)) == (("x", 2L, 2.197225)))
+    assert(got((1L, 2L)) == (("y", 1L, 0.405465)))
+    assert(got((2L, 1L)) == (("y", 1L, 0.405465))) // tie with z: term asc
+    assert(got((2L, 2L)) == (("z", 1L, 0.405465)))
+    assert(got((3L, 1L)) == (("z", 3L, 1.216395)))
+  }
+
   test("pattern scrub: PII counts and ordered redaction") {
     import spark.implicits._
     val d = Seq(

@@ -207,6 +207,16 @@ object PipelineEntries {
         d.filter(pmod(col("doc_id"), lit(100)) === 0))
     }),
 
+    // decontamination: the clean train complement (anti-join on the
+    // contaminated-id set) — oracle-checked
+    "p_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(100)) === 0))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // per-lang token-length stats with exact interpolated percentiles —
     // oracle-checked against DuckDB quantile_cont
     "p_length_stats" -> ((s, dir) => Corpus.lengthStats(docs(s, dir))),
@@ -844,6 +854,19 @@ object PipelineEntries {
         |SELECT tr.doc_id, count(*) AS overlap_ngrams
         |FROM tr JOIN e ON tr.ngram = e.ngram
         |GROUP BY tr.doc_id""".stripMargin,
+
+    "p_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)),
+        |e AS (SELECT DISTINCT unnest(sh) AS ngram FROM t WHERE doc_id % 100 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS ngram FROM t WHERE doc_id % 100 <> 0),
+        |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN e ON tr.ngram = e.ngram)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "p_length_stats" -> lengthStatsOracleSql,
 

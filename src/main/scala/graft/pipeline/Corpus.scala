@@ -127,6 +127,20 @@ object Corpus {
       .agg(count(lit(1)).as("overlap_ngrams")) // shingles are distinct per doc
   }
 
+  /** Benchmark decontamination: the clean complement of [[contamination]] —
+    * train docs sharing NO n-shingle with the eval set, produced by a
+    * left anti join on the contaminated-id set. All original columns
+    * survive (this is the op a pipeline actually ships to training).
+    *
+    * Scale shape: identical to [[contamination]] (broadcast eval-shingle
+    * set, filter-first) plus one ids-only anti join — the contaminated-id
+    * side is output-bounded and AQE broadcasts it; train payloads are
+    * never shuffled. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    train.join(contamination(train, eval_, n, textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Gopher-style word-repetition quality signals per document (the
     * repetition family of Rae et al. 2021 §A1.1, word-level because the
     * corpus fixture has no line structure):

@@ -548,6 +548,18 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.packSequences(d, seqLen = 4, shards = 8).collect().toSeq)
   }
 
+  test("decontaminate = train minus contaminated, columns intact") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e"), (2L, "x y z w v"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "b c d unrelated words")).toDF("doc_id", "text")
+    // doc 1 shares 3-shingle "b c d" with eval; 2 and 3 are clean
+    val clean = Corpus.decontaminate(train, eval_)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(clean.columns.toSeq == train.columns.toSeq)
+  }
+
   test("mixture sampling: whole epochs exact, weight-0 dropped, frac = stratified") {
     import spark.implicits._
     val d = (0L until 40L).map(i =>

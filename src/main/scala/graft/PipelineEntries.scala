@@ -154,6 +154,14 @@ object PipelineEntries {
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
 
+    // per-source token-quota admission (batch form of the custom-state
+    // streaming op) — oracle-checked
+    "p_quota" -> ((s, dir) =>
+      StreamingOps.quotaFilter(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+        quota = 1000)),
+
     // typed JSON metadata extraction (explicit DDL schema, no inference
     // pass) + filter on the extracted field — oracle-checked
     "p_json" -> ((s, dir) =>
@@ -769,6 +777,21 @@ object PipelineEntries {
         |       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    // identical window formulation: admit while the source's running total
+    // BEFORE the doc is under quota
+    "p_quota" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum - n_tokens < 1000""".stripMargin,
 
     "p_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

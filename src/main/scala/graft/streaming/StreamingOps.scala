@@ -98,4 +98,58 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__graft_ch", "__graft_cl")
       .drop("__graft_ch", "__graft_cl")
   }
+
+  /** Per-source token-quota admission — a training-mix budget enforced at
+    * ingest: each source may contribute at most `quota` tokens; a document
+    * is admitted iff the source's running total BEFORE it is still under
+    * the quota (so one oversized doc cannot starve the stream, and at
+    * least one doc is always admitted per source).
+    *
+    * Batch formulation: one running-sum window per source, keyed smallest
+    * doc_id first — deterministic and SQL-oracle-checkable. One shuffle on
+    * the source column; group sizes are per-source corpus slices.
+    */
+  def quotaFilter(docs: DataFrame, quota: Long,
+      tokenCol: String = "n_tokens", sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    docs
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") - col(tokenCol) < quota)
+      .drop("__cum")
+  }
+
+  /** Streaming formulation of [[quotaFilter]] with CUSTOM state:
+    * `flatMapGroupsWithState` keeps one Long per source (tokens admitted
+    * so far) — running-total cutoffs are not expressible with watermarked
+    * built-in aggregations. Docs are admitted in doc-id order WITHIN a
+    * micro-batch (iterator sorted group-side; groups are per-source
+    * micro-batch slices, bounded by ingest rate, not corpus size) and in
+    * arrival order across batches — identical to the batch form when ids
+    * arrive ordered, documented divergence otherwise. State never times
+    * out: a quota is a per-run budget; restartable via checkpoint.
+    */
+  def streamingQuotaFilter(
+      docs: org.apache.spark.sql.Dataset[QuotaDoc], quota: Long)
+      : org.apache.spark.sql.Dataset[QuotaDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val enc = org.apache.spark.sql.Encoders.product[QuotaDoc]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.scalaLong
+    docs.groupByKey(_.source)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Long, QuotaDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[QuotaDoc], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[QuotaDoc]
+          for (d <- batch.toSeq.sortBy(_.doc_id) if admitted < quota) {
+            out += d
+            admitted += d.n_tokens
+          }
+          state.update(admitted)
+          out.result().iterator
+      }
+  }
 }
+
+/** Row shape for the typed quota operators. */
+final case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)

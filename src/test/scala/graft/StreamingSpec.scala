@@ -88,6 +88,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").columns.toSeq == Seq("doc_id", "ts", "text"))
   }
 
+  test("quota admission: batch cutoff semantics") {
+    import spark.implicits._
+    // source a: toks 400, 500, 300 -> cum-before 0, 400, 900: all < 1000 admitted;
+    // then 200 (cum-before 1200) rejected. source b: one oversized doc still admitted
+    val d = Seq(
+      (1L, "a", 400L), (2L, "a", 500L), (3L, "a", 300L), (4L, "a", 200L),
+      (5L, "b", 5000L), (6L, "b", 1L))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = StreamingOps.quotaFilter(d, quota = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("streaming quota: custom state persists across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.QuotaDoc
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[QuotaDoc]
+    val q = StreamingOps.streamingQuotaFilter(mem.toDS(), quota = 1000)
+      .writeStream.format("memory").queryName("quota_out").outputMode("append").start()
+    try {
+      mem.addData(QuotaDoc(2, "a", 500), QuotaDoc(1, "a", 400)) // sorted: 1 then 2
+      q.processAllAvailable()
+      // state = 900 after batch 1; doc 3 admitted (900 < 1000), doc 4 not
+      mem.addData(QuotaDoc(3, "a", 300), QuotaDoc(4, "a", 200), QuotaDoc(5, "b", 9999))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("quota_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+    // matches the batch formulation on the same (id-ordered) data
+    val batch = StreamingOps.quotaFilter(
+      Seq((1L, "a", 400L), (2L, "a", 500L), (3L, "a", 300L), (4L, "a", 200L),
+          (5L, "b", 9999L)).toDF("doc_id", "source", "n_tokens"), quota = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == batch)
+  }
+
   test("streaming session_window variant runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 74-query bench runs a full dedup/ANN/GraphX sweep in
+  // one JVM; at 8g the block manager starts evicting live caches mid-run
+  // (observed: 2-4x inflation on the GraphX family). Box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~220 codegen-heavy query executions per bench run emit thousands of
+  // generated classes; the JVM default 240m code cache fills mid-run and
+  // JIT compilation stops silently (uniform 2-10x inflation on whatever
+  // runs after). Same setting Spark's own test harness uses.
+  "-XX:ReservedCodeCacheSize=1g",
+  // cap SQL UI listener retention: 74 queries x 3 iters of retained plan
+  // descriptions (default 1000 executions) is pure heap pressure headless
+  "-Dspark.sql.ui.retainedExecutions=25",
 )

@@ -40,15 +40,24 @@ object GraphAlgorithms {
   }
 
   def graph(gs: GraftSession, relLabel: String): Graph[Unit, Double] =
-    Graph(vertices(gs, relLabel), edges(gs, relLabel), (),
-      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    tracked(Graph(vertices(gs, relLabel), edges(gs, relLabel), (),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK))
+
+  /** GraphX caches vertex/edge RDDs internally and never frees them on its
+    * own; register every graph with the pipeline cache registry so
+    * repeated jobs in one JVM (Bench iterations, a long-lived server)
+    * don't accumulate dead blocks until live caches get evicted. */
+  private def tracked[A <: Graph[_, _]](g: A): A = {
+    graft.pipeline.PipelineCaches.onClear(() => g.unpersist(blocking = false))
+    g
+  }
 
   /** Connected components (undirected reachability); component id = the
     * minimum vertex id in the component. Returns (id, component). */
   def connectedComponents(gs: GraftSession, relLabel: String): DataFrame = {
     val spark = gs.spark
     import spark.implicits._
-    graph(gs, relLabel).connectedComponents()
+    tracked(graph(gs, relLabel).connectedComponents())
       .vertices.map { case (id, comp) => (id, comp) }
       .toDF("id", "component")
   }
@@ -58,7 +67,7 @@ object GraphAlgorithms {
       resetProb: Double = 0.15): DataFrame = {
     val spark = gs.spark
     import spark.implicits._
-    graph(gs, relLabel).staticPageRank(iters, resetProb)
+    tracked(graph(gs, relLabel).staticPageRank(iters, resetProb))
       .vertices.map { case (id, rank) => (id, rank) }
       .toDF("id", "rank")
   }
@@ -72,9 +81,10 @@ object GraphAlgorithms {
       .map(e => if (e.srcId < e.dstId) (e.srcId, e.dstId) else (e.dstId, e.srcId))
       .distinct()
       .map { case (s, d) => Edge(s, d, 1.0) }
-    Graph.fromEdges(canon, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    tracked(Graph.fromEdges(canon, (),
+        StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      .triangleCount()
+      .triangleCount())
       .vertices.map { case (id, n) => (id, n.toLong) }
       .toDF("id", "triangles")
   }
@@ -87,8 +97,8 @@ object GraphAlgorithms {
       landmarks: Seq[Long]): DataFrame = {
     val spark = gs.spark
     import spark.implicits._
-    org.apache.spark.graphx.lib.ShortestPaths
-      .run(graph(gs, relLabel), landmarks)
+    tracked(org.apache.spark.graphx.lib.ShortestPaths
+      .run(graph(gs, relLabel), landmarks))
       .vertices
       .flatMap { case (id, spmap) =>
         spmap.map { case (landmark, dist) => (id, landmark: Long, dist.toLong) }

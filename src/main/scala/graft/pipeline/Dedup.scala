@@ -338,15 +338,30 @@ object Dedup {
     import org.apache.spark.graphx.{Edge, Graph}
     import org.apache.spark.storage.StorageLevel
     val pairs = ngramJaccardPairs(docs, threshold)
+    // The pair graph is output-proportional (≈ #dup pairs, orders of
+    // magnitude below corpus size), but the pairs DF inherits the
+    // candidate join's full shuffle partitioning — and every one of CC's
+    // ~O(diameter) Pregel supersteps launches tasks per partition. Size
+    // the graph's partitions to the PAIR data, not the corpus shuffle:
+    // dominant cost on small fixtures, still correct at scale (pair count
+    // per partition grows before partition count does).
+    val ccParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .coalesce(ccParts)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     // no distinct(): doc_id is the table key, and GraphX's vertex RDD
     // dedups by id during graph construction anyway
     val verts = docs.select(col("doc_id").cast("long"))
+      .coalesce(ccParts)
       .rdd.map(r => (r.getLong(0), ()))
-    Graph(verts, edges, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-      .connectedComponents()
-      .vertices.map { case (id, comp) => (id, comp) }
+    val g = Graph(verts, edges, (),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val cc = g.connectedComponents()
+    // GraphX caches both graphs' RDDs internally; free them with the
+    // pipeline's other intermediates (blocking=false: fire-and-forget)
+    PipelineCaches.onClear(() => { g.unpersist(blocking = false)
+                                   cc.unpersist(blocking = false) })
+    cc.vertices.map { case (id, comp) => (id, comp) }
       .toDF("doc_id", "cluster_id")
   }
 

@@ -23,6 +23,8 @@ object PipelineCaches {
 
   private val registry =
     scala.collection.mutable.WeakHashMap.empty[DataFrame, Unit]
+  private val cleanups =
+    scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Register an (already persisted) pipeline intermediate for [[clear]];
     * used via `.transform(PipelineCaches.track)` after each persist. */
@@ -31,9 +33,19 @@ object PipelineCaches {
     df
   }
 
+  /** Register an arbitrary cleanup (e.g. a GraphX `Graph.unpersist` —
+    * GraphX caches vertex/edge RDDs internally, and repeated graph jobs in
+    * one JVM otherwise accumulate dead blocks until the block manager
+    * starts evicting caches that are still live). Runs once at [[clear]]. */
+  private[graft] def onClear(f: () => Unit): Unit = synchronized {
+    cleanups += f
+  }
+
   /** Unpersist every pipeline-tracked intermediate. */
   def clear(): Unit = synchronized {
     registry.keys.foreach(df => try df.unpersist() catch { case _: Exception => })
     registry.clear()
+    cleanups.foreach(f => try f() catch { case _: Exception => })
+    cleanups.clear()
   }
 }

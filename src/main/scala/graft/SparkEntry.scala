@@ -180,6 +180,16 @@ object SparkEntry {
         .withColumn("names", array_join(sort_array(col("names")), ","))
     }),
 
+    // Cypher string predicates (STARTS WITH / ENDS WITH / CONTAINS) and
+    // the =~ regex operator (search semantics, like SQL REGEXP — see
+    // SURVEY §8.5)
+    "q_string_pred" -> cy(
+      """MATCH (c:Customer)
+        |WHERE c.c_name STARTS WITH 'Customer#' AND c.c_name ENDS WITH '7'
+        |  AND c.c_mktsegment CONTAINS 'ING'
+        |RETURN c.c_custkey AS k, c.c_name AS name,
+        |       c.c_name =~ '.*17' AS rx;""".stripMargin),
+
     // scalar string-function registry
     "q_string_fns" -> cy(
       """MATCH (c:Customer) WHERE c.c_custkey % 50 = 0
@@ -351,6 +361,12 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM nation JOIN region ON r_regionkey = n_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q_string_pred" ->
+      """SELECT c_custkey AS k, c_name AS name, regexp_matches(c_name, '.*17') AS rx
+        |FROM customer
+        |WHERE c_name LIKE 'Customer#%' AND c_name LIKE '%7'
+        |  AND c_mktsegment LIKE '%ING%'""".stripMargin,
 
     "q_string_fns" ->
       """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,

@@ -111,6 +111,13 @@ object CypherParser extends RegexParsers {
       case op ~ r => (l: Expr) => Expr.Bin(if (op == "!=") "<>" else op, l, r)
     }) |
     (kw("in") ~> additive ^^ { r => (l: Expr) => Expr.Bin("IN", l, r) }) |
+    (kw("starts") ~> kw("with") ~> additive ^^ {
+      r => (l: Expr) => Expr.Bin("STARTS WITH", l, r) }) |
+    (kw("ends") ~> kw("with") ~> additive ^^ {
+      r => (l: Expr) => Expr.Bin("ENDS WITH", l, r) }) |
+    (kw("contains") ~> additive ^^ {
+      r => (l: Expr) => Expr.Bin("CONTAINS", l, r) }) |
+    ("=~" ~> additive ^^ { r => (l: Expr) => Expr.Bin("=~", l, r) }) |
     (kw("is") ~> kw("not") ~> kw("null") ^^ { _ => (l: Expr) => Expr.IsNull(l, negated = true) }) |
     (kw("is") ~> kw("null") ^^ { _ => (l: Expr) => Expr.IsNull(l, negated = false) })
 

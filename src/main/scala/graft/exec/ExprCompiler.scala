@@ -55,6 +55,11 @@ object ExprCompiler {
         case ">="  => lc >= compile(r, resolve)
         case "AND" => lc && compile(r, resolve)
         case "OR"  => lc || compile(r, resolve)
+        // Cypher string predicates; NULL-propagating like the comparisons
+        case "STARTS WITH" => lc.startsWith(compile(r, resolve))
+        case "ENDS WITH"   => lc.endsWith(compile(r, resolve))
+        case "CONTAINS"    => lc.contains(compile(r, resolve))
+        case "=~"          => regexp_like(lc, compile(r, resolve))
         case "IN" =>
           r match {
             case Expr.ListLit(items) if items.forall {

@@ -420,7 +420,20 @@ object Planner {
       }
     }
 
-    for (c <- whereConjs) {
+    // `exists((a)-[:R]->(b))` is the function spelling of a bare pattern
+    // predicate — normalize before dispatch
+    def unwrapExists(e: Expr): Expr = e match {
+      case Expr.Fn(n, Seq(p: Expr.PatternPred), false)
+        if n.equalsIgnoreCase("exists") => p
+      case Expr.Not(inner) => unwrapExists(inner) match {
+        case p: Expr.PatternPred => Expr.Not(p)
+        case _                   => e
+      }
+      case other => other
+    }
+
+    for (c0 <- whereConjs) {
+      val c = unwrapExists(c0)
       c match {
         case Expr.PatternPred(p) =>
           patternPreds += resolvePatternPred(p, negated = false)

@@ -261,6 +261,33 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(und) == Set(4L)) // only an incoming edge; undirected sees it
   }
 
+  test("string predicates: STARTS WITH / ENDS WITH / CONTAINS / =~") {
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE u.city STARTS WITH 'ber' RETURN u.id AS id;"))
+      == Set(1L, 3L))
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE u.city ENDS WITH 'is' RETURN u.id AS id;"))
+      == Set(2L, 5L))
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE u.city CONTAINS 'om' RETURN u.id AS id;"))
+      == Set(4L))
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE u.city =~ 'b.rl.n' RETURN u.id AS id;"))
+      == Set(1L, 3L))
+    assert(longs(gs.cypher( // NOT composes
+      "MATCH (u:User) WHERE NOT u.city CONTAINS 'r' RETURN u.id AS id;"))
+      == Set.empty[Long])
+  }
+
+  test("exists() function form of pattern predicates") {
+    assert(longs(gs.cypher(
+      "MATCH (a:User) WHERE exists((a)-[:Follows]->(:User)) RETURN a.id AS id;"))
+      == Set(1L, 2L, 3L))
+    assert(longs(gs.cypher(
+      "MATCH (a:User) WHERE NOT exists((a)-[:Follows]->(:User)) RETURN a.id AS id;"))
+      == Set(4L, 5L))
+  }
+
   test("pattern predicate: rejected outside top-level WHERE conjuncts") {
     assertThrows[GraftException](gs.cypher(
       "MATCH (a:User) WHERE (a)-[:Follows]->(:User) OR a.id = 5 RETURN a.id AS id;"))

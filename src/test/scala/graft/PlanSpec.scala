@@ -86,6 +86,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("string predicates push to the parquet scan") {
+    val plan = formatted(gs.cypher(
+      "MATCH (c:Customer) WHERE c.c_name STARTS WITH 'Customer#0000001' RETURN c.c_custkey AS k;"))
+    assert(plan.contains("StringStartsWith(c_name,Customer#0000001)"), plan)
+  }
+
   test("pattern predicates compile to semi/anti hash joins, ids only") {
     val anti = formatted(gs.cypher(
       """MATCH (c:Customer) WHERE NOT (c)-[:FROM_NATION]->({n_name: 'NATION_7'})

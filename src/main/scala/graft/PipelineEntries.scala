@@ -89,6 +89,10 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // deterministic k-means assignment (the IVF quantizer as a first-class
+    // clustering op) — oracle-checked against the same Lloyd CTE prefix
+    "p_kmeans" -> ((s, dir) => Similarity.kmeansAssign(emb(s, dir))),
+
     // embedding-cosine near-dup pairs over the fixture corpus plus
     // DETERMINISTIC planted near-duplicates (first component scaled 1.05 in
     // double precision, id offset 10^12 — far above any real or ScaleUp-
@@ -409,6 +413,42 @@ object PipelineEntries {
     * then final assignment; queries probe the nprobe nearest lists.
     * nlist mirrors the Spark auto default: min(4096, max(1, round(√N))),
     * as a dynamic LIMIT subquery so the mirror tracks the corpus size. */
+  /** DuckDB mirror of [[Similarity.kmeansAssign]] — the IVF oracle's
+    * quantizer prefix (seeds → one Lloyd step → final assignment), with
+    * the winning similarity carried out. */
+  private def kmeansOracleSql(dim: Int = 64): String = {
+    val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, v AS cent, nrm AS centnorm
+       |  FROM n ORDER BY vec_id
+       |  LIMIT (SELECT CAST(least(4096, greatest(1, round(sqrt(count(*))))) AS BIGINT) FROM n)),
+       |a0 AS (
+       |  SELECT vec_id, v, cent_id AS list_id FROM (
+       |    SELECT n.vec_id, n.v, c.cent_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY $csim DESC, c.cent_id ASC) AS crank
+       |    FROM n, seeds c) WHERE crank = 1),
+       |cmean AS (
+       |  SELECT list_id AS cent_id, list(av ORDER BY i) AS cent FROM (
+       |    SELECT list_id, t.i, round(avg(v[t.i]), 9) AS av
+       |    FROM a0, range(1, ${dim + 1}) t(i)
+       |    GROUP BY list_id, t.i)
+       |  GROUP BY list_id),
+       |cents AS (
+       |  SELECT cent_id, cent,
+       |         sqrt(list_sum(list_transform(cent, x -> x * x))) AS centnorm
+       |  FROM cmean)
+       |SELECT vec_id, cluster_id, sim FROM (
+       |  SELECT n.vec_id, c.cent_id AS cluster_id, $csim AS sim,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY $csim DESC, c.cent_id ASC) AS crank
+       |  FROM n, cents c) WHERE crank = 1""".stripMargin
+  }
+
   private def ivfOracleSql(k: Int = 5, nprobe: Int = 4,
       dim: Int = 64): String = {
     val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
@@ -586,6 +626,7 @@ object PipelineEntries {
 
     "p_ann_lsh" -> lshOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
+    "p_kmeans" -> kmeansOracleSql(),
     "p_reduce_dim" -> reduceDimOracleSql(),
     "g_pagerank" -> pagerankOracleSql(),
 

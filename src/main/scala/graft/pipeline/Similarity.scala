@@ -312,6 +312,56 @@ object Similarity {
       cents.map(_.id).toArray, cents.flatMap(_.cent.toSeq).toArray,
       cents.map(_.norm).toArray, DefaultDim)
 
+  /** Deterministic k-means cluster assignment over the embedding column —
+    * the clustering half of [[ivfTopK]] exposed as its own operator
+    * (cluster-conditioned curation, diversity sampling, per-cluster
+    * quota mixes all want the assignment, not the ANN search). Identical
+    * quantizer: seeds = the k lowest-id vectors, `iters` Lloyd steps with
+    * 9-dp-rounded element-wise means, cosine assignment rounded to 6 dp
+    * with ties to the lower centroid id. `k = 0` auto-scales to ≈√N.
+    *
+    * Scale notes (100 TB): each Lloyd step is ONE corpus pass (fused
+    * literal-centroid argmax + a map-side-combinable mean aggregate whose
+    * shuffle carries k·dim doubles per partition); the driver only ever
+    * holds k centroid rows. Returns (idCol, cluster_id, sim). */
+  def kmeansAssign(corpus: DataFrame, k: Int = 0, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .filter(col("cv").isNotNull)
+      .repartition(col("nid"))
+      .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    val corpusSize = c.count()
+    if (corpusSize == 0L) {
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF(idCol, "cluster_id", "sim")
+    }
+    val lists =
+      if (k > 0) k
+      else math.min(4096L, math.max(1L, math.round(math.sqrt(corpusSize.toDouble)))).toInt
+    def collectCents(df: DataFrame): Seq[Centroid] =
+      df.collect().toSeq
+        .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_.id)
+    var cents = collectCents(
+      c.orderBy("nid").limit(lists).select(col("nid"), col("cv"), col("cnorm")))
+    for (_ <- 0 until iters) {
+      val avgCols = array((0 until DefaultDim).map(i =>
+        round(avg(element_at(col("cv"), i + 1)), 9)): _*)
+      cents = collectCents(
+        c.withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
+          .groupBy((-col("best.negid")).as("list_id"))
+          .agg(avgCols.as("cent"))
+          .select(col("list_id"), col("cent"),
+            normFixed(col("cent"), DefaultDim).as("centnorm")))
+    }
+    c.withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
+      .select(col("nid").as(idCol), (-col("best.negid")).as("cluster_id"),
+        col("best.csim").as("sim"))
+  }
+
   /** IVF-style ANN: corpus is partitioned by nearest coarse centroid;
     * queries probe the `nprobe` nearest centroid lists. The 100 TB layout:
     * cluster assignment is a narrow map, per-list storage is

@@ -265,6 +265,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.count() > 0 && r.filter(col("nid") === 1L).count() == 0)
   }
 
+  test("kmeans assignment: total, deterministic, self-similar clusters") {
+    val a1 = Similarity.kmeansAssign(emb, k = 8)
+    val rows1 = a1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every non-null vector assigned exactly once
+    assert(rows1.length == emb.filter(col("embedding").isNotNull).count())
+    assert(rows1.map(_._1).distinct.length == rows1.length)
+    // at most k clusters, ids drawn from the corpus
+    assert(rows1.map(_._2).distinct.length <= 8)
+    // a vector in its own seed cluster has sim 1.0 with itself's centroid
+    // only when alone; weaker invariant: sims are valid cosines
+    assert(rows1.forall { case (_, _, s) => s >= -1.0001 && s <= 1.0001 })
+    // determinism
+    val rows2 = Similarity.kmeansAssign(emb, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows1.sortBy(_._1).toSeq == rows2.sortBy(_._1).toSeq)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("IVF ANN recall vs brute force >= 0.5 on fixtures") {
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -93,6 +93,17 @@ object PipelineEntries {
     // clustering op) — oracle-checked against the same Lloyd CTE prefix
     "p_kmeans" -> ((s, dir) => Similarity.kmeansAssign(emb(s, dir))),
 
+    // cluster-balanced diversity sample: 5 most-central vectors per
+    // cluster — oracle-checked (kmeans CTE + per-cluster window)
+    "p_diversity" -> ((s, dir) => Similarity.diversitySample(emb(s, dir), 5)),
+
+    // L2 normalization (cosine-ready storage) — posexploded to scalar rows
+    // for the driver's hasher, like p_quantize
+    "p_normalize" -> ((s, dir) =>
+      Explodes.posexplodeNoInfer(Similarity.normalizeL2(emb(s, dir)),
+          Seq(col("vec_id")), col("unit"), "idx", "comp")
+        .withColumn("idx", col("idx").cast("long"))),
+
     // embedding-cosine near-dup pairs over the fixture corpus plus
     // DETERMINISTIC planted near-duplicates (first component scaled 1.05 in
     // double precision, id offset 10^12 — far above any real or ScaleUp-
@@ -416,7 +427,8 @@ object PipelineEntries {
   /** DuckDB mirror of [[Similarity.kmeansAssign]] — the IVF oracle's
     * quantizer prefix (seeds → one Lloyd step → final assignment), with
     * the winning similarity carried out. */
-  private def kmeansOracleSql(dim: Int = 64): String = {
+  private def kmeansOracleSql(dim: Int = 64,
+      finalSelect: String = "SELECT vec_id, cluster_id, sim FROM asg"): String = {
     val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
     s"""WITH n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -441,13 +453,25 @@ object PipelineEntries {
        |cents AS (
        |  SELECT cent_id, cent,
        |         sqrt(list_sum(list_transform(cent, x -> x * x))) AS centnorm
-       |  FROM cmean)
-       |SELECT vec_id, cluster_id, sim FROM (
-       |  SELECT n.vec_id, c.cent_id AS cluster_id, $csim AS sim,
-       |         row_number() OVER (PARTITION BY n.vec_id
-       |           ORDER BY $csim DESC, c.cent_id ASC) AS crank
-       |  FROM n, cents c) WHERE crank = 1""".stripMargin
+       |  FROM cmean),
+       |asg AS (
+       |  SELECT vec_id, cluster_id, sim FROM (
+       |    SELECT n.vec_id, c.cent_id AS cluster_id, $csim AS sim,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY $csim DESC, c.cent_id ASC) AS crank
+       |    FROM n, cents c) WHERE crank = 1)
+       |$finalSelect""".stripMargin
   }
+
+  /** Cluster-balanced diversity sample: the kmeans CTE plus a per-cluster
+    * closest-first window. */
+  private def diversityOracleSql(per: Int = 5): String =
+    kmeansOracleSql(finalSelect =
+      s"""SELECT vec_id, cluster_id, sim, rk FROM (
+         |  SELECT vec_id, cluster_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM asg) WHERE rk <= $per""".stripMargin)
 
   private def ivfOracleSql(k: Int = 5, nprobe: Int = 4,
       dim: Int = 64): String = {
@@ -627,6 +651,16 @@ object PipelineEntries {
     "p_ann_lsh" -> lshOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
     "p_kmeans" -> kmeansOracleSql(),
+    "p_diversity" -> diversityOracleSql(),
+
+    "p_normalize" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, round(v[i] / nrm, 6) AS comp
+        |FROM (SELECT vec_id, v, nrm, unnest(range(1, len(v) + 1)) AS i FROM n)
+        |WHERE nrm <> 0""".stripMargin,
     "p_reduce_dim" -> reduceDimOracleSql(),
     "g_pagerank" -> pagerankOracleSql(),
 

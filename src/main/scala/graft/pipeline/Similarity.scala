@@ -312,6 +312,43 @@ object Similarity {
       cents.map(_.id).toArray, cents.flatMap(_.cent.toSeq).toArray,
       cents.map(_.norm).toArray, DefaultDim)
 
+  /** L2-normalize an embedding column (cosine-ready storage: after this,
+    * dot = cosine and downstream ops skip the norm divide). Components
+    * round to 6 dp for engine-portable determinism; all-zero vectors map
+    * to NULL rather than dividing by zero. Pure narrow projection. */
+  def normalizeL2(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    // staged projection: the norm must be a materialized attribute before
+    // the lambda divides by it (no CSE inside lambda bodies — the inlined
+    // form recomputes the norm PER ELEMENT; see shinglesFromTokens)
+    vectors.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", normFixed(col("__v"), DefaultDim))
+      .select(col(idCol),
+        when(col("__n") === 0.0, lit(null))
+          .otherwise(transform(col("__v"), x => round(x / col("__n"), 6)))
+          .as("unit"))
+  }
+
+  /** Cluster-balanced diversity sampling (the SemDeDup/DataComp-style
+    * subset selection): k-means-assign every vector, then keep the
+    * `perCluster` vectors CLOSEST to their centroid (most representative;
+    * ties to lower id). Sampling per cluster instead of globally keeps
+    * rare modes in the subset — a global top-n by any score collapses to
+    * the dominant cluster.
+    *
+    * Scale: [[kmeansAssign]]'s passes plus one per-cluster window whose
+    * partitions are cluster-sized. Returns (idCol, cluster_id, sim, rk). */
+  def diversitySample(vectors: DataFrame, perCluster: Int, k: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("sim").desc, col(idCol).asc)
+    kmeansAssign(vectors, k, iters = 1, idCol, vecCol)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCluster)
+  }
+
   /** Deterministic k-means cluster assignment over the embedding column —
     * the clustering half of [[ivfTopK]] exposed as its own operator
     * (cluster-conditioned curation, diversity sampling, per-cluster

@@ -283,6 +283,34 @@ class SimilaritySpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("L2 normalize: unit norm, zero vector -> NULL") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array.fill(64)(2.0f)),
+      (2L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.normalizeL2(d).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1)))).toMap
+    val unit = got(1L).get
+    assert(math.abs(unit.map(x => x * x).sum - 1.0) < 1e-4)
+    assert(unit.forall(_ == 0.125)) // 2 / (2*8)
+    assert(got(2L).isEmpty)
+  }
+
+  test("diversity sample: per-cluster cap, most-central first") {
+    val s = Similarity.diversitySample(emb, perCluster = 3, k = 8)
+    val rows = s.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.groupBy(_._2).values.forall(_.length <= 3))
+    // within each cluster, rank order follows sim desc
+    for ((_, grp) <- rows.groupBy(_._2)) {
+      val byRank = grp.sortBy(_._4)
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-(_: Double)).toSeq)
+    }
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("IVF ANN recall vs brute force >= 0.5 on fixtures") {
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -27,7 +27,8 @@ class ParserPropertySpec extends AnyFunSuite {
             "by", "asc", "desc", "distinct", "create", "node", "rel",
             "table", "from", "to", "key", "index", "set", "remove",
             "delete", "detach", "union", "primary", "adj", "optional",
-            "ascending", "descending").contains(s)
+            "ascending", "descending", "starts", "ends", "contains",
+            "exists").contains(s)
   } yield s
 
   private val genLit: Gen[Expr] = Gen.oneOf(
@@ -46,7 +47,8 @@ class ParserPropertySpec extends AnyFunSuite {
     else Gen.frequency(
       3 -> genLeaf,
       2 -> (for {
-        op <- Gen.oneOf("+", "-", "*", "/", "%", "=", "<>", "<", ">", "<=", ">=", "AND", "OR")
+        op <- Gen.oneOf("+", "-", "*", "/", "%", "=", "<>", "<", ">", "<=", ">=",
+                        "AND", "OR", "STARTS WITH", "ENDS WITH", "CONTAINS", "=~")
         l <- genExpr(depth - 1); r <- genExpr(depth - 1)
       } yield Bin(op, l, r)),
       1 -> genExpr(depth - 1).map(Not.apply),

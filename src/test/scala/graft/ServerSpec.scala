@@ -52,6 +52,11 @@ class ServerSpec extends AnyFunSuite {
       val (c6, b6) = post(port,
         """{"query": "MATCH (u:User) RETURN u.id AS id LIMIT 1;", "format": "PrettyCompact"}""")
       assert(c6 == 200 && b6.contains("id") && !b6.contains("| id"))
+
+      // round-5 surface reaches the HTTP layer: string predicates
+      val (c7, b7) = post(port,
+        """{"query": "MATCH (u:User) WHERE u.name ENDS WITH '2' RETURN u.id AS id;"}""")
+      assert(c7 == 200 && b7 == "{\"id\":2}\n")
     } finally srv.stop()
   }
 

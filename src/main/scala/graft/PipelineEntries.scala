@@ -146,7 +146,8 @@ object PipelineEntries {
     "p_pii" -> ((s, dir) =>
       TextAnalysis.scrubPatterns(docs(s, dir), Seq(
         ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
-        ("entity", """\b(customer|line)\b""", "<ENT>")))),
+        ("entity", """\b(customer|line)\b""", "<ENT>")))
+        .select("doc_id", "n_email", "n_entity", "scrubbed")),
 
     // multimodal: binary column → batched stub decode — oracle-checked
     "p_multimodal" -> ((s, dir) =>

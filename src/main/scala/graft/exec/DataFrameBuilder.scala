@@ -248,6 +248,16 @@ final class DataFrameBuilder(session: GraftSession) {
       col(s"${pp.relAlias}.${s.fromColumn}").as("__ppf"),
       col(s"${pp.relAlias}.${s.toColumn}").as("__ppt"))
 
+    // orientation union FIRST: under an undirected predicate the unbound
+    // endpoint must be testable via EITHER edge direction, so restricting
+    // before the swap would drop matches reachable only through the
+    // swapped orientation (caught in round-5 review)
+    val oriented =
+      if (pp.bothOrientations)
+        pairs.unionByName(pairs.select(
+          col("__ppt").as("__ppf"), col("__ppf").as("__ppt")))
+      else pairs
+
     // unbound endpoint with inline props: keep only edges whose endpoint id
     // passes the node-table filter (semi-join — ids only, no payload)
     def restrict(p: DataFrame, end: graft.planner.PredEndpoint, key: String): DataFrame =
@@ -258,14 +268,8 @@ final class DataFrameBuilder(session: GraftSession) {
         p.join(nd, col(key) === col(s"${end.alias}.${end.schema.idColumn}"),
           "left_semi")
       }
-    pairs = restrict(restrict(pairs, pp.fromEnd, "__ppf"), pp.toEnd, "__ppt")
-
-    val oriented =
-      if (pp.bothOrientations)
-        pairs.unionByName(pairs.select(
-          col("__ppt").as("__ppf"), col("__ppf").as("__ppt")))
-      else pairs
-    val sub = oriented.alias("__pp")
+    val sub = restrict(restrict(oriented, pp.fromEnd, "__ppf"), pp.toEnd, "__ppt")
+      .alias("__pp")
 
     val conds =
       (if (pp.fromEnd.bound) Seq(idOf(pp.fromEnd.alias) === col("__pp.__ppf"))

@@ -48,7 +48,7 @@ object GraphAlgorithms {
     * repeated jobs in one JVM (Bench iterations, a long-lived server)
     * don't accumulate dead blocks until live caches get evicted. */
   private def tracked[A <: Graph[_, _]](g: A): A = {
-    graft.pipeline.PipelineCaches.onClear(() => g.unpersist(blocking = false))
+    graft.pipeline.PipelineCaches.onClear(g)(_.unpersist(blocking = false))
     g
   }
 
@@ -81,10 +81,14 @@ object GraphAlgorithms {
       .map(e => if (e.srcId < e.dstId) (e.srcId, e.dstId) else (e.dstId, e.srcId))
       .distinct()
       .map { case (s, d) => Edge(s, d, 1.0) }
-    tracked(Graph.fromEdges(canon, (),
-        StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      .triangleCount())
+    // track every intermediate graph: fromEdges and partitionBy each cache
+    // their own vertex/edge RDDs (round-5 review — tracking only the final
+    // result re-accumulated exactly the dead blocks this is meant to free)
+    val base = tracked(Graph.fromEdges(canon, (),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK))
+    val part = tracked(base.partitionBy(
+      org.apache.spark.graphx.PartitionStrategy.EdgePartition2D))
+    tracked(part.triangleCount())
       .vertices.map { case (id, n) => (id, n.toLong) }
       .toDF("id", "triangles")
   }

@@ -346,21 +346,26 @@ object Dedup {
     // dominant cost on small fixtures, still correct at scale (pair count
     // per partition grows before partition count does).
     val ccParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    // repartition, NOT coalesce: coalesce would collapse INTO the pair
+    // mining's final stage and cap the expensive Jaccard verification at
+    // ccParts tasks; repartition pays one ids-only shuffle of the
+    // output-proportional pair set and leaves the upstream parallelism
+    // alone (round-5 review)
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .coalesce(ccParts)
+      .repartition(ccParts)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     // no distinct(): doc_id is the table key, and GraphX's vertex RDD
     // dedups by id during graph construction anyway
     val verts = docs.select(col("doc_id").cast("long"))
-      .coalesce(ccParts)
+      .repartition(ccParts)
       .rdd.map(r => (r.getLong(0), ()))
     val g = Graph(verts, edges, (),
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
     val cc = g.connectedComponents()
     // GraphX caches both graphs' RDDs internally; free them with the
     // pipeline's other intermediates (blocking=false: fire-and-forget)
-    PipelineCaches.onClear(() => { g.unpersist(blocking = false)
-                                   cc.unpersist(blocking = false) })
+    PipelineCaches.onClear(g)(_.unpersist(blocking = false))
+    PipelineCaches.onClear(cc)(_.unpersist(blocking = false))
     cc.vertices.map { case (id, comp) => (id, comp) }
       .toDF("doc_id", "cluster_id")
   }
@@ -412,12 +417,14 @@ object Dedup {
       .withColumn("__covered",
         least(lit(n.toLong), col("n_tokens") - col("pos"),
               coalesce(col("__next") - col("pos"), lit(n.toLong))))
-    val perDoc = contrib.groupBy(col(idCol), col("n_tokens"))
+    val perDoc = contrib.groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_positions"),
            sum("__covered").cast("long").as("covered_tokens"))
-    docs.select(col(idCol))
-      .join(perDoc.drop("n_tokens"), Seq(idCol), "left")
-      .join(toksDf.select(col(idCol), col("n_tokens")), Seq(idCol))
+    // one join: toksDf already carries every doc's n_tokens (the old
+    // three-way docs⋈perDoc⋈toksDf form re-tokenized the corpus a second
+    // time — round-5 review)
+    toksDf.select(col(idCol), col("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),

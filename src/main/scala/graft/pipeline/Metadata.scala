@@ -42,7 +42,9 @@ object Metadata {
       bucketWidth: Int, payload: Column): DataFrame =
     parseJson(df, jsonCol, s"$field INT")
       .filter(col(field).isNotNull)
-      .groupBy((col(field) / bucketWidth).cast("int").as("bucket"))
+      // floor, not cast-truncation: negative values must land in the
+      // bucket BELOW zero (mirrors the oracle's floor(k/width))
+      .groupBy(floor(col(field) / bucketWidth).cast("int").as("bucket"))
       .agg(count(lit(1)).as("cnt"),
            round(avg(payload), 6).as("avg_payload"))
 }

@@ -23,8 +23,8 @@ object PipelineCaches {
 
   private val registry =
     scala.collection.mutable.WeakHashMap.empty[DataFrame, Unit]
-  private val cleanups =
-    scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  private val cleanups = scala.collection.mutable.ArrayBuffer
+    .empty[(java.lang.ref.WeakReference[AnyRef], AnyRef => Unit)]
 
   /** Register an (already persisted) pipeline intermediate for [[clear]];
     * used via `.transform(PipelineCaches.track)` after each persist. */
@@ -33,19 +33,28 @@ object PipelineCaches {
     df
   }
 
-  /** Register an arbitrary cleanup (e.g. a GraphX `Graph.unpersist` —
+  /** Register a cleanup against a target object (e.g. a GraphX `Graph` —
     * GraphX caches vertex/edge RDDs internally, and repeated graph jobs in
     * one JVM otherwise accumulate dead blocks until the block manager
-    * starts evicting caches that are still live). Runs once at [[clear]]. */
-  private[graft] def onClear(f: () => Unit): Unit = synchronized {
-    cleanups += f
-  }
+    * starts evicting caches that are still live). The target is held
+    * WEAKLY: a caller that never invokes [[clear]] (long-lived server,
+    * notebook) keeps the pre-existing behavior — once the graph reference
+    * is dropped, Spark's ContextCleaner GC-unpersists its RDDs and this
+    * entry degrades to a no-op instead of pinning the graph forever. */
+  private[graft] def onClear[A <: AnyRef](target: A)(f: A => Unit): Unit =
+    synchronized {
+      cleanups.filterInPlace(_._1.get != null) // drop GC-collected entries
+      cleanups += ((new java.lang.ref.WeakReference[AnyRef](target),
+        f.asInstanceOf[AnyRef => Unit]))
+    }
 
   /** Unpersist every pipeline-tracked intermediate. */
   def clear(): Unit = synchronized {
     registry.keys.foreach(df => try df.unpersist() catch { case _: Exception => })
     registry.clear()
-    cleanups.foreach(f => try f() catch { case _: Exception => })
+    cleanups.foreach { case (ref, f) =>
+      Option(ref.get).foreach(t => try f(t) catch { case _: Exception => })
+    }
     cleanups.clear()
   }
 }

@@ -159,10 +159,9 @@ object TextAnalysis {
     val scrubbed = patterns.foldLeft(col(textCol)) { case (c, (_, pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
+    // every input column survives (a redaction pipeline needs its keys and
+    // metadata downstream); callers project if they want less
     counted.withColumn("scrubbed", scrubbed)
-      .select(col("doc_id") +:
-        patterns.map { case (name, _, _) => col(s"n_$name") } :+
-        col("scrubbed"): _*)
   }
 
   /** Corpus-trained bigram language-model scoring — the CCNet-style

@@ -332,11 +332,18 @@ object Planner {
       val (srcPat, dstPat) = (p.start, endPat)
 
       def boundOf(np: NodePattern): Option[String] = np.alias.filter(mainAliases)
-      for (np <- Seq(srcPat, dstPat); a <- np.alias
-           if !mainAliases(a) && nodeAliases(a))
+      for (np <- Seq(srcPat, dstPat); a <- np.alias if !mainAliases(a)) {
+        if (nodeAliases(a))
+          throw new GraftException(
+            "WHERE on the main MATCH cannot reference aliases introduced by a " +
+            "later OPTIONAL MATCH (out of scope)")
+        // a NAMED alias that binds nothing is almost certainly a typo —
+        // openCypher rejects undefined variables; existentials must be
+        // anonymous: (), (:Label) or ({props})
         throw new GraftException(
-          "WHERE on the main MATCH cannot reference aliases introduced by a " +
-          "later OPTIONAL MATCH (out of scope)")
+          s"undefined alias '$a' in pattern predicate; use an anonymous " +
+          "node for an existential endpoint")
+      }
       val srcBound = boundOf(srcPat); val dstBound = boundOf(dstPat)
       if (srcBound.isEmpty && dstBound.isEmpty)
         throw new GraftException(
@@ -376,7 +383,11 @@ object Planner {
 
       val relAlias = fresh("ppr")
       val relFilters = rel.props.map { case (k, v) =>
-        Expr.Bin("=", Expr.Prop(relAlias, k), v) }
+        if (Expr.leafRefs(v).nonEmpty)
+          throw new GraftException(
+            "pattern predicate property values must be literals or parameters")
+        Expr.Bin("=", Expr.Prop(relAlias, k), v)
+      }
       def endpoint(np: NodePattern, bound: Option[String], label: String): PredEndpoint =
         bound match {
           case Some(a) =>

@@ -288,6 +288,28 @@ class EngineSpec extends AnyFunSuite {
       == Set(4L, 5L))
   }
 
+  test("pattern predicate: undirected + unbound inline props sees both orientations") {
+    // u3 (berlin) follows u4; u4 has NO outgoing edge to a berlin user —
+    // the match must come through the swapped orientation (round-5 review:
+    // restricting before the union dropped exactly this case)
+    val df = gs.cypher(
+      "MATCH (a:User {name:'u4'}) WHERE (a)-[:Follows]-({city: 'berlin'}) RETURN a.id AS id;")
+    assert(longs(df) == Set(4L))
+    // and the whole-corpus form agrees with manual orientation union
+    val all = gs.cypher(
+      "MATCH (a:User) WHERE (a)-[:Follows]-({city: 'berlin'}) RETURN a.id AS id;")
+    // edges touching berlin users (1,3): 1->2, 1->3, 2->3, 3->4, 2->1
+    assert(longs(all) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("pattern predicate: undefined named alias and non-literal props are rejected") {
+    val e = intercept[GraftException](gs.cypher(
+      "MATCH (a:User)-[:Follows]->(b:User) WHERE NOT (bb)-[:Follows]->(a) RETURN a.id AS id;"))
+    assert(e.getMessage.contains("undefined alias 'bb'"))
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE (a)-[:Follows {since: a.id}]->(:User) RETURN a.id AS id;"))
+  }
+
   test("pattern predicate: rejected outside top-level WHERE conjuncts") {
     assertThrows[GraftException](gs.cypher(
       "MATCH (a:User) WHERE (a)-[:Follows]->(:User) OR a.id = 5 RETURN a.id AS id;"))

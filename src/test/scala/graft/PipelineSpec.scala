@@ -371,12 +371,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got((3L, 1L)) == (("z", 3L, 1.216395)))
   }
 
-  test("pattern scrub: PII counts and ordered redaction") {
+  test("pattern scrub: PII counts, ordered redaction, columns preserved") {
     import spark.implicits._
     val d = Seq(
-      (1L, "mail bob@example.com or alice@test.org, call 555-123-4567 from 10.0.0.1"),
-      (2L, "nothing sensitive here")).toDF("doc_id", "text")
-    val got = TextAnalysis.scrubPatterns(d).collect()
+      (1L, "mail bob@example.com or alice@test.org, call 555-123-4567 from 10.0.0.1", "a"),
+      (2L, "nothing sensitive here", "b")).toDF("doc_id", "text", "src")
+    val out = TextAnalysis.scrubPatterns(d)
+    // original columns (incl. non-doc_id metadata) survive
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "src", "n_email", "n_ipv4", "n_phone", "scrubbed"))
+    val got = out.select("doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+      .collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     assert(got(1L)._1 == 2L && got(1L)._2 == 1L && got(1L)._3 == 1L)

@@ -153,6 +153,13 @@ object SparkEntry {
         |            ELSE 'small' END AS bucket,
         |       count(*) AS cnt;""".stripMargin),
 
+    // shortestPath + length(p) (extension): min hop distances over the
+    // sparse per-region NATION_NEXT chain, where the true distance is the
+    // within-region rank difference — a closed-form oracle
+    "q_shortest_path" -> cy(
+      """MATCH p = shortestPath((a:Nation)-[:NATION_NEXT*1..4]->(b:Nation))
+        |RETURN a.n_name AS a_name, b.n_name AS b_name, length(p) AS len;""".stripMargin),
+
     // pattern predicate under NOT ⇒ left anti join (extension): customers
     // not from NATION_7 — the unbound endpoint carries an inline prop filter,
     // so the anti-joined pair set is pre-restricted by a nested semi-join
@@ -346,6 +353,19 @@ object SparkEntry {
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // NATION_NEXT chains nations by ascending key within a region, so the
+    // shortest hop count is exactly the rank difference
+    "q_shortest_path" ->
+      """WITH r AS (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         row_number() OVER (PARTITION BY n_regionkey
+        |                            ORDER BY n_nationkey) AS rk
+        |  FROM nation)
+        |SELECT a.n_name AS a_name, b.n_name AS b_name,
+        |       CAST(b.rk - a.rk AS BIGINT) AS len
+        |FROM r a JOIN r b ON a.n_regionkey = b.n_regionkey
+        |WHERE b.rk - a.rk BETWEEN 1 AND 4""".stripMargin,
 
     "q_not_exists" ->
       """SELECT c_custkey, c_mktsegment AS seg FROM customer

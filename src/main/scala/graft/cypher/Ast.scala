@@ -211,7 +211,12 @@ final case class RelPattern(
     dir: Dir,
     /** `*min..max` bounded variable-length hop (extension beyond the
       * reference grammar, which has no `*` paths — SURVEY.md §2.3). */
-    varLength: Option[(Int, Int)] = None)
+    varLength: Option[(Int, Int)] = None,
+    /** wrapped in `shortestPath(...)`: the hop composition keeps only the
+      * minimum-length pair distances (extension). */
+    shortest: Boolean = false,
+    /** the `p` of `p = shortestPath(...)` — resolvable via `length(p)`. */
+    pathAlias: Option[String] = None)
 
 /** A linear path: node (rel node)*. */
 final case class PathPattern(start: NodePattern, hops: Seq[(RelPattern, NodePattern)])

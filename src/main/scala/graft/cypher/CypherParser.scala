@@ -226,6 +226,22 @@ object CypherParser extends RegexParsers {
       case start ~ hops => PathPattern(start, hops.map { case r ~ n => (r, n) })
     }
 
+  /** `[p =] shortestPath((a)-[:R*lo..hi]->(b))` — single-hop pattern whose
+    * composition keeps minimum pair distances; `length(p)` reads them. */
+  private def shortestPathPattern: Parser[PathPattern] =
+    opt(ident <~ "=") ~ (kw("shortestpath") ~> "(" ~> pathPattern <~ ")") ^^ {
+      case pa ~ p =>
+        if (p.hops.size != 1)
+          throw new GraftException(
+            "shortestPath takes a pattern with exactly one relationship")
+        val (rel, end) = p.hops.head
+        val vl = rel.varLength.getOrElse((1, 1))
+        PathPattern(p.start,
+          Seq((rel.copy(varLength = Some(vl), shortest = true, pathAlias = pa), end)))
+    }
+
+  private def matchPath: Parser[PathPattern] = shortestPathPattern | pathPattern
+
   // ---- clauses ------------------------------------------------------------
 
   private def returnItem: Parser[ReturnItem] =
@@ -254,7 +270,7 @@ object CypherParser extends RegexParsers {
     }
 
   private def readQuery: Parser[ReadQuery] =
-    rep1(kw("match") ~> rep1sep(pathPattern, ",")) ~
+    rep1(kw("match") ~> rep1sep(matchPath, ",")) ~
       opt(kw("where") ~> expression) ~
       rep(optionalMatch) ~
       rep(unwindClause) ~

@@ -117,11 +117,12 @@ final class DataFrameBuilder(session: GraftSession) {
     // last level needs none (the final union-distinct dedups it, and the
     // hash aggregate's map-side combine absorbs path multiplicity without
     // an extra sequential shuffle stage).
+    lazy val smallEdges = scala.util.Try {
+      base.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        session.spark.sessionState.conf.autoBroadcastJoinThreshold
+    }.getOrElse(false)
+
     def composeHops(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
-      val smallEdges = scala.util.Try {
-        base.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          session.spark.sessionState.conf.autoBroadcastJoinThreshold
-      }.getOrElse(false)
       val rhs = if (smallEdges) broadcast(h1) else h1
       val hops = scala.collection.mutable.ArrayBuffer(h1)
       for (level <- 2 to hi) {
@@ -158,12 +159,36 @@ final class DataFrameBuilder(session: GraftSession) {
         else edgeList(srcCol, dstCol)
       }
 
+    // shortestPath composition: level-synchronous pair expansion, one
+    // `__len`-tagged union per level, min() per pair. min-over-all-levels
+    // equals BFS distance (every pair appears at its shortest level and
+    // possibly later ones), with the same distinct-pair join shape —
+    // and the same broadcast lift — as composeHops. A lower bound > 1
+    // EXCLUDES pairs whose true shortest hop count is below it (it does
+    // not return "the shortest path of at least lo hops").
+    def composeShortest(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
+      val rhs = if (smallEdges) broadcast(h1) else h1
+      var cur = h1.distinct()
+      val levels = scala.collection.mutable.ArrayBuffer(
+        cur.withColumn("__len", lit(1L)))
+      for (level <- 2 to hi) {
+        cur = cur.alias("l").join(rhs.alias("r"), col("l.__dst") === col("r.__src"))
+          .select(col("l.__src").as("__src"), col("r.__dst").as("__dst"))
+          .distinct()
+        levels += cur.withColumn("__len", lit(level.toLong))
+      }
+      levels.reduce(_ union _)
+        .groupBy("__src", "__dst").agg(min("__len").as("__len"))
+        .filter(col("__len") >= lo)
+    }
+
     e.varLength match {
       case Some((lo, hi)) if !e.invalidDirection =>
         val h1 =
           if (e.undirectedSameLabel) oriented.select("__src", "__dst")
           else oriented.select("__src", "__dst").distinct()
-        return composeHops(h1, lo, hi).alias(e.alias)
+        return (if (e.shortest) composeShortest(h1, lo, hi)
+                else composeHops(h1, lo, hi)).alias(e.alias)
       case _ =>
     }
 
@@ -355,6 +380,15 @@ final class DataFrameBuilder(session: GraftSession) {
   private def rewriteAliasArgs(e: Expr, plan: GraphPlan): Expr = {
     val relAliases = plan.edges.map(_.alias).toSet
     def rw(x: Expr): Expr = x match {
+      // length(p) where p = shortestPath(...) → the hop composition's
+      // hidden min-distance column
+      case Expr.Fn(n, Seq(Expr.Var(p)), false)
+        if n.equalsIgnoreCase("length") && plan.pathAliases.contains(p) =>
+        Expr.Prop(plan.pathAliases(p), "__len")
+      case Expr.Var(a) if plan.pathAliases.contains(a) =>
+        throw new GraftException(
+          s"path alias '$a' can only be used as length($a) (paths are not " +
+          "materialized values)")
       case Expr.Var(a) if plan.nodes.contains(a) =>
         Expr.Prop(a, plan.nodes(a).schema.idColumn)
       case Expr.Var(a) if relAliases(a) => Expr.Prop(a, "__src")

@@ -30,7 +30,10 @@ final case class ResolvedEdge(
     pushedFilters: Seq[Expr],
     /** bounded `*min..max` hop — composed by iterated self-join with
       * distinct-pair reachability semantics (extension; see SURVEY.md §8.5) */
-    varLength: Option[(Int, Int)] = None)
+    varLength: Option[(Int, Int)] = None,
+    /** `shortestPath(...)`: composition keeps minimum pair distances and
+      * exposes them as the hidden `__len` column (extension). */
+    shortest: Boolean = false)
 
 /** Resolved match graph + query shape, ready for DataFrame construction. */
 final case class GraphPlan(
@@ -54,7 +57,10 @@ final case class GraphPlan(
     unwinds: Seq[Unwind] = Seq.empty,
     /** `WHERE [NOT] (a)-[:R]->(b)` predicates ⇒ left semi/anti joins
       * (extension). */
-    patternPreds: Seq[ResolvedPatternPred] = Seq.empty)
+    patternPreds: Seq[ResolvedPatternPred] = Seq.empty,
+    /** `p = shortestPath(...)` path alias → its relationship alias
+      * (`length(p)` resolves through this to the hidden `__len`). */
+    pathAliases: Map[String, String] = Map.empty)
 
 /** One OPTIONAL MATCH block: its edges, the aliases it introduces, and the
   * residual predicate that belongs in the left-join ON condition. */
@@ -103,7 +109,8 @@ object Planner {
       alias: String, relType: Option[String],
       src: String, dst: String, undirected: Boolean,
       inline: Seq[Expr], varLength: Option[(Int, Int)],
-      block: Int) // -1 = main pattern, i = optionalMatches(i)
+      block: Int, // -1 = main pattern, i = optionalMatches(i)
+      shortest: Boolean = false, pathAlias: Option[String] = None)
 
   def plan(q: ReadQuery, catalog: GraphCatalog): GraphPlan = {
     var synthetic = 0
@@ -150,9 +157,9 @@ object Planner {
         val relAlias = rel.alias.getOrElse(fresh("r"))
         val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
         val e = rel.dir match {
-          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, -1)
-          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, -1)
-          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, -1)
+          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias)
+          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias)
+          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, -1, rel.shortest, rel.pathAlias)
         }
         rawEdges += e
         prev = cur
@@ -527,7 +534,7 @@ object Planner {
       }
       ResolvedEdge(st.raw.alias, st.schema.get, st.raw.src, st.raw.dst,
         st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias),
-        st.raw.varLength)
+        st.raw.varLength, st.raw.shortest)
     }
     val (mainEdges, optEdges) = edges.zip(states).partition(_._2.raw.block == -1)
 
@@ -538,9 +545,13 @@ object Planner {
         blockResiduals(bi).reduceOption(Expr.Bin("AND", _, _)))
     }
 
+    val pathAliases: Map[String, String] = rawEdges.collect {
+      case e if e.shortest && e.pathAlias.isDefined => e.pathAlias.get -> e.alias
+    }.toMap
+
     GraphPlan(nodes, mainEdges.map(_._1), anchor,
       residual.reduceOption(Expr.Bin("AND", _, _)),
       q.withStages, q.returnItems, q.returnDistinct, q.orderBy, q.skip, q.limit,
-      refProps, optionalBlocks, q.unwinds, patternPreds.toSeq)
+      refProps, optionalBlocks, q.unwinds, patternPreds.toSeq, pathAliases)
   }
 }

@@ -261,6 +261,38 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(und) == Set(4L)) // only an incoming edge; undirected sees it
   }
 
+  test("shortestPath: min hop distances with length(p)") {
+    // Follows: 1->2, 1->3, 2->3, 3->4, 2->1
+    // from u1: d(2)=1, d(3)=1, d(4)=2 (1->3->4), d(1)=2 (1->2->1)
+    val df = gs.cypher(
+      """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..3]->(b:User))
+        |RETURN b.id AS id, length(p) AS len;""".stripMargin)
+    assert(rows(df) == Set(Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L), Seq(1L, 2L)))
+  }
+
+  test("shortestPath: anonymous form, undirected, and filters on length") {
+    val anon = gs.cypher(
+      "MATCH shortestPath((a:User {name:'u1'})-[:Follows*1..2]->(b:User)) RETURN b.id AS id;")
+    assert(longs(anon) == Set(1L, 2L, 3L, 4L))
+    // undirected: u5 has no edges at all -> unreachable from u1
+    val und = gs.cypher(
+      """MATCH p = shortestPath((a:User {name:'u4'})-[:Follows*1..3]-(b:User))
+        |RETURN b.id AS id, length(p) AS len;""".stripMargin)
+    // u4: only 3->4 exists; undirected d(3)=1, d(1)=2, d(2)=2, d(4)=2 (4-3-4? no:
+    // pair distinct per level: 3->4 back 4 gives d(4)=2 via 4-3-4)
+    assert(rows(und) == Set(Seq(3L, 1L), Seq(1L, 2L), Seq(2L, 2L), Seq(4L, 2L)))
+    val filtered = gs.cypher(
+      """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..3]->(b:User))
+        |WHERE length(p) > 1 RETURN b.id AS id;""".stripMargin)
+    assert(longs(filtered) == Set(1L, 4L))
+  }
+
+  test("shortestPath: bare path alias outside length() is rejected") {
+    assertThrows[GraftException](gs.cypher(
+      """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..2]->(b:User))
+        |RETURN b.id AS id, p + 1 AS bad;""".stripMargin))
+  }
+
   test("string predicates: STARTS WITH / ENDS WITH / CONTAINS / =~") {
     assert(longs(gs.cypher(
       "MATCH (u:User) WHERE u.city STARTS WITH 'ber' RETURN u.id AS id;"))

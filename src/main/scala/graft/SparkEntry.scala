@@ -153,6 +153,12 @@ object SparkEntry {
         |            ELSE 'small' END AS bucket,
         |       count(*) AS cnt;""".stripMargin),
 
+    // schema introspection: type(r) folds to a literal at plan time
+    // (one table per label); grouping on it still works
+    "q_type_fn" -> cy(
+      """MATCH (c:Customer)-[r:PLACED]->(o:Order)
+        |RETURN type(r) AS t, count(*) AS cnt;""".stripMargin),
+
     // shortestPath + length(p) (extension): min hop distances over the
     // sparse per-region NATION_NEXT chain, where the true distance is the
     // within-region rank difference — a closed-form oracle
@@ -353,6 +359,9 @@ object SparkEntry {
         |            WHEN o_totalprice > 100000.0 THEN 'mid'
         |            ELSE 'small' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_type_fn" ->
+      "SELECT 'PLACED' AS t, count(*) AS cnt FROM orders",
 
     // NATION_NEXT chains nations by ascending key within a region, so the
     // shortest hop count is exactly the rank difference

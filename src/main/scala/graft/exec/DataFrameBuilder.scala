@@ -379,12 +379,21 @@ final class DataFrameBuilder(session: GraftSession) {
     * aggregate args on relationships to their `__src` key. */
   private def rewriteAliasArgs(e: Expr, plan: GraphPlan): Expr = {
     val relAliases = plan.edges.map(_.alias).toSet
+    val relLabels = plan.edges.map(e => e.alias -> e.schema.label).toMap
     def rw(x: Expr): Expr = x match {
       // length(p) where p = shortestPath(...) → the hop composition's
       // hidden min-distance column
       case Expr.Fn(n, Seq(Expr.Var(p)), false)
         if n.equalsIgnoreCase("length") && plan.pathAliases.contains(p) =>
         Expr.Prop(plan.pathAliases(p), "__len")
+      // schema introspection folds to literals at plan time: one table per
+      // label means an alias's labels/type are statically known
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("labels") && plan.nodes.contains(a) =>
+        Expr.ListLit(Seq(Expr.Lit(plan.nodes(a).schema.label)))
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("type") && relLabels.contains(a) =>
+        Expr.Lit(relLabels(a))
       case Expr.Var(a) if plan.pathAliases.contains(a) =>
         throw new GraftException(
           s"path alias '$a' can only be used as length($a) (paths are not " +

@@ -261,6 +261,19 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(und) == Set(4L)) // only an incoming edge; undirected sees it
   }
 
+  test("labels() and type() fold to schema literals") {
+    val df = gs.cypher(
+      """MATCH (u:User)-[r:Follows]->(v:User) WHERE u.id = 1
+        |RETURN u.id AS id, labels(u) AS ls, type(r) AS t;""".stripMargin)
+    val r0 = df.collect().head
+    assert(r0.getSeq[String](1) == Seq("User"))
+    assert(r0.getString(2) == "Follows")
+    // grouping on type() works (it's a literal, not a column)
+    val g = gs.cypher(
+      "MATCH (u:User)-[r:Follows]->(v:User) RETURN type(r) AS t, count(*) AS n;")
+    assert(rows(g) == Set(Seq("Follows", 5L)))
+  }
+
   test("shortestPath: min hop distances with length(p)") {
     // Follows: 1->2, 1->3, 2->3, 3->4, 2->1
     // from u1: d(2)=1, d(3)=1, d(4)=2 (1->3->4), d(1)=2 (1->2->1)

@@ -101,13 +101,39 @@ final class GraftSession(val spark: SparkSession) {
 
   /** Point this session's adjacency reads at tables previously written by
     * [[persistAdjIndex]] (possibly by another process — the discovery step
-    * a fresh session performs after loading a persisted catalog). */
-  def attachAdjIndex(relLabel: String): Unit =
-    for (outgoing <- Seq(true, false)) {
-      val name = adjTableName(relLabel, outgoing)
+    * a fresh session performs after loading a persisted catalog).
+    *
+    * STALENESS GUARD: the persisted tables carry a
+    * [[graft.catalog.Snapshot]] fingerprint of the edge table they were
+    * built from; if the edge data changed since (replaced parquet, new
+    * inserts), the index is rebuilt (default) or refused — never silently
+    * served stale. The reference's MV-fed index tables update on every
+    * INSERT (ddl_query.rs:290-311), so they can never be stale; a
+    * batch-built index needs this fence instead. */
+  def attachAdjIndex(relLabel: String, rebuildIfStale: Boolean = true): Unit = {
+    val names = Seq(true, false).map(o => adjTableName(relLabel, o))
+    for (name <- names)
       require(spark.catalog.tableExists(name), s"no persisted index table $name")
-      adjCache.put((relLabel, outgoing), spark.table(name))
-    }
+    val current = edgeFingerprint(relLabel)
+    val props = names.map(n => spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(n)).properties)
+    val stale = props.exists(p => !p.get(FingerprintProp).contains(current))
+    if (stale) {
+      if (!rebuildIfStale) throw new GraftException(
+        s"persisted adjacency index for $relLabel is stale: the edge table " +
+          s"changed since the index was built — rebuild with persistAdjIndex")
+      val buckets = props.head.get(BucketsProp).map(_.toInt).getOrElse(32)
+      persistAdjIndex(relLabel, buckets)
+    } else
+      for (outgoing <- Seq(true, false))
+        adjCache.put((relLabel, outgoing), spark.table(adjTableName(relLabel, outgoing)))
+  }
+
+  private val FingerprintProp = "graft.edge.fingerprint"
+  private val BucketsProp = "graft.buckets"
+
+  private def edgeFingerprint(relLabel: String): String =
+    graft.catalog.Snapshot.fingerprint(table(_catalog.rel(relLabel).tableName))
 
   private def adjTableName(relLabel: String, outgoing: Boolean): String =
     s"${relLabel.toLowerCase}_${if (outgoing) "outgoing" else "incoming"}"
@@ -139,6 +165,9 @@ final class GraftSession(val spark: SparkSession) {
     * hash-partitioned layout survives restarts and joins against it skip
     * the exchange when bucket counts line up. */
   def persistAdjIndex(relLabel: String, buckets: Int = 32): Unit = {
+    // fingerprint BEFORE building: if the edge table changes mid-build the
+    // recorded fingerprint is conservative (next attach sees it as stale)
+    val fp = edgeFingerprint(relLabel)
     for (outgoing <- Seq(true, false)) {
       val name = adjTableName(relLabel, outgoing)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -153,6 +182,8 @@ final class GraftSession(val spark: SparkSession) {
         .bucketBy(buckets, "id").sortBy("id")
         .format("parquet")
         .saveAsTable(name)
+      spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES (" +
+        s"'$FingerprintProp' = '$fp', '$BucketsProp' = '$buckets')")
       adjCache.put((relLabel, outgoing), spark.table(name))
     }
   }

@@ -89,6 +89,19 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF ANN over the PERSISTED index (built once per corpus fingerprint,
+    // probed reads prune to the probed list partitions — PlanSpec-pinned).
+    // Same deterministic quantizer as p_ann_ivf ⇒ same oracle.
+    "p_ann_ivf_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.buildIvfIndexIfStale(e, idx)
+      Similarity.ivfTopKPersisted(
+          e.filter(pmod(col("vec_id"), lit(50)) === 0), idx, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // deterministic k-means assignment (the IVF quantizer as a first-class
     // clustering op) — oracle-checked against the same Lloyd CTE prefix
     "p_kmeans" -> ((s, dir) => Similarity.kmeansAssign(emb(s, dir))),
@@ -651,6 +664,8 @@ object PipelineEntries {
 
     "p_ann_lsh" -> lshOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
+    // identical quantizer + probe math ⇒ identical result set
+    "p_ann_ivf_persisted" -> ivfOracleSql(),
     "p_kmeans" -> kmeansOracleSql(),
     "p_diversity" -> diversityOracleSql(),
 

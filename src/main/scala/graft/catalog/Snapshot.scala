@@ -1,0 +1,53 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Content fingerprint of a DataFrame's backing data — the staleness fence
+  * for persisted index artifacts (adjacency indexes, IVF lists).
+  *
+  * The reference never serves stale index rows because its bitmap indexes
+  * are AggregatingMergeTree tables fed by materialized views on every
+  * INSERT (brahmand/src/clickhouse_query_generator/ddl_query.rs:290-311).
+  * A batch-built index needs an explicit freshness check instead: the
+  * builder records this fingerprint next to the artifact, and readers
+  * compare it against the source before serving.
+  *
+  * File-backed frames hash the sorted (path, length, mtime) status of
+  * their input files — no data pass, O(#files) driver-side metadata calls,
+  * valid at any data scale (an overwritten parquet file always changes at
+  * least its mtime). Frames with no file inputs (in-memory test fixtures)
+  * fall back to a row-count + row-hash aggregate: one cheap
+  * map-side-combinable pass.
+  */
+object Snapshot {
+
+  def fingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    val material =
+      if (files.nonEmpty) {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        files.sorted.map { f =>
+          val p = new Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        }.mkString("\n")
+      } else {
+        import org.apache.spark.sql.functions._
+        // order-independent content hash: sum of per-row xxhash64 (+ count,
+        // so deleting a zero-hash row still changes the fingerprint).
+        // Summed as decimal(38,0): a long sum overflows under ANSI mode.
+        val r = df
+          .select(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+            .cast("decimal(38,0)").as("h"))
+          .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
+          .head()
+        s"rows:${r.getLong(0)}:${if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString}"
+      }
+    sha256Hex(material)
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

@@ -312,6 +312,64 @@ object Similarity {
       cents.map(_.id).toArray, cents.flatMap(_.cent.toSeq).toArray,
       cents.map(_.norm).toArray, DefaultDim)
 
+  /** Shared IVF/k-means corpus prep: (nid, cv, cnorm), null vectors
+    * dropped, persisted for the multi-pass Lloyd loop. */
+  private def prepIvfCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .filter(col("cv").isNotNull)
+      .repartition(col("nid"))
+      .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+
+  /** `nlist = 0` auto-scales to ~√N capped at 4096 (see [[ivfTopK]]). */
+  private def autoNlist(nlist: Int, corpusSize: Long): Int =
+    if (nlist > 0) nlist
+    else math.min(4096L, math.max(1L, math.round(math.sqrt(corpusSize.toDouble)))).toInt
+
+  private def collectCents(df: DataFrame): Seq[Centroid] =
+    df.collect().toSeq
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_.id)
+
+  /** Nearest centroid per corpus row: flat argmax over the literal
+    * centroid set — narrow, no join, no window. */
+  private def assignLists(c: DataFrame, cents: Seq[Centroid]): DataFrame =
+    c.withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
+      .select(col("nid"), col("cv"), col("cnorm"),
+        (-col("best.negid")).as("list_id"))
+
+  /** Deterministic coarse quantizer shared by [[ivfTopK]], [[kmeansAssign]]
+    * and [[buildIvfIndex]]: seeds = the `lists` lowest-id vectors, then
+    * `refineIters` Lloyd steps. Each step is ONE corpus pass (fused argmax
+    * + a map-side-combinable mean aggregate; the shuffle carries
+    * lists·dim doubles per partition); the driver only ever holds `lists`
+    * centroid rows.
+    *
+    * Means are ROUNDED to 9 dp: Spark's partial-aggregate combine order is
+    * nondeterministic, so unrounded means differ by ulps across runs and
+    * engines; 9 dp (vs the 1e-16 noise floor) pins the centroid
+    * coordinates themselves, making everything downstream exactly
+    * reproducible rather than merely round-absorbed at the csim stage. */
+  private def trainCentroids(c: DataFrame, lists: Int, refineIters: Int): Seq[Centroid] = {
+    // deterministic seeds: the `lists` lowest-id vectors
+    var cents = collectCents(
+      c.orderBy("nid").limit(lists)
+        .select(col("nid"), col("cv"), col("cnorm")))
+    // Lloyd refinement: element-wise mean per list (empty lists drop out)
+    for (_ <- 0 until refineIters) {
+      val avgCols = array((0 until DefaultDim).map(i =>
+        round(avg(element_at(col("cv"), i + 1)), 9)): _*)
+      cents = collectCents(
+        assignLists(c, cents)
+          .groupBy(col("list_id"))
+          .agg(avgCols.as("cent"))
+          .select(col("list_id"), col("cent"),
+            normFixed(col("cent"), DefaultDim).as("centnorm")))
+    }
+    cents
+  }
+
   /** L2-normalize an embedding column (cosine-ready storage: after this,
     * dot = cosine and downstream ops skip the norm divide). Components
     * round to 6 dp for engine-portable determinism; all-zero vectors map
@@ -364,36 +422,13 @@ object Similarity {
   def kmeansAssign(corpus: DataFrame, k: Int = 0, iters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
-      .filter(col("cv").isNotNull)
-      .repartition(col("nid"))
-      .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(PipelineCaches.track)
+    val c = prepIvfCorpus(corpus, idCol, vecCol)
     val corpusSize = c.count()
     if (corpusSize == 0L) {
       import corpus.sparkSession.implicits._
       return Seq.empty[(Long, Long, Double)].toDF(idCol, "cluster_id", "sim")
     }
-    val lists =
-      if (k > 0) k
-      else math.min(4096L, math.max(1L, math.round(math.sqrt(corpusSize.toDouble)))).toInt
-    def collectCents(df: DataFrame): Seq[Centroid] =
-      df.collect().toSeq
-        .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-        .sortBy(_.id)
-    var cents = collectCents(
-      c.orderBy("nid").limit(lists).select(col("nid"), col("cv"), col("cnorm")))
-    for (_ <- 0 until iters) {
-      val avgCols = array((0 until DefaultDim).map(i =>
-        round(avg(element_at(col("cv"), i + 1)), 9)): _*)
-      cents = collectCents(
-        c.withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
-          .groupBy((-col("best.negid")).as("list_id"))
-          .agg(avgCols.as("cent"))
-          .select(col("list_id"), col("cent"),
-            normFixed(col("cent"), DefaultDim).as("centnorm")))
-    }
+    val cents = trainCentroids(c, autoNlist(k, corpusSize), iters)
     c.withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
       .select(col("nid").as(idCol), (-col("best.negid")).as("cluster_id"),
         col("best.csim").as("sim"))
@@ -435,12 +470,7 @@ object Similarity {
     // null embeddings can never be neighbors or centroids — drop them up
     // front (the literal-argmax below would otherwise NPE collecting a
     // null seed vector)
-    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
-      .filter(col("cv").isNotNull)
-      .repartition(col("nid"))
-      .withColumn("cnorm", normFixed(col("cv"), DefaultDim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(PipelineCaches.track)
+    val c = prepIvfCorpus(corpus, idCol, vecCol)
 
     val corpusSize = c.count()
     // empty corpus ⇒ well-defined empty result (the pre-rewrite join
@@ -450,44 +480,8 @@ object Similarity {
       return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "sim", "rank")
     }
 
-    val lists =
-      if (nlist > 0) nlist
-      else math.min(4096L, math.max(1L, math.round(math.sqrt(corpusSize.toDouble)))).toInt
-
-    def collectCents(df: DataFrame): Seq[Centroid] =
-      df.collect().toSeq
-        .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-        .sortBy(_.id)
-
-    // nearest centroid per row: flat argmax over the literal centroid set
-    def assignBest(cents: Seq[Centroid]): DataFrame =
-      c.withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
-        .select(col("nid"), col("cv"), col("cnorm"),
-          (-col("best.negid")).as("list_id"))
-
-    // deterministic seeds: the nlist lowest-id vectors
-    var cents = collectCents(
-      c.orderBy("nid").limit(lists)
-        .select(col("nid"), col("cv"), col("cnorm")))
-
-    // Lloyd refinement: element-wise mean per list (empty lists drop out).
-    // Means are ROUNDED to 9 dp: Spark's partial-aggregate combine order is
-    // nondeterministic, so unrounded means differ by ulps across runs and
-    // engines; 9 dp (vs the 1e-16 noise floor) pins the centroid
-    // coordinates themselves, making everything downstream exactly
-    // reproducible rather than merely round-absorbed at the csim stage.
-    for (_ <- 0 until refineIters) {
-      val avgCols = array((0 until DefaultDim).map(i =>
-        round(avg(element_at(col("cv"), i + 1)), 9)): _*)
-      cents = collectCents(
-        assignBest(cents)
-          .groupBy(col("list_id"))
-          .agg(avgCols.as("cent"))
-          .select(col("list_id"), col("cent"),
-            normFixed(col("cent"), DefaultDim).as("centnorm")))
-    }
-
-    val assigned = assignBest(cents)
+    val cents = trainCentroids(c, autoNlist(nlist, corpusSize), refineIters)
+    val assigned = assignLists(c, cents)
 
     // queries probe their nprobe best lists: ascending sort of the
     // (csim, -cent_id) structs, take the LAST nprobe (= csim DESC,
@@ -512,5 +506,142 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "nid", "sim", "rank")
+  }
+
+  // ---- durable IVF index -----------------------------------------------
+
+  private def ivfMetaPath(path: String) = s"$path/_ivf_meta.json"
+
+  /** Build the IVF index as a DURABLE artifact (the ANN analogue of
+    * [[graft.GraftSession.persistAdjIndex]], mirroring the reference's
+    * persisted index tables — ddl_query.rs:290-311). [[ivfTopK]] recomputes
+    * centroids + list assignments on every call: fine for one-shot jobs,
+    * wrong at 100 TB where the index is built once and probed by thousands
+    * of queries. Layout under `path`:
+    *
+    *  - `centroids/` — (list_id, cent, centnorm), nlist ≤ 4096 rows
+    *  - `lists/` — (nid, cv, cnorm) PARTITIONED BY list_id, one file per
+    *    list (repartitioned on list_id before the write), so a probed read
+    *    lists/scans ONLY the probed directories
+    *  - `_ivf_meta.json` — dim, nlist, corpus row count, and a
+    *    [[graft.catalog.Snapshot]] fingerprint of the corpus for staleness
+    *    detection
+    *
+    * Same deterministic quantizer as [[ivfTopK]] (seeded by lowest ids,
+    * 9-dp Lloyd means), so [[ivfTopKPersisted]] over this index returns
+    * exactly [[ivfTopK]]'s rows. */
+  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 0,
+      refineIters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val fp = graft.catalog.Snapshot.fingerprint(corpus)
+    val c = prepIvfCorpus(corpus, idCol, vecCol)
+    val corpusSize = c.count()
+    if (corpusSize == 0L)
+      throw new graft.cypher.GraftException(
+        s"buildIvfIndex: corpus has no non-null '$vecCol' vectors")
+    val lists = autoNlist(nlist, corpusSize)
+    val cents = trainCentroids(c, lists, refineIters)
+
+    import spark.implicits._
+    cents.map(ct => (ct.id, ct.cent.toSeq, ct.norm))
+      .toDF("list_id", "cent", "centnorm")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // repartition by list_id: each list lands in ONE task → one parquet
+    // file per list directory instead of (#tasks × #lists) small files
+    assignLists(c, cents)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+
+    writeString(spark, ivfMetaPath(path),
+      s"""{"version":1,"dim":$DefaultDim,"nlist":${cents.size},""" +
+        s""""rows":$corpusSize,"fingerprint":"$fp"}""")
+  }
+
+  /** Rebuild the persisted index iff missing or its recorded corpus
+    * fingerprint no longer matches (the staleness fence — a replaced
+    * embeddings parquet must never serve stale neighbors). Returns true
+    * if it rebuilt. */
+  def buildIvfIndexIfStale(corpus: DataFrame, path: String, nlist: Int = 0,
+      refineIters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val spark = corpus.sparkSession
+    val fresh = readStringIfExists(spark, ivfMetaPath(path)).exists { meta =>
+      val fp = graft.catalog.Snapshot.fingerprint(corpus)
+      meta.contains(s""""fingerprint":"$fp"""")
+    }
+    if (!fresh) buildIvfIndex(corpus, path, nlist, refineIters, idCol, vecCol)
+    !fresh
+  }
+
+  /** IVF ANN over a persisted index ([[buildIvfIndex]]): probe the nprobe
+    * nearest lists per query, reading ONLY the probed list partitions.
+    *
+    * The probed list set is collected to the driver as literal IN values —
+    * bounded by nlist ≤ 4096, so this is safe driver state at any corpus
+    * size — which gives STATIC partition pruning on the lists read: the
+    * scan's PartitionFilters prune unprobed directories before any file is
+    * opened (PlanSpec-pinned). Per-probe cost is nprobe·N/nlist rows
+    * regardless of how large the index is on disk. */
+  def ivfTopKPersisted(queries: DataFrame, path: String, k: Int = 5,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val cents = collectCents(spark.read.parquet(s"$path/centroids")
+      .select(col("list_id"), col("cent"), col("centnorm")))
+    require(cents.nonEmpty, s"empty IVF index at $path")
+
+    val probes = math.max(1, math.min(nprobe, cents.size))
+    val qAssigned = queries
+      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qnorm", normFixed(col("qv"), DefaultDim))
+      .withColumn("probe",
+        explode(slice(array_sort(centSims(col("qv"), col("qnorm"), cents)),
+          -probes, probes)))
+      .select(col("qid"), col("qv"), col("qnorm"),
+        (-col("probe.negid")).as("list_id"))
+
+    val probedIds = qAssigned.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedIds.map(Long.box).toIndexedSeq: _*))
+
+    // each corpus vector lives in exactly ONE list, so a (qid, nid) pair
+    // joins at most once — no distinct needed (ivfTopK's was vestigial)
+    val sims = lists.join(broadcast(qAssigned), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dotFixed(col("qv"), col("cv"), DefaultDim) /
+              (col("qnorm") * col("cnorm")), 6).as("sim"))
+
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+
+  private def writeString(spark: org.apache.spark.sql.SparkSession,
+      path: String, s: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readStringIfExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
   }
 }

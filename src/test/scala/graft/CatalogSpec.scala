@@ -35,6 +35,31 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS follows_incoming")
   }
 
+  test("stale persisted adjacency index: attach rebuilds (or refuses), never serves stale") {
+    import spark.implicits._
+    val g = freshGraph()
+    g.persistAdjIndex("Follows", buckets = 4)
+    try {
+      // a fresh session whose edge table gained an edge 3->1: the persisted
+      // index predates it, so attach must not serve the old neighbor sets
+      val g2 = new GraftSession(spark)
+      g2.registerTable("users", Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("id", "name"))
+      g2.registerTable("Follows",
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L)).toDF("from_User", "to_User"))
+      g2.registerNode("User", "users", "id")
+      g2.registerRel("Follows", "Follows", "User", "User", adjIndex = true)
+      intercept[graft.cypher.GraftException] {
+        g2.attachAdjIndex("Follows", rebuildIfStale = false)
+      }
+      g2.attachAdjIndex("Follows") // default: rebuild
+      val q = "MATCH (a:User {name:'u3'})-[:Follows]->(b:User) RETURN b.id AS id;"
+      assert(longs(g2.cypher(q)) == Set(1L), "rebuilt index must see the new edge")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS follows_outgoing")
+      spark.sql("DROP TABLE IF EXISTS follows_incoming")
+    }
+  }
+
   test("catalog save / load / version-poll refresh") {
     val g = freshGraph()
     val path = Files.createTempFile("graft_catalog", ".json").toString

@@ -319,6 +319,37 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall")
   }
+
+  test("persisted IVF index: identical rows to ivfTopK; fresh index is not rebuilt") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_eq").toString
+    try {
+      assert(Similarity.buildIvfIndexIfStale(emb, dir))  // no index yet → build
+      assert(!Similarity.buildIvfIndexIfStale(emb, dir)) // same files → fresh
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val expect = key(Similarity.ivfTopK(emb, queries, k = 5))
+      val got = key(Similarity.ivfTopKPersisted(queries, dir, k = 5))
+      assert(expect.nonEmpty && got == expect)
+    } finally graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("persisted IVF index: changed corpus content is detected as stale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
+    try {
+      // in-memory frames exercise the row-hash fingerprint fallback
+      val rows = emb.limit(100).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val c1 = rows.toSeq.toDF("vec_id", "embedding")
+      assert(Similarity.buildIvfIndexIfStale(c1, dir))
+      // a NEW frame with the SAME rows is content-fresh → no rebuild
+      val c2 = rows.toSeq.toDF("vec_id", "embedding")
+      assert(!Similarity.buildIvfIndexIfStale(c2, dir))
+      // dropping a row changes the content fingerprint → rebuild
+      val c3 = rows.toSeq.drop(1).toDF("vec_id", "embedding")
+      assert(Similarity.buildIvfIndexIfStale(c3, dir))
+    } finally graft.pipeline.PipelineCaches.clear()
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {

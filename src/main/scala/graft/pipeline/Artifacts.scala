@@ -1,0 +1,30 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file I/O for build-once / read-many parquet artifacts keyed by a
+  * source-content fingerprint (the persisted IVF index, mined dup-pair
+  * sets). Hadoop FS API so artifact paths work on any filesystem a real
+  * cluster mounts (local, HDFS, object storage). */
+object Artifacts {
+
+  def writeString(spark: SparkSession, path: String, s: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readStringIfExists(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+}

@@ -318,6 +318,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[ngramJaccardPairs]] as a build-once parquet artifact keyed by the
+    * corpus content fingerprint + threshold ([[graft.catalog.Snapshot]]).
+    * Pair mining is the expensive half of transitive clustering; persisting
+    * it means [[dupClusters]] (and every other pair consumer — span
+    * scoring, manual review, re-clustering at a different granularity)
+    * pays only its own cost instead of re-running the PPJoin per call.
+    * Stale fingerprint ⇒ transparent re-mine; returns the pairs frame
+    * backed by the artifact. */
+  def ngramJaccardPairsPersisted(docs: DataFrame, path: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val metaPath = s"$path/_pairs_meta.json"
+    val marker =
+      s""""fingerprint":"${graft.catalog.Snapshot.fingerprint(docs)}","threshold":$threshold"""
+    val fresh = Artifacts.readStringIfExists(spark, metaPath).exists(_.contains(marker))
+    if (!fresh) {
+      ngramJaccardPairs(docs, threshold)
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      Artifacts.writeString(spark, metaPath, s"""{"version":1,$marker}""")
+    }
+    spark.read.parquet(s"$path/pairs")
+  }
+
   // ---- transitive dup clustering --------------------------------------------
 
   /** Transitive dedup clusters: connected components over the exact
@@ -331,13 +354,19 @@ object Dedup {
     * Scale: the pair graph is output-proportional (never all-pairs), and
     * GraphX connected components is the standard whole-graph iteration —
     * per-iteration shuffles proportional to the frontier, converging in
-    * O(diameter) steps (dup clusters are shallow: near-cliques). */
-  def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * O(diameter) steps (dup clusters are shallow: near-cliques).
+    *
+    * `minedPairs`: pass a pre-mined (a, b) pair frame (e.g.
+    * [[ngramJaccardPairsPersisted]], or pairs from a different miner) to
+    * skip the in-line PPJoin — clustering then costs only the CC
+    * iteration. Default mines in-line with [[ngramJaccardPairs]]. */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.5,
+      minedPairs: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.graphx.{Edge, Graph}
     import org.apache.spark.storage.StorageLevel
-    val pairs = ngramJaccardPairs(docs, threshold)
+    val pairs = minedPairs.getOrElse(ngramJaccardPairs(docs, threshold))
     // The pair graph is output-proportional (≈ #dup pairs, orders of
     // magnitude below corpus size), but the pairs DF inherits the
     // candidate join's full shuffle partitioning — and every one of CC's

@@ -555,7 +555,7 @@ object Similarity {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
 
-    writeString(spark, ivfMetaPath(path),
+    Artifacts.writeString(spark, ivfMetaPath(path),
       s"""{"version":1,"dim":$DefaultDim,"nlist":${cents.size},""" +
         s""""rows":$corpusSize,"fingerprint":"$fp"}""")
   }
@@ -568,7 +568,7 @@ object Similarity {
       refineIters: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean = {
     val spark = corpus.sparkSession
-    val fresh = readStringIfExists(spark, ivfMetaPath(path)).exists { meta =>
+    val fresh = Artifacts.readStringIfExists(spark, ivfMetaPath(path)).exists { meta =>
       val fp = graft.catalog.Snapshot.fingerprint(corpus)
       meta.contains(s""""fingerprint":"$fp"""")
     }
@@ -624,24 +624,4 @@ object Similarity {
       .select("qid", "nid", "sim", "rank")
   }
 
-  private def writeString(spark: org.apache.spark.sql.SparkSession,
-      path: String, s: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readStringIfExists(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-      finally in.close()
-    }
-  }
 }

@@ -154,6 +154,31 @@ class DedupSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(pairs.map(p => (p._1, p._2)) == expected)
   }
+
+  test("persisted pair mining: artifact rows equal inline mining; clusters unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs").toString
+    try {
+      val inline = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val persisted = Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.5)
+      assert(persisted.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == inline)
+      // second call serves the artifact without re-mining (same meta mtime)
+      val meta = new java.io.File(s"$dir/_pairs_meta.json")
+      val mtime = meta.lastModified()
+      Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.5).count()
+      assert(meta.lastModified() == mtime, "artifact was rebuilt despite fresh fingerprint")
+      // a different threshold is a different artifact key → re-mine
+      Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.9).count()
+      assert(meta.lastModified() != mtime, "threshold change must invalidate the artifact")
+      // clustering over pre-mined pairs = clustering with inline mining
+      val viaPairs = Dedup.dupClusters(docs, threshold = 0.5,
+          minedPairs = Some(Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.5)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaPairs == Dedup.dupClusters(docs, threshold = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    } finally graft.pipeline.PipelineCaches.clear()
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

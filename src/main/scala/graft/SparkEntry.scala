@@ -159,6 +159,14 @@ object SparkEntry {
       """MATCH (c:Customer)-[r:PLACED]->(o:Order)
         |RETURN type(r) AS t, count(*) AS cnt;""".stripMargin),
 
+    // openCypher entity functions a user migrating from the reference's
+    // pass-through world types first: id() (node id column), keys()
+    // (schema-static property list), exists(n.prop) (IS NOT NULL)
+    "q_fn_registry" -> cy(
+      """MATCH (c:Customer)
+        |WHERE exists(c.c_mktsegment) AND id(c) <= 100
+        |RETURN id(c) AS cid, size(keys(c)) AS nkeys, c.c_name AS name;""".stripMargin),
+
     // shortestPath + length(p) (extension): min hop distances over the
     // sparse per-region NATION_NEXT chain, where the true distance is the
     // within-region rank difference — a closed-form oracle
@@ -194,8 +202,8 @@ object SparkEntry {
     }),
 
     // Cypher string predicates (STARTS WITH / ENDS WITH / CONTAINS) and
-    // the =~ regex operator (search semantics, like SQL REGEXP — see
-    // SURVEY §8.5)
+    // the =~ regex operator (openCypher FULL-string match — anchored at
+    // compile time, mirrored by the oracle's regexp_full_match)
     "q_string_pred" -> cy(
       """MATCH (c:Customer)
         |WHERE c.c_name STARTS WITH 'Customer#' AND c.c_name ENDS WITH '7'
@@ -363,6 +371,11 @@ object SparkEntry {
     "q_type_fn" ->
       "SELECT 'PLACED' AS t, count(*) AS cnt FROM orders",
 
+    // keys(c) folds to the customer table's 5 columns at plan time
+    "q_fn_registry" ->
+      """SELECT c_custkey AS cid, CAST(5 AS INTEGER) AS nkeys, c_name AS name
+        |FROM customer WHERE c_mktsegment IS NOT NULL AND c_custkey <= 100""".stripMargin,
+
     // NATION_NEXT chains nations by ascending key within a region, so the
     // shortest hop count is exactly the rank difference
     "q_shortest_path" ->
@@ -392,7 +405,7 @@ object SparkEntry {
         |GROUP BY r_name""".stripMargin,
 
     "q_string_pred" ->
-      """SELECT c_custkey AS k, c_name AS name, regexp_matches(c_name, '.*17') AS rx
+      """SELECT c_custkey AS k, c_name AS name, regexp_full_match(c_name, '.*17') AS rx
         |FROM customer
         |WHERE c_name LIKE 'Customer#%' AND c_name LIKE '%7'
         |  AND c_mktsegment LIKE '%ING%'""".stripMargin,

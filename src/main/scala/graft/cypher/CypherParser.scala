@@ -240,7 +240,19 @@ object CypherParser extends RegexParsers {
           Seq((rel.copy(varLength = Some(vl), shortest = true, pathAlias = pa), end)))
     }
 
-  private def matchPath: Parser[PathPattern] = shortestPathPattern | pathPattern
+  /** `p = (a)-[:R]->(b)` without shortestPath: paths are not materialized
+    * values here — reject with a targeted message instead of letting the
+    * consumed `p =` surface as a generic parse error (round-5 advice). */
+  private def plainPathBinding: Parser[PathPattern] =
+    (ident <~ "=") ~ pathPattern ^^ { case pa ~ _ =>
+      throw new GraftException(
+        s"path alias '$pa': plain path bindings are not supported — paths " +
+        "are only materialized through shortestPath(...) (use " +
+        s"'$pa = shortestPath((a)-[:R*lo..hi]->(b))' with length($pa))")
+    }
+
+  private def matchPath: Parser[PathPattern] =
+    shortestPathPattern | plainPathBinding | pathPattern
 
   // ---- clauses ------------------------------------------------------------
 

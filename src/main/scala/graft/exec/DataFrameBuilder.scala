@@ -376,10 +376,16 @@ final class DataFrameBuilder(session: GraftSession) {
 
   /** `count(a)` where `a` is a pattern alias → `count(<a's id column>)`
     * (reference projection_tagging.rs:240-275). Also rewrites bare alias
-    * aggregate args on relationships to their `__src` key. */
+    * aggregate args on relationships to their `__src` key, and folds the
+    * schema-introspection functions (labels/type/id/keys/properties/
+    * exists(prop)) at plan time — one table per label means they are all
+    * statically known. */
   private def rewriteAliasArgs(e: Expr, plan: GraphPlan): Expr = {
-    val relAliases = plan.edges.map(_.alias).toSet
-    val relLabels = plan.edges.map(e => e.alias -> e.schema.label).toMap
+    // OPTIONAL MATCH edges resolve introspection fns too (round-5 advice:
+    // type() on an optional rel alias fell through to a raw Spark error)
+    val allEdges = plan.edges ++ plan.optionals.flatMap(_.edges)
+    val relAliases = allEdges.map(_.alias).toSet
+    val relLabels = allEdges.map(e => e.alias -> e.schema.label).toMap
     def rw(x: Expr): Expr = x match {
       // length(p) where p = shortestPath(...) → the hop composition's
       // hidden min-distance column
@@ -394,6 +400,33 @@ final class DataFrameBuilder(session: GraftSession) {
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("type") && relLabels.contains(a) =>
         Expr.Lit(relLabels(a))
+      // id(n) → the node's id column (node ids ARE the user-visible ids in
+      // the edge-list model; relationships carry no surrogate id)
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("id") && plan.nodes.contains(a) =>
+        Expr.Prop(a, plan.nodes(a).schema.idColumn)
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("id") && relAliases(a) =>
+        throw new GraftException(
+          s"id($a): relationships have no surrogate id in the edge-list " +
+          "model; use the endpoint node ids instead")
+      // keys(a) → literal list of the alias's property names
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("keys") && plan.nodes.contains(a) =>
+        Expr.ListLit(plan.nodes(a).schema.columns.map(c => Expr.Lit(c)))
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("keys") && relLabels.contains(a) =>
+        Expr.ListLit(allEdges.find(_.alias == a).get.schema.columns.map(c => Expr.Lit(c)))
+      // properties(n) → named struct over the alias's columns
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("properties") && plan.nodes.contains(a) =>
+        Expr.Fn("__named_struct",
+          plan.nodes(a).schema.columns.flatMap(c =>
+            Seq(Expr.Lit(c), Expr.Prop(a, c))), distinct = false)
+      // exists(n.prop) → IS NOT NULL (the property-existence form; the
+      // pattern form exists((a)-[]->(b)) unwraps in the Planner)
+      case Expr.Fn(n, Seq(p: Expr.Prop), false) if n.equalsIgnoreCase("exists") =>
+        Expr.IsNull(p, negated = true)
       case Expr.Var(a) if plan.pathAliases.contains(a) =>
         throw new GraftException(
           s"path alias '$a' can only be used as length($a) (paths are not " +

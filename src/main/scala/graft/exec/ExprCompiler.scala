@@ -59,7 +59,12 @@ object ExprCompiler {
         case "STARTS WITH" => lc.startsWith(compile(r, resolve))
         case "ENDS WITH"   => lc.endsWith(compile(r, resolve))
         case "CONTAINS"    => lc.contains(compile(r, resolve))
-        case "=~"          => regexp_like(lc, compile(r, resolve))
+        // openCypher =~ is FULL-string match; Spark regexp_like is search.
+        // Wrap the pattern in ^(?:...)$ so Neo4j-ported queries keep their
+        // semantics (round-5 advice — the unanchored form silently
+        // returned supersets).
+        case "=~"          =>
+          regexp_like(lc, concat(lit("^(?:"), compile(r, resolve), lit(")$")))
         case "IN" =>
           r match {
             case Expr.ListLit(items) if items.forall {
@@ -163,6 +168,31 @@ object ExprCompiler {
       // native fused-loop vector expressions (graft.functions)
       case "dot_product"             => call_function("graft_dot", arg(0), arg(1))
       case "cosine_similarity"       => call_function("graft_cosine", arg(0), arg(1))
+      // openCypher timestamp() = ms since epoch; now() = current instant.
+      // Both fold to the query-start clock (Spark's now() is fixed per
+      // query), so one query sees one timestamp — as in Neo4j.
+      case "timestamp"               => unix_millis(now())
+      case "now"                     => now()
+      // exists(expr) property form outside MATCH scope (the alias form
+      // folds in DataFrameBuilder.rewriteAliasArgs; the pattern form
+      // unwraps in the Planner)
+      case "exists"                  => arg(0).isNotNull
+
+      // plan-time-folded introspection fns arriving here mean the argument
+      // was not a known pattern alias — name the context instead of
+      // erroring with a raw unresolved column (round-5 advice)
+      case "labels" | "type" | "id" | "keys" | "properties" =>
+        throw new GraftException(
+          s"$name() requires a node/relationship alias from the current " +
+          "MATCH pattern as its argument")
+      // internal spelling produced by the properties() fold: alternating
+      // (name literal, value) pairs → named struct field list
+      case "__named_struct" =>
+        val fields = fn.args.grouped(2).map {
+          case Seq(Expr.Lit(n: String), v) => compile(v, resolve).as(n)
+          case other => throw new GraftException(s"malformed struct pair: $other")
+        }.toSeq
+        struct(fields: _*)
 
       case other =>
         // Deliberate divergence from the reference's verbatim pass-through

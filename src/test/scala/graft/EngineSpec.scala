@@ -274,6 +274,40 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(g) == Set(Seq("Follows", 5L)))
   }
 
+  test("id()/keys()/properties()/exists()/timestamp() entity functions") {
+    val df = gs.cypher(
+      """MATCH (u:User) WHERE exists(u.city) AND id(u) <= 2
+        |RETURN id(u) AS uid, keys(u) AS ks, properties(u) AS props;""".stripMargin)
+    val rs = df.collect().sortBy(_.getLong(0))
+    assert(rs.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rs.head.getSeq[String](1) == Seq("id", "name", "city"))
+    val p0 = rs.head.getStruct(2)
+    assert(p0.schema.fieldNames.toSeq == Seq("id", "name", "city"))
+    assert(p0.getLong(0) == 1L && p0.getString(1) == "u1" && p0.getString(2) == "berlin")
+    // timestamp() is epoch millis at query time; now() a timestamp
+    val ts = gs.cypher("MATCH (u:User {id: 1}) RETURN timestamp() AS ms, now() AS t;")
+      .collect().head
+    assert(math.abs(ts.getLong(0) - System.currentTimeMillis()) < 60000L)
+    assert(ts.get(1).isInstanceOf[java.sql.Timestamp])
+    // id(rel) is a clear error, not an unresolved column
+    val err = intercept[GraftException] {
+      gs.cypher("MATCH (u:User)-[r:Follows]->(v:User) RETURN id(r) AS x;")
+    }
+    assert(err.getMessage.contains("no surrogate id"))
+  }
+
+  test("type()/keys() resolve on OPTIONAL MATCH relationship aliases") {
+    val df = gs.cypher(
+      """MATCH (u:User) WHERE u.id <= 2
+        |OPTIONAL MATCH (u)-[r:Created]->(p:Post)
+        |RETURN u.id AS uid, type(r) AS t, keys(r) AS ks, p.id AS pid;""".stripMargin)
+    val rs = df.collect()
+    assert(rs.nonEmpty)
+    // type(r) folds to the schema literal even for the optional alias
+    assert(rs.forall(_.getString(1) == "Created"))
+    assert(rs.head.getSeq[String](2) == Seq("from_User", "to_Post"))
+  }
+
   test("shortestPath: min hop distances with length(p)") {
     // Follows: 1->2, 1->3, 2->3, 3->4, 2->1
     // from u1: d(2)=1, d(3)=1, d(4)=2 (1->3->4), d(1)=2 (1->2->1)
@@ -318,6 +352,14 @@ class EngineSpec extends AnyFunSuite {
       == Set(4L))
     assert(longs(gs.cypher(
       "MATCH (u:User) WHERE u.city =~ 'b.rl.n' RETURN u.id AS id;"))
+      == Set(1L, 3L))
+    // openCypher FULL-string semantics: a substring pattern alone is NOT a
+    // match; explicit .* wildcards are
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE u.city =~ 'erl' RETURN u.id AS id;"))
+      == Set.empty[Long])
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE u.city =~ '.*erl.*' RETURN u.id AS id;"))
       == Set(1L, 3L))
     assert(longs(gs.cypher( // NOT composes
       "MATCH (u:User) WHERE NOT u.city CONTAINS 'r' RETURN u.id AS id;"))

@@ -117,4 +117,11 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[GraftException](CypherParser.parse("MATCH (a:U RETURN a;"))
     assertThrows[GraftException](CypherParser.parse("FOO BAR;"))
   }
+
+  test("plain path binding gets a targeted error, not a generic parse failure") {
+    val err = intercept[GraftException](CypherParser.parse(
+      "MATCH p = (a:User)-[:Follows]->(b:User) RETURN p;"))
+    assert(err.getMessage.contains("shortestPath"), err.getMessage)
+    assert(err.getMessage.contains("'p'"), err.getMessage)
+  }
 }

@@ -20,11 +20,26 @@ object Metadata {
 
   /** Parse `jsonCol` against an explicit DDL schema (e.g. `"k INT, tag
     * STRING"`), flattening every top-level field into its own column.
-    * Rows that fail to parse keep NULLs in the extracted columns. */
+    * Rows that fail to parse keep NULLs in the extracted columns.
+    *
+    * The parse is staged behind a GENERATE barrier: with a plain
+    * projection, predicate pushdown substitutes the deterministic
+    * `from_json` alias into a downstream filter as it sinks, so
+    * `parseJson(df, ...).filter($"k" >= 50)` ran the Jackson parse TWICE
+    * per row (pushed filter + projection); a non-deterministic fence
+    * column doesn't survive either (ColumnPruning erases it, then the
+    * substitution proceeds). Conditions on GENERATED attributes, however,
+    * are never pushed below their Generate, so the parse is emitted
+    * through `explode_outer(array(from_json(...)))` — exactly one row per
+    * input row, exactly one parse per row, still narrow and codegen'd.
+    * OUTER generate so no `size(...) > 0` filter is inferred
+    * ([[Explodes]]). PlanSpec pins exactly one JsonToStructs per
+    * p_json* plan. */
   def parseJson(df: DataFrame, jsonCol: String, schemaDDL: String): DataFrame = {
     val schema = StructType.fromDDL(schemaDDL)
-    val parsed = df.withColumn("_parsed", from_json(col(jsonCol), schema))
-    schema.fieldNames.foldLeft(parsed) { (d, f) =>
+    val gen = df.select(col("*"),
+      explode_outer(array(from_json(col(jsonCol), schema))).as("_parsed"))
+    schema.fieldNames.foldLeft(gen) { (d, f) =>
       d.withColumn(f, col("_parsed").getField(f))
     }.drop("_parsed")
   }

@@ -146,6 +146,20 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.pipeline.PipelineCaches.clear()
   }
 
+  test("JSON extraction parses each row exactly once (one JsonToStructs per plan)") {
+    // the Jackson parse is the dominant per-row cost; a pushed filter that
+    // substitutes the from_json producer would evaluate it twice per row
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    for (name <- Seq("p_json", "p_json_profile")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val count = df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect { case j: JsonToStructs => j }.size).sum
+      }.sum
+      assert(count == 1,
+        s"$name evaluates JsonToStructs $count times:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("persisted IVF probe read prunes to the probed list partitions") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -3,6 +3,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Fixed-work CPU calibration: a deterministic xorshift accumulation
+    * whose wall time tracks host load/frequency, not Spark or this repo's
+    * code. Emitted as `"calib"` (start) / `"calib_end"` so bench_diff.py
+    * can normalize cross-run comparisons — round 4/5 lost a triage round
+    * each to phantom 10-30× "regressions" that were co-tenant load spikes
+    * on the shared host (a fixed 20M-iter Python loop measured 2.33→3.56 s
+    * across one day while identical binaries swung the full bench
+    * 40.6→76.6 s). Median of 3 runs. */
+  private def calibrate(): Double = {
+    val times = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      if (acc == 42L) System.err.println("calib sentinel") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +82,8 @@ object Bench {
     val only = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    val calibStart = calibrate()
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
@@ -73,16 +101,25 @@ object Bench {
         }
         i += 1
       }
+      samples(name) = times.toSeq
       val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> median
     }
+    val calibEnd = calibrate()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-iteration times: a co-tenant spike inflates SOME iterations of a
+    // query; the minimum is the clean estimate bench_diff.py compares
+    val smp = samples.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       graft.util.JsonUtil.quote(k) + ":" + graft.util.JsonUtil.quote(v)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""samples":$smp,"calib":$calibStart,"calib_end":$calibEnd,""" +
+      s""""iters":$iters,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

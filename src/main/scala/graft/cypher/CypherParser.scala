@@ -195,11 +195,27 @@ object CypherParser extends RegexParsers {
       case a ~ l ~ p => NodePattern(a, l, p.getOrElse(Seq.empty))
     }
 
+  /** Hop-composition cap: every var-length level is another distinct-pair
+    * self-join, so an absurd upper bound compiles to a join chain that can
+    * never finish — reject it loudly at parse time. Whole-graph distances
+    * belong to the GraphX Pregel frontier BFS
+    * (`GraphAlgorithms.shortestPaths`), not hop composition. */
+  private val MaxVarLengthHops = 30
+
   private def varLen: Parser[(Int, Int)] =
     "*" ~> opt("""\d+""".r) ~ opt(".." ~> """\d+""".r) ^^ {
       case lo ~ hi =>
         val l = lo.map(_.toInt).getOrElse(1)
-        (l, hi.map(_.toInt).orElse(lo.map(_.toInt)).getOrElse(l))
+        val h = hi.map(_.toInt).orElse(lo.map(_.toInt)).getOrElse(l)
+        if (l > h)
+          throw new GraftException(s"var-length bounds *$l..$h: lower bound exceeds upper")
+        if (h > MaxVarLengthHops)
+          throw new GraftException(
+            s"var-length upper bound $h exceeds the $MaxVarLengthHops-hop " +
+            "composition cap (each level is a distinct-pair self-join); for " +
+            "whole-graph distances use GraphAlgorithms.shortestPaths " +
+            "(GraphX Pregel frontier BFS)")
+        (l, h)
     }
 
   private def relBody

@@ -118,6 +118,17 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[GraftException](CypherParser.parse("FOO BAR;"))
   }
 
+  test("var-length bounds are validated: lo <= hi, hi capped") {
+    assertThrows[GraftException](CypherParser.parse(
+      "MATCH (a:U)-[:R*5..2]->(b:U) RETURN a.id AS id;"))
+    val err = intercept[GraftException](CypherParser.parse(
+      "MATCH (a:U)-[:R*1..100]->(b:U) RETURN a.id AS id;"))
+    assert(err.getMessage.contains("composition cap"), err.getMessage)
+    assert(err.getMessage.contains("shortestPaths"), err.getMessage)
+    // the cap itself parses
+    CypherParser.parse("MATCH (a:U)-[:R*1..30]->(b:U) RETURN a.id AS id;")
+  }
+
   test("plain path binding gets a targeted error, not a generic parse failure") {
     val err = intercept[GraftException](CypherParser.parse(
       "MATCH p = (a:User)-[:Follows]->(b:User) RETURN p;"))

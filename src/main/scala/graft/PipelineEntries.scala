@@ -43,6 +43,10 @@ object PipelineEntries {
     // 5-gram shared with >=2 docs (substring-dedup signal) — oracle-checked
     "p_span_dedup" -> ((s, dir) => Dedup.dupSpanCoverage(docs(s, dir))),
 
+    // duplicated-span REMOVAL (the Lee et al. mutation op): cleaned text
+    // with the cross-document 5-gram spans dropped — oracle-checked
+    "p_span_remove" -> ((s, dir) => Dedup.removeDupSpans(docs(s, dir))),
+
     // transitive dup clustering: GraphX connected components over the
     // exact pair graph; canonical id = min doc in cluster — oracle-checked
     // against a recursive-CTE label propagation. Pairs come from the
@@ -722,6 +726,40 @@ object PipelineEntries {
         |       round(coalesce(s.covered, 0) / CAST(m.n_tokens AS DOUBLE), 6)
         |         AS coverage
         |FROM m LEFT JOIN s ON m.doc_id = s.doc_id""".stripMargin,
+
+    // same CTE prefix as p_span_dedup; covered positions expand from the
+    // duplicated starts, kept tokens re-assemble via ordered string_agg
+    "p_span_remove" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+        |p AS (
+        |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(toks[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, n_tokens, toks,
+        |               unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
+        |        FROM m)),
+        |df AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM p)
+        |  GROUP BY gram HAVING count(*) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT p.doc_id, unnest(range(p.pos, least(p.pos + 5, p.n_tokens))) AS cp
+        |    FROM p JOIN df USING (gram))),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tpos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM m)),
+        |kept AS (
+        |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.tpos) AS clean_text,
+        |         count(*) AS kept_n
+        |  FROM tokpos tp LEFT JOIN covered c
+        |    ON tp.doc_id = c.doc_id AND tp.tpos = c.cp
+        |  WHERE c.cp IS NULL
+        |  GROUP BY tp.doc_id)
+        |SELECT m.doc_id, coalesce(k.clean_text, '') AS clean_text, m.n_tokens,
+        |       CAST(m.n_tokens - coalesce(k.kept_n, 0) AS BIGINT) AS removed_tokens
+        |FROM m LEFT JOIN kept k ON m.doc_id = k.doc_id""".stripMargin,
 
     // exhaustive all-pairs in the oracle; the Spark side must reproduce it
     // exactly through prefix filtering (lossless by construction)

@@ -167,6 +167,12 @@ object SparkEntry {
         |WHERE exists(c.c_mktsegment) AND id(c) <= 100
         |RETURN id(c) AS cid, size(keys(c)) AS nkeys, c.c_name AS name;""".stripMargin),
 
+    // openCypher list functions: range() inclusive on both ends, head/last
+    "q_list_fns" -> cy(
+      """MATCH (r:Region) UNWIND range(0, 8, 2) AS x
+        |RETURN r.r_regionkey AS rk, x AS x, head(range(1, 3)) AS h,
+        |       last(range(1, 3)) AS l, size(range(1, 3)) AS sz;""".stripMargin),
+
     // shortestPath + length(p) (extension): min hop distances over the
     // sparse per-region NATION_NEXT chain, where the true distance is the
     // within-region rank difference — a closed-form oracle
@@ -375,6 +381,12 @@ object SparkEntry {
     "q_fn_registry" ->
       """SELECT c_custkey AS cid, CAST(5 AS INTEGER) AS nkeys, c_name AS name
         |FROM customer WHERE c_mktsegment IS NOT NULL AND c_custkey <= 100""".stripMargin,
+
+    // DuckDB generate_series is inclusive like Cypher range()
+    "q_list_fns" ->
+      """SELECT r_regionkey AS rk, x, CAST(1 AS BIGINT) AS h,
+        |       CAST(3 AS BIGINT) AS l, CAST(3 AS INTEGER) AS sz
+        |FROM region CROSS JOIN (SELECT unnest(generate_series(0, 8, 2)) AS x)""".stripMargin,
 
     // NATION_NEXT chains nations by ascending key within a region, so the
     // shortest hop count is exactly the rank difference

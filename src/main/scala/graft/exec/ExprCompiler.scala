@@ -165,6 +165,13 @@ object ExprCompiler {
       case "datetime" | "totimestamp" => to_timestamp(arg(0))
       case "date_trunc"              => date_trunc(litArg(0).toString, arg(1))
       case "date_format"             => date_format(arg(0), litArg(1).toString)
+      // openCypher list functions: range() is INCLUSIVE on both ends
+      // (sequence matches); head/last are NULL on empty lists (element_at)
+      case "range" =>
+        if (fn.args.size > 2) sequence(arg(0), arg(1), arg(2))
+        else sequence(arg(0), arg(1))
+      case "head"                    => try_element_at(arg(0), lit(1))
+      case "last"                    => try_element_at(arg(0), lit(-1))
       // native fused-loop vector expressions (graft.functions)
       case "dot_product"             => call_function("graft_dot", arg(0), arg(1))
       case "cosine_similarity"       => call_function("graft_cosine", arg(0), arg(1))

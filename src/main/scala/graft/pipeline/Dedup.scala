@@ -425,23 +425,9 @@ object Dedup {
   def dupSpanCoverage(docs: DataFrame, n: Int = 5, minDocFreq: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-    // positional grams, mirroring shinglesFromTokens' short-doc bound
-    // (docs shorter than n contribute their whole text as one gram)
-    val gramArr = transform(
-      sequence(lit(0), greatest(size(col("__toks")) - (n - 1), lit(1)) - 1),
-      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))
-    val pos = Explodes.posexplodeNoInfer(
-      toksDf.withColumn("__grams", gramArr),
-      Seq(col(idCol), col("n_tokens")), col("__grams"), "pos", "gram")
-      .withColumn("pos", col("pos").cast("long"))
-    val dupGrams = pos.select(col(idCol), col("gram")).distinct()
-      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
-      .filter(col("doc_freq") >= minDocFreq)
-      .select("gram")
+    val (toksDf, dupPos) = dupSpanStarts(docs, n, minDocFreq, textCol, idCol)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val contrib = pos.join(dupGrams, "gram")
+    val contrib = dupPos
       .withColumn("__next", lead(col("pos"), 1).over(w))
       .withColumn("__covered",
         least(lit(n.toLong), col("n_tokens") - col("pos"),
@@ -459,5 +445,66 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("coverage"))
+  }
+
+  /** Shared scorer/removal plumbing: `(tokenized docs, duplicated-gram
+    * start positions)`. Positional grams mirror shinglesFromTokens'
+    * short-doc bound (docs shorter than n contribute their whole text as
+    * one gram); a gram is duplicated when it appears in >= `minDocFreq`
+    * distinct documents. */
+  private def dupSpanStarts(docs: DataFrame, n: Int, minDocFreq: Int,
+      textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val gramArr = transform(
+      sequence(lit(0), greatest(size(col("__toks")) - (n - 1), lit(1)) - 1),
+      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))
+    val pos = Explodes.posexplodeNoInfer(
+      toksDf.withColumn("__grams", gramArr),
+      Seq(col(idCol), col("n_tokens")), col("__grams"), "pos", "gram")
+      .withColumn("pos", col("pos").cast("long"))
+    val dupGrams = pos.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+      .select("gram")
+    (toksDf, pos.join(dupGrams, "gram"))
+  }
+
+  /** Duplicated-span REMOVAL — the mutation half of [[dupSpanCoverage]]
+    * (Lee et al. 2021 *remove* the shared substring and keep the rest):
+    * every token inside an n-gram shared with >= `minDocFreq` documents
+    * is dropped; the cleaned text plus removal accounting comes back as
+    * `(idCol, clean_text, n_tokens, removed_tokens)`. `removed_tokens`
+    * equals the scorer's `covered_tokens` by construction (spec-pinned).
+    *
+    * Shape: the scorer's positional-gram + doc-freq plumbing unchanged;
+    * the duplicated START positions are collected back per document
+    * (bounded by the doc's own token count — never corpus-proportional)
+    * and the kept tokens are selected in ONE narrow HOF pass. Token
+    * membership checks are O(tokens × covered) per document — fine for
+    * chunked training documents; unbounded monoliths should be chunked
+    * upstream (same caveat as every per-doc array op here). */
+  def removeDupSpans(docs: DataFrame, n: Int = 5, minDocFreq: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (toksDf, dupPos) = dupSpanStarts(docs, n, minDocFreq, textCol, idCol)
+    val starts = dupPos
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__starts"))
+
+    // covered positions expanded per doc (array_distinct: overlapping
+    // spans merge), then one indexed-filter pass over the tokens. Both
+    // arrays are materialized attributes BEFORE the lambdas reference
+    // them — no CSE inside HOF bodies (round-5 memory).
+    toksDf.join(starts, Seq(idCol), "left")
+      .withColumn("__covered", coalesce(
+        array_distinct(flatten(transform(col("__starts"),
+          p => sequence(p, least(p + (n - 1), col("n_tokens") - 1))))),
+        array().cast("array<bigint>")))
+      .withColumn("__kept",
+        filter(col("__toks"), (t, i) =>
+          !array_contains(col("__covered"), i.cast("long"))))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long").as("removed_tokens"))
   }
 }

@@ -155,6 +155,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)) == expected)
   }
 
+  test("span removal drops exactly the covered tokens; accounting matches the scorer") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),   // shares 3-gram "a b c" with doc 2 at start 0
+      (2L, "x a b c y"),   // ... at start 1
+      (3L, "p q r s t"))   // nothing shared
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(d, n = 3, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("d e", 5L, 3L)))
+    assert(got(2L) == (("x y", 5L, 3L)))
+    assert(got(3L) == (("p q r s t", 5L, 0L)))
+    // removed_tokens == the scorer's covered_tokens (same gram set, same
+    // interval union) on the shared suite fixture
+    val removed = Dedup.removeDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val covered = Dedup.dupSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(removed == covered && covered.values.exists(_ > 0))
+  }
+
   test("persisted pair mining: artifact rows equal inline mining; clusters unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pairs").toString
     try {

@@ -114,6 +114,20 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // FILTERED ANN: metadata-constrained retrieval over the persisted
+    // index (only odd-id candidates qualify) — the predicate reaches the
+    // lists scan as a pushed filter on top of the partition pruning
+    "p_ann_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.buildIvfIndexIfStale(e, idx)
+      Similarity.ivfTopKPersisted(
+          e.filter(pmod(col("vec_id"), lit(50)) === 0), idx, k = 5,
+          candidateFilter = pmod(col("nid"), lit(2)) === 1)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // deterministic k-means assignment (the IVF quantizer as a first-class
     // clustering op) — oracle-checked against the same Lloyd CTE prefix
     "p_kmeans" -> ((s, dir) => Similarity.kmeansAssign(emb(s, dir))),
@@ -500,7 +514,7 @@ object PipelineEntries {
          |  FROM asg) WHERE rk <= $per""".stripMargin)
 
   private def ivfOracleSql(k: Int = 5, nprobe: Int = 4,
-      dim: Int = 64): String = {
+      dim: Int = 64, candPred: String = "TRUE"): String = {
     val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
     s"""WITH n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -543,7 +557,7 @@ object PipelineEntries {
        |         round(list_sum(list_transform(range(1,${dim + 1}), i -> qa.qv[i] * a.v[i])) /
        |               (qa.qnrm * a.nrm), 6) AS sim
        |  FROM assigned a JOIN qa ON a.list_id = qa.list_id
-       |  WHERE a.vec_id <> qa.qid)
+       |  WHERE a.vec_id <> qa.qid AND ($candPred))
        |SELECT qid, nid, sim, rank FROM (
        |  SELECT qid, nid, sim,
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
@@ -678,6 +692,7 @@ object PipelineEntries {
     "p_ann_ivf" -> ivfOracleSql(),
     // identical quantizer + probe math ⇒ identical result set
     "p_ann_ivf_persisted" -> ivfOracleSql(),
+    "p_ann_filtered" -> ivfOracleSql(candPred = "a.vec_id % 2 = 1"),
     "p_kmeans" -> kmeansOracleSql(),
     "p_diversity" -> diversityOracleSql(),
 

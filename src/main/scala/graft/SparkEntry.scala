@@ -173,6 +173,19 @@ object SparkEntry {
         |RETURN r.r_regionkey AS rk, x AS x, head(range(1, 3)) AS h,
         |       last(range(1, 3)) AS l, size(range(1, 3)) AS sz;""".stripMargin),
 
+    // list comprehension + reduce() over data-dependent ranges; the array
+    // column joins to a string for the driver's scalar hasher (like
+    // q_collect)
+    "q_list_comp" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws, transform}
+      cy("""MATCH (r:Region)
+           |RETURN r.r_regionkey AS rk,
+           |       [x IN range(1, r.r_regionkey + 2) WHERE x % 2 = 0 | x * 10] AS evens,
+           |       reduce(acc = 0, x IN range(0, r.r_regionkey) | acc + x) AS total;""".stripMargin)(s, dir)
+        .withColumn("evens",
+          concat_ws(",", transform(col("evens"), _.cast("string"))))
+    }),
+
     // shortestPath + length(p) (extension): min hop distances over the
     // sparse per-region NATION_NEXT chain, where the true distance is the
     // within-region rank difference — a closed-form oracle
@@ -387,6 +400,16 @@ object SparkEntry {
       """SELECT r_regionkey AS rk, x, CAST(1 AS BIGINT) AS h,
         |       CAST(3 AS BIGINT) AS l, CAST(3 AS INTEGER) AS sz
         |FROM region CROSS JOIN (SELECT unnest(generate_series(0, 8, 2)) AS x)""".stripMargin,
+
+    // list_filter/list_transform mirror the comprehension; reduce() of
+    // 0..rk is the closed-form rk(rk+1)/2
+    "q_list_comp" ->
+      """SELECT r_regionkey AS rk,
+        |  array_to_string(list_transform(
+        |    list_filter(generate_series(1, r_regionkey + 2), x -> x % 2 = 0),
+        |    x -> CAST(x * 10 AS VARCHAR)), ',') AS evens,
+        |  CAST(r_regionkey * (r_regionkey + 1) // 2 AS BIGINT) AS total
+        |FROM region""".stripMargin,
 
     // NATION_NEXT chains nations by ascending key within a region, so the
     // shortest hop count is exactly the rank difference

@@ -41,6 +41,15 @@ object Expr {
     * Compiles to a left semi / anti join; only supported as a top-level
     * WHERE conjunct (planner-enforced). */
   final case class PatternPred(path: PathPattern) extends Expr
+  /** `[x IN list WHERE pred | proj]` list comprehension (extension beyond
+    * the reference grammar). `varName` is scoped to `where`/`proj` and
+    * SHADOWS any outer name there. Compiles to filter/transform HOFs. */
+  final case class ListComp(varName: String, list: Expr,
+      where: Option[Expr], proj: Option[Expr]) extends Expr
+  /** `reduce(acc = init, x IN list | step)` left fold (extension).
+    * `accName`/`varName` are scoped to `step`. Compiles to aggregate(). */
+  final case class Reduce(accName: String, init: Expr,
+      varName: String, list: Expr, step: Expr) extends Expr
 
   /** Aggregate-function names, matching the reference's classifier list
     * (logical_expr/mod.rs:255) plus Spark-native extras. */
@@ -58,6 +67,8 @@ object Expr {
     case ListLit(xs)      => xs.exists(isAggregate)
     case CaseWhen(bs, o)  => bs.exists { case (c, v) => isAggregate(c) || isAggregate(v) } ||
                              o.exists(isAggregate)
+    case ListComp(_, l, w, p) => isAggregate(l) || w.exists(isAggregate) || p.exists(isAggregate)
+    case Reduce(_, i, _, l, s) => isAggregate(i) || isAggregate(l) || isAggregate(s)
     case _                => false
   }
 
@@ -72,6 +83,9 @@ object Expr {
     case ListLit(xs)   => xs.flatMap(propRefs)
     case CaseWhen(bs, o) => bs.flatMap { case (c, v) => propRefs(c) ++ propRefs(v) } ++
                             o.toSeq.flatMap(propRefs)
+    case ListComp(_, l, w, p) => propRefs(l) ++ w.toSeq.flatMap(propRefs) ++
+                                 p.toSeq.flatMap(propRefs)
+    case Reduce(_, i, _, l, s) => propRefs(i) ++ propRefs(l) ++ propRefs(s)
     case _             => Seq.empty
   }
 
@@ -90,6 +104,13 @@ object Expr {
                               o.toSeq.flatMap(referencedNames)).toSet
     case PatternPred(p)  =>
       (p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet
+    // lambda-bound names are NOT outer references (shadowing)
+    case ListComp(v, l, w, p) =>
+      referencedNames(l) ++
+        (w.toSeq ++ p.toSeq).flatMap(referencedNames).toSet.diff(Set(v))
+    case Reduce(a, i, v, l, s) =>
+      referencedNames(i) ++ referencedNames(l) ++
+        referencedNames(s).diff(Set(a, v))
     case _             => Set.empty
   }
 
@@ -104,6 +125,10 @@ object Expr {
     case CaseWhen(bs, o) => bs.exists { case (c, v) =>
                               containsPatternPred(c) || containsPatternPred(v) } ||
                             o.exists(containsPatternPred)
+    case ListComp(_, l, w, p) => containsPatternPred(l) ||
+                                 w.exists(containsPatternPred) || p.exists(containsPatternPred)
+    case Reduce(_, i, _, l, s) => containsPatternPred(i) ||
+                                  containsPatternPred(l) || containsPatternPred(s)
     case _               => false
   }
 
@@ -117,6 +142,8 @@ object Expr {
     case ListLit(xs)     => xs.exists(containsOr)
     case CaseWhen(bs, o) => bs.exists { case (c, v) => containsOr(c) || containsOr(v) } ||
                             o.exists(containsOr)
+    case ListComp(_, l, w, p) => containsOr(l) || w.exists(containsOr) || p.exists(containsOr)
+    case Reduce(_, i, _, l, s) => containsOr(i) || containsOr(l) || containsOr(s)
     case _               => false
   }
 
@@ -145,6 +172,13 @@ object Expr {
     // a pattern predicate's inline prop VALUES are literal/param-only
     // (planner-enforced); its alias references are join keys, not columns
     case PatternPred(_) => Seq.empty
+    // lambda-bound Vars are local, not leaf column refs
+    case ListComp(v, l, w, p) =>
+      leafRefs(l) ++ (w.toSeq ++ p.toSeq).flatMap(leafRefs)
+        .filterNot { case Var(n) => n == v; case _ => false }
+    case Reduce(a, i, v, l, s) =>
+      leafRefs(i) ++ leafRefs(l) ++
+        leafRefs(s).filterNot { case Var(n) => n == a || n == v; case _ => false }
     case Lit(_) | Star | Param(_) => Seq.empty
   }
 
@@ -161,6 +195,13 @@ object Expr {
     case CaseWhen(bs, o) => CaseWhen(
       bs.map { case (c, v) => (substVars(c, byName), substVars(v, byName)) },
       o.map(substVars(_, byName)))
+    case ListComp(v, l, w, p) =>
+      val inner = byName - v // lambda var shadows
+      ListComp(v, substVars(l, byName), w.map(substVars(_, inner)),
+        p.map(substVars(_, inner)))
+    case Reduce(a, i, v, l, s) =>
+      Reduce(a, substVars(i, byName), v, substVars(l, byName),
+        substVars(s, byName - a - v))
     case other         => other
   }
 
@@ -187,6 +228,10 @@ object Expr {
     case CaseWhen(bs, o) => CaseWhen(
       bs.map { case (c, v) => (bind(c, params), bind(v, params)) },
       o.map(bind(_, params)))
+    case ListComp(v, l, w, p) => ListComp(v, bind(l, params),
+      w.map(bind(_, params)), p.map(bind(_, params)))
+    case Reduce(a, i, v, l, s) => Reduce(a, bind(i, params), v,
+      bind(l, params), bind(s, params))
     case other         => other
   }
 }

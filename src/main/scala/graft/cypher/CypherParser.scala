@@ -163,13 +163,32 @@ object CypherParser extends RegexParsers {
         Expr.CaseWhen(branches.map { case c ~ v => (c, v) }, dflt)
     }
 
+  /** `[x IN list WHERE pred | proj]` — tried before the plain list
+    * literal; `[1, 2]` fails at the `IN` keyword and backtracks. */
+  private def listComp: Parser[Expr] =
+    ("[" ~> ident <~ kw("in")) ~ expression ~ opt(kw("where") ~> expression) ~
+      opt("|" ~> expression) <~ "]" ^^ {
+      case v ~ l ~ w ~ p => Expr.ListComp(v, l, w, p)
+    }
+
+  /** `reduce(acc = init, x IN list | step)` — tried before fnCall, which
+    * would choke on the `=`. */
+  private def reduceFn: Parser[Expr] =
+    identRe.filter(_.equalsIgnoreCase("reduce")) ~> "(" ~>
+      (ident <~ "=") ~ expression ~ ("," ~> ident <~ kw("in")) ~ expression ~
+      ("|" ~> expression) <~ ")" ^^ {
+      case a ~ i ~ v ~ l ~ s => Expr.Reduce(a, i, v, l, s)
+    }
+
   private def atom: Parser[Expr] =
     countStar |
     caseExpr |
     literal |
     ("$" ~> identRe) ^^ Expr.Param.apply |
+    listComp |
     ("[" ~> repsep(expression, ",") <~ "]") ^^ Expr.ListLit.apply |
     patternPredicate |
+    reduceFn |
     fnCall |
     propOrVar |
     "*" ^^ (_ => Expr.Star) |

@@ -442,6 +442,18 @@ final class DataFrameBuilder(session: GraftSession) {
       case Expr.ListLit(ys)   => Expr.ListLit(ys.map(rw))
       case Expr.CaseWhen(bs, o) =>
         Expr.CaseWhen(bs.map { case (c, v) => (rw(c), rw(v)) }, o.map(rw))
+      // lambda variables must not collide with pattern aliases — rejecting
+      // the collision keeps the recursive alias rewrite sound inside bodies
+      case Expr.ListComp(v, l, w, p) =>
+        if (plan.nodes.contains(v) || relAliases(v))
+          throw new GraftException(
+            s"comprehension variable '$v' shadows a pattern alias")
+        Expr.ListComp(v, rw(l), w.map(rw), p.map(rw))
+      case Expr.Reduce(a, i, v, l, s) =>
+        for (n <- Seq(a, v) if plan.nodes.contains(n) || relAliases(n))
+          throw new GraftException(
+            s"reduce variable '$n' shadows a pattern alias")
+        Expr.Reduce(a, rw(i), v, rw(l), rw(s))
       case other              => other
     }
     e match {

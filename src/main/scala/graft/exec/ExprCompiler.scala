@@ -89,6 +89,32 @@ object ExprCompiler {
       otherwise.map(o => chained.otherwise(compile(o, resolve))).getOrElse(chained)
 
     case fn @ Expr.Fn(_, _, _) => compileFn(fn, resolve)
+
+    // list comprehension → filter/transform HOFs; the lambda variable
+    // shadows outer names via a layered resolver
+    case Expr.ListComp(v, listE, whereE, projE) =>
+      val listC = compile(listE, resolve)
+      def env(x: Column): Resolver = {
+        case Expr.Var(n) if n == v => Some(x)
+        case other                 => resolve(other)
+      }
+      val filtered = whereE match {
+        case Some(p) => filter(listC, x => compile(p, env(x)))
+        case None    => listC
+      }
+      projE match {
+        case Some(pr) => transform(filtered, x => compile(pr, env(x)))
+        case None     => filtered
+      }
+
+    // reduce → aggregate() left fold (same element order guarantee)
+    case Expr.Reduce(accName, initE, v, listE, stepE) =>
+      aggregate(compile(listE, resolve), compile(initE, resolve),
+        (acc, x) => compile(stepE, {
+          case Expr.Var(n) if n == accName => Some(acc)
+          case Expr.Var(n) if n == v       => Some(x)
+          case other                       => resolve(other)
+        }))
   }
 
   private def compileFn(fn: Expr.Fn, resolve: Resolver): Column = {

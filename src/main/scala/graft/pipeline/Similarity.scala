@@ -585,9 +585,18 @@ object Similarity {
     * scan's PartitionFilters prune unprobed directories before any file is
     * opened (PlanSpec-pinned). Per-probe cost is nprobe·N/nlist rows
     * regardless of how large the index is on disk. */
+  /** `candidateFilter`: optional predicate over the index columns
+    * (`nid`, `cv`, `cnorm`) restricting which corpus vectors may be
+    * returned — FILTERED ANN (metadata-constrained retrieval). The
+    * predicate composes with partition pruning: it reaches the lists
+    * parquet scan as a pushed filter, so a filtered probe reads only the
+    * probed partitions AND skips row groups the predicate excludes.
+    * Filtering before the top-k (not after) keeps k results whenever k
+    * candidates qualify. */
   def ivfTopKPersisted(queries: DataFrame, path: String, k: Int = 5,
       nprobe: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      candidateFilter: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
     val cents = collectCents(spark.read.parquet(s"$path/centroids")
@@ -609,6 +618,7 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("list_id").isin(probedIds.map(Long.box).toIndexedSeq: _*))
+      .filter(candidateFilter)
 
     // each corpus vector lives in exactly ONE list, so a (qid, nid) pair
     // joins at most once — no distinct needed (ivfTopK's was vestigial)

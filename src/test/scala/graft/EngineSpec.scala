@@ -308,6 +308,27 @@ class EngineSpec extends AnyFunSuite {
     assert(rs.head.getSeq[String](2) == Seq("from_User", "to_Post"))
   }
 
+  test("list comprehensions and reduce()") {
+    val r = gs.cypher(
+      """MATCH (u:User {id: 1})
+        |RETURN [x IN range(1, 5) WHERE x % 2 = 1 | x * x] AS odds,
+        |       [x IN range(1, 3)] AS copy,
+        |       reduce(acc = 0, x IN range(1, 10) | acc + x) AS total;""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(1L, 9L, 25L))
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(r.getLong(2) == 55L)
+    // comprehension over a property-derived range, used in WHERE
+    assert(longs(gs.cypher(
+      """MATCH (u:User)
+        |WHERE size([x IN range(1, u.id) WHERE x % 2 = 0]) >= 2
+        |RETURN u.id AS id;""".stripMargin)) == Set(4L, 5L))
+    // a lambda variable shadowing a pattern alias is rejected loudly
+    val err = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN [u IN range(1, 2) | u] AS xs;"))
+    assert(err.getMessage.contains("shadows"), err.getMessage)
+  }
+
   test("shortestPath: min hop distances with length(p)") {
     // Follows: 1->2, 1->3, 2->3, 3->4, 2->1
     // from u1: d(2)=1, d(3)=1, d(4)=2 (1->3->4), d(1)=2 (1->2->1)

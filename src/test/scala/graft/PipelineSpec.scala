@@ -379,6 +379,21 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.pipeline.PipelineCaches.clear()
   }
 
+  test("filtered ANN: only qualifying candidates, still k per query when available") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    try {
+      Similarity.buildIvfIndex(emb, dir)
+      val got = Similarity.ivfTopKPersisted(queries, dir, k = 3,
+          candidateFilter = pmod(col("nid"), lit(2)) === 1)
+        .collect()
+      assert(got.nonEmpty)
+      assert(got.forall(_.getLong(1) % 2 == 1), "even-id candidate leaked through")
+      // ranks are 1..m contiguous per query
+      for ((_, rs) <- got.groupBy(_.getLong(0)))
+        assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length).toSeq)
+    } finally graft.pipeline.PipelineCaches.clear()
+  }
+
   test("persisted IVF index: changed corpus content is detected as stale") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString

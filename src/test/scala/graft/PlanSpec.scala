@@ -184,6 +184,18 @@ class PlanSpec extends AnyFunSuite {
       val read = scan.selectedPartitions.partitionCount
       assert(read > 0 && read < totalLists,
         s"expected pruned read, got $read of $totalLists list partitions")
+
+      // filtered ANN: the candidate predicate must reach the same scan as
+      // a pushed data filter ON TOP of the partition pruning
+      val filtered = graft.pipeline.Similarity.ivfTopKPersisted(
+        q, dir, k = 3, nprobe = 2, candidateFilter = col("nid") > 100L)
+      val fScan = filtered.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lists")) => f
+      }.head
+      assert(fScan.partitionFilters.nonEmpty)
+      assert(fScan.metadata("PushedFilters").contains("GreaterThan(nid,100)"),
+        s"candidate filter not pushed: ${fScan.metadata("PushedFilters")}")
     } finally graft.pipeline.PipelineCaches.clear()
   }
 

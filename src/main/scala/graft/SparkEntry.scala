@@ -181,7 +181,8 @@ object SparkEntry {
       cy("""MATCH (r:Region)
            |RETURN r.r_regionkey AS rk,
            |       [x IN range(1, r.r_regionkey + 2) WHERE x % 2 = 0 | x * 10] AS evens,
-           |       reduce(acc = 0, x IN range(0, r.r_regionkey) | acc + x) AS total;""".stripMargin)(s, dir)
+           |       reduce(acc = 0, x IN range(0, r.r_regionkey) | acc + x) AS total,
+           |       all(x IN range(0, r.r_regionkey) WHERE x < 3) AS all_small;""".stripMargin)(s, dir)
         .withColumn("evens",
           concat_ws(",", transform(col("evens"), _.cast("string"))))
     }),
@@ -408,7 +409,8 @@ object SparkEntry {
         |  array_to_string(list_transform(
         |    list_filter(generate_series(1, r_regionkey + 2), x -> x % 2 = 0),
         |    x -> CAST(x * 10 AS VARCHAR)), ',') AS evens,
-        |  CAST(r_regionkey * (r_regionkey + 1) // 2 AS BIGINT) AS total
+        |  CAST(r_regionkey * (r_regionkey + 1) // 2 AS BIGINT) AS total,
+        |  r_regionkey <= 2 AS all_small
         |FROM region""".stripMargin,
 
     // NATION_NEXT chains nations by ascending key within a region, so the

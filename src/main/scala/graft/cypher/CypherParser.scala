@@ -180,6 +180,27 @@ object CypherParser extends RegexParsers {
       case a ~ i ~ v ~ l ~ s => Expr.Reduce(a, i, v, l, s)
     }
 
+  /** `any/all/none/single(x IN list WHERE pred)` list predicates — tried
+    * before fnCall, which would mis-parse `x IN list` as a Bin(IN). The
+    * quantifier is desugared here: any → a one-element-min filtered
+    * comprehension count, etc. (the comprehension node already carries the
+    * lambda scoping). */
+  private def listQuantifier: Parser[Expr] = {
+    val quant = identRe.filter(n => Set("any", "all", "none", "single")
+      .contains(n.toLowerCase))
+    quant ~ ("(" ~> ident) ~ (kw("in") ~> expression) ~
+      (kw("where") ~> expression <~ ")") ^^ { case q ~ v ~ l ~ p =>
+        def matches = Expr.Fn("size", Seq(Expr.ListComp(v, l, Some(p), None)))
+        def total   = Expr.Fn("size", Seq(l))
+        q.toLowerCase match {
+          case "any"    => Expr.Bin(">", matches, Expr.Lit(0L))
+          case "none"   => Expr.Bin("=", matches, Expr.Lit(0L))
+          case "all"    => Expr.Bin("=", matches, total)
+          case "single" => Expr.Bin("=", matches, Expr.Lit(1L))
+        }
+      }
+  }
+
   private def atom: Parser[Expr] =
     countStar |
     caseExpr |
@@ -189,6 +210,7 @@ object CypherParser extends RegexParsers {
     ("[" ~> repsep(expression, ",") <~ "]") ^^ Expr.ListLit.apply |
     patternPredicate |
     reduceFn |
+    listQuantifier |
     fnCall |
     propOrVar |
     "*" ^^ (_ => Expr.Star) |

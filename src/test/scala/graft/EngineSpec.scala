@@ -329,6 +329,21 @@ class EngineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("shadows"), err.getMessage)
   }
 
+  test("list predicates any/all/none/single desugar onto comprehensions") {
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE any(x IN range(1, u.id) WHERE x = 4) RETURN u.id AS id;"))
+      == Set(4L, 5L))
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE all(x IN range(1, u.id) WHERE x < 3) RETURN u.id AS id;"))
+      == Set(1L, 2L))
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE none(x IN range(1, u.id) WHERE x > 3) RETURN u.id AS id;"))
+      == Set(1L, 2L, 3L))
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WHERE single(x IN range(1, u.id) WHERE x % 2 = 0) RETURN u.id AS id;"))
+      == Set(2L, 3L))
+  }
+
   test("shortestPath: min hop distances with length(p)") {
     // Follows: 1->2, 1->3, 2->3, 3->4, 2->1
     // from u1: d(2)=1, d(3)=1, d(4)=2 (1->3->4), d(1)=2 (1->2->1)

@@ -246,13 +246,26 @@ final class GraftSession(val spark: SparkSession) {
     * bind server-side). */
   def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
     CypherParser.parse(query) match {
-      case rq: ReadQuery =>
-        val bound = if (params.isEmpty) rq else bindParams(rq, params)
-        val plan = Planner.plan(bound, _catalog)
-        new DataFrameBuilder(this).build(plan)
+      case rq: ReadQuery => buildRead(rq, params)
+      // UNION: each part plans independently; parts must return the same
+      // column names (checked here for a clear error — Spark's
+      // unionByName would throw a raw analysis error). UNION dedups,
+      // UNION ALL concatenates (one extra shuffle vs none).
+      case u: UnionQuery =>
+        val dfs = u.parts.map(buildRead(_, params))
+        val names = dfs.map(_.columns.toSeq).distinct
+        if (names.size > 1) throw new GraftException(
+          s"UNION parts return different columns: ${names.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
+        val combined = dfs.reduce(_ unionByName _)
+        if (u.all) combined else combined.distinct()
       case ddl: CreateNodeTable => executeDdl(ddl)
       case ddl: CreateRelTable  => executeDdl(ddl)
     }
+
+  private def buildRead(rq: ReadQuery, params: Map[String, Any]): DataFrame = {
+    val bound = if (params.isEmpty) rq else bindParams(rq, params)
+    new DataFrameBuilder(this).build(Planner.plan(bound, _catalog))
+  }
 
   private def bindParams(q: ReadQuery, params: Map[String, Any]): ReadQuery = {
     def bi(item: ReturnItem) = item.copy(expr = Expr.bind(item.expr, params))
@@ -273,7 +286,8 @@ final class GraftSession(val spark: SparkSession) {
           })),
         where = om.where.map(Expr.bind(_, params)))),
       withStages = q.withStages.map(s =>
-        s.copy(items = s.items.map(bi), where = s.where.map(Expr.bind(_, params)))),
+        s.copy(items = s.items.map(bi), where = s.where.map(Expr.bind(_, params)),
+          orderBy = s.orderBy.map(o => o.copy(expr = Expr.bind(o.expr, params))))),
       returnItems = q.returnItems.map(bi),
       unwinds = q.unwinds.map(u => u.copy(expr = Expr.bind(u.expr, params))),
       orderBy = q.orderBy.map(o => o.copy(expr = Expr.bind(o.expr, params))))

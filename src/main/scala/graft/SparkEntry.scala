@@ -187,6 +187,21 @@ object SparkEntry {
           concat_ws(",", transform(col("evens"), _.cast("string"))))
     }),
 
+    // WITH ... ORDER BY ... SKIP/LIMIT: top-k-then-continue stage form
+    "q_with_topk" -> cy(
+      """MATCH (c:Customer)
+        |WITH c.c_mktsegment AS seg, count(*) AS cnt
+        |ORDER BY cnt DESC, seg ASC SKIP 1 LIMIT 3
+        |RETURN seg AS seg, cnt AS cnt;""".stripMargin),
+
+    // UNION (distinct) of two independent read queries (extension)
+    "q_union" -> cy(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region {r_name: 'ASIA'})
+        |RETURN n.n_name AS name
+        |UNION
+        |MATCH (n:Nation)-[:IN_REGION]->(r:Region {r_name: 'AFRICA'})
+        |RETURN n.n_name AS name;""".stripMargin),
+
     // shortestPath + length(p) (extension): min hop distances over the
     // sparse per-region NATION_NEXT chain, where the true distance is the
     // within-region rank difference — a closed-form oracle
@@ -401,6 +416,18 @@ object SparkEntry {
       """SELECT r_regionkey AS rk, x, CAST(1 AS BIGINT) AS h,
         |       CAST(3 AS BIGINT) AS l, CAST(3 AS INTEGER) AS sz
         |FROM region CROSS JOIN (SELECT unnest(generate_series(0, 8, 2)) AS x)""".stripMargin,
+
+    "q_with_topk" ->
+      """SELECT seg, cnt FROM (
+        |  SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer
+        |  GROUP BY 1 ORDER BY cnt DESC, seg ASC LIMIT 3 OFFSET 1) t""".stripMargin,
+
+    "q_union" ->
+      """SELECT n_name AS name FROM nation JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |UNION
+        |SELECT n_name AS name FROM nation JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'AFRICA'""".stripMargin,
 
     // list_filter/list_transform mirror the comprehension; reduce() of
     // 0..rk is the closed-form rk(rk+1)/2

@@ -268,9 +268,14 @@ final case class PathPattern(start: NodePattern, hops: Seq[(RelPattern, NodePatt
 
 final case class ReturnItem(expr: Expr, alias: Option[String])
 final case class OrderItem(expr: Expr, ascending: Boolean)
-/** `WITH items [WHERE cond]` — a pipeline stage (our working version of the
-  * clause the reference drops). */
-final case class WithStage(items: Seq[ReturnItem], distinct: Boolean, where: Option[Expr])
+/** `WITH items [ORDER BY ...] [SKIP n] [LIMIT n] [WHERE cond]` — a
+  * pipeline stage (our working version of the clause the reference
+  * drops). ORDER BY + LIMIT inside a stage is the openCypher
+  * top-k-then-continue idiom; WHERE filters after the cut (spec clause
+  * order). */
+final case class WithStage(items: Seq[ReturnItem], distinct: Boolean,
+    where: Option[Expr], orderBy: Seq[OrderItem] = Seq.empty,
+    skip: Option[Long] = None, limit: Option[Long] = None)
 
 sealed trait CypherStatement
 
@@ -293,6 +298,13 @@ final case class ReadQuery(
     limit: Option[Long],
     optionalMatches: Seq[OptionalMatch] = Seq.empty,
     unwinds: Seq[Unwind] = Seq.empty) extends CypherStatement
+
+/** `q1 UNION [ALL] q2 [UNION ...]` — combined read queries (extension
+  * beyond the reference grammar). openCypher requires every part to
+  * return the SAME column names, and forbids mixing UNION with UNION ALL
+  * in one query — both enforced. */
+final case class UnionQuery(parts: Seq[ReadQuery], all: Boolean)
+    extends CypherStatement
 
 final case class ColumnDef(name: String, dtype: String, default: Option[Expr])
 

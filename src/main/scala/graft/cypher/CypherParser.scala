@@ -316,10 +316,17 @@ object CypherParser extends RegexParsers {
   private def returnItem: Parser[ReturnItem] =
     expression ~ opt(kw("as") ~> anyIdent) ^^ { case e ~ a => ReturnItem(e, a) }
 
+  /** openCypher clause order inside WITH: ORDER BY, SKIP, LIMIT, then
+    * WHERE (the filter applies AFTER the cut). */
   private def withClause: Parser[WithStage] =
     kw("with") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~
+      opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
+      opt(kw("skip") ~> """\d+""".r) ~
+      opt(kw("limit") ~> """\d+""".r) ~
       opt(kw("where") ~> expression) ^^ {
-      case d ~ items ~ w => WithStage(items, d.isDefined, w)
+      case d ~ items ~ ord ~ skip ~ limit ~ w =>
+        WithStage(items, d.isDefined, w, ord.getOrElse(Seq.empty),
+          skip.map(_.toLong), limit.map(_.toLong))
     }
 
   private def orderItem: Parser[OrderItem] =
@@ -411,8 +418,20 @@ object CypherParser extends RegexParsers {
       CreateRelTable(name, ft.head.from, ft.head.to, cols, adj)
     }
 
+  /** `readQuery (UNION [ALL] readQuery)*` — mixing UNION and UNION ALL in
+    * one query is rejected (openCypher). */
+  private def readOrUnion: Parser[CypherStatement] =
+    readQuery ~ rep((kw("union") ~> opt(kw("all"))) ~ readQuery) ^^ {
+      case head ~ Nil  => head
+      case head ~ tail =>
+        val kinds = tail.map { case a ~ _ => a.isDefined }.distinct
+        if (kinds.size > 1)
+          throw new GraftException("cannot mix UNION and UNION ALL in one query")
+        UnionQuery(head +: tail.map { case _ ~ q => q }, kinds.head)
+    }
+
   private def statement: Parser[CypherStatement] =
-    (createNodeTable | createRelTable | readQuery) <~ opt(";")
+    (createNodeTable | createRelTable | readOrUnion) <~ opt(";")
 
   def parse(query: String): CypherStatement =
     parseAll(statement, query) match {

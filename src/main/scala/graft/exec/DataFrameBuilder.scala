@@ -59,6 +59,18 @@ final class DataFrameBuilder(session: GraftSession) {
         projectStage(df, stage.items, stage.distinct, plan, ctx, Seq.empty, carry = true)
       df = staged
       val next = StageCtx(qualifiedGraph = false, carried)
+      // openCypher clause order: ORDER BY → SKIP → LIMIT → WHERE. A
+      // sort+limit stage compiles to TakeOrderedAndProject (no global
+      // sort) — the top-k-then-continue idiom stays cheap at scale.
+      if (stage.orderBy.nonEmpty) {
+        val keys = stage.orderBy.map { o =>
+          val c = compile(rewriteAliasArgs(o.expr, plan), next.resolver)
+          if (o.ascending) c.asc else c.desc
+        }
+        df = df.orderBy(keys: _*)
+      }
+      stage.skip.foreach(n => df = df.offset(n.toInt))
+      stage.limit.foreach(n => df = df.limit(n.toInt))
       stage.where.foreach { w =>
         df = df.filter(compile(rewriteAliasArgs(w, plan), next.resolver))
       }

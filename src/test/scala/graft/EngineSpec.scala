@@ -329,6 +329,41 @@ class EngineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("shadows"), err.getMessage)
   }
 
+  test("WITH ORDER BY / SKIP / LIMIT: top-k stage, WHERE filters after the cut") {
+    // per-user follow counts: 1→2, 2→2, 3→1 (out-degree)
+    val top = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |WITH a.id AS id, count(b) AS deg ORDER BY deg DESC, id ASC LIMIT 2
+        |RETURN id AS id, deg AS deg;""".stripMargin)
+    assert(rows(top) == Set(Seq(1L, 2L), Seq(2L, 2L)))
+    // SKIP past the top entry; WHERE applies AFTER the cut
+    val second = gs.cypher(
+      """MATCH (a:User)-[:Follows]->(b:User)
+        |WITH a.id AS id, count(b) AS deg ORDER BY deg DESC, id ASC SKIP 1 LIMIT 2
+        |WHERE deg > 1
+        |RETURN id AS id, deg AS deg;""".stripMargin)
+    assert(rows(second) == Set(Seq(2L, 2L))) // row (3,1) cut by WHERE, not LIMIT
+  }
+
+  test("UNION dedups, UNION ALL concatenates, mixing and column drift are rejected") {
+    val u = gs.cypher(
+      """MATCH (a:User {city:'berlin'}) RETURN a.id AS id
+        |UNION MATCH (b:User {id: 1}) RETURN b.id AS id;""".stripMargin)
+    assert(longs(u) == Set(1L, 3L)) // 1 appears in both parts, kept once
+    val ua = gs.cypher(
+      """MATCH (a:User {city:'berlin'}) RETURN a.id AS id
+        |UNION ALL MATCH (b:User {id: 1}) RETURN b.id AS id;""".stripMargin)
+    assert(ua.count() == 3)
+    assertThrows[GraftException](gs.cypher(
+      """MATCH (a:User) RETURN a.id AS id
+        |UNION MATCH (b:User) RETURN b.id AS id
+        |UNION ALL MATCH (c:User) RETURN c.id AS id;""".stripMargin))
+    val err = intercept[GraftException](gs.cypher(
+      """MATCH (a:User) RETURN a.id AS id
+        |UNION MATCH (b:User) RETURN b.name AS name;""".stripMargin))
+    assert(err.getMessage.contains("different columns"), err.getMessage)
+  }
+
   test("list predicates any/all/none/single desugar onto comprehensions") {
     assert(longs(gs.cypher(
       "MATCH (u:User) WHERE any(x IN range(1, u.id) WHERE x = 4) RETURN u.id AS id;"))

@@ -247,20 +247,35 @@ final class GraftSession(val spark: SparkSession) {
   def cypher(query: String, params: Map[String, Any] = Map.empty): DataFrame =
     CypherParser.parse(query) match {
       case rq: ReadQuery => buildRead(rq, params)
-      // UNION: each part plans independently; parts must return the same
-      // column names (checked here for a clear error — Spark's
-      // unionByName would throw a raw analysis error). UNION dedups,
-      // UNION ALL concatenates (one extra shuffle vs none).
-      case u: UnionQuery =>
-        val dfs = u.parts.map(buildRead(_, params))
-        val names = dfs.map(_.columns.toSeq).distinct
-        if (names.size > 1) throw new GraftException(
-          s"UNION parts return different columns: ${names.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
-        val combined = dfs.reduce(_ unionByName _)
-        if (u.all) combined else combined.distinct()
+      case u: UnionQuery => buildUnion(u, params)
+      // EXPLAIN: plan without executing — the formatted Spark physical
+      // plan comes back as a one-row frame (Neo4j-style EXPLAIN)
+      case ExplainQuery(inner) =>
+        import spark.implicits._
+        val df = inner match {
+          case rq: ReadQuery => buildRead(rq, params)
+          case u: UnionQuery => buildUnion(u, params)
+          case _ => throw new GraftException("EXPLAIN only applies to read queries")
+        }
+        Seq(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          .toDF("plan")
       case ddl: CreateNodeTable => executeDdl(ddl)
       case ddl: CreateRelTable  => executeDdl(ddl)
     }
+
+  /** UNION: each part plans independently; parts must return the same
+    * column names (checked here for a clear error — Spark's unionByName
+    * would throw a raw analysis error). UNION dedups, UNION ALL
+    * concatenates (one extra shuffle vs none). */
+  private def buildUnion(u: UnionQuery, params: Map[String, Any]): DataFrame = {
+    val dfs = u.parts.map(buildRead(_, params))
+    val names = dfs.map(_.columns.toSeq).distinct
+    if (names.size > 1) throw new GraftException(
+      s"UNION parts return different columns: ${names.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
+    val combined = dfs.reduce(_ unionByName _)
+    if (u.all) combined else combined.distinct()
+  }
 
   private def buildRead(rq: ReadQuery, params: Map[String, Any]): DataFrame = {
     val bound = if (params.isEmpty) rq else bindParams(rq, params)

@@ -187,6 +187,15 @@ object SparkEntry {
           concat_ws(",", transform(col("evens"), _.cast("string"))))
     }),
 
+    // openCypher percentile aggregates (exact Cont interpolation, Disc
+    // first-at-or-above rank) + median, per market segment
+    "q_percentile" -> cy(
+      """MATCH (c:Customer)
+        |RETURN c.c_mktsegment AS seg,
+        |       round(percentileCont(c.c_acctbal, 0.25), 4) AS p25,
+        |       percentileDisc(c.c_acctbal, 0.5) AS p50d,
+        |       round(median(c.c_acctbal), 4) AS med;""".stripMargin),
+
     // WITH ... ORDER BY ... SKIP/LIMIT: top-k-then-continue stage form
     "q_with_topk" -> cy(
       """MATCH (c:Customer)
@@ -416,6 +425,13 @@ object SparkEntry {
       """SELECT r_regionkey AS rk, x, CAST(1 AS BIGINT) AS h,
         |       CAST(3 AS BIGINT) AS l, CAST(3 AS INTEGER) AS sz
         |FROM region CROSS JOIN (SELECT unnest(generate_series(0, 8, 2)) AS x)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT c_mktsegment AS seg,
+        |       round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+        |       quantile_disc(c_acctbal, 0.5) AS p50d,
+        |       round(quantile_cont(c_acctbal, 0.5), 4) AS med
+        |FROM customer GROUP BY 1""".stripMargin,
 
     "q_with_topk" ->
       """SELECT seg, cnt FROM (

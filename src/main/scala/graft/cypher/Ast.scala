@@ -55,7 +55,8 @@ object Expr {
     * (logical_expr/mod.rs:255) plus Spark-native extras. */
   val aggregateNames: Set[String] =
     Set("count", "min", "max", "avg", "sum", "collect", "collect_list",
-        "collect_set", "stddev", "variance", "approx_count_distinct")
+        "collect_set", "stddev", "variance", "approx_count_distinct",
+        "percentilecont", "percentiledisc", "median")
 
   def isAggregate(e: Expr): Boolean = e match {
     case Fn(name, _, _) if aggregateNames(name.toLowerCase) => true
@@ -298,6 +299,10 @@ final case class ReadQuery(
     limit: Option[Long],
     optionalMatches: Seq[OptionalMatch] = Seq.empty,
     unwinds: Seq[Unwind] = Seq.empty) extends CypherStatement
+
+/** `EXPLAIN <read query>` — returns the engine's physical plan as a
+  * one-row frame instead of executing (Neo4j-style; extension). */
+final case class ExplainQuery(inner: CypherStatement) extends CypherStatement
 
 /** `q1 UNION [ALL] q2 [UNION ...]` — combined read queries (extension
   * beyond the reference grammar). openCypher requires every part to

@@ -431,7 +431,13 @@ object CypherParser extends RegexParsers {
     }
 
   private def statement: Parser[CypherStatement] =
-    (createNodeTable | createRelTable | readOrUnion) <~ opt(";")
+    opt(kw("explain")) ~ ((createNodeTable | createRelTable | readOrUnion) <~ opt(";")) ^^ {
+      case Some(_) ~ inner => inner match {
+        case _: ReadQuery | _: UnionQuery => ExplainQuery(inner)
+        case _ => throw new GraftException("EXPLAIN only applies to read queries")
+      }
+      case None ~ inner => inner
+    }
 
   def parse(query: String): CypherStatement =
     parseAll(statement, query) match {

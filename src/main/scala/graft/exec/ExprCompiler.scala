@@ -117,6 +117,13 @@ object ExprCompiler {
         }))
   }
 
+  private def percentileP(v: Any): Double = v match {
+    case d: Double if d >= 0.0 && d <= 1.0 => d
+    case l: Long if l == 0L || l == 1L     => l.toDouble
+    case other => throw new GraftException(
+      s"percentile: p must be a literal in [0, 1], got $other")
+  }
+
   private def compileFn(fn: Expr.Fn, resolve: Resolver): Column = {
     val name = fn.name.toLowerCase
     def arg(i: Int): Column = compile(fn.args(i), resolve)
@@ -144,6 +151,16 @@ object ExprCompiler {
       case "stddev"       => stddev(arg(0))
       case "approx_count_distinct" => approx_count_distinct(arg(0))
       case "variance"     => variance(arg(0))
+      // openCypher percentile aggregates: Cont = exact linear
+      // interpolation (Spark's percentile); Disc = first value whose
+      // cumulative distribution >= p (composed: sorted collect + rank
+      // index — exact, group-memory-bound like collect itself)
+      case "percentilecont" => percentile(arg(0), lit(percentileP(litArg(1))))
+      case "percentiledisc" =>
+        val p = percentileP(litArg(1))
+        try_element_at(array_sort(collect_list(arg(0))),
+          greatest(lit(1), ceil(lit(p) * count(arg(0))).cast("int")))
+      case "median"       => median(arg(0))
 
       // ---- scalar registry --------------------------------------------------
       case "toupper" | "upper"       => upper(arg(0))

@@ -329,6 +329,29 @@ class EngineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("shadows"), err.getMessage)
   }
 
+  test("percentileCont/percentileDisc/median aggregates") {
+    // Follows.since values: 2019, 2020, 2021, 2022, 2023
+    val r = gs.cypher(
+      """MATCH (:User)-[f:Follows]->(:User)
+        |RETURN percentileCont(f.since, 0.5) AS c50,
+        |       percentileDisc(f.since, 0.5) AS d50,
+        |       percentileDisc(f.since, 0.0) AS d0,
+        |       median(f.since) AS med;""".stripMargin).collect().head
+    assert(r.getDouble(0) == 2021.0 && r.getInt(1) == 2021)
+    assert(r.getInt(2) == 2019) // p=0 -> min (rank clamps to 1)
+    assert(r.getDouble(3) == 2021.0)
+    assertThrows[GraftException](gs.cypher(
+      "MATCH (:User)-[f:Follows]->(:User) RETURN percentileCont(f.since, 1.5) AS x;"))
+  }
+
+  test("EXPLAIN returns the physical plan without executing") {
+    val r = gs.cypher(
+      "EXPLAIN MATCH (a:User)-[:Follows]->(b:User) RETURN b.id AS id;")
+    assert(r.columns.toSeq == Seq("plan"))
+    val text = r.collect().head.getString(0)
+    assert(text.contains("Physical Plan"), text.take(200))
+  }
+
   test("WITH ORDER BY / SKIP / LIMIT: top-k stage, WHERE filters after the cut") {
     // per-user follow counts: 1→2, 2→2, 3→1 (out-degree)
     val top = gs.cypher(

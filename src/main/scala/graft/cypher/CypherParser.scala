@@ -156,11 +156,20 @@ object CypherParser extends RegexParsers {
       case a ~ None    => Expr.Var(a)
     }
 
+  /** Searched form `CASE WHEN c THEN v ... END` plus the simple form
+    * `CASE subject WHEN val THEN v ... END`, desugared at parse time to
+    * the searched form with equality conditions. */
   private def caseExpr: Parser[Expr] =
-    kw("case") ~> rep1(kw("when") ~> expression ~ (kw("then") ~> expression)) ~
+    kw("case") ~> opt(not(kw("when")) ~> expression) ~
+      rep1(kw("when") ~> expression ~ (kw("then") ~> expression)) ~
       opt(kw("else") ~> expression) <~ kw("end") ^^ {
-      case branches ~ dflt =>
-        Expr.CaseWhen(branches.map { case c ~ v => (c, v) }, dflt)
+      case subject ~ branches ~ dflt =>
+        val bs = branches.map { case c ~ v => (c, v) }
+        val desugared = subject match {
+          case Some(s) => bs.map { case (c, v) => (Expr.Bin("=", s, c): Expr, v) }
+          case None    => bs
+        }
+        Expr.CaseWhen(desugared, dflt)
     }
 
   /** `[x IN list WHERE pred | proj]` — tried before the plain list

@@ -329,6 +329,16 @@ class EngineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("shadows"), err.getMessage)
   }
 
+  test("simple-form CASE desugars to searched equality") {
+    val r = gs.cypher(
+      """MATCH (u:User)
+        |RETURN u.id AS id,
+        |       CASE u.city WHEN 'berlin' THEN 'de' WHEN 'paris' THEN 'fr'
+        |            ELSE '??' END AS cc;""".stripMargin)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "de", 2L -> "fr", 3L -> "de", 4L -> "??", 5L -> "fr"))
+  }
+
   test("percentileCont/percentileDisc/median aggregates") {
     // Follows.since values: 2019, 2020, 2021, 2022, 2023
     val r = gs.cypher(

@@ -190,22 +190,43 @@ object CypherParser extends RegexParsers {
     }
 
   /** `any/all/none/single(x IN list WHERE pred)` list predicates — tried
-    * before fnCall, which would mis-parse `x IN list` as a Bin(IN). The
-    * quantifier is desugared here: any → a one-element-min filtered
-    * comprehension count, etc. (the comprehension node already carries the
-    * lambda scoping). */
+    * before fnCall, which would mis-parse `x IN list` as a Bin(IN).
+    * Desugared onto the comprehension node (which carries the lambda
+    * scoping) with openCypher TERNARY logic: a NULL predicate result is
+    * neither a match nor a non-match — the quantifier is NULL unless the
+    * outcome is already decided by the non-null elements (a plain filter
+    * count would silently drop NULLs and e.g. turn none() over an
+    * all-null list into true — round-6 review). */
   private def listQuantifier: Parser[Expr] = {
     val quant = identRe.filter(n => Set("any", "all", "none", "single")
       .contains(n.toLowerCase))
     quant ~ ("(" ~> ident) ~ (kw("in") ~> expression) ~
       (kw("where") ~> expression <~ ")") ^^ { case q ~ v ~ l ~ p =>
-        def matches = Expr.Fn("size", Seq(Expr.ListComp(v, l, Some(p), None)))
-        def total   = Expr.Fn("size", Seq(l))
+        def trues = Expr.Fn("size", Seq(Expr.ListComp(v, l, Some(p), None)))
+        def nulls = Expr.Fn("size",
+          Seq(Expr.ListComp(v, l, Some(Expr.IsNull(p, negated = false)), None)))
+        def total = Expr.Fn("size", Seq(l))
+        val listIsNull = Expr.IsNull(l, negated = false)
+        def someNull = Expr.Bin(">", nulls, Expr.Lit(0L))
         q.toLowerCase match {
-          case "any"    => Expr.Bin(">", matches, Expr.Lit(0L))
-          case "none"   => Expr.Bin("=", matches, Expr.Lit(0L))
-          case "all"    => Expr.Bin("=", matches, total)
-          case "single" => Expr.Bin("=", matches, Expr.Lit(1L))
+          case "any" => Expr.CaseWhen(Seq(
+            (listIsNull, Expr.Lit(null)),
+            (Expr.Bin(">", trues, Expr.Lit(0L)), Expr.Lit(true)),
+            (someNull, Expr.Lit(null))), Some(Expr.Lit(false)))
+          case "none" => Expr.CaseWhen(Seq(
+            (listIsNull, Expr.Lit(null)),
+            (Expr.Bin(">", trues, Expr.Lit(0L)), Expr.Lit(false)),
+            (someNull, Expr.Lit(null))), Some(Expr.Lit(true)))
+          case "all" => Expr.CaseWhen(Seq(
+            (listIsNull, Expr.Lit(null)),
+            // a definite false exists ⇒ false, regardless of nulls
+            (Expr.Bin("<", Expr.Bin("+", trues, nulls), total), Expr.Lit(false)),
+            (someNull, Expr.Lit(null))), Some(Expr.Lit(true)))
+          case "single" => Expr.CaseWhen(Seq(
+            (listIsNull, Expr.Lit(null)),
+            (Expr.Bin(">", trues, Expr.Lit(1L)), Expr.Lit(false)),
+            (someNull, Expr.Lit(null))),
+            Some(Expr.Bin("=", trues, Expr.Lit(1L))))
         }
       }
   }
@@ -335,13 +356,24 @@ object CypherParser extends RegexParsers {
       opt(kw("where") ~> expression) ^^ {
       case d ~ items ~ ord ~ skip ~ limit ~ w =>
         WithStage(items, d.isDefined, w, ord.getOrElse(Seq.empty),
-          skip.map(_.toLong), limit.map(_.toLong))
+          skip.map(boundedCount(_, "WITH SKIP")),
+          limit.map(boundedCount(_, "WITH LIMIT")))
     }
 
   private def orderItem: Parser[OrderItem] =
     expression ~ opt(kw("asc") | kw("ascending") | kw("desc") | kw("descending")) ^^ {
       case e ~ dir => OrderItem(e, !dir.exists(_.startsWith("desc")))
     }
+
+  /** SKIP/LIMIT counts flow into Dataset.offset/limit (Int): reject
+    * values beyond Int.MaxValue at parse time instead of silently
+    * wrapping (round-6 review). */
+  private def boundedCount(s: String, what: String): Long = {
+    val v = BigInt(s)
+    if (v > Int.MaxValue)
+      throw new GraftException(s"$what $s exceeds the supported maximum ${Int.MaxValue}")
+    v.toLong
+  }
 
   private def optionalMatch: Parser[OptionalMatch] =
     kw("optional") ~> kw("match") ~> rep1sep(pathPattern, ",") ~
@@ -368,8 +400,8 @@ object CypherParser extends RegexParsers {
         // consecutive MATCH clauses are inner-joined like comma patterns
         val paths = pathGroups.flatten
         ReadQuery(paths, where, withs, items, dist.isDefined,
-          ord.getOrElse(Seq.empty), skip.map(_.toLong), limit.map(_.toLong),
-          opts, unwinds)
+          ord.getOrElse(Seq.empty), skip.map(boundedCount(_, "SKIP")),
+          limit.map(boundedCount(_, "LIMIT")), opts, unwinds)
     }
 
   // ---- DDL ----------------------------------------------------------------

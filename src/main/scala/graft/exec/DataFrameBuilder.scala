@@ -398,6 +398,23 @@ final class DataFrameBuilder(session: GraftSession) {
     val allEdges = plan.edges ++ plan.optionals.flatMap(_.edges)
     val relAliases = allEdges.map(_.alias).toSet
     val relLabels = allEdges.map(e => e.alias -> e.schema.label).toMap
+    // OPTIONAL MATCH aliases may be NULL on preserved rows: an
+    // unconditional constant fold would return a non-null labels()/type()/
+    // keys()/properties() for a row whose optional pattern did NOT match
+    // (openCypher: these are NULL on a null entity). Guard such folds on
+    // the alias's key column (round-6 review).
+    // internalAliases = block-introduced NODE aliases; rel aliases come
+    // from the block's edges
+    val optionalAliases = plan.optionals
+      .flatMap(b => b.internalAliases ++ b.edges.map(_.alias)).toSet
+    def guarded(alias: String, keyCol: String, folded: Expr): Expr =
+      if (!optionalAliases(alias)) folded
+      else Expr.CaseWhen(
+        Seq((Expr.IsNull(Expr.Prop(alias, keyCol), negated = false), Expr.Lit(null))),
+        Some(folded))
+    def nodeGuard(a: String, folded: Expr): Expr =
+      guarded(a, plan.nodes(a).schema.idColumn, folded)
+    def relGuard(a: String, folded: Expr): Expr = guarded(a, "__src", folded)
     def rw(x: Expr): Expr = x match {
       // length(p) where p = shortestPath(...) → the hop composition's
       // hidden min-distance column
@@ -408,10 +425,10 @@ final class DataFrameBuilder(session: GraftSession) {
       // label means an alias's labels/type are statically known
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("labels") && plan.nodes.contains(a) =>
-        Expr.ListLit(Seq(Expr.Lit(plan.nodes(a).schema.label)))
+        nodeGuard(a, Expr.ListLit(Seq(Expr.Lit(plan.nodes(a).schema.label))))
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("type") && relLabels.contains(a) =>
-        Expr.Lit(relLabels(a))
+        relGuard(a, Expr.Lit(relLabels(a)))
       // id(n) → the node's id column (node ids ARE the user-visible ids in
       // the edge-list model; relationships carry no surrogate id)
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
@@ -425,16 +442,17 @@ final class DataFrameBuilder(session: GraftSession) {
       // keys(a) → literal list of the alias's property names
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("keys") && plan.nodes.contains(a) =>
-        Expr.ListLit(plan.nodes(a).schema.columns.map(c => Expr.Lit(c)))
+        nodeGuard(a, Expr.ListLit(plan.nodes(a).schema.columns.map(c => Expr.Lit(c))))
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("keys") && relLabels.contains(a) =>
-        Expr.ListLit(allEdges.find(_.alias == a).get.schema.columns.map(c => Expr.Lit(c)))
+        relGuard(a,
+          Expr.ListLit(allEdges.find(_.alias == a).get.schema.columns.map(c => Expr.Lit(c))))
       // properties(n) → named struct over the alias's columns
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("properties") && plan.nodes.contains(a) =>
-        Expr.Fn("__named_struct",
+        nodeGuard(a, Expr.Fn("__named_struct",
           plan.nodes(a).schema.columns.flatMap(c =>
-            Seq(Expr.Lit(c), Expr.Prop(a, c))), distinct = false)
+            Seq(Expr.Lit(c), Expr.Prop(a, c))), distinct = false))
       // exists(n.prop) → IS NOT NULL (the property-existence form; the
       // pattern form exists((a)-[]->(b)) unwraps in the Planner)
       case Expr.Fn(n, Seq(p: Expr.Prop), false) if n.equalsIgnoreCase("exists") =>

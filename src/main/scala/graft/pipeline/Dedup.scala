@@ -330,13 +330,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     val metaPath = s"$path/_pairs_meta.json"
+    // TERMINATED marker (ends with the closing brace): a bare contains()
+    // on '"threshold":0.5' would also match a stored 0.55 (round-6 review)
     val marker =
-      s""""fingerprint":"${graft.catalog.Snapshot.fingerprint(docs)}","threshold":$threshold"""
-    val fresh = Artifacts.readStringIfExists(spark, metaPath).exists(_.contains(marker))
+      s""""fingerprint":"${graft.catalog.Snapshot.fingerprint(docs)}","threshold":$threshold}"""
+    val fresh = Artifacts.readStringIfExists(spark, metaPath).exists(_.endsWith(marker))
     if (!fresh) {
       ngramJaccardPairs(docs, threshold)
         .write.mode("overwrite").parquet(s"$path/pairs")
-      Artifacts.writeString(spark, metaPath, s"""{"version":1,$marker}""")
+      Artifacts.writeString(spark, metaPath, s"""{"version":1,$marker""")
     }
     spark.read.parquet(s"$path/pairs")
   }

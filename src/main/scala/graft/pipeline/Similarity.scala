@@ -557,8 +557,18 @@ object Similarity {
 
     Artifacts.writeString(spark, ivfMetaPath(path),
       s"""{"version":1,"dim":$DefaultDim,"nlist":${cents.size},""" +
-        s""""rows":$corpusSize,"fingerprint":"$fp"}""")
+        s""""rows":$corpusSize,${ivfMarker(fp, nlist, refineIters, idCol, vecCol)}""")
   }
+
+  /** Freshness marker: corpus fingerprint AND every build parameter — a
+    * changed nlist/refineIters/idCol/vecCol must rebuild even when the
+    * corpus files are unchanged (round-6 review). The marker is the
+    * TERMINATED tail of the meta JSON, so a suffix check can never match
+    * a numeric prefix of a different value. */
+  private def ivfMarker(fp: String, nlist: Int, refineIters: Int,
+      idCol: String, vecCol: String): String =
+    s""""params":"nlist=$nlist;iters=$refineIters;id=$idCol;vec=$vecCol",""" +
+      s""""fingerprint":"$fp"}"""
 
   /** Rebuild the persisted index iff missing or its recorded corpus
     * fingerprint no longer matches (the staleness fence — a replaced
@@ -570,7 +580,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val fresh = Artifacts.readStringIfExists(spark, ivfMetaPath(path)).exists { meta =>
       val fp = graft.catalog.Snapshot.fingerprint(corpus)
-      meta.contains(s""""fingerprint":"$fp"""")
+      meta.endsWith(ivfMarker(fp, nlist, refineIters, idCol, vecCol))
     }
     if (!fresh) buildIvfIndex(corpus, path, nlist, refineIters, idCol, vecCol)
     !fresh
@@ -604,6 +614,9 @@ object Similarity {
     require(cents.nonEmpty, s"empty IVF index at $path")
 
     val probes = math.max(1, math.min(nprobe, cents.size))
+    // persisted: the frame is consumed twice (probed-id collect + the
+    // candidate join) and re-deriving it would re-run the query scan and
+    // the per-row centroid argmax (round-6 review)
     val qAssigned = queries
       .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .filter(col("qv").isNotNull)
@@ -613,6 +626,8 @@ object Similarity {
           -probes, probes)))
       .select(col("qid"), col("qv"), col("qnorm"),
         (-col("probe.negid")).as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
 
     val probedIds = qAssigned.select("list_id").distinct()
       .collect().map(_.getLong(0)).sorted

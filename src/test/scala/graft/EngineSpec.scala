@@ -308,6 +308,22 @@ class EngineSpec extends AnyFunSuite {
     assert(rs.head.getSeq[String](2) == Seq("from_User", "to_Post"))
   }
 
+  test("introspection fns are NULL on unmatched OPTIONAL MATCH rows") {
+    // users 4 and 5 created no posts: the left-outer preserves them with
+    // a null r/p — type()/keys()/labels()/properties() must be NULL too,
+    // not the constant fold (openCypher null-entity semantics)
+    val rs = gs.cypher(
+      """MATCH (u:User) WHERE u.id >= 3
+        |OPTIONAL MATCH (u)-[r:Created]->(p:Post)
+        |RETURN u.id AS uid, type(r) AS t, keys(r) AS ks,
+        |       labels(p) AS ls, properties(p) AS props;""".stripMargin)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(rs(3L).getString(1) == "Created" && !rs(3L).isNullAt(2))
+    for (unmatched <- Seq(rs(4L), rs(5L)); i <- 1 to 4)
+      assert(unmatched.isNullAt(i),
+        s"uid=${unmatched.getLong(0)} col $i should be NULL, got ${unmatched.get(i)}")
+  }
+
   test("list comprehensions and reduce()") {
     val r = gs.cypher(
       """MATCH (u:User {id: 1})
@@ -410,6 +426,17 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(gs.cypher(
       "MATCH (u:User) WHERE single(x IN range(1, u.id) WHERE x % 2 = 0) RETURN u.id AS id;"))
       == Set(2L, 3L))
+    // openCypher ternary logic: a NULL predicate result makes the
+    // quantifier NULL unless already decided (WHERE drops NULL rows, so
+    // none() over all-null predicates must NOT keep the row)
+    assert(longs(gs.cypher(
+      """MATCH (u:User {id: 1})
+        |WHERE none(x IN [1, 2] WHERE x + null > 0) RETURN u.id AS id;""".stripMargin))
+      == Set.empty[Long])
+    assert(longs(gs.cypher( // one true decides any() despite the null
+      """MATCH (u:User {id: 1})
+        |WHERE any(x IN [1, null] WHERE x > 0) RETURN u.id AS id;""".stripMargin))
+      == Set(1L))
   }
 
   test("shortestPath: min hop distances with length(p)") {

@@ -192,6 +192,15 @@ class DedupSpec extends AnyFunSuite {
       // a different threshold is a different artifact key → re-mine
       Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.9).count()
       assert(meta.lastModified() != mtime, "threshold change must invalidate the artifact")
+      // a threshold that is a string PREFIX of the stored one must also
+      // invalidate (round-6 review: unterminated contains() matched 0.55
+      // for a 0.5 request)
+      Thread.sleep(5)
+      Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.55).count()
+      val afterPrefix = meta.lastModified()
+      Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.5).count()
+      assert(meta.lastModified() != afterPrefix,
+        "0.5 request must not reuse the 0.55 artifact")
       // clustering over pre-mined pairs = clustering with inline mining
       val viaPairs = Dedup.dupClusters(docs, threshold = 0.5,
           minedPairs = Some(Dedup.ngramJaccardPairsPersisted(docs, dir, threshold = 0.5)))
@@ -409,6 +418,11 @@ class SimilaritySpec extends AnyFunSuite {
       // dropping a row changes the content fingerprint → rebuild
       val c3 = rows.toSeq.drop(1).toDF("vec_id", "embedding")
       assert(Similarity.buildIvfIndexIfStale(c3, dir))
+      // changed BUILD PARAMETERS rebuild too, even with the same corpus
+      // (round-6 review: nlist was not part of the freshness key)
+      assert(Similarity.buildIvfIndexIfStale(c3, dir, nlist = 4))
+      assert(!Similarity.buildIvfIndexIfStale(c3, dir, nlist = 4))
+      assert(Similarity.buildIvfIndexIfStale(c3, dir, nlist = 8))
     } finally graft.pipeline.PipelineCaches.clear()
   }
 }

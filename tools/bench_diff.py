@@ -100,7 +100,10 @@ def main() -> int:
         if name not in old_q:
             fresh.append((name, t))
             continue
-        base = old_q[name]
+        # min-of-samples on BOTH sides: a baseline regenerated from a raw
+        # bench dump stores medians, and comparing new-min vs old-median
+        # would be systematically lenient
+        base = best_time(old, name, old_q[name])
         norm = best_time(new, name, t) / factor
         if base >= 0 and norm >= args.ratio * base and norm >= args.min_sec:
             flagged.append((name, base, t, norm))
@@ -108,13 +111,22 @@ def main() -> int:
             improvements.append((name, base, t))
 
     # contiguous flagged blocks in run order = a load spike sweeping the
-    # sequential run, not per-query regressions
-    order = sorted(n for n, t in new_q.items() if t >= 0)
+    # sequential run, not per-query regressions. Queries that CANNOT be
+    # flagged (errored, NEW, sub-floor) are neutral: they must neither
+    # split a genuine spike block nor bridge two distant flagged queries.
+    order = sorted(new_q)  # bench runs alphabetically, including errored
     pos = {n: i for i, n in enumerate(order)}
+    can_flag = {n for n, t in new_q.items()
+                if t >= 0 and n in old_q and
+                best_time(new, n, t) / factor >= args.min_sec}
     flagged.sort(key=lambda f: pos[f[0]])
+    def contiguous(a, b):
+        """No flaggable-but-unflagged query sits between a and b."""
+        return all(order[i] not in can_flag
+                   for i in range(pos[a] + 1, pos[b]))
     spikes, regressions, block = [], [], []
     for f in flagged:
-        if block and pos[f[0]] == pos[block[-1][0]] + 1:
+        if block and contiguous(block[-1][0], f[0]):
             block.append(f)
         else:
             (spikes if len(block) >= SPIKE_BLOCK_LEN else regressions).extend(block)

@@ -40,6 +40,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("WITH ORDER BY + LIMIT stage compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = formatted(gs.cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c.c_custkey AS k, count(o) AS cnt ORDER BY cnt DESC, k ASC LIMIT 5
+        |RETURN k AS k, cnt AS cnt;""".stripMargin))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("dimension joins are broadcast (no shuffle of the big side)") {
     val plan = formatted(gs.cypher(
       """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)

@@ -57,6 +57,15 @@ class ServerSpec extends AnyFunSuite {
       val (c7, b7) = post(port,
         """{"query": "MATCH (u:User) WHERE u.name ENDS WITH '2' RETURN u.id AS id;"}""")
       assert(c7 == 200 && b7 == "{\"id\":2}\n")
+
+      // round-6 surface: UNION and EXPLAIN round-trip over HTTP
+      val (c8, b8) = post(port,
+        """{"query": "MATCH (u:User {id: 1}) RETURN u.id AS id UNION MATCH (u:User {id: 2}) RETURN u.id AS id;"}""")
+      assert(c8 == 200 && b8.linesIterator.toSet ==
+        Set("""{"id":1}""", """{"id":2}"""))
+      val (c9, b9) = post(port,
+        """{"query": "EXPLAIN MATCH (u:User) RETURN u.id AS id;"}""")
+      assert(c9 == 200 && b9.contains("Physical Plan"))
     } finally srv.stop()
   }
 

@@ -392,6 +392,9 @@ class EngineSpec extends AnyFunSuite {
         |WHERE deg > 1
         |RETURN id AS id, deg AS deg;""".stripMargin)
     assert(rows(second) == Set(Seq(2L, 2L))) // row (3,1) cut by WHERE, not LIMIT
+    // WITH * carries every named alias forward
+    assert(longs(gs.cypher(
+      "MATCH (u:User) WITH * WHERE u.id > 3 RETURN u.id AS id;")) == Set(4L, 5L))
   }
 
   test("UNION dedups, UNION ALL concatenates, mixing and column drift are rejected") {

@@ -47,6 +47,21 @@ object PipelineEntries {
     // with the cross-document 5-gram spans dropped — oracle-checked
     "p_span_remove" -> ((s, dir) => Dedup.removeDupSpans(docs(s, dir))),
 
+    // composition: span-removal feeding per-source curation stats (docs,
+    // surviving clean tokens, mean removed fraction) — operators compose
+    // end-to-end like p_curate, oracle-checked
+    "p_span_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.removeDupSpans(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_tokens") - col("removed_tokens")).cast("long").as("clean_tokens"),
+          round(avg(col("removed_tokens").cast("double") / col("n_tokens")), 6)
+            .as("mean_removed_frac"))
+    }),
+
     // transitive dup clustering: GraphX connected components over the
     // exact pair graph; canonical id = min doc in cluster — oracle-checked
     // against a recursive-CTE label propagation. Pairs come from the
@@ -741,6 +756,36 @@ object PipelineEntries {
         |       round(coalesce(s.covered, 0) / CAST(m.n_tokens AS DOUBLE), 6)
         |         AS coverage
         |FROM m LEFT JOIN s ON m.doc_id = s.doc_id""".stripMargin,
+
+    // the span-remove CTE prefix without the string re-assembly: removed
+    // tokens per doc = covered-position count, aggregated per source
+    "p_span_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+        |p AS (
+        |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(toks[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, n_tokens, toks,
+        |               unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
+        |        FROM m)),
+        |df AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM p)
+        |  GROUP BY gram HAVING count(*) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT p.doc_id, unnest(range(p.pos, least(p.pos + 5, p.n_tokens))) AS cp
+        |    FROM p JOIN df USING (gram))),
+        |rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed
+        |        FROM covered GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(m.n_tokens - coalesce(rem.removed, 0)) AS BIGINT) AS clean_tokens,
+        |       round(avg(coalesce(rem.removed, 0) / CAST(m.n_tokens AS DOUBLE)), 6)
+        |         AS mean_removed_frac
+        |FROM m JOIN documents d ON d.doc_id = m.doc_id
+        |LEFT JOIN rem ON rem.doc_id = m.doc_id
+        |GROUP BY d.source""".stripMargin,
 
     // same CTE prefix as p_span_dedup; covered positions expand from the
     // duplicated starts, kept tokens re-assemble via ordered string_agg

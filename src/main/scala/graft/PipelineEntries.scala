@@ -203,13 +203,25 @@ object PipelineEntries {
         ("entity", """\b(customer|line)\b""", "<ENT>")))
         .select("doc_id", "n_email", "n_entity", "scrubbed")),
 
-    // multimodal: binary column → batched stub decode — oracle-checked
-    "p_multimodal" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.attachBinary(docs(s, dir)))),
+    // multimodal: real byte-level header decode (PNG IHDR / JPEG SOFn scan /
+    // GIF screen descriptor / WAV fmt chunk + corrupt→NULL) over synthesized
+    // real container payloads — oracle-checked (dims are arithmetic in
+    // doc_id on the fixture side; the decoder only ever sees bytes)
+    "p_mm_decode" -> ((s, dir) =>
+      Multimodal.decodeHeaders(s,
+        Multimodal.synthesizeMedia(s, docs(s, dir)))),
 
-    // aspect-preserving resize plan (dims + 4dp scale) — oracle-checked
+    // image-feature projection of the decode (n_bytes + dims + format) —
+    // oracle-checked
+    "p_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.synthesizeMedia(s, docs(s, dir)))),
+
+    // aspect-preserving resize plan over REAL decoded dims (image rows
+    // only; audio/corrupt payloads drop out) — oracle-checked
     "p_mm_resize" -> ((s, dir) =>
-      Multimodal.resizeImages(s, Multimodal.attachBinary(docs(s, dir)))),
+      Multimodal.resizeImages(s,
+        Multimodal.synthesizeMedia(s, docs(s, dir)))),
 
     // video-shaped frame sampling: one row per sampled frame — oracle-checked
     "p_mm_frames" -> ((s, dir) =>
@@ -918,20 +930,64 @@ object PipelineEntries {
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS sub_tokens
         |FROM documents""".stripMargin,
 
+    // The fixture synthesizer derives every container field arithmetically
+    // from doc_id (then renders REAL bytes); the oracle recomputes the same
+    // arithmetic, so a hash match proves the byte-level decoder recovered
+    // exactly what was encoded. doc_id%5: 0=png 1=jpeg 2=gif 3=wav 4=corrupt.
+    "p_mm_decode" ->
+      """SELECT doc_id,
+        |       CASE doc_id%5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |            WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+        |            ELSE 'unknown' END AS format,
+        |       CAST(CASE doc_id%5 WHEN 0 THEN 1+doc_id%512
+        |            WHEN 1 THEN 1+doc_id%1024
+        |            WHEN 2 THEN 1+doc_id%600 END AS BIGINT) AS width,
+        |       CAST(CASE doc_id%5 WHEN 0 THEN 1+(doc_id*3)%512
+        |            WHEN 1 THEN 1+(doc_id*7)%1024
+        |            WHEN 2 THEN 1+(doc_id*5)%400 END AS BIGINT) AS height,
+        |       CAST(CASE WHEN doc_id%5=3
+        |            THEN 8000*(1+(doc_id//5)%5) END AS BIGINT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id%5=3
+        |            THEN 1+doc_id%2 END AS BIGINT) AS channels,
+        |       CAST(CASE WHEN doc_id%5=3 THEN
+        |            ((1000+(doc_id%4500)*2) * 1000)
+        |            // (8000*(1+(doc_id//5)%5) * (1+doc_id%2) * 2)
+        |            END AS BIGINT) AS duration_ms,
+        |       CAST(CASE doc_id%5 WHEN 0 THEN 57+doc_id%100
+        |            WHEN 1 THEN 114+doc_id%100
+        |            WHEN 2 THEN 14
+        |            WHEN 3 THEN 1044+(doc_id%4500)*2
+        |            ELSE 4+doc_id%7 END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
     "p_multimodal" ->
-      """SELECT doc_id, n_bytes,
-        |       64 + n_bytes % 640 AS width,
-        |       64 + (n_bytes * 7) % 480 AS height,
-        |       'fake/raw' AS format
-        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |      FROM documents)""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(CASE doc_id%5 WHEN 0 THEN 57+doc_id%100
+        |            WHEN 1 THEN 114+doc_id%100
+        |            WHEN 2 THEN 14
+        |            WHEN 3 THEN 1044+(doc_id%4500)*2
+        |            ELSE 4+doc_id%7 END AS BIGINT) AS n_bytes,
+        |       CAST(CASE doc_id%5 WHEN 0 THEN 1+doc_id%512
+        |            WHEN 1 THEN 1+doc_id%1024
+        |            WHEN 2 THEN 1+doc_id%600 END AS BIGINT) AS width,
+        |       CAST(CASE doc_id%5 WHEN 0 THEN 1+(doc_id*3)%512
+        |            WHEN 1 THEN 1+(doc_id*7)%1024
+        |            WHEN 2 THEN 1+(doc_id*5)%400 END AS BIGINT) AS height,
+        |       CASE doc_id%5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |            WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+        |            ELSE 'unknown' END AS format
+        |FROM documents""".stripMargin,
 
     "p_mm_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, 64 + n % 640 AS w, 64 + (n * 7) % 480 AS h FROM m),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(CASE doc_id%5 WHEN 0 THEN 1+doc_id%512
+        |              WHEN 1 THEN 1+doc_id%1024
+        |              WHEN 2 THEN 1+doc_id%600 END AS BIGINT) AS w,
+        |         CAST(CASE doc_id%5 WHEN 0 THEN 1+(doc_id*3)%512
+        |              WHEN 1 THEN 1+(doc_id*7)%1024
+        |              WHEN 2 THEN 1+(doc_id*5)%400 END AS BIGINT) AS h
+        |  FROM documents WHERE doc_id%5 IN (0, 1, 2)),
         |s AS (
         |  SELECT doc_id, w AS orig_w, h AS orig_h,
         |         round(least(224.0 / w, 224.0 / h), 4) AS scale

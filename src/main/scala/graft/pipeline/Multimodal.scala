@@ -1,17 +1,25 @@
 package graft.pipeline
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed in partition-local batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (image/audio codec
-  * libraries are not available in this environment); the Spark-side plumbing
-  * is real and is the point: schema, `Dataset[T]` encoders, batched
-  * `mapPartitions` iteration (the Scala analogue of `mapInPandas` — the
-  * batch loop is where a vectorized decoder would run), and a narrow,
-  * shuffle-free plan that scales linearly.
+  * The header decoders are REAL byte-level parsers (PNG IHDR, JPEG SOFn
+  * marker scan, GIF logical screen descriptor, WAV RIFF/fmt chunk walk) —
+  * no codec library needed for container metadata. Pixel decode / resample
+  * stays out of scope (no codec libs in this environment); what a training
+  * pipeline needs from a 100 TB media column first is exactly this: cheap,
+  * shuffle-free header metadata (dims, sample rate, duration, corruption
+  * flags) to route/filter payloads before any expensive decode.
+  *
+  * Scale shape: every op here is one batched `mapPartitions` pass over the
+  * binary column (the batch loop is where a vectorized/Arrow decoder would
+  * slot in) — a narrow projection, no shuffle, linear in bytes scanned.
   */
 object Multimodal {
 
@@ -19,34 +27,232 @@ object Multimodal {
     * JPEG/PNG/WAV blob column read straight from parquet. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte])
 
-  /** Extracted features. Longs everywhere for stable cross-engine compare. */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, width: Long, height: Long, format: String)
+  /** Decoded container metadata. Image formats fill width/height; audio
+    * fills sample_rate/channels/duration_ms; undecodable payloads are
+    * format="unknown" with all metadata NULL (never an exception — corrupt
+    * bytes are data, not errors, at corpus scale). */
+  final case class DecodedMedia(
+      doc_id: Long, format: String,
+      width: Option[Long], height: Option[Long],
+      sample_rate: Option[Long], channels: Option[Long],
+      duration_ms: Option[Long], n_bytes: Long)
 
   val BatchSize = 64
 
-  /** Attach a binary media column (here: utf-8 bytes of the text — the
-    * fixtures ship no real media; the column is genuinely `binary` so the
-    * downstream plumbing is exercised for real). */
+  /** Attach a binary media column (utf-8 bytes of the text — used by ops
+    * that only need *a* binary payload, e.g. frame sampling). */
   def attachBinary(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("media"))
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would decode image headers / sample frames here,
-    * one batch at a time (batch shape mirrors Arrow-batch processing). */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.media.length.toLong
-    MediaFeatures(r.doc_id, n, 64L + n % 640L, 64L + (n * 7L) % 480L, "fake/raw")
+  // ---------------------------------------------------------------------
+  // Fixture synthesis: real container bytes, deterministic from doc_id.
+  // Dimensions/rates are simple arithmetic in doc_id so an external oracle
+  // can recompute the expected decode output WITHOUT parsing bytes — the
+  // decoder below never sees doc_id arithmetic, only the payload.
+  // ---------------------------------------------------------------------
+
+  /** doc_id % 5: 0=PNG, 1=JPEG, 2=GIF, 3=WAV, 4=corrupt (truncated sig). */
+  private[graft] def synthPayload(id: Long): Array[Byte] = (id % 5) match {
+    case 0 => pngBytes(1 + id % 512, 1 + (id * 3) % 512, (id % 100).toInt)
+    case 1 => jpegBytes(1 + id % 1024, 1 + (id * 7) % 1024, (id % 100).toInt)
+    case 2 => gifBytes(1 + id % 600, 1 + (id * 5) % 400)
+    case 3 => wavBytes(1 + id % 2, 8000 * (1 + (id / 5) % 5), (1000 + (id % 4500) * 2).toInt)
+    case _ => Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47) ++
+      Array.fill((id % 7).toInt)(0.toByte) // PNG sig cut mid-signature
   }
 
-  /** Batched partition-local feature extraction over the binary column. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new CRC32; crc.update(t); crc.update(data)
+    ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+  }
+
+  /** 8-byte signature + IHDR(13) + IDAT(filler) + IEND. Size 57+filler. */
+  private[graft] def pngBytes(w: Long, h: Long, filler: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = ByteBuffer.allocate(13).putInt(w.toInt).putInt(h.toInt)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    sig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", Array.fill(filler)(0xAB.toByte)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** SOI + APP0(JFIF) + COM(filler) + DQT + SOF0 + EOI. Size 114+filler.
+    * The COM and DQT segments before SOF0 force the decoder to actually
+    * walk the marker stream, not grab a fixed offset. */
+  private[graft] def jpegBytes(w: Long, h: Long, filler: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m); val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xFF); out.write(payload)
+    }
+    marker(0xD8) // SOI
+    seg(0xE0, "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0, 14-byte JFIF payload
+    seg(0xFE, Array.fill(filler)('c'.toByte)) // COM
+    seg(0xDB, Array.fill(65)(1.toByte)) // DQT: pq/tq + 64 entries
+    val sof = ByteBuffer.allocate(15).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)).array()
+    seg(0xC0, sof) // SOF0 baseline
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** GIF89a header + logical screen descriptor + trailer. Size 14. */
+  private[graft] def gifBytes(w: Long, h: Long): Array[Byte] =
+    ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
+      .put("GIF89a".getBytes("US-ASCII"))
+      .putShort(w.toShort).putShort(h.toShort)
+      .put(0x70.toByte).put(0.toByte).put(0.toByte)
+      .put(0x3B.toByte).array()
+
+  /** Canonical 44-byte RIFF/WAVE header (PCM16) + silent data chunk. */
+  private[graft] def wavBytes(ch: Long, rate: Long, dataLen: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort) // PCM, channels
+      .putInt(rate.toInt).putInt((rate * ch * 2).toInt) // rate, byte rate
+      .putShort((ch * 2).toShort).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array() // data bytes stay zero (silence)
+  }
+
+  /** Synthesize a real media payload per document (format round-robin by
+    * doc_id). One narrow mapPartitions pass — the fixture side of the
+    * decode round-trip. */
+  def synthesizeMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.map(id => MediaRecord(id, synthPayload(id))))
+      }
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------------
+  // Byte-level header decoders. Bounds-checked; any structural violation
+  // (bad signature, truncated chunk, CRC mismatch) → None, never a throw.
+  // ---------------------------------------------------------------------
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** PNG: full 8-byte signature, first chunk must be IHDR (per spec) with
+    * length 13 and a valid CRC32 over type+data. */
+  private[graft] def decodePng(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b.length < 8 + 25 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
+    if (be32(b, 8) != 13L || !ascii(b, 12, "IHDR")) return None
+    val crc = new CRC32; crc.update(b, 12, 4 + 13)
+    if ((crc.getValue & 0xFFFFFFFFL) != be32(b, 29)) return None
+    Some((be32(b, 16), be32(b, 20)))
+  }
+
+  /** JPEG: SOI then walk the marker segments (skipping APPn/COM/DQT/...)
+    * until a SOFn frame header; dims live there as BE16 height, width. */
+  private[graft] def decodeJpeg(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    var pos = 2
+    while (pos + 3 < b.length) {
+      if ((b(pos) & 0xFF) != 0xFF) return None
+      val m = b(pos + 1) & 0xFF
+      if (m == 0xD9) return None // EOI before any SOF
+      val segLen = be16(b, pos + 2)
+      if (segLen < 2 || pos + 2 + segLen > b.length) return None
+      val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+      if (isSof) {
+        if (segLen < 7) return None
+        return Some((be16(b, pos + 7).toLong, be16(b, pos + 5).toLong)) // (w, h)
+      }
+      pos += 2 + segLen
+    }
+    None
+  }
+
+  /** GIF: GIF87a/GIF89a signature + LE16 logical screen dims. */
+  private[graft] def decodeGif(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b.length < 10) return None
+    if (!ascii(b, 0, "GIF87a") && !ascii(b, 0, "GIF89a")) return None
+    Some((le16(b, 6).toLong, le16(b, 8).toLong))
+  }
+
+  /** WAV: RIFF/WAVE container; walk chunks (word-aligned) to find `fmt `
+    * (rate, channels, byte rate) and `data` (payload size → duration). */
+  private[graft] def decodeWav(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+    var pos = 12
+    var rate = -1L; var ch = -1L; var byteRate = -1L; var dataLen = -1L
+    while (pos + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      if (ascii(b, pos, "fmt ") && size >= 16) {
+        ch = le16(b, pos + 10).toLong
+        rate = le32(b, pos + 12)
+        byteRate = le32(b, pos + 16)
+      } else if (ascii(b, pos, "data")) dataLen = size
+      pos += 8 + size.toInt + (size.toInt & 1) // odd chunks are padded
+    }
+    if (rate <= 0 || ch <= 0 || byteRate <= 0 || dataLen < 0) None
+    else Some((rate, ch, dataLen * 1000L / byteRate))
+  }
+
+  /** Decode one payload to typed metadata; never throws. */
+  private[graft] def decodeHeader(id: Long, b: Array[Byte]): DecodedMedia = {
+    val n = b.length.toLong
+    decodePng(b).map { case (w, h) =>
+      DecodedMedia(id, "png", Some(w), Some(h), None, None, None, n)
+    }.orElse(decodeJpeg(b).map { case (w, h) =>
+      DecodedMedia(id, "jpeg", Some(w), Some(h), None, None, None, n)
+    }).orElse(decodeGif(b).map { case (w, h) =>
+      DecodedMedia(id, "gif", Some(w), Some(h), None, None, None, n)
+    }).orElse(decodeWav(b).map { case (rate, ch, dur) =>
+      DecodedMedia(id, "wav", None, None, Some(rate), Some(ch), Some(dur), n)
+    }).getOrElse(
+      DecodedMedia(id, "unknown", None, None, None, None, None, n))
+  }
+
+  /** Batched partition-local header decode over a binary media column. */
+  def decodeHeaders(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord]
       .mapPartitions { it =>
         // grouped(): explicit batch boundary — a vectorized decoder (or an
         // Arrow batch handoff) would process `batch` as one unit
-        it.grouped(BatchSize).flatMap { batch => batch.iterator.map(decodeStub) }
+        it.grouped(BatchSize).flatMap(_.iterator.map(r => decodeHeader(r.doc_id, r.media)))
+      }
+      .toDF()
+  }
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, width: Option[Long], height: Option[Long],
+      format: String)
+
+  /** Image-feature projection of the header decode (dims + format). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.map { r =>
+          val d = decodeHeader(r.doc_id, r.media)
+          MediaFeatures(d.doc_id, d.n_bytes, d.width, d.height, d.format)
+        })
       }
       .toDF()
   }
@@ -55,26 +261,26 @@ object Multimodal {
       doc_id: Long, orig_w: Long, orig_h: Long, out_w: Long, out_h: Long,
       scale: Double)
 
-  /** Aspect-preserving fit-into-box resize plan: decode dims (stub), pick
-    * scale = min(tw/w, th/h) rounded to 4 dp, emit output dims. The
-    * pixel-resample step is the stubbed part; the per-record batch loop is
-    * where a real SIMD/codec resize would run. One narrow projection-shaped
-    * pass — no shuffle, scales linearly. */
+  /** Aspect-preserving fit-into-box resize plan over decoded image dims:
+    * scale = min(tw/w, th/h) rounded to 4 dp, emit output dims. Non-image
+    * payloads (no dims) are dropped. The pixel-resample step is where a
+    * SIMD/codec resize would run; the routing metadata is the real part. */
   def resizeImages(spark: SparkSession, media: DataFrame,
       targetW: Long = 224L, targetH: Long = 224L): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord]
       .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap(_.iterator.map { r =>
-          val f = decodeStub(r)
-          // HALF_UP to match SQL round() semantics (half-even would flip
-          // boundary values against an external checker)
-          val scale = BigDecimal(math.min(
-              targetW.toDouble / f.width, targetH.toDouble / f.height))
-            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-          ResizedImage(r.doc_id, f.width, f.height,
-            math.floor(f.width * scale).toLong, math.floor(f.height * scale).toLong,
-            scale)
+        it.grouped(BatchSize).flatMap(_.iterator.flatMap { r =>
+          val d = decodeHeader(r.doc_id, r.media)
+          for (w <- d.width; h <- d.height) yield {
+            // HALF_UP to match SQL round() semantics (half-even would flip
+            // boundary values against an external checker)
+            val scale = BigDecimal(math.min(
+                targetW.toDouble / w, targetH.toDouble / h))
+              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            ResizedImage(r.doc_id, w, h,
+              math.floor(w * scale).toLong, math.floor(h * scale).toLong, scale)
+          }
         })
       }
       .toDF()
@@ -82,10 +288,10 @@ object Multimodal {
 
   final case class SampledFrame(doc_id: Long, frame_idx: Long, byte_off: Long)
 
-  /** Frame sampling plan for video-shaped payloads: the stub treats the
-    * payload as `n_bytes / 100 + 1` fixed-size frames and emits every
-    * `everyN`-th frame's (index, byte offset) — the fan-out row shape real
-    * frame extraction has (one input row → many frame rows), batched
+  /** Frame sampling plan for video-shaped payloads: treat the payload as
+    * `n_bytes / 100 + 1` fixed-size frames and emit every `everyN`-th
+    * frame's (index, byte offset) — the fan-out row shape real frame
+    * extraction has (one input row → many frame rows), batched
     * partition-locally, no shuffle. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       everyN: Long = 4L): DataFrame = {

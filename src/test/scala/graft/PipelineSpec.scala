@@ -559,26 +559,90 @@ class TextAnalysisSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("binary column plumbing + batched stub decode") {
-    import spark.implicits._
-    val d = Seq((1L, "abc"), (2L, "x" * 700)).toDF("doc_id", "text")
-    val out = Multimodal.extractFeatures(spark, Multimodal.attachBinary(d))
-    assert(out.columns.toSeq == Seq("doc_id", "n_bytes", "width", "height", "format"))
-    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(m(1L) == ((3L, 67L, 85L)))
-    assert(m(2L) == ((700L, 124L, 64L + (700L * 7) % 480)))
+  test("PNG golden decode: signature + IHDR dims + CRC check") {
+    assert(Multimodal.decodePng(Multimodal.pngBytes(320, 240, 10)) == Some((320L, 240L)))
+    // flip one IHDR data byte -> CRC mismatch -> rejected
+    val bad = Multimodal.pngBytes(320, 240, 10)
+    bad(16) = (bad(16) ^ 1).toByte
+    assert(Multimodal.decodePng(bad).isEmpty)
+    assert(Multimodal.decodePng(bad.take(20)).isEmpty) // truncated mid-IHDR
   }
 
-  test("resize plan: aspect-preserving fit into 224x224") {
+  test("JPEG golden decode: SOFn reached only by walking COM/DQT segments") {
+    assert(Multimodal.decodeJpeg(Multimodal.jpegBytes(641, 482, 37)) == Some((641L, 482L)))
+    val b = Multimodal.jpegBytes(641, 482, 37)
+    assert(Multimodal.decodeJpeg(b.take(40)).isEmpty) // truncated before SOF
+    assert(Multimodal.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte)).isEmpty) // SOI+EOI, no frame header
+  }
+
+  test("GIF + WAV golden decode incl. duration math") {
+    assert(Multimodal.decodeGif(Multimodal.gifBytes(599, 399)) == Some((599L, 399L)))
+    // 2ch 16kHz PCM16 -> byte rate 64000; 8000 data bytes -> 125 ms
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(2, 16000, 8000)) ==
+      Some((16000L, 2L, 125L)))
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(2, 16000, 8000).take(30)).isEmpty)
+  }
+
+  test("malformed payloads decode to format=unknown with NULL metadata") {
     import spark.implicits._
-    val d = Seq((1L, "x" * 700)).toDF("doc_id", "text") // dims 124 x 164
-    val r = Multimodal.resizeImages(spark, Multimodal.attachBinary(d)).collect().head
-    val scale = BigDecimal(math.min(224.0 / 124, 224.0 / 164))
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.synthPayload(4)), // truncated sig
+      Multimodal.MediaRecord(2L, Array.emptyByteArray),
+      Multimodal.MediaRecord(3L, "just some text".getBytes("UTF-8")))
+    val out = Multimodal.decodeHeaders(spark, rows.toDF("doc_id", "media")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getString(1) == "unknown")
+      (2 to 6).foreach(i => assert(r.isNullAt(i), s"col $i of ${r.getLong(0)}"))
+    }
+  }
+
+  test("synthesize->decode round-trip recovers the encoded fields") {
+    import spark.implicits._
+    val d = (0L until 50L).toDF("doc_id")
+    val got = Multimodal.decodeHeaders(spark, Multimodal.synthesizeMedia(spark, d))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 50)
+    for (id <- 0L until 50L) {
+      val r = got(id)
+      (id % 5) match {
+        case 0 =>
+          assert(r.getString(1) == "png")
+          assert(r.getLong(2) == 1 + id % 512 && r.getLong(3) == 1 + (id * 3) % 512)
+          assert(r.getLong(7) == 57 + id % 100)
+        case 1 =>
+          assert(r.getString(1) == "jpeg")
+          assert(r.getLong(2) == 1 + id % 1024 && r.getLong(3) == 1 + (id * 7) % 1024)
+        case 2 =>
+          assert(r.getString(1) == "gif")
+          assert(r.getLong(2) == 1 + id % 600 && r.getLong(3) == 1 + (id * 5) % 400)
+        case 3 =>
+          assert(r.getString(1) == "wav")
+          val rate = 8000 * (1 + (id / 5) % 5); val ch = 1 + id % 2
+          val dataLen = 1000 + (id % 4500) * 2
+          assert(r.getLong(4) == rate && r.getLong(5) == ch)
+          assert(r.getLong(6) == dataLen * 1000L / (rate * ch * 2))
+        case _ =>
+          assert(r.getString(1) == "unknown" && r.isNullAt(2))
+      }
+    }
+  }
+
+  test("resize plan: aspect-preserving fit into 224x224 over decoded dims") {
+    import spark.implicits._
+    // doc_id 10 -> png 11 x 31; audio/corrupt ids drop out
+    val d = Seq(10L, 13L, 14L).toDF("doc_id")
+    val rows = Multimodal.resizeImages(spark,
+      Multimodal.synthesizeMedia(spark, d)).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(10L))
+    val r = rows.head
+    val scale = BigDecimal(math.min(224.0 / 11, 224.0 / 31))
       .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(r.getLong(1) == 124L && r.getLong(2) == 164L)
+    assert(r.getLong(1) == 11L && r.getLong(2) == 31L)
     assert(r.getDouble(5) == scale)
-    assert(r.getLong(3) == math.floor(124 * scale).toLong)
-    assert(r.getLong(4) == math.floor(164 * scale).toLong)
+    assert(r.getLong(3) == math.floor(11 * scale).toLong)
+    assert(r.getLong(4) == math.floor(31 * scale).toLong)
   }
 
   test("frame sampling: one row per sampled frame, fan-out shape") {

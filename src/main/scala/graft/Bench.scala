@@ -117,9 +117,30 @@ object Bench {
       graft.util.JsonUtil.quote(k) + ":" + graft.util.JsonUtil.quote(v)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""samples":$smp,"calib":$calibStart,"calib_end":$calibEnd,""" +
-      s""""iters":$iters,"errors":$errs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""samples":$smp,"calib":$calibStart,"calib_end":$calibEnd,""" +
+        s""""iters":$iters,"errors":$errs,"sf":"$sfDir"}"""
+    // Full-precision object to a file: the driver's tail capture truncates
+    // long stdout lines (every BENCH_r* wrapper before r07 had parsed:null
+    // because only the line's suffix survived), so the durable artifact
+    // goes to disk and stdout gets a compact summary line LAST — small
+    // enough to survive any tail window intact.
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
+    println(fullLine)
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    // per-query min-of-samples at ms precision — what bench_diff compares
+    val qMin = samples.map { case (k, ts) =>
+      "\"" + k + "\":" + r3(if (ts.isEmpty) -1.0 else ts.min)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qsCompact,"qmin":$qMin,"calib":${r3(calibStart)},""" +
+      s""""calib_end":${r3(calibEnd)},"iters":$iters,"errors":$errs,""" +
+      s""""full":"${outFile.toString}","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -31,6 +31,14 @@ Host-drift handling (rounds 4/5 each lost a triage round to phantom
      consecutive flagged queries is reported as LOADSPIKE (informational,
      not a failing regression). Re-measure those in isolation before
      believing them.
+
+     Downgrading needs CORROBORATION: related operators share name
+     prefixes (p_ann_*, p_dedup_*), so a genuine regression in one
+     operator family is exactly the shape a naive block rule would
+     misread as load. A block only downgrades when the calibration also
+     moved (host measurably loaded) or the block spans >= 3 unrelated
+     name families; otherwise it stays a failing regression. --strict
+     disables downgrading entirely (for CI).
 """
 import argparse
 import json
@@ -66,9 +74,14 @@ def calib_of(run: dict):
 
 
 def best_time(run: dict, name: str, default: float) -> float:
-    """Min over per-iteration samples when available (clean estimate)."""
+    """Min over per-iteration samples when available (clean estimate).
+    Compact bench lines carry the pre-computed min as "qmin" instead of
+    the full per-iteration samples."""
     ts = [t for t in run.get("samples", {}).get(name, []) if t >= 0]
-    return min(ts) if ts else default
+    if ts:
+        return min(ts)
+    qm = run.get("qmin", {}).get(name, -1)
+    return qm if qm >= 0 else default
 
 
 def main() -> int:
@@ -77,6 +90,8 @@ def main() -> int:
     ap.add_argument("--baseline", default="BENCH_BASELINE.json")
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--min-sec", type=float, default=0.3)
+    ap.add_argument("--strict", action="store_true",
+                    help="never downgrade flagged blocks to LOADSPIKE")
     args = ap.parse_args()
 
     new = load(args.bench)
@@ -124,14 +139,29 @@ def main() -> int:
         """No flaggable-but-unflagged query sits between a and b."""
         return all(order[i] not in can_flag
                    for i in range(pos[a] + 1, pos[b]))
+    def family(name):
+        """First two underscore segments: p_dedup_ngram -> p_dedup."""
+        return "_".join(name.split("_")[:2])
+
+    def is_spike(blk):
+        """A contiguous block downgrades to LOADSPIKE only with
+        independent corroboration: the host calibration moved, or the
+        block spans unrelated operator families (a real regression in
+        one family is contiguous too, since queries run alphabetically)."""
+        if args.strict or len(blk) < SPIKE_BLOCK_LEN:
+            return False
+        calib_moved = abs(factor - 1.0) >= 0.15
+        families = {family(f[0]) for f in blk}
+        return calib_moved or len(families) >= 3
+
     spikes, regressions, block = [], [], []
     for f in flagged:
         if block and contiguous(block[-1][0], f[0]):
             block.append(f)
         else:
-            (spikes if len(block) >= SPIKE_BLOCK_LEN else regressions).extend(block)
+            (spikes if is_spike(block) else regressions).extend(block)
             block = [f]
-    (spikes if len(block) >= SPIKE_BLOCK_LEN else regressions).extend(block)
+    (spikes if is_spike(block) else regressions).extend(block)
 
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({len(new_q)} queries, baseline {len(old_q)})")

@@ -265,12 +265,14 @@ final class GraftSession(val spark: SparkSession) {
     }
 
   /** UNION: each part plans independently; parts must return the same
-    * column names (checked here for a clear error — Spark's unionByName
-    * would throw a raw analysis error). UNION dedups, UNION ALL
-    * concatenates (one extra shuffle vs none). */
+    * column NAME SET (checked here for a clear error — Spark's unionByName
+    * would throw a raw analysis error). Order may differ between parts:
+    * unionByName aligns by name, so `RETURN a, b UNION RETURN b, a` is
+    * valid. UNION dedups, UNION ALL concatenates (one extra shuffle vs
+    * none). */
   private def buildUnion(u: UnionQuery, params: Map[String, Any]): DataFrame = {
     val dfs = u.parts.map(buildRead(_, params))
-    val names = dfs.map(_.columns.toSeq).distinct
+    val names = dfs.map(_.columns.toSeq.sorted).distinct
     if (names.size > 1) throw new GraftException(
       s"UNION parts return different columns: ${names.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
     val combined = dfs.reduce(_ unionByName _)

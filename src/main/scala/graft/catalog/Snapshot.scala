@@ -14,11 +14,15 @@ import org.apache.spark.sql.DataFrame
   * compare it against the source before serving.
   *
   * File-backed frames hash the sorted (path, length, mtime) status of
-  * their input files — no data pass, O(#files) driver-side metadata calls,
-  * valid at any data scale (an overwritten parquet file always changes at
-  * least its mtime). Frames with no file inputs (in-memory test fixtures)
-  * fall back to a row-count + row-hash aggregate: one cheap
-  * map-side-combinable pass.
+  * their input files PLUS the canonicalized logical plan — no data pass,
+  * O(#files) driver-side metadata calls, valid at any data scale (an
+  * overwritten parquet file always changes at least its mtime). The plan
+  * hash matters because input-file status alone cannot distinguish
+  * `corpus` from `corpus.filter(...)`: both read the same files, but an
+  * artifact built from one must not be served as fresh for the other.
+  * Frames with no file inputs (in-memory test fixtures) fall back to a
+  * row-count + row-hash aggregate — one cheap map-side-combinable pass
+  * that executes the plan, so it reflects transformations already.
   */
 object Snapshot {
 
@@ -27,11 +31,14 @@ object Snapshot {
     val material =
       if (files.nonEmpty) {
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        // canonicalized: expression ids and aliases normalized, so the
+        // same derivation built twice hashes identically
+        val planHash = df.queryExecution.analyzed.canonicalized.toString
         files.sorted.map { f =>
           val p = new Path(f)
           val st = p.getFileSystem(conf).getFileStatus(p)
           s"$f:${st.getLen}:${st.getModificationTime}"
-        }.mkString("\n")
+        }.mkString(s"plan:$planHash\n", "\n", "")
       } else {
         import org.apache.spark.sql.functions._
         // order-independent content hash: sum of per-row xxhash64 (+ count,

@@ -635,9 +635,19 @@ object Similarity {
       .filter(col("list_id").isin(probedIds.map(Long.box).toIndexedSeq: _*))
       .filter(candidateFilter)
 
+    // Broadcast the probe side only while it provably fits: queries×nprobe
+    // rows of (qid, dim-double vector, norm). An unconditional hint would
+    // OOM executors for a corpus-sized query set; past the bound we leave
+    // the join strategy to AQE. Counting the cached frame is one cheap
+    // cached-scan pass — we just materialized it for the probed-id collect.
+    val probeRows = qAssigned.count()
+    val estBytes = probeRows * (8L * DefaultDim + 64L)
+    val probeSide =
+      if (estBytes <= 64L * 1024 * 1024) broadcast(qAssigned) else qAssigned
+
     // each corpus vector lives in exactly ONE list, so a (qid, nid) pair
     // joins at most once — no distinct needed (ivfTopK's was vestigial)
-    val sims = lists.join(broadcast(qAssigned), Seq("list_id"))
+    val sims = lists.join(probeSide, Seq("list_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dotFixed(col("qv"), col("cv"), DefaultDim) /

@@ -60,6 +60,23 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint is derivation-sensitive for file-backed frames") {
+    import spark.implicits._
+    import graft.catalog.Snapshot
+    val dir = Files.createTempDirectory("graft_fp").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    def base = spark.read.parquet(dir)
+    // same derivation built twice -> identical (canonicalization holds)
+    assert(Snapshot.fingerprint(base) == Snapshot.fingerprint(base))
+    assert(Snapshot.fingerprint(base.filter($"id" > 1)) ==
+      Snapshot.fingerprint(base.filter($"id" > 1)))
+    // same files, different derivation -> different (an IVF index built
+    // from corpus.filter(...) must not be served as fresh for corpus)
+    assert(Snapshot.fingerprint(base) != Snapshot.fingerprint(base.filter($"id" > 1)))
+    assert(Snapshot.fingerprint(base.select($"id")) != Snapshot.fingerprint(base))
+  }
+
   test("catalog save / load / version-poll refresh") {
     val g = freshGraph()
     val path = Files.createTempFile("graft_catalog", ".json").toString

@@ -414,6 +414,13 @@ class EngineSpec extends AnyFunSuite {
       """MATCH (a:User) RETURN a.id AS id
         |UNION MATCH (b:User) RETURN b.name AS name;""".stripMargin))
     assert(err.getMessage.contains("different columns"), err.getMessage)
+    // same names in a different order are the same shape: unionByName
+    // aligns by name (openCypher UNION is by-name, not positional)
+    val reord = gs.cypher(
+      """MATCH (a:User {id: 1}) RETURN a.id AS id, a.name AS name
+        |UNION MATCH (b:User {id: 2}) RETURN b.name AS name, b.id AS id;""".stripMargin)
+    assert(reord.columns.toSeq == Seq("id", "name"))
+    assert(longs(reord.select("id")) == Set(1L, 2L))
   }
 
   test("list predicates any/all/none/single desugar onto comprehensions") {

@@ -231,6 +231,19 @@ object SparkEntry {
       """MATCH (n:Nation) WHERE (:Supplier)-[:SUPP_NATION]->(n)
         |RETURN n.n_name AS n_name;""".stripMargin),
 
+    // braced EXISTS { } subquery (extension): named subquery alias + WHERE
+    // filter on it, desugared onto the same semi-join machinery
+    "q_exists_sub" -> cy(
+      """MATCH (n:Nation) WHERE EXISTS { MATCH (s:Supplier)-[:SUPP_NATION]->(n)
+        |WHERE s.s_acctbal > 5000.0 } RETURN n.n_name AS n_name;""".stripMargin),
+
+    // COUNT { } projection subquery (extension): per-row pattern count via
+    // a grouped count left-joined back (0 for nations with no match)
+    "q_count_sub" -> cy(
+      """MATCH (n:Nation) RETURN n.n_name AS n_name,
+        |COUNT { (s:Supplier)-[:SUPP_NATION]->(n) WHERE s.s_acctbal > 2500.0 }
+        |AS suppliers;""".stripMargin),
+
     // collect() list aggregate (Cypher extension; the reference's engine
     // would map it to a grouped-array aggregate). Parallel aggregation
     // gives no stable element order, so the gate entry sorts and joins the
@@ -477,6 +490,17 @@ object SparkEntry {
     "q_exists" ->
       """SELECT n_name FROM nation
         |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "q_exists_sub" ->
+      """SELECT n_name FROM nation
+        |WHERE n_nationkey IN
+        |      (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0)""".stripMargin,
+
+    "q_count_sub" ->
+      """SELECT n_name,
+        |       (SELECT count(*) FROM supplier
+        |        WHERE s_nationkey = n_nationkey AND s_acctbal > 2500.0) AS suppliers
+        |FROM nation""".stripMargin,
 
     "q_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS names,

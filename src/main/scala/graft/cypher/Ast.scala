@@ -41,6 +41,15 @@ object Expr {
     * Compiles to a left semi / anti join; only supported as a top-level
     * WHERE conjunct (planner-enforced). */
   final case class PatternPred(path: PathPattern) extends Expr
+  /** `EXISTS { [MATCH] (a)-[:R]->(n) [WHERE cond] }` — the modern
+    * openCypher spelling of a pattern predicate (extension). Unlike the
+    * bare form, the braced body may NAME new aliases and filter them in
+    * its WHERE; desugars onto the same semi/anti-join machinery. */
+  final case class ExistsSub(path: PathPattern, where: Option[Expr]) extends Expr
+  /** `COUNT { [MATCH] (a)-[:R]->(n) [WHERE cond] }` — per-row count of
+    * pattern matches (extension). Compiles to a grouped count over the
+    * pattern's pair set left-joined back onto the main frame. */
+  final case class CountSub(path: PathPattern, where: Option[Expr]) extends Expr
   /** `[x IN list WHERE pred | proj]` list comprehension (extension beyond
     * the reference grammar). `varName` is scoped to `where`/`proj` and
     * SHADOWS any outer name there. Compiles to filter/transform HOFs. */
@@ -87,6 +96,10 @@ object Expr {
     case ListComp(_, l, w, p) => propRefs(l) ++ w.toSeq.flatMap(propRefs) ++
                                  p.toSeq.flatMap(propRefs)
     case Reduce(_, i, _, l, s) => propRefs(i) ++ propRefs(l) ++ propRefs(s)
+    // subquery WHERE props matter for column selection when conjuncts on
+    // bound outer aliases hoist to the residual filter
+    case ExistsSub(_, w)  => w.toSeq.flatMap(propRefs)
+    case CountSub(_, w)   => w.toSeq.flatMap(propRefs)
     case _             => Seq.empty
   }
 
@@ -105,6 +118,12 @@ object Expr {
                               o.toSeq.flatMap(referencedNames)).toSet
     case PatternPred(p)  =>
       (p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet
+    case ExistsSub(p, w) =>
+      (p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet ++
+        w.toSeq.flatMap(referencedNames)
+    case CountSub(p, w)  =>
+      (p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet ++
+        w.toSeq.flatMap(referencedNames)
     // lambda-bound names are NOT outer references (shadowing)
     case ListComp(v, l, w, p) =>
       referencedNames(l) ++
@@ -117,6 +136,7 @@ object Expr {
 
   def containsPatternPred(e: Expr): Boolean = e match {
     case PatternPred(_)  => true
+    case ExistsSub(_, _) => true
     case Fn(_, as, _)    => as.exists(containsPatternPred)
     case Bin(_, l, r)    => containsPatternPred(l) || containsPatternPred(r)
     case Not(x)          => containsPatternPred(x)
@@ -130,6 +150,24 @@ object Expr {
                                  w.exists(containsPatternPred) || p.exists(containsPatternPred)
     case Reduce(_, i, _, l, s) => containsPatternPred(i) ||
                                   containsPatternPred(l) || containsPatternPred(s)
+    case _               => false
+  }
+
+  def containsCountSub(e: Expr): Boolean = e match {
+    case CountSub(_, _)  => true
+    case Fn(_, as, _)    => as.exists(containsCountSub)
+    case Bin(_, l, r)    => containsCountSub(l) || containsCountSub(r)
+    case Not(x)          => containsCountSub(x)
+    case Neg(x)          => containsCountSub(x)
+    case IsNull(x, _)    => containsCountSub(x)
+    case ListLit(xs)     => xs.exists(containsCountSub)
+    case CaseWhen(bs, o) => bs.exists { case (c, v) =>
+                              containsCountSub(c) || containsCountSub(v) } ||
+                            o.exists(containsCountSub)
+    case ListComp(_, l, w, p) => containsCountSub(l) ||
+                                 w.exists(containsCountSub) || p.exists(containsCountSub)
+    case Reduce(_, i, _, l, s) => containsCountSub(i) ||
+                                  containsCountSub(l) || containsCountSub(s)
     case _               => false
   }
 
@@ -171,8 +209,10 @@ object Expr {
       bs.flatMap { case (c, v) => leafRefs(c) ++ leafRefs(v) } ++
         o.toSeq.flatMap(leafRefs)
     // a pattern predicate's inline prop VALUES are literal/param-only
-    // (planner-enforced); its alias references are join keys, not columns
-    case PatternPred(_) => Seq.empty
+    // (planner-enforced); its alias references are join keys, not columns.
+    // Subquery WHERE refs are validated and compiled planner-side.
+    case PatternPred(_)               => Seq.empty
+    case ExistsSub(_, _) | CountSub(_, _) => Seq.empty
     // lambda-bound Vars are local, not leaf column refs
     case ListComp(v, l, w, p) =>
       leafRefs(l) ++ (w.toSeq ++ p.toSeq).flatMap(leafRefs)
@@ -213,13 +253,11 @@ object Expr {
         case Some(v) => Lit(v)
         case None    => throw new GraftException(s"unbound parameter: $$$n")
       }
-    case PatternPred(p) =>
-      def bindNode(np: NodePattern) =
-        np.copy(props = np.props.map { case (k, v) => (k, bind(v, params)) })
-      def bindRel(rp: RelPattern) =
-        rp.copy(props = rp.props.map { case (k, v) => (k, bind(v, params)) })
-      PatternPred(PathPattern(bindNode(p.start),
-        p.hops.map { case (r, n) => (bindRel(r), bindNode(n)) }))
+    case PatternPred(p) => PatternPred(bindPath(p, params))
+    case ExistsSub(p, w) =>
+      ExistsSub(bindPath(p, params), w.map(bind(_, params)))
+    case CountSub(p, w) =>
+      CountSub(bindPath(p, params), w.map(bind(_, params)))
     case Fn(n, as, d)  => Fn(n, as.map(bind(_, params)), d)
     case Bin(o, l, r)  => Bin(o, bind(l, params), bind(r, params))
     case Not(x)        => Not(bind(x, params))
@@ -234,6 +272,15 @@ object Expr {
     case Reduce(a, i, v, l, s) => Reduce(a, bind(i, params), v,
       bind(l, params), bind(s, params))
     case other         => other
+  }
+
+  private def bindPath(p: PathPattern, params: Map[String, Any]): PathPattern = {
+    def bindNode(np: NodePattern) =
+      np.copy(props = np.props.map { case (k, v) => (k, bind(v, params)) })
+    def bindRel(rp: RelPattern) =
+      rp.copy(props = rp.props.map { case (k, v) => (k, bind(v, params)) })
+    PathPattern(bindNode(p.start),
+      p.hops.map { case (r, n) => (bindRel(r), bindNode(n)) })
   }
 }
 

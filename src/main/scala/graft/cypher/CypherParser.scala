@@ -232,6 +232,8 @@ object CypherParser extends RegexParsers {
   }
 
   private def atom: Parser[Expr] =
+    existsSub |
+    countSub |
     countStar |
     caseExpr |
     literal |
@@ -245,6 +247,26 @@ object CypherParser extends RegexParsers {
     propOrVar |
     "*" ^^ (_ => Expr.Star) |
     ("(" ~> expression <~ ")")
+
+  /** `{ [MATCH] (a)-[:R]->(n) [WHERE cond] }` — the braced body shared by
+    * EXISTS / COUNT subqueries. Hop-less bodies parse and are rejected in
+    * the planner with a specific message (not a cryptic parse error). */
+  private def subqueryBody: Parser[(PathPattern, Option[Expr])] =
+    "{" ~> opt(kw("match")) ~> nodePattern ~ rep(relPattern ~ nodePattern) ~
+      opt(kw("where") ~> expression) <~ "}" ^^ {
+      case start ~ hops ~ w =>
+        (PathPattern(start, hops.map { case r ~ n => (r, n) }), w)
+    }
+
+  private def existsSub: Parser[Expr] =
+    identRe.filter(_.equalsIgnoreCase("exists")) ~> subqueryBody ^^ {
+      case (p, w) => Expr.ExistsSub(p, w)
+    }
+
+  private def countSub: Parser[Expr] =
+    identRe.filter(_.equalsIgnoreCase("count")) ~> subqueryBody ^^ {
+      case (p, w) => Expr.CountSub(p, w)
+    }
 
   /** `(a)-[:R]->(b)` as a boolean WHERE predicate (needs >=1 hop, so a
     * plain parenthesized expression backtracks to the alternative below). */

@@ -45,6 +45,10 @@ final class DataFrameBuilder(session: GraftSession) {
       filtered = applyPatternPred(filtered, pp, plan)
     for (block <- plan.optionals)
       filtered = applyOptional(filtered, block, plan)
+    // COUNT { } joins after all row filters (fewer rows to count against)
+    // and before UNWIND fan-out (each exploded row keeps its count)
+    for (cs <- plan.countSubs)
+      filtered = applyCountSub(filtered, cs, plan)
     for (u <- plan.unwinds)
       filtered = filtered.withColumn(u.name,
         explode(compile(rewriteAliasArgs(u.expr, plan), qualified)))
@@ -269,19 +273,16 @@ final class DataFrameBuilder(session: GraftSession) {
     * broadcasts the pair set when small. Undirected same-label predicates
     * union the swapped orientation rather than OR-ing a non-equi
     * condition (which would force a nested-loop join). */
-  private def applyPatternPred(
-      main: DataFrame, pp: graft.planner.ResolvedPatternPred,
-      plan: GraphPlan): DataFrame = {
-    if (pp.alwaysFalse)
-      return if (pp.negated) main else main.limit(0)
-    def idOf(alias: String): Column =
-      col(s"$alias.${plan.nodes(alias).schema.idColumn}")
+  /** The (from, to) pair set of a predicate pattern: edge rows under the
+    * rel filters, both orientations unioned when undirected, unbound
+    * endpoints pre-restricted by their node filters (semi-joins — ids
+    * only, no payload ever reaches the main frame). */
+  private def predPairs(pp: graft.planner.ResolvedPatternPred): DataFrame = {
     val s = pp.schema
-
     var edge = session.table(s.tableName).alias(pp.relAlias)
     for (f <- pp.relFilters)
       edge = edge.filter(compile(f, qualified))
-    var pairs = edge.select(
+    val pairs = edge.select(
       col(s"${pp.relAlias}.${s.fromColumn}").as("__ppf"),
       col(s"${pp.relAlias}.${s.toColumn}").as("__ppt"))
 
@@ -295,8 +296,6 @@ final class DataFrameBuilder(session: GraftSession) {
           col("__ppt").as("__ppf"), col("__ppf").as("__ppt")))
       else pairs
 
-    // unbound endpoint with inline props: keep only edges whose endpoint id
-    // passes the node-table filter (semi-join — ids only, no payload)
     def restrict(p: DataFrame, end: graft.planner.PredEndpoint, key: String): DataFrame =
       if (end.bound || end.filters.isEmpty) p
       else {
@@ -305,15 +304,56 @@ final class DataFrameBuilder(session: GraftSession) {
         p.join(nd, col(key) === col(s"${end.alias}.${end.schema.idColumn}"),
           "left_semi")
       }
-    val sub = restrict(restrict(oriented, pp.fromEnd, "__ppf"), pp.toEnd, "__ppt")
-      .alias("__pp")
+    restrict(restrict(oriented, pp.fromEnd, "__ppf"), pp.toEnd, "__ppt")
+  }
 
-    val conds =
-      (if (pp.fromEnd.bound) Seq(idOf(pp.fromEnd.alias) === col("__pp.__ppf"))
-       else Seq.empty) ++
-      (if (pp.toEnd.bound) Seq(idOf(pp.toEnd.alias) === col("__pp.__ppt"))
-       else Seq.empty)
+  /** Join conditions anchoring a predicate pair set (aliased `subAlias`)
+    * onto the main frame's bound endpoint id columns. */
+  private def predConds(pp: graft.planner.ResolvedPatternPred,
+      plan: GraphPlan, subAlias: String): Seq[Column] = {
+    def idOf(alias: String): Column =
+      col(s"$alias.${plan.nodes(alias).schema.idColumn}")
+    (if (pp.fromEnd.bound) Seq(idOf(pp.fromEnd.alias) === col(s"$subAlias.__ppf"))
+     else Seq.empty) ++
+    (if (pp.toEnd.bound) Seq(idOf(pp.toEnd.alias) === col(s"$subAlias.__ppt"))
+     else Seq.empty)
+  }
+
+  private def applyPatternPred(
+      main: DataFrame, pp: graft.planner.ResolvedPatternPred,
+      plan: GraphPlan): DataFrame = {
+    if (pp.alwaysFalse)
+      return if (pp.negated) main else main.limit(0)
+    val sub = predPairs(pp).alias("__pp")
+    val conds = predConds(pp, plan, "__pp")
     main.join(sub, conds.reduce(_ && _), if (pp.negated) "left_anti" else "left_semi")
+  }
+
+  /** `COUNT { (a)-[:R]->(n) }` ⇒ the pattern's pair set grouped by its
+    * bound-side key(s) and LEFT-joined back; unmatched rows count 0.
+    *
+    * Scale notes: the grouped count is a map-side-combinable aggregate
+    * over id columns only (never edge payload), its output is one row per
+    * distinct bound key — bounded by the main frame's key cardinality —
+    * and Catalyst broadcasts it when small. Nothing here fans the main
+    * frame out: the join key set is unique post-aggregation. */
+  private def applyCountSub(
+      main: DataFrame, cs: graft.planner.ResolvedCountSub,
+      plan: GraphPlan): DataFrame = {
+    val pp = cs.pred
+    if (pp.alwaysFalse) return main.withColumn(cs.outName, lit(0L))
+    val keys =
+      (if (pp.fromEnd.bound) Seq("__ppf") else Seq.empty) ++
+      (if (pp.toEnd.bound) Seq("__ppt") else Seq.empty)
+    val a = s"__cs_${cs.outName}"
+    val counted = predPairs(pp)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cscnt"))
+      .alias(a)
+    val conds = predConds(pp, plan, a)
+    val joined = main.join(counted, conds.reduce(_ && _), "left_outer")
+      .withColumn(cs.outName, coalesce(col(s"$a.__cscnt"), lit(0L)))
+    ("__cscnt" +: keys).foldLeft(joined)((df, k) => df.drop(col(s"$a.$k")))
   }
 
   /** OPTIONAL MATCH block ⇒ LEFT OUTER JOIN: the block's edges + new node

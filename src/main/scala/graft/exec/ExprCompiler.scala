@@ -29,9 +29,11 @@ object ExprCompiler {
     case Expr.Prop(a, c)       => col(s"$a.$c")
     case Expr.Var(n)           => col(n)
     case Expr.Param(n)         => throw new GraftException(s"unbound parameter $$$n")
-    case Expr.PatternPred(_)   => throw new GraftException(
-      "pattern predicates are only supported as top-level conjuncts of the " +
-      "main MATCH's WHERE clause")
+    case Expr.PatternPred(_) | Expr.ExistsSub(_, _) => throw new GraftException(
+      "pattern predicates / EXISTS { } are only supported as top-level " +
+      "conjuncts of the main MATCH's WHERE clause")
+    case Expr.CountSub(_, _)   => throw new GraftException(
+      "COUNT { } is only supported in the first WITH/RETURN projection")
     case Expr.ListLit(items)   => array(items.map(compile(_, resolve)): _*)
     case Expr.Neg(x)           => -compile(x, resolve)
     case Expr.Not(x)           => !compile(x, resolve)

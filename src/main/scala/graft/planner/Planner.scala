@@ -60,7 +60,10 @@ final case class GraphPlan(
     patternPreds: Seq[ResolvedPatternPred] = Seq.empty,
     /** `p = shortestPath(...)` path alias → its relationship alias
       * (`length(p)` resolves through this to the hidden `__len`). */
-    pathAliases: Map[String, String] = Map.empty)
+    pathAliases: Map[String, String] = Map.empty,
+    /** `COUNT { ... }` projection subqueries, joined onto the main frame
+      * before WITH stages (extension). */
+    countSubs: Seq[ResolvedCountSub] = Seq.empty)
 
 /** One OPTIONAL MATCH block: its edges, the aliases it introduces, and the
   * residual predicate that belongs in the left-join ON condition. */
@@ -78,6 +81,11 @@ final case class PredEndpoint(
     bound: Boolean,
     schema: NodeSchema,
     filters: Seq[Expr])
+
+/** `COUNT { (a)-[:R]->(n) [WHERE ...] }` resolved: the pattern's pair set
+  * is grouped by its bound-side key(s) and left-joined back onto the main
+  * frame as column `outName` (0 for rows with no match). */
+final case class ResolvedCountSub(outName: String, pred: ResolvedPatternPred)
 
 /** `WHERE [NOT] (a)-[:R]->(b)` resolved to a semi/anti-join spec
   * (extension — the reference grammar rejects patterns as expressions).
@@ -329,7 +337,15 @@ object Planner {
 
     // -- WHERE pattern predicates: `[NOT] (a)-[:R]->(b)` ⇒ semi/anti join ----
     val patternPreds = scala.collection.mutable.ArrayBuffer[ResolvedPatternPred]()
-    def resolvePatternPred(p: PathPattern, negated: Boolean): ResolvedPatternPred = {
+    /** `subWhere`/`named` serve the braced `EXISTS { }` / `COUNT { }`
+      * forms: the body may NAME new aliases and filter them in its WHERE.
+      * `hoistOuter`: a WHERE conjunct referencing only OUTER aliases is
+      * equivalent to a residual filter for a positive EXISTS in WHERE
+      * position — but belongs inside the existential under NOT, and would
+      * wrongly filter main rows for COUNT, so both of those reject it. */
+    def resolvePatternPred(p: PathPattern, negated: Boolean,
+        subWhere: Seq[Expr] = Seq.empty, named: Boolean = false,
+        hoistOuter: Boolean = true): ResolvedPatternPred = {
       if (p.hops.size != 1)
         throw new GraftException(
           "pattern predicates support exactly one relationship hop")
@@ -344,13 +360,29 @@ object Planner {
           throw new GraftException(
             "WHERE on the main MATCH cannot reference aliases introduced by a " +
             "later OPTIONAL MATCH (out of scope)")
-        // a NAMED alias that binds nothing is almost certainly a typo —
-        // openCypher rejects undefined variables; existentials must be
-        // anonymous: (), (:Label) or ({props})
-        throw new GraftException(
-          s"undefined alias '$a' in pattern predicate; use an anonymous " +
-          "node for an existential endpoint")
+        if (!named)
+          // a NAMED alias that binds nothing is almost certainly a typo —
+          // openCypher rejects undefined variables; BARE pattern-predicate
+          // existentials must be anonymous: (), (:Label) or ({props})
+          throw new GraftException(
+            s"undefined alias '$a' in pattern predicate; use an anonymous " +
+            "node for an existential endpoint")
+        if (relAliases(a))
+          throw new GraftException(
+            s"subquery alias '$a' shadows a relationship alias")
       }
+      val newNodeAliases: Set[String] =
+        Seq(srcPat, dstPat).flatMap(_.alias).filterNot(mainAliases).toSet
+      if (newNodeAliases.nonEmpty &&
+          srcPat.alias.exists(a => dstPat.alias.contains(a) && !mainAliases(a)))
+        throw new GraftException(
+          s"subquery endpoints cannot share the alias '${srcPat.alias.get}'")
+      val newRelAlias: Option[String] = if (named) rel.alias else None
+      for (a <- newRelAlias if nodeAliases(a) || relAliases(a) ||
+             mainAliases(a) || newNodeAliases(a))
+        throw new GraftException(
+          s"subquery relationship alias '$a' shadows another alias")
+      val subLocal = newNodeAliases ++ newRelAlias
       val srcBound = boundOf(srcPat); val dstBound = boundOf(dstPat)
       if (srcBound.isEmpty && dstBound.isEmpty)
         throw new GraftException(
@@ -388,33 +420,78 @@ object Planner {
         throw new GraftException(
           "cannot infer a relationship type for the pattern predicate")
 
-      val relAlias = fresh("ppr")
+      val relAlias = newRelAlias.getOrElse(fresh("ppr"))
+
+      // -- distribute the braced form's WHERE conjuncts ---------------------
+      // each conjunct referencing exactly one subquery-local alias becomes a
+      // filter inside the existential (endpoint scan or edge); outer-only
+      // conjuncts hoist to the residual when that is semantics-preserving
+      val extraEnd = scala.collection.mutable.Map[String, Vector[Expr]]()
+        .withDefaultValue(Vector.empty)
+      val extraRel = scala.collection.mutable.ArrayBuffer[Expr]()
+      for (c <- subWhere) {
+        if (Expr.containsPatternPred(c) || Expr.containsCountSub(c))
+          throw new GraftException(
+            "nested pattern / COUNT subqueries inside EXISTS { } are not supported")
+        if (Expr.isAggregate(c))
+          throw new GraftException(
+            "aggregate functions are not allowed inside an EXISTS { } WHERE")
+        val refs = Expr.referencedNames(c)
+        val unknown = refs -- subLocal -- nodeAliases -- relAliases
+        if (unknown.nonEmpty)
+          throw new GraftException(
+            s"undefined alias '${unknown.head}' in subquery WHERE")
+        val rNew = refs.intersect(subLocal)
+        if (rNew.size > 1 || (rNew.size == 1 && (refs -- rNew).nonEmpty))
+          throw new GraftException(
+            "a subquery WHERE conjunct may reference exactly one " +
+            "subquery-local alias (cross-alias and correlated conditions " +
+            "are not supported)")
+        if (rNew.size == 1) {
+          val a = rNew.head
+          if (newNodeAliases(a)) extraEnd(a) = extraEnd(a) :+ c
+          else extraRel += c
+        } else if (!hoistOuter) {
+          throw new GraftException(
+            "this subquery's WHERE conjuncts must reference a " +
+            "subquery-local alias; move outer-only conditions out of the " +
+            "subquery (for COUNT, wrap the count in CASE WHEN instead)")
+        } else {
+          if (refs.exists(a => !mainAliases(a) && !mainRelAliases(a)))
+            throw new GraftException(
+              "subquery WHERE cannot reference aliases introduced by a " +
+              "later OPTIONAL MATCH (out of scope)")
+          residual += c
+        }
+      }
+
       val relFilters = rel.props.map { case (k, v) =>
         if (Expr.leafRefs(v).nonEmpty)
           throw new GraftException(
             "pattern predicate property values must be literals or parameters")
         Expr.Bin("=", Expr.Prop(relAlias, k), v)
-      }
+      } ++ extraRel
       def endpoint(np: NodePattern, bound: Option[String], label: String): PredEndpoint =
         bound match {
           case Some(a) =>
             // bound endpoint's inline props desugar to plain residual
             // filters — valid ONLY for a positive predicate (under NOT the
             // prop belongs inside the negated existential, not outside it)
-            if (negated && np.props.nonEmpty)
+            if ((negated || !hoistOuter) && np.props.nonEmpty)
               throw new GraftException(
                 s"inline properties on bound alias '$a' inside NOT(pattern) " +
-                "are ambiguous; move the condition into WHERE explicitly")
+                "or COUNT { } are ambiguous; move the condition into WHERE " +
+                "explicitly")
             for ((k, v) <- np.props) residual += Expr.Bin("=", Expr.Prop(a, k), v)
             PredEndpoint(a, bound = true, catalog.node(labels(a).get), Seq.empty)
           case None =>
-            val alias = fresh("ppn")
+            val alias = np.alias.getOrElse(fresh("ppn"))
             val fs = np.props.map { case (k, v) =>
               if (Expr.leafRefs(v).nonEmpty)
                 throw new GraftException(
                   "pattern predicate property values must be literals or parameters")
               Expr.Bin("=", Expr.Prop(alias, k), v)
-            }
+            } ++ extraEnd(alias)
             PredEndpoint(alias, bound = false, catalog.node(label), fs)
         }
       fitting match {
@@ -457,10 +534,21 @@ object Planner {
           patternPreds += resolvePatternPred(p, negated = false)
         case Expr.Not(Expr.PatternPred(p)) =>
           patternPreds += resolvePatternPred(p, negated = true)
+        case Expr.ExistsSub(p, w) =>
+          patternPreds += resolvePatternPred(p, negated = false,
+            subWhere = w.map(Expr.conjuncts).getOrElse(Seq.empty), named = true)
+        case Expr.Not(Expr.ExistsSub(p, w)) =>
+          patternPreds += resolvePatternPred(p, negated = true,
+            subWhere = w.map(Expr.conjuncts).getOrElse(Seq.empty), named = true,
+            hoistOuter = false)
+        case _ if Expr.containsCountSub(c) =>
+          throw new GraftException(
+            "COUNT { } is not allowed in WHERE; compute it in a WITH stage " +
+            "and filter on its alias (WITH ..., COUNT { ... } AS n WHERE n > 0)")
         case _ if Expr.containsPatternPred(c) =>
           throw new GraftException(
-            "pattern predicates are only supported as top-level WHERE " +
-            "conjuncts, optionally under a single NOT")
+            "pattern predicates and EXISTS { } are only supported as " +
+            "top-level WHERE conjuncts, optionally under a single NOT")
         case _ =>
           val allRefs = Expr.referencedNames(c).intersect(nodeAliases ++ relAliases)
           if (allRefs.exists(a => !mainAliases(a) && !mainRelAliases(a)))
@@ -484,7 +572,7 @@ object Planner {
       val internalNodes = blockNewAliases(bi)
       val internalRels = rawEdges.filter(_.block == bi).map(_.alias).toSet
       for (c <- blk.where.map(Expr.conjuncts).getOrElse(Seq.empty)) {
-        if (Expr.containsPatternPred(c))
+        if (Expr.containsPatternPred(c) || Expr.containsCountSub(c))
           throw new GraftException(
             "pattern predicates are only supported in the main MATCH's WHERE")
         Expr.referencedNames(c).intersect(nodeAliases ++ relAliases).toSeq match {
@@ -549,9 +637,65 @@ object Planner {
       case e if e.shortest && e.pathAlias.isDefined => e.pathAlias.get -> e.alias
     }.toMap
 
+    // -- COUNT { } projection subqueries --------------------------------------
+    // Allowed only in the FIRST projection (first WITH stage, or RETURN when
+    // there are no stages): the count column is computed on the main frame
+    // before stages run, so a later stage would have projected it away.
+    // Each occurrence is replaced by a Var onto the joined count column.
+    val countSubs = scala.collection.mutable.ArrayBuffer[ResolvedCountSub]()
+    def rewriteCounts(e: Expr): Expr = e match {
+      case Expr.CountSub(p, w) =>
+        val name = s"__cnt${countSubs.size}"
+        countSubs += ResolvedCountSub(name, resolvePatternPred(p,
+          negated = false, subWhere = w.map(Expr.conjuncts).getOrElse(Seq.empty),
+          named = true, hoistOuter = false))
+        Expr.Var(name)
+      case Expr.ExistsSub(_, _) | Expr.PatternPred(_) =>
+        throw new GraftException(
+          "EXISTS { } / pattern predicates are only supported in WHERE; " +
+          "to project existence as a value use COUNT { ... } > 0 in a WITH")
+      case Expr.Fn(n, as, d)  => Expr.Fn(n, as.map(rewriteCounts), d)
+      case Expr.Bin(o, l, r)  => Expr.Bin(o, rewriteCounts(l), rewriteCounts(r))
+      case Expr.Not(x)        => Expr.Not(rewriteCounts(x))
+      case Expr.Neg(x)        => Expr.Neg(rewriteCounts(x))
+      case Expr.IsNull(x, ng) => Expr.IsNull(rewriteCounts(x), ng)
+      case Expr.ListLit(xs)   => Expr.ListLit(xs.map(rewriteCounts))
+      case Expr.CaseWhen(bs, o) => Expr.CaseWhen(
+        bs.map { case (c, v) => (rewriteCounts(c), rewriteCounts(v)) },
+        o.map(rewriteCounts))
+      case Expr.ListComp(v, l, w, p) =>
+        Expr.ListComp(v, rewriteCounts(l), w.map(rewriteCounts), p.map(rewriteCounts))
+      case Expr.Reduce(a, i, v, l, s) =>
+        Expr.Reduce(a, rewriteCounts(i), v, rewriteCounts(l), rewriteCounts(s))
+      case other => other
+    }
+    def rejectCounts(e: Expr, where: String): Unit =
+      if (Expr.containsCountSub(e) || Expr.containsPatternPred(e))
+        throw new GraftException(
+          s"COUNT { } / EXISTS { } subqueries are not supported in $where; " +
+          "compute the value in the first WITH/RETURN projection")
+    val (withStagesRw, returnItemsRw) =
+      if (q.withStages.nonEmpty) {
+        val first = q.withStages.head
+        val firstRw = first.copy(
+          items = first.items.map(it => it.copy(expr = rewriteCounts(it.expr))))
+        for (st <- q.withStages.tail; it <- st.items)
+          rejectCounts(it.expr, "a later WITH stage")
+        for (st <- q.withStages; o <- st.orderBy) rejectCounts(o.expr, "ORDER BY")
+        for (st <- q.withStages; w <- st.where) rejectCounts(w, "a WITH WHERE")
+        for (it <- q.returnItems)
+          rejectCounts(it.expr, "RETURN after WITH stages")
+        (firstRw +: q.withStages.tail, q.returnItems)
+      } else {
+        val itemsRw = q.returnItems.map(it => it.copy(expr = rewriteCounts(it.expr)))
+        (q.withStages, itemsRw)
+      }
+    for (o <- q.orderBy) rejectCounts(o.expr, "ORDER BY")
+
     GraphPlan(nodes, mainEdges.map(_._1), anchor,
       residual.reduceOption(Expr.Bin("AND", _, _)),
-      q.withStages, q.returnItems, q.returnDistinct, q.orderBy, q.skip, q.limit,
-      refProps, optionalBlocks, q.unwinds, patternPreds.toSeq, pathAliases)
+      withStagesRw, returnItemsRw, q.returnDistinct, q.orderBy, q.skip, q.limit,
+      refProps, optionalBlocks, q.unwinds, patternPreds.toSeq, pathAliases,
+      countSubs.toSeq)
   }
 }

@@ -423,6 +423,92 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(reord.select("id")) == Set(1L, 2L))
   }
 
+  test("EXISTS { } subquery: named aliases, WHERE on node / rel / hoisted outer") {
+    // node-alias filter inside the subquery
+    assert(longs(gs.cypher(
+      """MATCH (a:User) WHERE EXISTS { MATCH (a)-[:Follows]->(n:User)
+        |WHERE n.city = 'berlin' } RETURN a.id AS id;""".stripMargin))
+      == Set(1L, 2L))
+    // rel-alias filter inside the subquery
+    assert(longs(gs.cypher(
+      """MATCH (a:User) WHERE EXISTS { (a)-[f:Follows]->()
+        |WHERE f.since >= 2022 } RETURN a.id AS id;""".stripMargin))
+      == Set(2L, 3L))
+    // NOT EXISTS with a subquery-local condition
+    assert(longs(gs.cypher(
+      """MATCH (a:User) WHERE NOT EXISTS { (a)-[:Follows]->(n:User)
+        |WHERE n.city = 'berlin' } RETURN a.id AS id;""".stripMargin))
+      == Set(3L, 4L, 5L))
+    // outer-only conjunct hoists out of a positive EXISTS
+    assert(longs(gs.cypher(
+      """MATCH (a:User) WHERE EXISTS { (a)-[:Follows]->()
+        |WHERE a.city = 'paris' } RETURN a.id AS id;""".stripMargin))
+      == Set(2L))
+    // WHERE-less braced form ≡ the bare pattern predicate
+    assert(longs(gs.cypher(
+      "MATCH (a:User) WHERE EXISTS { MATCH (a)-[:Created]->(:Post) } RETURN a.id AS id;"))
+      == Set(1L, 2L, 3L))
+  }
+
+  test("COUNT { } subquery: per-row pattern counts in RETURN and WITH") {
+    val counts = gs.cypher(
+      """MATCH (a:User) RETURN a.id AS id,
+        |COUNT { (a)-[:Follows]->(:User) } AS n ORDER BY id;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+    val filtered = gs.cypher(
+      """MATCH (a:User) RETURN a.id AS id,
+        |COUNT { (a)-[:Follows]->(n:User) WHERE n.city = 'berlin' } AS n
+        |ORDER BY id;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(filtered == Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    // WITH stage: compute, then filter on the alias
+    val via = gs.cypher(
+      """MATCH (a:User) WITH a.id AS id, COUNT { (a)-[:Follows]->() } AS n
+        |WHERE n > 1 RETURN id, n;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(via == Map(1L -> 2L, 2L -> 2L))
+    // expression position: COUNT { } composes like any value
+    assert(longs(gs.cypher(
+      """MATCH (a:User) WITH a.id AS id,
+        |COUNT { (a)-[:Follows]->() } + COUNT { (a)<-[:Follows]-() } AS deg
+        |WHERE deg >= 3 RETURN id;""".stripMargin)) == Set(1L, 2L, 3L))
+  }
+
+  test("EXISTS { } / COUNT { } negative cases: scope, correlation, position") {
+    // undefined alias inside the subquery WHERE
+    val e1 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE EXISTS { (a)-[:Follows]->(n) WHERE m.id = 1 } RETURN a.id AS id;"))
+    assert(e1.getMessage.contains("undefined alias"), e1.getMessage)
+    // correlated condition mixing subquery-local and outer aliases
+    val e2 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE EXISTS { (a)-[:Follows]->(n) WHERE n.id = a.id } RETURN a.id AS id;"))
+    assert(e2.getMessage.contains("exactly one subquery-local"), e2.getMessage)
+    // outer-only conjunct under NOT EXISTS cannot hoist
+    val e3 = intercept[GraftException](gs.cypher(
+      """MATCH (a:User) WHERE NOT EXISTS { (a)-[:Follows]->()
+        |WHERE a.city = 'paris' } RETURN a.id AS id;""".stripMargin))
+    assert(e3.getMessage.contains("subquery-local alias"), e3.getMessage)
+    // subquery referencing a later OPTIONAL MATCH alias is out of scope
+    val e4 = intercept[GraftException](gs.cypher(
+      """MATCH (a:User) OPTIONAL MATCH (a)-[:Created]->(p:Post)
+        |WHERE EXISTS { (p)<-[:Created]-() } RETURN a.id AS id;""".stripMargin))
+    assert(e4.getMessage.contains("out of scope") || e4.getMessage.contains("main MATCH"),
+      e4.getMessage)
+    // COUNT { } in WHERE points at the WITH idiom
+    val e5 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE COUNT { (a)-[:Follows]->() } > 1 RETURN a.id AS id;"))
+    assert(e5.getMessage.contains("WITH"), e5.getMessage)
+    // both endpoints existential: nothing anchors the subquery
+    val e6 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE EXISTS { (x)-[:Follows]->(y) } RETURN a.id AS id;"))
+    assert(e6.getMessage.contains("anchor"), e6.getMessage)
+    // subquery alias shadowing an outer alias
+    val e7 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User)-[:Created]->(p:Post) WHERE EXISTS { (a)-[p:Follows]->() } RETURN a.id AS id;"))
+    assert(e7.getMessage.contains("shadows"), e7.getMessage)
+  }
+
   test("list predicates any/all/none/single desugar onto comprehensions") {
     assert(longs(gs.cypher(
       "MATCH (u:User) WHERE any(x IN range(1, u.id) WHERE x = 4) RETURN u.id AS id;"))

@@ -112,6 +112,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!semi.contains("CartesianProduct") && !anti.contains("CartesianProduct"))
   }
 
+  test("COUNT { } compiles to a pre-aggregated outer join, never a fan-out") {
+    val plan = formatted(gs.cypher(
+      """MATCH (n:Nation) RETURN n.n_name AS n_name,
+        |COUNT { (s:Supplier)-[:SUPP_NATION]->(n) } AS suppliers;""".stripMargin))
+    // the count aggregates BEFORE the join (partial+final over edge ids
+    // only), so the main frame joins one row per key — at 100x scale the
+    // joined side stays bounded by key cardinality, not edge count
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = plan.indexOf("LeftOuter")
+    assert(aggIdx >= 0 && joinIdx >= 0, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("mixture sampling and pattern scrub are shuffle-free narrow plans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

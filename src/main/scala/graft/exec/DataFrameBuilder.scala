@@ -175,15 +175,24 @@ final class DataFrameBuilder(session: GraftSession) {
         else edgeList(srcCol, dstCol)
       }
 
-    // shortestPath composition: level-synchronous pair expansion, one
-    // `__len`-tagged union per level, min() per pair. min-over-all-levels
-    // equals BFS distance (every pair appears at its shortest level and
-    // possibly later ones), with the same distinct-pair join shape —
-    // and the same broadcast lift — as composeHops. A lower bound > 1
-    // EXCLUDES pairs whose true shortest hop count is below it (it does
-    // not return "the shortest path of at least lo hops").
-    def composeShortest(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
-      val rhs = if (smallEdges) broadcast(h1) else h1
+    // shortestPath composition: cost-based. TPC-H-small (broadcastable)
+    // edge frames take the min-agg form — every level is a broadcast join
+    // of the SAME small hop frame, so "re-joining settled pairs" costs no
+    // extra shuffle and the frontier form's per-level anti-join would only
+    // add scheduler latency (~3 extra stages on a 25-row nation chain).
+    // Shuffle-scale edge frames take the frontier-delta form, whose
+    // per-level volume tracks the frontier, not the full settled set.
+    def composeShortest(h1: DataFrame, lo: Int, hi: Int): DataFrame =
+      if (smallEdges) composeShortestMinAgg(h1, lo, hi)
+      else composeShortestFrontier(h1, lo, hi)
+
+    // Level-synchronous pair expansion, one `__len`-tagged union per level,
+    // min() per pair. min-over-all-levels equals BFS distance (every pair
+    // appears at its shortest level and possibly later ones). A lower
+    // bound > 1 EXCLUDES pairs whose true shortest hop count is below it
+    // (it does not return "the shortest path of at least lo hops").
+    def composeShortestMinAgg(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
+      val rhs = broadcast(h1)
       var cur = h1.distinct()
       val levels = scala.collection.mutable.ArrayBuffer(
         cur.withColumn("__len", lit(1L)))
@@ -196,6 +205,45 @@ final class DataFrameBuilder(session: GraftSession) {
       levels.reduce(_ union _)
         .groupBy("__src", "__dst").agg(min("__len").as("__len"))
         .filter(col("__len") >= lo)
+    }
+
+    // Frontier-delta BFS: each level expands only the pairs FIRST reached
+    // at the previous level, then anti-joins away pairs already settled at
+    // a shorter length — every pair lands in exactly one level (its BFS
+    // distance; no min() re-aggregation) and per-level shuffle volume is
+    // proportional to the frontier, not the full settled set. Same lower-
+    // bound semantics as the min-agg form.
+    def composeShortestFrontier(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
+      // Lazily-composed frontiers re-embed every earlier level's anti-join
+      // in their lineage (settled_k references frontier_1..k), so the
+      // logical tree grows exponentially in the level count. Short
+      // expansions keep the single lazy DAG (ReuseExchange dedupes the
+      // repeated subtrees at runtime); longer ones truncate the logical
+      // lineage per level Pregel-style: a persisted Row RDD behind a fresh
+      // LogicalRDD leaf. (Not Dataset.localCheckpoint — its carried-over
+      // origin constraints reference pre-checkpoint attribute ids and
+      // break Union constraint rewriting once the frame appears on both
+      // sides of the BFS recursion.) Execution stays lazy; the persist is
+      // dropped by the context cleaner when the frame is unreachable.
+      def fence(df: DataFrame): DataFrame =
+        if (hi <= 6) df
+        else session.spark.createDataFrame(
+          df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          df.schema)
+      var frontier = fence(h1.distinct())
+      var settled = frontier
+      val levels = scala.collection.mutable.ArrayBuffer(
+        frontier.withColumn("__len", lit(1L)))
+      for (level <- 2 to hi) {
+        val expanded = frontier.alias("l")
+          .join(h1.alias("r"), col("l.__dst") === col("r.__src"))
+          .select(col("l.__src").as("__src"), col("r.__dst").as("__dst"))
+          .distinct()
+        frontier = fence(expanded.join(settled, Seq("__src", "__dst"), "left_anti"))
+        settled = settled.union(frontier)
+        levels += frontier.withColumn("__len", lit(level.toLong))
+      }
+      levels.reduce(_ union _).filter(col("__len") >= lo)
     }
 
     e.varLength match {

@@ -561,6 +561,26 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(filtered) == Set(1L, 4L))
   }
 
+  test("shortestPath: frontier-delta path (shuffle-scale edges, long bound)") {
+    // disabling broadcast flips composeShortest to the frontier-delta form,
+    // and > 6 levels flips that to lineage-truncated per-level frontiers;
+    // results must be identical to the broadcast min-agg composition (all
+    // u1 distances are <= 2, so levels 3..8 contribute nothing)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val expected = Set(Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L), Seq(1L, 2L))
+      val long = gs.cypher(
+        """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..8]->(b:User))
+          |RETURN b.id AS id, length(p) AS len;""".stripMargin)
+      assert(rows(long) == expected)
+      val short = gs.cypher( // frontier form without the per-level fence
+        """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..3]->(b:User))
+          |RETURN b.id AS id, length(p) AS len;""".stripMargin)
+      assert(rows(short) == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("shortestPath: bare path alias outside length() is rejected") {
     assertThrows[GraftException](gs.cypher(
       """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..2]->(b:User))

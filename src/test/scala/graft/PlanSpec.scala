@@ -112,6 +112,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!semi.contains("CartesianProduct") && !anti.contains("CartesianProduct"))
   }
 
+  test("shortestPath on shuffle-scale edges expands a frontier delta") {
+    // broadcast-small edges take the min-agg form (cheaper at toy scale);
+    // force the shuffle-scale path to pin its shape
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val plan = formatted(gs.cypher(
+        """MATCH p = shortestPath((a:Nation)-[:NATION_NEXT*1..4]->(b:Nation))
+          |RETURN a.n_name AS a_name, b.n_name AS b_name, length(p) AS len;""".stripMargin))
+      // levels 2..4 each anti-join newly-expanded pairs against the settled
+      // set, so per-level shuffle volume tracks the frontier, not the full
+      // reachable pair set — and no min() re-aggregation is needed (the
+      // textual LeftAnti count exceeds 3 because the lazy lineage re-embeds
+      // earlier levels; ReuseExchange collapses those at runtime, and
+      // expansions past 6 levels truncate lineage per level instead)
+      assert("LeftAnti".r.findAllIn(plan).nonEmpty, plan)
+      assert(!plan.contains("min(__len)"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("shortestPath on broadcast-small edges keeps the min-agg broadcast form") {
+    val plan = formatted(gs.cypher(
+      """MATCH p = shortestPath((a:Nation)-[:NATION_NEXT*1..4]->(b:Nation))
+        |RETURN a.n_name AS a_name, b.n_name AS b_name, length(p) AS len;""".stripMargin))
+    assert(!plan.contains("LeftAnti"), plan)
+    assert(plan.contains("min(__len"), plan)
+  }
+
   test("COUNT { } compiles to a pre-aggregated outer join, never a fan-out") {
     val plan = formatted(gs.cypher(
       """MATCH (n:Nation) RETURN n.n_name AS n_name,

@@ -30,8 +30,15 @@ object PipelineEntries {
     // exact dedup: canonical min-id + duplicate count per identical text
     "p_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    // MinHash+LSH near-dup pairs (banded candidate join, exact-verify)
-    "p_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), threshold = 0.8)),
+    // MinHash+LSH near-dup pairs (banded candidate join, exact-verify),
+    // routed through the persisted signature artifact: signatures build
+    // once per corpus fingerprint, and a corpus append pays only the
+    // delta's signatures before the band join
+    "p_dedup_minhash" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mhsig_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.minhashPairsPersisted(docs(s, dir), path, threshold = 0.8)
+    }),
 
     // SimHash near-dup pairs (chunk-blocked Hamming)
     "p_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),

@@ -111,9 +111,28 @@ object Dedup {
     * is standard practice (dedup within them via exact-hash instead). */
   def minhashPairs(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
+      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame =
+    minhashPairsFromSignatures(
+      minhashSignatures(docs, textCol, idCol), threshold, maxBucketSize)
 
+  /** Per-doc MinHash state: `(id, txh, sig, hs)` — the LSH signature plus
+    * the SORTED hashed-shingle set exact verification reads, and `txh`
+    * (xxhash64 of the raw text), the per-doc change key
+    * [[minhashSignaturesPersisted]]'s incremental merge is keyed by.
+    * Persisted (MEMORY_AND_DISK): the frame feeds banding, bucket stats,
+    * and both sides of the verify join. At cluster scale this is the
+    * materialized signature table you would write out — which is exactly
+    * what [[minhashSignaturesPersisted]] does. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    computeSignatures(
+      docs.select(col(idCol).as("id"), col(textCol).as("__mh_text"))
+        .withColumn("txh", xxhash64(col("__mh_text"))))
+
+  /** Signature computation over a pre-keyed `(id, __mh_text, txh)` frame —
+    * shared by the full build and the persisted artifact's delta path. */
+  private def computeSignatures(keyed: DataFrame): DataFrame = {
+    GraftFunctions.register(keyed.sparkSession)
     // repartition by id BEFORE the CPU-heavy per-row work: small/few input
     // splits otherwise serialize hashing on a handful of cores, and the
     // subsequent groupBy("id") reuses this exact hash partitioning (no
@@ -122,30 +141,36 @@ object Dedup {
     // compact (id, array<bigint>) table feeding both the signature
     // aggregate and the exact-verify hash sets — round 1 recomputed the
     // whole string-shingling lineage for each consumer.
-    val prep = withShingles(
-      docs.select(col(idCol).as("id"), col(textCol)).repartition(col("id")), textCol)
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+    val prep = withShingles(keyed.repartition(col("id")), "__mh_text")
+      .select(col("id"), col("txh"),
+        transform(col("sh"), s => xxhash64(s)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
 
     // Distributed minhash, flat-column formulation: explode hashed
     // shingles into a single aggregated pass (map-side combinable — the
     // shuffle carries one signature buffer per doc, not the shingles).
-    val exploded = prep.select(col("id"), explode(col("hs")).as("h"))
-    // single TypedImperativeAggregate: one Array[Long] buffer per group,
+    // Single TypedImperativeAggregate: one Array[Long] buffer per group,
     // one update loop per row, map-side combinable (element-wise min).
-    // persist: the signature table feeds THREE consumers (bucket-size stats
-    // + both sides of the candidate self-join); without it the whole
-    // explode+aggregate lineage is recomputed per consumer. At cluster
-    // scale this is the materialized signature table you would write out.
-    val sig = exploded.groupBy("id")
+    val sig = prep.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
       .agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
+    // both sides hash-partitioned on id by prep's repartition — no exchange
+    sig.join(prep.select(col("id"), col("txh"),
+        array_sort(col("hs")).as("hs")), "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
+  }
 
+  /** LSH banding + candidate self-join + exact-Jaccard verify over a
+    * signature table shaped like [[minhashSignatures]] (in-memory or read
+    * back from the persisted artifact). */
+  def minhashPairsFromSignatures(sigs: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    GraftFunctions.register(sigs.sparkSession)
     val bandCols = (0 until Bands).map(b =>
       hash(slice(col("sig"), lit(b * Rows + 1), lit(Rows))).as(s"b$b"))
-    val banded = sig
+    val banded = sigs
       .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
 
     val okBuckets = banded.groupBy("band", "bh").count()
@@ -160,11 +185,9 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    // exact-Jaccard verify on hashed shingles (cheap long-array intersect);
-    // reuses the persisted hashed prep — only the sort is new work
-    val sets = prep
-      .select(col("id"), array_sort(col("hs")).as("hs"))
-      .withColumn("sz", size(col("hs")))
+    // exact-Jaccard verify on the pre-sorted hashed-shingle sets (cheap
+    // long-array intersect) — no re-shingling, no re-sort
+    val sets = sigs.select(col("id"), col("hs")).withColumn("sz", size(col("hs")))
     cand
       .join(sets.select(col("id").as("a"), col("hs").as("ha"), col("sz").as("za")), "a")
       .join(sets.select(col("id").as("b"), col("hs").as("hb"), col("sz").as("zb")), "b")
@@ -175,6 +198,73 @@ object Dedup {
         round(col("i").cast("double") / (col("s") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** The [[minhashSignatures]] table as a build-once, APPEND-CHEAP parquet
+    * artifact keyed by the corpus content fingerprint
+    * ([[graft.catalog.Snapshot]]). On a stale fingerprint the rebuild is
+    * INCREMENTAL: rows whose `(id, txh)` text-hash key is unchanged are
+    * carried over verbatim from the previous artifact version; only new or
+    * changed docs pay the shingle→hash→signature work, and removed docs
+    * drop out via the semi-join. A corpus append therefore costs one
+    * cheap text-hash pass over the corpus plus signatures for the delta —
+    * the signature-side bridge to streaming/appended corpora (the band
+    * join in [[minhashPairsFromSignatures]] still runs over the merged
+    * table; pair maintenance stays downstream).
+    *
+    * Artifact layout: `path/sigs_<fp12>/` (parquet) + `path/_sig_meta.json`
+    * naming the live version dir; superseded version dirs are deleted
+    * after a successful merge, so re-obtain the frame through this
+    * function after a refresh rather than holding one across it. A
+    * [[NumHashes]] mismatch (recompiled family) disables the merge and
+    * forces a full rebuild. */
+  def minhashSignaturesPersisted(docs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val metaPath = s"$path/_sig_meta.json"
+    val fp = graft.catalog.Snapshot.fingerprint(docs)
+    // TERMINATED marker (ends with the closing brace) — see
+    // ngramJaccardPairsPersisted
+    val marker = s""""fingerprint":"$fp","hashes":$NumHashes}"""
+    val meta = Artifacts.readStringIfExists(spark, metaPath)
+    val liveDir = meta.flatMap(m =>
+      "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1)))
+    if (meta.exists(_.endsWith(marker)) && liveDir.nonEmpty)
+      return spark.read.parquet(s"$path/${liveDir.get}")
+
+    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("__mh_text"))
+      .withColumn("txh", xxhash64(col("__mh_text")))
+    // merge only against an artifact built with the same hash family
+    val old = liveDir
+      .filter(_ => meta.exists(_.endsWith(s""""hashes":$NumHashes}""")))
+      .map(d => spark.read.parquet(s"$path/$d"))
+    val merged = old match {
+      case Some(o) =>
+        val delta = keyed.join(o.select("id", "txh"), Seq("id", "txh"), "left_anti")
+        val kept = o.join(keyed.select("id", "txh"), Seq("id", "txh"), "left_semi")
+        kept.unionByName(computeSignatures(delta))
+      case None => computeSignatures(keyed)
+    }
+    val newDir = s"sigs_${fp.take(12)}"
+    merged.write.mode("overwrite").parquet(s"$path/$newDir")
+    Artifacts.writeString(spark, metaPath,
+      s"""{"version":1,"dir":"$newDir",$marker""")
+    // compact: every version dir but the one just written is superseded
+    // (also sweeps strays left by interrupted builds)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (st <- fs.listStatus(root)
+         if st.isDirectory && st.getPath.getName != newDir)
+      fs.delete(st.getPath, true)
+    spark.read.parquet(s"$path/$newDir")
+  }
+
+  /** [[minhashPairs]] through the persisted signature artifact — repeat
+    * mining (or mining after an append) reads/merges the signature table
+    * instead of recomputing every signature. */
+  def minhashPairsPersisted(docs: DataFrame, path: String,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame =
+    minhashPairsFromSignatures(
+      minhashSignaturesPersisted(docs, path), threshold, maxBucketSize)
 
   // ---- SimHash ---------------------------------------------------------------
 

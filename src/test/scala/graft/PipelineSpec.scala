@@ -68,6 +68,61 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - expected) < 1e-4)
   }
 
+  test("persisted minhash signatures: fresh serve, incremental merge, compaction") {
+    import spark.implicits._
+    import graft.pipeline.{Artifacts, Dedup => D}
+    val path = java.nio.file.Files.createTempDirectory("graft_mhsig_spec").toString
+    val metaPath = s"$path/_sig_meta.json"
+    def liveDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+
+    assert(D.minhashSignaturesPersisted(docs, path).count() == 5)
+    val meta1 = Artifacts.readStringIfExists(spark, metaPath).get
+    // fresh corpus ⇒ second call serves the artifact without a rebuild
+    assert(D.minhashSignaturesPersisted(docs, path).count() == 5)
+    assert(Artifacts.readStringIfExists(spark, metaPath).get == meta1)
+
+    // Poison doc 4's stored signature, keeping the meta fingerprint live:
+    // an incremental merge carries the poisoned row over verbatim, while a
+    // full recompute would heal it — this is the proof the merge pays only
+    // the delta.
+    val live = "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(meta1).get.group(1)
+    val poisoned = spark.read.parquet(s"$path/$live")
+      .withColumn("sig", when(col("id") === 4L,
+        array_repeat(lit(-1L), Dedup.NumHashes)).otherwise(col("sig")))
+    poisoned.write.mode("overwrite").parquet(s"$path/tampered")
+    Artifacts.writeString(spark, metaPath,
+      meta1.replace(s""""dir":"$live"""", """"dir":"tampered""""))
+
+    val appended = docs.union(Seq(
+      (6L, "a brand new document that shares nothing with the others at all",
+        "en", "s2", 63L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val s2 = D.minhashSignaturesPersisted(appended, path)
+    assert(s2.count() == 6)
+    assert(s2.filter(col("id") === 6L).count() == 1) // delta computed
+    assert(s2.filter(col("id") === 4L).select("sig") // unchanged: NOT recomputed
+      .head.getSeq[Long](0).forall(_ == -1L))
+
+    // a CHANGED doc is recomputed (the poison heals), and superseded
+    // version dirs are compacted away
+    val changed = appended.withColumn("text",
+      when(col("doc_id") === 4L, concat(col("text"), lit(" edited")))
+        .otherwise(col("text")))
+    val s3 = D.minhashSignaturesPersisted(changed, path)
+    assert(s3.count() == 6)
+    assert(s3.filter(col("id") === 4L).select("sig")
+      .head.getSeq[Long](0).exists(_ != -1L))
+    assert(liveDirs.size == 1, liveDirs)
+  }
+
+  test("minhash pairs through the persisted artifact match the direct miner") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mhpair_spec").toString
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(Dedup.minhashPairsPersisted(docs, path, threshold = 0.6)) ==
+      key(Dedup.minhashPairs(docs, threshold = 0.6)))
+  }
+
   test("simhash near-dup pairs include the planted duplicates") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -123,14 +123,17 @@ final class GraftSession(val spark: SparkSession) {
         s"persisted adjacency index for $relLabel is stale: the edge table " +
           s"changed since the index was built — rebuild with persistAdjIndex")
       val buckets = props.head.get(BucketsProp).map(_.toInt).getOrElse(32)
-      persistAdjIndex(relLabel, buckets)
+      val partGroups = props.head.get(PartGroupsProp).map(_.toInt).getOrElse(16)
+      persistAdjIndex(relLabel, buckets, partGroups)
     } else
       for (outgoing <- Seq(true, false))
-        adjCache.put((relLabel, outgoing), spark.table(adjTableName(relLabel, outgoing)))
+        adjCache.put((relLabel, outgoing),
+          spark.table(adjTableName(relLabel, outgoing)).select("id", "neighbors"))
   }
 
   private val FingerprintProp = "graft.edge.fingerprint"
   private val BucketsProp = "graft.buckets"
+  private val PartGroupsProp = "graft.partgroups"
 
   private def edgeFingerprint(relLabel: String): String =
     graft.catalog.Snapshot.fingerprint(table(_catalog.rel(relLabel).tableName))
@@ -158,13 +161,19 @@ final class GraftSession(val spark: SparkSession) {
          else collect_set(col(value))).as("neighbors"))
   }
 
-  /** Durable adjacency index: bucketed-by-id managed tables
-    * `{rel}_outgoing` / `{rel}_incoming` (the reference's MV-fed index
-    * tables, ddl_query.rs:290-311). Bucketing by the join key means
-    * index-backed hops read pre-shuffled data — on a cluster, the
-    * hash-partitioned layout survives restarts and joins against it skip
-    * the exchange when bucket counts line up. */
-  def persistAdjIndex(relLabel: String, buckets: Int = 32): Unit = {
+  /** Durable adjacency index: managed tables `{rel}_outgoing` /
+    * `{rel}_incoming` (the reference's MV-fed index tables,
+    * ddl_query.rs:290-311), PARTITIONED by `pgrp` (= hash(id) mod
+    * `partGroups`) and BUCKETED by id within each partition group.
+    * Bucketing by the join key means index-backed hops read pre-shuffled
+    * data — on a cluster, the hash-partitioned layout survives restarts
+    * and joins against it skip the exchange when bucket counts line up
+    * (bucketed reads combine a bucket's files across partition dirs, so
+    * the partitioning is invisible to the join). The partition groups
+    * exist for [[appendEdges]]: an incremental merge dynamically
+    * overwrites only the groups the delta touches. */
+  def persistAdjIndex(relLabel: String, buckets: Int = 32,
+      partGroups: Int = 16): Unit = {
     // fingerprint BEFORE building: if the edge table changes mid-build the
     // recorded fingerprint is conservative (next attach sees it as stale)
     val fp = edgeFingerprint(relLabel)
@@ -178,13 +187,78 @@ final class GraftSession(val spark: SparkSession) {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       buildAdjIndex(relLabel, outgoing)
+        .withColumn("pgrp", pmod(hash(col("id")), lit(partGroups)))
         .write.mode("overwrite")
+        .partitionBy("pgrp")
         .bucketBy(buckets, "id").sortBy("id")
         .format("parquet")
         .saveAsTable(name)
       spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES (" +
-        s"'$FingerprintProp' = '$fp', '$BucketsProp' = '$buckets')")
-      adjCache.put((relLabel, outgoing), spark.table(name))
+        s"'$FingerprintProp' = '$fp', '$BucketsProp' = '$buckets', " +
+        s"'$PartGroupsProp' = '$partGroups')")
+      adjCache.put((relLabel, outgoing), spark.table(name).select("id", "neighbors"))
+    }
+  }
+
+  /** Incremental adjacency-index maintenance — the batch analogue of the
+    * reference's MV-fed per-INSERT index updates (ddl_query.rs:290-311).
+    *
+    * CONTRACT: the rel's edge TABLE must already contain `newEdges` (append
+    * to the table first, then absorb the same delta here); the refreshed
+    * fingerprint is taken from the current edge table, so a mismatched
+    * delta leaves the index stale-detectable, never silently wrong.
+    *
+    * Cost shape, vs a full [[persistAdjIndex]] rebuild: the delta is
+    * aggregated (one delta-sized shuffle), the persisted table is scanned
+    * ONLY for the partition groups the delta touches (partition-pruned,
+    * and the bucketed scan joins the delta without re-shuffling itself),
+    * neighbor sets OR-merge via array union, and a dynamic partition
+    * overwrite rewrites only those touched groups. Untouched partition
+    * groups are not read and not rewritten. */
+  def appendEdges(relLabel: String, newEdges: DataFrame): Unit = {
+    val r = _catalog.rel(relLabel)
+    graft.functions.GraftFunctions.register(spark)
+    for (outgoing <- Seq(true, false)) {
+      val name = adjTableName(relLabel, outgoing)
+      require(spark.catalog.tableExists(name),
+        s"no persisted index table $name — build one with persistAdjIndex")
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).properties
+      val partGroups = props.get(PartGroupsProp).map(_.toInt).getOrElse(
+        throw new GraftException(
+          s"$name predates the partitioned index layout; rebuild it with " +
+          "persistAdjIndex before using appendEdges"))
+      val (key, value) =
+        if (outgoing) (r.fromColumn, r.toColumn) else (r.toColumn, r.fromColumn)
+      val isLong = newEdges.schema(value).dataType ==
+        org.apache.spark.sql.types.LongType
+      val deltaAgg = newEdges.groupBy(col(key).as("id"))
+        .agg(
+          (if (isLong) graft.functions.GraftFunctions.bitmapNeighborsAgg(col(value))
+           else collect_set(col(value))).as("dn"))
+        .withColumn("pgrp", pmod(hash(col("id")), lit(partGroups)))
+      // bounded driver state: at most partGroups distinct values
+      val touched = deltaAgg.select("pgrp").distinct().collect().map(_.getInt(0))
+      val base = spark.table(name).filter(col("pgrp").isin(touched.toIndexedSeq: _*))
+      val merged = base.alias("b").join(deltaAgg.alias("d"), Seq("id"), "full_outer")
+        .select(col("id"),
+          when(col("b.neighbors").isNull, col("d.dn"))
+            .when(col("d.dn").isNull, col("b.neighbors"))
+            .otherwise(array_sort(array_union(col("b.neighbors"), col("d.dn"))))
+            .as("neighbors"),
+          coalesce(col("b.pgrp"), col("d.pgrp")).as("pgrp"))
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").insertInto(name)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    val fp = edgeFingerprint(relLabel)
+    for (outgoing <- Seq(true, false)) {
+      val name = adjTableName(relLabel, outgoing)
+      spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES (" +
+        s"'$FingerprintProp' = '$fp')")
+      spark.catalog.refreshTable(name)
+      adjCache.put((relLabel, outgoing), spark.table(name).select("id", "neighbors"))
     }
   }
 

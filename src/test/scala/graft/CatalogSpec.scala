@@ -60,6 +60,62 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("appendEdges merges the delta, rewriting only touched partition groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val g = freshGraph() // edges (1,2),(2,3),(1,3)
+    g.persistAdjIndex("Follows", buckets = 4, partGroups = 8)
+    try {
+      def dirState(table: String): Map[String, Set[String]] = {
+        val loc = new java.io.File(java.net.URI.create(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+        loc.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pgrp="))
+          .map(d => d.getName ->
+            d.listFiles().map(_.getName).filterNot(_.startsWith("_")).toSet)
+          .toMap
+      }
+      val before = dirState("follows_outgoing")
+      def pgrpOf(id: Long): String =
+        "pgrp=" + Seq(id).toDF("id")
+          .select(pmod(hash(col("id")), lit(8))).head.getInt(0)
+
+      // contract: the edge TABLE gains the rows first, then the index
+      // absorbs the same delta
+      g.registerTable("Follows",
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L), (1L, 2L))
+          .toDF("from_User", "to_User")) // (1,2) duplicated: sets must dedup
+      g.appendEdges("Follows",
+        Seq((3L, 1L), (1L, 2L)).toDF("from_User", "to_User"))
+
+      // merged neighbor sets serve exactly: new key 3 appears, existing
+      // key 1 is unchanged by the duplicate edge
+      val out = g.adjIndex("Follows", outgoing = true).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(out == Map(1L -> Set(2L, 3L), 2L -> Set(3L), 3L -> Set(1L)))
+      assert(longs(g.cypher(
+        "MATCH (a:User {name:'u3'})-[:Follows]->(b:User) RETURN b.id AS id;"))
+        == Set(1L))
+
+      // the refreshed fingerprint matches the appended edge table: a
+      // strict attach must accept it without a rebuild
+      g.attachAdjIndex("Follows", rebuildIfStale = false)
+
+      // cheaper than a rebuild: only the partition groups of the delta's
+      // keys were rewritten; every other group's files are untouched (a
+      // rebuild rewrites every file). Outgoing delta keys: {3, 1}.
+      val after = dirState("follows_outgoing")
+      val touched = Set(pgrpOf(3L), pgrpOf(1L))
+      for ((d, files) <- before if !touched(d))
+        assert(after(d) == files, s"untouched group $d was rewritten")
+      for (d <- touched if before.contains(d))
+        assert(after(d) != before(d), s"touched group $d was not rewritten")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS follows_outgoing")
+      spark.sql("DROP TABLE IF EXISTS follows_incoming")
+    }
+  }
+
   test("fingerprint is derivation-sensitive for file-backed frames") {
     import spark.implicits._
     import graft.catalog.Snapshot

@@ -173,6 +173,26 @@ object SparkEntry {
         |RETURN r.r_regionkey AS rk, x AS x, head(range(1, 3)) AS h,
         |       last(range(1, 3)) AS l, size(range(1, 3)) AS sz;""".stripMargin),
 
+    // openCypher list-cast round-trips (toStringList/toIntegerList/
+    // toFloatList/toBooleanList) composed with split()/range()/reduce()
+    "q_fn_casts" -> cy(
+      """MATCH (n:Nation) WHERE n.n_nationkey % 5 = 0
+        |RETURN n.n_nationkey AS k,
+        |       reduce(acc = 0, x IN toIntegerList(toStringList(range(0, n.n_nationkey))) | acc + x) AS total,
+        |       head(toFloatList(split('3.5;4.5', ';'))) AS hf,
+        |       size(toBooleanList(['true', 'false', 'nope'])) AS nb;""".stripMargin),
+
+    // temporal constructors (component-map form) + duration.* scalars
+    // (documented divergence: day/second counts, not Duration objects)
+    "q_fn_temporal" -> cy(
+      """MATCH (o:Order) WHERE o.o_orderkey % 500 = 0
+        |RETURN o.o_orderkey AS k,
+        |       duration.inDays(date({year: 1995, month: 1, day: 1}), o.o_orderdate) AS dd,
+        |       duration.between(date({year: 1995, month: 1, day: 1}), o.o_orderdate) AS ds,
+        |       duration.inSeconds(datetime({year: 1995, month: 1, day: 1, hour: 6}),
+        |                          datetime({year: 1995, month: 1, day: 2})) AS hs,
+        |       year(date({year: 2001, month: 7})) AS yy;""".stripMargin),
+
     // list comprehension + reduce() over data-dependent ranges; the array
     // column joins to a string for the driver's scalar hasher (like
     // q_collect)
@@ -438,6 +458,23 @@ object SparkEntry {
       """SELECT r_regionkey AS rk, x, CAST(1 AS BIGINT) AS h,
         |       CAST(3 AS BIGINT) AS l, CAST(3 AS INTEGER) AS sz
         |FROM region CROSS JOIN (SELECT unnest(generate_series(0, 8, 2)) AS x)""".stripMargin,
+
+    // list-cast round-trip: sum(0..k) has the closed form; the boolean
+    // list keeps its un-castable element as NULL (size still 3)
+    "q_fn_casts" ->
+      """SELECT n_nationkey AS k,
+        |       CAST(n_nationkey * (n_nationkey + 1) / 2 AS BIGINT) AS total,
+        |       CAST(3.5 AS DOUBLE) AS hf, CAST(3 AS INTEGER) AS nb
+        |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin,
+
+    "q_fn_temporal" ->
+      """SELECT o_orderkey AS k,
+        |       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS dd,
+        |       date_diff('second', DATE '1995-01-01', o_orderdate) AS ds,
+        |       date_diff('second', make_timestamp(1995, 1, 1, 6, 0, 0.0),
+        |                 make_timestamp(1995, 1, 2, 0, 0, 0.0)) AS hs,
+        |       CAST(2001 AS INTEGER) AS yy
+        |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin,
 
     "q_percentile" ->
       """SELECT c_mktsegment AS seg,

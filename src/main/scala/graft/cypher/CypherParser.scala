@@ -145,6 +145,24 @@ object CypherParser extends RegexParsers {
       case name ~ (d ~ args) => Expr.Fn(name, args, d.isDefined)
     }
 
+  /** Namespaced function call (`duration.between(a, b)`) — tried before
+    * propOrVar, which would otherwise bind `duration.between` as a
+    * property access and strand the argument list. */
+  private def nsFnCall: Parser[Expr] =
+    ident ~ ("." ~> identRe) ~ ("(" ~> repsep(expression, ",") <~ ")") ^^ {
+      case ns ~ f ~ args => Expr.Fn(s"$ns.$f", args)
+    }
+
+  /** Map literal `{key: expr, ...}` in expression position — the argument
+    * form of openCypher temporal constructors (`date({year: 1995, month:
+    * 3})`). Reuses the internal `__named_struct` spelling the properties()
+    * fold already compiles. */
+  private def mapLit: Parser[Expr] =
+    "{" ~> repsep((anyIdent <~ ":") ~ expression, ",") <~ "}" ^^ { pairs =>
+      Expr.Fn("__named_struct",
+        pairs.flatMap { case n ~ v => Seq(Expr.Lit(n), v) })
+    }
+
   private def countStar: Parser[Expr] =
     (identRe.filter(_.equalsIgnoreCase("count")) ~ "(" ~ "*" ~ ")") ^^ {
       _ => Expr.Fn("count", Seq(Expr.Star))
@@ -243,7 +261,9 @@ object CypherParser extends RegexParsers {
     patternPredicate |
     reduceFn |
     listQuantifier |
+    nsFnCall |
     fnCall |
+    mapLit |
     propOrVar |
     "*" ^^ (_ => Expr.Star) |
     ("(" ~> expression <~ ")")

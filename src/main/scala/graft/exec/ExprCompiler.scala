@@ -126,8 +126,33 @@ object ExprCompiler {
       s"percentile: p must be a literal in [0, 1], got $other")
   }
 
+  /** The component map of a temporal constructor's single map-literal
+    * argument (`date({year: 1995, ...})`), lowercased keys; None for the
+    * string form. Unknown component names are a loud error, not silently
+    * ignored (a typoed `mnth:` would otherwise yield month=1). */
+  private def temporalMapArgs(fn: Expr.Fn): Option[Map[String, Expr]] =
+    fn.args match {
+      case Seq(Expr.Fn("__named_struct", pairs, _)) =>
+        val m = pairs.grouped(2).map {
+          case Seq(Expr.Lit(n: String), v) => n.toLowerCase -> v
+          case other => throw new GraftException(s"malformed map pair: $other")
+        }.toMap
+        val known = Set("year", "month", "day", "hour", "minute", "second")
+        val bad = m.keySet.diff(known)
+        if (bad.nonEmpty) throw new GraftException(
+          s"${fn.name}: unknown temporal component(s) ${bad.mkString(", ")} " +
+            s"(expected: ${known.toSeq.sorted.mkString(", ")})")
+        if (!m.contains("year")) throw new GraftException(
+          s"${fn.name}: the component map requires a year")
+        Some(m)
+      case _ => None
+    }
+
   private def compileFn(fn: Expr.Fn, resolve: Resolver): Column = {
     val name = fn.name.toLowerCase
+    def tempC(m: Map[String, Expr], k: String, dflt: Int = -1): Column =
+      m.get(k).map(compile(_, resolve).cast("int"))
+        .getOrElse(lit(dflt))
     def arg(i: Int): Column = compile(fn.args(i), resolve)
     def args: Seq[Column] = fn.args.map(compile(_, resolve))
     def litArg(i: Int): Any = fn.args(i) match {
@@ -206,12 +231,47 @@ object ExprCompiler {
       case "day"                     => dayofmonth(arg(0))
       case "hour"                    => hour(arg(0))
       case "minute"                  => minute(arg(0))
-      case "date"  | "todate"        => to_date(arg(0))
-      case "datetime" | "totimestamp" => to_timestamp(arg(0))
+      // date()/datetime() accept a string (to_date/to_timestamp) or the
+      // openCypher component-map form `date({year: 1995, month: 3, day: 4})`
+      // — the map arrives as the parser's __named_struct spelling and is
+      // deconstructed HERE (before compiling) into make_date /
+      // make_timestamp component arguments. Missing month/day default to 1,
+      // time components to 0, as in openCypher.
+      case "date"  | "todate"        =>
+        temporalMapArgs(fn) match {
+          case Some(m) =>
+            make_date(tempC(m, "year"), tempC(m, "month", 1),
+              tempC(m, "day", 1))
+          case None => to_date(arg(0))
+        }
+      case "datetime" | "totimestamp" =>
+        temporalMapArgs(fn) match {
+          case Some(m) =>
+            call_function("make_timestamp",
+              tempC(m, "year"), tempC(m, "month", 1), tempC(m, "day", 1),
+              tempC(m, "hour", 0), tempC(m, "minute", 0),
+              tempC(m, "second", 0).cast("decimal(8,6)"))
+          case None => to_timestamp(arg(0))
+        }
       case "date_trunc"              => date_trunc(litArg(0).toString, arg(1))
       case "date_format"             => date_format(arg(0), litArg(1).toString)
+      // duration.* between two temporals. DOCUMENTED DIVERGENCE: returns a
+      // scalar count (days / whole seconds elapsed from `from` to `to`),
+      // not a Duration object — same divergence class as Parameter
+      // (engine-side scalars, no Duration type in Spark SQL).
+      case "duration.indays"         => datediff(arg(1), arg(0)).cast("long")
+      case "duration.between" | "duration.inseconds" =>
+        unix_seconds(arg(1).cast("timestamp")) -
+          unix_seconds(arg(0).cast("timestamp"))
       // openCypher list functions: range() is INCLUSIVE on both ends
       // (sequence matches); head/last are NULL on empty lists (element_at)
+      // openCypher list-cast functions: element-wise TRY casts —
+      // un-castable elements become NULL, as in Neo4j (a plain cast throws
+      // under ANSI mode); round-trips with split()/range()
+      case "tostringlist"            => transform(arg(0), _.try_cast("string"))
+      case "tointegerlist"           => transform(arg(0), _.try_cast("long"))
+      case "tofloatlist"             => transform(arg(0), _.try_cast("double"))
+      case "tobooleanlist"           => transform(arg(0), _.try_cast("boolean"))
       case "range" =>
         if (fn.args.size > 2) sequence(arg(0), arg(1), arg(2))
         else sequence(arg(0), arg(1))

@@ -818,4 +818,32 @@ class EngineSpec extends AnyFunSuite {
     assert(gs.toCsv(df, header = true) == Seq("id,name", "1,\"u1\""))
     assert(gs.toPretty(df).contains("u1"))
   }
+
+  test("temporal component maps: defaults, typo rejection, year required") {
+    val df = gs.cypher(
+      """MATCH (u:User {name:'u1'})
+        |RETURN year(date({year: 1999})) AS y, month(date({year: 1999})) AS m,
+        |       duration.inDays(date({year: 1999, month: 1, day: 1}),
+        |                       date({year: 1999, month: 2, day: 1})) AS dd;""".stripMargin)
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      == Seq((1999, 1, 31L)))
+    // a typoed component name must be loud, never silently defaulted
+    val e1 = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN date({year: 1999, mnth: 2}) AS d;"))
+    assert(e1.getMessage.contains("mnth"))
+    val e2 = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN date({month: 2}) AS d;"))
+    assert(e2.getMessage.contains("year"))
+    // unknown namespaced functions fall through to the registry error
+    val e3 = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN duration.nope(u.id, u.id) AS d;"))
+    assert(e3.getMessage.contains("unknown function"))
+  }
+
+  test("list casts are element-wise try-casts (malformed element -> NULL)") {
+    val df = gs.cypher(
+      """MATCH (u:User {name:'u1'})
+        |RETURN toIntegerList(split('1;x;3', ';')) AS xs;""".stripMargin)
+    assert(df.collect().head.getSeq[Any](0) == Seq(1L, null, 3L))
+  }
 }

@@ -183,10 +183,13 @@ object ExprCompiler {
       // cumulative distribution >= p (composed: sorted collect + rank
       // index — exact, group-memory-bound like collect itself)
       case "percentilecont" => percentile(arg(0), lit(percentileP(litArg(1))))
+      // Disc = smallest value whose cumulative distribution >= p, via the
+      // native PercentileDisc aggregate (counts-hashmap state — group
+      // memory ∝ distinct values; the previous collect_list + rank-index
+      // form materialized every row of the group)
       case "percentiledisc" =>
-        val p = percentileP(litArg(1))
-        try_element_at(array_sort(collect_list(arg(0))),
-          greatest(lit(1), ceil(lit(p) * count(arg(0))).cast("int")))
+        call_function("graft_percentile_disc", arg(0),
+          lit(percentileP(litArg(1))))
       case "median"       => median(arg(0))
 
       // ---- scalar registry --------------------------------------------------

@@ -314,6 +314,25 @@ object GraftFunctions {
     ("graft_isect", classOf[SortedIntersectCount],
       exprs => SortedIntersectCount(exprs(0), exprs(1))),
     ("graft_size", classOf[PolySize], exprs => PolySize(exprs.head)),
+    // exact discrete percentile via Spark's native PercentileDisc (counts
+    // hashmap state: group memory ∝ distinct values, not rows — the
+    // WITHIN-GROUP SQL form isn't reachable through call_function, so the
+    // builder is registered directly)
+    ("graft_percentile_disc",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc],
+      exprs => {
+        val pd = org.apache.spark.sql.catalyst.expressions.aggregate
+          .PercentileDisc(exprs(0), exprs(1))
+        // Disc picks an ACTUAL element, so openCypher keeps the input type
+        // (Spark's PercentileDisc widens to double). The cast must wrap an
+        // AggregateExpression (a bare Cast(AggregateFunction) is not
+        // auto-wrapped by ResolveFunctions and trips MISSING_GROUP_BY), so
+        // pre-wrap explicitly; guard on resolved children for dataType
+        if (exprs(0).resolved)
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            pd.toAggregateExpression(), exprs(0).dataType)
+        else pd
+      }),
     ("graft_simhash", classOf[SimHash64], exprs => SimHash64(exprs.head)),
     // aggregate: k-slot minhash signature over pre-hashed shingles
     ("graft_minhash", classOf[MinHashAgg],

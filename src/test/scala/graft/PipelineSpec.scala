@@ -893,3 +893,112 @@ class MetadataSpec extends AnyFunSuite {
     assert(got == Map(0 -> ((2L, 15.0)), 1 -> ((1L, 30.0))))
   }
 }
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.pipeline.Sampling
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    (0L until 200L).map(i =>
+      (i, s"word$i text with ${"pad " * (i % 7).toInt}end",
+        if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        s"src${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("stratified sample: deterministic, per-stratum rates, no shuffle") {
+    val s1 = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.0)
+    val s2 = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.0)
+    // same seed => identical membership (a train/test split is stable)
+    assert(rows(s1) == rows(s2))
+    // defaultRate 0 drops unconfigured strata entirely
+    assert(s1.filter(col("lang") === "fr").count() == 0)
+    // rates land near expectation on a uniform stratum (loose 2x bounds:
+    // determinism is asserted above, this guards inverted/ignored rates)
+    val en = s1.filter(col("lang") === "en").count().toDouble / 67.0
+    val de = s1.filter(col("lang") === "de").count().toDouble / 67.0
+    assert(en > 0.25 && en < 0.75, s"en rate $en")
+    assert(de > 0.08 && de < 0.5, s"de rate $de")
+    // narrow op: membership must not introduce any exchange
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sample must stay narrow")
+    // a different seed yields a different membership set
+    val s3 = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.0, seed = 999L)
+    assert(rows(s1) != rows(s3))
+  }
+
+  test("mixture weights: shares sum to 1, weight realizes the target") {
+    val got = Sampling.mixtureWeights(docs, "lang",
+      Map("en" -> 0.6, "de" -> 0.2)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    // 200 docs: en 67, de 67, fr 66
+    assert(got("en")._1 == 67L)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+    // en: target .6 / share .335 => weight 1.7910 (up-sample, 2 repeats)
+    assert(got("en")._3 == 1.791 && got("en")._4 == 1.0 && got("en")._5 == 2L)
+    // de: target .2 / share .335 => weight 0.597 (down-sample at .597)
+    assert(got("de")._3 == 0.597 && got("de")._4 == 0.597 && got("de")._5 == 1L)
+    // fr absent from target => weight 0 (drop)
+    assert(got("fr")._3 == 0.0)
+  }
+
+  test("pack chunks: per-shard contiguous offsets, straddle flag, parallel windows") {
+    val got = Sampling.packChunks(docs, budget = 64, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.length == 200)
+    for ((_, rowsOfShard) <- got.groupBy(_._2)) {
+      val ordered = rowsOfShard.sortBy(_._1)
+      // start offsets are the exact running sum of token counts in id order
+      var run = 0L
+      for ((_, _, nTok, start, chunk, straddles) <- ordered) {
+        assert(start == run)
+        assert(chunk == start / 64)
+        assert(straddles == ((start + nTok - 1) / 64 != chunk))
+        run += nTok
+      }
+    }
+    // the cumsum window must be partitioned (shards pack in parallel);
+    // a global-order window would plan Exchange SinglePartition
+    val plan = Sampling.packChunks(docs, budget = 64, shards = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "packing must never collapse to a single partition")
+  }
+
+  test("seeded shuffle: a permutation, deterministic, shard-parallel") {
+    val df = Sampling.seededShuffle(docs, shards = 4)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(_._1).toSet == (0L until 200L).toSet) // every doc, once
+    // positions within a shard are exactly 1..n
+    for ((_, inShard) <- got.groupBy(_._2))
+      assert(inShard.map(_._3).sorted.toSeq == (1 to inShard.length))
+    // deterministic across evaluations
+    assert(rows(df) == rows(Sampling.seededShuffle(docs, shards = 4)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "shard shuffle must never collapse to a single partition")
+  }
+
+  test("writeShards: partitioned layout, shard files in shuffle order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Sampling.writeShards(docs, dir, shards = 4)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 200)
+      assert(back.select("shard").distinct().count() == 4)
+      // within a shard, file order IS shuffle order (training readers
+      // stream shards sequentially without re-sorting)
+      val shard0 = spark.read.parquet(s"$dir/shard=0")
+      val pos = shard0.collect().map(_.getInt(shard0.columns.indexOf("pos")))
+      assert(pos.toSeq == pos.sorted.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}

@@ -210,27 +210,16 @@ object PipelineEntries {
         ("entity", """\b(customer|line)\b""", "<ENT>")))
         .select("doc_id", "n_email", "n_entity", "scrubbed")),
 
-    // deterministic stratified sampling: engine-portable multiplicative
-    // membership hash, so the SAME split is reproducible off-Spark (the
-    // oracle recomputes membership from doc_id alone) — narrow filter, no
-    // shuffle
-    "p_sample" -> ((s, dir) =>
-      Sampling.stratifiedSample(docs(s, dir), "lang",
-        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
-        .select("doc_id", "lang", "source")),
-
     // domain-mixture re-weighting toward a target distribution (observed
-    // share, weight, realized down-sampling rate, up-sampling repeats)
+    // share, weight, realized down-sampling rate, up-sampling repeats —
+    // the planning counterpart of p_mix's mixtureSample)
     "p_mixture" -> ((s, dir) =>
       Sampling.mixtureWeights(docs(s, dir), "source",
         Map("src0" -> 0.2, "src1" -> 0.2, "src2" -> 0.1))),
 
-    // concat-and-chunk sequence packing (per-shard parallel cumsum;
-    // chunk assignment + boundary-straddle flag per doc)
-    "p_pack" -> ((s, dir) =>
-      Sampling.packChunks(docs(s, dir), budget = 256, shards = 4)),
-
-    // seeded deterministic global shuffle into training shards
+    // seeded deterministic global shuffle into training shards (the
+    // oracle recomputes the permutation from doc_id alone — shard order
+    // is engine-portable)
     "p_shuffle" -> ((s, dir) =>
       Sampling.seededShuffle(docs(s, dir), shards = 4)),
 
@@ -768,14 +757,6 @@ object PipelineEntries {
     "p_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text",
 
-    // membership recomputed from doc_id alone: the engine-portable
-    // multiplicative hash (id mod 2^40 + seed) * 131071 mod 1e6
-    "p_sample" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE (doc_id % 1099511627776 + 17) * 131071 % 1000000 <
-        |      (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25
-        |            ELSE 0.1 END) * 1000000""".stripMargin,
-
     "p_mixture" ->
       """SELECT source AS domain, count(*) AS n,
         |  round(count(*) / sum(count(*)) OVER (), 6) AS share,
@@ -791,26 +772,13 @@ object PipelineEntries {
         |        / (count(*) / sum(count(*)) OVER ()), 4)) AS BIGINT)) AS repeats
         |FROM documents GROUP BY source""".stripMargin,
 
-    "p_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id AS id,
-        |         (doc_id % 1099511627776 + 29) * 131071 % 1000000 % 4 AS shard,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |w AS (
-        |  SELECT id, shard, n_tok,
-        |         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-        |  FROM t)
-        |SELECT id, shard, n_tok, start_off,
-        |       CAST(floor(start_off / 256) AS BIGINT) AS chunk_id,
-        |       floor((start_off + n_tok - 1) / 256) <> floor(start_off / 256) AS straddles
-        |FROM w""".stripMargin,
-
+    // the permutation recomputed from doc_id alone: seeded MINSTD² bucket
+    // (id mod M + seed) * 48271 mod M * 48271 mod M mod 1e6, M = 2^31-1
     "p_shuffle" ->
       """WITH t AS (
         |  SELECT doc_id AS id,
-        |         (doc_id % 1099511627776 + 43) * 131071 % 1000000 AS bucket
+        |         (doc_id % 2147483647 + 43) * 48271 % 2147483647
+        |           * 48271 % 2147483647 % 1000000 AS bucket
         |  FROM documents)
         |SELECT id, bucket % 4 AS shard,
         |       CAST(row_number() OVER (PARTITION BY bucket % 4

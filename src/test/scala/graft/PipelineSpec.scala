@@ -907,30 +907,6 @@ class SamplingSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
   }
 
-  test("stratified sample: deterministic, per-stratum rates, no shuffle") {
-    val s1 = Sampling.stratifiedSample(docs, "lang",
-      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.0)
-    val s2 = Sampling.stratifiedSample(docs, "lang",
-      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.0)
-    // same seed => identical membership (a train/test split is stable)
-    assert(rows(s1) == rows(s2))
-    // defaultRate 0 drops unconfigured strata entirely
-    assert(s1.filter(col("lang") === "fr").count() == 0)
-    // rates land near expectation on a uniform stratum (loose 2x bounds:
-    // determinism is asserted above, this guards inverted/ignored rates)
-    val en = s1.filter(col("lang") === "en").count().toDouble / 67.0
-    val de = s1.filter(col("lang") === "de").count().toDouble / 67.0
-    assert(en > 0.25 && en < 0.75, s"en rate $en")
-    assert(de > 0.08 && de < 0.5, s"de rate $de")
-    // narrow op: membership must not introduce any exchange
-    val plan = s1.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), "stratified sample must stay narrow")
-    // a different seed yields a different membership set
-    val s3 = Sampling.stratifiedSample(docs, "lang",
-      Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.0, seed = 999L)
-    assert(rows(s1) != rows(s3))
-  }
-
   test("mixture weights: shares sum to 1, weight realizes the target") {
     val got = Sampling.mixtureWeights(docs, "lang",
       Map("en" -> 0.6, "de" -> 0.2)).collect()
@@ -947,39 +923,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("fr")._3 == 0.0)
   }
 
-  test("pack chunks: per-shard contiguous offsets, straddle flag, parallel windows") {
-    val got = Sampling.packChunks(docs, budget = 64, shards = 4).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getBoolean(5)))
-    assert(got.length == 200)
-    for ((_, rowsOfShard) <- got.groupBy(_._2)) {
-      val ordered = rowsOfShard.sortBy(_._1)
-      // start offsets are the exact running sum of token counts in id order
-      var run = 0L
-      for ((_, _, nTok, start, chunk, straddles) <- ordered) {
-        assert(start == run)
-        assert(chunk == start / 64)
-        assert(straddles == ((start + nTok - 1) / 64 != chunk))
-        run += nTok
-      }
-    }
-    // the cumsum window must be partitioned (shards pack in parallel);
-    // a global-order window would plan Exchange SinglePartition
-    val plan = Sampling.packChunks(docs, budget = 64, shards = 4)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"),
-      "packing must never collapse to a single partition")
-  }
-
-  test("seeded shuffle: a permutation, deterministic, shard-parallel") {
+  test("seeded shuffle: a permutation, deterministic, seed-sensitive, shard-parallel") {
     val df = Sampling.seededShuffle(docs, shards = 4)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.map(_._1).toSet == (0L until 200L).toSet) // every doc, once
     // positions within a shard are exactly 1..n
     for ((_, inShard) <- got.groupBy(_._2))
       assert(inShard.map(_._3).sorted.toSeq == (1 to inShard.length))
-    // deterministic across evaluations
+    // deterministic across evaluations...
     assert(rows(df) == rows(Sampling.seededShuffle(docs, shards = 4)))
+    // ...and a different seed is a genuinely different permutation
+    assert(rows(df) != rows(Sampling.seededShuffle(docs, shards = 4, seed = 999L)))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       "shard shuffle must never collapse to a single partition")

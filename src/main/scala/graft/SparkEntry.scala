@@ -191,6 +191,7 @@ object SparkEntry {
         |       duration.between(date({year: 1995, month: 1, day: 1}), o.o_orderdate) AS ds,
         |       duration.inSeconds(datetime({year: 1995, month: 1, day: 1, hour: 6}),
         |                          datetime({year: 1995, month: 1, day: 2})) AS hs,
+        |       duration({minutes: o.o_orderkey % 10, seconds: 30}) AS dsec,
         |       year(date({year: 2001, month: 7})) AS yy;""".stripMargin),
 
     // list comprehension + reduce() over data-dependent ranges; the array
@@ -473,6 +474,7 @@ object SparkEntry {
         |       date_diff('second', DATE '1995-01-01', o_orderdate) AS ds,
         |       date_diff('second', make_timestamp(1995, 1, 1, 6, 0, 0.0),
         |                 make_timestamp(1995, 1, 2, 0, 0, 0.0)) AS hs,
+        |       o_orderkey % 10 * 60 + 30 AS dsec,
         |       CAST(2001 AS INTEGER) AS yy
         |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin,
 

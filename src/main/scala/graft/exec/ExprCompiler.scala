@@ -262,6 +262,31 @@ object ExprCompiler {
       // scalar count (days / whole seconds elapsed from `from` to `to`),
       // not a Duration object — same divergence class as Parameter
       // (engine-side scalars, no Duration type in Spark SQL).
+      // duration({days: 1, hours: 6}) constructor — fixed-length
+      // components only (weeks..seconds); years/months are
+      // calendar-variable and cannot be a scalar second count, so they
+      // are rejected rather than silently approximated
+      case "duration" =>
+        fn.args match {
+          case Seq(Expr.Fn("__named_struct", pairs, _)) =>
+            val m = pairs.grouped(2).map {
+              case Seq(Expr.Lit(n: String), v) => n.toLowerCase -> v
+              case other =>
+                throw new GraftException(s"malformed map pair: $other")
+            }.toMap
+            val factors = Seq("weeks" -> 604800L, "days" -> 86400L,
+              "hours" -> 3600L, "minutes" -> 60L, "seconds" -> 1L)
+            val known = factors.map(_._1).toSet
+            val bad = m.keySet.diff(known)
+            if (bad.nonEmpty) throw new GraftException(
+              s"duration: unsupported component(s) ${bad.mkString(", ")} " +
+                s"(fixed-length only: ${known.toSeq.sorted.mkString(", ")})")
+            factors.collect { case (k, f) if m.contains(k) =>
+              compile(m(k), resolve).cast("long") * lit(f)
+            }.reduceOption(_ + _).getOrElse(lit(0L))
+          case _ => throw new GraftException(
+            "duration() takes a component map, e.g. duration({days: 1})")
+        }
       case "duration.indays"         => datediff(arg(1), arg(0)).cast("long")
       case "duration.between" | "duration.inseconds" =>
         unix_seconds(arg(1).cast("timestamp")) -

@@ -838,6 +838,15 @@ class EngineSpec extends AnyFunSuite {
     val e3 = intercept[GraftException](gs.cypher(
       "MATCH (u:User) RETURN duration.nope(u.id, u.id) AS d;"))
     assert(e3.getMessage.contains("unknown function"))
+    // duration() constructor: fixed-length components compose; the
+    // calendar-variable ones are rejected, not approximated
+    val d = gs.cypher(
+      """MATCH (u:User {name:'u1'})
+        |RETURN duration({days: 1, hours: 2, seconds: 5}) AS s;""".stripMargin)
+    assert(d.collect().head.getLong(0) == 86400L + 7200L + 5L)
+    val e4 = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN duration({months: 2}) AS d;"))
+    assert(e4.getMessage.contains("months"))
   }
 
   test("list casts are element-wise try-casts (malformed element -> NULL)") {

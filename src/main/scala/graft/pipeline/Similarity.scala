@@ -586,6 +586,64 @@ object Similarity {
     !fresh
   }
 
+  /** Incremental IVF maintenance: absorb an embedding `delta` into the
+    * persisted index without retraining — the ANN analogue of
+    * [[graft.GraftSession.appendEdges]].
+    *
+    * CONTRACT: `corpus` is the FULL post-append corpus (the delta's rows
+    * already included — append to the corpus first, then absorb the same
+    * delta here); the refreshed fingerprint is taken from it, so a
+    * mismatched delta leaves the index stale-detectable, never silently
+    * wrong. Build parameters must match the original build (checked
+    * against the recorded marker — appending nlist=8 rows into an
+    * nlist=0 index is an error, not a quiet recall cliff).
+    *
+    * Semantics: the coarse quantizer (centroids) stays FIXED — standard
+    * IVF practice; appended vectors are assigned to the nearest existing
+    * centroid, so the index serves exact the same probe math with the
+    * delta included. Recall degrades only if the delta's distribution
+    * drifts from the training corpus; retrain on schedule with
+    * [[buildIvfIndex]] when it does (the `rows` field in the meta tracks
+    * growth since the last train).
+    *
+    * Cost shape: one delta-sized pass (assignment against broadcast-sized
+    * centroid literals) appended into only the list partitions the delta
+    * touches; untouched lists gain no files and are never read. The meta
+    * rewrite happens LAST — an interrupted append leaves a stale
+    * fingerprint, which the next [[buildIvfIndexIfStale]] repairs by
+    * rebuild. */
+  def appendToIvfIndex(corpus: DataFrame, delta: DataFrame, path: String,
+      nlist: Int = 0, refineIters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val meta = Artifacts.readStringIfExists(spark, ivfMetaPath(path)).getOrElse(
+      throw new graft.cypher.GraftException(
+        s"appendToIvfIndex: no IVF index at $path — build one with buildIvfIndex"))
+    // the params marker is a TERMINATED quoted string (trailing `",`):
+    // a prefix of a different value can never match
+    val params = s""""params":"nlist=$nlist;iters=$refineIters;id=$idCol;vec=$vecCol","""
+    if (!meta.contains(params))
+      throw new graft.cypher.GraftException(
+        s"appendToIvfIndex: build parameters differ from the persisted " +
+          s"index at $path — retrain with buildIvfIndex instead")
+    // fingerprint BEFORE writing (conservative: a corpus changing
+    // mid-append reads as stale afterwards, never as fresh)
+    val fp = graft.catalog.Snapshot.fingerprint(corpus)
+    val cents = collectCents(spark.read.parquet(s"$path/centroids")
+      .select(col("list_id"), col("cent"), col("centnorm")))
+    val d = prepIvfCorpus(delta, idCol, vecCol)
+    val appended = d.count()
+    assignLists(d, cents)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+    val prevRows = """"rows":(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toLong).getOrElse(0L)
+    Artifacts.writeString(spark, ivfMetaPath(path),
+      s"""{"version":1,"dim":$DefaultDim,"nlist":${cents.size},""" +
+        s""""rows":${prevRows + appended},${ivfMarker(fp, nlist, refineIters, idCol, vecCol)}""")
+  }
+
   /** IVF ANN over a persisted index ([[buildIvfIndex]]): probe the nprobe
     * nearest lists per query, reading ONLY the probed list partitions.
     *

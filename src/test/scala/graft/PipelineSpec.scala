@@ -458,6 +458,56 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.pipeline.PipelineCaches.clear()
   }
 
+  test("appendToIvfIndex: delta served without retraining, only touched lists grow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    try {
+      val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val base = rows.toSeq.toDF("vec_id", "embedding")
+      Similarity.buildIvfIndex(base, dir)
+
+      def listState(): Map[String, Set[String]] = {
+        val d = new java.io.File(s"$dir/lists")
+        d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+          .map(l => l.getName ->
+            l.listFiles().map(_.getName).filterNot(_.startsWith("_")).toSet)
+          .toMap
+      }
+      val before = listState()
+
+      // delta: clones of three existing vectors under fresh ids — exact
+      // retrievability is then provable (csim 1.0 under a different id)
+      val cloned = rows.take(3).map { case (id, v) => (id + 1000000L, v) }
+      val delta = cloned.toSeq.toDF("vec_id", "embedding")
+      val full = (rows ++ cloned).toSeq.toDF("vec_id", "embedding")
+      Similarity.appendToIvfIndex(full, delta, dir)
+
+      // the appended corpus is fresh — the fence does NOT rebuild
+      assert(!Similarity.buildIvfIndexIfStale(full, dir))
+
+      // each clone is retrieved for its original's query at csim 1.0
+      val q = rows.take(3).toSeq.toDF("vec_id", "embedding")
+      val got = Similarity.ivfTopKPersisted(q, dir, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for ((id, _) <- rows.take(3))
+        assert(got.exists { case (qid, nid, sim) =>
+          qid == id && nid == id + 1000000L && sim == 1.0
+        }, s"clone of $id not retrieved: ${got.filter(_._1 == id).toSeq}")
+
+      // append-only at the file level: every old file survives, only the
+      // delta's lists gain files, and at least one list is untouched
+      val after = listState()
+      for ((l, files) <- before)
+        assert(files.subsetOf(after(l)), s"list $l lost files")
+      val grown = after.count { case (l, files) => files != before(l) }
+      assert(grown >= 1 && grown <= 3, s"$grown lists grew for a 3-row delta")
+
+      // mismatched build parameters are loud, not a quiet recall cliff
+      assertThrows[graft.cypher.GraftException](
+        Similarity.appendToIvfIndex(full, delta, dir, nlist = 7))
+    } finally graft.pipeline.PipelineCaches.clear()
+  }
+
   test("persisted IVF index: changed corpus content is detected as stale") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString

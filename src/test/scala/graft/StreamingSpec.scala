@@ -136,4 +136,41 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.table("sess_out").count()
     assert(n == 5L) // 3 sessions for user 1 + 2 for user 2
   }
+
+  test("sampling ops are streaming-safe: stratified + mixture on a stream") {
+    // Corpus.stratifiedSample and mixtureSample are NARROW (stateless
+    // filter / explode — no aggregation, no watermark needed), so the
+    // exact batch operators run unchanged in append mode; a streamed
+    // corpus admits EXACTLY the batch membership, arrival-order-free.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 100L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "de", s"src${i % 3}"))
+    val batch = docs.toDF("doc_id", "text", "lang", "source")
+    val expectSample = graft.pipeline.Corpus.stratifiedSample(
+      batch, Map("en" -> 50, "de" -> 25), defaultNum = 0)
+      .collect().map(_.getLong(0)).toSet
+    val expectMix = graft.pipeline.Corpus.mixtureSample(
+      batch, Map("src0" -> 2.0, "src1" -> 0.5), defaultWeight = 0.0)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("epoch"))).toSet
+
+    val mem = MemoryStream[(Long, String, String, String)]
+    mem.addData(docs.take(60): _*)
+    val streamed = mem.toDF().toDF("doc_id", "text", "lang", "source")
+    val q1 = graft.pipeline.Corpus.stratifiedSample(
+        streamed, Map("en" -> 50, "de" -> 25), defaultNum = 0)
+      .writeStream.format("memory").queryName("samp_out").outputMode("append").start()
+    val q2 = graft.pipeline.Corpus.mixtureSample(
+        streamed, Map("src0" -> 2.0, "src1" -> 0.5), defaultWeight = 0.0)
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(docs.drop(60): _*) // late arrivals change nothing
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    assert(spark.table("samp_out").collect().map(_.getLong(0)).toSet
+      == expectSample)
+    assert(spark.table("mix_out").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("epoch"))).toSet == expectMix)
+  }
 }

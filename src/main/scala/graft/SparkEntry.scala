@@ -122,8 +122,9 @@ object SparkEntry {
 
     // client parameters, bound before planning
     "q_param" -> cy(
-      "MATCH (c:Customer) WHERE c.c_mktsegment = $seg RETURN count(*) AS cnt;",
-      Map("seg" -> "BUILDING")),
+      """MATCH (c:Customer) WHERE c.c_mktsegment = $seg AND c.c_nationkey IN $nats
+        |RETURN count(*) AS cnt;""".stripMargin,
+      Map("seg" -> "BUILDING", "nats" -> Seq(1L, 5L, 9L))),
 
     // relationship-type inference from endpoint labels
     // (schema_inference.rs:375-391)
@@ -420,7 +421,8 @@ object SparkEntry {
         |  AND o_orderdate IS NOT NULL""".stripMargin,
 
     "q_param" ->
-      "SELECT count(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'",
+      """SELECT count(*) AS cnt FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_nationkey IN (1, 5, 9)""".stripMargin,
 
     "q_anon_rel" ->
       """SELECT n_name, r_name FROM nation

@@ -250,6 +250,10 @@ object Expr {
   def bind(e: Expr, params: Map[String, Any]): Expr = e match {
     case Param(n) =>
       params.get(n) match {
+        // a list value becomes a ListLit so `IN $ids` takes the same
+        // isin path as an inline list literal (a raw Lit(Seq) is not a
+        // Spark literal)
+        case Some(xs: Seq[_]) => ListLit(xs.map(x => Lit(x)))
         case Some(v) => Lit(v)
         case None    => throw new GraftException(s"unbound parameter: $$$n")
       }

@@ -63,7 +63,16 @@ final class QueryServer(gs: GraftSession, port: Int = 0,
         case JString(f) => f
         case _ => "JSONEachRow"
       }
-      val df = gs.cypher(query)
+      // `parameters`: JSON object of $name bindings, bound engine-side
+      // (the documented divergence from the reference's verbatim
+      // pass-through — SURVEY §8.5). Nested objects are rejected loudly:
+      // there is no Cypher value they could bind to.
+      val params: Map[String, Any] = (json \ "parameters") match {
+        case JObject(fields) => fields.toMap.map { case (k, v) => k -> jsonParam(k, v) }
+        case JNothing | JNull => Map.empty
+        case _ => respond(ex, 400, "'parameters' must be a JSON object"); return
+      }
+      val df = gs.cypher(query, params)
       // Row formats stream CHUNKED through toLocalIterator — the driver
       // never holds the full result (reference handlers.rs:145-221 streams
       // the same way). Planning/analysis errors surface before any byte is
@@ -81,6 +90,23 @@ final class QueryServer(gs: GraftSession, port: Int = 0,
     } catch {
       case e: Throwable => respond(ex, 400, s"error: ${e.getMessage}")
     }
+  }
+
+  /** JSON parameter value → engine binding. Integers stay integral
+    * (JSON 1 binds as Long, 1.5 as Double); lists convert element-wise
+    * for `IN $list` predicates. */
+  private def jsonParam(name: String, v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => i.toLong
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b)    => b
+    case JNull       => null
+    case JArray(xs)  => xs.map(jsonParam(name, _))
+    case other => throw new graft.cypher.GraftException(
+      s"parameter '$name': unsupported JSON value $other " +
+        "(scalars and flat lists only)")
   }
 
   /** Streams rows chunked. Fully owns post-header error handling: once the

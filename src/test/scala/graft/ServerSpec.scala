@@ -66,6 +66,24 @@ class ServerSpec extends AnyFunSuite {
       val (c9, b9) = post(port,
         """{"query": "EXPLAIN MATCH (u:User) RETURN u.id AS id;"}""")
       assert(c9 == 200 && b9.contains("Physical Plan"))
+
+      // round-7 surface: engine-side parameter binding over HTTP —
+      // scalars, a list for IN, and loud rejections for bad shapes
+      val (c10, b10) = post(port,
+        """{"query": "MATCH (u:User) WHERE u.id = $uid RETURN u.name AS name;",
+          | "parameters": {"uid": 2}}""".stripMargin)
+      assert(c10 == 200 && b10 == "{\"name\":\"u2\"}\n", s"c10=$c10 b10=$b10")
+      val (c11, b11) = post(port,
+        """{"query": "MATCH (u:User) WHERE u.id IN $ids RETURN u.id AS id ORDER BY id;",
+          | "parameters": {"ids": [1, 2]}}""".stripMargin)
+      assert(c11 == 200 && b11 == "{\"id\":1}\n{\"id\":2}\n")
+      val (c12, _) = post(port,
+        """{"query": "MATCH (u:User) RETURN u.id AS id;", "parameters": [1]}""")
+      assert(c12 == 400)
+      val (c13, b13) = post(port,
+        """{"query": "MATCH (u:User) WHERE u.id = $uid RETURN u.id AS id;",
+          | "parameters": {"uid": {"nested": 1}}}""".stripMargin)
+      assert(c13 == 400 && b13.contains("uid"))
     } finally srv.stop()
   }
 

@@ -128,9 +128,17 @@ object Bench {
     // enough to survive any tail window intact.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
+    // never lose a finished run to a bad output path: stdout still gets
+    // both lines if the file write fails
+    try java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"BENCH: could not write $outFile: $e")
+    }
     println(fullLine)
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would make the compact
+    // line — the one bench_diff parses — invalid JSON
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // per-query min-of-samples at ms precision — what bench_diff compares

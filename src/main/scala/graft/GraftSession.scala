@@ -218,6 +218,10 @@ final class GraftSession(val spark: SparkSession) {
   def appendEdges(relLabel: String, newEdges: DataFrame): Unit = {
     val r = _catalog.rel(relLabel)
     graft.functions.GraftFunctions.register(spark)
+    // fingerprint BEFORE the merge writes (same ordering as
+    // persistAdjIndex): an edge table changing mid-merge must read as
+    // stale afterwards, never as covered
+    val fp = edgeFingerprint(relLabel)
     for (outgoing <- Seq(true, false)) {
       val name = adjTableName(relLabel, outgoing)
       require(spark.catalog.tableExists(name),
@@ -230,12 +234,21 @@ final class GraftSession(val spark: SparkSession) {
           "persistAdjIndex before using appendEdges"))
       val (key, value) =
         if (outgoing) (r.fromColumn, r.toColumn) else (r.toColumn, r.fromColumn)
-      val isLong = newEdges.schema(value).dataType ==
-        org.apache.spark.sql.types.LongType
-      val deltaAgg = newEdges.groupBy(col(key).as("id"))
+      // cast the delta to the PERSISTED schema's types before hashing:
+      // hash(3: Int) != hash(3L), so an Int-typed delta would land ids in
+      // the wrong partition group (and a later well-typed append would
+      // then duplicate them)
+      val tblSchema = spark.table(name).schema
+      val idType = tblSchema("id").dataType
+      val valueType = tblSchema("neighbors").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val isLong = valueType == org.apache.spark.sql.types.LongType
+      val typedKey = col(key).cast(idType)
+      val typedValue = col(value).cast(valueType)
+      val deltaAgg = newEdges.groupBy(typedKey.as("id"))
         .agg(
-          (if (isLong) graft.functions.GraftFunctions.bitmapNeighborsAgg(col(value))
-           else collect_set(col(value))).as("dn"))
+          (if (isLong) graft.functions.GraftFunctions.bitmapNeighborsAgg(typedValue)
+           else collect_set(typedValue)).as("dn"))
         .withColumn("pgrp", pmod(hash(col("id")), lit(partGroups)))
       // bounded driver state: at most partGroups distinct values
       val touched = deltaAgg.select("pgrp").distinct().collect().map(_.getInt(0))
@@ -252,7 +265,6 @@ final class GraftSession(val spark: SparkSession) {
       try merged.write.mode("overwrite").insertInto(name)
       finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
-    val fp = edgeFingerprint(relLabel)
     for (outgoing <- Seq(true, false)) {
       val name = adjTableName(relLabel, outgoing)
       spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES (" +

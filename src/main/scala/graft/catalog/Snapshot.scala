@@ -32,8 +32,17 @@ object Snapshot {
       if (files.nonEmpty) {
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
         // canonicalized: expression ids and aliases normalized, so the
-        // same derivation built twice hashes identically
-        val planHash = df.queryExecution.analyzed.canonicalized.toString
+        // same derivation built twice hashes identically. toJSON, not
+        // toString: tree string rendering elides argument lists past
+        // spark.sql.debug.maxToStringFields (default 25), so two wide
+        // projections differing only in a late column would stringify —
+        // and therefore fingerprint — identically
+        val canon = df.queryExecution.analyzed.canonicalized
+        val planHash =
+          try canon.toJSON
+          catch { // a non-JSON-serializable node: schema + tree string
+            case _: Throwable => canon.schema.json + canon.toString
+          }
         files.sorted.map { f =>
           val p = new Path(f)
           val st = p.getFileSystem(conf).getFileStatus(p)

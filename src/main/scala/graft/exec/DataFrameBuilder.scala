@@ -227,9 +227,16 @@ final class DataFrameBuilder(session: GraftSession) {
       // dropped by the context cleaner when the frame is unreachable.
       def fence(df: DataFrame): DataFrame =
         if (hi <= 6) df
-        else session.spark.createDataFrame(
-          df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          df.schema)
+        else {
+          val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // registered for explicit cleanup: a deep BFS pins one persisted
+          // RDD per level, and in a long-lived JVM relying on GC-driven
+          // ContextCleaner alone lets dead levels crowd the block manager
+          // (the cumulative-cache pathology PipelineCaches exists for)
+          graft.pipeline.PipelineCaches.onClear(rdd)(
+            _.unpersist(blocking = false))
+          session.spark.createDataFrame(rdd, df.schema)
+        }
       var frontier = fence(h1.distinct())
       var settled = frontier
       val levels = scala.collection.mutable.ArrayBuffer(

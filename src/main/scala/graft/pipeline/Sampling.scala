@@ -61,18 +61,33 @@ object Sampling {
   def mixtureWeights(docs: DataFrame, domainCol: String,
       target: Map[String, Double]): DataFrame = {
     require(target.values.forall(_ >= 0), "target shares must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
     // domains absent from the target map get share 0.0 => weight 0 (drop)
     val targetOf = target.foldLeft(lit(0.0)) { case (acc, (k, s)) =>
       when(col("domain") === lit(k), lit(s)).otherwise(acc)
     }
+    // full-outer against the (tiny, driver-side) target key set: a target
+    // domain with ZERO observed rows must still appear in the report —
+    // n 0, share 0, weight NULL (unrealizable by resampling) — not vanish
+    // and let an impossible mixture plan get signed off
+    val targetKeys = target.keys.toSeq.toDF("domain")
     docs.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n"))
+      .join(targetKeys, Seq("domain"), "full_outer")
+      .na.fill(0L, Seq("n"))
       .withColumn("total", sum(col("n")).over(Window.partitionBy()))
       .select(col("domain"), col("n"),
         round(col("n") / col("total"), 6).as("share"),
-        round(targetOf / (col("n") / col("total")), 4).as("weight"))
-      .withColumn("down_rate", least(lit(1.0), col("weight")))
-      .withColumn("repeats", greatest(lit(1L), ceil(col("weight")).cast("long")))
+        when(col("n") > 0,
+          round(targetOf / (col("n") / col("total")), 4)).as("weight"))
+      // least() skips NULLs, so the unrealizable (weight NULL) case needs
+      // an explicit guard or it would report down_rate 1.0
+      .withColumn("down_rate",
+        when(col("weight").isNotNull, least(lit(1.0), col("weight"))))
+      .withColumn("repeats",
+        when(col("weight").isNotNull,
+          greatest(lit(1L), ceil(col("weight")).cast("long"))))
   }
 
   /** Seeded deterministic global shuffle into `shards` training shards:

@@ -971,6 +971,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("de")._3 == 0.597 && got("de")._4 == 0.597 && got("de")._5 == 1L)
     // fr absent from target => weight 0 (drop)
     assert(got("fr")._3 == 0.0)
+    // a TARGET domain with zero observed rows still appears in the
+    // report: n 0, share 0, weight NULL (unrealizable by resampling)
+    val withGhost = Sampling.mixtureWeights(docs, "lang",
+      Map("en" -> 0.5, "code" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ghost = withGhost("code")
+    assert(ghost.getLong(1) == 0L && ghost.getDouble(2) == 0.0)
+    assert(ghost.isNullAt(3) && ghost.isNullAt(4) && ghost.isNullAt(5))
   }
 
   test("seeded shuffle: a permutation, deterministic, seed-sensitive, shard-parallel") {

@@ -334,6 +334,7 @@ final class GraftSession(val spark: SparkSession) {
     CypherParser.parse(query) match {
       case rq: ReadQuery => buildRead(rq, params)
       case u: UnionQuery => buildUnion(u, params)
+      case c: CallQuery  => buildCall(c, params)
       // EXPLAIN: plan without executing — the formatted Spark physical
       // plan comes back as a one-row frame (Neo4j-style EXPLAIN)
       case ExplainQuery(inner) =>
@@ -341,6 +342,7 @@ final class GraftSession(val spark: SparkSession) {
         val df = inner match {
           case rq: ReadQuery => buildRead(rq, params)
           case u: UnionQuery => buildUnion(u, params)
+          case c: CallQuery  => buildCall(c, params)
           case _ => throw new GraftException("EXPLAIN only applies to read queries")
         }
         Seq(df.queryExecution.explainString(
@@ -365,9 +367,35 @@ final class GraftSession(val spark: SparkSession) {
     if (u.all) combined else combined.distinct()
   }
 
-  private def buildRead(rq: ReadQuery, params: Map[String, Any]): DataFrame = {
+  private def buildRead(rq: ReadQuery, params: Map[String, Any],
+      ambient: Seq[DataFrame] = Seq.empty): DataFrame = {
     val bound = if (params.isEmpty) rq else bindParams(rq, params)
-    new DataFrameBuilder(this).build(Planner.plan(bound, _catalog))
+    new DataFrameBuilder(this).build(Planner.plan(bound, _catalog), ambient)
+  }
+
+  /** Leading CALL { } blocks: each executes once; its columns cross-join
+    * onto every main-query row (the uncorrelated openCypher semantics —
+    * with one subquery row, a constant column; with n rows, an n-way
+    * fan-out, exactly as CALL specifies). The main side plans normally;
+    * Spark broadcasts the (typically one-row aggregate) call frames. */
+  private def buildCall(cq: CallQuery, params: Map[String, Any]): DataFrame = {
+    val callDfs = cq.calls.map(buildRead(_, params))
+    val names = callDfs.flatMap(_.columns)
+    val dups = names.diff(names.distinct).distinct
+    if (dups.nonEmpty) throw new GraftException(
+      s"CALL subqueries return duplicate column name(s): ${dups.mkString(", ")}")
+    cq.main match {
+      case rq: ReadQuery => buildRead(rq, params, callDfs)
+      case u: UnionQuery =>
+        val parts = u.parts.map(buildRead(_, params, callDfs))
+        val cols = parts.map(_.columns.toSeq.sorted).distinct
+        if (cols.size > 1) throw new GraftException(
+          s"UNION parts return different columns: ${cols.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
+        val combined = parts.reduce(_ unionByName _)
+        if (u.all) combined else combined.distinct()
+      case other => throw new GraftException(
+        s"CALL { } must precede a read query, got: ${other.getClass.getSimpleName}")
+    }
   }
 
   private def bindParams(q: ReadQuery, params: Map[String, Any]): ReadQuery = {

@@ -120,6 +120,13 @@ object SparkEntry {
         |  AND o.o_orderdate IS NOT NULL
         |RETURN o.o_orderkey AS k, o.o_totalprice / 2.0 + 10.0 AS adj;""".stripMargin),
 
+    // leading CALL { } subquery: corpus-level scalar computed once, then
+    // joined onto every row (compute-then-filter)
+    "q_call" -> cy(
+      """CALL { MATCH (o:Order) RETURN round(avg(o.o_totalprice), 2) AS avg_p }
+        |MATCH (o:Order) WHERE o.o_totalprice > avg_p * 1.5
+        |RETURN count(*) AS cnt, round(min(avg_p), 2) AS avg_seen;""".stripMargin),
+
     // client parameters, bound before planning
     "q_param" -> cy(
       """MATCH (c:Customer) WHERE c.c_mktsegment = $seg AND c.c_nationkey IN $nats
@@ -419,6 +426,11 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderstatus IN ('O', 'F') AND NOT (o_totalprice < 1000.0)
         |  AND o_orderdate IS NOT NULL""".stripMargin,
+
+    "q_call" ->
+      """SELECT count(*) AS cnt, round(min(avg_p), 2) AS avg_seen FROM orders
+        |CROSS JOIN (SELECT round(avg(o_totalprice), 2) AS avg_p FROM orders)
+        |WHERE o_totalprice > avg_p * 1.5""".stripMargin,
 
     "q_param" ->
       """SELECT count(*) AS cnt FROM customer

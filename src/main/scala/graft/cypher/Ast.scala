@@ -362,6 +362,14 @@ final case class ExplainQuery(inner: CypherStatement) extends CypherStatement
 final case class UnionQuery(parts: Seq[ReadQuery], all: Boolean)
     extends CypherStatement
 
+/** Leading `CALL { <read query> } ... <main query>` subquery blocks
+  * (extension; the uncorrelated openCypher form). Each block executes
+  * once and its RETURN columns join onto every row of the main query —
+  * the standard "compute a corpus-level scalar, then filter by it"
+  * shape. Correlated bodies (importing `WITH a`) are not supported. */
+final case class CallQuery(calls: Seq[ReadQuery], main: CypherStatement)
+    extends CypherStatement
+
 final case class ColumnDef(name: String, dtype: String, default: Option[Expr])
 
 /** CREATE NODE TABLE — reference ddl_query.rs:60-100. */

@@ -513,10 +513,22 @@ object CypherParser extends RegexParsers {
         UnionQuery(head +: tail.map { case _ ~ q => q }, kinds.head)
     }
 
+  /** Leading uncorrelated `CALL { <read query> }` blocks. A correlated
+    * import (`CALL { WITH a ... }`) fails the inner readQuery parse — the
+    * lookahead gives it a specific error instead of a generic one. */
+  private def callBlocks: Parser[CypherStatement] =
+    rep1(kw("call") ~> "{" ~>
+      (kw("with") ~> err("correlated CALL { WITH ... } subqueries " +
+        "are not supported — only uncorrelated CALL blocks") | readQuery) <~
+      "}") ~ readOrUnion ^^ {
+      case calls ~ main => CallQuery(calls, main)
+    }
+
   private def statement: Parser[CypherStatement] =
-    opt(kw("explain")) ~ ((createNodeTable | createRelTable | readOrUnion) <~ opt(";")) ^^ {
+    opt(kw("explain")) ~
+      ((createNodeTable | createRelTable | callBlocks | readOrUnion) <~ opt(";")) ^^ {
       case Some(_) ~ inner => inner match {
-        case _: ReadQuery | _: UnionQuery => ExplainQuery(inner)
+        case _: ReadQuery | _: UnionQuery | _: CallQuery => ExplainQuery(inner)
         case _ => throw new GraftException("EXPLAIN only applies to read queries")
       }
       case None ~ inner => inner

@@ -35,8 +35,12 @@ final class DataFrameBuilder(session: GraftSession) {
 
   private val qualified: ExprCompiler.Resolver = _ => None
 
-  def build(plan: GraphPlan): DataFrame = {
-    val joined = buildJoins(plan)
+  def build(plan: GraphPlan, ambient: Seq[DataFrame] = Seq.empty): DataFrame = {
+    // ambient frames (leading CALL { } results) attach BEFORE the main
+    // WHERE so their columns are in scope for every later clause; each is
+    // usually a one-row aggregate, which Catalyst/AQE turns into a
+    // broadcast nested-loop join, not a shuffling cartesian
+    val joined = ambient.foldLeft(buildJoins(plan))(_ crossJoin _)
     var filtered = plan.residualFilter match {
       case Some(f) => joined.filter(compile(rewriteAliasArgs(f, plan), qualified))
       case None    => joined

@@ -559,9 +559,16 @@ object Planner {
             throw new GraftException(
               "aggregate functions are not allowed in WHERE; filter after " +
               "aggregation with 'WITH ... WHERE' instead")
+          // a conjunct referencing any BARE name that is not a pattern
+          // alias (a leading CALL { } output column) cannot push to a
+          // scan — the column only exists after the ambient cross-join
+          val bareExtra =
+            Expr.referencedNames(c).diff(nodeAliases ++ relAliases).nonEmpty
           allRefs.toSeq match {
-            case Seq(single) if nodeAliases(single) => nodePushed(single) = nodePushed(single) :+ c
-            case Seq(single) if relAliases(single)  => relPushed(single) = relPushed(single) :+ c
+            case Seq(single) if nodeAliases(single) && !bareExtra =>
+              nodePushed(single) = nodePushed(single) :+ c
+            case Seq(single) if relAliases(single) && !bareExtra =>
+              relPushed(single) = relPushed(single) :+ c
             case _ => residual += c
           }
       }

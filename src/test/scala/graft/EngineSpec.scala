@@ -849,6 +849,45 @@ class EngineSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("months"))
   }
 
+  test("leading CALL { } subqueries: scalar join, fan-out, rejections") {
+    // users: ids 1..5. avg(id) = 3.0 — the classic compute-then-filter
+    val df = gs.cypher(
+      """CALL { MATCH (u:User) RETURN avg(u.id) AS mean_id }
+        |MATCH (u:User) WHERE u.id > mean_id RETURN u.id AS id;""".stripMargin)
+    assert(longs(df) == Set(4L, 5L))
+    // two CALL blocks compose; call columns project through RETURN
+    val df2 = gs.cypher(
+      """CALL { MATCH (u:User) RETURN min(u.id) AS lo }
+        |CALL { MATCH (u:User) RETURN max(u.id) AS hi }
+        |MATCH (u:User) WHERE u.id > lo AND u.id < hi
+        |RETURN u.id AS id, lo + hi AS span;""".stripMargin)
+    val rows2 = df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows2 == Set((2L, 6L), (3L, 6L), (4L, 6L)))
+    // an n-row subquery fans the main query out n ways (CALL semantics)
+    val df3 = gs.cypher(
+      """CALL { MATCH (u:User) WHERE u.id <= 2 RETURN u.id AS probe }
+        |MATCH (v:User {id: 5}) RETURN v.id AS id, probe AS probe;""".stripMargin)
+    assert(df3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((5L, 1L), (5L, 2L)))
+    // duplicate output names across calls are loud
+    val e1 = intercept[GraftException](gs.cypher(
+      """CALL { MATCH (u:User) RETURN min(u.id) AS x }
+        |CALL { MATCH (u:User) RETURN max(u.id) AS x }
+        |MATCH (u:User) RETURN u.id AS id;""".stripMargin))
+    assert(e1.getMessage.contains("duplicate"))
+    // correlated import form is a specific parse error
+    val e2 = intercept[GraftException](gs.cypher(
+      """MATCH (a:User) CALL { WITH a MATCH (b:User) RETURN count(b) AS c }
+        |RETURN a.id AS id;""".stripMargin))
+    assert(e2.getMessage.toLowerCase.contains("parse") ||
+      e2.getMessage.contains("correlated") || e2.getMessage.contains("CALL"))
+    // EXPLAIN composes with CALL
+    val plan = gs.cypher(
+      """EXPLAIN CALL { MATCH (u:User) RETURN avg(u.id) AS m }
+        |MATCH (u:User) WHERE u.id > m RETURN u.id AS id;""".stripMargin)
+    assert(plan.columns.sameElements(Array("plan")))
+  }
+
   test("list casts are element-wise try-casts (malformed element -> NULL)") {
     val df = gs.cypher(
       """MATCH (u:User {name:'u1'})

@@ -358,8 +358,9 @@ final class GraftSession(val spark: SparkSession) {
     * unionByName aligns by name, so `RETURN a, b UNION RETURN b, a` is
     * valid. UNION dedups, UNION ALL concatenates (one extra shuffle vs
     * none). */
-  private def buildUnion(u: UnionQuery, params: Map[String, Any]): DataFrame = {
-    val dfs = u.parts.map(buildRead(_, params))
+  private def buildUnion(u: UnionQuery, params: Map[String, Any],
+      ambient: Seq[DataFrame] = Seq.empty): DataFrame = {
+    val dfs = u.parts.map(buildRead(_, params, ambient))
     val names = dfs.map(_.columns.toSeq.sorted).distinct
     if (names.size > 1) throw new GraftException(
       s"UNION parts return different columns: ${names.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
@@ -370,7 +371,8 @@ final class GraftSession(val spark: SparkSession) {
   private def buildRead(rq: ReadQuery, params: Map[String, Any],
       ambient: Seq[DataFrame] = Seq.empty): DataFrame = {
     val bound = if (params.isEmpty) rq else bindParams(rq, params)
-    new DataFrameBuilder(this).build(Planner.plan(bound, _catalog), ambient)
+    val plan = Planner.plan(bound, _catalog, ambient.flatMap(_.columns).toSet)
+    new DataFrameBuilder(this).build(plan, ambient)
   }
 
   /** Leading CALL { } blocks: each executes once; its columns cross-join
@@ -387,12 +389,15 @@ final class GraftSession(val spark: SparkSession) {
     cq.main match {
       case rq: ReadQuery => buildRead(rq, params, callDfs)
       case u: UnionQuery =>
-        val parts = u.parts.map(buildRead(_, params, callDfs))
-        val cols = parts.map(_.columns.toSeq.sorted).distinct
-        if (cols.size > 1) throw new GraftException(
-          s"UNION parts return different columns: ${cols.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
-        val combined = parts.reduce(_ unionByName _)
-        if (u.all) combined else combined.distinct()
+        // a UNION main embeds the call plans into EVERY part; persist so
+        // each subquery still EXECUTES once (a LIMIT-without-ORDER body
+        // must not pick different rows per part), registered for cleanup
+        val cached = callDfs.map { df =>
+          val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.pipeline.PipelineCaches.onClear(c)(_.unpersist(false))
+          c
+        }
+        buildUnion(u, params, cached)
       case other => throw new GraftException(
         s"CALL { } must precede a read query, got: ${other.getClass.getSimpleName}")
     }

@@ -518,8 +518,8 @@ object CypherParser extends RegexParsers {
     * lookahead gives it a specific error instead of a generic one. */
   private def callBlocks: Parser[CypherStatement] =
     rep1(kw("call") ~> "{" ~>
-      (kw("with") ~> err("correlated CALL { WITH ... } subqueries " +
-        "are not supported — only uncorrelated CALL blocks") | readQuery) <~
+      (kw("with") ~> err("CALL bodies must start with MATCH — leading-WITH " +
+        "and correlated (WITH-import) subquery forms are not supported") | readQuery) <~
       "}") ~ readOrUnion ^^ {
       case calls ~ main => CallQuery(calls, main)
     }

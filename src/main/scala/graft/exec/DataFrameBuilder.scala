@@ -34,13 +34,25 @@ final class DataFrameBuilder(session: GraftSession) {
   import ExprCompiler.compile
 
   private val qualified: ExprCompiler.Resolver = _ => None
+  /** Leading CALL { } output columns attached to this build (in scope for
+    * bare references and RETURN * expansion). */
+  private var ambientCols: Seq[String] = Seq.empty
 
   def build(plan: GraphPlan, ambient: Seq[DataFrame] = Seq.empty): DataFrame = {
+    ambientCols = ambient.flatMap(_.columns)
     // ambient frames (leading CALL { } results) attach BEFORE the main
     // WHERE so their columns are in scope for every later clause; each is
     // usually a one-row aggregate, which Catalyst/AQE turns into a
     // broadcast nested-loop join, not a shuffling cartesian
-    val joined = ambient.foldLeft(buildJoins(plan))(_ crossJoin _)
+    val base = buildJoins(plan)
+    // a call column shadowing a pattern table column would make every
+    // bare reference ambiguous at analysis — reject loudly up front
+    val clash = ambientCols.toSet.intersect(base.columns.toSet)
+    if (clash.nonEmpty)
+      throw new graft.cypher.GraftException(
+        s"CALL output column(s) ${clash.mkString(", ")} collide with " +
+          "pattern columns; alias the CALL's RETURN items differently")
+    val joined = ambient.foldLeft(base)(_ crossJoin _)
     var filtered = plan.residualFilter match {
       case Some(f) => joined.filter(compile(rewriteAliasArgs(f, plan), qualified))
       case None    => joined
@@ -636,9 +648,11 @@ final class DataFrameBuilder(session: GraftSession) {
         expr match {
           case Expr.Star if ctx.qualifiedGraph =>
             // RETURN * — all explicitly-named aliases (reference
-            // projection_tagging.rs:31-59), nodes first in pattern order.
+            // projection_tagging.rs:31-59), nodes first in pattern order,
+            // then any leading-CALL columns (they are in scope too)
             (nodeOrder ++ plan.edges.map(_.alias))
-              .filterNot(_.startsWith("__")).flatMap(expandAlias)
+              .filterNot(_.startsWith("__")).flatMap(expandAlias) ++
+              ambientCols.map(n => (None, n, Expr.Var(n): Expr))
           case Expr.Star =>
             ctx.carried.keys.toSeq.sorted.flatMap(expandAlias)
           case Expr.Var(a) if isAlias(a) => expandAlias(a)

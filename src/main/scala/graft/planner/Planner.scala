@@ -120,7 +120,8 @@ object Planner {
       block: Int, // -1 = main pattern, i = optionalMatches(i)
       shortest: Boolean = false, pathAlias: Option[String] = None)
 
-  def plan(q: ReadQuery, catalog: GraphCatalog): GraphPlan = {
+  def plan(q: ReadQuery, catalog: GraphCatalog,
+      ambientCols: Set[String] = Set.empty): GraphPlan = {
     var synthetic = 0
     def fresh(prefix: String): String = { synthetic += 1; s"__$prefix$synthetic" }
 
@@ -437,7 +438,7 @@ object Planner {
           throw new GraftException(
             "aggregate functions are not allowed inside an EXISTS { } WHERE")
         val refs = Expr.referencedNames(c)
-        val unknown = refs -- subLocal -- nodeAliases -- relAliases
+        val unknown = refs -- subLocal -- nodeAliases -- relAliases -- ambientCols
         if (unknown.nonEmpty)
           throw new GraftException(
             s"undefined alias '${unknown.head}' in subquery WHERE")
@@ -457,7 +458,8 @@ object Planner {
             "subquery-local alias; move outer-only conditions out of the " +
             "subquery (for COUNT, wrap the count in CASE WHEN instead)")
         } else {
-          if (refs.exists(a => !mainAliases(a) && !mainRelAliases(a)))
+          if (refs.exists(a =>
+              !mainAliases(a) && !mainRelAliases(a) && !ambientCols(a)))
             throw new GraftException(
               "subquery WHERE cannot reference aliases introduced by a " +
               "later OPTIONAL MATCH (out of scope)")
@@ -582,10 +584,14 @@ object Planner {
         if (Expr.containsPatternPred(c) || Expr.containsCountSub(c))
           throw new GraftException(
             "pattern predicates are only supported in the main MATCH's WHERE")
+        // same guard as the main WHERE: a bare non-alias name (a leading
+        // CALL output column) only exists after the ambient cross-join
+        val bareExtraOpt =
+          Expr.referencedNames(c).diff(nodeAliases ++ relAliases).nonEmpty
         Expr.referencedNames(c).intersect(nodeAliases ++ relAliases).toSeq match {
-          case Seq(single) if internalNodes(single) =>
+          case Seq(single) if internalNodes(single) && !bareExtraOpt =>
             nodePushed(single) = nodePushed(single) :+ c
-          case Seq(single) if internalRels(single) =>
+          case Seq(single) if internalRels(single) && !bareExtraOpt =>
             relPushed(single) = relPushed(single) :+ c
           case _ => blockResiduals(bi) += c
         }

@@ -888,6 +888,37 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.columns.sameElements(Array("plan")))
   }
 
+  test("CALL { } scope: RETURN *, OPTIONAL MATCH, UNION main, collisions") {
+    // RETURN * includes the call columns (they are in scope)
+    val df = gs.cypher(
+      """CALL { MATCH (u:User) RETURN max(u.id) AS top }
+        |MATCH (v:User {id: 1}) RETURN *;""".stripMargin)
+    assert(df.columns.contains("top"))
+    assert(df.select("top").head.getLong(0) == 5L)
+    // OPTIONAL MATCH WHERE referencing a call column stays residual
+    // (previously pushed to a scan where the column does not exist)
+    val df2 = gs.cypher(
+      """CALL { MATCH (u:User) RETURN min(u.id) + 1 AS lo2 }
+        |MATCH (a:User {id: 1}) OPTIONAL MATCH (a)-[:Follows]->(b:User)
+        |WHERE b.id > lo2
+        |RETURN a.id AS id, b.id AS bid;""".stripMargin)
+    val pairs = df2.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(pairs.forall(_._1 == 1L) && pairs.exists(_._2 > 2L))
+    // a UNION main executes each call once; both parts see its columns
+    val df3 = gs.cypher(
+      """CALL { MATCH (u:User) RETURN max(u.id) AS hi2 }
+        |MATCH (u:User) WHERE u.id = hi2 RETURN u.id AS id
+        |UNION MATCH (u:User) WHERE u.id = hi2 - 4 RETURN u.id AS id;""".stripMargin)
+    assert(longs(df3) == Set(5L, 1L))
+    // a call column named like a pattern table column is a loud error,
+    // not a raw Spark ambiguity failure
+    val e = intercept[GraftException](gs.cypher(
+      """CALL { MATCH (u:User) RETURN max(u.id) AS id }
+        |MATCH (v:User) WHERE v.id < id RETURN v.id AS x;""".stripMargin))
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("list casts are element-wise try-casts (malformed element -> NULL)") {
     val df = gs.cypher(
       """MATCH (u:User {name:'u1'})

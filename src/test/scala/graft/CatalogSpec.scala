@@ -101,6 +101,7 @@ class CatalogSpec extends AnyFunSuite {
       // strict attach must accept it without a rebuild
       g.attachAdjIndex("Follows", rebuildIfStale = false)
 
+
       // cheaper than a rebuild: only the partition groups of the delta's
       // keys were rewritten; every other group's files are untouched (a
       // rebuild rewrites every file). Outgoing delta keys: {3, 1}.
@@ -110,6 +111,21 @@ class CatalogSpec extends AnyFunSuite {
         assert(after(d) == files, s"untouched group $d was rewritten")
       for (d <- touched if before.contains(d))
         assert(after(d) != before(d), s"touched group $d was not rewritten")
+      // an INT-typed delta must merge identically: the delta is cast to
+      // the persisted key/value types before hashing, so hash(3: Int)
+      // cannot land id 3 in a different partition group than hash(3L)
+      // (which would duplicate the id on the next well-typed append)
+      g.registerTable("Follows",
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L), (1L, 2L), (2L, 5L))
+          .toDF("from_User", "to_User"))
+      g.appendEdges("Follows",
+        Seq((2, 5)).toDF("from_User", "to_User")) // Int columns
+      val out2 = g.adjIndex("Follows", outgoing = true).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(out2(2L) == Set(3L, 5L))
+      assert(g.adjIndex("Follows", outgoing = true)
+        .groupBy("id").count().filter(col("count") > 1).count() == 0,
+        "no id may appear twice after a type-mismatched append")
     } finally {
       spark.sql("DROP TABLE IF EXISTS follows_outgoing")
       spark.sql("DROP TABLE IF EXISTS follows_incoming")
@@ -131,6 +147,17 @@ class CatalogSpec extends AnyFunSuite {
     // from corpus.filter(...) must not be served as fresh for corpus)
     assert(Snapshot.fingerprint(base) != Snapshot.fingerprint(base.filter($"id" > 1)))
     assert(Snapshot.fingerprint(base.select($"id")) != Snapshot.fingerprint(base))
+    // WIDE projections differing only past spark.sql.debug.maxToStringFields
+    // (25) must still differ — tree-string rendering elides late fields,
+    // which is why the hash uses toJSON (round-7 review)
+    val wideDir = Files.createTempDirectory("graft_fp_wide").toString
+    spark.range(3).select(
+        (0 until 30).map(i => ($"id" + i).as(s"c$i")): _*)
+      .write.mode("overwrite").parquet(wideDir)
+    def wide = spark.read.parquet(wideDir)
+    val first25 = (0 until 25).map(i => $"c$i")
+    assert(Snapshot.fingerprint(wide.select(first25 :+ $"c27": _*)) !=
+      Snapshot.fingerprint(wide.select(first25 :+ $"c28": _*)))
   }
 
   test("catalog save / load / version-poll refresh") {

@@ -630,6 +630,10 @@ object Similarity {
     // fingerprint BEFORE writing (conservative: a corpus changing
     // mid-append reads as stale afterwards, never as fresh)
     val fp = graft.catalog.Snapshot.fingerprint(corpus)
+    // idempotence: if the index already covers THIS corpus content, a
+    // repeated call must not append the delta's vectors a second time
+    // (duplicate rows in the lists would surface as duplicate neighbors)
+    if (meta.endsWith(ivfMarker(fp, nlist, refineIters, idCol, vecCol))) return
     val cents = collectCents(spark.read.parquet(s"$path/centroids")
       .select(col("list_id"), col("cent"), col("centnorm")))
     val d = prepIvfCorpus(delta, idCol, vecCol)

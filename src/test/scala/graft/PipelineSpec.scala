@@ -505,6 +505,12 @@ class SimilaritySpec extends AnyFunSuite {
       // mismatched build parameters are loud, not a quiet recall cliff
       assertThrows[graft.cypher.GraftException](
         Similarity.appendToIvfIndex(full, delta, dir, nlist = 7))
+
+      // idempotent: re-appending the same corpus is a no-op (no files
+      // gain a second copy of the delta's vectors)
+      val afterOnce = listState()
+      Similarity.appendToIvfIndex(full, delta, dir)
+      assert(listState() == afterOnce, "repeat append duplicated vectors")
     } finally graft.pipeline.PipelineCaches.clear()
   }
 

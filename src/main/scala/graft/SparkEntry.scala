@@ -179,7 +179,8 @@ object SparkEntry {
     "q_list_fns" -> cy(
       """MATCH (r:Region) UNWIND range(0, 8, 2) AS x
         |RETURN r.r_regionkey AS rk, x AS x, head(range(1, 3)) AS h,
-        |       last(range(1, 3)) AS l, size(range(1, 3)) AS sz;""".stripMargin),
+        |       last(range(1, 3)) AS l, size(range(1, 3)) AS sz,
+        |       head(tail(range(0, r.r_regionkey))) AS t2;""".stripMargin),
 
     // openCypher list-cast round-trips (toStringList/toIntegerList/
     // toFloatList/toBooleanList) composed with split()/range()/reduce()
@@ -301,7 +302,8 @@ object SparkEntry {
     "q_string_fns" -> cy(
       """MATCH (c:Customer) WHERE c.c_custkey % 50 = 0
         |RETURN c.c_custkey AS k, toUpper(c.c_name) AS un,
-        |       substring(c.c_name, 1, 4) AS pre, length(c.c_name) AS len;""".stripMargin),
+        |       substring(c.c_name, 1, 4) AS pre, right(c.c_name, 3) AS suf,
+        |       length(c.c_name) AS len;""".stripMargin),
 
     // scalar math-function registry (IEEE-exact ops only — no rounding
     // boundary sensitivity)
@@ -471,7 +473,8 @@ object SparkEntry {
     // DuckDB generate_series is inclusive like Cypher range()
     "q_list_fns" ->
       """SELECT r_regionkey AS rk, x, CAST(1 AS BIGINT) AS h,
-        |       CAST(3 AS BIGINT) AS l, CAST(3 AS INTEGER) AS sz
+        |       CAST(3 AS BIGINT) AS l, CAST(3 AS INTEGER) AS sz,
+        |       CASE WHEN r_regionkey >= 1 THEN CAST(1 AS BIGINT) END AS t2
         |FROM region CROSS JOIN (SELECT unnest(generate_series(0, 8, 2)) AS x)""".stripMargin,
 
     // list-cast round-trip: sum(0..k) has the closed form; the boolean
@@ -569,7 +572,7 @@ object SparkEntry {
 
     "q_string_fns" ->
       """SELECT c_custkey AS k, upper(c_name) AS un, substring(c_name, 1, 4) AS pre,
-        |CAST(length(c_name) AS INTEGER) AS len
+        |right(c_name, 3) AS suf, CAST(length(c_name) AS INTEGER) AS len
         |FROM customer WHERE c_custkey % 50 = 0""".stripMargin,
 
     "q_math_fns" ->

@@ -208,6 +208,7 @@ object ExprCompiler {
       case "substring" | "substr"    =>
         substring(arg(0), litArg(1).asInstanceOf[Long].toInt, if (fn.args.size > 2) litArg(2).asInstanceOf[Long].toInt else Int.MaxValue)
       case "left"                    => substring(arg(0), 1, litArg(1).asInstanceOf[Long].toInt)
+      case "right"                   => call_function("right", arg(0), arg(1))
       case "split"                   => split(arg(0), litArg(1).toString)
       case "concat"                  => concat(args: _*)
       case "startswith"              => arg(0).startsWith(arg(1))
@@ -304,6 +305,10 @@ object ExprCompiler {
         if (fn.args.size > 2) sequence(arg(0), arg(1), arg(2))
         else sequence(arg(0), arg(1))
       case "head"                    => try_element_at(arg(0), lit(1))
+      // tail: everything after the head; empty (not NULL) for 1-element
+      // lists, NULL passes through
+      case "tail" =>
+        slice(arg(0), lit(2), greatest(size(arg(0)) - 1, lit(0)))
       case "last"                    => try_element_at(arg(0), lit(-1))
       // native fused-loop vector expressions (graft.functions)
       case "dot_product"             => call_function("graft_dot", arg(0), arg(1))

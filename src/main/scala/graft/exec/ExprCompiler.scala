@@ -169,12 +169,21 @@ object ExprCompiler {
           case _ => count(arg(0))
         }
       case "sum"          => if (fn.distinct) sum_distinct(arg(0)) else sum(arg(0))
+      // DISTINCT is a no-op under min/max but must not be silently
+      // dropped elsewhere (avg(DISTINCT) computing a plain avg would be
+      // wrong answers, not an error)
       case "min"          => min(arg(0))
       case "max"          => max(arg(0))
-      case "avg"          => avg(arg(0))
+      case "avg" =>
+        if (fn.distinct) sum_distinct(arg(0)) / count_distinct(arg(0))
+        else avg(arg(0))
       case "collect_list" | "collect" =>
         if (fn.distinct) collect_set(arg(0)) else collect_list(arg(0))
       case "collect_set"  => collect_set(arg(0))
+      case _ if fn.distinct =>
+        throw new GraftException(
+          s"$name(DISTINCT ...) is not supported (DISTINCT applies to " +
+            "count, sum, avg, collect)")
       case "stddev"       => stddev(arg(0))
       case "approx_count_distinct" => approx_count_distinct(arg(0))
       case "variance"     => variance(arg(0))

@@ -819,6 +819,19 @@ class EngineSpec extends AnyFunSuite {
     assert(gs.toPretty(df).contains("u1"))
   }
 
+  test("avg(DISTINCT) computes over distinct values; unsupported DISTINCT is loud") {
+    // Follows.since: 2019, 2020, 2021, 2022, 2023 (all distinct) plus the
+    // duplicate-heavy id column exercises the distinct path for real
+    val r = gs.cypher(
+      """MATCH (u:User)-[f:Follows]->(v:User)
+        |RETURN avg(DISTINCT u.id % 2) AS am, sum(DISTINCT u.id % 2) AS sm;""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 0.5 && r.getLong(1) == 1L) // distinct {0,1}
+    val e = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN stddev(DISTINCT u.id) AS s;"))
+    assert(e.getMessage.contains("DISTINCT"))
+  }
+
   test("temporal component maps: defaults, typo rejection, year required") {
     val df = gs.cypher(
       """MATCH (u:User {name:'u1'})

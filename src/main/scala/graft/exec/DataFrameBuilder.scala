@@ -89,8 +89,8 @@ final class DataFrameBuilder(session: GraftSession) {
         }
         df = df.orderBy(keys: _*)
       }
-      stage.skip.foreach(n => df = df.offset(n.toInt))
-      stage.limit.foreach(n => df = df.limit(n.toInt))
+      stage.skip.foreach(n => df = df.offset(intCount(n, "SKIP")))
+      stage.limit.foreach(n => df = df.limit(intCount(n, "LIMIT")))
       stage.where.foreach { w =>
         df = df.filter(compile(rewriteAliasArgs(w, plan), next.resolver))
       }
@@ -108,11 +108,21 @@ final class DataFrameBuilder(session: GraftSession) {
       }
       out = out.orderBy(sortCols: _*)
     }
-    plan.skip.foreach(n => out = out.offset(n.toInt))
-    plan.limit.foreach(n => out = out.limit(n.toInt))
+    plan.skip.foreach(n => out = out.offset(intCount(n, "SKIP")))
+    plan.limit.foreach(n => out = out.limit(intCount(n, "LIMIT")))
     if (hidden.exists(h => !names.contains(h)))
       out = out.select(names.map(qcol): _*)
     out
+  }
+
+
+  /** SKIP/LIMIT operands ride Spark APIs that take Int; a count past
+    * Int.MaxValue must be a loud error, not a silent 32-bit wrap. */
+  private def intCount(n: Long, clause: String): Int = {
+    if (n < 0 || n > Int.MaxValue)
+      throw new graft.cypher.GraftException(
+        s"$clause $n is out of range (0 to ${Int.MaxValue})")
+    n.toInt
   }
 
   // ---- scans ---------------------------------------------------------------

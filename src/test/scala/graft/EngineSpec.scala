@@ -819,6 +819,21 @@ class EngineSpec extends AnyFunSuite {
     assert(gs.toPretty(df).contains("u1"))
   }
 
+  test("LIMIT/SKIP beyond Int.MaxValue error instead of wrapping") {
+    def oob(msg: String) =
+      msg.contains("out of range") || msg.contains("exceeds the supported")
+    val e = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN u.id AS id LIMIT 3000000000;"))
+    assert(oob(e.getMessage))
+    val e2 = intercept[GraftException](gs.cypher(
+      "MATCH (u:User) RETURN u.id AS id SKIP 3000000000 LIMIT 1;"))
+    assert(oob(e2.getMessage))
+    val e3 = intercept[GraftException](gs.cypher(
+      """MATCH (u:User) WITH u.id AS id ORDER BY id LIMIT 3000000000
+        |RETURN id AS id;""".stripMargin))
+    assert(oob(e3.getMessage))
+  }
+
   test("avg(DISTINCT) computes over distinct values; unsupported DISTINCT is loud") {
     // Follows.since: 2019, 2020, 2021, 2022, 2023 (all distinct) plus the
     // duplicate-heavy id column exercises the distinct path for real

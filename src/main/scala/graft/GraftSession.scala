@@ -274,6 +274,47 @@ final class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** Append edge ROWS to the relationship's backing table (in-memory
+    * registered frames union; catalog-managed tables append-write), the
+    * storage half of [[appendEdges]]' contract. */
+  private def appendEdgeRows(relLabel: String, rows: DataFrame): Unit = {
+    val r = _catalog.rel(relLabel)
+    if (tables.contains(r.tableName))
+      tables.put(r.tableName, tables(r.tableName).unionByName(rows))
+    else {
+      rows.write.mode("append").insertInto(r.tableName)
+      spark.catalog.refreshTable(r.tableName)
+    }
+  }
+
+  /** Streaming graph maintenance: absorb a STREAM of edges into the
+    * relationship table and its persisted adjacency index — the streaming
+    * form of the reference's MV-fed per-INSERT index updates
+    * (ddl_query.rs:290-311). Each micro-batch appends to the edge table,
+    * then OR-merges into only the index partition groups it touches
+    * ([[appendEdges]]); an index reader attached between batches always
+    * sees a consistent (table, index, fingerprint) triple because the
+    * fingerprint is refreshed last within the batch.
+    *
+    * `edges` must be a streaming DataFrame with the rel's from/to columns.
+    * Exactly-once across restarts comes from the checkpoint: a replayed
+    * batch re-merges the same delta, and the set-union index semantics
+    * make the re-merge idempotent. */
+  def streamEdges(relLabel: String, edges: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(edges.isStreaming, "streamEdges expects a streaming DataFrame")
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          appendEdgeRows(relLabel, batch)
+          appendEdges(relLabel, batch)
+        }
+      }
+      .start()
+  }
+
   // ---- catalog persistence (reference server/graph_catalog.rs:127-219) ------
 
   /** Persist the catalog as versioned JSON (the reference stores the same

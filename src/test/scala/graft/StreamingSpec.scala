@@ -137,6 +137,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 5L) // 3 sessions for user 1 + 2 for user 2
   }
 
+  test("streamEdges: micro-batches land in the table and the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val g = new GraftSession(spark)
+    g.registerTable("susers",
+      (1L to 6L).map(i => (i, s"u$i")).toDF("id", "name"))
+    g.registerTable("SFollows", Seq((1L, 2L)).toDF("from_User", "to_User"))
+    g.registerNode("User", "susers", "id")
+    g.registerRel("SFollows", "SFollows", "User", "User", adjIndex = true)
+    g.persistAdjIndex("SFollows", buckets = 2, partGroups = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_se_ckpt").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = g.streamEdges("SFollows",
+      mem.toDF().toDF("from_User", "to_User"), ckpt)
+    try {
+      mem.addData((2L, 3L), (1L, 4L))
+      q.processAllAvailable()
+      assert(longs(g.cypher(
+        "MATCH (a:User {name:'u1'})-[:SFollows]->(b:User) RETURN b.id AS id;"))
+        == Set(2L, 4L))
+      // a second micro-batch composes (cross-batch state is the index);
+      // 1 -> 2 -> 3 (batches 0+1) then 3 -> 5 (batch 2) chains
+      mem.addData((3L, 5L))
+      q.processAllAvailable()
+      assert(longs(g.cypher(
+        """MATCH (a:User {name:'u1'})-[:SFollows*1..3]->(b:User)
+          |RETURN b.id AS id;""".stripMargin))
+        == Set(2L, 3L, 4L, 5L))
+      // the persisted index is CONSISTENT with the streamed table: a
+      // fresh strict attach accepts it without a rebuild
+      g.attachAdjIndex("SFollows", rebuildIfStale = false)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sfollows_outgoing")
+      spark.sql("DROP TABLE IF EXISTS sfollows_incoming")
+    }
+  }
+
   test("sampling ops are streaming-safe: stratified + mixture on a stream") {
     // Corpus.stratifiedSample and mixtureSample are NARROW (stateless
     // filter / explode — no aggregation, no watermark needed), so the

@@ -648,6 +648,37 @@ object Similarity {
         s""""rows":${prevRows + appended},${ivfMarker(fp, nlist, refineIters, idCol, vecCol)}""")
   }
 
+  /** Streaming IVF maintenance: absorb a STREAM of embeddings into a
+    * managed corpus table and the persisted index — each micro-batch
+    * appends to `corpusTable`, then [[appendToIvfIndex]] assigns the
+    * batch to the fixed centroids and appends only its list partitions.
+    * The streaming sibling of [[graft.GraftSession.streamEdges]], closing
+    * the loop for continuously-ingested embedding corpora; retrain on
+    * schedule with [[buildIvfIndex]] when the distribution drifts.
+    * Checkpoint replays re-run the batch append; the meta fingerprint
+    * (refreshed last) makes a replay after a completed batch a no-op,
+    * while a replay of a half-written batch reads as stale and repairs
+    * by rebuild. */
+  def streamToIvfIndex(embeddings: DataFrame, corpusTable: String,
+      path: String, checkpoint: String, nlist: Int = 0,
+      refineIters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(embeddings.isStreaming, "streamToIvfIndex expects a streaming DataFrame")
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.write.mode("append").saveAsTable(corpusTable)
+          spark.catalog.refreshTable(corpusTable)
+          appendToIvfIndex(spark.table(corpusTable), batch, path,
+            nlist, refineIters, idCol, vecCol)
+        }
+      }
+      .start()
+  }
+
   /** IVF ANN over a persisted index ([[buildIvfIndex]]): probe the nprobe
     * nearest lists per query, reading ONLY the probed list partitions.
     *

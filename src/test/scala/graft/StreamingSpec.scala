@@ -175,6 +175,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamToIvfIndex: streamed embeddings become retrievable neighbors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Similarity
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.sql("DROP TABLE IF EXISTS ivf_stream_corpus")
+    base.select("vec_id", "embedding").write.saveAsTable("ivf_stream_corpus")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt").toString
+    try {
+      Similarity.buildIvfIndex(spark.table("ivf_stream_corpus"), dir)
+      // stream clones of two existing vectors under fresh ids
+      val rows = base.limit(2).collect()
+        .map(r => (r.getLong(0) + 5000000L, r.getSeq[Float](1)))
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = Similarity.streamToIvfIndex(
+        mem.toDF().toDF("vec_id", "embedding"), "ivf_stream_corpus", dir, ckpt)
+      try {
+        mem.addData(rows.head)
+        q.processAllAvailable()
+        mem.addData(rows(1)) // second micro-batch composes
+        q.processAllAvailable()
+      } finally q.stop()
+      // each clone is retrieved for its original's query at csim 1.0
+      val queries = base.limit(2)
+      val got = Similarity.ivfTopKPersisted(queries, dir, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for (orig <- rows.map(_._1 - 5000000L))
+        assert(got.exists { case (qid, nid, sim) =>
+          qid == orig && nid == orig + 5000000L && sim == 1.0
+        }, s"streamed clone of $orig not retrieved")
+      // the index covers the streamed corpus: the fence does not rebuild
+      assert(!Similarity.buildIvfIndexIfStale(
+        spark.table("ivf_stream_corpus"), dir))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_stream_corpus")
+      graft.pipeline.PipelineCaches.clear()
+    }
+  }
+
   test("sampling ops are streaming-safe: stratified + mixture on a stream") {
     // Corpus.stratifiedSample and mixtureSample are NARROW (stateless
     // filter / explode — no aggregation, no watermark needed), so the

@@ -279,10 +279,25 @@ final class GraftSession(val spark: SparkSession) {
     * storage half of [[appendEdges]]' contract. */
   private def appendEdgeRows(relLabel: String, rows: DataFrame): Unit = {
     val r = _catalog.rel(relLabel)
-    if (tables.contains(r.tableName))
-      tables.put(r.tableName, tables(r.tableName).unionByName(rows))
-    else {
-      rows.write.mode("append").insertInto(r.tableName)
+    if (tables.contains(r.tableName)) {
+      val merged = tables(r.tableName).unionByName(rows)
+      // materialize: an accreting lazy union would re-execute every prior
+      // batch on each fingerprint pass (O(batches²) cumulative) and grow
+      // the plan without bound; persisting truncates the lineage. The
+      // previous incarnation is dropped once replaced.
+      val prev = tables(r.tableName)
+      val mat = spark.createDataFrame(
+        merged.rdd.persist(StorageLevel.MEMORY_AND_DISK), merged.schema)
+      mat.count() // eager: pin before the old persist goes away
+      tables.put(r.tableName, mat)
+      try prev.unpersist(false) catch { case _: Exception => }
+    } else {
+      // insertInto resolves by POSITION; the index half (appendEdges)
+      // resolves by NAME — align the rows to the table's column order so
+      // the two halves can never disagree on a reordered input frame
+      val cols = spark.table(r.tableName).columns
+      rows.select(cols.map(col(_)).toIndexedSeq: _*)
+        .write.mode("append").insertInto(r.tableName)
       spark.catalog.refreshTable(r.tableName)
     }
   }
@@ -296,24 +311,41 @@ final class GraftSession(val spark: SparkSession) {
     * sees a consistent (table, index, fingerprint) triple because the
     * fingerprint is refreshed last within the batch.
     *
-    * `edges` must be a streaming DataFrame with the rel's from/to columns.
-    * Exactly-once across restarts comes from the checkpoint: a replayed
-    * batch re-merges the same delta, and the set-union index semantics
-    * make the re-merge idempotent. */
+    * `edges` must be a streaming DataFrame with the rel's from/to columns
+    * (any column order — the append aligns by name).
+    *
+    * Replay semantics, stated precisely: a batch id is recorded in the
+    * index TBLPROPERTIES after the batch fully applies, so a restart
+    * replaying a COMPLETED batch is skipped outright. The index merge is
+    * additionally idempotent by set semantics. The remaining window — a
+    * crash after the table append but before the marker — can duplicate
+    * edge ROWS in the table on replay (foreachBatch is at-least-once into
+    * non-transactional sinks); the adjacency INDEX stays duplicate-free
+    * either way, and [[persistAdjIndex]] rebuilt from a deduplicated
+    * table reconciles. */
   def streamEdges(relLabel: String, edges: DataFrame,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     require(edges.isStreaming, "streamEdges expects a streaming DataFrame")
+    val marker = adjTableName(relLabel, outgoing = true)
     edges.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(marker))
+          .properties.get(StreamBatchProp).map(_.toLong)
+        if (!applied.exists(_ >= batchId) && !batch.isEmpty) {
           appendEdgeRows(relLabel, batch)
           appendEdges(relLabel, batch)
+          spark.sql(s"ALTER TABLE `$marker` SET TBLPROPERTIES (" +
+            s"'$StreamBatchProp' = '$batchId')")
+          ()
         }
       }
       .start()
   }
+
+  private val StreamBatchProp = "graft.stream.lastbatch"
 
   // ---- catalog persistence (reference server/graph_catalog.rs:127-219) ------
 

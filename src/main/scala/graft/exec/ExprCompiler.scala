@@ -175,7 +175,7 @@ object ExprCompiler {
       case "min"          => min(arg(0))
       case "max"          => max(arg(0))
       case "avg" =>
-        if (fn.distinct) sum_distinct(arg(0)) / count_distinct(arg(0))
+        if (fn.distinct) call_function("graft_avg_distinct", arg(0))
         else avg(arg(0))
       case "collect_list" | "collect" =>
         if (fn.distinct) collect_set(arg(0)) else collect_list(arg(0))

@@ -314,6 +314,15 @@ object GraftFunctions {
     ("graft_isect", classOf[SortedIntersectCount],
       exprs => SortedIntersectCount(exprs(0), exprs(1))),
     ("graft_size", classOf[PolySize], exprs => PolySize(exprs.head)),
+    // avg over DISTINCT values: the real Average aggregate with the
+    // distinct flag (planner rewrites it through the standard distinct
+    // aggregation path), so the result TYPE and rounding match plain
+    // avg() — a hand-rolled sum_distinct/count_distinct divide diverges
+    // on decimal inputs
+    ("graft_avg_distinct",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.Average],
+      exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+        .Average(exprs(0)).toAggregateExpression(isDistinct = true)),
     // exact discrete percentile via Spark's native PercentileDisc (counts
     // hashmap state: group memory ∝ distinct values, not rows — the
     // WITHIN-GROUP SQL form isn't reachable through call_function, so the

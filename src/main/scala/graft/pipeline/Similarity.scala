@@ -655,25 +655,34 @@ object Similarity {
     * The streaming sibling of [[graft.GraftSession.streamEdges]], closing
     * the loop for continuously-ingested embedding corpora; retrain on
     * schedule with [[buildIvfIndex]] when the distribution drifts.
-    * Checkpoint replays re-run the batch append; the meta fingerprint
-    * (refreshed last) makes a replay after a completed batch a no-op,
-    * while a replay of a half-written batch reads as stale and repairs
-    * by rebuild. */
+    * Replay semantics, stated precisely: the last fully-applied batch id
+    * is recorded next to the index AFTER the batch's corpus append, list
+    * append, and meta write all land, so a restart replaying a COMPLETED
+    * batch is skipped before it can touch the corpus table. The remaining
+    * window — a crash mid-batch — can leave the batch's rows in the
+    * corpus and/or lists once-and-a-half; the recorded fingerprint then
+    * mismatches the corpus, the index reads as STALE, and the repair is a
+    * [[buildIvfIndex]] retrain (appendToIvfIndex alone does not repair a
+    * half-applied batch). */
   def streamToIvfIndex(embeddings: DataFrame, corpusTable: String,
       path: String, checkpoint: String, nlist: Int = 0,
       refineIters: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
     require(embeddings.isStreaming, "streamToIvfIndex expects a streaming DataFrame")
+    val batchMarker = s"$path/_stream_batch"
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val applied = Artifacts.readStringIfExists(spark, batchMarker)
+          .map(_.trim.toLong)
+        if (!applied.exists(_ >= batchId) && !batch.isEmpty) {
           batch.write.mode("append").saveAsTable(corpusTable)
           spark.catalog.refreshTable(corpusTable)
           appendToIvfIndex(spark.table(corpusTable), batch, path,
             nlist, refineIters, idCol, vecCol)
+          Artifacts.writeString(spark, batchMarker, batchId.toString)
         }
       }
       .start()

@@ -33,6 +33,11 @@ final class GraftSession(val spark: SparkSession) {
 
   private val tables = TrieMap.empty[String, DataFrame]
   private val adjCache = TrieMap.empty[(String, Boolean), DataFrame]
+  /** Persisted materialization handles for streamed in-memory tables
+    * ([[appendEdgeRows]]) — kept so the predecessor can be explicitly
+    * unpersisted when a batch replaces it. */
+  private val tableRdds =
+    TrieMap.empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
 
   // ---- registration --------------------------------------------------------
 
@@ -283,14 +288,18 @@ final class GraftSession(val spark: SparkSession) {
       val merged = tables(r.tableName).unionByName(rows)
       // materialize: an accreting lazy union would re-execute every prior
       // batch on each fingerprint pass (O(batches²) cumulative) and grow
-      // the plan without bound; persisting truncates the lineage. The
-      // previous incarnation is dropped once replaced.
-      val prev = tables(r.tableName)
-      val mat = spark.createDataFrame(
-        merged.rdd.persist(StorageLevel.MEMORY_AND_DISK), merged.schema)
-      mat.count() // eager: pin before the old persist goes away
+      // the plan without bound. The new copy is persisted and PINNED
+      // (count) before the previous batch's persisted RDD is dropped —
+      // the predecessor stays in the new RDD's lineage, so without an
+      // explicit unpersist of the old HANDLE one full table copy would
+      // accumulate per batch; after the drop, an eviction of the new copy
+      // just recomputes through the original (un-persisted) lineage.
+      val rdd = merged.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val mat = spark.createDataFrame(rdd, merged.schema)
+      mat.count()
       tables.put(r.tableName, mat)
-      try prev.unpersist(false) catch { case _: Exception => }
+      tableRdds.put(r.tableName, rdd).foreach(old =>
+        try old.unpersist(blocking = false) catch { case _: Exception => })
     } else {
       // insertInto resolves by POSITION; the index half (appendEdges)
       // resolves by NAME — align the rows to the table's column order so

@@ -336,6 +336,10 @@ final class GraftSession(val spark: SparkSession) {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     require(edges.isStreaming, "streamEdges expects a streaming DataFrame")
     val marker = adjTableName(relLabel, outgoing = true)
+    if (!spark.catalog.tableExists(marker))
+      throw new GraftException(
+        s"streamEdges($relLabel): no persisted adjacency index to maintain — " +
+          "build one with persistAdjIndex before streaming")
     edges.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

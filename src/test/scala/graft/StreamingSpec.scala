@@ -168,6 +168,10 @@ class StreamingSpec extends AnyFunSuite {
       // the persisted index is CONSISTENT with the streamed table: a
       // fresh strict attach accepts it without a rebuild
       g.attachAdjIndex("SFollows", rebuildIfStale = false)
+      // the replay gate recorded the last applied batch id
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("sfollows_outgoing")).properties
+      assert(props.get("graft.stream.lastbatch").exists(_.toLong >= 1L))
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS sfollows_outgoing")

@@ -127,6 +127,20 @@ object SparkEntry {
         |MATCH (o:Order) WHERE o.o_totalprice > avg_p * 1.5
         |RETURN count(*) AS cnt, round(min(avg_p), 2) AS avg_seen;""".stripMargin),
 
+    // CALL block shared by both parts of a UNION main (executes once,
+    // persisted; columns visible in every part)
+    "q_call_union" -> cy(
+      """CALL { MATCH (n:Nation) RETURN max(n.n_nationkey) AS top }
+        |MATCH (n:Nation) WHERE n.n_nationkey = top RETURN n.n_name AS name
+        |UNION
+        |MATCH (n:Nation) WHERE n.n_nationkey = top - 24 RETURN n.n_name AS name;""".stripMargin),
+
+    // DISTINCT inside avg/sum aggregates (the openCypher spelling)
+    "q_agg_distinct" -> cy(
+      """MATCH (o:Order)
+        |RETURN avg(DISTINCT o.o_orderkey % 7) AS ad,
+        |       sum(DISTINCT o.o_orderkey % 7) AS sd;""".stripMargin),
+
     // client parameters, bound before planning
     "q_param" -> cy(
       """MATCH (c:Customer) WHERE c.c_mktsegment = $seg AND c.c_nationkey IN $nats
@@ -428,6 +442,17 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderstatus IN ('O', 'F') AND NOT (o_totalprice < 1000.0)
         |  AND o_orderdate IS NOT NULL""".stripMargin,
+
+    "q_call_union" ->
+      """SELECT n_name AS name FROM nation
+        |WHERE n_nationkey = (SELECT max(n_nationkey) FROM nation)
+        |UNION
+        |SELECT n_name AS name FROM nation
+        |WHERE n_nationkey = (SELECT max(n_nationkey) FROM nation) - 24""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT avg(DISTINCT o_orderkey % 7) AS ad,
+        |CAST(sum(DISTINCT o_orderkey % 7) AS BIGINT) AS sd FROM orders""".stripMargin,
 
     "q_call" ->
       """SELECT count(*) AS cnt, round(min(avg_p), 2) AS avg_seen FROM orders

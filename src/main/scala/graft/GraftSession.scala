@@ -41,7 +41,13 @@ final class GraftSession(val spark: SparkSession) {
 
   // ---- registration --------------------------------------------------------
 
-  def registerTable(name: String, df: DataFrame): Unit = tables.put(name, df)
+  def registerTable(name: String, df: DataFrame): Unit = {
+    tables.put(name, df)
+    // a replaced streamed table must also release its materialization
+    // handle, or the obsolete persisted copy stays pinned for the session
+    tableRdds.remove(name).foreach(old =>
+      try old.unpersist(blocking = false) catch { case _: Exception => })
+  }
 
   def table(name: String): DataFrame =
     tables.getOrElse(name, spark.table(name))
@@ -336,10 +342,22 @@ final class GraftSession(val spark: SparkSession) {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     require(edges.isStreaming, "streamEdges expects a streaming DataFrame")
     val marker = adjTableName(relLabel, outgoing = true)
-    if (!spark.catalog.tableExists(marker))
-      throw new GraftException(
-        s"streamEdges($relLabel): no persisted adjacency index to maintain — " +
-          "build one with persistAdjIndex before streaming")
+    // validate EVERYTHING appendEdges will need, for both orientations —
+    // a missing incoming table or a pre-partGroups layout must fail here,
+    // fast and clear, not inside the first micro-batch's foreachBatch
+    for (outgoing <- Seq(true, false)) {
+      val name = adjTableName(relLabel, outgoing)
+      if (!spark.catalog.tableExists(name))
+        throw new GraftException(
+          s"streamEdges($relLabel): no persisted adjacency index table " +
+            s"$name — build one with persistAdjIndex before streaming")
+      if (!spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))
+          .properties.contains(PartGroupsProp))
+        throw new GraftException(
+          s"streamEdges($relLabel): $name predates the partitioned index " +
+            "layout; rebuild it with persistAdjIndex before streaming")
+    }
     edges.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -77,6 +77,17 @@ object Bench {
     // a healthy-looking run.
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Leak sentinel: after PipelineCaches.clear() the only SQL cache
+    // entries left should be session-lifetime ones (memoized adjacency
+    // indexes). Those appear when a query FIRST touches its index and then
+    // plateau — so the unambiguous leak signal is a LATER iteration of the
+    // SAME query leaving more entries behind than its previous iteration
+    // did. Round 7's bench blew the 2x bar exactly that way: weakly-held
+    // pipeline frames escaped clear() and entries grew per-iteration until
+    // eviction thrashed. This makes any recurrence loud in the artifact.
+    var cacheHighWater = 0
+    var cacheGrowths = 0
+    val entriesAfterQuery = scala.collection.mutable.HashMap.empty[String, Int]
     // optional args = subset of query names (iterate on one regression
     // without paying for the full 58-query run); no args = everything
     val only = args.toSet
@@ -98,6 +109,18 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: $e")
         } finally {
           graft.pipeline.PipelineCaches.clear()
+          val entries =
+            try org.apache.spark.sql.graftprobe.CacheProbe.entryCount(spark)
+            catch { case scala.util.control.NonFatal(_) => -1 }
+          if (entries >= 0) {
+            cacheHighWater = math.max(entries, cacheHighWater)
+            entriesAfterQuery.get(name).filter(entries > _).foreach { prev =>
+              cacheGrowths += 1
+              System.err.println(
+                s"BENCH CACHE-LEAK after $name iter $i: $prev -> $entries SQL cache entries survive clear()")
+            }
+            entriesAfterQuery(name) = entries
+          }
         }
         i += 1
       }
@@ -120,7 +143,9 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""samples":$smp,"calib":$calibStart,"calib_end":$calibEnd,""" +
-        s""""iters":$iters,"errors":$errs,"sf":"$sfDir"}"""
+        s""""iters":$iters,"errors":$errs,""" +
+        s""""cache_entries":$cacheHighWater,"cache_growths":$cacheGrowths,""" +
+        s""""sf":"$sfDir"}"""
     // Full-precision object to a file: the driver's tail capture truncates
     // long stdout lines (every BENCH_r* wrapper before r07 had parsed:null
     // because only the line's suffix survived), so the durable artifact

@@ -495,10 +495,15 @@ final class GraftSession(val spark: SparkSession) {
       case u: UnionQuery =>
         // a UNION main embeds the call plans into EVERY part; persist so
         // each subquery still EXECUTES once (a LIMIT-without-ORDER body
-        // must not pick different rows per part), registered for cleanup
+        // must not pick different rows per part), registered for cleanup.
+        // persist() alone is not enough: it is lazy, and two union parts
+        // hitting the same partition concurrently on first action could
+        // each compute an independent (nondeterministic) result before one
+        // wins the block store — count() settles the cache first.
         val cached = callDfs.map { df =>
           val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           graft.pipeline.PipelineCaches.onClear(c)(_.unpersist(false))
+          c.count()
           c
         }
         buildUnion(u, params, cached)

@@ -40,8 +40,11 @@ object Snapshot {
         val canon = df.queryExecution.analyzed.canonicalized
         val planHash =
           try canon.toJSON
-          catch { // a non-JSON-serializable node: schema + tree string
-            case _: Throwable => canon.schema.json + canon.toString
+          catch { // a non-JSON-serializable node: schema + tree string.
+            // NonFatal only — swallowing OOM/linkage errors here would
+            // turn a dying JVM into a silently-wrong fingerprint
+            case scala.util.control.NonFatal(_) =>
+              canon.schema.json + canon.toString
           }
         files.sorted.map { f =>
           val p = new Path(f)

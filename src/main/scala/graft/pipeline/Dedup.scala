@@ -244,18 +244,28 @@ object Dedup {
         kept.unionByName(computeSignatures(delta))
       case None => computeSignatures(keyed)
     }
-    val newDir = s"sigs_${fp.take(12)}"
+    // FULL fingerprint in the dir name: a truncated prefix could collide
+    // with the live version's, making newDir == liveDir — and the
+    // overwrite would delete the directory the lazy merge above is still
+    // reading, silently losing signatures mid-write. With the full fp,
+    // newDir == liveDir implies fp unchanged, which returned early above.
+    val newDir = s"sigs_$fp"
     merged.write.mode("overwrite").parquet(s"$path/$newDir")
     Artifacts.writeString(spark, metaPath,
       s"""{"version":1,"dir":"$newDir",$marker""")
-    // compact: every version dir but the one just written is superseded
-    // (also sweeps strays left by interrupted builds)
+    // compact: superseded version dirs + strays from interrupted builds.
+    // Sweep keyed off a RE-READ of the meta, not off newDir: if a
+    // concurrent writer won the meta race, its dir is the live one and
+    // must survive our sweep (ours becomes the stray its sweep removes).
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveNow = Artifacts.readStringIfExists(spark, metaPath).flatMap(m =>
+      "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1)))
+      .getOrElse(newDir)
     for (st <- fs.listStatus(root)
-         if st.isDirectory && st.getPath.getName != newDir)
+         if st.isDirectory && st.getPath.getName != liveNow)
       fs.delete(st.getPath, true)
-    spark.read.parquet(s"$path/$newDir")
+    spark.read.parquet(s"$path/$liveNow")
   }
 
   /** [[minhashPairs]] through the persisted signature artifact — repeat

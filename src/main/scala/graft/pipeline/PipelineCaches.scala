@@ -12,24 +12,35 @@ import org.apache.spark.sql.DataFrame
   * cache). Spark offers no "unpersist when the consuming query finishes"
   * hook for a lazily-executed result, so the blocks stay cached until
   * [[clear]] — exactly like GraphX's persisted graphs. One-shot jobs
-  * (Verify, Bench) never notice; a long-running session (e.g. a
-  * QueryServer embedding these operators) should clear between jobs.
+  * (Verify, Bench) call [[clear]] after consuming each result; a
+  * long-running session (QueryServer does this after rendering each
+  * response) must do the same.
   *
-  * Only pipeline-created frames are tracked (weakly — a collected frame
-  * needs no cleanup): clearing does NOT touch other caches in the session,
-  * such as GraftSession's memoized adjacency indexes.
+  * Entries are held STRONGLY until [[clear]]. An earlier revision held
+  * them weakly on the theory that a collected frame needs no cleanup —
+  * true for raw RDD persists (ContextCleaner GC-unpersists those) but
+  * FALSE for Dataset/SQL persists: Spark's CacheManager keeps the
+  * `InMemoryRelation` alive by logical plan, so a tracked `DataFrame`
+  * handle collected before [[clear]] left its cached blocks pinned for
+  * the JVM's lifetime, and a 100-query single-JVM run accumulated caches
+  * until eviction thrashed (`WARN CacheManager: Asked to cache already
+  * cached data`). The registry is emptied on every [[clear]], so strong
+  * references cannot leak in the other direction.
+  *
+  * Only pipeline-created frames are tracked: clearing does NOT touch
+  * other caches in the session, such as GraftSession's memoized
+  * adjacency indexes (session-lifetime by design).
   */
 object PipelineCaches {
 
-  private val registry =
-    scala.collection.mutable.WeakHashMap.empty[DataFrame, Unit]
-  private val cleanups = scala.collection.mutable.ArrayBuffer
-    .empty[(java.lang.ref.WeakReference[AnyRef], AnyRef => Unit)]
+  private val registry = scala.collection.mutable.LinkedHashSet.empty[DataFrame]
+  private val cleanups =
+    scala.collection.mutable.ArrayBuffer.empty[(AnyRef, AnyRef => Unit)]
 
   /** Register an (already persisted) pipeline intermediate for [[clear]];
     * used via `.transform(PipelineCaches.track)` after each persist. */
-  private[pipeline] def track(df: DataFrame): DataFrame = synchronized {
-    registry.put(df, ())
+  private[graft] def track(df: DataFrame): DataFrame = synchronized {
+    registry += df
     df
   }
 
@@ -37,24 +48,27 @@ object PipelineCaches {
     * GraphX caches vertex/edge RDDs internally, and repeated graph jobs in
     * one JVM otherwise accumulate dead blocks until the block manager
     * starts evicting caches that are still live). The target is held
-    * WEAKLY: a caller that never invokes [[clear]] (long-lived server,
-    * notebook) keeps the pre-existing behavior — once the graph reference
-    * is dropped, Spark's ContextCleaner GC-unpersists its RDDs and this
-    * entry degrades to a no-op instead of pinning the graph forever. */
+    * STRONGLY until [[clear]] — see the class doc for why weak references
+    * are wrong for anything backed by a SQL cache. */
   private[graft] def onClear[A <: AnyRef](target: A)(f: A => Unit): Unit =
     synchronized {
-      cleanups.filterInPlace(_._1.get != null) // drop GC-collected entries
-      cleanups += ((new java.lang.ref.WeakReference[AnyRef](target),
-        f.asInstanceOf[AnyRef => Unit]))
+      cleanups += ((target, f.asInstanceOf[AnyRef => Unit]))
     }
 
+  /** Number of live registrations (frames + cleanup hooks) — test/probe
+    * surface for asserting clear() really emptied the registry. */
+  def trackedCount: Int = synchronized { registry.size + cleanups.size }
+
   /** Unpersist every pipeline-tracked intermediate. */
-  def clear(): Unit = synchronized {
-    registry.keys.foreach(df => try df.unpersist() catch { case _: Exception => })
-    registry.clear()
-    cleanups.foreach { case (ref, f) =>
-      Option(ref.get).foreach(t => try f(t) catch { case _: Exception => })
+  def clear(): Unit = {
+    // snapshot under the lock, run the (potentially slow) unpersists outside
+    val (frames, hooks) = synchronized {
+      val snap = (registry.toVector, cleanups.toVector)
+      registry.clear()
+      cleanups.clear()
+      snap
     }
-    cleanups.clear()
+    frames.foreach(df => try df.unpersist() catch { case _: Exception => })
+    hooks.foreach { case (t, f) => try f(t) catch { case _: Exception => } }
   }
 }

@@ -89,6 +89,14 @@ final class QueryServer(gs: GraftSession, port: Int = 0,
       }
     } catch {
       case e: Throwable => respond(ex, 400, s"error: ${e.getMessage}")
+    } finally {
+      // The response is fully rendered by now (streams drain inside
+      // respondStream), so any caches a CALL+UNION plan or a pipeline
+      // operator persisted for this query are no longer needed. Without
+      // this, a long-lived server leaks one SQL cache per such query —
+      // CacheManager holds InMemoryRelations by plan, not by our handles.
+      try graft.pipeline.PipelineCaches.clear()
+      catch { case _: Throwable => }
     }
   }
 
@@ -97,7 +105,12 @@ final class QueryServer(gs: GraftSession, port: Int = 0,
     * for `IN $list` predicates. */
   private def jsonParam(name: String, v: JValue): Any = v match {
     case JString(s)  => s
-    case JInt(i)     => i.toLong
+    case JInt(i)     =>
+      // BigInt.toLong truncates silently — a JSON integer past Long range
+      // must be a 400, not a wrapped (wrong) binding
+      if (!i.isValidLong) throw new graft.cypher.GraftException(
+        s"parameter '$name': integer $i exceeds 64-bit range")
+      i.toLong
     case JLong(l)    => l
     case JDouble(d)  => d
     case JDecimal(d) => d.toDouble

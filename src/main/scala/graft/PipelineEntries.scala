@@ -17,13 +17,23 @@ object PipelineEntries {
 
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects by default; read nanos as long and convert to a microsecond
-    * timestamp (integer DIV — floor, matching DuckDB's cast-to-µs). */
+  /** The events table's `ts` has shipped as both TIMESTAMP(NANOS) (which
+    * Spark 4 rejects by default — read nanos as long, floor-convert to µs,
+    * matching DuckDB's cast) and plain TIMESTAMP(MICROS) (readable as-is).
+    * Adapt to whichever this dataset carries instead of assuming one. */
   private def events(s: SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // NTZ → LTZ under the UTC session timezone: byte-identical instants,
+      // and downstream epoch math (unix_micros in sessionize) only accepts
+      // the LTZ flavor — the same type the nanos path above produces
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -638,14 +638,65 @@ object Similarity {
       .select(col("list_id"), col("cent"), col("centnorm")))
     val d = prepIvfCorpus(delta, idCol, vecCol)
     val appended = d.count()
-    assignLists(d, cents)
+    val assigned = assignLists(d, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    assigned
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+    // every append adds one file to each touched list directory; compact
+    // the ones that crossed the threshold so steady-state file count stays
+    // ≈ nlist instead of nlist × appends (the 100 TB small-files killer)
+    val touched = assigned.select("list_id").distinct()
+      .collect().map(_.getLong(0)) // bounded by nlist ≤ 4096
+    compactIvfLists(spark, path, touched)
     val prevRows = """"rows":(\d+)""".r.findFirstMatchIn(meta)
       .map(_.group(1).toLong).getOrElse(0L)
     Artifacts.writeString(spark, ivfMetaPath(path),
       s"""{"version":1,"dim":$DefaultDim,"nlist":${cents.size},""" +
         s""""rows":${prevRows + appended},${ivfMarker(fp, nlist, refineIters, idCol, vecCol)}""")
+  }
+
+  /** Max part files a list directory may hold before [[appendToIvfIndex]]
+    * rewrites it as one file. 4 ≈ "compact every few appends": compaction
+    * cost stays amortized O(list size) per list per 4 appends. */
+  private val MaxFilesPerList = 4
+
+  /** Rewrite each given list partition as a single parquet file when its
+    * part-file count exceeds [[MaxFilesPerList]].
+    *
+    * Swap protocol per list (single-writer contract, same as the rest of
+    * the index artifact): write the coalesced copy to a `.compact_tmp`
+    * sibling, rename live → `.compact_trash`, tmp → live, delete trash.
+    * A crash between the renames leaves the list directory MISSING — a
+    * probe then fails loudly (never silently duplicates or drops rows)
+    * and [[buildIvfIndexIfStale]] repairs by rebuild; the trash copy also
+    * still holds the data for manual salvage. */
+  private def compactIvfLists(spark: org.apache.spark.sql.SparkSession,
+      path: String, listIds: Seq[Long]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = base.getFileSystem(hconf)
+    listIds.foreach { id =>
+      val dir = new org.apache.hadoop.fs.Path(base, s"list_id=$id")
+      val parts =
+        try fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      if (parts.length > MaxFilesPerList) {
+        val tmp = new org.apache.hadoop.fs.Path(base, s".compact_tmp-$id")
+        val trash = new org.apache.hadoop.fs.Path(base, s".compact_trash-$id")
+        fs.delete(tmp, true); fs.delete(trash, true)
+        spark.read.parquet(dir.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // drop the _SUCCESS marker so the renamed dir holds only data files
+        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+        if (fs.rename(dir, trash)) {
+          if (fs.rename(tmp, dir)) fs.delete(trash, true)
+          else fs.rename(trash, dir) // restore; leave tmp for the next try
+        }
+      }
+    }
   }
 
   /** Streaming IVF maintenance: absorb a STREAM of embeddings into a

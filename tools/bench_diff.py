@@ -67,6 +67,24 @@ def load(path: str) -> dict:
         return extract_metric_line(f.read())
 
 
+def split_baseline(obj: dict):
+    """Return (flag_run, envelope_run_or_None).
+
+    Format-2 baselines (tools/fold_baseline.py) carry two references:
+    "last_round" (previous full round's minima — what we FLAG against,
+    since round-over-round drift is actionable) and "envelope" (all-time
+    per-query minima — reported as a context column only; a min-statistic
+    ratchets downward forever, so distance from it is not actionable).
+    Format-1 baselines are a flat run dict used for both roles."""
+    if "envelope" in obj and "last_round" in obj:
+        last = dict(obj["last_round"])
+        env = dict(obj["envelope"])
+        for d in (last, env):
+            d.setdefault("value", sum(t for t in d["queries"].values() if t >= 0))
+        return last, env
+    return obj, None
+
+
 def calib_of(run: dict):
     """Mean of start/end calibration if present."""
     vals = [run[k] for k in ("calib", "calib_end") if k in run and run[k] > 0]
@@ -95,7 +113,13 @@ def main() -> int:
     args = ap.parse_args()
 
     new = load(args.bench)
-    old = load(args.baseline)
+    with open(args.baseline) as f:
+        baseline_text = f.read()
+    try:
+        baseline_obj = json.loads(baseline_text)
+    except json.JSONDecodeError:
+        baseline_obj = extract_metric_line(baseline_text)
+    old, envelope = split_baseline(baseline_obj)
     new_q, old_q = new["queries"], old["queries"]
 
     # host-speed normalization via the fixed-work calibration loop
@@ -163,8 +187,23 @@ def main() -> int:
             block = [f]
     (spikes if is_spike(block) else regressions).extend(block)
 
+    rnd = old.get("round")
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
-          f"({len(new_q)} queries, baseline {len(old_q)})")
+          f"({len(new_q)} queries, baseline {len(old_q)}"
+          + (f", flagging vs round {rnd} minima" if rnd else "") + ")")
+    if envelope is not None:
+        # context column: how far the run sits from the all-time minima
+        # ratchet — informational only, never flagged on
+        env_q = envelope["queries"]
+        ec = calib_of(envelope)
+        efac = max(CLAMP_LO, min(CLAMP_HI, nc / ec)) if nc and ec else factor
+        common = [n for n, t in new_q.items() if t >= 0 and n in env_q]
+        if common:
+            nsum = sum(best_time(new, n, new_q[n]) for n in common) / efac
+            esum = sum(env_q[n] for n in common)
+            print(f"envelope (all-time minima, context only): "
+                  f"{esum:.1f}s vs this run {nsum:.1f}s normalized "
+                  f"= {nsum / esum:.2f}x over {len(common)} queries")
     for name, t in fresh:
         print(f"NEW      {name:24s} {t:7.2f}s")
     for name, base, t in improvements:
@@ -175,8 +214,13 @@ def main() -> int:
         print(f"LOADSPIKE {name:23s} {base:7.2f}s -> {t:7.2f}s "
               f"(contiguous block; re-measure in isolation)")
     for name, base, t, norm in regressions:
+        env_note = ""
+        if envelope is not None and name in envelope["queries"]:
+            ebase = envelope["queries"][name]
+            if ebase > 0:
+                env_note = f", {norm / ebase:.1f}x envelope"
         print(f"REGRESS  {name:24s} {base:7.2f}s -> {t:7.2f}s "
-              f"({norm / base:.1f}x normalized)")
+              f"({norm / base:.1f}x normalized{env_note})")
     print(f"REGRESSIONS: {len(regressions) + len(errored)}"
           + (f"  (+{len(spikes)} in load-spike blocks)" if spikes else ""))
     return 1 if regressions or errored else 0

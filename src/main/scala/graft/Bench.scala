@@ -170,10 +170,36 @@ object Bench {
     val qMin = samples.map { case (k, ts) =>
       "\"" + k + "\":" + r3(if (ts.isEmpty) -1.0 else ts.min)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qsCompact,"qmin":$qMin,"calib":${r3(calibStart)},""" +
-      s""""calib_end":${r3(calibEnd)},"iters":$iters,"errors":$errs,""" +
-      s""""full":"${outFile.toString}","sf":"$sfDir"}""")
+    val compactLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":$qsCompact,"qmin":$qMin,"calib":${r3(calibStart)},""" +
+        s""""calib_end":${r3(calibEnd)},"iters":$iters,"errors":$errs,""" +
+        s""""full":"${outFile.toString}","sf":"$sfDir"}"""
+    println(compactLine)
+    // The driver's stdout capture keeps only the LAST ~2000 bytes. At 100
+    // queries a name-keyed map alone is ~2100 bytes, so every wrapper
+    // through r08 recorded parsed:null with the line's head cut off. When
+    // the name-keyed line can't survive that window, print a final
+    // positional form: values in ascending query-name order (the run
+    // order), names resolved via the committed legend file
+    // tools/bench_query_order.json, integrity-pinned by a CRC32 of the
+    // joined names. bench_diff.py reconstructs the map from either form.
+    val tailWindow = 2000
+    if (compactLine.length > tailWindow - 200 && only.isEmpty) {
+      val names = results.map(_._1)
+      val crc = new java.util.zip.CRC32()
+      crc.update(names.mkString(",").getBytes("UTF-8"))
+      val qArr = results.map { case (_, v) => r3(v) }.mkString("[", ",", "]")
+      val qMinArr = samples.values.map { ts =>
+        r3(if (ts.isEmpty) -1.0 else ts.min)
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""nq":${names.size},"order":"name-asc",""" +
+        s""""legend":"tools/bench_query_order.json","names_crc":${crc.getValue},""" +
+        s""""q":$qArr,"qmin":$qMinArr,"calib":${r3(calibStart)},""" +
+        s""""calib_end":${r3(calibEnd)},"iters":$iters,"errors":$errs,""" +
+        s""""full":"${outFile.toString}","sf":"$sfDir"}""")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

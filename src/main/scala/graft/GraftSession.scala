@@ -475,7 +475,11 @@ final class GraftSession(val spark: SparkSession) {
   private def buildRead(rq: ReadQuery, params: Map[String, Any],
       ambient: Seq[DataFrame] = Seq.empty): DataFrame = {
     val bound = if (params.isEmpty) rq else bindParams(rq, params)
-    val plan = Planner.plan(bound, _catalog, ambient.flatMap(_.columns).toSet)
+    // mid-query CALL outputs are in scope for the outer RETURN/ORDER BY,
+    // exactly like leading-CALL ambient columns
+    val callOut = bound.midCalls.flatMap(MidCall.outputNames)
+    val plan = Planner.plan(bound, _catalog,
+      ambient.flatMap(_.columns).toSet ++ callOut)
     new DataFrameBuilder(this).build(plan, ambient)
   }
 
@@ -535,7 +539,8 @@ final class GraftSession(val spark: SparkSession) {
           orderBy = s.orderBy.map(o => o.copy(expr = Expr.bind(o.expr, params))))),
       returnItems = q.returnItems.map(bi),
       unwinds = q.unwinds.map(u => u.copy(expr = Expr.bind(u.expr, params))),
-      orderBy = q.orderBy.map(o => o.copy(expr = Expr.bind(o.expr, params))))
+      orderBy = q.orderBy.map(o => o.copy(expr = Expr.bind(o.expr, params))),
+      midCalls = q.midCalls.map(mc => mc.copy(body = bindParams(mc.body, params))))
   }
 
   private def bindNode(n: NodePattern, params: Map[String, Any]): NodePattern =

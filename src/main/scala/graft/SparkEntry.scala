@@ -127,6 +127,32 @@ object SparkEntry {
         |MATCH (o:Order) WHERE o.o_totalprice > avg_p * 1.5
         |RETURN count(*) AS cnt, round(min(avg_p), 2) AS avg_seen;""".stripMargin),
 
+    // Multi-key DISTINCT aggregate: count(DISTINCT k1, k2) counts
+    // distinct tuples (maps to Spark's n-ary count_distinct)
+    "q_agg_multikey" -> cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_mktsegment AS seg,
+        |       count(DISTINCT c.c_nationkey, o.o_orderpriority) AS combos;
+        |""".stripMargin),
+
+    // Plain path binding: per-path rows, nodes(p)/length(p) arrays
+    // (NATION_ADJ is acyclic — key<key — so trails = simple paths here;
+    // the cyclic trail semantics are pinned in PathValueSpec)
+    "q_path_fns" -> cy(
+      """MATCH p = (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
+        |RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+        |       nodes(p) AS path, length(p) AS len;""".stripMargin),
+
+    // Mid-query correlated CALL { WITH ... }: per-customer grouped
+    // subquery, decorrelated into one grouped aggregate + one left join
+    // (zero-order customers keep the row with count 0 / sum 0)
+    "q_call_mid" -> cy(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9000.0
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+        |       RETURN count(o) AS order_cnt, sum(o.o_totalprice) AS raw_spent }
+        |RETURN c.c_custkey AS c_custkey, order_cnt, round(raw_spent, 2) AS spent
+        |ORDER BY c_custkey;""".stripMargin),
+
     // CALL block shared by both parts of a UNION main (executes once,
     // persisted; columns visible in every part)
     "q_call_union" -> cy(
@@ -458,6 +484,31 @@ object SparkEntry {
       """SELECT count(*) AS cnt, round(min(avg_p), 2) AS avg_seen FROM orders
         |CROSS JOIN (SELECT round(avg(o_totalprice), 2) AS avg_p FROM orders)
         |WHERE o_totalprice > avg_p * 1.5""".stripMargin,
+
+    "q_agg_multikey" ->
+      """SELECT c_mktsegment AS seg,
+        |       count(DISTINCT (c_nationkey, o_orderpriority)) AS combos
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_path_fns" ->
+      """WITH e AS (
+        |  SELECT a.n_nationkey AS f, b.n_nationkey AS t
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey)
+        |SELECT f AS a_key, t AS b_key, [f, t] AS path, CAST(1 AS BIGINT) AS len
+        |FROM e
+        |UNION ALL
+        |SELECT e1.f, e2.t, [e1.f, e1.t, e2.t], CAST(2 AS BIGINT)
+        |FROM e e1 JOIN e e2 ON e1.t = e2.f""".stripMargin,
+
+    "q_call_mid" ->
+      """SELECT c_custkey, coalesce(cnt, 0) AS order_cnt,
+        |       round(coalesce(s, 0), 2) AS spent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS s
+        |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |WHERE c_acctbal > 9000.0 ORDER BY c_custkey""".stripMargin,
 
     "q_param" ->
       """SELECT count(*) AS cnt FROM customer

@@ -339,6 +339,41 @@ final case class OptionalMatch(paths: Seq[PathPattern], where: Option[Expr])
 /** `UNWIND list AS name` — one output row per list element (extension). */
 final case class Unwind(expr: Expr, name: String)
 
+/** Mid-query `[WITH a, x] CALL { WITH a, x ... RETURN ... }` subquery
+  * (extension; the correlated openCypher form). `imports` are the names
+  * the body sees from the enclosing row — node aliases anchor the body's
+  * MATCH patterns, plain columns are usable in body expressions. An empty
+  * import list is the uncorrelated execute-once form in mid position.
+  * Sits after all WITH stages, immediately before RETURN. */
+final case class MidCall(imports: Seq[String], body: ReadQuery)
+
+object MidCall {
+  /** The body's output column names, derivable without planning — needed
+    * to put call outputs in scope for the outer RETURN before the body is
+    * built. `RETURN *` and bare pattern aliases are rejected (their
+    * expansion depends on resolved schemas): a correlated body's outputs
+    * must be nameable, so ask the user to alias them. */
+  def outputNames(mc: MidCall): Seq[String] = {
+    val patternAliases: Set[String] =
+      (mc.body.paths ++ mc.body.optionalMatches.flatMap(_.paths)).flatMap(p =>
+        p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet
+    mc.body.returnItems.zipWithIndex.map {
+      case (ReturnItem(_, Some(a)), _) => a
+      case (ReturnItem(Expr.Star, _), _) =>
+        throw new GraftException(
+          "RETURN * inside a CALL { } body is not supported; name the columns")
+      case (ReturnItem(Expr.Var(n), _), _) if patternAliases(n) =>
+        throw new GraftException(
+          s"CALL body returns bare pattern alias '$n'; alias explicit " +
+          s"columns instead (e.g. RETURN $n.<prop> AS <name>)")
+      case (ReturnItem(Expr.Var(n), _), _)  => n
+      case (ReturnItem(Expr.Prop(_, c), _), _) => c
+      case (ReturnItem(Expr.Fn(n, _, _), _), i) => s"${n.toLowerCase}_$i"
+      case (_, i) => s"col_$i"
+    }
+  }
+}
+
 final case class ReadQuery(
     paths: Seq[PathPattern],
     where: Option[Expr],
@@ -349,7 +384,10 @@ final case class ReadQuery(
     skip: Option[Long],
     limit: Option[Long],
     optionalMatches: Seq[OptionalMatch] = Seq.empty,
-    unwinds: Seq[Unwind] = Seq.empty) extends CypherStatement
+    unwinds: Seq[Unwind] = Seq.empty,
+    /** correlated CALL { } subqueries between the last WITH stage and
+      * RETURN (extension — SURVEY.md §8.5). */
+    midCalls: Seq[MidCall] = Seq.empty) extends CypherStatement
 
 /** `EXPLAIN <read query>` — returns the engine's physical plan as a
   * one-row frame instead of executing (Neo4j-style; extension). */

@@ -369,15 +369,24 @@ object CypherParser extends RegexParsers {
           Seq((rel.copy(varLength = Some(vl), shortest = true, pathAlias = pa), end)))
     }
 
-  /** `p = (a)-[:R]->(b)` without shortestPath: paths are not materialized
-    * values here — reject with a targeted message instead of letting the
-    * consumed `p =` surface as a generic parse error (round-5 advice). */
+  /** `p = (a)-[:R*lo..hi]->(b)` — plain path binding. Supported for a
+    * single bounded var-length relationship: the hop composition then
+    * materializes per-path rows with `__nodes`/`__edges`/`__len`, read by
+    * `nodes(p)` / `relationships(p)` / `length(p)` (extension —
+    * SURVEY.md §8.5). Fixed-length and multi-hop bindings stay rejected
+    * with a targeted message instead of letting the consumed `p =`
+    * surface as a generic parse error (round-5 advice). */
   private def plainPathBinding: Parser[PathPattern] =
-    (ident <~ "=") ~ pathPattern ^^ { case pa ~ _ =>
-      throw new GraftException(
-        s"path alias '$pa': plain path bindings are not supported — paths " +
-        "are only materialized through shortestPath(...) (use " +
-        s"'$pa = shortestPath((a)-[:R*lo..hi]->(b))' with length($pa))")
+    (ident <~ "=") ~ pathPattern ^^ {
+      case pa ~ p if p.hops.size == 1 && p.hops.head._1.varLength.isDefined =>
+        val (rel, end) = p.hops.head
+        PathPattern(p.start, Seq((rel.copy(pathAlias = Some(pa)), end)))
+      case pa ~ _ =>
+        throw new GraftException(
+          s"path alias '$pa': only single var-length relationships bind as " +
+          s"paths ('$pa = (a)-[:R*lo..hi]->(b)' with nodes($pa)/" +
+          s"relationships($pa)/length($pa)) or shortestPath(...) with " +
+          s"length($pa)")
     }
 
   private def matchPath: Parser[PathPattern] =
@@ -434,16 +443,28 @@ object CypherParser extends RegexParsers {
       rep(optionalMatch) ~
       rep(unwindClause) ~
       rep(withClause) ~
+      rep(midCallClause) ~
       (kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",")) ~
       opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
       opt(kw("skip") ~> """\d+""".r) ~
       opt(kw("limit") ~> """\d+""".r) ^^ {
-      case pathGroups ~ where ~ opts ~ unwinds ~ withs ~ (dist ~ items) ~ ord ~ skip ~ limit =>
+      case pathGroups ~ where ~ opts ~ unwinds ~ withs ~ calls ~ (dist ~ items) ~ ord ~ skip ~ limit =>
         // consecutive MATCH clauses are inner-joined like comma patterns
         val paths = pathGroups.flatten
         ReadQuery(paths, where, withs, items, dist.isDefined,
           ord.getOrElse(Seq.empty), skip.map(boundedCount(_, "SKIP")),
-          limit.map(boundedCount(_, "LIMIT")), opts, unwinds)
+          limit.map(boundedCount(_, "LIMIT")), opts, unwinds, calls)
+    }
+
+  /** Mid-query correlated `CALL { WITH imports ... RETURN ... }` between
+    * the last WITH stage and RETURN (extension — openCypher's correlated
+    * subquery form). The import WITH takes BARE NAMES only (openCypher's
+    * importing-WITH rule: no expressions, no aliasing); the body is a full
+    * read query whose patterns may anchor on imported node aliases and
+    * whose expressions may use imported columns. */
+  private def midCallClause: Parser[MidCall] =
+    kw("call") ~> "{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~ readQuery <~ "}" ^^ {
+      case imports ~ body => MidCall(imports.getOrElse(Seq.empty), body)
     }
 
   // ---- DDL ----------------------------------------------------------------
@@ -518,8 +539,9 @@ object CypherParser extends RegexParsers {
     * lookahead gives it a specific error instead of a generic one. */
   private def callBlocks: Parser[CypherStatement] =
     rep1(kw("call") ~> "{" ~>
-      (kw("with") ~> err("CALL bodies must start with MATCH — leading-WITH " +
-        "and correlated (WITH-import) subquery forms are not supported") | readQuery) <~
+      (kw("with") ~> err("a leading CALL body cannot import (nothing is in " +
+        "scope before it); correlated CALL { WITH ... } is supported after " +
+        "MATCH/WITH, immediately before RETURN") | readQuery) <~
       "}") ~ readOrUnion ^^ {
       case calls ~ main => CallQuery(calls, main)
     }

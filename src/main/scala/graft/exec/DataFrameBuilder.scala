@@ -29,7 +29,13 @@ import graft.planner.{GraphPlan, ResolvedEdge, ResolvedNode, ResolvedOptionalBlo
   *    AggregatingMergeTree, graph_traversal_planning.rs:678-807) and explodes
   *    it, avoiding a re-shuffle of the raw edge list for high-fanout hops.
   */
-final class DataFrameBuilder(session: GraftSession) {
+final class DataFrameBuilder(
+    session: GraftSession,
+    /** Mid-query CALL decorrelation: node aliases whose scans must be
+      * semi-joined with the enclosing query's distinct import keys, so a
+      * correlated body computes only over keys the outer frame can
+      * actually join back (alias → (distinct key frame, key column)). */
+    anchorRestrict: Map[String, (DataFrame, String)] = Map.empty) {
 
   import ExprCompiler.compile
 
@@ -97,6 +103,11 @@ final class DataFrameBuilder(session: GraftSession) {
       ctx = next
     }
 
+    // mid-query correlated CALL { } subqueries: decorrelated into grouped
+    // joins keyed on the imported names (extension — SURVEY.md §8.5)
+    for (mc <- plan.midCalls)
+      df = applyMidCall(df, mc, plan, ctx)
+
     // RETURN + ORDER BY (hidden sort columns) + SKIP/LIMIT
     val (proj, names, hidden) =
       projectWithSort(df, plan.returnItems, plan.returnDistinct, plan, ctx, plan.orderBy)
@@ -131,6 +142,14 @@ final class DataFrameBuilder(session: GraftSession) {
     var df = session.table(rn.schema.tableName).alias(rn.alias)
     for (f <- rn.pushedFilters)
       df = df.filter(compile(rewriteAliasArgs(f, plan), qualified))
+    // correlated-CALL anchor: only keys present in the enclosing frame can
+    // survive the join back, so restrict the scan up front (ids only — a
+    // semi join ships no payload, and Catalyst broadcasts the key set
+    // when the outer frame is small)
+    anchorRestrict.get(rn.alias).foreach { case (keys, keyName) =>
+      df = df.join(keys,
+        col(s"${rn.alias}.${rn.schema.idColumn}") === keys.col(keyName), "left_semi")
+    }
     df
   }
 
@@ -279,12 +298,50 @@ final class DataFrameBuilder(session: GraftSession) {
       levels.reduce(_ union _).filter(col("__len") >= lo)
     }
 
+    // Plain path binding `p = (a)-[:R*lo..hi]->(b)`: materialize per-path
+    // rows — openCypher path semantics (one row per relationship-unique
+    // path, not per distinct endpoint pair). `__nodes` carries the node
+    // ids along the path, `__edges` the (s,d) hops, `__len` the hop count;
+    // nodes(p)/relationships(p)/length(p) read them. Edge uniqueness is
+    // the array_contains guard on the join condition. Parallel edges
+    // collapse (the hop base is the distinct pair set — consistent with
+    // the engine's distinct-pair reachability divergence, SURVEY §8.5).
+    // Scale: per-level volume tracks the real path count the query must
+    // return anyway; each level is one equi-join (broadcast when the edge
+    // frame is small), and the arrays add O(level) ids per row — no
+    // shuffle beyond the joins themselves.
+    def composePaths(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
+      def hop(s: Column, d: Column) = struct(s.as("s"), d.as("d"))
+      val base = h1.select(col("__src"), col("__dst"),
+        array(col("__src"), col("__dst")).as("__nodes"),
+        array(hop(col("__src"), col("__dst"))).as("__edges"))
+      val rhs = if (smallEdges) broadcast(h1) else h1
+      var cur = base
+      val levels = scala.collection.mutable.ArrayBuffer(base)
+      for (_ <- 2 to hi) {
+        cur = cur.alias("l")
+          .join(rhs.alias("r"),
+            col("l.__dst") === col("r.__src") &&
+              !array_contains(col("l.__edges"),
+                hop(col("r.__src"), col("r.__dst"))))
+          .select(col("l.__src").as("__src"), col("r.__dst").as("__dst"),
+            concat(col("l.__nodes"), array(col("r.__dst"))).as("__nodes"),
+            concat(col("l.__edges"),
+              array(hop(col("r.__src"), col("r.__dst")))).as("__edges"))
+        levels += cur
+      }
+      levels.slice(lo - 1, hi).reduce(_ unionByName _)
+        .withColumn("__len", (size(col("__nodes")) - 1).cast("long"))
+    }
+
     e.varLength match {
       case Some((lo, hi)) if !e.invalidDirection =>
         val h1 =
           if (e.undirectedSameLabel) oriented.select("__src", "__dst")
           else oriented.select("__src", "__dst").distinct()
         return (if (e.shortest) composeShortest(h1, lo, hi)
+                else if (e.pathAlias.isDefined)
+                  composePaths(if (e.undirectedSameLabel) h1.distinct() else h1, lo, hi)
                 else composeHops(h1, lo, hi)).alias(e.alias)
       case _ =>
     }
@@ -437,6 +494,183 @@ final class DataFrameBuilder(session: GraftSession) {
     ("__cscnt" +: keys).foldLeft(joined)((df, k) => df.drop(col(s"$a.$k")))
   }
 
+  /** Mid-query correlated `CALL { WITH imports ... RETURN ... }` ⇒ a
+    * decorrelated grouped join (extension — the openCypher correlated
+    * subquery form; the reference has no CALL at all).
+    *
+    * Decorrelation, Spark-first:
+    *  - an imported NODE alias must anchor a body pattern; the body plans
+    *    normally (its own scan of the alias's table, semi-join-restricted
+    *    to the outer frame's distinct ids via [[anchorRestrict]]) and the
+    *    alias's id column is injected as a hidden body output key;
+    *  - an imported plain COLUMN becomes an ambient frame of the outer
+    *    frame's DISTINCT import tuples cross-joined under the body —
+    *    Catalyst rewrites the body's `WHERE ... = x` into an equi-join,
+    *    which IS the classic unnest-to-join decorrelation, done by the
+    *    optimizer instead of by hand;
+    *  - body aggregates group implicitly by the injected keys (Cypher's
+    *    per-input-row aggregation semantics ⇒ one grouped aggregate +
+    *    one join — never a per-row re-execution);
+    *  - join back: pure-aggregate bodies LEFT-join (zero matches keep the
+    *    row; count/sum/collect coalesce to 0/0/[]), row-returning bodies
+    *    INNER-join (zero matches drop the row, m matches fan out m rows);
+    *  - a correlated body ORDER BY + SKIP/LIMIT is per-input-row top-k ⇒
+    *    one Window (row_number over the key partition), not a global cut.
+    *
+    * Scale notes: the body computes ONCE over distinct keys — cost tracks
+    * the key cardinality, not the outer row count; only id columns cross
+    * the decorrelation boundary; the grouped-aggregate output is bounded
+    * by the outer key cardinality, so Catalyst broadcasts it when small. */
+  private def applyMidCall(
+      outer: DataFrame, mc: MidCall, plan: GraphPlan, ctx: StageCtx): DataFrame = {
+    import graft.planner.Planner
+    val outNames = MidCall.outputNames(mc)
+    val clash = outNames.toSet.intersect(outer.columns.toSet ++ ambientCols)
+    if (clash.nonEmpty) throw new GraftException(
+      s"CALL output column(s) ${clash.mkString(", ")} collide with names " +
+        "already in scope; alias the CALL's RETURN items differently")
+
+    val bodyNodeAliases: Set[String] =
+      (mc.body.paths ++ mc.body.optionalMatches.flatMap(_.paths)).flatMap(p =>
+        p.start.alias.toSeq ++ p.hops.map(_._2).flatMap(_.alias)).toSet
+
+    // -- classify imports against the enclosing scope ------------------------
+    final case class NodeImp(alias: String, outerKey: Column, label: String)
+    final case class ScalImp(name: String, outerKey: Column)
+    val nodeImps = mutable.ArrayBuffer[NodeImp]()
+    val scalImps = mutable.ArrayBuffer[ScalImp]()
+    for (name <- mc.imports) {
+      val asNode: Option[NodeImp] =
+        if (ctx.qualifiedGraph && plan.nodes.contains(name)) {
+          val sch = plan.nodes(name).schema
+          Some(NodeImp(name, col(s"$name.${sch.idColumn}"), sch.label))
+        } else if (!ctx.qualifiedGraph && ctx.carried.contains(name) &&
+                   plan.nodes.contains(name)) {
+          val sch = plan.nodes(name).schema
+          if (!ctx.carried(name).contains(sch.idColumn)) throw new GraftException(
+            s"CALL import '$name': its id column ${sch.idColumn} was not " +
+              "carried through the preceding WITH")
+          Some(NodeImp(name, qcol(s"$name.${sch.idColumn}"), sch.label))
+        } else None
+      asNode match {
+        case Some(ni) =>
+          if (!bodyNodeAliases(ni.alias)) throw new GraftException(
+            s"CALL imports node alias '$name' but the body never uses it in " +
+              "a pattern; import the needed properties instead " +
+              s"(WITH $name.<prop> AS <x>)")
+          nodeImps += ni
+        case None if outer.columns.contains(name) =>
+          scalImps += ScalImp(name, qcol(name))
+        case None => throw new GraftException(
+          s"CALL import '$name' is not in scope here")
+      }
+    }
+    for (s <- scalImps if bodyNodeAliases(s.name))
+      throw new GraftException(
+        s"CALL import '${s.name}' is a plain column in the outer scope but " +
+          "is reused as a pattern alias in the body; rename one of them")
+
+    // -- uncorrelated mid-position CALL: execute once, cross join ------------
+    if (mc.imports.isEmpty) {
+      val b = new DataFrameBuilder(session)
+        .build(Planner.plan(mc.body, session.catalog))
+      ambientCols = ambientCols ++ outNames
+      return outer.crossJoin(b)
+    }
+
+    // -- correlated: build the body with injected key outputs ----------------
+    // discover each imported alias's id column AS RESOLVED IN THE BODY (and
+    // check it's the same label as outside) with a cheap pre-plan
+    val scalarAmbientCols = scalImps.map(_.name).toSet
+    val prePlan = Planner.plan(mc.body, session.catalog, scalarAmbientCols)
+    for (ni <- nodeImps) {
+      val bodySch = prePlan.nodes.getOrElse(ni.alias, throw new GraftException(
+        s"CALL import '${ni.alias}' is not a node alias in the body")).schema
+      if (bodySch.label != ni.label) throw new GraftException(
+        s"CALL import '${ni.alias}' resolves to label ${bodySch.label} in the " +
+          s"body but ${ni.label} outside; labels must match")
+    }
+    val keyItems: Seq[(String, ReturnItem)] =
+      nodeImps.zipWithIndex.map { case (ni, i) =>
+        s"__ck_$i" -> ReturnItem(
+          Expr.Prop(ni.alias, prePlan.nodes(ni.alias).schema.idColumn),
+          Some(s"__ck_$i"))
+      }.toSeq ++
+      scalImps.zipWithIndex.map { case (si, i) =>
+        s"__ck_n$i" -> ReturnItem(Expr.Var(si.name), Some(s"__ck_n$i"))
+      }
+    val keyNames = keyItems.map(_._1)
+
+    // correlated ORDER BY + SKIP/LIMIT is per-input-row top-k: strip it
+    // from the body and re-apply as a window over the key partition below
+    val perKeyCut = mc.body.skip.nonEmpty || mc.body.limit.nonEmpty
+    if (perKeyCut && mc.body.orderBy.isEmpty) throw new GraftException(
+      "SKIP/LIMIT in a correlated CALL body requires ORDER BY (the cut is " +
+        "per input row and must be deterministic)")
+    for (o <- mc.body.orderBy if perKeyCut) o.expr match {
+      case Expr.Var(n) if outNames.contains(n) => ()
+      case _ => throw new GraftException(
+        "ORDER BY in a correlated CALL body must reference the body's " +
+          "returned column names")
+    }
+    val bodyAst = mc.body.copy(
+      returnItems = keyItems.map(_._2) ++ mc.body.returnItems,
+      orderBy = Seq.empty, skip = None, limit = None)
+
+    val ambient: Seq[DataFrame] =
+      if (scalImps.isEmpty) Seq.empty
+      else Seq(outer
+        .select(scalImps.map(s => s.outerKey.as(s.name)).toSeq: _*).distinct())
+    val restrict: Map[String, (DataFrame, String)] =
+      nodeImps.zipWithIndex.map { case (ni, i) =>
+        val kn = s"__anchor_$i"
+        ni.alias -> (outer.select(ni.outerKey.as(kn)).distinct(), kn)
+      }.toMap
+    val bodyPlan = Planner.plan(bodyAst, session.catalog,
+      ambient.flatMap(_.columns).toSet)
+    var b = new DataFrameBuilder(session, restrict).build(bodyPlan, ambient)
+
+    if (perKeyCut) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyNames.map(qcol): _*).orderBy(
+        mc.body.orderBy.map { o =>
+          val c = qcol(o.expr.asInstanceOf[Expr.Var].name)
+          if (o.ascending) c.asc else c.desc
+        }: _*)
+      val lo = mc.body.skip.getOrElse(0L)
+      val hi = mc.body.limit.map(lo + _).getOrElse(Long.MaxValue)
+      b = b.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+    }
+
+    // -- join back -----------------------------------------------------------
+    val conds: Seq[Column] =
+      nodeImps.zipWithIndex.map { case (ni, i) => ni.outerKey === b(s"__ck_$i") }.toSeq ++
+      scalImps.zipWithIndex.map { case (si, i) => si.outerKey === b(s"__ck_n$i") }
+    val pureAgg = mc.body.returnItems.forall(ri => Expr.isAggregate(ri.expr))
+    var joined = outer.join(b, conds.reduce(_ && _),
+      if (pureAgg) "left_outer" else "inner")
+    if (pureAgg) {
+      // Cypher aggregation over zero rows: count ⇒ 0, sum ⇒ 0, collect ⇒ [],
+      // the rest ⇒ null (which the left join already yields)
+      for ((ri, name) <- mc.body.returnItems.zip(outNames)) {
+        val fill: Option[Column] = ri.expr match {
+          case Expr.Fn(n, _, _) if n.equalsIgnoreCase("count") => Some(lit(0L))
+          case Expr.Fn(n, _, _) if n.equalsIgnoreCase("sum") =>
+            Some(lit(0).cast(b.schema(name).dataType))
+          case Expr.Fn(n, _, _)
+            if Set("collect", "collect_list", "collect_set")(n.toLowerCase) =>
+            Some(array().cast(b.schema(name).dataType))
+          case _ => None
+        }
+        fill.foreach(f => joined = joined.withColumn(name, coalesce(b(name), f)))
+      }
+    }
+    joined = keyNames.foldLeft(joined)((df, k) => df.drop(b(k)))
+    ambientCols = ambientCols ++ outNames
+    joined
+  }
+
   /** OPTIONAL MATCH block ⇒ LEFT OUTER JOIN: the block's edges + new node
     * scans are inner-joined into a sub-plan; endpoints on already-bound
     * (external) aliases become the ON condition, along with the block's
@@ -536,12 +770,29 @@ final class DataFrameBuilder(session: GraftSession) {
     def nodeGuard(a: String, folded: Expr): Expr =
       guarded(a, plan.nodes(a).schema.idColumn, folded)
     def relGuard(a: String, folded: Expr): Expr = guarded(a, "__src", folded)
+    // a path alias's rel edge: materialized (plain binding, has
+    // __nodes/__edges) vs shortestPath (distance only)
+    def pathEdge(p: String) =
+      allEdges.find(_.alias == plan.pathAliases(p)).get
     def rw(x: Expr): Expr = x match {
-      // length(p) where p = shortestPath(...) → the hop composition's
-      // hidden min-distance column
+      // length(p) — the hop composition's hidden distance column (both
+      // the shortestPath and the materialized-path forms carry __len)
       case Expr.Fn(n, Seq(Expr.Var(p)), false)
         if n.equalsIgnoreCase("length") && plan.pathAliases.contains(p) =>
         Expr.Prop(plan.pathAliases(p), "__len")
+      // nodes(p) / relationships(p) — the materialized per-path arrays
+      // (plain `p = (a)-[:R*lo..hi]->(b)` bindings only; a shortestPath
+      // composition keeps distances, not paths)
+      case Expr.Fn(n, Seq(Expr.Var(p)), false)
+        if (n.equalsIgnoreCase("nodes") || n.equalsIgnoreCase("relationships")) &&
+           plan.pathAliases.contains(p) =>
+        if (pathEdge(p).shortest)
+          throw new GraftException(
+            s"${n.toLowerCase}($p): shortestPath keeps distances, not " +
+            s"paths; bind a plain var-length path ('$p = (a)-[:R*lo..hi]->(b)') " +
+            "to read its nodes/relationships")
+        Expr.Prop(plan.pathAliases(p),
+          if (n.equalsIgnoreCase("nodes")) "__nodes" else "__edges")
       // schema introspection folds to literals at plan time: one table per
       // label means an alias's labels/type are statically known
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
@@ -580,8 +831,10 @@ final class DataFrameBuilder(session: GraftSession) {
         Expr.IsNull(p, negated = true)
       case Expr.Var(a) if plan.pathAliases.contains(a) =>
         throw new GraftException(
-          s"path alias '$a' can only be used as length($a) (paths are not " +
-          "materialized values)")
+          s"path alias '$a' can only be read via length($a)" +
+          (if (pathEdge(a).shortest) ""
+           else s", nodes($a), or relationships($a)") +
+          " (paths are not first-class values)")
       case Expr.Var(a) if plan.nodes.contains(a) =>
         Expr.Prop(a, plan.nodes(a).schema.idColumn)
       case Expr.Var(a) if relAliases(a) => Expr.Prop(a, "__src")

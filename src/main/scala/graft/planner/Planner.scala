@@ -33,7 +33,10 @@ final case class ResolvedEdge(
     varLength: Option[(Int, Int)] = None,
     /** `shortestPath(...)`: composition keeps minimum pair distances and
       * exposes them as the hidden `__len` column (extension). */
-    shortest: Boolean = false)
+    shortest: Boolean = false,
+    /** `p = (a)-[:R*lo..hi]->(b)` plain path binding: the composition
+      * materializes per-path `__nodes`/`__edges`/`__len` (extension). */
+    pathAlias: Option[String] = None)
 
 /** Resolved match graph + query shape, ready for DataFrame construction. */
 final case class GraphPlan(
@@ -63,7 +66,10 @@ final case class GraphPlan(
     pathAliases: Map[String, String] = Map.empty,
     /** `COUNT { ... }` projection subqueries, joined onto the main frame
       * before WITH stages (extension). */
-    countSubs: Seq[ResolvedCountSub] = Seq.empty)
+    countSubs: Seq[ResolvedCountSub] = Seq.empty,
+    /** Correlated mid-query CALL { } subqueries, decorrelated into grouped
+      * joins after the WITH stages (extension — SURVEY.md §8.5). */
+    midCalls: Seq[MidCall] = Seq.empty)
 
 /** One OPTIONAL MATCH block: its edges, the aliases it introduces, and the
   * residual predicate that belongs in the left-join ON condition. */
@@ -635,7 +641,7 @@ object Planner {
       }
       ResolvedEdge(st.raw.alias, st.schema.get, st.raw.src, st.raw.dst,
         st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias),
-        st.raw.varLength, st.raw.shortest)
+        st.raw.varLength, st.raw.shortest, st.raw.pathAlias)
     }
     val (mainEdges, optEdges) = edges.zip(states).partition(_._2.raw.block == -1)
 
@@ -646,8 +652,10 @@ object Planner {
         blockResiduals(bi).reduceOption(Expr.Bin("AND", _, _)))
     }
 
+    // both kinds of path binding: shortestPath (length only) and plain
+    // var-length (materialized __nodes/__edges arrays)
     val pathAliases: Map[String, String] = rawEdges.collect {
-      case e if e.shortest && e.pathAlias.isDefined => e.pathAlias.get -> e.alias
+      case e if e.pathAlias.isDefined => e.pathAlias.get -> e.alias
     }.toMap
 
     // -- COUNT { } projection subqueries --------------------------------------
@@ -709,6 +717,6 @@ object Planner {
       residual.reduceOption(Expr.Bin("AND", _, _)),
       withStagesRw, returnItemsRw, q.returnDistinct, q.orderBy, q.skip, q.limit,
       refProps, optionalBlocks, q.unwinds, patternPreds.toSeq, pathAliases,
-      countSubs.toSeq)
+      countSubs.toSeq, q.midCalls)
   }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.GraftException
+
+/** Plain path bindings `p = (a)-[:R*lo..hi]->(b)`: per-path rows with
+  * nodes(p) / relationships(p) / length(p) (extension — SURVEY.md §8.5).
+  * Graph: 1→2, 1→3, 2→3, 3→4, 2→1 (one 2-cycle, so trail semantics —
+  * edges unique, nodes revisitable — are observable). */
+class PathValueSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val gs: GraftSession = {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("users",
+      Seq((1L, "u1"), (2L, "u2"), (3L, "u3"), (4L, "u4"))
+        .toDF("id", "name"))
+    g.registerTable("Follows",
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 1L))
+        .toDF("from_User", "to_User"))
+    g.registerNode("User", "users", "id")
+    g.registerRel("Follows", "Follows", "User", "User")
+    g
+  }
+
+  private def paths(q: String): Seq[Seq[Long]] =
+    gs.cypher(q).collect().toSeq
+      .map(_.getSeq[Long](0).toSeq).sortBy(_.mkString(","))
+
+  test("*1..2 returns one row per path, node revisits allowed") {
+    val got = paths(
+      """MATCH p = (a:User)-[:Follows*1..2]->(b:User)
+        |RETURN nodes(p) AS path;""".stripMargin)
+    val want = Seq(
+      Seq(1L, 2L), Seq(1L, 3L), Seq(2L, 3L), Seq(3L, 4L), Seq(2L, 1L),
+      Seq(1L, 2L, 3L), Seq(1L, 2L, 1L), Seq(1L, 3L, 4L),
+      Seq(2L, 3L, 4L), Seq(2L, 1L, 2L), Seq(2L, 1L, 3L)
+    ).sortBy(_.mkString(","))
+    assert(got == want)
+  }
+
+  test("relationship uniqueness: an edge never repeats within one path") {
+    // from [1,2,1] the only legal extension is 1→3 (1→2 would reuse (1,2))
+    val got = paths(
+      """MATCH p = (a:User)-[:Follows*3..3]->(b:User)
+        |WHERE a.id = 1 RETURN nodes(p) AS path;""".stripMargin)
+    assert(got == Seq(Seq(1L, 2L, 1L, 3L), Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("relationships(p) zips nodes; length(p) = hop count") {
+    val rows = gs.cypher(
+      """MATCH p = (a:User)-[:Follows*2..2]->(b:User) WHERE a.id = 1
+        |RETURN nodes(p) AS path, relationships(p) AS rels, length(p) AS len;
+        |""".stripMargin).collect()
+    assert(rows.forall(_.getLong(2) == 2L))
+    for (r <- rows) {
+      val ns = r.getSeq[Long](0)
+      val es = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(es.map(e => (e.getLong(0), e.getLong(1))) ==
+        ns.zip(ns.tail))
+    }
+  }
+
+  test("filters on endpoints compose with path outputs") {
+    val got = paths(
+      """MATCH p = (a:User)-[:Follows*1..3]->(b:User)
+        |WHERE a.name = 'u1' AND b.id = 4 RETURN nodes(p) AS path;""".stripMargin)
+    assert(got == Seq(Seq(1L, 2L, 3L, 4L), Seq(1L, 3L, 4L)))
+    // the 4-hop trail 1→2→1→3→4 appears once the bound admits it
+    val got4 = paths(
+      """MATCH p = (a:User)-[:Follows*1..4]->(b:User)
+        |WHERE a.name = 'u1' AND b.id = 4 RETURN nodes(p) AS path;""".stripMargin)
+    assert(got4 == Seq(Seq(1L, 2L, 1L, 3L, 4L), Seq(1L, 2L, 3L, 4L),
+      Seq(1L, 3L, 4L)).sortBy(_.mkString(",")))
+  }
+
+  test("nodes() on a shortestPath binding is a targeted error") {
+    val e = intercept[GraftException](gs.cypher(
+      """MATCH p = shortestPath((a:User)-[:Follows*1..3]->(b:User))
+        |RETURN nodes(p) AS path;""".stripMargin))
+    assert(e.getMessage.contains("distances, not"))
+  }
+
+  test("fixed-length path binding stays a targeted error") {
+    val e = intercept[GraftException](gs.cypher(
+      "MATCH p = (a:User)-[:Follows]->(b:User) RETURN length(p) AS l;"))
+    assert(e.getMessage.contains("var-length"))
+  }
+}

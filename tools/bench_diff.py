@@ -49,14 +49,47 @@ SPIKE_BLOCK_LEN = 4
 CLAMP_LO, CLAMP_HI = 0.5, 4.0
 
 
+def query_order() -> list:
+    """Committed legend: bench query names in run (ascending) order."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_query_order.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def inflate_positional(obj: dict) -> dict:
+    """Rebuild name-keyed "queries"/"qmin" from the positional form the
+    bench prints when the name-keyed line would overflow the driver's
+    ~2000-byte stdout tail window ("q"/"qmin" arrays in ascending query-
+    name order, names in tools/bench_query_order.json, CRC32-pinned)."""
+    if "queries" in obj or "q" not in obj:
+        return obj
+    names = query_order()
+    if len(names) != obj.get("nq", len(obj["q"])):
+        raise SystemExit(
+            f"bench legend has {len(names)} names but run carried "
+            f"{obj.get('nq')} values — regenerate tools/bench_query_order.json")
+    import zlib
+    crc = zlib.crc32(",".join(names).encode()) & 0xFFFFFFFF
+    if "names_crc" in obj and crc != obj["names_crc"]:
+        raise SystemExit(
+            "bench legend CRC mismatch — the committed query order does not "
+            "match the binary that produced this run")
+    obj["queries"] = dict(zip(names, obj["q"]))
+    if isinstance(obj.get("qmin"), list):
+        obj["qmin"] = dict(zip(names, obj["qmin"]))
+    return obj
+
+
 def extract_metric_line(text: str) -> dict:
     """Last {"metric":...} JSON object found in the text."""
     matches = re.findall(r'\{"metric":.*?"sf":"[^"]*"\}', text)
     if matches:
-        return json.loads(matches[-1])
+        return inflate_positional(json.loads(matches[-1]))
     obj = json.loads(text)
-    if "queries" in obj:
-        return obj
+    if "queries" in obj or "q" in obj:
+        return inflate_positional(obj)
     if "tail" in obj:  # driver BENCH_r*.json wrapper
         return extract_metric_line(obj["tail"].replace('\\"', '"'))
     raise SystemExit("no bench metric line found in input")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgorithms
-import graft.pipeline.{Corpus, Dedup, Explodes, Metadata, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{AsOf, Corpus, Dedup, Explodes, Metadata, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline operators surfaced as driver-checkable queries.
@@ -265,6 +265,38 @@ object PipelineEntries {
 
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
+
+    // leakage-free rolling feature: purchases summed over the hour before
+    // each click (range window over the union — oracle: correlated
+    // BETWEEN subquery)
+    "p_rolling" -> ((s, dir) => {
+      val ev = events(s, dir)
+      AsOf.rollingAgg(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+        valueCol = "value", horizonSeconds = 3600,
+        outName = "spend_1h")
+        .select(col("event_id"), col("user_id"),
+          round(col("spend_1h"), 2).as("spend_1h"))
+    }),
+
+    // as-of join: each click picks up the user's most recent purchase at
+    // or before it (union-merge, one shuffle; oracle: DuckDB ASOF JOIN)
+    "p_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      AsOf.asOfJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("value").as("purchase_value")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+        payload = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_value"))
+    }),
 
     // per-source token-quota admission (batch form of the custom-state
     // streaming op) — oracle-checked
@@ -1077,6 +1109,20 @@ object PipelineEntries {
         |         event_type, value
         |  FROM events, range(0, 4) t(k))
         |GROUP BY 1, 2""".stripMargin,
+
+    "p_rolling" ->
+      """SELECT l.event_id, l.user_id,
+        |  round(coalesce((SELECT sum(r.value) FROM events r
+        |     WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |       AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts), 0), 2)
+        |  AS spend_1h
+        |FROM events l WHERE l.event_type = 'click'""".stripMargin,
+
+    "p_asof" ->
+      """SELECT l.event_id, l.user_id, r.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "p_sessionize" ->
       """WITH g AS (

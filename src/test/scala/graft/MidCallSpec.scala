@@ -101,6 +101,17 @@ class MidCallSpec extends AnyFunSuite {
     assert(out == Seq(("u1", 9L), ("u2", 9L)))
   }
 
+  test("chained CALLs: the second call imports the first call's output") {
+    val out = gs.cypher(
+      """MATCH (u:User)
+        |CALL { WITH u MATCH (u)-[:Wrote]->(p:Post) RETURN count(p) AS cnt }
+        |CALL { WITH cnt MATCH (q:Post) WHERE q.likes >= cnt RETURN count(q) AS ge }
+        |RETURN u.name AS name, cnt, ge ORDER BY name;""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("u1", 2L, 3L), ("u2", 2L, 3L),
+                      ("u3", 0L, 4L), ("u4", 0L, 4L)))
+  }
+
   test("out-of-scope import, unused node import, and colliding output are loud") {
     val e1 = intercept[GraftException](gs.cypher(
       """MATCH (u:User) CALL { WITH zz MATCH (p:Post) RETURN count(p) AS c }

@@ -76,6 +76,14 @@ class PathValueSpec extends AnyFunSuite {
       Seq(1L, 3L, 4L)).sortBy(_.mkString(",")))
   }
 
+  test("UNWIND over nodes(p) fans each path out to its node ids") {
+    val got = gs.cypher(
+      """MATCH p = (a:User)-[:Follows*2..2]->(b:User) WHERE a.id = 1
+        |UNWIND nodes(p) AS n RETURN n ORDER BY n;""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L))
+  }
+
   test("nodes() on a shortestPath binding is a targeted error") {
     val e = intercept[GraftException](gs.cypher(
       """MATCH p = shortestPath((a:User)-[:Follows*1..3]->(b:User))

@@ -153,6 +153,15 @@ object SparkEntry {
         |RETURN c.c_custkey AS c_custkey, order_cnt, round(raw_spent, 2) AS spent
         |ORDER BY c_custkey;""".stripMargin),
 
+    // Interleaved CALL → WITH: the stage filters and aggregates over the
+    // call's per-row output (compute-then-filter, the canonical shape)
+    "q_call_filter" -> cy(
+      """MATCH (c:Customer)
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) RETURN count(o) AS n_orders }
+        |WITH c, n_orders WHERE n_orders >= 20
+        |RETURN c.c_mktsegment AS seg, count(*) AS heavy_customers,
+        |       max(n_orders) AS max_orders;""".stripMargin),
+
     // CALL block shared by both parts of a UNION main (executes once,
     // persisted; columns visible in every part)
     "q_call_union" -> cy(
@@ -501,6 +510,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT e1.f, e2.t, [e1.f, e1.t, e2.t], CAST(2 AS BIGINT)
         |FROM e e1 JOIN e e2 ON e1.t = e2.f""".stripMargin,
+
+    "q_call_filter" ->
+      """SELECT c_mktsegment AS seg, count(*) AS heavy_customers,
+        |       max(n) AS max_orders
+        |FROM customer JOIN (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |  ON c_custkey = o_custkey
+        |WHERE n >= 20 GROUP BY c_mktsegment""".stripMargin,
 
     "q_call_mid" ->
       """SELECT c_custkey, coalesce(cnt, 0) AS order_cnt,

@@ -345,7 +345,11 @@ final case class Unwind(expr: Expr, name: String)
   * MATCH patterns, plain columns are usable in body expressions. An empty
   * import list is the uncorrelated execute-once form in mid position.
   * Sits after all WITH stages, immediately before RETURN. */
-final case class MidCall(imports: Seq[String], body: ReadQuery)
+final case class MidCall(imports: Seq[String], body: ReadQuery,
+    /** pipeline position: the number of WITH stages that precede this
+      * call — its outputs are in scope for every LATER stage and the
+      * final RETURN. */
+    afterStage: Int = 0)
 
 object MidCall {
   /** The body's output column names, derivable without planning — needed

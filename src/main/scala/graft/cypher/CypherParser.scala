@@ -442,15 +442,23 @@ object CypherParser extends RegexParsers {
       opt(kw("where") ~> expression) ~
       rep(optionalMatch) ~
       rep(unwindClause) ~
-      rep(withClause) ~
-      rep(midCallClause) ~
+      rep(withClause ^^ (Left(_): Either[WithStage, MidCall]) |
+          midCallClause ^^ (Right(_): Either[WithStage, MidCall])) ~
       (kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",")) ~
       opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
       opt(kw("skip") ~> """\d+""".r) ~
       opt(kw("limit") ~> """\d+""".r) ^^ {
-      case pathGroups ~ where ~ opts ~ unwinds ~ withs ~ calls ~ (dist ~ items) ~ ord ~ skip ~ limit =>
+      case pathGroups ~ where ~ opts ~ unwinds ~ stages ~ (dist ~ items) ~ ord ~ skip ~ limit =>
         // consecutive MATCH clauses are inner-joined like comma patterns
         val paths = pathGroups.flatten
+        // WITH and CALL { } interleave freely; each call records how many
+        // WITH stages precede it so the builder can splice it in place
+        val withs = stages.collect { case Left(w) => w }
+        var seen = 0
+        val calls = stages.flatMap {
+          case Left(_)   => seen += 1; None
+          case Right(mc) => Some(mc.copy(afterStage = seen))
+        }
         ReadQuery(paths, where, withs, items, dist.isDefined,
           ord.getOrElse(Seq.empty), skip.map(boundedCount(_, "SKIP")),
           limit.map(boundedCount(_, "LIMIT")), opts, unwinds, calls)

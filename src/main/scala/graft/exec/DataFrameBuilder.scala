@@ -80,7 +80,14 @@ final class DataFrameBuilder(
     // as dot-qualified columns so later stages can keep using `a.prop`.
     var df = filtered
     var ctx = StageCtx(qualifiedGraph = true, Map.empty)
-    for (stage <- plan.withStages) {
+    // mid-query correlated CALL { } subqueries splice between stages at
+    // their recorded positions; their outputs are plain columns in scope
+    // for every later stage and the final RETURN (SURVEY.md §8.5)
+    def applyCallsAt(pos: Int): Unit =
+      for (mc <- plan.midCalls if mc.afterStage == pos)
+        df = applyMidCall(df, mc, plan, ctx)
+    applyCallsAt(0)
+    for ((stage, stageIdx) <- plan.withStages.zipWithIndex) {
       val (staged, _, carried) =
         projectStage(df, stage.items, stage.distinct, plan, ctx, Seq.empty, carry = true)
       df = staged
@@ -101,12 +108,8 @@ final class DataFrameBuilder(
         df = df.filter(compile(rewriteAliasArgs(w, plan), next.resolver))
       }
       ctx = next
+      applyCallsAt(stageIdx + 1)
     }
-
-    // mid-query correlated CALL { } subqueries: decorrelated into grouped
-    // joins keyed on the imported names (extension — SURVEY.md §8.5)
-    for (mc <- plan.midCalls)
-      df = applyMidCall(df, mc, plan, ctx)
 
     // RETURN + ORDER BY (hidden sort columns) + SKIP/LIMIT
     val (proj, names, hidden) =

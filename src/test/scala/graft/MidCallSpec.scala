@@ -112,6 +112,29 @@ class MidCallSpec extends AnyFunSuite {
                       ("u3", 0L, 4L), ("u4", 0L, 4L)))
   }
 
+  test("WITH after CALL filters and projects the call's output (interleaved stages)") {
+    val out = gs.cypher(
+      """MATCH (u:User)
+        |CALL { WITH u MATCH (u)-[:Wrote]->(p:Post) RETURN count(p) AS cnt }
+        |WITH u, cnt WHERE cnt > 0
+        |RETURN u.name AS name, cnt ORDER BY name;""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("u1", 2L), ("u2", 2L)))
+  }
+
+  test("CALL → WITH → CALL: the second call imports a stage-projected value") {
+    val out = gs.cypher(
+      """MATCH (u:User)
+        |CALL { WITH u MATCH (u)-[:Wrote]->(p:Post) RETURN count(p) AS cnt }
+        |WITH u.name AS name, cnt * 10 AS bar
+        |CALL { WITH bar MATCH (q:Post) WHERE q.likes > bar RETURN count(q) AS big }
+        |RETURN name, bar, big ORDER BY name;""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // bar: u1→20, u2→20, u3→0, u4→0; likes 5,7,9,1: >20 ⇒ 0; >0 ⇒ all 4
+    assert(out == Seq(("u1", 20L, 0L), ("u2", 20L, 0L),
+                      ("u3", 0L, 4L), ("u4", 0L, 4L)))
+  }
+
   test("out-of-scope import, unused node import, and colliding output are loud") {
     val e1 = intercept[GraftException](gs.cypher(
       """MATCH (u:User) CALL { WITH zz MATCH (p:Post) RETURN count(p) AS c }

@@ -193,12 +193,20 @@ object Bench {
       val qMinArr = samples.values.map { ts =>
         r3(if (ts.isEmpty) -1.0 else ts.min)
       }.mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""nq":${names.size},"order":"name-asc",""" +
-        s""""legend":"tools/bench_query_order.json","names_crc":${crc.getValue},""" +
-        s""""q":$qArr,"qmin":$qMinArr,"calib":${r3(calibStart)},""" +
-        s""""calib_end":${r3(calibEnd)},"iters":$iters,"errors":$errs,""" +
-        s""""full":"${outFile.toString}","sf":"$sfDir"}""")
+      def posLine(withMin: Boolean) =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+          s""""nq":${names.size},"order":"name-asc",""" +
+          s""""legend":"tools/bench_query_order.json","names_crc":${crc.getValue},""" +
+          s""""q":$qArr,""" + (if (withMin) s""""qmin":$qMinArr,""" else "") +
+          s""""calib":${r3(calibStart)},""" +
+          s""""calib_end":${r3(calibEnd)},"iters":$iters,"errors":$errs,""" +
+          s""""full":"${outFile.toString}","sf":"$sfDir"}"""
+      // final degradation step: past ~150 queries even two positional
+      // arrays overflow the window — medians are the headline number, the
+      // minima live on in bench_out.json
+      val line = posLine(withMin = true)
+      println(if (line.length <= tailWindow - 200) line
+              else posLine(withMin = false))
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

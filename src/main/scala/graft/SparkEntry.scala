@@ -153,6 +153,14 @@ object SparkEntry {
         |RETURN c.c_custkey AS c_custkey, order_cnt, round(raw_spent, 2) AS spent
         |ORDER BY c_custkey;""".stripMargin),
 
+    // Correlated EXISTS: the subquery's WHERE compares its own column
+    // against the outer row (rides the semi-join condition)
+    "q_exists_corr" -> cy(
+      """MATCH (c:Customer)
+        |WHERE EXISTS { (c)-[:PLACED]->(o:Order)
+        |               WHERE o.o_totalprice > c.c_acctbal * 20.0 }
+        |RETURN count(*) AS cnt;""".stripMargin),
+
     // Interleaved CALL → WITH: the stage filters and aggregates over the
     // call's per-row output (compute-then-filter, the canonical shape)
     "q_call_filter" -> cy(
@@ -510,6 +518,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT e1.f, e2.t, [e1.f, e1.t, e2.t], CAST(2 AS BIGINT)
         |FROM e e1 JOIN e e2 ON e1.t = e2.f""".stripMargin,
+
+    "q_exists_corr" ->
+      """SELECT count(*) AS cnt FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c.c_custkey
+        |                AND o_totalprice > c.c_acctbal * 20.0)""".stripMargin,
 
     "q_call_filter" ->
       """SELECT c_mktsegment AS seg, count(*) AS heavy_customers,

@@ -418,14 +418,30 @@ final class DataFrameBuilder(
     * rel filters, both orientations unioned when undirected, unbound
     * endpoints pre-restricted by their node filters (semi-joins — ids
     * only, no payload ever reaches the main frame). */
+  /** Columns of subquery-LOCAL aliases referenced by a predicate's
+    * correlated join conditions, per alias — these ride the pair set as
+    * `__ppx_<alias>_<col>` so the semi/anti-join condition can test them
+    * against the outer frame. */
+  private def predCarried(
+      pp: graft.planner.ResolvedPatternPred): Map[String, Seq[String]] = {
+    val local = Set(pp.relAlias) ++
+      Seq(pp.fromEnd, pp.toEnd).filterNot(_.bound).map(_.alias)
+    pp.joinConds.flatMap(Expr.propRefs).filter(r => local(r._1))
+      .groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).distinct }
+  }
+
   private def predPairs(pp: graft.planner.ResolvedPatternPred): DataFrame = {
     val s = pp.schema
+    val carried = predCarried(pp)
     var edge = session.table(s.tableName).alias(pp.relAlias)
     for (f <- pp.relFilters)
       edge = edge.filter(compile(f, qualified))
+    val relCarry = carried.getOrElse(pp.relAlias, Seq.empty)
     val pairs = edge.select(
-      col(s"${pp.relAlias}.${s.fromColumn}").as("__ppf"),
-      col(s"${pp.relAlias}.${s.toColumn}").as("__ppt"))
+      col(s"${pp.relAlias}.${s.fromColumn}").as("__ppf") +:
+      col(s"${pp.relAlias}.${s.toColumn}").as("__ppt") +:
+      relCarry.map(c =>
+        col(s"${pp.relAlias}.$c").as(s"__ppx_${pp.relAlias}_$c")): _*)
 
     // orientation union FIRST: under an undirected predicate the unbound
     // endpoint must be testable via EITHER edge direction, so restricting
@@ -434,17 +450,31 @@ final class DataFrameBuilder(
     val oriented =
       if (pp.bothOrientations)
         pairs.unionByName(pairs.select(
-          col("__ppt").as("__ppf"), col("__ppf").as("__ppt")))
+          col("__ppt").as("__ppf") +: col("__ppf").as("__ppt") +:
+          relCarry.map(c => col(s"__ppx_${pp.relAlias}_$c")): _*))
       else pairs
 
-    def restrict(p: DataFrame, end: graft.planner.PredEndpoint, key: String): DataFrame =
-      if (end.bound || end.filters.isEmpty) p
+    // unbound endpoints: ids-only LEFT SEMI when nothing is carried; an
+    // INNER join on the (unique) id when correlated conditions need the
+    // endpoint's columns — no fan-out either way
+    def restrict(p: DataFrame, end: graft.planner.PredEndpoint, key: String): DataFrame = {
+      val carry = if (end.bound) Seq.empty else carried.getOrElse(end.alias, Seq.empty)
+      if (end.bound || (end.filters.isEmpty && carry.isEmpty)) p
       else {
         var nd = session.table(end.schema.tableName).alias(end.alias)
         for (f <- end.filters) nd = nd.filter(compile(f, qualified))
-        p.join(nd, col(key) === col(s"${end.alias}.${end.schema.idColumn}"),
-          "left_semi")
+        if (carry.isEmpty)
+          p.join(nd, col(key) === col(s"${end.alias}.${end.schema.idColumn}"),
+            "left_semi")
+        else {
+          val proj = nd.select(
+            col(s"${end.alias}.${end.schema.idColumn}").as(s"__ppxid_${end.alias}") +:
+            carry.map(c => col(s"${end.alias}.$c").as(s"__ppx_${end.alias}_$c")): _*)
+          p.join(proj, col(key) === col(s"__ppxid_${end.alias}"), "inner")
+            .drop(s"__ppxid_${end.alias}")
+        }
       }
+    }
     restrict(restrict(oriented, pp.fromEnd, "__ppf"), pp.toEnd, "__ppt")
   }
 
@@ -466,7 +496,20 @@ final class DataFrameBuilder(
     if (pp.alwaysFalse)
       return if (pp.negated) main else main.limit(0)
     val sub = predPairs(pp).alias("__pp")
-    val conds = predConds(pp, plan, "__pp")
+    // correlated / cross-alias conjuncts: local alias columns resolve to
+    // the carried `__ppx_` pair columns, outer references compile against
+    // the main frame — together they form the join condition, which is
+    // exactly where a correlated existential belongs (and the only sound
+    // home under NOT)
+    val localAliases = Set(pp.relAlias) ++
+      Seq(pp.fromEnd, pp.toEnd).filterNot(_.bound).map(_.alias)
+    val localResolver: ExprCompiler.Resolver = {
+      case Expr.Prop(a, c) if localAliases(a) =>
+        Some(col(s"__pp.__ppx_${a}_$c"))
+      case _ => None
+    }
+    val conds = predConds(pp, plan, "__pp") ++
+      pp.joinConds.map(c => compile(rewriteAliasArgs(c, plan), localResolver))
     main.join(sub, conds.reduce(_ && _), if (pp.negated) "left_anti" else "left_semi")
   }
 

@@ -107,7 +107,13 @@ final case class ResolvedPatternPred(
     toEnd: PredEndpoint,
     bothOrientations: Boolean,
     negated: Boolean,
-    alwaysFalse: Boolean)
+    alwaysFalse: Boolean,
+    /** Correlated / cross-alias WHERE conjuncts riding the semi/anti-join
+      * CONDITION: they reference subquery-local aliases (whose referenced
+      * columns the pair set carries) AND/OR outer aliases (resolved
+      * against the main frame). Under NOT this is the only sound home for
+      * outer-referencing conditions — hoisting would negate them too. */
+    joinConds: Seq[Expr] = Seq.empty)
 
 /** Semantic analysis: label/relationship inference (reference
   * analyzer/schema_inference.rs), direction validation
@@ -352,7 +358,8 @@ object Planner {
       * wrongly filter main rows for COUNT, so both of those reject it. */
     def resolvePatternPred(p: PathPattern, negated: Boolean,
         subWhere: Seq[Expr] = Seq.empty, named: Boolean = false,
-        hoistOuter: Boolean = true): ResolvedPatternPred = {
+        hoistOuter: Boolean = true,
+        allowJoinConds: Boolean = true): ResolvedPatternPred = {
       if (p.hops.size != 1)
         throw new GraftException(
           "pattern predicates support exactly one relationship hop")
@@ -436,6 +443,7 @@ object Planner {
       val extraEnd = scala.collection.mutable.Map[String, Vector[Expr]]()
         .withDefaultValue(Vector.empty)
       val extraRel = scala.collection.mutable.ArrayBuffer[Expr]()
+      val joinConds = scala.collection.mutable.ArrayBuffer[Expr]()
       for (c <- subWhere) {
         if (Expr.containsPatternPred(c) || Expr.containsCountSub(c))
           throw new GraftException(
@@ -449,27 +457,39 @@ object Planner {
           throw new GraftException(
             s"undefined alias '${unknown.head}' in subquery WHERE")
         val rNew = refs.intersect(subLocal)
-        if (rNew.size > 1 || (rNew.size == 1 && (refs -- rNew).nonEmpty))
-          throw new GraftException(
-            "a subquery WHERE conjunct may reference exactly one " +
-            "subquery-local alias (cross-alias and correlated conditions " +
-            "are not supported)")
-        if (rNew.size == 1) {
+        if (rNew.size == 1 && (refs -- rNew).isEmpty) {
+          // single local alias, no outer references: a scan-level filter
           val a = rNew.head
           if (newNodeAliases(a)) extraEnd(a) = extraEnd(a) :+ c
           else extraRel += c
-        } else if (!hoistOuter) {
-          throw new GraftException(
-            "this subquery's WHERE conjuncts must reference a " +
-            "subquery-local alias; move outer-only conditions out of the " +
-            "subquery (for COUNT, wrap the count in CASE WHEN instead)")
-        } else {
-          if (refs.exists(a =>
-              !mainAliases(a) && !mainRelAliases(a) && !ambientCols(a)))
+        } else if (rNew.isEmpty) {
+          // outer-only conjunct
+          if (hoistOuter) {
+            if (refs.exists(a =>
+                !mainAliases(a) && !mainRelAliases(a) && !ambientCols(a)))
+              throw new GraftException(
+                "subquery WHERE cannot reference aliases introduced by a " +
+                "later OPTIONAL MATCH (out of scope)")
+            residual += c
+          } else if (allowJoinConds) {
+            // NOT EXISTS: the condition belongs INSIDE the negated
+            // existential — hoisting would negate it too
+            joinConds += c
+          } else {
             throw new GraftException(
-              "subquery WHERE cannot reference aliases introduced by a " +
-              "later OPTIONAL MATCH (out of scope)")
-          residual += c
+              "this subquery's WHERE conjuncts must reference a " +
+              "subquery-local alias; move outer-only conditions out of the " +
+              "subquery (for COUNT, wrap the count in CASE WHEN instead)")
+          }
+        } else {
+          // correlated (local + outer) or cross-alias (two locals):
+          // rides the semi/anti-join condition
+          if (!allowJoinConds)
+            throw new GraftException(
+              "COUNT { } WHERE conjuncts must reference exactly one " +
+              "subquery-local alias; for correlated conditions use a " +
+              "correlated CALL { } subquery instead")
+          joinConds += c
         }
       }
 
@@ -516,10 +536,36 @@ object Planner {
           val (fromPat, fromBound, toPat, toBound) =
             if (srcIsFrom) (srcPat, srcBound, dstPat, dstBound)
             else (dstPat, dstBound, srcPat, srcBound)
+          // bare local endpoint references inside correlated conjuncts
+          // (`WHERE n = m`) become id-column props so the builder only
+          // ever resolves Prop(localAlias, col) against carried columns
+          val idColOf: Map[String, String] =
+            Seq((fromPat, s.fromLabel), (toPat, s.toLabel)).flatMap {
+              case (np, lbl) => np.alias.filter(newNodeAliases)
+                .map(_ -> catalog.node(lbl).idColumn)
+            }.toMap
+          def localVarsToProps(e: Expr): Expr = e match {
+            case Expr.Var(a) if idColOf.contains(a) => Expr.Prop(a, idColOf(a))
+            case Expr.Var(a) if newRelAlias.contains(a) =>
+              throw new GraftException(
+                s"subquery relationship alias '$a' has no value form; " +
+                "reference its properties instead")
+            case Expr.Fn(n, as, d)  => Expr.Fn(n, as.map(localVarsToProps), d)
+            case Expr.Bin(o, l, r)  => Expr.Bin(o, localVarsToProps(l), localVarsToProps(r))
+            case Expr.Not(x)        => Expr.Not(localVarsToProps(x))
+            case Expr.Neg(x)        => Expr.Neg(localVarsToProps(x))
+            case Expr.IsNull(x, ng) => Expr.IsNull(localVarsToProps(x), ng)
+            case Expr.ListLit(xs)   => Expr.ListLit(xs.map(localVarsToProps))
+            case Expr.CaseWhen(bs, o) => Expr.CaseWhen(
+              bs.map { case (cc, v) => (localVarsToProps(cc), localVarsToProps(v)) },
+              o.map(localVarsToProps))
+            case other => other
+          }
           ResolvedPatternPred(s, relAlias, relFilters,
             endpoint(fromPat, fromBound, s.fromLabel),
             endpoint(toPat, toBound, s.toLabel),
-            bothOrientations = both, negated = negated, alwaysFalse = false)
+            bothOrientations = both, negated = negated, alwaysFalse = false,
+            joinConds = joinConds.toSeq.map(localVarsToProps))
       }
     }
 
@@ -669,7 +715,7 @@ object Planner {
         val name = s"__cnt${countSubs.size}"
         countSubs += ResolvedCountSub(name, resolvePatternPred(p,
           negated = false, subWhere = w.map(Expr.conjuncts).getOrElse(Seq.empty),
-          named = true, hoistOuter = false))
+          named = true, hoistOuter = false, allowJoinConds = false))
         Expr.Var(name)
       case Expr.ExistsSub(_, _) | Expr.PatternPred(_) =>
         throw new GraftException(

@@ -313,20 +313,30 @@ final class DataFrameBuilder(
     // return anyway; each level is one equi-join (broadcast when the edge
     // frame is small), and the arrays add O(level) ids per row — no
     // shuffle beyond the joins themselves.
-    def composePaths(h1: DataFrame, lo: Int, hi: Int): DataFrame = {
+    def composePaths(h1: DataFrame, lo: Int, hi: Int,
+        undirected: Boolean): DataFrame = {
       def hop(s: Column, d: Column) = struct(s.as("s"), d.as("d"))
       val base = h1.select(col("__src"), col("__dst"),
         array(col("__src"), col("__dst")).as("__nodes"),
         array(hop(col("__src"), col("__dst"))).as("__edges"))
       val rhs = if (smallEdges) broadcast(h1) else h1
+      // trail semantics: a relationship is used at most once per path. An
+      // UNDIRECTED hop set contains both orientations of each edge, and
+      // re-traversing one backwards is the SAME relationship — guard both
+      // (s,d) and (d,s); a directed (s,d) and its reverse are distinct
+      // relationships, so the single guard suffices there.
+      def unused = {
+        val fwd = !array_contains(col("l.__edges"),
+          hop(col("r.__src"), col("r.__dst")))
+        if (!undirected) fwd
+        else fwd && !array_contains(col("l.__edges"),
+          hop(col("r.__dst"), col("r.__src")))
+      }
       var cur = base
       val levels = scala.collection.mutable.ArrayBuffer(base)
       for (_ <- 2 to hi) {
         cur = cur.alias("l")
-          .join(rhs.alias("r"),
-            col("l.__dst") === col("r.__src") &&
-              !array_contains(col("l.__edges"),
-                hop(col("r.__src"), col("r.__dst"))))
+          .join(rhs.alias("r"), col("l.__dst") === col("r.__src") && unused)
           .select(col("l.__src").as("__src"), col("r.__dst").as("__dst"),
             concat(col("l.__nodes"), array(col("r.__dst"))).as("__nodes"),
             concat(col("l.__edges"),
@@ -344,7 +354,8 @@ final class DataFrameBuilder(
           else oriented.select("__src", "__dst").distinct()
         return (if (e.shortest) composeShortest(h1, lo, hi)
                 else if (e.pathAlias.isDefined)
-                  composePaths(if (e.undirectedSameLabel) h1.distinct() else h1, lo, hi)
+                  composePaths(if (e.undirectedSameLabel) h1.distinct() else h1,
+                    lo, hi, undirected = e.undirectedSameLabel)
                 else composeHops(h1, lo, hi)).alias(e.alias)
       case _ =>
     }
@@ -605,7 +616,13 @@ final class DataFrameBuilder(
               "a pattern; import the needed properties instead " +
               s"(WITH $name.<prop> AS <x>)")
           nodeImps += ni
-        case None if outer.columns.contains(name) =>
+        // scalar imports come from CYPHER scope, not the physical frame:
+        // pre-WITH (qualified) the only plain names are earlier CALL
+        // outputs; post-WITH the stage's projection IS the scope. Testing
+        // raw outer.columns there would silently admit never-projected
+        // table columns (and die ambiguously when two tables share one).
+        case None if (if (ctx.qualifiedGraph) ambientCols.contains(name)
+                      else outer.columns.contains(name)) =>
           scalImps += ScalImp(name, qcol(name))
         case None => throw new GraftException(
           s"CALL import '$name' is not in scope here")
@@ -659,8 +676,14 @@ final class DataFrameBuilder(
         "ORDER BY in a correlated CALL body must reference the body's " +
           "returned column names")
     }
+    // pin every body item to its outputNames name BEFORE prepending the
+    // hidden keys: positional default names (count_0, col_1) are derived
+    // from the item INDEX, which the key injection would otherwise shift
+    val pinnedItems = mc.body.returnItems.zip(outNames).map {
+      case (ri, n) => ri.copy(alias = Some(n))
+    }
     val bodyAst = mc.body.copy(
-      returnItems = keyItems.map(_._2) ++ mc.body.returnItems,
+      returnItems = keyItems.map(_._2) ++ pinnedItems,
       orderBy = Seq.empty, skip = None, limit = None)
 
     val ambient: Seq[DataFrame] =

@@ -63,9 +63,17 @@ object AsOf {
     val pack = "__asof_p"
     val lCols = left.columns.toSeq
 
+    // Equi-join + comparison semantics for NULLs: a right row with a NULL
+    // timestamp or NULL key can never match (rightTs <= leftTs is NULL,
+    // null keys don't equi-join) — drop them up front. Left unpaired: asc
+    // ordering is NULLS FIRST, so an unfiltered null-ts right would sort
+    // before every row and become the phantom "match" for left rows with
+    // no real predecessor.
+    val rValid = (col(rightTs).isNotNull +: keys.map(col(_).isNotNull))
+      .reduce(_ && _)
     // the carried match, one nullable struct: payload fields + right ts
     // (the ts rides along for the tolerance check)
-    val rPacked = right.select(
+    val rPacked = right.filter(rValid).select(
       (keys.map(col) :+ col(rightTs).as(ts) :+
         struct(payload.map(col) :+ col(rightTs).as("__rts"): _*).as(pack)): _*)
     val packType = rPacked.schema(pack).dataType
@@ -140,11 +148,15 @@ object AsOf {
       .withColumn(ts, col(leftTs))
       .withColumn(side, lit(1))
       .withColumn(v, lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(
-      (keys.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
-        col(valueCol).as(v)) ++
-      lCols.filterNot(keys.contains).map(c =>
-        lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // null right timestamps/keys can never fall in any window (same
+    // reasoning as asOfJoin's rValid filter)
+    val r = right
+      .filter((col(rightTs).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
+      .select(
+        (keys.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
+          col(valueCol).as(v)) ++
+        lCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(unix_micros(col(ts)))

@@ -457,6 +457,17 @@ object Planner {
           throw new GraftException(
             s"undefined alias '${unknown.head}' in subquery WHERE")
         val rNew = refs.intersect(subLocal)
+        // any OUTER reference (correlated, cross-alias, or hoisted) must
+        // be a main-pattern or ambient name: the semi/anti join runs
+        // BEFORE optional blocks attach, so a later OPTIONAL MATCH alias
+        // does not exist on the frame yet — reject it with a targeted
+        // error instead of a raw analysis failure
+        def checkOuterScope(): Unit =
+          if ((refs -- subLocal).exists(a =>
+              !mainAliases(a) && !mainRelAliases(a) && !ambientCols(a)))
+            throw new GraftException(
+              "subquery WHERE cannot reference aliases introduced by a " +
+              "later OPTIONAL MATCH (out of scope)")
         if (rNew.size == 1 && (refs -- rNew).isEmpty) {
           // single local alias, no outer references: a scan-level filter
           val a = rNew.head
@@ -465,15 +476,12 @@ object Planner {
         } else if (rNew.isEmpty) {
           // outer-only conjunct
           if (hoistOuter) {
-            if (refs.exists(a =>
-                !mainAliases(a) && !mainRelAliases(a) && !ambientCols(a)))
-              throw new GraftException(
-                "subquery WHERE cannot reference aliases introduced by a " +
-                "later OPTIONAL MATCH (out of scope)")
+            checkOuterScope()
             residual += c
           } else if (allowJoinConds) {
             // NOT EXISTS: the condition belongs INSIDE the negated
             // existential — hoisting would negate it too
+            checkOuterScope()
             joinConds += c
           } else {
             throw new GraftException(
@@ -489,6 +497,7 @@ object Planner {
               "COUNT { } WHERE conjuncts must reference exactly one " +
               "subquery-local alias; for correlated conditions use a " +
               "correlated CALL { } subquery instead")
+          checkOuterScope()
           joinConds += c
         }
       }

@@ -92,6 +92,21 @@ class AsOfSpec extends AnyFunSuite {
     assert(a(1L) == 1.0 && a(3L) == null && a(5L) == null)
   }
 
+  test("null right timestamps and null keys never match") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10L), ts("2024-01-01 09:00:00")))
+      .toDF("id", "uid", "cts")
+    val r = Seq(
+      (Some(10L), Option.empty[java.sql.Timestamp], 9.0), // null ts
+      (Option.empty[Long], Some(ts("2024-01-01 08:00:00")), 8.0) // null key
+    ).toDF("uid", "qts", "px")
+    val out = AsOf.asOfJoin(l, r, Seq("uid"), "cts", "qts", Seq("px"))
+      .collect()
+    // neither phantom row may become the match: NULLS-FIRST ordering would
+    // otherwise carry the null-ts right into every unmatched left
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
   test("payload collision with a left column is loud") {
     val e = intercept[IllegalArgumentException] {
       AsOf.asOfJoin(clicks, quotes.withColumnRenamed("px", "id"),

@@ -71,6 +71,15 @@ class CorrelatedExistsSpec extends AnyFunSuite {
     assert(got == Seq("u1"))
   }
 
+  test("correlated conjunct naming a later OPTIONAL MATCH alias is a targeted error") {
+    val e = intercept[GraftException](gs.cypher(
+      """MATCH (u:User)
+        |WHERE EXISTS { (u)-[:Wrote]->(p:Post) WHERE p.likes > q.likes }
+        |OPTIONAL MATCH (u)-[:Wrote]->(q:Post)
+        |RETURN u.name AS name;""".stripMargin))
+    assert(e.getMessage.contains("OPTIONAL MATCH"))
+  }
+
   test("correlated COUNT { } keeps its targeted rejection") {
     val e = intercept[GraftException](gs.cypher(
       """MATCH (u:User)

@@ -151,6 +151,25 @@ class MidCallSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("collide"))
   }
 
+  test("unaliased body returns keep their positional names despite key injection") {
+    val df = gs.cypher(
+      """MATCH (u:User)
+        |CALL { WITH u MATCH (u)-[:Wrote]->(p:Post) RETURN count(p) }
+        |RETURN u.name AS name, count_0 ORDER BY name;""".stripMargin)
+    assert(df.columns.toSeq == Seq("name", "count_0"))
+    assert(df.collect().map(_.getLong(1)).toSeq == Seq(2L, 2L, 0L, 0L))
+  }
+
+  test("scalar import in pre-WITH scope cannot name a raw table column") {
+    // `score` is a users column but is NOT a bound name before any WITH —
+    // Cypher scope, not the physical frame, governs imports
+    val e = intercept[GraftException](gs.cypher(
+      """MATCH (u:User)
+        |CALL { WITH score MATCH (p:Post) WHERE p.likes < score RETURN count(p) AS c }
+        |RETURN u.name AS n, c;""".stripMargin))
+    assert(e.getMessage.contains("not in scope"))
+  }
+
   test("correlated SKIP/LIMIT without ORDER BY is rejected") {
     val e = intercept[GraftException](gs.cypher(
       """MATCH (u:User)

@@ -76,6 +76,24 @@ class PathValueSpec extends AnyFunSuite {
       Seq(1L, 3L, 4L)).sortBy(_.mkString(",")))
   }
 
+  test("undirected binding: one relationship is never reused in reverse") {
+    import spark.implicits._
+    val g2 = new GraftSession(spark)
+    g2.registerTable("n2", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    g2.registerTable("E2", Seq((1L, 2L)).toDF("from_N2", "to_N2"))
+    g2.registerNode("N2", "n2", "id")
+    g2.registerRel("E2", "E2", "N2", "N2")
+    // the single edge 1–2 yields exactly the two 1-hop orientations; a
+    // 2-hop trail would have to traverse the SAME relationship backwards
+    val one = g2.cypher(
+      "MATCH p = (a:N2)-[:E2*1..1]-(b:N2) RETURN nodes(p) AS path;")
+      .collect().map(_.getSeq[Long](0).toSeq).toSet
+    assert(one == Set(Seq(1L, 2L), Seq(2L, 1L)))
+    val two = g2.cypher(
+      "MATCH p = (a:N2)-[:E2*2..2]-(b:N2) RETURN nodes(p) AS path;")
+    assert(two.count() == 0)
+  }
+
   test("UNWIND over nodes(p) fans each path out to its node ids") {
     val got = gs.cypher(
       """MATCH p = (a:User)-[:Follows*2..2]->(b:User) WHERE a.id = 1

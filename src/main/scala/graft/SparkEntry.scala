@@ -153,6 +153,12 @@ object SparkEntry {
         |RETURN c.c_custkey AS c_custkey, order_cnt, round(raw_spent, 2) AS spent
         |ORDER BY c_custkey;""".stripMargin),
 
+    // Var-length hop with a per-edge relationship filter: every traversed
+    // edge must satisfy it (filter applied to the hop base pre-composition)
+    "q_varlen_filter" -> cy(
+      """MATCH (a:Nation)-[r:NATION_ADJ*1..2]->(b:Nation) WHERE r.n_dist <= 10
+        |RETURN a.n_nationkey AS a_id, b.n_nationkey AS b_id;""".stripMargin),
+
     // Correlated EXISTS: the subquery's WHERE compares its own column
     // against the outer row (rides the semi-join condition)
     "q_exists_corr" -> cy(
@@ -518,6 +524,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT e1.f, e2.t, [e1.f, e1.t, e2.t], CAST(2 AS BIGINT)
         |FROM e e1 JOIN e e2 ON e1.t = e2.f""".stripMargin,
+
+    "q_varlen_filter" ->
+      """WITH e AS (
+        |  SELECT a.n_nationkey AS f, b.n_nationkey AS t
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |   AND b.n_nationkey - a.n_nationkey <= 10)
+        |SELECT DISTINCT a_id, b_id FROM (
+        |  SELECT f AS a_id, t AS b_id FROM e
+        |  UNION ALL
+        |  SELECT e1.f, e2.t FROM e e1 JOIN e e2 ON e1.t = e2.f)""".stripMargin,
 
     "q_exists_corr" ->
       """SELECT count(*) AS cnt FROM customer c

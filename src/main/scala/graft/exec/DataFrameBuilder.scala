@@ -162,6 +162,12 @@ final class DataFrameBuilder(
     val s = e.schema
     val base = session.table(s.tableName)
     val refCols = plan.referencedProps.getOrElse(e.alias, Set.empty).toSeq.sorted
+    // inline-prop filters ({w: 5}) are pushed without appearing in
+    // referencedProps — the pruned undirected projection must keep their
+    // columns too, or the filter compiles against a missing column
+    val filterCols = e.pushedFilters.flatMap(Expr.propRefs)
+      .collect { case (a, c) if a == e.alias => c }
+    val neededCols = (refCols ++ filterCols).distinct.sorted
     val propCols = s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
 
     def edgeList(srcCol: String, dstCol: String): DataFrame =
@@ -211,7 +217,7 @@ final class DataFrameBuilder(
           val in = adjRead(s, outgoing = false)
           out.union(in).distinct()
         } else {
-          val cols = refCols
+          val cols = neededCols
           val fwd = base.select(col(s.fromColumn).as("__src") +: col(s.toColumn).as("__dst") +: cols.map(col): _*)
           val bwd = base.select(col(s.toColumn).as("__src") +: col(s.fromColumn).as("__dst") +: cols.map(col): _*)
           fwd.union(bwd).distinct()
@@ -349,9 +355,17 @@ final class DataFrameBuilder(
 
     e.varLength match {
       case Some((lo, hi)) if !e.invalidDirection =>
+        // per-edge filters restrict the hop base BEFORE composition:
+        // every relationship of the path satisfies them (they also reach
+        // the parquet scan as pushed filters, shrinking the base the
+        // whole iterated join runs on — the right place at 100 TB)
+        val filteredOriented =
+          if (e.pushedFilters.isEmpty) oriented
+          else e.pushedFilters.foldLeft(oriented.alias(e.alias))((d, f) =>
+            d.filter(compile(rewriteAliasArgs(f, plan), qualified)))
         val h1 =
-          if (e.undirectedSameLabel) oriented.select("__src", "__dst")
-          else oriented.select("__src", "__dst").distinct()
+          if (e.undirectedSameLabel) filteredOriented.select("__src", "__dst")
+          else filteredOriented.select("__src", "__dst").distinct()
         return (if (e.shortest) composeShortest(h1, lo, hi)
                 else if (e.pathAlias.isDefined)
                   composePaths(if (e.undirectedSameLabel) h1.distinct() else h1,

@@ -81,11 +81,14 @@ object TpchGraph {
 
     // same-label edge for the undirected UNION path: nations sharing a region
     val n1 = nation.alias("n1"); val n2 = nation.alias("n2")
+    // n_dist (key gap) gives var-length hops a per-edge filterable
+    // property; existing queries never reference it
     gs.registerTable("NATION_ADJ", n1.join(n2,
         col("n1.n_regionkey") === col("n2.n_regionkey") &&
         col("n1.n_nationkey") < col("n2.n_nationkey"))
       .select(col("n1.n_nationkey").as("from_Nation"),
-              col("n2.n_nationkey").as("to_Nation")))
+              col("n2.n_nationkey").as("to_Nation"),
+              (col("n2.n_nationkey") - col("n1.n_nationkey")).as("n_dist")))
     gs.registerRel("NATION_ADJ", "NATION_ADJ", "Nation", "Nation")
 
     // sparse successor chain within a region (each nation → next-higher

@@ -689,10 +689,20 @@ object Planner {
           throw new GraftException(
             s"var-length hop on '${st.raw.alias}' requires a same-label relationship " +
             s"(${sch.label}: ${sch.fromLabel}->${sch.toLabel} cannot compose)")
-        if (relPushed(st.raw.alias).nonEmpty ||
-            refProps.getOrElse(st.raw.alias, Set.empty).nonEmpty)
+        // per-edge FILTERS are fine on a var-length hop (every traversed
+        // relationship must satisfy them — standard Cypher; the builder
+        // applies them to the hop base before composition). Reading a
+        // rel property OUT of the hop stays rejected: a value "of r"
+        // is ambiguous across the composed relationships.
+        val filterCols = relPushed(st.raw.alias).flatMap(Expr.propRefs)
+          .collect { case (a, c) if a == st.raw.alias => c }.toSet
+        val outside = refProps.getOrElse(st.raw.alias, Set.empty) -- filterCols
+        if (outside.nonEmpty)
           throw new GraftException(
-            s"relationship properties are not addressable on the var-length hop '${st.raw.alias}'")
+            s"relationship properties on the var-length hop '${st.raw.alias}' " +
+            "can only be filtered (every edge of the path must satisfy the " +
+            "predicate); returning or comparing them outside the hop filter " +
+            "is ambiguous across the composed relationships")
       }
       ResolvedEdge(st.raw.alias, st.schema.get, st.raw.src, st.raw.dst,
         st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias),

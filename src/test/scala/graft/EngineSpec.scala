@@ -130,11 +130,29 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(df2) == Set(1L, 3L, 4L))
   }
 
-  test("var-length hop rejects non-composable and property-addressed rels") {
+  test("var-length hop: per-edge property FILTERS restrict every traversed edge") {
+    // Follows since: 1→2 (2019), 1→3 (2020), 2→3 (2021), 3→4 (2022),
+    // 2→1 (2023); since >= 2021 keeps {2→3, 3→4, 2→1}
+    val df = gs.cypher(
+      """MATCH (a:User)-[f:Follows*1..2]->(b:User) WHERE f.since >= 2021
+        |RETURN a.id AS a_id, b.id AS b_id;""".stripMargin)
+    assert(rows(df) == Set(
+      Seq(2L, 3L), Seq(3L, 4L), Seq(2L, 1L), // the filtered 1-hops
+      Seq(2L, 4L)))                          // 2→3→4 (both edges pass)
+    // inline-prop spelling restricts the same way
+    val inline = gs.cypher(
+      "MATCH (a:User)-[:Follows*1..2 {since: 2021}]->(b:User) RETURN b.id AS id;")
+    assert(longs(inline) == Set(3L))
+  }
+
+  test("var-length hop rejects non-composable and value-addressed rels") {
     assertThrows[GraftException](gs.cypher(
       "MATCH (u:User)-[:Created*1..2]->(p:Post) RETURN p.id AS id;"))
-    assertThrows[GraftException](gs.cypher(
-      "MATCH (a:User)-[f:Follows*1..2]->(b:User) WHERE f.since > 0 RETURN b.id AS id;"))
+    // READING a rel property out of the hop stays rejected — only
+    // per-edge filtering is defined across composed relationships
+    val e = intercept[GraftException](gs.cypher(
+      "MATCH (a:User)-[f:Follows*1..2]->(b:User) RETURN b.id AS id, f.since AS s;"))
+    assert(e.getMessage.contains("filtered"), e.getMessage)
   }
 
   test("OPTIONAL MATCH: unmatched rows survive with nulls, count skips them") {

@@ -103,10 +103,14 @@ object AsOf {
     var out = l.unionByName(r)
       .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
+    // cast("timestamp"): tolerate TIMESTAMP_NTZ inputs (raw parquet reads)
+    // — under the UTC session timezone the instants are identical, and
+    // unix_micros only accepts the LTZ flavor
     val matched = tolerance match {
       case Some(tol) =>
         col(pack).isNotNull &&
-          abs(unix_micros(col(ts)) - unix_micros(col(pack)("__rts"))) <=
+          abs(unix_micros(col(ts).cast("timestamp")) -
+              unix_micros(col(pack)("__rts").cast("timestamp"))) <=
             lit(tol) * lit(1000000L)
       case None => col(pack).isNotNull
     }
@@ -158,8 +162,9 @@ object AsOf {
         lCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
+    // cast("timestamp"): same NTZ tolerance as asOfJoin's matched check
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(unix_micros(col(ts)))
+      .orderBy(unix_micros(col(ts).cast("timestamp")))
       .rangeBetween(-horizonSeconds * 1000000L, 0L)
     val aggCol = agg.toLowerCase match {
       case "sum"   => coalesce(sum(col(v)).over(w), lit(0).cast(right.schema(valueCol).dataType))

@@ -168,6 +168,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join and rolling aggregate: ONE shuffle each (union-merge shape)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    for ((name, df) <- Seq(
+        "asOfJoin" -> graft.pipeline.AsOf.asOfJoin(
+          clicks, buys, Seq("user_id"), "ts", "pts", Seq("value")),
+        "rollingAgg" -> graft.pipeline.AsOf.rollingAgg(
+          clicks, buys, Seq("user_id"), "ts", "pts", "value", 3600))) {
+      // at most the ONE key-partition exchange (AQE may even elide it on
+      // a single tiny input split — never more)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= 1,
+        s"$name expected at most 1 shuffle (the key partition), got " +
+          s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+      assert(!formatted(df).contains("CartesianProduct"), name)
+    }
+  }
+
+  test("correlated CALL: anchor semi-join restricts the body scan; grouped " +
+       "aggregate is partial+final") {
+    val plan = formatted(gs.cypher(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9000.0
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) RETURN count(o) AS cnt }
+        |RETURN c.c_custkey AS k, cnt;""".stripMargin))
+    // the body's customer scan must be SEMI-joined with the outer key set
+    // (body compute ∝ outer keys, not table size)
+    assert(plan.contains("LeftSemi"), plan)
+    // Cypher per-row aggregation compiles to ONE grouped aggregate with a
+    // map-side partial, never a per-row re-execution
+    assert(plan.contains("partial_count"), plan)
+    // zero-match rows survive via the LEFT join back
+    assert(plan.contains("LeftOuter"), plan)
+  }
+
   test("dup-span coverage: one window, doc-freq aggregate is partial+final") {
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -266,6 +266,11 @@ object PipelineEntries {
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
 
+    // context-window chunking: 64-token windows, 16-token overlap —
+    // narrow + one explode, no shuffle (oracle: range()-start mirror)
+    "p_chunk" -> ((s, dir) =>
+      Corpus.chunkDocuments(docs(s, dir), maxTokens = 64, overlap = 16)),
+
     // leakage-free rolling feature: purchases summed over the hour before
     // each click (range window over the union — oracle: correlated
     // BETWEEN subquery)
@@ -1109,6 +1114,20 @@ object PipelineEntries {
         |         event_type, value
         |  FROM events, range(0, 4) t(k))
         |GROUP BY 1, 2""".stripMargin,
+
+    "p_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks), 1), 48)) AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_id,
+        |       array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text,
+        |       CAST(greatest(least(len(toks) - s, 64), 0) AS BIGINT) AS chunk_tokens
+        |FROM st""".stripMargin,
 
     "p_rolling" ->
       """SELECT l.event_id, l.user_id,

@@ -210,6 +210,39 @@ object Corpus {
         col("cum_tokens"), col("seq_bin"))
   }
 
+  /** Fixed-token-window chunking with overlap — the standard
+    * context-length preprocessing for training examples: each document
+    * splits into windows of `maxTokens` whitespace tokens whose starts
+    * step by `maxTokens − overlap`, so consecutive chunks share `overlap`
+    * tokens and no token is dropped. The final window may be short;
+    * an empty document yields one empty chunk (the doc stays represented).
+    *
+    * Scale shape: a pure narrow projection + one explode — no shuffle at
+    * all; chunk fan-out is ⌈n/stride⌉ per doc, proportional to the output
+    * the caller asked for. Tokenization matches [[Dedup.tokens]] (and the
+    * DuckDB oracle's regexp_split_to_array mirror). */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, s"chunkDocuments: maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunkDocuments: overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    docs
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      // starts 0, stride, 2·stride, … strictly below n (one start for the
+      // empty doc); sequence is exclusive-safe via the greatest() bound
+      .withColumn("__start", explode(sequence(
+        lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        greatest(least(col("__n") - col("__start"), lit(maxTokens)), lit(0))
+          .cast("long").as("chunk_tokens"))
+  }
+
   /** Per-language corpus length statistics over whitespace token counts:
     * doc count, mean (6 dp), and exact p50/p95/p99 (linear interpolation —
     * matches DuckDB `quantile_cont` for the oracle). */

@@ -963,6 +963,29 @@ class SamplingSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
   }
 
+  test("chunkDocuments: stride windows, overlap, short tail, empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one window
+      (3L, "")                     // empty
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.chunkDocuments(docs, maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // stride 3: starts 0,3,6,9 for doc 1 — consecutive chunks share 1 token
+    assert(out == Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L),
+      (1L, 2L, "g h i j", 4L), (1L, 3L, "j", 1L),
+      (2L, 0L, "x y", 2L),
+      (3L, 0L, "", 1L)))
+    // no token is lost and overlaps are exactly the shared boundary tokens
+    val doc1 = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    assert(doc1.flatten.distinct == Seq("a","b","c","d","e","f","g","h","i","j"))
+    assertThrows[IllegalArgumentException](
+      graft.pipeline.Corpus.chunkDocuments(docs, maxTokens = 4, overlap = 4))
+  }
+
   test("mixture weights: shares sum to 1, weight realizes the target") {
     val got = Sampling.mixtureWeights(docs, "lang",
       Map("en" -> 0.6, "de" -> 0.2)).collect()

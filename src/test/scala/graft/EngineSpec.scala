@@ -155,6 +155,20 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("filtered"), e.getMessage)
   }
 
+  test("shortestPath composes over the per-edge-filtered hop base") {
+    // since >= 2020 removes 1→2 (2019): 1's shortest route to 4 becomes
+    // 1→3→4 (still 2); with since >= 2021, 1 loses all outgoing edges
+    val df = gs.cypher(
+      """MATCH p = shortestPath((a:User)-[f:Follows*1..3]->(b:User))
+        |WHERE f.since >= 2020 AND a.id = 1 AND b.id = 4
+        |RETURN length(p) AS len;""".stripMargin)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val none = gs.cypher(
+      """MATCH p = shortestPath((a:User)-[f:Follows*1..3]->(b:User))
+        |WHERE f.since >= 2021 AND a.id = 1 RETURN length(p) AS len;""".stripMargin)
+    assert(none.count() == 0)
+  }
+
   test("OPTIONAL MATCH: unmatched rows survive with nulls, count skips them") {
     val df = gs.cypher(
       """MATCH (u:User)

@@ -415,6 +415,12 @@ object PipelineEntries {
     "g_shortest" -> ((s, dir) =>
       GraphAlgorithms.shortestPaths(TpchGraph.session(s, dir), "NATION_NEXT",
         Seq(24L, 10L, 3L))),
+
+    // weighted shortest paths: min-plus over NATION_ADJ's n_dist weights,
+    // bounded hops (oracle: recursive CTE walk + final min)
+    "g_wshortest" -> ((s, dir) =>
+      GraphAlgorithms.weightedShortestPaths(TpchGraph.session(s, dir),
+        "NATION_ADJ", "n_dist", Seq(24L, 10L), maxHops = 4)),
   )
 
   // ---- generated oracle SQL -----------------------------------------------
@@ -1356,6 +1362,25 @@ object PipelineEntries {
     // chain (GraphX ShortestPaths messages flow dst→src, so a vertex's
     // distance is the directed hop count v → … → landmark); the chain
     // next() is a function so each (id, landmark) appears exactly once
+    "g_wshortest" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.n_nationkey AS f, b.n_nationkey AS t,
+        |         CAST(b.n_nationkey - a.n_nationkey AS DOUBLE) AS w
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+        |walk AS (
+        |  SELECT f AS id, t AS landmark, w AS dist, 1 AS hops
+        |  FROM e WHERE t IN (24, 10)
+        |  UNION ALL
+        |  SELECT e.f, walk.landmark, e.w + walk.dist, walk.hops + 1
+        |  FROM e JOIN walk ON e.t = walk.id WHERE walk.hops < 4)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(landmark AS BIGINT) AS landmark,
+        |       min(dist) AS dist
+        |FROM (SELECT id, landmark, dist FROM walk
+        |      UNION ALL
+        |      SELECT lm, lm, 0.0 FROM (VALUES (24), (10)) t(lm))
+        |GROUP BY id, landmark""".stripMargin,
+
     "g_shortest" ->
       """WITH RECURSIVE nxt AS (
         |  SELECT n1.n_nationkey AS f, min(n2.n_nationkey) AS t

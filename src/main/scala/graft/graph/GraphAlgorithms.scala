@@ -93,6 +93,53 @@ object GraphAlgorithms {
       .toDF("id", "triangles")
   }
 
+  /** WEIGHTED shortest paths to landmark vertices within a hop bound:
+    * min-plus (Bellman-Ford) composition over the edge list — per level,
+    * one equi-join extends every known path backwards by one edge and a
+    * map-side-combinable min() re-aggregates, so per-level state is
+    * bounded by |V|·|landmarks| regardless of path multiplicity. Returns
+    * (id, landmark, distance) for every vertex that reaches a landmark in
+    * ≤ maxHops hops (landmarks at distance 0.0 from themselves).
+    *
+    * DataFrame-first by design (unlike the GraphX hop-count variant
+    * below): each level is a plain equi-join + partial/final aggregate
+    * that Catalyst broadcasts when the frontier is small and AQE
+    * re-plans when it isn't — and a bounded level count keeps the
+    * semantics oracle-checkable (a recursive SQL mirror terminates).
+    * Negative weights are rejected (min-plus with a hop bound would
+    * silently depend on the bound). */
+  def weightedShortestPaths(gs: GraftSession, relLabel: String,
+      weightCol: String, landmarks: Seq[Long], maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val r = gs.catalog.rel(relLabel)
+    val e = gs.table(r.tableName).select(
+      col(r.fromColumn).cast("long").as("__f"),
+      col(r.toColumn).cast("long").as("__t"),
+      col(weightCol).cast("double").as("__w"))
+    val spark = gs.spark
+    import spark.implicits._
+    if (e.filter(col("__w") < 0).limit(1).count() > 0)
+      throw new graft.cypher.GraftException(
+        s"weightedShortestPaths: negative $weightCol weights are not " +
+        "supported under a bounded hop count")
+
+    val lm = landmarks.toDF("landmark")
+    var frontier = e.join(broadcast(lm), col("__t") === col("landmark"))
+      .select(col("__f").as("id"), col("landmark"), col("__w").as("dist"))
+      .groupBy("id", "landmark").agg(min("dist").as("dist"))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 2 to maxHops) {
+      frontier = e.join(frontier, col("__t") === col("id"))
+        .select(col("__f").as("id"), col("landmark"),
+          (col("__w") + col("dist")).as("dist"))
+        .groupBy("id", "landmark").agg(min("dist").as("dist"))
+      levels += frontier
+    }
+    val zero = landmarks.map(l => (l, l, 0.0)).toDF("id", "landmark", "dist")
+    (levels :+ zero).reduce(_ unionByName _)
+      .groupBy("id", "landmark").agg(min("dist").as("dist"))
+  }
+
   /** Single-source-set shortest paths (hop counts) to the given landmark
     * vertices, via GraphX's Pregel-based ShortestPaths. Returns one row per
     * (vertex, landmark) pair that is reachable: (id, landmark, distance).

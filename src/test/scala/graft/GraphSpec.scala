@@ -33,6 +33,30 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(5L) < pr(3L)) // isolated vertex below well-connected one
   }
 
+  test("weighted shortest paths: min total weight beats fewer hops") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("wn", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "name"))
+    g.registerTable("WE", Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0),
+        (3L, 4L, 1.0)).toDF("from_W", "to_W", "w"))
+    g.registerNode("W", "wn", "id")
+    g.registerRel("WE", "WE", "W", "W")
+    val got = GraphAlgorithms.weightedShortestPaths(g, "WE", "w", Seq(4L), maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // 1→2→3→4 (3 hops, weight 3) beats the shorter-hop 1→3→4 (weight 6)
+    assert(got == Map(1L -> 3.0, 2L -> 2.0, 3L -> 1.0, 4L -> 0.0))
+    // the hop bound is honored: at maxHops=2 vertex 1 only reaches via 1→3→4
+    val bounded = GraphAlgorithms.weightedShortestPaths(g, "WE", "w", Seq(4L), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(bounded(1L) == 6.0)
+    // negative weights are rejected under a bounded hop count
+    g.registerTable("WNEG", Seq((1L, 2L, -1.0)).toDF("from_W", "to_W", "w"))
+    g.registerRel("WNEG", "WNEG", "W", "W")
+    assertThrows[graft.cypher.GraftException](
+      GraphAlgorithms.weightedShortestPaths(g, "WNEG", "w", Seq(2L)))
+  }
+
   test("triangle count") {
     val tc = GraphAlgorithms.triangleCount(gs, "Follows")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

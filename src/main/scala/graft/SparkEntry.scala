@@ -337,6 +337,22 @@ object SparkEntry {
         |COUNT { (s:Supplier)-[:SUPP_NATION]->(n) WHERE s.s_acctbal > 2500.0 }
         |AS suppliers;""".stripMargin),
 
+    // pattern comprehension (extension): per-row projected match lists via
+    // the COUNT { } grouped join with collect_list — [] for no matches;
+    // the array column joins to one string for the driver's scalar hasher
+    // (like q_collect), and size() over a second comprehension exercises
+    // the list-value form
+    "q_pattern_comp" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws}
+      cy("""MATCH (n:Nation)
+           |RETURN n.n_name AS n_name,
+           |  [(sp:Supplier)-[:SUPP_NATION]->(n) WHERE sp.s_acctbal > 4000.0 | sp.s_name]
+           |    AS snames,
+           |  size([(c:Customer)-[:FROM_NATION]->(n) WHERE c.c_acctbal < 0.0 | c.c_custkey])
+           |    AS poor;""".stripMargin)(s, dir)
+        .withColumn("snames", concat_ws(",", col("snames")))
+    }),
+
     // collect() list aggregate (Cypher extension; the reference's engine
     // would map it to a grouped-array aggregate). Parallel aggregation
     // gives no stable element order, so the gate entry sorts and joins the
@@ -680,6 +696,17 @@ object SparkEntry {
       """SELECT n_name,
         |       (SELECT count(*) FROM supplier
         |        WHERE s_nationkey = n_nationkey AND s_acctbal > 2500.0) AS suppliers
+        |FROM nation""".stripMargin,
+
+    "q_pattern_comp" ->
+      """SELECT n_name,
+        |       coalesce(array_to_string(
+        |         (SELECT list_sort(list(s_name)) FROM supplier
+        |          WHERE s_nationkey = n_nationkey AND s_acctbal > 4000.0),
+        |         ','), '') AS snames,
+        |       CAST((SELECT count(*) FROM customer
+        |             WHERE c_nationkey = n_nationkey AND c_acctbal < 0.0)
+        |            AS INTEGER) AS poor
         |FROM nation""".stripMargin,
 
     "q_collect" ->

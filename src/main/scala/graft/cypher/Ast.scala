@@ -50,6 +50,16 @@ object Expr {
     * pattern matches (extension). Compiles to a grouped count over the
     * pattern's pair set left-joined back onto the main frame. */
   final case class CountSub(path: PathPattern, where: Option[Expr]) extends Expr
+  /** `[(a)-[:R]->(n) [WHERE pred] | proj]` pattern comprehension
+    * (extension — openCypher §"pattern comprehension"). Per outer row,
+    * the list of `proj` values over the pattern's matches, [] when none.
+    * Shares COUNT { }'s grouped-join compilation: the pattern's pair set
+    * aggregates `collect_list(proj)` by its bound-side key(s) and
+    * LEFT-joins back. Element order is made deterministic by sorting
+    * (openCypher leaves it unspecified). `proj` may reference only the
+    * pattern's own (subquery-local) aliases. */
+  final case class PatternComp(path: PathPattern, where: Option[Expr],
+      proj: Expr) extends Expr
   /** `[x IN list WHERE pred | proj]` list comprehension (extension beyond
     * the reference grammar). `varName` is scoped to `where`/`proj` and
     * SHADOWS any outer name there. Compiles to filter/transform HOFs. */
@@ -100,6 +110,9 @@ object Expr {
     // bound outer aliases hoist to the residual filter
     case ExistsSub(_, w)  => w.toSeq.flatMap(propRefs)
     case CountSub(_, w)   => w.toSeq.flatMap(propRefs)
+    // the projection's refs are subquery-local (planner-enforced) — only
+    // the WHERE can hoist conjuncts onto outer aliases
+    case PatternComp(_, w, _) => w.toSeq.flatMap(propRefs)
     case _             => Seq.empty
   }
 
@@ -124,6 +137,9 @@ object Expr {
     case CountSub(p, w)  =>
       (p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet ++
         w.toSeq.flatMap(referencedNames)
+    case PatternComp(p, w, pr) =>
+      (p.start.alias.toSeq ++ p.hops.flatMap { case (r, n) => r.alias ++ n.alias }).toSet ++
+        (w.toSeq :+ pr).flatMap(referencedNames)
     // lambda-bound names are NOT outer references (shadowing)
     case ListComp(v, l, w, p) =>
       referencedNames(l) ++
@@ -153,8 +169,12 @@ object Expr {
     case _               => false
   }
 
+  /** COUNT { } and pattern comprehensions share placement rules (first
+    * projection only) and the grouped-join compilation, so one walk
+    * gates both. */
   def containsCountSub(e: Expr): Boolean = e match {
     case CountSub(_, _)  => true
+    case PatternComp(_, _, _) => true
     case Fn(_, as, _)    => as.exists(containsCountSub)
     case Bin(_, l, r)    => containsCountSub(l) || containsCountSub(r)
     case Not(x)          => containsCountSub(x)
@@ -212,7 +232,7 @@ object Expr {
     // (planner-enforced); its alias references are join keys, not columns.
     // Subquery WHERE refs are validated and compiled planner-side.
     case PatternPred(_)               => Seq.empty
-    case ExistsSub(_, _) | CountSub(_, _) => Seq.empty
+    case ExistsSub(_, _) | CountSub(_, _) | PatternComp(_, _, _) => Seq.empty
     // lambda-bound Vars are local, not leaf column refs
     case ListComp(v, l, w, p) =>
       leafRefs(l) ++ (w.toSeq ++ p.toSeq).flatMap(leafRefs)
@@ -262,6 +282,8 @@ object Expr {
       ExistsSub(bindPath(p, params), w.map(bind(_, params)))
     case CountSub(p, w) =>
       CountSub(bindPath(p, params), w.map(bind(_, params)))
+    case PatternComp(p, w, pr) =>
+      PatternComp(bindPath(p, params), w.map(bind(_, params)), bind(pr, params))
     case Fn(n, as, d)  => Fn(n, as.map(bind(_, params)), d)
     case Bin(o, l, r)  => Bin(o, bind(l, params), bind(r, params))
     case Not(x)        => Not(bind(x, params))

@@ -257,6 +257,7 @@ object CypherParser extends RegexParsers {
     literal |
     ("$" ~> identRe) ^^ Expr.Param.apply |
     listComp |
+    patternComp |
     ("[" ~> repsep(expression, ",") <~ "]") ^^ Expr.ListLit.apply |
     patternPredicate |
     reduceFn |
@@ -286,6 +287,18 @@ object CypherParser extends RegexParsers {
   private def countSub: Parser[Expr] =
     identRe.filter(_.equalsIgnoreCase("count")) ~> subqueryBody ^^ {
       case (p, w) => Expr.CountSub(p, w)
+    }
+
+  /** `[(a)-[:R]->(n) [WHERE pred] | proj]` pattern comprehension. Tried
+    * before the list-literal alternative: a bracketed list whose first
+    * element is parenthesized (`[(1+2), 3]`) fails at the relationship
+    * hop and backtracks. */
+  private def patternComp: Parser[Expr] =
+    "[" ~> nodePattern ~ rep1(relPattern ~ nodePattern) ~
+      opt(kw("where") ~> expression) ~ ("|" ~> expression) <~ "]" ^^ {
+      case start ~ hops ~ w ~ proj =>
+        Expr.PatternComp(
+          PathPattern(start, hops.map { case r ~ n => (r, n) }), w, proj)
     }
 
   /** `(a)-[:R]->(b)` as a boolean WHERE predicate (needs >=1 hop, so a

@@ -451,7 +451,8 @@ final class DataFrameBuilder(
       pp: graft.planner.ResolvedPatternPred): Map[String, Seq[String]] = {
     val local = Set(pp.relAlias) ++
       Seq(pp.fromEnd, pp.toEnd).filterNot(_.bound).map(_.alias)
-    pp.joinConds.flatMap(Expr.propRefs).filter(r => local(r._1))
+    (pp.joinConds ++ pp.carryExprs).flatMap(Expr.propRefs)
+      .filter(r => local(r._1))
       .groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).distinct }
   }
 
@@ -550,18 +551,45 @@ final class DataFrameBuilder(
       main: DataFrame, cs: graft.planner.ResolvedCountSub,
       plan: GraphPlan): DataFrame = {
     val pp = cs.pred
-    if (pp.alwaysFalse) return main.withColumn(cs.outName, lit(0L))
+    if (pp.alwaysFalse && cs.proj.isEmpty)
+      return main.withColumn(cs.outName, lit(0L))
     val keys =
       (if (pp.fromEnd.bound) Seq("__ppf") else Seq.empty) ++
       (if (pp.toEnd.bound) Seq("__ppt") else Seq.empty)
     val a = s"__cs_${cs.outName}"
-    val counted = predPairs(pp)
+    // a comprehension over a contradictory direction still needs the
+    // typed empty-list column — run the same plan over zero pair rows
+    val pairs0 = predPairs(pp)
+    val pairs = if (pp.alwaysFalse) pairs0.filter(lit(false)) else pairs0
+    val aggExpr = cs.proj match {
+      case None => count(lit(1)).as("__cscnt")
+      case Some(projE) =>
+        // projection refs resolve against the pair set's carried columns
+        // (planner guarantees they are subquery-local)
+        val localAliases = Set(pp.relAlias) ++
+          Seq(pp.fromEnd, pp.toEnd).filterNot(_.bound).map(_.alias)
+        val localResolver: ExprCompiler.Resolver = {
+          case Expr.Prop(al, c) if localAliases(al) =>
+            Some(col(s"__ppx_${al}_$c"))
+          case _ => None
+        }
+        // sort for determinism — openCypher leaves comprehension order
+        // unspecified, and parallel collect_list is run-order-dependent
+        sort_array(collect_list(compile(projE, localResolver))).as("__cscnt")
+    }
+    val counted = pairs
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__cscnt"))
+      .agg(aggExpr)
       .alias(a)
+    val emptyVal: Column = cs.proj match {
+      case None => lit(0L)
+      case Some(_) =>
+        val dt = counted.schema("__cscnt").dataType
+        expr(s"CAST(array() AS ${dt.sql})")
+    }
     val conds = predConds(pp, plan, a)
     val joined = main.join(counted, conds.reduce(_ && _), "left_outer")
-      .withColumn(cs.outName, coalesce(col(s"$a.__cscnt"), lit(0L)))
+      .withColumn(cs.outName, coalesce(col(s"$a.__cscnt"), emptyVal))
     ("__cscnt" +: keys).foldLeft(joined)((df, k) => df.drop(col(s"$a.$k")))
   }
 

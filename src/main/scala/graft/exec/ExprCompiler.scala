@@ -32,8 +32,10 @@ object ExprCompiler {
     case Expr.PatternPred(_) | Expr.ExistsSub(_, _) => throw new GraftException(
       "pattern predicates / EXISTS { } are only supported as top-level " +
       "conjuncts of the main MATCH's WHERE clause")
-    case Expr.CountSub(_, _)   => throw new GraftException(
-      "COUNT { } is only supported in the first WITH/RETURN projection")
+    case Expr.CountSub(_, _) | Expr.PatternComp(_, _, _) =>
+      throw new GraftException(
+        "COUNT { } / pattern comprehensions are only supported in the " +
+        "first WITH/RETURN projection")
     case Expr.ListLit(items)   => array(items.map(compile(_, resolve)): _*)
     case Expr.Neg(x)           => -compile(x, resolve)
     case Expr.Not(x)           => !compile(x, resolve)

@@ -90,8 +90,11 @@ final case class PredEndpoint(
 
 /** `COUNT { (a)-[:R]->(n) [WHERE ...] }` resolved: the pattern's pair set
   * is grouped by its bound-side key(s) and left-joined back onto the main
-  * frame as column `outName` (0 for rows with no match). */
-final case class ResolvedCountSub(outName: String, pred: ResolvedPatternPred)
+  * frame as column `outName` (0 for rows with no match). A pattern
+  * comprehension rides the same shape with `proj` set: the aggregate is
+  * `sort_array(collect_list(proj))` and rows with no match get []. */
+final case class ResolvedCountSub(outName: String, pred: ResolvedPatternPred,
+    proj: Option[Expr] = None)
 
 /** `WHERE [NOT] (a)-[:R]->(b)` resolved to a semi/anti-join spec
   * (extension — the reference grammar rejects patterns as expressions).
@@ -113,7 +116,11 @@ final case class ResolvedPatternPred(
       * columns the pair set carries) AND/OR outer aliases (resolved
       * against the main frame). Under NOT this is the only sound home for
       * outer-referencing conditions — hoisting would negate them too. */
-    joinConds: Seq[Expr] = Seq.empty)
+    joinConds: Seq[Expr] = Seq.empty,
+    /** Extra expressions whose subquery-local property references must
+      * ride the pair set as carried columns (a pattern comprehension's
+      * projection) — they never join or filter. */
+    carryExprs: Seq[Expr] = Seq.empty)
 
 /** Semantic analysis: label/relationship inference (reference
   * analyzer/schema_inference.rs), direction validation
@@ -534,9 +541,13 @@ object Planner {
       fitting match {
         case Seq() => // explicit rel type, direction/labels contradict: const false
           val s = candidates.head
+          // honor WRITTEN endpoint labels: a pattern comprehension over a
+          // contradictory direction still compiles its projection against
+          // the endpoint the user named (for the typed [] column) — the
+          // schema's own from/to labels are only a fallback
           ResolvedPatternPred(s, relAlias, relFilters,
-            endpoint(srcPat, srcBound, s.fromLabel),
-            endpoint(dstPat, dstBound, s.toLabel),
+            endpoint(srcPat, srcBound, srcPat.label.getOrElse(s.fromLabel)),
+            endpoint(dstPat, dstBound, dstPat.label.getOrElse(s.toLabel)),
             bothOrientations = false, negated = negated, alwaysFalse = true)
         case orients =>
           val s = orients.head._1
@@ -606,8 +617,9 @@ object Planner {
             hoistOuter = false)
         case _ if Expr.containsCountSub(c) =>
           throw new GraftException(
-            "COUNT { } is not allowed in WHERE; compute it in a WITH stage " +
-            "and filter on its alias (WITH ..., COUNT { ... } AS n WHERE n > 0)")
+            "COUNT { } / pattern comprehensions are not allowed in WHERE; " +
+            "compute the value in a WITH stage and filter on its alias " +
+            "(WITH ..., COUNT { ... } AS n WHERE n > 0)")
         case _ if Expr.containsPatternPred(c) =>
           throw new GraftException(
             "pattern predicates and EXISTS { } are only supported as " +
@@ -736,6 +748,56 @@ object Planner {
           negated = false, subWhere = w.map(Expr.conjuncts).getOrElse(Seq.empty),
           named = true, hoistOuter = false, allowJoinConds = false))
         Expr.Var(name)
+      case Expr.PatternComp(p, w, proj) =>
+        val name = s"__cnt${countSubs.size}"
+        val rp = resolvePatternPred(p,
+          negated = false, subWhere = w.map(Expr.conjuncts).getOrElse(Seq.empty),
+          named = true, hoistOuter = false, allowJoinConds = false)
+        // the projection may reference only the pattern's own aliases:
+        // a bound-outer property is constant per group (write it outside
+        // the brackets), and anything else is out of scope
+        val locals = Set(rp.relAlias) ++
+          Seq(rp.fromEnd, rp.toEnd).filterNot(_.bound).map(_.alias)
+        val idColOfLocal: Map[String, String] =
+          Seq(rp.fromEnd, rp.toEnd).filterNot(_.bound)
+            .map(e => e.alias -> e.schema.idColumn).toMap
+        def localProj(e: Expr): Expr = e match {
+          case Expr.Var(a) if idColOfLocal.contains(a) =>
+            Expr.Prop(a, idColOfLocal(a))
+          case Expr.Var(a) if a == rp.relAlias =>
+            throw new GraftException(
+              s"relationship alias '$a' has no value form inside a pattern " +
+              "comprehension; project its properties instead")
+          case Expr.Fn(n, as, d)  => Expr.Fn(n, as.map(localProj), d)
+          case Expr.Bin(o, l, r)  => Expr.Bin(o, localProj(l), localProj(r))
+          case Expr.Not(x)        => Expr.Not(localProj(x))
+          case Expr.Neg(x)        => Expr.Neg(localProj(x))
+          case Expr.IsNull(x, ng) => Expr.IsNull(localProj(x), ng)
+          case Expr.ListLit(xs)   => Expr.ListLit(xs.map(localProj))
+          case Expr.CaseWhen(bs, o) => Expr.CaseWhen(
+            bs.map { case (c, v) => (localProj(c), localProj(v)) },
+            o.map(localProj))
+          case other => other
+        }
+        val projRw = localProj(proj)
+        if (Expr.containsCountSub(projRw) || Expr.containsPatternPred(projRw))
+          throw new GraftException(
+            "nested pattern / COUNT subqueries inside a pattern " +
+            "comprehension projection are not supported")
+        if (Expr.isAggregate(projRw))
+          throw new GraftException(
+            "aggregate functions are not allowed inside a pattern " +
+            "comprehension projection")
+        val outerRefs = Expr.referencedNames(projRw) -- locals
+        if (outerRefs.nonEmpty)
+          throw new GraftException(
+            s"pattern comprehension projections may only reference the " +
+            s"pattern's own aliases; '${outerRefs.head}' is outer scope " +
+            "(bound values are constant per row — project them as separate " +
+            "RETURN items)")
+        countSubs += ResolvedCountSub(name,
+          rp.copy(carryExprs = Seq(projRw)), Some(projRw))
+        Expr.Var(name)
       case Expr.ExistsSub(_, _) | Expr.PatternPred(_) =>
         throw new GraftException(
           "EXISTS { } / pattern predicates are only supported in WHERE; " +
@@ -758,8 +820,9 @@ object Planner {
     def rejectCounts(e: Expr, where: String): Unit =
       if (Expr.containsCountSub(e) || Expr.containsPatternPred(e))
         throw new GraftException(
-          s"COUNT { } / EXISTS { } subqueries are not supported in $where; " +
-          "compute the value in the first WITH/RETURN projection")
+          s"COUNT { } / EXISTS { } / pattern-comprehension subqueries are " +
+          s"not supported in $where; compute the value in the first " +
+          "WITH/RETURN projection")
     val (withStagesRw, returnItemsRw) =
       if (q.withStages.nonEmpty) {
         val first = q.withStages.head

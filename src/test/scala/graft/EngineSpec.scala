@@ -507,6 +507,73 @@ class EngineSpec extends AnyFunSuite {
         |WHERE deg >= 3 RETURN id;""".stripMargin)) == Set(1L, 2L, 3L))
   }
 
+  test("pattern comprehension: projected match lists with [] for no matches") {
+    val names = gs.cypher(
+      """MATCH (a:User) RETURN a.id AS id,
+        |[(a)-[:Follows]->(b:User) | b.name] AS fn ORDER BY id;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(names == Map(
+      1L -> Seq("u2", "u3"), 2L -> Seq("u1", "u3"), 3L -> Seq("u4"),
+      4L -> Seq.empty, 5L -> Seq.empty))
+    // WHERE inside the brackets filters the matches, not the outer rows
+    val berlin = gs.cypher(
+      """MATCH (a:User) RETURN a.id AS id,
+        |[(a)-[:Follows]->(b:User) WHERE b.city = 'berlin' | b.id] AS fb
+        |ORDER BY id;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(berlin == Map(1L -> Seq(3L), 2L -> Seq(1L, 3L),
+      3L -> Seq.empty, 4L -> Seq.empty, 5L -> Seq.empty))
+    // relationship properties and computed projections; bare node alias
+    // projects its id
+    val rel = gs.cypher(
+      """MATCH (a:User {id: 1}) RETURN
+        |[(a)-[r:Follows]->() | r.since] AS yrs,
+        |[(a)-[:Follows]->(b) | b.id * 10] AS tens,
+        |[(a)-[:Follows]->(b) | b] AS ids;""".stripMargin).collect().head
+    assert(rel.getSeq[Long](0) == Seq(2019L, 2020L))
+    assert(rel.getSeq[Long](1) == Seq(20L, 30L))
+    assert(rel.getSeq[Long](2) == Seq(2L, 3L))
+    // size() composes over the list value; comprehension count matches
+    // COUNT { }
+    val sz = gs.cypher(
+      """MATCH (a:User) WITH a.id AS id,
+        |size([(a)-[:Follows]->(b:User) | b.id]) AS n WHERE n > 1
+        |RETURN id, n;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sz == Map(1L -> 2, 2L -> 2))
+    // contradictory direction (Created is User->Post): typed empty lists
+    val contra = gs.cypher(
+      """MATCH (p:Post) RETURN p.id AS id,
+        |[(p)-[:Created]->(u:User) | u.name] AS xs ORDER BY id;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(contra == Map(10L -> Seq.empty, 11L -> Seq.empty, 12L -> Seq.empty))
+    // reverse-bound comprehension: who follows me
+    val rev = gs.cypher(
+      """MATCH (a:User) RETURN a.id AS id,
+        |[(f:User)-[:Follows]->(a) | f.name] AS followers ORDER BY id;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rev(1L) == Seq("u2") && rev(3L) == Seq("u1", "u2") && rev(5L) == Seq.empty)
+  }
+
+  test("pattern comprehension negative cases: scope, aggregates, position") {
+    // outer (bound) alias in the projection: constant per row, rejected
+    val e1 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) RETURN [(a)-[:Follows]->(b) | a.name] AS xs;"))
+    assert(e1.getMessage.contains("own aliases"), e1.getMessage)
+    // aggregate inside the projection
+    val e2 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) RETURN [(a)-[:Follows]->(b) | sum(b.id)] AS xs;"))
+    assert(e2.getMessage.contains("aggregate"), e2.getMessage)
+    // WHERE position points at the WITH idiom
+    val e3 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) WHERE size([(a)-[:Follows]->(b) | b.id]) > 1 RETURN a.id AS id;"))
+    assert(e3.getMessage.contains("WITH"), e3.getMessage)
+    // relationship alias has no value form
+    val e4 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) RETURN [(a)-[r:Follows]->(b) | r] AS xs;"))
+    assert(e4.getMessage.contains("no value form"), e4.getMessage)
+  }
+
   test("EXISTS { } / COUNT { } negative cases: scope, correlation, position") {
     // undefined alias inside the subquery WHERE
     val e1 = intercept[GraftException](gs.cypher(

@@ -191,6 +191,19 @@ object PipelineEntries {
       Similarity.cosinePairs(eD.unionAll(pert), threshold = 0.99)
     }),
 
+    // SemDeDup (cluster-then-prune semantic dedup) over the same
+    // planted-twin corpus: each perturbed twin ranks below its base
+    // inside the shared cluster and is flagged is_dup — oracle-checked
+    // against the kmeans CTE chain + rank-and-pair mirror
+    "p_semdedup" -> ((s, dir) => {
+      val eD = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = eD.select((col("vec_id") + lit(1000000000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * 1.05).otherwise(x)).as("embedding"))
+      Similarity.semDedup(eD.unionAll(pert), tau = 0.99)
+    }),
+
     // quality scoring — oracle-checked
     "p_text_quality" -> ((s, dir) => TextAnalysis.qualityFeatures(docs(s, dir))),
 
@@ -374,6 +387,17 @@ object PipelineEntries {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // Bloom-prefiltered decontamination: identical result (the exact
+    // verify join removes Bloom false positives), so it shares
+    // p_decontaminate's oracle — the filter only cuts the join's input
+    "p_decon_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.decontaminateBloom(
+        d.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(100)) === 0))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // per-lang token-length stats with exact interpolated percentiles —
     // oracle-checked against DuckDB quantile_cont
     "p_length_stats" -> ((s, dir) => Corpus.lengthStats(docs(s, dir))),
@@ -506,6 +530,21 @@ object PipelineEntries {
     * (`lo + frac·(hi − lo)`), whose algebraically-equal-but-differently-
     * ordered arithmetic can differ by 1 ulp and flip a 6-dp rounding at a
     * decimal boundary (the p_curate failure class). */
+  /** Shared by p_decontaminate and p_decon_bloom: the Bloom prefilter is
+    * result-invariant, so both gate entries must hash-match this. */
+  private val decontaminateOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)),
+      |e AS (SELECT DISTINCT unnest(sh) AS ngram FROM t WHERE doc_id % 100 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS ngram FROM t WHERE doc_id % 100 <> 0),
+      |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN e ON tr.ngram = e.ngram)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   private def lengthStatsOracleSql: String = {
     def pct(tag: String): String =
       s"""round(CASE WHEN ceil(pos$tag) = floor(pos$tag)
@@ -568,12 +607,15 @@ object PipelineEntries {
     * quantizer prefix (seeds → one Lloyd step → final assignment), with
     * the winning similarity carried out. */
   private def kmeansOracleSql(dim: Int = 64,
-      finalSelect: String = "SELECT vec_id, cluster_id, sim FROM asg"): String = {
+      finalSelect: String = "SELECT vec_id, cluster_id, sim FROM asg",
+      srcSql: String =
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      : String = {
     val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
     s"""WITH n AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
-       |  FROM embeddings),
+       |  SELECT vec_id, v,
+       |         sqrt(list_sum(list_transform(v, e -> e * e))) AS nrm
+       |  FROM ($srcSql)),
        |seeds AS (
        |  SELECT vec_id AS cent_id, v AS cent, nrm AS centnorm
        |  FROM n ORDER BY vec_id
@@ -601,6 +643,35 @@ object PipelineEntries {
        |             ORDER BY $csim DESC, c.cent_id ASC) AS crank
        |    FROM n, cents c) WHERE crank = 1)
        |$finalSelect""".stripMargin
+  }
+
+  /** SemDeDup mirror: the kmeans CTE chain over base ∪ perturbed-twin
+    * vectors (p_dedup_embed's planted-dup construction), plus the
+    * rank-and-pair prune — a member is a dup when a more centroid-similar
+    * cluster mate is tau-close. The sf0.01 clusters (~31 members) sit far
+    * under the Spark side's 10k pair cap, so the mirror omits it. */
+  private def semDedupOracleSql(tau: Double = 0.99): String = {
+    val pertSrc =
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |   UNION ALL
+        |   SELECT vec_id + 1000000000000,
+        |          list_transform(range(1,65),
+        |            i -> CASE WHEN i = 1 THEN v[1] * 1.05 ELSE v[i] END)
+        |   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+        .stripMargin
+    kmeansOracleSql(srcSql = pertSrc, finalSelect =
+      s""", m AS (
+         |  SELECT a.vec_id, a.cluster_id, a.sim, n.v, n.nrm,
+         |         row_number() OVER (PARTITION BY a.cluster_id
+         |           ORDER BY a.sim DESC, a.vec_id ASC) AS rk
+         |  FROM asg a JOIN n ON n.vec_id = a.vec_id),
+         |dup AS (
+         |  SELECT DISTINCT y.vec_id FROM m x JOIN m y
+         |  ON x.cluster_id = y.cluster_id AND x.rk < y.rk
+         |  AND round(list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
+         |        / (x.nrm * y.nrm), 6) >= $tau)
+         |SELECT m.vec_id, m.cluster_id, m.sim,
+         |       (m.vec_id IN (SELECT vec_id FROM dup)) AS is_dup FROM m""".stripMargin)
   }
 
   /** Cluster-balanced diversity sample: the kmeans CTE plus a per-cluster
@@ -795,6 +866,7 @@ object PipelineEntries {
     "p_ann_filtered" -> ivfOracleSql(candPred = "a.vec_id % 2 = 1"),
     "p_kmeans" -> kmeansOracleSql(),
     "p_diversity" -> diversityOracleSql(),
+    "p_semdedup" -> semDedupOracleSql(),
 
     "p_normalize" ->
       """WITH n AS (
@@ -1260,18 +1332,10 @@ object PipelineEntries {
         |FROM tr JOIN e ON tr.ngram = e.ngram
         |GROUP BY tr.doc_id""".stripMargin,
 
-    "p_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |        FROM documents)),
-        |e AS (SELECT DISTINCT unnest(sh) AS ngram FROM t WHERE doc_id % 100 = 0),
-        |tr AS (SELECT doc_id, unnest(sh) AS ngram FROM t WHERE doc_id % 100 <> 0),
-        |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN e ON tr.ngram = e.ngram)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "p_decontaminate" -> decontaminateOracleSql,
+    // the Bloom prefilter is result-invariant (exact verify join) —
+    // same oracle
+    "p_decon_bloom" -> decontaminateOracleSql,
 
     "p_length_stats" -> lengthStatsOracleSql,
 

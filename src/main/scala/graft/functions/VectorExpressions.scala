@@ -314,6 +314,14 @@ object GraftFunctions {
     ("graft_isect", classOf[SortedIntersectCount],
       exprs => SortedIntersectCount(exprs(0), exprs(1))),
     ("graft_size", classOf[PolySize], exprs => PolySize(exprs.head)),
+    // Bloom-filter membership probe over xxhash64 values: Spark's own
+    // runtime-filter expression (codegen'd, deserialized once per task) —
+    // the SQL surface for it isn't registered by default. Args: (binary
+    // serialized org.apache.spark.util.sketch.BloomFilter, long hash).
+    ("graft_bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))),
     // avg over DISTINCT values: the real Average aggregate with the
     // distinct flag (planner rewrites it through the standard distinct
     // aggregation path), so the result TYPE and rounding match plain
@@ -403,6 +411,10 @@ object GraftFunctions {
       lit(ids), lit(centsFlat), lit(norms), lit(dim))
   }
   def simhash64(shingles: Column): Column = call_function("graft_simhash", shingles)
+  /** Probe a broadcast-able serialized Bloom filter with an xxhash64
+    * value; pair with `df.stat.bloomFilter` built over the same hashes. */
+  def bloomMightContain(bloomBytes: Column, hashed: Column): Column =
+    call_function("graft_bloom_might_contain", bloomBytes, hashed)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers the

@@ -141,6 +141,52 @@ object Corpus {
     train.join(contamination(train, eval_, n, textCol, idCol).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[decontaminate]] with a Bloom-filter prefilter on the train side —
+    * the EXACT same result (false positives are removed by the exact
+    * semi-join verify step), reached through a fraction of the join work.
+    *
+    * Why it matters at 100 TB: the exact path ships EVERY train shingle
+    * into the broadcast-hash-join probe. Here a Bloom filter over the
+    * eval set's xxhash64'd shingles (~10 bits/shingle at fpp=1%, vs ~50+
+    * bytes for the string set) is built once with one treeAggregate pass,
+    * serialized into a literal, and probed inside whole-stage codegen
+    * (Spark's own [[org.apache.spark.sql.catalyst.expressions
+    * .BloomFilterMightContain]], deserialized once per task) — so the
+    * expensive exact join sees only true overlaps plus an fpp-sized
+    * trickle, and the train corpus never leaves its scan stage for clean
+    * shingles. The verify join stays: Bloom alone would wrongly drop
+    * ~fpp of clean docs. */
+  def decontaminateBloom(train: DataFrame, eval_ : DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalShingles = Explodes.explodeNoInfer(
+      Dedup.withShingles(eval_.select(col(textCol)), textCol, n),
+      Seq.empty, col("sh"), "ngram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    // one pass builds the filter (treeAggregate of partition-local blooms);
+    // expectedNumItems needs the exact count, which the persisted set
+    // yields without recomputing the shingle lineage
+    val evalCount = math.max(1L, evalShingles.count())
+    val bloom = evalShingles.select(xxhash64(col("ngram")).as("h"))
+      .stat.bloomFilter("h", evalCount, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val trainShingles = Explodes.explodeNoInfer(
+      Dedup.withShingles(train.select(col(idCol), col(textCol)), textCol, n),
+      Seq(col(idCol)), col("sh"), "ngram")
+    val contaminatedIds = trainShingles
+      .filter(graft.functions.GraftFunctions.bloomMightContain(
+        lit(bloomBytes), xxhash64(col("ngram"))))
+      .join(broadcast(evalShingles), "ngram") // exact verify of survivors
+      .select(col(idCol)).distinct()
+    train.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** Gopher-style word-repetition quality signals per document (the
     * repetition family of Rae et al. 2021 §A1.1, word-level because the
     * corpus fixture has no line structure):

@@ -434,6 +434,62 @@ object Similarity {
         col("best.csim").as("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — cluster-then-prune): assign every vector to the
+    * deterministic k-means quantizer's nearest centroid, then WITHIN each
+    * cluster mark a member as a duplicate when its cosine to a more
+    * centroid-similar member reaches `tau`. Rank order is (centroid
+    * similarity DESC, id ASC), so the kept representative of each
+    * near-dup neighborhood is the most central member — fully
+    * deterministic and SQL-mirrorable (sims are 6-dp-rounded before
+    * ranking and thresholding). Returns (idCol, cluster_id, sim, is_dup).
+    *
+    * This is our deterministic variant of the paper's per-cluster greedy
+    * prune: a member is a dup if ANY higher-ranked member is tau-close
+    * (the greedy form would skip already-removed members; the any-form
+    * removes a superset and never depends on traversal order).
+    *
+    * Scale shape: pairwise work happens only inside clusters — with the
+    * auto-√N quantizer that is ~N total pairs, not N²; `maxClusterSize`
+    * caps any one cluster's pair fan-out (members ranked beyond the cap
+    * are exempt from pairing, never dropped from the output). The pair
+    * join is an equi-join on cluster_id with the cosine threshold in the
+    * join condition, so Spark never materializes above-cap candidate
+    * pairs. */
+  def semDedup(corpus: DataFrame, tau: Double = 0.99, k: Int = 0,
+      maxClusterSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = prepIvfCorpus(corpus, idCol, vecCol)
+    val corpusSize = c.count()
+    if (corpusSize == 0L) {
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double, Boolean)]
+        .toDF(idCol, "cluster_id", "sim", "is_dup")
+    }
+    val cents = trainCentroids(c, autoNlist(k, corpusSize), 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("sim").desc, col("nid").asc)
+    val ranked = c
+      .withColumn("best", array_max(centSims(col("cv"), col("cnorm"), cents)))
+      .select(col("nid"), col("cv"), col("cnorm"),
+        (-col("best.negid")).as("cluster_id"), col("best.csim").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    val pairSide = ranked.filter(col("rk") <= maxClusterSize)
+    val dup = pairSide.alias("x").join(pairSide.alias("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+        col("x.rk") < col("y.rk") &&
+        round(dotFixed(col("x.cv"), col("y.cv"), DefaultDim) /
+          (col("x.cnorm") * col("y.cnorm")), 6) >= tau)
+      .select(col("y.nid").as("nid")).distinct()
+    ranked.join(dup.withColumn("__dup", lit(true)), Seq("nid"), "left_outer")
+      .select(col("nid").as(idCol), col("cluster_id"), col("sim"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** IVF-style ANN: corpus is partitioned by nearest coarse centroid;
     * queries probe the `nprobe` nearest centroid lists. The 100 TB layout:
     * cluster assignment is a narrow map, per-list storage is

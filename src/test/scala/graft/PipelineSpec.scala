@@ -393,6 +393,41 @@ class SimilaritySpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("semDedup: keeps one representative per near-dup neighborhood") {
+    import spark.implicits._
+    // two well-separated directions; ids 1/2 are near-identical (cos≈1),
+    // 3 is same direction but we pick tau above its cosine; 4/5 orthogonal
+    def v(main: Int, eps: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(main) = 1.0f; a((main + 1) % 64) = eps.toFloat; a
+    }
+    val d = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.01)), (3L, v(0, 0.5)),
+      (4L, v(32, 0.0)), (5L, v(32, 0.02)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(d, tau = 0.995, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // exactly the lower-ranked member of each ~identical pair is flagged;
+    // 3 (cos≈0.894 to the 0-direction) survives
+    assert(got.count(_._2) == 2, got.toString)
+    assert(!got(3L), got.toString)
+    assert(got(1L) ^ got(2L), got.toString) // one of the twins, not both
+    assert(got(4L) ^ got(5L), got.toString)
+    // determinism
+    val again = Similarity.semDedup(d, tau = 0.995, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(again == got)
+    // pair cap exempts members from pairing but never drops rows
+    val capped = Similarity.semDedup(d, tau = 0.995, k = 2, maxClusterSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(capped.size == 5 && capped.values.forall(_ == false))
+    // empty corpus: typed empty frame
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty).columns.toSeq ==
+      Seq("vec_id", "cluster_id", "sim", "is_dup"))
+    assert(Similarity.semDedup(empty).count() == 0)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("L2 normalize: unit norm, zero vector -> NULL") {
     import spark.implicits._
     val d = Seq(
@@ -890,6 +925,31 @@ class CorpusSpec extends AnyFunSuite {
     val clean = Corpus.decontaminate(train, eval_)
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
     assert(clean.columns.toSeq == train.columns.toSeq)
+  }
+
+  test("bloom decontaminate = exact decontaminate; probe is codegen'd, not a UDF") {
+    import spark.implicits._
+    val train = (1L to 60L).map(i =>
+      (i, if (i % 5 == 0) s"shared shingle text $i overlap token stream"
+          else s"clean doc $i with unique words ${i * 7} ${i * 13}"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "shared shingle text plus overlap token stream"))
+      .toDF("doc_id", "text")
+    val exact = Corpus.decontaminate(train, eval_)
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = Corpus.decontaminateBloom(train, eval_)
+    assert(bloomed.collect().map(_.getLong(0)).toSet == exact)
+    assert(bloomed.columns.toSeq == train.columns.toSeq)
+    // tiny fpp changes nothing: the verify join is the correctness gate
+    assert(Corpus.decontaminateBloom(train, eval_, fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet == exact)
+    // the prefilter compiles to Spark's native might_contain over
+    // xxhash64 — inside codegen, no Scala UDF anywhere in the plan
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+           !plan.contains("UDF"), plan)
+    graft.pipeline.PipelineCaches.clear()
   }
 
   test("mixture sampling: whole epochs exact, weight-0 dropped, frac = stratified") {

@@ -246,6 +246,11 @@ object PipelineEntries {
     "p_shuffle" -> ((s, dir) =>
       Sampling.seededShuffle(docs(s, dir), shards = 4)),
 
+    // deterministic train/val/test split: pure function of (id, seed) —
+    // assignments never move under corpus growth; engine-portable mirror
+    "p_split" -> ((s, dir) =>
+      Sampling.assignSplits(docs(s, dir)).select("doc_id", "lang", "split")),
+
     // multimodal: real byte-level header decode (PNG IHDR / JPEG SOFn scan /
     // GIF screen descriptor / WAV fmt chunk + corrupt→NULL) over synthesized
     // real container payloads — oracle-checked (dims are arithmetic in
@@ -430,6 +435,13 @@ object PipelineEntries {
     // GraphX per-vertex triangle count over NATION_ADJ (each region is a
     // K5 clique ⇒ 6 per vertex) — oracle-checked against a triangle-
     // enumeration CTE
+    // local clustering coefficient on the n_dist<=10 NATION_ADJ subgraph
+    // (the full per-region graph is complete — cc 1.0 everywhere — so the
+    // filtered band graph gives the oracle varied degrees/triangles)
+    "g_clustcoef" -> ((s, dir) =>
+      GraphAlgorithms.clusteringCoefficient(
+        TpchGraph.session(s, dir), "NATION_ADJ", Some(col("n_dist") <= 10))),
+
     "g_triangles" -> ((s, dir) =>
       GraphAlgorithms.triangleCount(TpchGraph.session(s, dir), "NATION_ADJ")),
 
@@ -908,6 +920,18 @@ object PipelineEntries {
         |SELECT id, bucket % 4 AS shard,
         |       CAST(row_number() OVER (PARTITION BY bucket % 4
         |         ORDER BY bucket, id) AS INTEGER) AS pos
+        |FROM t""".stripMargin,
+
+    "p_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         (doc_id % 2147483647 + 17) * 48271 % 2147483647
+        |           * 48271 % 2147483647 % 1000000 AS b
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN b < 900000 THEN 'train'
+        |            WHEN b < 950000 THEN 'val'
+        |            ELSE 'test' END AS split
         |FROM t""".stripMargin,
 
     // positional 5-grams (same short-doc bound as the Spark side); interval
@@ -1405,6 +1429,31 @@ object PipelineEntries {
     // triangle a<b<c found once, per-vertex count = appearances in any
     // corner; vertices with edges but no triangles still get a 0 row
     // (GraphX's vertex set = edge endpoints)
+    "g_clustcoef" ->
+      """WITH e AS (
+        |  SELECT n1.n_nationkey AS a, n2.n_nationkey AS b
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey
+        |   AND n1.n_nationkey < n2.n_nationkey
+        |   AND n2.n_nationkey - n1.n_nationkey <= 10),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |m AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT id, count(*) AS triangles FROM m GROUP BY id),
+        |deg AS (SELECT id, count(*) AS degree FROM
+        |        (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id)
+        |SELECT CAST(deg.id AS BIGINT) AS id,
+        |       CAST(degree AS BIGINT) AS degree,
+        |       CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN degree >= 2
+        |            THEN round(2.0 * coalesce(triangles, 0)
+        |                       / (degree * (degree - 1)), 6)
+        |            ELSE 0.0 END AS cc
+        |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin,
+
     "g_triangles" ->
       """WITH e AS (
         |  SELECT n1.n_nationkey AS f, n2.n_nationkey AS t

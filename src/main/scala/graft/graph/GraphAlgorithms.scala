@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -155,6 +155,52 @@ object GraphAlgorithms {
         spmap.map { case (landmark, dist) => (id, landmark: Long, dist.toLong) }
       }
       .toDF("id", "landmark", "distance")
+  }
+
+  /** Local clustering coefficient over the UNDIRECTED simple graph induced
+    * by `relLabel`, optionally restricted to edges satisfying `edgePred`:
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0.0 when deg(v) < 2.
+    * Returns (id, degree, triangles, cc) with cc rounded to 6 dp for
+    * cross-engine determinism.
+    *
+    * DataFrame-first, unlike [[triangleCount]] above: triangles enumerate
+    * canonically (a<b<c, each counted once) via two equi-joins over the
+    * deduped least/greatest edge set, so the operator works on any
+    * edge-filtered subgraph without building a GraphX graph per filter,
+    * Catalyst broadcasts the joins when the edge set is small, and AQE
+    * handles skewed join keys (a hot vertex) at runtime. Per-vertex
+    * counts are a union-all + one map-side-combinable aggregate. */
+  def clusteringCoefficient(gs: GraftSession, relLabel: String,
+      edgePred: Option[Column] = None): DataFrame = {
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical undirected simple edges; read 4x below, so persist
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = canon.alias("e1")
+      .join(canon.alias("e2"), col("e2.a") === col("e1.b"))
+      .join(canon.alias("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triCnt = tri.select(col("x").as("id"))
+      .unionAll(tri.select(col("y").as("id")))
+      .unionAll(tri.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(triCnt, Seq("id"), "left_outer")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc", when(col("degree") >= 2,
+          round(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)), 6))
+        .otherwise(lit(0.0)))
   }
 
   /** In/out degree per vertex from the edge list (pure DataFrame op). */

@@ -106,6 +106,39 @@ object Sampling {
       .select(col("id"), col("shard"), col("pos"))
   }
 
+  /** Deterministic train/val/test split: each row's seeded id-hash bucket
+    * falls into a cumulative-fraction band, and the band names the split.
+    * A document's assignment is a pure function of (id, seed) — it NEVER
+    * moves when other documents are added or removed, the property a
+    * `rand()`-based split loses on every re-run and a global-sort split
+    * loses on every corpus append. Engine-portable via [[seededBucket]]
+    * (the DuckDB/Trino spelling is one arithmetic expression), so the
+    * held-out set survives engine migrations byte-for-byte. Fractions
+    * must be positive and sum to ≤ 1 + 1e-9; the remainder (if any)
+    * joins the LAST split. Adds a `split` column; narrow, no shuffle —
+    * the 100 TB path is a pure map over the scan. */
+  def assignSplits(docs: DataFrame,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: Long = 17L, idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(fractions.forall(_._2 > 0), "split fractions must be positive")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split names must be distinct")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val b = seededBucket(col(idCol), seed)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * Buckets).toLong)
+    // bands: [0, c1), [c1, c2), ...; everything at/after the last cut
+    // (rounding remainder) falls into the final named split
+    val expr = fractions.init.zip(cuts.init).reverse.foldLeft(
+      lit(fractions.last._1)) { case (acc, ((name, _), cut)) =>
+        when(b < lit(cut), lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", expr)
+  }
+
   /** Materialize [[seededShuffle]] as on-disk training shards: parquet
     * partitioned by shard, rows within each shard file in shuffle order.
     * `repartition(shard)` + in-partition sort = one exchange, then each

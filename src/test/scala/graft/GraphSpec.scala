@@ -33,6 +33,38 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(5L) < pr(3L)) // isolated vertex below well-connected one
   }
 
+  test("clustering coefficient: hand-checked, direction/dup-insensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val g = new GraftSession(spark)
+    g.registerTable("cn", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // triangle 1-2-3 (with a duplicate and a reversed edge that must
+    // collapse), pendant 4 off 3, isolated edge 5-6
+    g.registerTable("CE", Seq(
+        (1L, 2L, 1), (2L, 1L, 1), (2L, 3L, 1), (2L, 3L, 2), (1L, 3L, 1),
+        (3L, 4L, 1), (5L, 6L, 1))
+      .toDF("from_C", "to_C", "tag"))
+    g.registerNode("C", "cn", "id")
+    g.registerRel("CE", "CE", "C", "C")
+    val got = GraphAlgorithms.clusteringCoefficient(g, "CE")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    // 3 has neighbors {1,2,4}: one closed pair of three ⇒ 1/3
+    assert(got(3L) == ((3L, 1L, 0.333333)))
+    assert(got(4L) == ((1L, 0L, 0.0))) // degree < 2 ⇒ 0.0
+    assert(got(5L) == ((1L, 0L, 0.0)) && got(6L) == ((1L, 0L, 0.0)))
+    // edge predicate restricts the subgraph: dropping tag=2 changes
+    // nothing here (it was a duplicate), dropping the 1-3 closer kills
+    // the triangle
+    val noClose = GraphAlgorithms.clusteringCoefficient(g, "CE",
+      Some(!(col("from_C") === 1L && col("to_C") === 3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(noClose.values.sum == 0L)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("weighted shortest paths: min total weight beats fewer hops") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -1023,6 +1023,42 @@ class SamplingSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
   }
 
+  test("assignSplits: exhaustive, deterministic, append-stable, validated") {
+    val got = Sampling.assignSplits(docs)
+    val bySplit = got.collect().map(r =>
+      r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    // exhaustive over the declared names
+    assert(bySplit.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.size == 200)
+    // roughly proportional (hash-driven, not exact)
+    val trainN = bySplit.values.count(_ == "train")
+    assert(trainN > 150 && trainN < 200, s"train=$trainN")
+    // deterministic
+    val again = Sampling.assignSplits(docs).collect().map(r =>
+      r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(again == bySplit)
+    // append-stable: assignments computed on any subset agree (a pure
+    // function of id and seed — corpus growth never moves a document)
+    import org.apache.spark.sql.functions.col
+    val subset = Sampling.assignSplits(docs.filter(col("doc_id") < 50))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(subset.forall { case (id, s) => bySplit(id) == s })
+    // a different seed reshuffles membership
+    val otherSeed = Sampling.assignSplits(docs, seed = 99L).collect().map(r =>
+      r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(otherSeed != bySplit)
+    // remainder goes to the last split: fractions summing under 1
+    val under = Sampling.assignSplits(docs,
+      fractions = Seq("a" -> 0.5, "b" -> 0.25)).collect()
+      .map(_.getString(4)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(under.keySet == Set("a", "b") && under("b") > 0)
+    // validation
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(docs, fractions = Seq("a" -> 0.9, "b" -> 0.2)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(docs, fractions = Seq("a" -> 0.5, "a" -> 0.5)))
+  }
+
   test("chunkDocuments: stride windows, overlap, short tail, empty doc") {
     import spark.implicits._
     val docs = Seq(

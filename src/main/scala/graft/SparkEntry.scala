@@ -353,6 +353,20 @@ object SparkEntry {
         .withColumn("snames", concat_ws(",", col("snames")))
     }),
 
+    // map projection c {.prop, key: expr} — a named struct; the gate
+    // flattens its fields to scalar columns for the driver's hasher (the
+    // Cypher surface itself returns the struct value)
+    "q_map_proj" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      cy("""MATCH (c:Customer) WHERE c.c_custkey % 100 = 0
+           |RETURN c.c_custkey AS k,
+           |       c {.c_name, .c_acctbal, seg: c.c_mktsegment,
+           |          bal2: c.c_acctbal * 2} AS m;""".stripMargin)(s, dir)
+        .select(col("k"), col("m.c_name").as("name"),
+          col("m.c_acctbal").as("bal"), col("m.seg").as("seg"),
+          col("m.bal2").as("bal2"))
+    }),
+
     // collect() list aggregate (Cypher extension; the reference's engine
     // would map it to a grouped-array aggregate). Parallel aggregation
     // gives no stable element order, so the gate entry sorts and joins the
@@ -708,6 +722,11 @@ object SparkEntry {
         |             WHERE c_nationkey = n_nationkey AND c_acctbal < 0.0)
         |            AS INTEGER) AS poor
         |FROM nation""".stripMargin,
+
+    "q_map_proj" ->
+      """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+        |       c_mktsegment AS seg, c_acctbal * 2 AS bal2
+        |FROM customer WHERE c_custkey % 100 = 0""".stripMargin,
 
     "q_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS names,

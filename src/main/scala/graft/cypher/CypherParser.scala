@@ -153,6 +153,25 @@ object CypherParser extends RegexParsers {
       case ns ~ f ~ args => Expr.Fn(s"$ns.$f", args)
     }
 
+  /** openCypher map projection `alias {.prop, .*, key: expr}` — a struct
+    * of selected properties plus computed entries. Parses to the internal
+    * `__map_proj(Var(alias), name, value, ...)` spelling; the builder
+    * expands `.*` from the alias's schema, deduplicates keys last-wins,
+    * and folds to the same named struct properties() produces. */
+  private def mapProjection: Parser[Expr] = {
+    val spread: Parser[Seq[Expr]] = "." ~ "*" ^^ { _ =>
+      Seq(Expr.Lit("__spread__"), Expr.Fn("__props_spread", Seq.empty)) }
+    def prop(alias: String): Parser[Seq[Expr]] = "." ~> anyIdent ^^ { n =>
+      Seq(Expr.Lit(n), Expr.Prop(alias, n)) }
+    val kv: Parser[Seq[Expr]] = (anyIdent <~ ":") ~ expression ^^ {
+      case k ~ v => Seq(Expr.Lit(k), v) }
+    ident >> { a =>
+      "{" ~> rep1sep(spread | prop(a) | kv, ",") <~ "}" ^^ { entries =>
+        Expr.Fn("__map_proj", Expr.Var(a) +: entries.flatten)
+      }
+    }
+  }
+
   /** Map literal `{key: expr, ...}` in expression position — the argument
     * form of openCypher temporal constructors (`date({year: 1995, month:
     * 3})`). Reuses the internal `__named_struct` spelling the properties()
@@ -265,6 +284,7 @@ object CypherParser extends RegexParsers {
     nsFnCall |
     fnCall |
     mapLit |
+    mapProjection |
     propOrVar |
     "*" ^^ (_ => Expr.Star) |
     ("(" ~> expression <~ ")")

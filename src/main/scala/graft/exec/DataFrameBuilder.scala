@@ -936,6 +936,33 @@ final class DataFrameBuilder(
         nodeGuard(a, Expr.Fn("__named_struct",
           plan.nodes(a).schema.columns.flatMap(c =>
             Seq(Expr.Lit(c), Expr.Prop(a, c))), distinct = false))
+      // alias {.prop, .*, key: expr} map projection → named struct; `.*`
+      // expands from the subject alias's schema, duplicate keys resolve
+      // LAST-wins (explicit entries written after `.*` override it, the
+      // openCypher behavior), and an OPTIONAL subject folds to NULL on
+      // preserved rows like properties()
+      case Expr.Fn("__map_proj", Expr.Var(a) +: pairs, _) =>
+        if (!plan.nodes.contains(a))
+          throw new GraftException(
+            if (relAliases(a))
+              s"map projection on relationship alias '$a' is not supported; " +
+              "project its properties explicitly"
+            else s"map projection requires a node alias from the MATCH " +
+              s"pattern; '$a' is not one")
+        val expanded = pairs.grouped(2).flatMap {
+          case Seq(Expr.Lit("__spread__"), Expr.Fn("__props_spread", _, _)) =>
+            plan.nodes(a).schema.columns.flatMap(c =>
+              Seq(Expr.Lit(c), Expr.Prop(a, c)))
+          case Seq(k, v) => Seq(k, rw(v))
+          case other => throw new GraftException(s"malformed map projection: $other")
+        }.toSeq
+        val lastWins = scala.collection.mutable.LinkedHashMap[String, Expr]()
+        expanded.grouped(2).foreach {
+          case Seq(Expr.Lit(k: String), v) => lastWins(k) = v
+          case other => throw new GraftException(s"malformed map projection: $other")
+        }
+        nodeGuard(a, Expr.Fn("__named_struct",
+          lastWins.toSeq.flatMap { case (k, v) => Seq(Expr.Lit(k), v) }))
       // exists(n.prop) → IS NOT NULL (the property-existence form; the
       // pattern form exists((a)-[]->(b)) unwraps in the Planner)
       case Expr.Fn(n, Seq(p: Expr.Prop), false) if n.equalsIgnoreCase("exists") =>

@@ -341,6 +341,12 @@ object ExprCompiler {
         throw new GraftException(
           s"$name() requires a node/relationship alias from the current " +
           "MATCH pattern as its argument")
+      // reaches compile only outside the main projection pipeline (e.g.
+      // inside a pattern-comprehension projection) — reject loudly
+      case "__map_proj" | "__props_spread" =>
+        throw new GraftException(
+          "map projections are only supported in the main query's " +
+          "WHERE/WITH/RETURN expressions")
       // internal spelling produced by the properties() fold: alternating
       // (name literal, value) pairs → named struct field list
       case "__named_struct" =>

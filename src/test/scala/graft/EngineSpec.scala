@@ -555,6 +555,37 @@ class EngineSpec extends AnyFunSuite {
     assert(rev(1L) == Seq("u2") && rev(3L) == Seq("u1", "u2") && rev(5L) == Seq.empty)
   }
 
+  test("map projection: explicit props, computed entries, .* spread, null subject") {
+    val m = gs.cypher(
+      """MATCH (a:User {id: 1}) RETURN
+        |a {.name, .city, upper_name: toUpper(a.name), deg: 2 + 1} AS m;""".stripMargin)
+      .collect().head.getStruct(0)
+    assert(m.getAs[String]("name") == "u1")
+    assert(m.getAs[String]("city") == "berlin")
+    assert(m.getAs[String]("upper_name") == "U1")
+    assert(m.getAs[Long]("deg") == 3L)
+    // .* spreads every schema column; a later explicit entry overrides it
+    val star = gs.cypher(
+      "MATCH (a:User {id: 2}) RETURN a {.*, name: 'override'} AS m;")
+      .collect().head.getStruct(0)
+    assert(star.schema.fieldNames.toSeq == Seq("id", "name", "city"))
+    assert(star.getAs[Long]("id") == 2L)
+    assert(star.getAs[String]("name") == "override")
+    // OPTIONAL subject: NULL map on preserved rows (like properties())
+    val opt = gs.cypher(
+      """MATCH (a:User) OPTIONAL MATCH (a)-[:Created]->(p:Post)
+        |RETURN a.id AS id, p {.title} AS pm ORDER BY id;""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!opt(1L) && opt(4L) && opt(5L))
+    // relationship alias / unknown alias are loud
+    val e1 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User)-[r:Follows]->(b) RETURN r {.since} AS m;"))
+    assert(e1.getMessage.contains("relationship alias"), e1.getMessage)
+    val e2 = intercept[GraftException](gs.cypher(
+      "MATCH (a:User) RETURN zzz {.name} AS m;"))
+    assert(e2.getMessage.contains("node alias"), e2.getMessage)
+  }
+
   test("pattern comprehension negative cases: scope, aggregates, position") {
     // outer (bound) alias in the projection: constant per row, rejected
     val e1 = intercept[GraftException](gs.cypher(

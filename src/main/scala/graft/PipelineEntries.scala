@@ -213,6 +213,12 @@ object PipelineEntries {
     // language-ID heuristic (marker lexicons + CJK ratio)
     "p_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
 
+    // BM25 relevance against a fixed query-term set (topic mining /
+    // benchmark-adjacency scoring) — oracle-checked; fixed-order
+    // contribution sum keeps the float math engine-reproducible
+    "p_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Scores(docs(s, dir), Seq("data", "query", "vector"))),
+
     // winnowing fingerprints (rolling min-hash sketch)
     "p_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
 
@@ -778,6 +784,39 @@ object PipelineEntries {
 
   def oracleSql: Map[String, String] = Map(
     "p_lang_id" -> langIdOracleSql,
+
+    // constants appear as the SAME textual arithmetic Spark folds
+    // ((1.2 + 1.0), (1.0 - 0.75)) so both engines produce identical
+    // IEEE doubles before the 6-dp round
+    "p_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2
+        |  FROM t),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM base)
+        |SELECT doc_id,
+        |       CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
+        |            (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+        |            (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_terms,
+        |       round(
+        |         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+        |           / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) +
+        |         ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+        |           / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) +
+        |         ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+        |           / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6) AS score
+        |FROM base, stats
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
 
     // identical model formulation: context counts derived from the bigram
     // table, vocab over ALL token positions, add-1 smoothing

@@ -133,6 +133,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer a curation pipeline uses to mine
+    * topic-relevant (or benchmark-adjacent) training documents. Lucene's
+    * idf variant `ln(1 + (N − df + 0.5)/(df + 0.5))` keeps scores
+    * positive; `k1`/`b` default to the classic 1.2/0.75. Returns
+    * (doc_id, matched_terms, score) for documents matching ≥ 1 term,
+    * score rounded to 6 dp.
+    *
+    * Deliberately NOT the explode-postings shape: each query term
+    * compiles to its own `size(filter(tokens, = term))` column, so
+    * per-term tf is a narrow codegen'd projection (zero shuffle), the
+    * df/N/avgdl statistics are ONE 1-row aggregate broadcast back, and
+    * the score sums contributions in FIXED term order inside a single
+    * expression — deterministic float addition, where a grouped sum's
+    * combine order is not. Works for query sets up to a few hundred
+    * terms (columns); beyond that switch to the tf-table shape that
+    * [[tfidfTopTerms]] uses. Token sums are integer-valued doubles, so
+    * every intermediate is exact and the SQL mirror reproduces the score
+    * bit-for-bit before rounding. */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "duplicate query terms")
+    val base = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+      .select(col("doc_id") +:
+        size(col("__toks")).cast("double").as("__dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t)))
+            .cast("double").as(s"__tf$i")
+        }: _*)
+    val dfCols = queryTerms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L))
+        .cast("double").as(s"__df$i"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl") +: dfCols: _*)
+    val contribs = queryTerms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      val tf = col(s"__tf$i")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }
+    val matched = queryTerms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("matched_terms", matched)
+      .filter(col("matched_terms") > 0)
+      .withColumn("score", round(contribs.reduce(_ + _), 6))
+      .select(col("doc_id"), col("matched_terms"), col("score"))
+  }
+
   /** PII-style pattern scrubbing: count and redact every occurrence of
     * each named regex, applied in declaration order (later patterns see
     * earlier redactions — order matters when patterns overlap). The

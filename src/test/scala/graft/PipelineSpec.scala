@@ -927,6 +927,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(clean.columns.toSeq == train.columns.toSeq)
   }
 
+  test("bm25: hand-checked score, ranking sanity, no-match rows absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b"),   // tf(a)=2, dl=3
+      (2L, "b c"),     // no 'a' ⇒ absent for query [a]
+      (3L, "a b c d")) // tf(a)=1, dl=4
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Scores(d, Seq("a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    // exact formula replication: N=3, df=2, avgdl=3
+    def score(tf: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      val raw = idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 3.0))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == ((1L, score(2.0, 3.0))), got.toString)
+    assert(got(3L) == ((1L, score(1.0, 4.0))), got.toString)
+    // higher tf at equal length outranks; matched_terms counts terms
+    val multi = TextAnalysis.bm25Scores(d, Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // validation: duplicates and empty query sets are loud
+    intercept[IllegalArgumentException](TextAnalysis.bm25Scores(d, Seq.empty))
+    intercept[IllegalArgumentException](TextAnalysis.bm25Scores(d, Seq("a", "a")))
+  }
+
   test("bloom decontaminate = exact decontaminate; probe is codegen'd, not a UDF") {
     import spark.implicits._
     val train = (1L to 60L).map(i =>

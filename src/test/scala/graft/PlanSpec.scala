@@ -153,6 +153,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("pattern comprehension pre-aggregates the collect before its join") {
+    val plan = formatted(gs.cypher(
+      """MATCH (n:Nation) RETURN n.n_name AS n_name,
+        |[(s:Supplier)-[:SUPP_NATION]->(n) | s.s_name] AS sn;""".stripMargin))
+    // same fan-out-free shape as COUNT { }: collect_list aggregates the
+    // pair set per bound key FIRST (partial+final), then one left join
+    // attaches one row per key — the main frame never multiplies
+    assert(plan.contains("partial_collect_list") ||
+           plan.contains("partial_sort_array"), plan)
+    assert(plan.contains("LeftOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("semDedup pair join is cluster-keyed, never all-pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.pipeline.Similarity.semDedup(emb)
+      .queryExecution.executedPlan.toString
+    // the only pair-generating join must carry the cluster_id equi-key;
+    // the cosine threshold rides the join condition, not a post-filter
+    // over a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("cluster_id"), plan)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("mixture sampling and pattern scrub are shuffle-free narrow plans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

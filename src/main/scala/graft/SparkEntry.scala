@@ -356,6 +356,21 @@ object SparkEntry {
     // map projection c {.prop, key: expr} — a named struct; the gate
     // flattens its fields to scalar columns for the driver's hasher (the
     // Cypher surface itself returns the struct value)
+    // postfix list subscript/slice + struct-field subscript — 0-based,
+    // negative from the end, from-inclusive/to-exclusive slices (array
+    // column joins to a string for the driver's hasher)
+    "q_list_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws, transform => tfm}
+      cy("""MATCH (n:Nation)
+           |RETURN n.n_nationkey AS k,
+           |       range(0, n.n_nationkey + 3)[2] AS third,
+           |       range(0, n.n_nationkey + 3)[-1] AS last_el,
+           |       range(0, n.n_nationkey + 3)[1..3] AS mid,
+           |       split(n.n_name, '_')[1] AS tag,
+           |       properties(n)['n_name'] AS pname;""".stripMargin)(s, dir)
+        .withColumn("mid", concat_ws(",", tfm(col("mid"), _.cast("string"))))
+    }),
+
     "q_map_proj" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       cy("""MATCH (c:Customer) WHERE c.c_custkey % 100 = 0
@@ -722,6 +737,17 @@ object SparkEntry {
         |             WHERE c_nationkey = n_nationkey AND c_acctbal < 0.0)
         |            AS INTEGER) AS poor
         |FROM nation""".stripMargin,
+
+    "q_list_index" ->
+      """WITH t AS (
+        |  SELECT n_nationkey AS k, n_name,
+        |         range(0, n_nationkey + 4) AS r
+        |  FROM nation)
+        |SELECT k, r[3] AS third, r[-1] AS last_el,
+        |       array_to_string(r[2:3], ',') AS mid,
+        |       string_split(n_name, '_')[2] AS tag,
+        |       n_name AS pname
+        |FROM t""".stripMargin,
 
     "q_map_proj" ->
       """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,

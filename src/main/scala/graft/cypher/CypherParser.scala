@@ -135,9 +135,26 @@ object CypherParser extends RegexParsers {
     "-" ~> unary ^^ Expr.Neg.apply | "+" ~> unary | power
 
   private def power: Parser[Expr] =
-    atom ~ opt("^" ~> unary) ^^ {
+    postfixed ~ opt("^" ~> unary) ^^ {
       case b ~ Some(e) => Expr.Bin("^", b, e)
       case b ~ None    => b
+    }
+
+  /** Postfix subscript / slice (openCypher): `l[i]` (0-based, negative
+    * counts from the end), `l[a..b]` (from-inclusive, to-exclusive,
+    * either bound omissible), `m['key']` (map key / struct field —
+    * properties() and map projections return structs). Chains:
+    * `m['xs'][0]`. */
+  private def postfixed: Parser[Expr] =
+    atom ~ rep(subscript) ^^ { case a ~ ss => ss.foldLeft(a)((b, f) => f(b)) }
+
+  private def subscript: Parser[Expr => Expr] =
+    ("[" ~> opt(expression) ~ (".." ~> opt(expression)) <~ "]") ^^ {
+      case f ~ t => (b: Expr) => Expr.Fn("__slice",
+        Seq(b, f.getOrElse(Expr.Lit(null)), t.getOrElse(Expr.Lit(null))))
+    } |
+    ("[" ~> expression <~ "]") ^^ {
+      i => (b: Expr) => Expr.Fn("__subscript", Seq(b, i))
     }
 
   private def fnCall: Parser[Expr] =

@@ -341,6 +341,33 @@ object ExprCompiler {
         throw new GraftException(
           s"$name() requires a node/relationship alias from the current " +
           "MATCH pattern as its argument")
+      // postfix subscript: a string-literal key reads a map entry /
+      // struct field (UnresolvedExtractValue via getItem); anything else
+      // is a 0-based list index, negative counting from the end (both
+      // openCypher semantics; out-of-range → NULL via try_element_at)
+      case "__subscript" =>
+        fn.args(1) match {
+          case Expr.Lit(s: String) => arg(0).getItem(s)
+          case _ =>
+            val i = arg(1).cast("long")
+            when(i >= 0, try_element_at(arg(0), (i + lit(1L)).cast("int")))
+              .otherwise(try_element_at(arg(0), i.cast("int")))
+        }
+      // postfix slice l[a..b]: from-inclusive, to-exclusive, 0-based,
+      // negative bounds count from the end, omitted bounds span the list
+      case "__slice" =>
+        val l = arg(0)
+        val sz = size(l).cast("long")
+        def bound(e: Expr, dflt: Column): Column = e match {
+          case Expr.Lit(null) => dflt
+          case _ =>
+            val v = compile(e, resolve).cast("long")
+            when(v < 0, greatest(sz + v, lit(0L))).otherwise(least(v, sz))
+        }
+        val f = bound(fn.args(1), lit(0L))
+        val t = bound(fn.args(2), sz)
+        slice(l, (f + lit(1L)).cast("int"),
+          greatest(t - f, lit(0L)).cast("int"))
       // reaches compile only outside the main projection pipeline (e.g.
       // inside a pattern-comprehension projection) — reject loudly
       case "__map_proj" | "__props_spread" =>

@@ -555,6 +555,34 @@ class EngineSpec extends AnyFunSuite {
     assert(rev(1L) == Seq("u2") && rev(3L) == Seq("u1", "u2") && rev(5L) == Seq.empty)
   }
 
+  test("list subscript/slice: 0-based, negative from end, OOB null, open bounds") {
+    val r = gs.cypher(
+      """MATCH (a:User {id: 1}) RETURN
+        |range(0, 4)[0] AS first, range(0, 4)[4] AS lastIdx,
+        |range(0, 4)[-1] AS neg, range(0, 4)[9] AS oob,
+        |range(0, 4)[1..3] AS midS, range(0, 4)[..2] AS headS,
+        |range(0, 4)[3..] AS tailS, range(0, 4)[-2..] AS negS,
+        |range(0, 4)[3..1] AS emptyS,
+        |split('a-b-c', '-')[1] AS tag,
+        |properties(a)['name'] AS pname;""".stripMargin).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.isNullAt(3))
+    assert(r.getSeq[Long](4) == Seq(1L, 2L))
+    assert(r.getSeq[Long](5) == Seq(0L, 1L))
+    assert(r.getSeq[Long](6) == Seq(3L, 4L))
+    assert(r.getSeq[Long](7) == Seq(3L, 4L))
+    assert(r.getSeq[Long](8) == Seq.empty)
+    assert(r.getString(9) == "b")
+    assert(r.getString(10) == "u1")
+    // chained subscripts and dynamic indexes
+    val c = gs.cypher(
+      """MATCH (a:User) WITH a.id AS id, range(0, a.id) AS l
+        |RETURN id, l[id - 1] AS pen, l[0..id][-1] AS sliceLast
+        |ORDER BY id LIMIT 3;""".stripMargin).collect()
+    assert(c.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(c.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("map projection: explicit props, computed entries, .* spread, null subject") {
     val m = gs.cypher(
       """MATCH (a:User {id: 1}) RETURN

@@ -441,6 +441,14 @@ object PipelineEntries {
     // GraphX per-vertex triangle count over NATION_ADJ (each region is a
     // K5 clique ⇒ 6 per vertex) — oracle-checked against a triangle-
     // enumeration CTE
+    // synchronous label propagation (5 fixed rounds, min-label ties) on
+    // the banded subgraph; per-region communities converge to the
+    // region's smallest nation key — oracle: unrolled-iteration CTEs
+    "g_labelprop" -> ((s, dir) =>
+      GraphAlgorithms.labelPropagation(
+        TpchGraph.session(s, dir), "NATION_ADJ", iters = 5,
+        edgePred = Some(col("n_dist") <= 10))),
+
     // local clustering coefficient on the n_dist<=10 NATION_ADJ subgraph
     // (the full per-region graph is complete — cc 1.0 everywhere — so the
     // filtered band graph gives the oracle varied degrees/triangles)
@@ -761,6 +769,34 @@ object PipelineEntries {
     * (GraphX normalizes the final rank sum since SPARK-18847). All
     * arithmetic forced to DOUBLE (DuckDB defaults numeric literals to
     * DECIMAL). */
+  /** Unrolled synchronous label propagation: each level joins neighbor
+    * labels, takes the (count DESC, label ASC) mode per vertex, and
+    * coalesces to the previous label — the exact Spark rule. */
+  private def labelPropOracleSql(iters: Int = 5): String = {
+    val steps = (1 to iters).map { i =>
+      s"""t$i AS (
+         |  SELECT id, label FROM (
+         |    SELECT u.a AS id, p.label,
+         |           row_number() OVER (PARTITION BY u.a
+         |             ORDER BY count(*) DESC, p.label ASC) AS rk
+         |    FROM und u JOIN l${i - 1} p ON p.id = u.b
+         |    GROUP BY u.a, p.label) WHERE rk = 1),
+         |l$i AS (
+         |  SELECT v.id, COALESCE(t.label, v.label) AS label
+         |  FROM l${i - 1} v LEFT JOIN t$i t ON t.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a, CAST(n2.n_nationkey AS BIGINT) AS b
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey
+       |   AND n2.n_nationkey - n1.n_nationkey <= 10),
+       |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),
+       |$steps
+       |SELECT id, label FROM l$iters""".stripMargin
+  }
+
   private def pagerankOracleSql(iters: Int = 10): String = {
     val steps = (1 to iters).map { i =>
       s"""p$i AS (
@@ -929,6 +965,7 @@ object PipelineEntries {
         |WHERE nrm <> 0""".stripMargin,
     "p_reduce_dim" -> reduceDimOracleSql(),
     "g_pagerank" -> pagerankOracleSql(),
+    "g_labelprop" -> labelPropOracleSql(),
 
     "p_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text",

@@ -203,6 +203,57 @@ object GraphAlgorithms {
         .otherwise(lit(0.0)))
   }
 
+  /** Synchronous label propagation (community detection) over the
+    * UNDIRECTED simple graph: labels start as vertex ids; each of the
+    * `iters` fixed rounds every vertex adopts its neighbors' most
+    * frequent label (ties → smallest label). Vertices with no edges are
+    * absent — the edge list defines the graph, as in
+    * [[clusteringCoefficient]]. Fixed iteration count + deterministic
+    * tie-break =
+    * SQL-mirrorable, unlike GraphX's LPA whose tie order is map-internal.
+    * Returns (id, label).
+    *
+    * Scale shape per round: one equi-join of the edge list against the
+    * |V|-row label frame, one map-side-combinable (vertex, label) count,
+    * one per-vertex window whose partitions are bounded by a vertex's
+    * distinct neighbor-label count — shuffle volume tracks |E|, state
+    * |V|. Labels persist per round so round k+1 reads a materialized
+    * |V|-row frame, not k rounds of re-derived lineage. */
+  def labelPropagation(gs: GraftSession, relLabel: String, iters: Int = 5,
+      edgePred: Option[Column] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val verts = und.select(col("a").as("id")).distinct()
+    var labels = verts.withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      val top = und.join(labels.withColumnRenamed("id", "__nid"),
+          col("b") === col("__nid"))
+        .groupBy(col("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("id"), col("label").as("__new"))
+      labels = labels.join(top, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.pipeline.PipelineCaches.track)
+    }
+    labels
+  }
+
   /** In/out degree per vertex from the edge list (pure DataFrame op). */
   def degrees(gs: GraftSession, relLabel: String): DataFrame = {
     val r = gs.catalog.rel(relLabel)

@@ -65,6 +65,41 @@ class GraphSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("label propagation: communities converge, min-label ties, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val g = new GraftSession(spark)
+    g.registerTable("ln", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // two triangles {1,2,3} and {6,7,8} joined by the path 3-4-5-6
+    g.registerTable("LE", Seq(
+        (1L, 2L), (2L, 3L), (1L, 3L),
+        (3L, 4L), (4L, 5L), (5L, 6L),
+        (6L, 7L), (7L, 8L), (6L, 8L))
+      .toDF("from_L", "to_L"))
+    g.registerNode("L", "ln", "id")
+    g.registerRel("LE", "LE", "L", "L")
+    val got = GraphAlgorithms.labelPropagation(g, "LE", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle {1,2,3} settles on its min label 1; labels reach the bridge
+    assert(got.size == 8)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L, got.toString)
+    assert(got(4L) == 1L, got.toString) // bridge adopts the triangle side (min tie)
+    // deterministic across runs
+    val again = GraphAlgorithms.labelPropagation(g, "LE", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // one round: every vertex takes its neighbor mode with min-tie —
+    // vertex 2's neighbors {1,3} tie, min label 1 wins
+    val one = GraphAlgorithms.labelPropagation(g, "LE", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(2L) == 1L && one(7L) == 6L)
+    // edge predicate restricts the graph
+    val cut = GraphAlgorithms.labelPropagation(g, "LE", iters = 5,
+      edgePred = Some(col("from_L") =!= 4L && col("to_L") =!= 4L))
+    assert(cut.count() == 7) // vertex 4 has no surviving edges
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("weighted shortest paths: min total weight beats fewer hops") {
     import spark.implicits._
     val g = new GraftSession(spark)

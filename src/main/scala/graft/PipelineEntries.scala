@@ -449,6 +449,12 @@ object PipelineEntries {
         TpchGraph.session(s, dir), "NATION_ADJ", iters = 5,
         edgePred = Some(col("n_dist") <= 10))),
 
+    // per-edge link-prediction features (common neighbors / Jaccard /
+    // Adamic-Adar) on the banded subgraph — oracle-checked
+    "g_linkpred" -> ((s, dir) =>
+      GraphAlgorithms.linkFeatures(
+        TpchGraph.session(s, dir), "NATION_ADJ", Some(col("n_dist") <= 10))),
+
     // local clustering coefficient on the n_dist<=10 NATION_ADJ subgraph
     // (the full per-region graph is complete — cc 1.0 everywhere — so the
     // filtered band graph gives the oracle varied degrees/triangles)
@@ -966,6 +972,30 @@ object PipelineEntries {
     "p_reduce_dim" -> reduceDimOracleSql(),
     "g_pagerank" -> pagerankOracleSql(),
     "g_labelprop" -> labelPropOracleSql(),
+
+    "g_linkpred" ->
+      """WITH e AS (
+        |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+        |         CAST(n2.n_nationkey AS BIGINT) AS b
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey
+        |   AND n1.n_nationkey < n2.n_nationkey
+        |   AND n2.n_nationkey - n1.n_nationkey <= 10),
+        |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY a),
+        |w AS (SELECT x.a AS pa, y.a AS pb, x.b AS cw
+        |      FROM und x JOIN und y ON x.b = y.b AND x.a < y.a),
+        |ov AS (SELECT pa, pb, count(*) AS common,
+        |              sum(1.0 / ln(CAST(d.deg AS DOUBLE))) AS aa
+        |       FROM w JOIN deg d ON d.id = w.cw GROUP BY pa, pb)
+        |SELECT e.a, e.b,
+        |       CAST(coalesce(common, 0) AS BIGINT) AS common,
+        |       round(CAST(coalesce(common, 0) AS DOUBLE)
+        |             / (da.deg + db.deg - coalesce(common, 0)), 6) AS jaccard,
+        |       round(coalesce(aa, 0.0), 6) AS adamic_adar
+        |FROM e LEFT JOIN ov ON ov.pa = e.a AND ov.pb = e.b
+        |JOIN deg da ON da.id = e.a
+        |JOIN deg db ON db.id = e.b""".stripMargin,
 
     "p_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text",

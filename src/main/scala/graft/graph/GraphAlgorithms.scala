@@ -203,6 +203,53 @@ object GraphAlgorithms {
         .otherwise(lit(0.0)))
   }
 
+  /** Link-prediction features for every edge of the UNDIRECTED simple
+    * graph: common-neighbor count, neighborhood Jaccard
+    * `|N(a)∩N(b)| / |N(a)∪N(b)|`, and Adamic-Adar
+    * `Σ_{w∈N(a)∩N(b)} 1/ln(deg(w))` (6-dp rounded). Returns
+    * (a, b, common, jaccard, adamic_adar) with a < b.
+    *
+    * Pure-join formulation — no neighbor-array materialization: common
+    * neighbors enumerate as the 2-path join und⋈und (shuffle ∝ wedge
+    * count, the same frontier triangle counting walks), Adamic-Adar's
+    * degree lookup is an equi-join against the |V|-row degree frame
+    * (broadcast when small), and edges with zero overlap come back via
+    * one left join from the edge set. A common neighbor always has
+    * degree ≥ 2, so 1/ln(deg) never divides by zero. */
+  def linkFeatures(gs: GraftSession, relLabel: String,
+      edgePred: Option[Column] = None): DataFrame = {
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    // wedge join: w is a common neighbor of (pa, pb)
+    val wedges = und.select(col("a").as("pa"), col("b").as("w"))
+      .join(und.select(col("a").as("pb"), col("b").as("w")), Seq("w"))
+      .filter(col("pa") < col("pb"))
+    val overlap = wedges
+      .join(deg.withColumnRenamed("id", "w"), Seq("w"))
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).as("__aa"))
+    canon
+      .join(overlap, Seq("a", "b"), "left_outer")
+      .join(deg.select(col("id").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("__da") + col("__db") - coalesce(col("common"), lit(0L))), 6)
+          .as("jaccard"),
+        round(coalesce(col("__aa"), lit(0.0)), 6).as("adamic_adar"))
+  }
+
   /** Synchronous label propagation (community detection) over the
     * UNDIRECTED simple graph: labels start as vertex ids; each of the
     * `iters` fixed rounds every vertex adopts its neighbors' most

@@ -65,6 +65,31 @@ class GraphSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("link features: hand-checked common/jaccard/adamic-adar") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("kn", (1L to 5L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // square 1-2-3-4 with diagonal 1-3; pendant 5 on 1
+    g.registerTable("KE", Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (1L, 5L))
+      .toDF("from_K", "to_K"))
+    g.registerNode("K", "kn", "id")
+    g.registerRel("KE", "KE", "K", "K")
+    val got = GraphAlgorithms.linkFeatures(g, "KE")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // N(1)={2,3,4,5} N(2)={1,3}: common {3}, union {1,2,3,4,5}\... =
+    // |N1∪N2| = 4+2-1 = 5 ⇒ jaccard 0.2; deg(3)=3 ⇒ aa = 1/ln(3)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 2L)) == ((1L, 0.2, r6(1.0 / math.log(3.0)))), got.toString)
+    // edge 1-3: common {2,4}, jaccard 2/(4+3-2)=0.4, aa = 1/ln2 + 1/ln2
+    assert(got((1L, 3L))._1 == 2L && got((1L, 3L))._2 == 0.4)
+    assert(got((1L, 3L))._3 == r6(1.0 / math.log(2.0) + 1.0 / math.log(2.0)))
+    // pendant edge 1-5: zero overlap
+    assert(got((1L, 5L)) == ((0L, 0.0, 0.0)), got.toString)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("label propagation: communities converge, min-label ties, deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

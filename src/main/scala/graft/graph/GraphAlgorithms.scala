@@ -261,13 +261,21 @@ object GraphAlgorithms {
     * Returns (id, label).
     *
     * Scale shape per round: one equi-join of the edge list against the
-    * |V|-row label frame, one map-side-combinable (vertex, label) count,
-    * one per-vertex window whose partitions are bounded by a vertex's
-    * distinct neighbor-label count — shuffle volume tracks |E|, state
-    * |V|. Labels persist per round so round k+1 reads a materialized
-    * |V|-row frame, not k rounds of re-derived lineage. */
+    * |V|-row label frame and ONE map-side-combinable aggregate —
+    * `mode(label, deterministic = true)` is exactly the (count DESC,
+    * label ASC) argmax, so there is no per-vertex window/sort and, since
+    * the symmetric edge list defines the vertex set (every vertex has a
+    * neighbor row), no join-back/coalesce either. The cached edge frame
+    * is hash-partitioned on the join key once, so rounds re-shuffle only
+    * the |V|-row label frame, not |E|. Each round's labels are persisted
+    * AND materialized eagerly (the prior round's cache is dropped right
+    * after) so lineage never stacks k rounds deep in the block manager.
+    *
+    * `untilStable = true` stops early once a round changes no label
+    * (checked with one |V|-row count against the previous frame);
+    * `iters` then bounds the worst case. */
   def labelPropagation(gs: GraftSession, relLabel: String, iters: Int = 5,
-      edgePred: Option[Column] = None): DataFrame = {
+      edgePred: Option[Column] = None, untilStable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val r = gs.catalog.rel(relLabel)
     val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
@@ -277,29 +285,41 @@ object GraphAlgorithms {
     val canon = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct()
     val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.pipeline.PipelineCaches.track)
-    val verts = und.select(col("a").as("id")).distinct()
-    var labels = verts.withColumn("label", col("id"))
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.pipeline.PipelineCaches.track)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("c").desc, col("label").asc)
-    for (_ <- 1 to iters) {
-      val top = und.join(labels.withColumnRenamed("id", "__nid"),
+    labels.count()
+    var i = 0
+    var stable = false
+    while (i < iters && !stable) {
+      val prev = labels
+      labels = und.join(prev.withColumnRenamed("id", "__nid"),
           col("b") === col("__nid"))
-        .groupBy(col("a").as("id"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .select(col("id"), col("label").as("__new"))
-      labels = labels.join(top, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .groupBy(col("a").as("id"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
         .transform(graft.pipeline.PipelineCaches.track)
+      labels.count()
+      if (untilStable) {
+        val p = prev.select(col("id").as("__pid"), col("label").as("__plabel"))
+        stable = labels.join(p, col("id") === col("__pid"))
+          .filter(col("label") =!= col("__plabel")).isEmpty
+      }
+      prev.unpersist(blocking = false)
+      i += 1
     }
+    lastLabelPropRounds.set(i)
     labels
   }
+
+  /** Rounds the last [[labelPropagation]] call executed — test probe for
+    * the `untilStable` early stop. */
+  private[graft] val lastLabelPropRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** In/out degree per vertex from the edge list (pure DataFrame op). */
   def degrees(gs: GraftSession, relLabel: String): DataFrame = {

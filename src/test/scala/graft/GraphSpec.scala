@@ -122,6 +122,14 @@ class GraphSpec extends AnyFunSuite {
     val cut = GraphAlgorithms.labelPropagation(g, "LE", iters = 5,
       edgePred = Some(col("from_L") =!= 4L && col("to_L") =!= 4L))
     assert(cut.count() == 7) // vertex 4 has no surviving edges
+    // untilStable: stops as soon as a round changes nothing — well before
+    // the 50-round bound — and lands on the same fixed point
+    val stable = GraphAlgorithms.labelPropagation(g, "LE", iters = 50,
+        untilStable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(GraphAlgorithms.lastLabelPropRounds.get < 50,
+      s"did not converge early: ${GraphAlgorithms.lastLabelPropRounds.get}")
+    assert(stable == got, stable.toString)
     graft.pipeline.PipelineCaches.clear()
   }
 

@@ -59,8 +59,14 @@ object PipelineCaches {
     * surface for asserting clear() really emptied the registry. */
   def trackedCount: Int = synchronized { registry.size + cleanups.size }
 
-  /** Unpersist every pipeline-tracked intermediate. */
-  def clear(): Unit = {
+  /** Unpersist every pipeline-tracked intermediate.
+    *
+    * `blocking = true` waits for the block removal to finish before
+    * returning — back-to-back timed iterations (Bench) need it, because
+    * an async unpersist races the next iteration's persists for block-
+    * manager space and skews its measurement. Default stays async: a
+    * server response should not stall on cache teardown. */
+  def clear(blocking: Boolean = false): Unit = {
     // snapshot under the lock, run the (potentially slow) unpersists outside
     val (frames, hooks) = synchronized {
       val snap = (registry.toVector, cleanups.toVector)
@@ -68,7 +74,7 @@ object PipelineCaches {
       cleanups.clear()
       snap
     }
-    frames.foreach(df => try df.unpersist() catch { case _: Exception => })
+    frames.foreach(df => try df.unpersist(blocking) catch { case _: Exception => })
     hooks.foreach { case (t, f) => try f(t) catch { case _: Exception => } }
   }
 }

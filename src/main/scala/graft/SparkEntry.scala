@@ -389,6 +389,17 @@ object SparkEntry {
           col("m.bal2").as("bal2"))
     }),
 
+    // map projection on a RELATIONSHIP alias — `.*` spreads the rel's
+    // property columns (endpoint keys excluded); flattened for the hasher
+    "q_map_proj_rel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      cy("""MATCH (a:Nation)-[r:NATION_ADJ]->(b:Nation)
+           |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+           |       r {.*, d2: r.n_dist * 2} AS m;""".stripMargin)(s, dir)
+        .select(col("ak"), col("bk"), col("m.n_dist").as("dist"),
+          col("m.d2").as("d2"))
+    }),
+
     // collect() list aggregate (Cypher extension; the reference's engine
     // would map it to a grouped-array aggregate). Parallel aggregation
     // gives no stable element order, so the gate entry sorts and joins the
@@ -765,6 +776,14 @@ object SparkEntry {
       """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
         |       c_mktsegment AS seg, c_acctbal * 2 AS bal2
         |FROM customer WHERE c_custkey % 100 = 0""".stripMargin,
+
+    "q_map_proj_rel" ->
+      """SELECT a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       b.n_nationkey - a.n_nationkey AS dist,
+        |       (b.n_nationkey - a.n_nationkey) * 2 AS d2
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey
+        | AND a.n_nationkey < b.n_nationkey""".stripMargin,
 
     "q_collect" ->
       """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS names,

@@ -937,22 +937,27 @@ final class DataFrameBuilder(
           plan.nodes(a).schema.columns.flatMap(c =>
             Seq(Expr.Lit(c), Expr.Prop(a, c))), distinct = false))
       // alias {.prop, .*, key: expr} map projection → named struct; `.*`
-      // expands from the subject alias's schema, duplicate keys resolve
+      // expands from the subject alias's schema (a relationship's property
+      // columns are its table columns minus the endpoint keys — the edge
+      // frame materializes exactly those), duplicate keys resolve
       // LAST-wins (explicit entries written after `.*` override it, the
       // openCypher behavior), and an OPTIONAL subject folds to NULL on
       // preserved rows like properties()
       case Expr.Fn("__map_proj", Expr.Var(a) +: pairs, _) =>
-        if (!plan.nodes.contains(a))
+        val isNode = plan.nodes.contains(a)
+        if (!isNode && !relAliases(a))
           throw new GraftException(
-            if (relAliases(a))
-              s"map projection on relationship alias '$a' is not supported; " +
-              "project its properties explicitly"
-            else s"map projection requires a node alias from the MATCH " +
-              s"pattern; '$a' is not one")
+            s"map projection requires a node or relationship alias from " +
+            s"the MATCH pattern; '$a' is not one")
+        def spreadCols: Seq[String] =
+          if (isNode) plan.nodes(a).schema.columns
+          else {
+            val s = allEdges.find(_.alias == a).get.schema
+            s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+          }
         val expanded = pairs.grouped(2).flatMap {
           case Seq(Expr.Lit("__spread__"), Expr.Fn("__props_spread", _, _)) =>
-            plan.nodes(a).schema.columns.flatMap(c =>
-              Seq(Expr.Lit(c), Expr.Prop(a, c)))
+            spreadCols.flatMap(c => Seq(Expr.Lit(c), Expr.Prop(a, c)))
           case Seq(k, v) => Seq(k, rw(v))
           case other => throw new GraftException(s"malformed map projection: $other")
         }.toSeq
@@ -961,8 +966,9 @@ final class DataFrameBuilder(
           case Seq(Expr.Lit(k: String), v) => lastWins(k) = v
           case other => throw new GraftException(s"malformed map projection: $other")
         }
-        nodeGuard(a, Expr.Fn("__named_struct",
-          lastWins.toSeq.flatMap { case (k, v) => Seq(Expr.Lit(k), v) }))
+        val struct = Expr.Fn("__named_struct",
+          lastWins.toSeq.flatMap { case (k, v) => Seq(Expr.Lit(k), v) })
+        if (isNode) nodeGuard(a, struct) else relGuard(a, struct)
       // exists(n.prop) → IS NOT NULL (the property-existence form; the
       // pattern form exists((a)-[]->(b)) unwraps in the Planner)
       case Expr.Fn(n, Seq(p: Expr.Prop), false) if n.equalsIgnoreCase("exists") =>

@@ -605,13 +605,28 @@ class EngineSpec extends AnyFunSuite {
         |RETURN a.id AS id, p {.title} AS pm ORDER BY id;""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(!opt(1L) && opt(4L) && opt(5L))
-    // relationship alias / unknown alias are loud
-    val e1 = intercept[GraftException](gs.cypher(
-      "MATCH (a:User)-[r:Follows]->(b) RETURN r {.since} AS m;"))
-    assert(e1.getMessage.contains("relationship alias"), e1.getMessage)
+    // relationship alias: explicit props, computed entries, and a `.*`
+    // spread that expands the rel's PROPERTY columns only (endpoint key
+    // columns are the nodes' ids, not edge properties)
+    val rel = gs.cypher(
+      """MATCH (a:User {id: 1})-[r:Follows]->(b:User)
+        |RETURN b.id AS bid, r {.*, next: r.since + 1} AS m ORDER BY bid;""".stripMargin)
+      .collect()
+    assert(rel.head.getStruct(1).schema.fieldNames.toSeq == Seq("since", "next"))
+    assert(rel.map(x => (x.getLong(0), x.getStruct(1).getInt(0))).toSeq
+      == Seq((2L, 2019), (3L, 2020)))
+    // OPTIONAL rel subject: NULL map on preserved rows (users 1,2 follow
+    // user 3; users 3,4,5 get NULL)
+    val optRel = gs.cypher(
+      """MATCH (a:User) OPTIONAL MATCH (a)-[r:Follows]->(b:User {id: 3})
+        |RETURN a.id AS id, r {.since} AS m ORDER BY id;""".stripMargin)
+      .collect().map(x => x.getLong(0) -> x.isNullAt(1)).toMap
+    assert(!optRel(1L) && !optRel(2L) && optRel(3L) && optRel(4L) && optRel(5L),
+      optRel.toString)
+    // unknown alias is loud
     val e2 = intercept[GraftException](gs.cypher(
       "MATCH (a:User) RETURN zzz {.name} AS m;"))
-    assert(e2.getMessage.contains("node alias"), e2.getMessage)
+    assert(e2.getMessage.contains("node or relationship alias"), e2.getMessage)
   }
 
   test("pattern comprehension negative cases: scope, aggregates, position") {

@@ -318,6 +318,18 @@ object SparkEntry {
       """MATCH p = shortestPath((a:Nation)-[:NATION_NEXT*1..4]->(b:Nation))
         |RETURN a.n_name AS a_name, b.n_name AS b_name, length(p) AS len;""".stripMargin),
 
+    // nodes(p) on a shortestPath binding: the pinned min-length path per
+    // pair, joined to a string for the driver's hasher (the chain graph
+    // has a unique shortest path — tie determinism is pinned in
+    // PathValueSpec's diamond case)
+    "q_shortest_nodes" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      cy("""MATCH p = shortestPath((a:Nation)-[:NATION_NEXT*1..4]->(b:Nation))
+           |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+           |       length(p) AS len, nodes(p) AS path;""".stripMargin)(s, dir)
+        .withColumn("path", array_join(col("path").cast("array<string>"), "-"))
+    }),
+
     // pattern predicate under NOT ⇒ left anti join (extension): customers
     // not from NATION_7 — the unbound endpoint carries an inline prop filter,
     // so the anti-joined pair set is pre-restricted by a nested semi-join
@@ -727,6 +739,21 @@ object SparkEntry {
         |  FROM nation)
         |SELECT a.n_name AS a_name, b.n_name AS b_name,
         |       CAST(b.rk - a.rk AS BIGINT) AS len
+        |FROM r a JOIN r b ON a.n_regionkey = b.n_regionkey
+        |WHERE b.rk - a.rk BETWEEN 1 AND 4""".stripMargin,
+
+    "q_shortest_nodes" ->
+      """WITH r AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |         row_number() OVER (PARTITION BY n_regionkey
+        |                            ORDER BY n_nationkey) AS rk
+        |  FROM nation)
+        |SELECT a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       CAST(b.rk - a.rk AS BIGINT) AS len,
+        |       (SELECT string_agg(CAST(m.n_nationkey AS VARCHAR), '-'
+        |                          ORDER BY m.rk)
+        |        FROM r m WHERE m.n_regionkey = a.n_regionkey
+        |          AND m.rk BETWEEN a.rk AND b.rk) AS path
         |FROM r a JOIN r b ON a.n_regionkey = b.n_regionkey
         |WHERE b.rk - a.rk BETWEEN 1 AND 4""".stripMargin,
 

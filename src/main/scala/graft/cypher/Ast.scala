@@ -92,6 +92,25 @@ object Expr {
     case _                => false
   }
 
+  /** Direct sub-expressions — generic traversal helper for scanners that
+    * only care about one node shape (pattern-bearing forms surface only
+    * their expression children; their paths are resolved elsewhere). */
+  def subexprs(e: Expr): Seq[Expr] = e match {
+    case Fn(_, as, _)          => as
+    case Bin(_, l, r)          => Seq(l, r)
+    case Not(x)                => Seq(x)
+    case Neg(x)                => Seq(x)
+    case IsNull(x, _)          => Seq(x)
+    case ListLit(xs)           => xs
+    case CaseWhen(bs, o)       => bs.flatMap { case (c, v) => Seq(c, v) } ++ o.toSeq
+    case ListComp(_, l, w, p)  => Seq(l) ++ w.toSeq ++ p.toSeq
+    case Reduce(_, i, _, l, s) => Seq(i, l, s)
+    case ExistsSub(_, w)       => w.toSeq
+    case CountSub(_, w)        => w.toSeq
+    case PatternComp(_, w, p)  => w.toSeq :+ p
+    case _                     => Seq.empty
+  }
+
   /** All `Prop(alias, col)` references in an expression. */
   def propRefs(e: Expr): Seq[(String, String)] = e match {
     case Prop(a, c)    => Seq(a -> c)

@@ -353,6 +353,27 @@ final class DataFrameBuilder(
         .withColumn("__len", (size(col("__nodes")) - 1).cast("long"))
     }
 
+    // shortestPath with nodes(p)/relationships(p) referenced: materialize
+    // trails over the FULL 1..hi range (a shortest walk never repeats an
+    // edge, so the min-length trail IS the BFS-shortest path), keep each
+    // pair's minimum, and pin ONE representative per pair — the
+    // lexicographically smallest node sequence (Neo4j returns an arbitrary
+    // one; a pinned choice is SQL-mirrorable). A lower bound > 1 keeps the
+    // distance semantics of composeShortest: pairs whose true distance is
+    // below it are EXCLUDED, not given a longer path. Costlier than the
+    // distance-only composition (it enumerates trails), so the planner
+    // only routes here when path values are actually referenced.
+    def composeShortestPaths(h1: DataFrame, lo: Int, hi: Int,
+        undirected: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("__src", "__dst")
+        .orderBy(col("__len").asc, col("__nodes").asc)
+      composePaths(h1, 1, hi, undirected)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1 && col("__len") >= lo)
+        .drop("__rk")
+    }
+
     e.varLength match {
       case Some((lo, hi)) if !e.invalidDirection =>
         // per-edge filters restrict the hop base BEFORE composition:
@@ -366,7 +387,13 @@ final class DataFrameBuilder(
         val h1 =
           if (e.undirectedSameLabel) filteredOriented.select("__src", "__dst")
           else filteredOriented.select("__src", "__dst").distinct()
-        return (if (e.shortest) composeShortest(h1, lo, hi)
+        val needsPathValues = e.shortest && e.pathAlias.isDefined &&
+          pathValueRelAliases(plan).contains(e.alias)
+        return (if (needsPathValues)
+                  composeShortestPaths(
+                    if (e.undirectedSameLabel) h1.distinct() else h1,
+                    lo, hi, undirected = e.undirectedSameLabel)
+                else if (e.shortest) composeShortest(h1, lo, hi)
                 else if (e.pathAlias.isDefined)
                   composePaths(if (e.undirectedSameLabel) h1.distinct() else h1,
                     lo, hi, undirected = e.undirectedSameLabel)
@@ -378,6 +405,30 @@ final class DataFrameBuilder(
     for (f <- e.pushedFilters)
       df = df.filter(compile(rewriteAliasArgs(f, plan), qualified))
     df
+  }
+
+  /** Relationship aliases whose bound path's nodes()/relationships() are
+    * referenced anywhere in the query — a shortestPath edge among them
+    * must materialize per-path arrays instead of the cheaper
+    * distance-only composition. */
+  private def pathValueRelAliases(plan: GraphPlan): Set[String] = {
+    def scan(e: Expr): Set[String] = {
+      val self = e match {
+        case Expr.Fn(n, Seq(Expr.Var(p)), _)
+          if (n.equalsIgnoreCase("nodes") ||
+              n.equalsIgnoreCase("relationships")) &&
+             plan.pathAliases.contains(p) =>
+          Set(plan.pathAliases(p))
+        case _ => Set.empty[String]
+      }
+      self ++ Expr.subexprs(e).flatMap(scan)
+    }
+    val exprs: Seq[Expr] =
+      plan.returnItems.map(_.expr) ++ plan.residualFilter.toSeq ++
+        plan.orderBy.map(_.expr) ++ plan.unwinds.map(_.expr) ++
+        plan.withStages.flatMap(st =>
+          st.items.map(_.expr) ++ st.where.toSeq ++ st.orderBy.map(_.expr))
+    exprs.flatMap(scan).toSet
   }
 
   /** Pre-aggregated adjacency read: `(id, neighbors)` exploded back to an
@@ -881,10 +932,6 @@ final class DataFrameBuilder(
     def nodeGuard(a: String, folded: Expr): Expr =
       guarded(a, plan.nodes(a).schema.idColumn, folded)
     def relGuard(a: String, folded: Expr): Expr = guarded(a, "__src", folded)
-    // a path alias's rel edge: materialized (plain binding, has
-    // __nodes/__edges) vs shortestPath (distance only)
-    def pathEdge(p: String) =
-      allEdges.find(_.alias == plan.pathAliases(p)).get
     def rw(x: Expr): Expr = x match {
       // length(p) — the hop composition's hidden distance column (both
       // the shortestPath and the materialized-path forms carry __len)
@@ -892,16 +939,12 @@ final class DataFrameBuilder(
         if n.equalsIgnoreCase("length") && plan.pathAliases.contains(p) =>
         Expr.Prop(plan.pathAliases(p), "__len")
       // nodes(p) / relationships(p) — the materialized per-path arrays
-      // (plain `p = (a)-[:R*lo..hi]->(b)` bindings only; a shortestPath
-      // composition keeps distances, not paths)
+      // (plain bindings always carry them; a shortestPath binding routes
+      // through the path-materializing composition when these are
+      // referenced — see pathValueRelAliases)
       case Expr.Fn(n, Seq(Expr.Var(p)), false)
         if (n.equalsIgnoreCase("nodes") || n.equalsIgnoreCase("relationships")) &&
            plan.pathAliases.contains(p) =>
-        if (pathEdge(p).shortest)
-          throw new GraftException(
-            s"${n.toLowerCase}($p): shortestPath keeps distances, not " +
-            s"paths; bind a plain var-length path ('$p = (a)-[:R*lo..hi]->(b)') " +
-            "to read its nodes/relationships")
         Expr.Prop(plan.pathAliases(p),
           if (n.equalsIgnoreCase("nodes")) "__nodes" else "__edges")
       // schema introspection folds to literals at plan time: one table per
@@ -975,10 +1018,8 @@ final class DataFrameBuilder(
         Expr.IsNull(p, negated = true)
       case Expr.Var(a) if plan.pathAliases.contains(a) =>
         throw new GraftException(
-          s"path alias '$a' can only be read via length($a)" +
-          (if (pathEdge(a).shortest) ""
-           else s", nodes($a), or relationships($a)") +
-          " (paths are not first-class values)")
+          s"path alias '$a' can only be read via length($a), nodes($a), " +
+          s"or relationships($a) (paths are not first-class values)")
       case Expr.Var(a) if plan.nodes.contains(a) =>
         Expr.Prop(a, plan.nodes(a).schema.idColumn)
       case Expr.Var(a) if relAliases(a) => Expr.Prop(a, "__src")

@@ -102,11 +102,42 @@ class PathValueSpec extends AnyFunSuite {
     assert(got == Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L))
   }
 
-  test("nodes() on a shortestPath binding is a targeted error") {
-    val e = intercept[GraftException](gs.cypher(
-      """MATCH p = shortestPath((a:User)-[:Follows*1..3]->(b:User))
-        |RETURN nodes(p) AS path;""".stripMargin))
-    assert(e.getMessage.contains("distances, not"))
+  test("nodes()/relationships() on shortestPath materialize one pinned path") {
+    val rows = gs.cypher(
+      """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..3]->(b:User))
+        |RETURN b.id AS bid, length(p) AS len, nodes(p) AS path;""".stripMargin)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toSeq)))
+      .toMap
+    assert(rows(2L) == ((1L, Seq(1L, 2L))))
+    assert(rows(3L) == ((1L, Seq(1L, 3L))))
+    // 1→4: [1,3,4] (len 2) beats [1,2,3,4] (len 3)
+    assert(rows(4L) == ((2L, Seq(1L, 3L, 4L))))
+    // the 2-cycle: back to self in 2 hops
+    assert(rows(1L) == ((2L, Seq(1L, 2L, 1L))))
+    // relationships(p) zips the same pinned path
+    val rels = gs.cypher(
+      """MATCH p = shortestPath((a:User {name:'u1'})-[:Follows*1..3]->(b:User))
+        |WHERE b.id = 4 RETURN relationships(p) AS rels;""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(rels.map(e => (e.getLong(0), e.getLong(1))) == Seq((1L, 3L), (3L, 4L)))
+  }
+
+  test("shortestPath path choice is deterministic: smallest node sequence") {
+    import spark.implicits._
+    val g2 = new GraftSession(spark)
+    g2.registerTable("dn", (1L to 4L).map(i => (i, s"d$i")).toDF("id", "name"))
+    // diamond: two length-2 paths 1→4; the pinned representative is the
+    // lexicographically smallest node sequence [1,2,4]
+    g2.registerTable("DE", Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("from_D", "to_D"))
+    g2.registerNode("D", "dn", "id")
+    g2.registerRel("DE", "DE", "D", "D")
+    val got = g2.cypher(
+      """MATCH p = shortestPath((a:D {id: 1})-[:DE*1..3]->(b:D {id: 4}))
+        |RETURN nodes(p) AS path;""".stripMargin).collect()
+    assert(got.length == 1)
+    assert(got.head.getSeq[Long](0).toSeq == Seq(1L, 2L, 4L))
   }
 
   test("fixed-length path binding stays a targeted error") {

@@ -693,9 +693,12 @@ object PipelineEntries {
   /** SemDeDup mirror: the kmeans CTE chain over base ∪ perturbed-twin
     * vectors (p_dedup_embed's planted-dup construction), plus the
     * rank-and-pair prune — a member is a dup when a more centroid-similar
-    * cluster mate is tau-close. The sf0.01 clusters (~31 members) sit far
-    * under the Spark side's 10k pair cap, so the mirror omits it. */
-  private def semDedupOracleSql(tau: Double = 0.99): String = {
+    * cluster mate is tau-close. The Spark side's maxClusterSize pair cap
+    * (both join sides filtered to rk <= cap) is mirrored so the oracle is
+    * scale-independent, not just correct at sf0.01's ~31-member
+    * clusters. */
+  private def semDedupOracleSql(tau: Double = 0.99,
+      maxClusterSize: Int = 10000): String = {
     val pertSrc =
       """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |   UNION ALL
@@ -713,6 +716,7 @@ object PipelineEntries {
          |dup AS (
          |  SELECT DISTINCT y.vec_id FROM m x JOIN m y
          |  ON x.cluster_id = y.cluster_id AND x.rk < y.rk
+         |  AND x.rk <= $maxClusterSize AND y.rk <= $maxClusterSize
          |  AND round(list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i]))
          |        / (x.nrm * y.nrm), 6) >= $tau)
          |SELECT m.vec_id, m.cluster_id, m.sim,
@@ -999,7 +1003,8 @@ object PipelineEntries {
         |w AS (SELECT x.a AS pa, y.a AS pb, x.b AS cw
         |      FROM und x JOIN und y ON x.b = y.b AND x.a < y.a),
         |ov AS (SELECT pa, pb, count(*) AS common,
-        |              sum(1.0 / ln(CAST(d.deg AS DOUBLE))) AS aa
+        |              list_sum(list_sort(list(1.0 / ln(CAST(d.deg AS DOUBLE)))))
+        |                AS aa
         |       FROM w JOIN deg d ON d.id = w.cw GROUP BY pa, pb)
         |SELECT e.a, e.b,
         |       CAST(coalesce(common, 0) AS BIGINT) AS common,

@@ -625,13 +625,22 @@ final class DataFrameBuilder(
           case _ => None
         }
         // sort for determinism — openCypher leaves comprehension order
-        // unspecified, and parallel collect_list is run-order-dependent
-        sort_array(collect_list(compile(projE, localResolver))).as("__cscnt")
+        // unspecified, and parallel collect_list is run-order-dependent.
+        // NULL projections are list ELEMENTS (openCypher keeps them), but
+        // collect_list silently drops nulls — wrap each element in a
+        // non-null struct for the aggregate+sort and unwrap after (struct
+        // ordering sorts a null field first, DuckDB 'NULLS FIRST')
+        sort_array(collect_list(struct(
+          compile(projE, localResolver).as("v")))).as("__cscnt")
     }
-    val counted = pairs
+    val counted0 = pairs
       .groupBy(keys.map(col): _*)
       .agg(aggExpr)
-      .alias(a)
+    val counted = (cs.proj match {
+      case None => counted0
+      case Some(_) => counted0.withColumn("__cscnt",
+        transform(col("__cscnt"), _.getField("v")))
+    }).alias(a)
     val emptyVal: Column = cs.proj match {
       case None => lit(0L)
       case Some(_) =>

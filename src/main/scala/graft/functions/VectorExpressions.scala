@@ -322,6 +322,17 @@ object GraftFunctions {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))),
+    // aggregate: build a Bloom filter over xxhash64 values INSIDE the
+    // query (Spark's own runtime-filter aggregate, not SQL-registered by
+    // default). Args: (long hash, foldable estimated item count, foldable
+    // bit count) → binary serialized filter. Paired with
+    // graft_bloom_might_contain's scalar-subquery form, a large filter
+    // never materializes on the driver or inside the logical plan.
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0)
+        .toAggregateExpression()),
     // avg over DISTINCT values: the real Average aggregate with the
     // distinct flag (planner rewrites it through the standard distinct
     // aggregation path), so the result TYPE and rounding match plain
@@ -415,6 +426,12 @@ object GraftFunctions {
     * value; pair with `df.stat.bloomFilter` built over the same hashes. */
   def bloomMightContain(bloomBytes: Column, hashed: Column): Column =
     call_function("graft_bloom_might_contain", bloomBytes, hashed)
+  /** Aggregate a Bloom filter over xxhash64 values inside the query;
+    * `estItems`/`numBits` must be foldable longs (they size the filter,
+    * bounded by spark.sql.optimizer.runtime.bloomFilter.maxNumItems /
+    * maxNumBits). */
+  def bloomAgg(hashed: Column, estItems: Column, numBits: Column): Column =
+    call_function("graft_bloom_agg", hashed, estItems, numBits)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registers the

@@ -233,11 +233,18 @@ object GraphAlgorithms {
     val wedges = und.select(col("a").as("pa"), col("b").as("w"))
       .join(und.select(col("a").as("pb"), col("b").as("w")), Seq("w"))
       .filter(col("pa") < col("pb"))
+    // Adamic-Adar sums doubles: a grouped sum()'s addition order follows
+    // the partial-aggregation combine order, so a 6-dp round at a decimal
+    // boundary could flip run-to-run (and against the oracle). Fold in
+    // sorted order instead — deterministic on both sides; per-pair
+    // common-neighbor counts bound the collected list.
     val overlap = wedges
       .join(deg.withColumnRenamed("id", "w"), Seq("w"))
       .groupBy(col("pa").as("a"), col("pb").as("b"))
       .agg(count(lit(1)).as("common"),
-        sum(lit(1.0) / log(col("deg").cast("double"))).as("__aa"))
+        aggregate(
+          sort_array(collect_list(lit(1.0) / log(col("deg").cast("double")))),
+          lit(0.0), (acc, x) => acc + x).as("__aa"))
     canon
       .join(overlap, Seq("a", "b"), "left_outer")
       .join(deg.select(col("id").as("a"), col("deg").as("__da")), Seq("a"))

@@ -155,33 +155,70 @@ object Corpus {
     * expensive exact join sees only true overlaps plus an fpp-sized
     * trickle, and the train corpus never leaves its scan stage for clean
     * shingles. The verify join stays: Bloom alone would wrongly drop
-    * ~fpp of clean docs. */
+    * ~fpp of clean docs.
+    *
+    * Filters bigger than `maxLiteralBytes` (a huge eval set at 100 TB
+    * scale would need hundreds of MB at 1% fpp) never touch the driver or
+    * the logical plan: the filter is aggregated IN the query (Spark's
+    * BloomFilterAggregate) and fed to the probe as a scalar subquery —
+    * Spark's own runtime-filter shape — instead of a plan literal whose
+    * bytes every task binary would carry. Filter sizing on that path is
+    * bounded by spark.sql.optimizer.runtime.bloomFilter.maxNumItems /
+    * maxNumBits; raise those confs alongside truly enormous eval sets. */
   def decontaminateBloom(train: DataFrame, eval_ : DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
-      fpp: Double = 0.01): DataFrame = {
-    graft.functions.GraftFunctions.register(train.sparkSession)
+      fpp: Double = 0.01, maxLiteralBytes: Long = 4L << 20): DataFrame = {
+    val spark = train.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val evalShingles = Explodes.explodeNoInfer(
       Dedup.withShingles(eval_.select(col(textCol)), textCol, n),
       Seq.empty, col("sh"), "ngram").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
-    // one pass builds the filter (treeAggregate of partition-local blooms);
     // expectedNumItems needs the exact count, which the persisted set
     // yields without recomputing the shingle lineage
     val evalCount = math.max(1L, evalShingles.count())
-    val bloom = evalShingles.select(xxhash64(col("ngram")).as("h"))
-      .stat.bloomFilter("h", evalCount, fpp)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    // standard Bloom sizing: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L,
+      (-evalCount * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
     val trainShingles = Explodes.explodeNoInfer(
       Dedup.withShingles(train.select(col(idCol), col(textCol)), textCol, n),
       Seq(col(idCol)), col("sh"), "ngram")
-    val contaminatedIds = trainShingles
-      .filter(graft.functions.GraftFunctions.bloomMightContain(
-        lit(bloomBytes), xxhash64(col("ngram"))))
+    val prefiltered =
+      if (numBits / 8 <= maxLiteralBytes) {
+        // small filter: one driver-side treeAggregate pass, probed as a
+        // codegen'd literal (deserialized once per task)
+        val bloom = evalShingles.select(xxhash64(col("ngram")).as("h"))
+          .stat.bloomFilter("h", evalCount, fpp)
+        val bloomBytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          bos.toByteArray
+        }
+        trainShingles.filter(graft.functions.GraftFunctions.bloomMightContain(
+          lit(bloomBytes), xxhash64(col("ngram"))))
+      } else {
+        // large filter: aggregate it inside the query, probe via scalar
+        // subquery (the only non-literal form BloomFilterMightContain
+        // accepts; reachable through SQL text, hence the temp views)
+        val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val bloomView = s"graft_bloom_$uid"
+        val trainView = s"graft_trainsh_$uid"
+        evalShingles.select(graft.functions.GraftFunctions.bloomAgg(
+            xxhash64(col("ngram")), lit(evalCount), lit(numBits)).as("b"))
+          .createOrReplaceTempView(bloomView)
+        trainShingles.withColumn("__h", xxhash64(col("ngram")))
+          .createOrReplaceTempView(trainView)
+        val pf = spark.sql(
+          s"""SELECT * FROM $trainView
+             |WHERE graft_bloom_might_contain((SELECT b FROM $bloomView), __h)
+             |""".stripMargin).drop("__h")
+        // analysis is eager, so the views can drop right away
+        spark.catalog.dropTempView(bloomView)
+        spark.catalog.dropTempView(trainView)
+        pf
+      }
+    val contaminatedIds = prefiltered
       .join(broadcast(evalShingles), "ngram") // exact verify of survivors
       .select(col(idCol)).distinct()
     train.join(contaminatedIds, Seq(idCol), "left_anti")

@@ -541,6 +541,15 @@ class EngineSpec extends AnyFunSuite {
         |RETURN id, n;""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(sz == Map(1L -> 2, 2L -> 2))
+    // NULL projection values are list ELEMENTS (openCypher keeps them;
+    // sorted nulls-first for determinism) — collect_list alone would
+    // silently drop them
+    val nulls = gs.cypher(
+      """MATCH (a:User {id: 2}) RETURN
+        |[(a)-[:Created]->(p:Post) |
+        |  CASE WHEN p.id = 10 THEN null ELSE p.title END] AS xs;""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(nulls == Seq(null, "p11"), nulls.toString)
     // contradictory direction (Created is User->Post): typed empty lists
     val contra = gs.cypher(
       """MATCH (p:Post) RETURN p.id AS id,

@@ -971,6 +971,17 @@ class CorpusSpec extends AnyFunSuite {
     // tiny fpp changes nothing: the verify join is the correctness gate
     assert(Corpus.decontaminateBloom(train, eval_, fpp = 0.5)
       .collect().map(_.getLong(0)).toSet == exact)
+    // large-filter path (forced with maxLiteralBytes = 0): the filter is
+    // aggregated in-query and probed via scalar subquery — same result,
+    // and the plan carries an ObjectHashAggregate of bloom_filter_agg
+    // instead of a multi-KB binary literal
+    val big = Corpus.decontaminateBloom(train, eval_, maxLiteralBytes = 0L)
+    assert(big.collect().map(_.getLong(0)).toSet == exact)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("might_contain"), bigPlan)
+    assert(bigPlan.contains("bloom_filter_agg") ||
+      big.queryExecution.analyzed.toString.contains("bloomfilteraggregate") ||
+      big.queryExecution.analyzed.toString.contains("bloom_filter_agg"), bigPlan)
     // the prefilter compiles to Spark's native might_contain over
     // xxhash64 — inside codegen, no Scala UDF anywhere in the plan
     val plan = bloomed.queryExecution.executedPlan.toString

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-evidence probe for the DataFrame graph algorithms on an edge
+  * list that actually GROWS with the scale factor. The gate queries run
+  * label propagation / link features over NATION_ADJ, whose vertex set is
+  * a TPC-H dimension — ScaleUp keeps dimensions fixed, so sf1 timings of
+  * those queries say nothing about edge-count scaling. This probe runs
+  * the same operators over the PLACED edge list (|E| = |orders|, 10× per
+  * factor) so DESIGN.md can report a real curve.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.ProfileGraphScale
+  */
+object ProfileGraphScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val gs = graft.fixtures.TpchGraph.session(spark, sfDir)
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    for (round <- 1 to 3) {
+      time(s"r$round labelprop(PLACED, 5)") {
+        graft.graph.GraphAlgorithms.labelPropagation(gs, "PLACED", iters = 5)
+          .count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      // bipartite customer–order graph: wedge volume = Σ_c deg(c)² grows
+      // linearly with the customer count (per-customer order counts are
+      // scale-invariant), so this exercises the wedge join at 10×
+      time(s"r$round linkFeatures(PLACED)") {
+        graft.graph.GraphAlgorithms.linkFeatures(gs, "PLACED").count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+    }
+    spark.stop()
+  }
+}

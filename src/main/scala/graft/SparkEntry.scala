@@ -318,6 +318,18 @@ object SparkEntry {
       """MATCH p = shortestPath((a:Nation)-[:NATION_NEXT*1..4]->(b:Nation))
         |RETURN a.n_name AS a_name, b.n_name AS b_name, length(p) AS len;""".stripMargin),
 
+    // allShortestPaths: EVERY min-length path per pair, one row each —
+    // the banded NATION_ADJ graph has pairs with several 2-hop shortest
+    // paths through different intermediates
+    "q_all_shortest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      cy("""MATCH p = allShortestPaths((a:Nation)-[r:NATION_ADJ*1..2]->(b:Nation))
+           |WHERE r.n_dist <= 10
+           |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+           |       length(p) AS len, nodes(p) AS path;""".stripMargin)(s, dir)
+        .withColumn("path", array_join(col("path").cast("array<string>"), "-"))
+    }),
+
     // nodes(p) on a shortestPath binding: the pinned min-length path per
     // pair, joined to a string for the driver's hasher (the chain graph
     // has a unique shortest path — tie determinism is pinned in
@@ -741,6 +753,24 @@ object SparkEntry {
         |       CAST(b.rk - a.rk AS BIGINT) AS len
         |FROM r a JOIN r b ON a.n_regionkey = b.n_regionkey
         |WHERE b.rk - a.rk BETWEEN 1 AND 4""".stripMargin,
+
+    "q_all_shortest" ->
+      """WITH e AS (
+        |  SELECT a.n_nationkey AS f, b.n_nationkey AS t
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey
+        |   AND a.n_nationkey < b.n_nationkey
+        |   AND b.n_nationkey - a.n_nationkey <= 10)
+        |SELECT f AS ak, t AS bk, CAST(1 AS BIGINT) AS len,
+        |       CAST(f AS VARCHAR) || '-' || CAST(t AS VARCHAR) AS path
+        |FROM e
+        |UNION ALL
+        |SELECT e1.f, e2.t, CAST(2 AS BIGINT),
+        |       CAST(e1.f AS VARCHAR) || '-' || CAST(e1.t AS VARCHAR)
+        |         || '-' || CAST(e2.t AS VARCHAR)
+        |FROM e e1 JOIN e e2 ON e1.t = e2.f
+        |WHERE NOT EXISTS
+        |      (SELECT 1 FROM e WHERE e.f = e1.f AND e.t = e2.t)""".stripMargin,
 
     "q_shortest_nodes" ->
       """WITH r AS (

@@ -354,7 +354,11 @@ final case class RelPattern(
       * minimum-length pair distances (extension). */
     shortest: Boolean = false,
     /** the `p` of `p = shortestPath(...)` — resolvable via `length(p)`. */
-    pathAlias: Option[String] = None)
+    pathAlias: Option[String] = None,
+    /** wrapped in `allShortestPaths(...)`: one row per MINIMUM-length
+      * path (possibly several per endpoint pair), always materialized
+      * with `__nodes`/`__edges` (extension). */
+    allShortest: Boolean = false)
 
 /** A linear path: node (rel node)*. */
 final case class PathPattern(start: NodePattern, hops: Seq[(RelPattern, NodePattern)])

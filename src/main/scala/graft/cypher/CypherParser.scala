@@ -406,17 +406,24 @@ object CypherParser extends RegexParsers {
     }
 
   /** `[p =] shortestPath((a)-[:R*lo..hi]->(b))` — single-hop pattern whose
-    * composition keeps minimum pair distances; `length(p)` reads them. */
+    * composition keeps minimum pair distances; `length(p)` reads them
+    * (and `nodes(p)`/`relationships(p)` materialize one pinned path).
+    * `allShortestPaths(...)` keeps EVERY minimum-length path per pair —
+    * one row each, always path-materialized. */
   private def shortestPathPattern: Parser[PathPattern] =
-    opt(ident <~ "=") ~ (kw("shortestpath") ~> "(" ~> pathPattern <~ ")") ^^ {
-      case pa ~ p =>
+    opt(ident <~ "=") ~ (kw("allshortestpaths") | kw("shortestpath")) ~
+      ("(" ~> pathPattern <~ ")") ^^ {
+      case pa ~ kind ~ p =>
+        val all = kind.equalsIgnoreCase("allshortestpaths")
         if (p.hops.size != 1)
           throw new GraftException(
-            "shortestPath takes a pattern with exactly one relationship")
+            (if (all) "allShortestPaths" else "shortestPath") +
+            " takes a pattern with exactly one relationship")
         val (rel, end) = p.hops.head
         val vl = rel.varLength.getOrElse((1, 1))
         PathPattern(p.start,
-          Seq((rel.copy(varLength = Some(vl), shortest = true, pathAlias = pa), end)))
+          Seq((rel.copy(varLength = Some(vl), shortest = true, pathAlias = pa,
+            allShortest = all), end)))
     }
 
   /** `p = (a)-[:R*lo..hi]->(b)` — plain path binding. Supported for a

@@ -363,15 +363,24 @@ final class DataFrameBuilder(
     // below it are EXCLUDED, not given a longer path. Costlier than the
     // distance-only composition (it enumerates trails), so the planner
     // only routes here when path values are actually referenced.
+    // `keepAll = true` (allShortestPaths) keeps every min-length path per
+    // pair — one row each — instead of the single pinned representative.
     def composeShortestPaths(h1: DataFrame, lo: Int, hi: Int,
-        undirected: Boolean): DataFrame = {
+        undirected: Boolean, keepAll: Boolean): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("__src", "__dst")
-        .orderBy(col("__len").asc, col("__nodes").asc)
-      composePaths(h1, 1, hi, undirected)
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1 && col("__len") >= lo)
-        .drop("__rk")
+      val paths = composePaths(h1, 1, hi, undirected)
+      if (keepAll) {
+        val w = Window.partitionBy("__src", "__dst")
+        paths.withColumn("__minlen", min(col("__len")).over(w))
+          .filter(col("__len") === col("__minlen") && col("__len") >= lo)
+          .drop("__minlen")
+      } else {
+        val w = Window.partitionBy("__src", "__dst")
+          .orderBy(col("__len").asc, col("__nodes").asc)
+        paths.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1 && col("__len") >= lo)
+          .drop("__rk")
+      }
     }
 
     e.varLength match {
@@ -389,10 +398,13 @@ final class DataFrameBuilder(
           else filteredOriented.select("__src", "__dst").distinct()
         val needsPathValues = e.shortest && e.pathAlias.isDefined &&
           pathValueRelAliases(plan).contains(e.alias)
-        return (if (needsPathValues)
+        // allShortestPaths ALWAYS materializes paths: its row count IS the
+        // shortest-path count per pair, even when only length(p) is read
+        return (if (e.allShortest || needsPathValues)
                   composeShortestPaths(
                     if (e.undirectedSameLabel) h1.distinct() else h1,
-                    lo, hi, undirected = e.undirectedSameLabel)
+                    lo, hi, undirected = e.undirectedSameLabel,
+                    keepAll = e.allShortest)
                 else if (e.shortest) composeShortest(h1, lo, hi)
                 else if (e.pathAlias.isDefined)
                   composePaths(if (e.undirectedSameLabel) h1.distinct() else h1,

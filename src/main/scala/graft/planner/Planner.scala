@@ -36,7 +36,10 @@ final case class ResolvedEdge(
     shortest: Boolean = false,
     /** `p = (a)-[:R*lo..hi]->(b)` plain path binding: the composition
       * materializes per-path `__nodes`/`__edges`/`__len` (extension). */
-    pathAlias: Option[String] = None)
+    pathAlias: Option[String] = None,
+    /** `allShortestPaths(...)`: keep EVERY minimum-length path per pair
+      * (always path-materialized — row count is the path count). */
+    allShortest: Boolean = false)
 
 /** Resolved match graph + query shape, ready for DataFrame construction. */
 final case class GraphPlan(
@@ -137,7 +140,8 @@ object Planner {
       src: String, dst: String, undirected: Boolean,
       inline: Seq[Expr], varLength: Option[(Int, Int)],
       block: Int, // -1 = main pattern, i = optionalMatches(i)
-      shortest: Boolean = false, pathAlias: Option[String] = None)
+      shortest: Boolean = false, pathAlias: Option[String] = None,
+      allShortest: Boolean = false)
 
   def plan(q: ReadQuery, catalog: GraphCatalog,
       ambientCols: Set[String] = Set.empty): GraphPlan = {
@@ -185,9 +189,9 @@ object Planner {
         val relAlias = rel.alias.getOrElse(fresh("r"))
         val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
         val e = rel.dir match {
-          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias)
-          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias)
-          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, -1, rel.shortest, rel.pathAlias)
+          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest)
+          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest)
+          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest)
         }
         rawEdges += e
         prev = cur
@@ -718,7 +722,7 @@ object Planner {
       }
       ResolvedEdge(st.raw.alias, st.schema.get, st.raw.src, st.raw.dst,
         st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias),
-        st.raw.varLength, st.raw.shortest, st.raw.pathAlias)
+        st.raw.varLength, st.raw.shortest, st.raw.pathAlias, st.raw.allShortest)
     }
     val (mainEdges, optEdges) = edges.zip(states).partition(_._2.raw.block == -1)
 

@@ -138,6 +138,18 @@ class PathValueSpec extends AnyFunSuite {
         |RETURN nodes(p) AS path;""".stripMargin).collect()
     assert(got.length == 1)
     assert(got.head.getSeq[Long](0).toSeq == Seq(1L, 2L, 4L))
+    // allShortestPaths keeps BOTH length-2 paths (one row each), and its
+    // row count is the path count even when only length(p) is read
+    val all = g2.cypher(
+      """MATCH p = allShortestPaths((a:D {id: 1})-[:DE*1..3]->(b:D {id: 4}))
+        |RETURN nodes(p) AS path;""".stripMargin)
+      .collect().map(_.getSeq[Long](0).toSeq).sortBy(_.mkString(",")).toSeq
+    assert(all == Seq(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
+    val lens = g2.cypher(
+      """MATCH p = allShortestPaths((a:D {id: 1})-[:DE*1..3]->(b:D {id: 4}))
+        |RETURN length(p) AS len;""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lens == Seq(2L, 2L), lens.toString)
   }
 
   test("fixed-length path binding stays a targeted error") {

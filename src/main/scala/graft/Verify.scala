@@ -26,6 +26,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // like Bench: two queries persisting an identical-plan frame
+        // (e.g. the banded NATION_ADJ edge set) otherwise hit the
+        // CacheManager's "already cached" path, and 120+ queries' caches
+        // would accumulate across the run
+        graft.pipeline.PipelineCaches.clear(blocking = true)
       }
     }
     // full JSON escaping matters here: a tab or CR in builder-authored SQL

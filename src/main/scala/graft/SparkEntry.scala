@@ -273,6 +273,15 @@ object SparkEntry {
         |       duration({minutes: o.o_orderkey % 10, seconds: 30}) AS dsec,
         |       year(date({year: 2001, month: 7})) AS yy;""".stripMargin),
 
+    // calendar-variable duration: an all-calendar component map is a
+    // YEAR-MONTH interval; temporal + duration month-adds with
+    // end-of-month clamping on both engines
+    "q_duration_cal" -> cy(
+      """MATCH (o:Order) WHERE o.o_orderkey % 500 = 0
+        |RETURN o.o_orderkey AS k,
+        |       o.o_orderdate + duration({months: 3}) AS m3,
+        |       o.o_orderdate + duration({years: 1, months: -2}) AS adj;""".stripMargin),
+
     // list comprehension + reduce() over data-dependent ranges; the array
     // column joins to a string for the driver's scalar hasher (like
     // q_collect)
@@ -709,6 +718,12 @@ object SparkEntry {
         |                 make_timestamp(1995, 1, 2, 0, 0, 0.0)) AS hs,
         |       o_orderkey % 10 * 60 + 30 AS dsec,
         |       CAST(2001 AS INTEGER) AS yy
+        |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin,
+
+    "q_duration_cal" ->
+      """SELECT o_orderkey AS k,
+        |       o_orderdate + INTERVAL 3 MONTH AS m3,
+        |       o_orderdate + INTERVAL 10 MONTH AS adj
         |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin,
 
     "q_percentile" ->

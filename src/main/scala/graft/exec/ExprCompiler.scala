@@ -275,9 +275,13 @@ object ExprCompiler {
       // not a Duration object — same divergence class as Parameter
       // (engine-side scalars, no Duration type in Spark SQL).
       // duration({days: 1, hours: 6}) constructor — fixed-length
-      // components only (weeks..seconds); years/months are
-      // calendar-variable and cannot be a scalar second count, so they
-      // are rejected rather than silently approximated
+      // components (weeks..seconds) fold to a scalar second count.
+      // Calendar-variable components ({years, months}) have no fixed
+      // second length, so an all-calendar map becomes a YEAR-MONTH
+      // INTERVAL instead (make_ym_interval — `date + duration({months:
+      // 3})` then month-adds with end-of-month clamping on both engines);
+      // MIXING the two families in one map stays rejected: no Spark type
+      // carries both without silently approximating the calendar part
       case "duration" =>
         fn.args match {
           case Seq(Expr.Fn("__named_struct", pairs, _)) =>
@@ -288,14 +292,25 @@ object ExprCompiler {
             }.toMap
             val factors = Seq("weeks" -> 604800L, "days" -> 86400L,
               "hours" -> 3600L, "minutes" -> 60L, "seconds" -> 1L)
-            val known = factors.map(_._1).toSet
-            val bad = m.keySet.diff(known)
+            val fixed = factors.map(_._1).toSet
+            val calendar = Set("years", "months")
+            val bad = m.keySet.diff(fixed ++ calendar)
             if (bad.nonEmpty) throw new GraftException(
               s"duration: unsupported component(s) ${bad.mkString(", ")} " +
-                s"(fixed-length only: ${known.toSeq.sorted.mkString(", ")})")
-            factors.collect { case (k, f) if m.contains(k) =>
-              compile(m(k), resolve).cast("long") * lit(f)
-            }.reduceOption(_ + _).getOrElse(lit(0L))
+                s"(supported: ${(fixed ++ calendar).toSeq.sorted.mkString(", ")})")
+            if (m.keySet.exists(calendar) && m.keySet.exists(fixed))
+              throw new GraftException(
+                "duration: calendar components (years, months) cannot mix " +
+                "with fixed-length ones in a single map — a month has no " +
+                "fixed second length; add the two durations separately")
+            if (m.keySet.exists(calendar)) {
+              def c(k: String) = m.get(k)
+                .map(v => compile(v, resolve).cast("int")).getOrElse(lit(0))
+              call_function("make_ym_interval", c("years"), c("months"))
+            } else
+              factors.collect { case (k, f) if m.contains(k) =>
+                compile(m(k), resolve).cast("long") * lit(f)
+              }.reduceOption(_ + _).getOrElse(lit(0L))
           case _ => throw new GraftException(
             "duration() takes a component map, e.g. duration({days: 1})")
         }

@@ -1056,9 +1056,17 @@ class EngineSpec extends AnyFunSuite {
       """MATCH (u:User {name:'u1'})
         |RETURN duration({days: 1, hours: 2, seconds: 5}) AS s;""".stripMargin)
     assert(d.collect().head.getLong(0) == 86400L + 7200L + 5L)
+    // all-calendar maps build a YEAR-MONTH interval: date arithmetic
+    // month-adds with end-of-month clamping
+    val cal = gs.cypher(
+      """MATCH (u:User {name:'u1'})
+        |RETURN date({year: 2020, month: 1, day: 31}) + duration({months: 1}) AS d;
+        |""".stripMargin)
+    assert(cal.collect().head.get(0).toString == "2020-02-29")
+    // mixing calendar and fixed-length components stays rejected
     val e4 = intercept[GraftException](gs.cypher(
-      "MATCH (u:User) RETURN duration({months: 2}) AS d;"))
-    assert(e4.getMessage.contains("months"))
+      "MATCH (u:User) RETURN duration({months: 2, days: 1}) AS d;"))
+    assert(e4.getMessage.contains("mix"), e4.getMessage)
   }
 
   test("leading CALL { } subqueries: scalar join, fan-out, rejections") {

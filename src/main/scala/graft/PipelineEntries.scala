@@ -490,6 +490,30 @@ object PipelineEntries {
     "g_wshortest" -> ((s, dir) =>
       GraphAlgorithms.weightedShortestPaths(TpchGraph.session(s, dir),
         "NATION_ADJ", "n_dist", Seq(24L, 10L), maxHops = 4)),
+
+    // 2-core of the even-gap NATION_ADJ subgraph — the one filter (of the
+    // band/parity family) whose peel is PARTIAL at the gate: 15 of 25
+    // nations survive and the removals cascade, so the oracle checks real
+    // peel rounds, not a no-op or an empty set; oracle: unrolled peel
+    // CTEs, identical fixed-round semantics since peeling is idempotent
+    // after convergence
+    "g_kcore" -> ((s, dir) =>
+      GraphAlgorithms.kCore(TpchGraph.session(s, dir), "NATION_ADJ", k = 2,
+        maxRounds = 8, edgePred = Some(col("n_dist") % 2 === 0))),
+
+    // HITS over directed NATION_ADJ (key<key DAG ⇒ region-min nations are
+    // pure hubs, region-max pure authorities) — oracle: unrolled
+    // normalize-per-half-step CTEs, 6-dp rounded like g_pagerank
+    "g_hits" -> ((s, dir) =>
+      GraphAlgorithms.hits(TpchGraph.session(s, dir), "NATION_ADJ",
+        iters = 10)),
+
+    // deterministic seeded random walks over directed NATION_ADJ (walks
+    // stop at region-max sinks) — oracle: unrolled step joins computing
+    // the identical LCG step mix in BIGINT arithmetic
+    "g_walks" -> ((s, dir) =>
+      GraphAlgorithms.randomWalks(TpchGraph.session(s, dir), "NATION_ADJ",
+        walkLen = 4, walksPerNode = 2, seed = 42L)),
   )
 
   // ---- generated oracle SQL -----------------------------------------------
@@ -841,6 +865,121 @@ object PipelineEntries {
        |SELECT id, round(rank * tot.n / tot.s, 6) AS rank FROM p$iters, tot""".stripMargin
   }
 
+  /** DuckDB mirror of [[GraphAlgorithms.kCore]]: `rounds` unrolled peel
+    * CTEs over the symmetric banded edge list — each round keeps edges
+    * whose BOTH endpoints still have degree >= k. Peeling is idempotent
+    * once converged, so a fixed unroll that covers convergence equals the
+    * Spark side's early-exit loop exactly. Rounds are MATERIALIZED:
+    * each references its predecessor three times, and DuckDB's default
+    * CTE inlining would otherwise expand the base scan 3^rounds times
+    * (observed as fd exhaustion, the same doubling the Spark side's
+    * rebaseRows kills). */
+  private def kCoreOracleSql(k: Int = 2, rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT u.a, u.b FROM c${i - 1} u
+         |  WHERE u.a IN (SELECT a FROM c${i - 1} GROUP BY a
+         |                HAVING count(*) >= $k)
+         |    AND u.b IN (SELECT a FROM c${i - 1} GROUP BY a
+         |                HAVING count(*) >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+       |         CAST(n2.n_nationkey AS BIGINT) AS b
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey
+       |   AND (n2.n_nationkey - n1.n_nationkey) % 2 = 0),
+       |c0 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |$steps
+       |SELECT a AS id, count(*) AS degree FROM c$rounds GROUP BY a""".stripMargin
+  }
+
+  /** DuckDB mirror of [[GraphAlgorithms.hits]]: per iteration, authority =
+    * L1-normalized sum of in-neighbor hubs, then hub = L1-normalized sum
+    * of out-neighbor authorities, both over the edge-defined vertex set
+    * with COALESCE(0) for missing sides — identical operation order to the
+    * Spark loop, 6-dp rounded at the end. Per-round CTEs are
+    * MATERIALIZED — the normalize step reads its input twice, so default
+    * inlining would expand the base scan exponentially in iters. */
+  private def hitsOracleSql(iters: Int = 10): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT v.id, CAST(COALESCE(m.s, 0) AS DOUBLE) AS raw
+         |  FROM v LEFT JOIN (
+         |    SELECT e.t AS id, sum(h${i - 1}.hub) AS s
+         |    FROM e JOIN h${i - 1} ON h${i - 1}.id = e.f GROUP BY e.t) m
+         |    ON m.id = v.id),
+         |a$i AS MATERIALIZED (SELECT id, raw / t.s AS authority
+         |  FROM ar$i, (SELECT sum(raw) AS s FROM ar$i) t),
+         |hr$i AS MATERIALIZED (
+         |  SELECT v.id, CAST(COALESCE(m.s, 0) AS DOUBLE) AS raw
+         |  FROM v LEFT JOIN (
+         |    SELECT e.f AS id, sum(a$i.authority) AS s
+         |    FROM e JOIN a$i ON a$i.id = e.t GROUP BY e.f) m
+         |    ON m.id = v.id),
+         |h$i AS MATERIALIZED (SELECT id, raw / t.s AS hub
+         |  FROM hr$i, (SELECT sum(raw) AS s FROM hr$i) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(n1.n_nationkey AS BIGINT) AS f,
+       |         CAST(n2.n_nationkey AS BIGINT) AS t
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey),
+       |v AS (SELECT f AS id FROM e UNION SELECT t FROM e),
+       |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v),
+       |$steps
+       |SELECT h$iters.id, round(h$iters.hub, 6) AS hub,
+       |       round(a$iters.authority, 6) AS authority
+       |FROM h$iters JOIN a$iters ON a$iters.id = h$iters.id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[GraphAlgorithms.randomWalks]]: ranked adjacency
+    * (row_number by neighbor id), then `walkLen` unrolled step joins
+    * computing the identical LCG mix in BIGINT arithmetic. Constants are
+    * spliced from the same [[GraphAlgorithms]] fields the Spark side
+    * uses, so the two engines cannot drift. */
+  private def randomWalksOracleSql(walkLen: Int = 4, walksPerNode: Int = 2,
+      seed: Long = 42L): String = {
+    import GraphAlgorithms.{WalkMixMod, WalkMixNode, WalkMixPrime,
+      WalkMixRep, WalkMixStart, WalkMixStep}
+    val steps = (1 to walkLen).map { i =>
+      s"""w$i AS (
+         |  SELECT w.start, w.rep, CAST($i AS BIGINT) AS step, adj.t AS node
+         |  FROM w${i - 1} w
+         |  JOIN dg ON dg.f = w.node
+         |  JOIN adj ON adj.f = w.node
+         |   AND adj.idx = (((w.node % $WalkMixPrime) * $WalkMixNode
+         |     + (w.start % $WalkMixPrime) * $WalkMixStart
+         |     + w.rep * $WalkMixRep
+         |     + CAST($i AS BIGINT) * $WalkMixStep
+         |     + $seed) % $WalkMixMod) % dg.deg)""".stripMargin
+    }.mkString(",\n")
+    val all = (0 to walkLen).map(i => s"SELECT * FROM w$i")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(n1.n_nationkey AS BIGINT) AS f,
+       |         CAST(n2.n_nationkey AS BIGINT) AS t
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey),
+       |adj AS (
+       |  SELECT f, t,
+       |         CAST(row_number() OVER (PARTITION BY f ORDER BY t) - 1
+       |              AS BIGINT) AS idx
+       |  FROM e),
+       |dg AS (SELECT f, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY f),
+       |v AS (SELECT f AS id FROM e UNION SELECT t FROM e),
+       |w0 AS (
+       |  SELECT v.id AS start, CAST(r.rep AS BIGINT) AS rep,
+       |         CAST(0 AS BIGINT) AS step, v.id AS node
+       |  FROM v CROSS JOIN
+       |    (SELECT unnest(range(0, $walksPerNode)) AS rep) r),
+       |$steps
+       |SELECT start, rep, step, node FROM ($all)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "p_lang_id" -> langIdOracleSql,
 
@@ -989,6 +1128,9 @@ object PipelineEntries {
     "p_reduce_dim" -> reduceDimOracleSql(),
     "g_pagerank" -> pagerankOracleSql(),
     "g_labelprop" -> labelPropOracleSql(),
+    "g_kcore" -> kCoreOracleSql(),
+    "g_hits" -> hitsOracleSql(),
+    "g_walks" -> randomWalksOracleSql(),
 
     "g_linkpred" ->
       """WITH e AS (

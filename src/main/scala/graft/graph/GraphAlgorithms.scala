@@ -328,6 +328,235 @@ object GraphAlgorithms {
   private[graft] val lastLabelPropRounds =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** k-core of the UNDIRECTED simple graph induced by `relLabel`
+    * (optionally edge-filtered): repeatedly delete vertices of degree < k
+    * until none remain, up to `maxRounds` peel rounds. Returns
+    * (id, degree) over the surviving subgraph — peeling is monotone and
+    * idempotent once converged, so "exactly maxRounds rounds" and
+    * "converged" coincide whenever maxRounds covers convergence (the spec
+    * pins a converging case; [[lastKCoreRounds]] exposes the count), and
+    * the early exit when a round deletes nothing is an optimization, not
+    * a semantic change — which keeps the unrolled-CTE DuckDB mirror exact.
+    *
+    * Scale shape per round: one map-side-combinable degree aggregate over
+    * the surviving symmetric edge list plus two left-semi joins against
+    * the (≤|V|-row) survivor set — shuffle volume is proportional to the
+    * CURRENT edge count, which only shrinks, and AQE broadcasts the
+    * survivor side once it fits. Because each round references the prior
+    * round's frame TWICE (once per endpoint's semi-join), a plain
+    * DataFrame chain would double Catalyst's logical plan every round —
+    * the classic iterative-plan blow-up — so each round's survivor edge
+    * set is materialized to a persisted RDD and re-based as a fresh scan:
+    * lineage AND plan size stay constant per round, at the cost of one
+    * row-encode pass over the (shrinking) survivors. The materializing
+    * count doubles as the convergence probe; prior rounds' blocks are
+    * freed eagerly. */
+  def kCore(gs: GraftSession, relLabel: String, k: Int, maxRounds: Int = 20,
+      edgePred: Option[Column] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    var (cur, curRdd, curEdges) = rebaseRows(
+      canon.unionAll(canon.select(col("b").as("a"), col("a").as("b"))))
+    var i = 0
+    var stable = curEdges == 0
+    while (i < maxRounds && !stable) {
+      val keep = cur.groupBy("a").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("a").as("__keep"))
+      val (next, nextRdd, nextEdges) = rebaseRows(cur
+        .join(keep, cur("a") === col("__keep"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "__keepb"),
+          cur("b") === col("__keepb"), "left_semi"))
+      stable = nextEdges == curEdges
+      curRdd.unpersist(blocking = false)
+      cur = next; curRdd = nextRdd; curEdges = nextEdges
+      i += 1
+    }
+    lastKCoreRounds.set(i)
+    cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Peel rounds the last [[kCore]] call executed — test probe for the
+    * converged-early exit. */
+  private[graft] val lastKCoreRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Materialize `df` into a persisted RDD[Row] and re-base it as a fresh
+    * LogicalRDD scan — the plan-truncation step every round-based loop
+    * here runs once per round. Persist+count alone is NOT enough for
+    * iterative DataFrames: the logical plan keeps nesting round over
+    * round, and Catalyst's per-job planning over the growing
+    * cached-plan chain turns superlinear (measured ~4× slower per round
+    * on a 25-vertex HITS before this — the classic iterative-lineage
+    * trap). The RDD hop costs one row-encode pass over the frame and
+    * keeps lineage, plan size, and planning time constant per round.
+    * The RDD is registered for [[graft.pipeline.PipelineCaches]] cleanup;
+    * the returned count doubles as the eager materialization barrier. */
+  private def rebaseRows(df: DataFrame)
+      : (DataFrame, RDD[org.apache.spark.sql.Row], Long) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.PipelineCaches.onClear(rdd)(_.unpersist(blocking = false))
+    val n = rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, n)
+  }
+
+  /** HITS hubs/authorities over the DIRECTED simple graph induced by
+    * `relLabel` (optionally edge-filtered), fixed `iters` rounds with
+    * L1 (sum-to-1) normalization each half-step — fixed iteration count
+    * + explicit normalization order = SQL-mirrorable, like [[pageRank]]'s
+    * unrolled oracle. The vertex set is edge-list-defined (endpoints of
+    * surviving edges); isolated vertices are absent, as in
+    * [[labelPropagation]]. Returns (id, hub, authority) rounded to 6 dp —
+    * the ~1e-15 float-sum-order noise sits nine orders below the quantum.
+    *
+    * Scale shape per round: two |E|-proportional equi-join + partial/final
+    * sum aggregates (authority from in-edges, hub from out-edges) — no
+    * window, no sort. Each half-step's filled score frame is re-based
+    * through [[rebaseRows]] (constant plan/lineage per round) and its L1
+    * total collected as ONE driver scalar — the same bounded-collect
+    * discipline as the k-means centroid pulls. Prior rounds' blocks are
+    * freed as soon as the current round is materialized. */
+  def hits(gs: GraftSession, relLabel: String, iters: Int = 10,
+      edgePred: Option[Column] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e = base.select(col(r.fromColumn).cast("long").as("f"),
+        col(r.toColumn).cast("long").as("t"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val v = e.select(col("f").as("id")).union(e.select(col("t").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    v.count()
+
+    // v LEFT JOIN raw keeps zero-in/out vertices at 0.0; the re-based
+    // frame is read twice (total + normalized output) so the L1 divisor
+    // is the exact sum the frame's rows produce. Returns the normalized
+    // frame (a projection over the constant-size re-based scan) plus the
+    // backing RDD so the loop can free the prior round's blocks.
+    def l1Normalize(raw: DataFrame, valueCol: String)
+        : (DataFrame, RDD[org.apache.spark.sql.Row]) = {
+      val (filled, rdd, _) = rebaseRows(v.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col(valueCol), lit(0.0)).as(valueCol)))
+      val tot = filled.agg(sum(valueCol)).head.getDouble(0)
+      (filled.select(col("id"), (col(valueCol) / lit(tot)).as(valueCol)),
+        rdd)
+    }
+
+    var hub = v.select(col("id"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    val lastRound =
+      scala.collection.mutable.ArrayBuffer[RDD[org.apache.spark.sql.Row]]()
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("id", "__hid"),
+          col("f") === col("__hid"))
+        .groupBy(col("t").as("id")).agg(sum("hub").as("authority"))
+      val (authN, authRdd) = l1Normalize(aRaw, "authority")
+      auth = authN
+      val hRaw = e.join(auth.withColumnRenamed("id", "__aid"),
+          col("t") === col("__aid"))
+        .groupBy(col("f").as("id")).agg(sum("authority").as("hub"))
+      val (hubN, hubRdd) = l1Normalize(hRaw, "hub")
+      hub = hubN
+      // both halves of THIS round are materialized (their totals were
+      // collected), so the previous round's blocks are dead; this
+      // round's stay — the final join below still reads them
+      lastRound.foreach(_.unpersist(blocking = false))
+      lastRound.clear()
+      lastRound += authRdd; lastRound += hubRdd
+    }
+    hub.join(auth.withColumnRenamed("id", "__aid"),
+        col("id") === col("__aid"))
+      .select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+  }
+
+  /** Multiplier/modulus constants for the [[randomWalks]] step mix — a
+    * fixed LCG-style integer hash both engines compute identically in
+    * 64-bit arithmetic (every operand is pre-reduced so the largest
+    * product is ~2^50, far from Long overflow; all terms non-negative so
+    * `%` agrees between Spark and DuckDB). */
+  private[graft] val WalkMixNode = 1103515245L
+  private[graft] val WalkMixStart = 179424673L
+  private[graft] val WalkMixRep = 12345L
+  private[graft] val WalkMixStep = 2654435761L
+  private[graft] val WalkMixPrime = 1048573L
+  private[graft] val WalkMixMod = 2147483647L
+
+  /** Deterministic seeded random walks over the DIRECTED simple graph —
+    * the training-data generator for skip-gram-style graph embeddings
+    * (DeepWalk/node2vec input). Every vertex starts `walksPerNode` walks;
+    * at each step the walker at `node` moves to the neighbor whose rank
+    * (dense 0..deg-1, neighbors ordered by id) equals an LCG-style mix of
+    * (node, start, rep, step, seed) mod out-degree, and a walk stops when
+    * it reaches a sink. Deterministic by construction — the mix uses only
+    * `+ * %` on non-negative longs, so an unrolled-join DuckDB mirror
+    * reproduces it bit-for-bit (no engine RNG involved) and re-runs are
+    * stable for reproducible training corpora. Returns
+    * (start, rep, step, node) rows, one per visited position incl. step 0.
+    *
+    * Scale shape: the ranked adjacency (one row_number window partitioned
+    * by source — parallel over sources) is built once, persisted, and
+    * hash-partitioned on the source key; each of the `walkLen` sequential
+    * steps then equi-joins the (|V|·walksPerNode)-row frontier against it,
+    * so only the frontier shuffles per step and the join is broadcast when
+    * the frontier is small. State never exceeds |V|·walksPerNode rows —
+    * the standard distributed-walk shape (no per-walk driver loop). */
+  def randomWalks(gs: GraftSession, relLabel: String, walkLen: Int = 4,
+      walksPerNode: Int = 2, seed: Long = 42L,
+      edgePred: Option[Column] = None): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    require(walksPerNode >= 1,
+      s"walksPerNode must be >= 1, got $walksPerNode")
+    require(seed >= 0, s"seed must be >= 0, got $seed (the step mix " +
+      "requires non-negative operands so % agrees across engines)")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e = base.select(col(r.fromColumn).cast("long").as("f"),
+        col(r.toColumn).cast("long").as("t"))
+      .distinct()
+    val adj = e
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("f").orderBy("t")) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")))
+      // both windows share the partitionBy(f) exchange, so the cached
+      // frame is already hash-partitioned on the join key
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val v = e.select(col("f").as("id")).union(e.select(col("t").as("id")))
+      .distinct()
+    var frontier = v
+      .select(col("id").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("rep"))
+      .select(col("start"), col("rep").cast("long").as("rep"),
+        lit(0L).as("step"), col("start").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer(frontier)
+    for (s <- 1 to walkLen) {
+      val mix = ((col("node") % WalkMixPrime) * WalkMixNode
+        + (col("start") % WalkMixPrime) * WalkMixStart
+        + col("rep") * WalkMixRep
+        + lit(s.toLong) * WalkMixStep
+        + lit(seed)) % WalkMixMod
+      frontier = frontier.join(adj, col("node") === col("f")
+          && col("idx") === mix % col("deg"))
+        .select(col("start"), col("rep"), lit(s.toLong).as("step"),
+          col("t").as("node"))
+      steps += frontier
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** In/out degree per vertex from the edge list (pure DataFrame op). */
   def degrees(gs: GraftSession, relLabel: String): DataFrame = {
     val r = gs.catalog.rel(relLabel)

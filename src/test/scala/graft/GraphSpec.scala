@@ -176,4 +176,92 @@ class GraphSpec extends AnyFunSuite {
     assert(d.contains((1L, 2L, 1L))) // out {2,3}, in {2->1}
     assert(d.contains((4L, 0L, 1L)))
   }
+
+  test("k-core: hand-checked cascading peel, converges before the bound") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("kn", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // triangle 1-2-3, tail 3-4-5, pendant 5-6: the 2-core peel must
+    // cascade (6 falls, exposing 5; 5 falls, exposing 4) — a single
+    // degree pass would wrongly keep 4 and 5
+    g.registerTable("KE", Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+        (4L, 5L), (5L, 6L)).toDF("from_K", "to_K"))
+    g.registerNode("K", "kn", "id")
+    g.registerRel("KE", "KE", "K", "K")
+    val core = GraphAlgorithms.kCore(g, "KE", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // 3 peel rounds removed vertices, the 4th detected stability — well
+    // under the default bound, so the early exit fired
+    assert(GraphAlgorithms.lastKCoreRounds.get() == 4)
+    // k above the max degree peels everything
+    assert(GraphAlgorithms.kCore(g, "KE", k = 4).count() == 0)
+  }
+
+  test("hits: hubs and authorities on a hand-checked star, dups collapse") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("hn", (1L to 3L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // 1→3 and 2→3 (plus a duplicate row that must collapse): 3 is the
+    // sole authority, 1 and 2 split the hub mass
+    g.registerTable("HE", Seq((1L, 3L), (2L, 3L), (1L, 3L))
+      .toDF("from_H", "to_H"))
+    g.registerNode("H", "hn", "id")
+    g.registerRel("HE", "HE", "H", "H")
+    val got = GraphAlgorithms.hits(g, "HE", iters = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((0.5, 0.0)))
+    assert(got(2L) == ((0.5, 0.0)))
+    assert(got(3L) == ((0.0, 1.0)))
+  }
+
+  test("random walks: bit-exact vs a from-the-spec reimplementation") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("wn2", (1L to 4L).map(i => (i, s"v$i")).toDF("id", "name"))
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    g.registerTable("WE2", edges.toDF("from_W2", "to_W2"))
+    g.registerNode("W2", "wn2", "id")
+    g.registerRel("WE2", "WE2", "W2", "W2")
+    val walkLen = 3; val reps = 2; val seed = 7L
+    val got = GraphAlgorithms.randomWalks(g, "WE2", walkLen, reps, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // independent reimplementation straight from the scaladoc contract
+    val adj = edges.groupBy(_._1).map { case (f, es) =>
+      f -> es.map(_._2).distinct.sorted.toIndexedSeq }
+    import GraphAlgorithms.{WalkMixMod, WalkMixNode, WalkMixPrime,
+      WalkMixRep, WalkMixStart, WalkMixStep}
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (start <- 1L to 4L; rep <- 0L until reps.toLong) {
+      var node = start
+      expected += ((start, rep, 0L, node))
+      var step = 1L
+      var alive = true
+      while (alive && step <= walkLen) {
+        adj.get(node) match {
+          case Some(ns) =>
+            val mix = ((node % WalkMixPrime) * WalkMixNode
+              + (start % WalkMixPrime) * WalkMixStart
+              + rep * WalkMixRep + step * WalkMixStep + seed) % WalkMixMod
+            node = ns((mix % ns.size).toInt)
+            expected += ((start, rep, step, node))
+            step += 1
+          case None => alive = false // sink: the walk stops
+        }
+      }
+    }
+    assert(got == expected.toSet)
+    // sinks emit only their step-0 rows
+    assert(got.count { case (s, _, _, _) => s == 4L } == reps)
+    // deterministic: a re-run is identical
+    val again = GraphAlgorithms.randomWalks(g, "WE2", walkLen, reps, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(again == got)
+  }
 }

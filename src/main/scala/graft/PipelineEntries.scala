@@ -895,31 +895,20 @@ object PipelineEntries {
        |SELECT a AS id, count(*) AS degree FROM c$rounds GROUP BY a""".stripMargin
   }
 
-  /** DuckDB mirror of [[GraphAlgorithms.hits]]: per iteration, authority =
-    * L1-normalized sum of in-neighbor hubs, then hub = L1-normalized sum
-    * of out-neighbor authorities, both over the edge-defined vertex set
-    * with COALESCE(0) for missing sides — identical operation order to the
-    * Spark loop, 6-dp rounded at the end. Per-round CTEs are
-    * MATERIALIZED — the normalize step reads its input twice, so default
-    * inlining would expand the base scan exponentially in iters. */
+  /** DuckDB mirror of [[GraphAlgorithms.hits]]: the identical
+    * UNNORMALIZED power iteration (authority = sum of in-neighbor hubs,
+    * hub = sum of out-neighbor authorities, sparse frames), L1-normalized
+    * once at the end over the edge-defined vertex set with COALESCE(0)
+    * for missing sides, 6-dp rounded. Per-round CTEs are MATERIALIZED so
+    * DuckDB evaluates each round once rather than inlining the chain. */
   private def hitsOracleSql(iters: Int = 10): String = {
     val steps = (1 to iters).map { i =>
-      s"""ar$i AS MATERIALIZED (
-         |  SELECT v.id, CAST(COALESCE(m.s, 0) AS DOUBLE) AS raw
-         |  FROM v LEFT JOIN (
-         |    SELECT e.t AS id, sum(h${i - 1}.hub) AS s
-         |    FROM e JOIN h${i - 1} ON h${i - 1}.id = e.f GROUP BY e.t) m
-         |    ON m.id = v.id),
-         |a$i AS MATERIALIZED (SELECT id, raw / t.s AS authority
-         |  FROM ar$i, (SELECT sum(raw) AS s FROM ar$i) t),
-         |hr$i AS MATERIALIZED (
-         |  SELECT v.id, CAST(COALESCE(m.s, 0) AS DOUBLE) AS raw
-         |  FROM v LEFT JOIN (
-         |    SELECT e.f AS id, sum(a$i.authority) AS s
-         |    FROM e JOIN a$i ON a$i.id = e.t GROUP BY e.f) m
-         |    ON m.id = v.id),
-         |h$i AS MATERIALIZED (SELECT id, raw / t.s AS hub
-         |  FROM hr$i, (SELECT sum(raw) AS s FROM hr$i) t)""".stripMargin
+      s"""a$i AS MATERIALIZED (
+         |  SELECT e.t AS id, sum(h${i - 1}.hub) AS authority
+         |  FROM e JOIN h${i - 1} ON h${i - 1}.id = e.f GROUP BY e.t),
+         |h$i AS MATERIALIZED (
+         |  SELECT e.f AS id, sum(a$i.authority) AS hub
+         |  FROM e JOIN a$i ON a$i.id = e.t GROUP BY e.f)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
        |  SELECT DISTINCT CAST(n1.n_nationkey AS BIGINT) AS f,
@@ -929,10 +918,15 @@ object PipelineEntries {
        |   AND n1.n_nationkey < n2.n_nationkey),
        |v AS (SELECT f AS id FROM e UNION SELECT t FROM e),
        |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v),
-       |$steps
-       |SELECT h$iters.id, round(h$iters.hub, 6) AS hub,
-       |       round(a$iters.authority, 6) AS authority
-       |FROM h$iters JOIN a$iters ON a$iters.id = h$iters.id""".stripMargin
+       |$steps,
+       |ht AS (SELECT sum(hub) AS s FROM h$iters),
+       |at AS (SELECT sum(authority) AS s FROM a$iters)
+       |SELECT v.id,
+       |       round(COALESCE(h.hub / ht.s, 0.0), 6) AS hub,
+       |       round(COALESCE(a.authority / at.s, 0.0), 6) AS authority
+       |FROM v
+       |LEFT JOIN h$iters h ON h.id = v.id
+       |LEFT JOIN a$iters a ON a.id = v.id, ht, at""".stripMargin
   }
 
   /** DuckDB mirror of [[GraphAlgorithms.randomWalks]]: ranked adjacency

@@ -415,69 +415,58 @@ object GraphAlgorithms {
     * [[labelPropagation]]. Returns (id, hub, authority) rounded to 6 dp —
     * the ~1e-15 float-sum-order noise sits nine orders below the quantum.
     *
-    * Scale shape per round: two |E|-proportional equi-join + partial/final
-    * sum aggregates (authority from in-edges, hub from out-edges) — no
-    * window, no sort. Each half-step's filled score frame is re-based
-    * through [[rebaseRows]] (constant plan/lineage per round) and its L1
-    * total collected as ONE driver scalar — the same bounded-collect
-    * discipline as the k-means centroid pulls. Prior rounds' blocks are
-    * freed as soon as the current round is materialized. */
+    * Runs on GraphX `aggregateMessages` like [[pageRank]]: a round-based
+    * algorithm wants RDD rounds, not DataFrame rounds — a Catalyst plan
+    * per round pays planning + codegen + shuffle-stage overhead 2·iters
+    * times (measured 4–7 s for this 25-vertex gate either way: per-round
+    * materialization AND one unrolled 40-stage AQE plan), while a Pregel
+    * loop's per-round RDD job is ~20 ms. The iteration runs UNNORMALIZED —
+    * L1 normalization commutes with the linear maps (each round divides
+    * every entry by one scalar), so normalizing once at the end yields
+    * identical values with one message pass per half-step. Overflow
+    * bound: entries grow by at most (max in-degree × max out-degree) per
+    * round, so doubles are safe while iters·log2(growth/round) < 1024 —
+    * e.g. 25+ rounds at degree 10^6, the reachable regime for ranking.
+    * Per round the graph is materialized and its predecessor unpersisted
+    * (the Pregel discipline), keeping lineage depth constant. */
   def hits(gs: GraftSession, relLabel: String, iters: Int = 10,
       edgePred: Option[Column] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = gs.spark
+    import spark.implicits._
     val r = gs.catalog.rel(relLabel)
     val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
-    val e = base.select(col(r.fromColumn).cast("long").as("f"),
-        col(r.toColumn).cast("long").as("t"))
+    val edgeRdd = base.select(col(r.fromColumn).cast("long"),
+        col(r.toColumn).cast("long"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.pipeline.PipelineCaches.track)
-    val v = e.select(col("f").as("id")).union(e.select(col("t").as("id")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.pipeline.PipelineCaches.track)
-    v.count()
-
-    // v LEFT JOIN raw keeps zero-in/out vertices at 0.0; the re-based
-    // frame is read twice (total + normalized output) so the L1 divisor
-    // is the exact sum the frame's rows produce. Returns the normalized
-    // frame (a projection over the constant-size re-based scan) plus the
-    // backing RDD so the loop can free the prior round's blocks.
-    def l1Normalize(raw: DataFrame, valueCol: String)
-        : (DataFrame, RDD[org.apache.spark.sql.Row]) = {
-      val (filled, rdd, _) = rebaseRows(v.join(raw, Seq("id"), "left")
-        .select(col("id"), coalesce(col(valueCol), lit(0.0)).as(valueCol)))
-      val tot = filled.agg(sum(valueCol)).head.getDouble(0)
-      (filled.select(col("id"), (col(valueCol) / lit(tot)).as(valueCol)),
-        rdd)
-    }
-
-    var hub = v.select(col("id"), lit(1.0).as("hub"))
-    var auth: DataFrame = null
-    val lastRound =
-      scala.collection.mutable.ArrayBuffer[RDD[org.apache.spark.sql.Row]]()
+      .rdd.map(row => Edge(row.getLong(0), row.getLong(1), ()))
+    // attr = (hub, authority); vertex set = edge endpoints, as in the
+    // oracle's edge-defined v
+    var g = tracked(Graph.fromEdges(edgeRdd, (1.0, 0.0),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK))
+    g.vertices.count()
     for (_ <- 1 to iters) {
-      val aRaw = e.join(hub.withColumnRenamed("id", "__hid"),
-          col("f") === col("__hid"))
-        .groupBy(col("t").as("id")).agg(sum("hub").as("authority"))
-      val (authN, authRdd) = l1Normalize(aRaw, "authority")
-      auth = authN
-      val hRaw = e.join(auth.withColumnRenamed("id", "__aid"),
-          col("t") === col("__aid"))
-        .groupBy(col("f").as("id")).agg(sum("authority").as("hub"))
-      val (hubN, hubRdd) = l1Normalize(hRaw, "hub")
-      hub = hubN
-      // both halves of THIS round are materialized (their totals were
-      // collected), so the previous round's blocks are dead; this
-      // round's stay — the final join below still reads them
-      lastRound.foreach(_.unpersist(blocking = false))
-      lastRound.clear()
-      lastRound += authRdd; lastRound += hubRdd
+      val authMsgs = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _)
+      val g1 = tracked(g.outerJoinVertices(authMsgs)(
+        (_, attr, a) => (attr._1, a.getOrElse(0.0))))
+      val hubMsgs = g1.aggregateMessages[Double](
+        ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
+      val g2 = tracked(g1.outerJoinVertices(hubMsgs)(
+        (_, attr, h) => (h.getOrElse(0.0), attr._2)))
+      g2.vertices.count()
+      g.unpersistVertices(blocking = false)
+      g.edges.unpersist(blocking = false)
+      g = g2
     }
-    hub.join(auth.withColumnRenamed("id", "__aid"),
-        col("id") === col("__aid"))
-      .select(col("id"), round(col("hub"), 6).as("hub"),
-        round(col("authority"), 6).as("authority"))
+    val scores = g.vertices
+      .map { case (id, (h, a)) => (id, h, a) }
+      .toDF("id", "__h", "__a")
+    val tot = scores.agg(sum("__h").as("__htot"), sum("__a").as("__atot"))
+    scores.crossJoin(tot)
+      .select(col("id"),
+        round(col("__h") / col("__htot"), 6).as("hub"),
+        round(col("__a") / col("__atot"), 6).as("authority"))
   }
 
   /** Multiplier/modulus constants for the [[randomWalks]] step mix — a

@@ -38,6 +38,25 @@ object ProfileGraphScale {
         graft.graph.GraphAlgorithms.linkFeatures(gs, "PLACED").count()
       }
       graft.pipeline.PipelineCaches.clear(blocking = true)
+      // bipartite 2-core: every order has degree 1, so the first round
+      // peels ALL orders and the second empties the customers — two
+      // full-|E| peel rounds + the convergence round, the worst case for
+      // the per-round rebase cost
+      time(s"r$round kCore(PLACED, 2)") {
+        graft.graph.GraphAlgorithms.kCore(gs, "PLACED", k = 2).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      time(s"r$round hits(PLACED, 5)") {
+        graft.graph.GraphAlgorithms.hits(gs, "PLACED", iters = 5).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      // walks stop at order sinks after one step; the measured cost is
+      // the ranked-adjacency build (row_number over |E|) + one frontier
+      // join per surviving step
+      time(s"r$round randomWalks(PLACED, 4)") {
+        graft.graph.GraphAlgorithms.randomWalks(gs, "PLACED").count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
     }
     spark.stop()
   }

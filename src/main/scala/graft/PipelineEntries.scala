@@ -514,6 +514,14 @@ object PipelineEntries {
     "g_walks" -> ((s, dir) =>
       GraphAlgorithms.randomWalks(TpchGraph.session(s, dir), "NATION_ADJ",
         walkLen = 4, walksPerNode = 2, seed = 42L)),
+
+    // personalized PageRank from two sources over the sparse NATION_NEXT
+    // successor chain (rank decays geometrically downstream of each
+    // source; off-chain nations stay exactly 0) — oracle: unrolled
+    // rounds with the identical source-teleport formula
+    "g_ppr" -> ((s, dir) =>
+      GraphAlgorithms.personalizedPageRank(TpchGraph.session(s, dir),
+        "NATION_NEXT", sourceIds = Seq(0L, 10L), iters = 10)),
   )
 
   // ---- generated oracle SQL -----------------------------------------------
@@ -929,6 +937,46 @@ object PipelineEntries {
        |LEFT JOIN a$iters a ON a.id = v.id, ht, at""".stripMargin
   }
 
+  /** DuckDB mirror of [[GraphAlgorithms.personalizedPageRank]] over the
+    * NATION_NEXT successor chain: identical explicit formula — r₀ = s,
+    * rᵢ = (1−resetProb)·Σ in-contributions + resetProb·s — with the
+    * constants pre-folded in Scala and spliced as their shortest
+    * round-trip decimal repr, so both engines parse the SAME doubles.
+    * Rank frames stay sparse (FULL JOIN with the source rows); the final
+    * select fills the edge-defined vertex set with exact zeros. */
+  private def pprOracleSql(sources: Seq[Long] = Seq(0L, 10L),
+      iters: Int = 10, resetProb: Double = 0.15): String = {
+    val sprob = 1.0 / sources.size
+    val oneMinus = 1.0 - resetProb
+    val vals = sources.map(s => s"($s, $sprob)").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT COALESCE(m.id, s.id) AS id,
+         |         $oneMinus * COALESCE(m.ms, 0)
+         |           + $resetProb * COALESCE(s.sprob, 0) AS rank
+         |  FROM (SELECT e.t AS id, sum(r${i - 1}.rank / d.deg) AS ms
+         |        FROM e JOIN r${i - 1} ON r${i - 1}.id = e.f
+         |        JOIN d ON d.f = e.f
+         |        GROUP BY e.t) m
+         |  FULL JOIN s ON s.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS f,
+       |         CAST(min(n2.n_nationkey) AS BIGINT) AS t
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n2.n_nationkey > n1.n_nationkey
+       |  GROUP BY n1.n_nationkey),
+       |d AS (SELECT f, count(*) AS deg FROM e GROUP BY f),
+       |v AS (SELECT f AS id FROM e UNION SELECT t FROM e),
+       |s AS (SELECT CAST(sid AS BIGINT) AS id, CAST(sp AS DOUBLE) AS sprob
+       |      FROM (VALUES $vals) t(sid, sp)),
+       |r0 AS (SELECT id, sprob AS rank FROM s),
+       |$steps
+       |SELECT v.id, round(COALESCE(r.rank, 0.0), 6) AS rank
+       |FROM v LEFT JOIN r$iters r ON r.id = v.id""".stripMargin
+  }
+
   /** DuckDB mirror of [[GraphAlgorithms.randomWalks]]: ranked adjacency
     * (row_number by neighbor id), then `walkLen` unrolled step joins
     * computing the identical LCG mix in BIGINT arithmetic. Constants are
@@ -1125,6 +1173,7 @@ object PipelineEntries {
     "g_kcore" -> kCoreOracleSql(),
     "g_hits" -> hitsOracleSql(),
     "g_walks" -> randomWalksOracleSql(),
+    "g_ppr" -> pprOracleSql(),
 
     "g_linkpred" ->
       """WITH e AS (

@@ -546,6 +546,69 @@ object GraphAlgorithms {
     steps.reduce(_ unionByName _)
   }
 
+  /** Personalized PageRank from a source set: random walk with
+    * probability `resetProb` of teleporting back to the sources (mass
+    * split evenly across them), fixed `iters` rounds for determinism.
+    * Explicit semantics, chosen to be SQL-mirrorable rather than
+    * delegating to GraphX's personalized variant (whose normalization
+    * details would have to be reverse-engineered into the oracle):
+    * r₀(v) = s(v);  rᵢ(v) = resetProb·s(v) +
+    * (1−resetProb)·Σ_{(u,v)∈E} rᵢ₋₁(u)/outdeg(u), where s(v) = 1/|S| on
+    * the sources — dangling mass decays, as in the static PageRank
+    * mirror. Returns (id, rank) dense over the edge-defined vertex set,
+    * 6-dp rounded.
+    *
+    * Scale shape: rank frames stay SPARSE (nonzero only on the reachable
+    * set — for small source sets this is the whole point of PPR) and the
+    * rounds build ONE lazy linear chain evaluated in a single action,
+    * like [[weightedShortestPaths]] — each round references its
+    * predecessor once, so no per-round materialization or rebase is
+    * needed; per round the plan is one |E_active|-proportional equi-join
+    * + partial/final sum and a broadcast outer join against the tiny
+    * source frame. */
+  def personalizedPageRank(gs: GraftSession, relLabel: String,
+      sourceIds: Seq[Long], iters: Int = 10, resetProb: Double = 0.15,
+      edgePred: Option[Column] = None): DataFrame = {
+    require(sourceIds.nonEmpty, "personalizedPageRank needs >= 1 source")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(resetProb > 0 && resetProb < 1,
+      s"resetProb must be in (0, 1), got $resetProb")
+    val spark = gs.spark
+    import spark.implicits._
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e = base.select(col(r.fromColumn).cast("long").as("f"),
+        col(r.toColumn).cast("long").as("t"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val eDeg = e.join(e.groupBy(col("f").as("__df"))
+        .agg(count(lit(1)).as("deg")), col("f") === col("__df"))
+      .select(col("f"), col("t"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val v = e.select(col("f").as("id")).union(e.select(col("t").as("id")))
+      .distinct()
+    val sProb = 1.0 / sourceIds.size
+    val src = sourceIds.toDF("id").withColumn("sprob", lit(sProb))
+    var rank = src.select(col("id"), col("sprob").as("rank"))
+    for (_ <- 1 to iters) {
+      val m = eDeg.join(rank.withColumnRenamed("id", "__rid"),
+          col("f") === col("__rid"))
+        .groupBy(col("t").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("__ms"))
+      rank = m.join(src.withColumnRenamed("id", "__sid"),
+          col("id") === col("__sid"), "full_outer")
+        .select(coalesce(col("id"), col("__sid")).as("id"),
+          (lit(1.0 - resetProb) * coalesce(col("__ms"), lit(0.0))
+            + lit(resetProb) * coalesce(col("sprob"), lit(0.0))).as("rank"))
+    }
+    v.join(rank.withColumnRenamed("id", "__pid"),
+        col("id") === col("__pid"), "left")
+      .select(col("id"),
+        round(coalesce(col("rank"), lit(0.0)), 6).as("rank"))
+  }
+
   /** In/out degree per vertex from the edge list (pure DataFrame op). */
   def degrees(gs: GraftSession, relLabel: String): DataFrame = {
     val r = gs.catalog.rel(relLabel)

@@ -216,6 +216,39 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 1.0)))
   }
 
+  test("personalized pagerank: hand-checked chain decay, sparse zeros") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("pn", (1L to 5L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // chain 1→2→3 plus a disconnected edge 4→5: rank mass decays down
+    // the chain from source 1; 4 and 5 are unreachable ⇒ exactly 0.0
+    g.registerTable("PE", Seq((1L, 2L), (2L, 3L), (4L, 5L))
+      .toDF("from_P", "to_P"))
+    g.registerNode("P", "pn", "id")
+    g.registerRel("PE", "PE", "P", "P")
+    val got = GraphAlgorithms.personalizedPageRank(g, "PE", Seq(1L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // from-the-spec fold: r0 = {1: 1.0}; r_i(v) = .15*s(v) + .85*sum(in)
+    var rank = Map(1L -> 1.0)
+    val edges = Map(1L -> Seq(2L), 2L -> Seq(3L), 4L -> Seq(5L))
+    for (_ <- 1 to 3) {
+      val m = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for ((u, r0) <- rank; vs <- edges.get(u); vv <- vs)
+        m(vv) += 0.85 * r0 / vs.size
+      rank = ((1L to 5L).flatMap { vv =>
+        val x = m(vv) + (if (vv == 1L) 0.15 else 0.0)
+        if (x != 0.0) Some(vv -> x) else None
+      }).toMap
+    }
+    for (vv <- 1L to 5L)
+      assert(got(vv) ==
+        BigDecimal(rank.getOrElse(vv, 0.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"vertex $vv")
+    // unreachable component is exactly zero, not epsilon
+    assert(got(4L) == 0.0 && got(5L) == 0.0)
+  }
+
   test("random walks: bit-exact vs a from-the-spec reimplementation") {
     import spark.implicits._
     val g = new GraftSession(spark)

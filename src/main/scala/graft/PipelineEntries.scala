@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgorithms
-import graft.pipeline.{AsOf, Corpus, Dedup, Explodes, Metadata, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{AsOf, Corpus, Dedup, Explodes, Metadata, Multimodal, Profiling, Sampling, Sequences, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline operators surfaced as driver-checkable queries.
@@ -302,6 +302,15 @@ object PipelineEntries {
 
     // gap-based sessionization — oracle-checked
     "p_sessionize" -> ((s, dir) => StreamingOps.sessionize(events(s, dir))),
+
+    // next-event-prediction training rows: 3 preceding event types as
+    // context, current as label, per user stream (ties broken by
+    // event_id) — oracle-checked
+    "p_event_seqs" -> ((s, dir) => Sequences.sequenceExamples(events(s, dir))),
+
+    // one-scan per-column profile of the documents table — oracle-checked
+    "p_profile" -> ((s, dir) =>
+      Profiling.profileTable(s.read.parquet(s"$dir/documents.parquet"))),
 
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)
@@ -937,6 +946,38 @@ object PipelineEntries {
        |LEFT JOIN a$iters a ON a.id = v.id, ht, at""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.pipeline.Profiling.profileTable]] over the
+    * documents table: the same per-column stats computed in one scan,
+    * pivoted to one row per column — generated from the same
+    * (name, numeric?, string?) column list shape the Spark side derives
+    * from the schema. */
+  private def profileOracleSql: String = {
+    // (name, isNumeric, isString) for documents' columns
+    val colsSpec = Seq(("doc_id", true, false), ("text", false, true),
+      ("lang", false, true), ("source", false, true), ("n_chars", true, false))
+    val aggs = colsSpec.map { case (n, num, str) =>
+      val minN = if (num) s"min(CAST($n AS DOUBLE))" else "CAST(NULL AS DOUBLE)"
+      val maxN = if (num) s"max(CAST($n AS DOUBLE))" else "CAST(NULL AS DOUBLE)"
+      val minS = if (str) s"min($n)" else "CAST(NULL AS VARCHAR)"
+      val maxS = if (str) s"max($n)" else "CAST(NULL AS VARCHAR)"
+      s"""    CAST(sum(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nulls_$n,
+         |    CAST(count(DISTINCT $n) AS BIGINT) AS dist_$n,
+         |    $minN AS minn_$n, $maxN AS maxn_$n,
+         |    $minS AS mins_$n, $maxS AS maxs_$n""".stripMargin
+    }.mkString(",\n")
+    val rows = colsSpec.map { case (n, _, _) =>
+      s"""SELECT '$n' AS col_name, n_rows, nulls_$n AS n_nulls,
+         |  dist_$n AS n_distinct, minn_$n AS min_num, maxn_$n AS max_num,
+         |  mins_$n AS min_str, maxs_$n AS max_str FROM a""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |$aggs
+       |  FROM documents)
+       |$rows""".stripMargin
+  }
+
   /** DuckDB mirror of [[GraphAlgorithms.personalizedPageRank]] over the
     * NATION_NEXT successor chain: identical explicit formula — r₀ = s,
     * rᵢ = (1−resetProb)·Σ in-contributions + resetProb·s — with the
@@ -1174,6 +1215,26 @@ object PipelineEntries {
     "g_hits" -> hitsOracleSql(),
     "g_walks" -> randomWalksOracleSql(),
     "g_ppr" -> pprOracleSql(),
+
+    // all window functions share one WINDOW spec (ties broken by
+    // event_id, same as the Spark side's orderBy(ts, event_id))
+    "p_event_seqs" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER w AS BIGINT) AS pos,
+        |         lag(event_type, 3) OVER w AS c1,
+        |         lag(event_type, 2) OVER w AS c2,
+        |         lag(event_type, 1) OVER w AS c3,
+        |         event_type
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id AS user, pos,
+        |       c1 || ',' || c2 || ',' || c3 AS context,
+        |       event_type AS label
+        |FROM o WHERE c1 IS NOT NULL""".stripMargin,
+
+    // one-scan column profile of documents (same stats per column the
+    // Spark side's single aggregate computes)
+    "p_profile" -> profileOracleSql,
 
     "g_linkpred" ->
       """WITH e AS (

@@ -1161,6 +1161,54 @@ class SamplingSpec extends AnyFunSuite {
       "shard shuffle must never collapse to a single partition")
   }
 
+  test("sequenceExamples: hand-checked contexts, ts ties break by id") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a b c d in time order
+      (1L, 1L, 1000L, "a"), (2L, 1L, 2000L, "b"),
+      (3L, 1L, 3000L, "c"), (4L, 1L, 4000L, "d"),
+      // user 2: two events share ts=1000 — order must fall back to id
+      (10L, 2L, 1000L, "x"), (11L, 2L, 1000L, "y"), (12L, 2L, 2000L, "z"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("us")))
+    val got = graft.pipeline.Sequences.sequenceExamples(ev, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 3L, "a,b", "c"), (1L, 4L, "b,c", "d"),
+      (2L, 3L, "x,y", "z")))
+    // k larger than any stream yields nothing, not an error
+    assert(graft.pipeline.Sequences.sequenceExamples(ev, k = 10).isEmpty)
+  }
+
+  test("profileTable: hand-checked per-column stats in one aggregate") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(2L), None, Some(-1.0)),
+      (Some(2L), Some("a"), None))
+      .toDF("k", "s", "x")
+    val got = graft.pipeline.Profiling.profileTable(df)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val k = got("k")
+    assert(k.getLong(1) == 3 && k.getLong(2) == 0 && k.getLong(3) == 2)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 2.0)
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val s = got("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "b")
+    val x = got("x")
+    assert(x.getLong(2) == 1 && x.getDouble(4) == -1.0 && x.getDouble(5) == 2.5)
+    // single scan: exactly one aggregate subtree over the source
+    val plan = graft.pipeline.Profiling.profileTable(df)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), "profile must not re-scan per column")
+  }
+
   test("writeShards: partitioned layout, shard files in shuffle order") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     try {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgorithms
-import graft.pipeline.{AsOf, Corpus, Dedup, Explodes, Metadata, Multimodal, Profiling, Sampling, Sequences, Similarity, TextAnalysis}
+import graft.pipeline.{AsOf, Bpe, Corpus, Dedup, Explodes, Metadata, Multimodal, Profiling, Sampling, Sequences, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline operators surfaced as driver-checkable queries.
@@ -311,6 +311,20 @@ object PipelineEntries {
     // one-scan per-column profile of the documents table — oracle-checked
     "p_profile" -> ((s, dir) =>
       Profiling.profileTable(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // BPE vocabulary induction on the corpus word histogram: the learned
+    // merge table (rank, left, right). Deterministic (count-then-lex
+    // tie-break) but not SQL-expressible — rows-only check here; the
+    // merge loop is pinned in BpeSpec against hand-derived merges on the
+    // canonical Sennrich corpus
+    "p_bpe_train" -> ((s, dir) =>
+      Bpe.train(docs(s, dir), numMerges = 50)),
+
+    // distributed tokenization under the trained vocabulary: per-doc
+    // whitespace vs BPE token counts (the compression the vocab buys).
+    // rows-only + spec-pinned round trip
+    "p_bpe_tokens" -> ((s, dir) =>
+      Bpe.tokenCounts(docs(s, dir), Bpe.train(docs(s, dir), numMerges = 50))),
 
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)

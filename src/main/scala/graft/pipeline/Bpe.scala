@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-document token counts under a trained BPE vocabulary. */
+case class BpeTokenCounts(doc_id: Long, n_ws_tokens: Long,
+  n_bpe_tokens: Long)
+
+/** Byte-pair-encoding tokenizer induction (Sennrich et al., ACL'16) —
+  * the vocabulary-training step of a language-model data pipeline.
+  *
+  * Scale architecture (the SentencePiece-style split): the corpus is
+  * reduced DISTRIBUTED to a (word, count) histogram in one shuffle; the
+  * merge loop then runs driver-side over only the `topWords` most
+  * frequent words — BOUNDED state, like the k-means centroid pulls, and
+  * exact for every pair those words generate (the long histogram tail
+  * adds counts, not new high-frequency pairs, which is why histogram
+  * truncation is the standard trainer design). Applying the learned
+  * merges back over the corpus is distributed again (broadcast merge
+  * ranks, narrow per-partition pass). BPE's merge loop is inherently
+  * sequential — merge m+1's counts depend on merge m having been
+  * applied — so a "distributed" trainer would serialize anyway; keeping
+  * the loop on a histogram instead of the corpus is what makes it scale.
+  */
+object Bpe {
+
+  /** Whitespace word histogram of the corpus: (word, cnt), one shuffle,
+    * map-side combined. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** End-of-word marker symbol (kept distinct from any character so
+    * "est" mid-word and "est</w>" word-final stay separate merges). */
+  val EndOfWord = "</w>"
+
+  /** Train `numMerges` BPE merges on the corpus word histogram.
+    * Deterministic: the best pair is (max summed count, then
+    * lexicographically smallest (left, right)); training stops early
+    * when no adjacent pair occurs at least `minPairCount` times.
+    * Returns (rank, left, right) — rank is merge priority, 0 first. */
+  def train(docs: DataFrame, numMerges: Int = 100, topWords: Int = 30000,
+      minPairCount: Long = 2, textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(topWords >= 1, s"topWords must be >= 1, got $topWords")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // bounded driver pull: topWords rows, deterministic under count ties
+    val hist: Array[(Array[String], Long)] =
+      wordCounts(docs, textCol)
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(topWords)
+        .collect()
+        .map(r => (symbolize(r.getString(0)), r.getLong(1)))
+    val merges = trainOnHistogram(hist, numMerges, minPairCount)
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  private def symbolize(word: String): Array[String] =
+    word.map(_.toString).toArray :+ EndOfWord
+
+  /** The merge loop itself, exposed for spec-level ground truth. */
+  private[graft] def trainOnHistogram(hist0: Array[(Array[String], Long)],
+      numMerges: Int, minPairCount: Long): Seq[(String, String)] = {
+    var hist = hist0
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val pairCounts =
+        scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, cnt) <- hist; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + cnt
+      }
+      val best = pairCounts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, c)) => acc match {
+          case Some((bp, bc))
+            if bc > c || (bc == c && pairLt(bp, p)) => acc
+          case _ => Some((p, c))
+        }
+      }
+      best match {
+        case Some((p, c)) if c >= minPairCount =>
+          merges += p
+          hist = hist.map { case (syms, cnt) => (mergePair(syms, p), cnt) }
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  private def pairLt(a: (String, String), b: (String, String)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private[graft] def mergePair(syms: Array[String],
+      p: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += (p._1 + p._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Apply learned merges to one word: repeatedly merge the
+    * lowest-ranked applicable pair (GPT-2-style apply order). */
+  private[graft] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = symbolize(word)
+    var go = true
+    while (go && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) go = false
+      else syms = mergePair(syms, bestPair)
+    }
+    syms
+  }
+
+  /** Distributed tokenization under a trained merge table: per document,
+    * the whitespace token count and the BPE token count (the corpus
+    * compression the vocabulary achieves). `merges` is collected once
+    * (≤ numMerges rows — bounded) and broadcast; the pass itself is a
+    * narrow mapPartitions over (doc_id, text) — BPE apply is an
+    * iterative in-word loop with no Catalyst-expression form. Returns
+    * (doc_id, n_ws_tokens, n_bpe_tokens). */
+  def tokenCounts(docs: DataFrame, merges: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeList = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(mergeList.zipWithIndex.toMap)
+    docs.select(col(idCol).cast("long"), lower(trim(col(textCol))))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ranks = bc.value
+        // per-partition word→tokenCount memo: corpora repeat words, and
+        // the memo is bounded by the partition's distinct-word count
+        val memo = scala.collection.mutable.HashMap[String, Int]()
+        rows.map { case (id, txt) =>
+          val words = txt.split("\\s+").filter(_.nonEmpty)
+          val nBpe = words.map(w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ranks).length)).sum
+          BpeTokenCounts(id, words.length.toLong, nBpe.toLong)
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Bpe
+
+/** Pins the BPE trainer against merges derived BY HAND on the canonical
+  * Sennrich et al. corpus {low×5, lower×2, newest×6, widest×3} — ground
+  * truth computed on paper, not by re-running the implementation. */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def corpusDf = {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+  }
+
+  test("train: hand-derived merge sequence, deterministic tie-breaks") {
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // round 1: (e,s)=9 ties (s,t)=9 and (t,</w>)=9 — lex smallest wins;
+    // rounds 4/6/7/10 are the other hand-checked tie-breaks
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"), ("low", "</w>"),
+      ("d", "est</w>")))
+  }
+
+  test("train: stops when no pair reaches minPairCount") {
+    // every word unique => after enough merges the best pair count is 1
+    import spark.implicits._
+    val df = Seq((0L, "ab cd")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, numMerges = 50)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(merges.isEmpty) // all pairs occur once < minPairCount=2
+  }
+
+  test("encodeWord: learned subwords compose on unseen words") {
+    val ranks = Bpe.train(corpusDf, numMerges = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).zipWithIndex.toMap
+    assert(Bpe.encodeWord("newest", ranks).toSeq == Seq("newest</w>"))
+    assert(Bpe.encodeWord("low", ranks).toSeq == Seq("low</w>"))
+    // unseen word splits into the learned subwords, not characters
+    assert(Bpe.encodeWord("lowest", ranks).toSeq == Seq("low", "est</w>"))
+    // wholly out-of-vocabulary characters stay as characters
+    assert(Bpe.encodeWord("xyz", ranks).toSeq ==
+      Seq("x", "y", "z", "</w>"))
+  }
+
+  test("tokenCounts: distributed apply matches per-word encoding") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val docs = Seq((1L, "low lowest newest"), (2L, "widest widest"))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // low→1 (low</w>), lowest→2 (low + est</w>), newest→1 ⇒ 4 BPE tokens
+    assert(got(1L) == ((3L, 4L)))
+    // widest→2 (w i d est</w> → after (d,est</w>): w i dest</w> ... by
+    // hand: merges applied in rank order: (d,est</w>) rank 9 ⇒
+    // [w, i, dest</w>] and no (w,i)/(i,dest</w>) merges exist ⇒ 3 each
+    assert(got(2L) == ((2L, 6L)))
+  }
+}

@@ -487,6 +487,15 @@ object SparkEntry {
       """MATCH (a:Nation)-[:NATION_ADJ*1..2]->(b:Nation)
         |RETURN a.n_nationkey AS a_id, b.n_nationkey AS b_id;""".stripMargin),
 
+    // [:A|B] type alternation: one hop over the UNION of two edge tables
+    // sharing endpoint labels; type(r) is the per-row branch tag, and the
+    // aggregate runs over the unioned pattern, not per branch
+    "q_alt_types" -> cy(
+      """MATCH (a:Nation)-[r:NATION_NEXT|NATION_ADJ]->(b:Nation)
+        |RETURN a.n_nationkey AS a_key, count(*) AS deg,
+        |       sum(CASE WHEN type(r) = 'NATION_ADJ' THEN 1 ELSE 0 END)
+        |         AS adj_edges;""".stripMargin),
+
     // OPTIONAL MATCH (left-outer semantics; WHERE joins the ON condition)
     "q_optional" -> cy(
       """MATCH (c:Customer)
@@ -902,6 +911,23 @@ object SparkEntry {
       """SELECT c_custkey AS ck, count(o_orderkey) AS cnt FROM customer
         |LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 100000.0
         |GROUP BY c_custkey""".stripMargin,
+
+    "q_alt_types" ->
+      """WITH adj AS (
+        |  SELECT CAST(n1.n_nationkey AS BIGINT) AS f, 1 AS is_adj
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey
+        |   AND n1.n_nationkey < n2.n_nationkey),
+        |nxt AS (
+        |  SELECT CAST(n1.n_nationkey AS BIGINT) AS f, 0 AS is_adj
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey
+        |   AND n2.n_nationkey > n1.n_nationkey
+        |  GROUP BY n1.n_nationkey),
+        |u AS (SELECT * FROM adj UNION ALL SELECT * FROM nxt)
+        |SELECT f AS a_key, count(*) AS deg,
+        |       CAST(sum(is_adj) AS BIGINT) AS adj_edges
+        |FROM u GROUP BY f""".stripMargin,
 
     "q_with_carry" ->
       """SELECT c_mktsegment AS seg, count(*) AS n, max(cnt) AS mx FROM (

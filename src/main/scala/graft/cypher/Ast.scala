@@ -358,7 +358,12 @@ final case class RelPattern(
     /** wrapped in `allShortestPaths(...)`: one row per MINIMUM-length
       * path (possibly several per endpoint pair), always materialized
       * with `__nodes`/`__edges` (extension). */
-    allShortest: Boolean = false)
+    allShortest: Boolean = false,
+    /** `[:A|B]` type alternation: the types BEYOND `relType` (which holds
+      * the first). All alternated types must connect the same node
+      * labels; the hop scans the UNION of their edge tables (extension —
+      * the reference grammar parses a single type, ast.rs). */
+    altTypes: Seq[String] = Nil)
 
 /** A linear path: node (rel node)*. */
 final case class PathPattern(start: NodePattern, hops: Seq[(RelPattern, NodePattern)])

@@ -381,23 +381,29 @@ object CypherParser extends RegexParsers {
         (l, h)
     }
 
+  /** `:A`, `:A|B`, and the legacy `:A|:B` all parse to the type list. */
+  private def relTypes: Parser[Seq[String]] =
+    ":" ~> rep1sep(opt(":") ~> anyIdent, "|")
+
   private def relBody
-      : Parser[(Option[String], Option[String], Seq[(String, Expr)], Option[(Int, Int)])] =
-    "[" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(varLen) ~ opt(mapProps) <~ "]" ^^ {
-      case a ~ t ~ v ~ p => (a, t, p.getOrElse(Seq.empty), v)
+      : Parser[(Option[String], Seq[String], Seq[(String, Expr)], Option[(Int, Int)])] =
+    "[" ~> opt(ident) ~ opt(relTypes) ~ opt(varLen) ~ opt(mapProps) <~ "]" ^^ {
+      case a ~ t ~ v ~ p => (a, t.getOrElse(Seq.empty), p.getOrElse(Seq.empty), v)
     }
 
   private def relPattern: Parser[RelPattern] =
     ("<-" ~> opt(relBody) <~ "-") ~ opt(">") ^^ {
       case body ~ Some(_) => throw new GraftException("invalid relationship pattern '<-...->'")
       case body ~ None =>
-        val (a, t, p, v) = body.getOrElse((None, None, Seq.empty, None))
-        RelPattern(a, t, p, Dir.In, v)
+        val (a, t, p, v) = body.getOrElse((None, Seq.empty, Seq.empty, None))
+        RelPattern(a, t.headOption, p, Dir.In, v, altTypes = t.drop(1))
     } |
     ("-" ~> opt(relBody) <~ "-") ~ opt(">") ^^ {
       case body ~ arrow =>
-        val (a, t, p, v) = body.getOrElse((None, None, Seq.empty, None))
-        RelPattern(a, t, p, if (arrow.isDefined) Dir.Out else Dir.Undirected, v)
+        val (a, t, p, v) = body.getOrElse((None, Seq.empty, Seq.empty, None))
+        RelPattern(a, t.headOption, p,
+          if (arrow.isDefined) Dir.Out else Dir.Undirected, v,
+          altTypes = t.drop(1))
     }
 
   private def pathPattern: Parser[PathPattern] =

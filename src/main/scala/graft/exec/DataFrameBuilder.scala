@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
+import graft.catalog.RelSchema
 import graft.cypher._
 import graft.planner.{GraphPlan, ResolvedEdge, ResolvedNode, ResolvedOptionalBlock}
 
@@ -40,6 +41,11 @@ final class DataFrameBuilder(
   import ExprCompiler.compile
 
   private val qualified: ExprCompiler.Resolver = _ => None
+
+  /** Hidden per-row type tag carried by `[:A|B]`-alternated edge frames
+    * (each union branch stamps its own type) — what `type(r)` reads when
+    * the type is not statically known. */
+  private val RelTypeCol = "__rel_type"
   /** Leading CALL { } output columns attached to this build (in scope for
     * bare references and RETURN * expansion). */
   private var ambientCols: Seq[String] = Seq.empty
@@ -160,6 +166,7 @@ final class DataFrameBuilder(
     * (+ property columns on the edge-list path). */
   private def edgeDF(e: ResolvedEdge, plan: GraphPlan): DataFrame = {
     val s = e.schema
+    val schemas = s +: e.altSchemas
     val base = session.table(s.tableName)
     val refCols = plan.referencedProps.getOrElse(e.alias, Set.empty).toSeq.sorted
     // inline-prop filters ({w: 5}) are pushed without appearing in
@@ -168,13 +175,50 @@ final class DataFrameBuilder(
     val filterCols = e.pushedFilters.flatMap(Expr.propRefs)
       .collect { case (a, c) if a == e.alias => c }
     val neededCols = (refCols ++ filterCols).distinct.sorted
-    val propCols = s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+    // [:A|B] alternation: only properties EVERY alternated table carries
+    // are addressable (plus the per-row __rel_type that type(r) reads);
+    // referencing anything else is a loud error naming the missing type
+    val propCols =
+      if (e.altSchemas.isEmpty)
+        s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+      else {
+        val common = schemas
+          .map(sc => sc.columns
+            .filterNot(c => c == sc.fromColumn || c == sc.toColumn).toSet)
+          .reduce(_ intersect _)
+        for (c <- neededCols if c != RelTypeCol && !common(c);
+             missing <- schemas.find(!_.columns.contains(c)))
+          throw new GraftException(
+            s"${e.alias}.$c: relationship type :${missing.label} in the " +
+            s"alternation has no '$c' property — alternated aliases can " +
+            "only reference properties common to every type")
+        common.toSeq.sorted
+      }
 
-    def edgeList(srcCol: String, dstCol: String): DataFrame =
-      base.select(col(srcCol).as("__src") +: col(dstCol).as("__dst") +:
-        propCols.map(col): _*)
+    // per-schema oriented scan; the alternation union tags each branch
+    // with its type so `type(r)` stays per-row correct
+    def scanOf(sc: RelSchema, fwd: Boolean, cols: Seq[String]): DataFrame = {
+      val t = session.table(sc.tableName)
+      val src = if (fwd) sc.fromColumn else sc.toColumn
+      val dst = if (fwd) sc.toColumn else sc.fromColumn
+      val tagged =
+        if (e.altSchemas.isEmpty) cols.map(col)
+        else cols.map(c =>
+          if (c == RelTypeCol) lit(sc.label).as(RelTypeCol) else col(c))
+      t.select(col(src).as("__src") +: col(dst).as("__dst") +: tagged: _*)
+    }
 
-    val canUseIndex = s.hasAdjIndex && refCols.isEmpty && e.pushedFilters.isEmpty
+    val unionCols =
+      if (e.altSchemas.isEmpty) propCols
+      else (propCols :+ RelTypeCol).distinct.sorted
+
+    def edgeList(srcCol: String, dstCol: String): DataFrame = {
+      val fwd = srcCol == s.fromColumn
+      schemas.map(scanOf(_, fwd, unionCols)).reduce(_ unionByName _)
+    }
+
+    val canUseIndex = s.hasAdjIndex && refCols.isEmpty &&
+      e.pushedFilters.isEmpty && e.altSchemas.isEmpty
 
     // bounded var-length hop: iterated self-join over the single-hop pair
     // set, distinct-pair reachability semantics. Each composition is an
@@ -217,9 +261,14 @@ final class DataFrameBuilder(
           val in = adjRead(s, outgoing = false)
           out.union(in).distinct()
         } else {
-          val cols = neededCols
-          val fwd = base.select(col(s.fromColumn).as("__src") +: col(s.toColumn).as("__dst") +: cols.map(col): _*)
-          val bwd = base.select(col(s.toColumn).as("__src") +: col(s.fromColumn).as("__dst") +: cols.map(col): _*)
+          // alternated: keep the per-branch type tag through the DISTINCT
+          // so a pair present under BOTH types stays two matches (each
+          // relationship has one type) while within-type dups still fold
+          val cols =
+            if (e.altSchemas.isEmpty) neededCols
+            else (neededCols :+ RelTypeCol).distinct.sorted
+          val fwd = schemas.map(scanOf(_, fwd = true, cols)).reduce(_ unionByName _)
+          val bwd = schemas.map(scanOf(_, fwd = false, cols)).reduce(_ unionByName _)
           fwd.union(bwd).distinct()
         }
       } else {
@@ -935,7 +984,11 @@ final class DataFrameBuilder(
     // type() on an optional rel alias fell through to a raw Spark error)
     val allEdges = plan.edges ++ plan.optionals.flatMap(_.edges)
     val relAliases = allEdges.map(_.alias).toSet
-    val relLabels = allEdges.map(e => e.alias -> e.schema.label).toMap
+    // single-type aliases fold type() to a literal; alternated ones read
+    // the per-row __rel_type tag their union frame carries
+    val altRelAliases = allEdges.filter(_.altSchemas.nonEmpty).map(_.alias).toSet
+    val relLabels = allEdges.filter(_.altSchemas.isEmpty)
+      .map(e => e.alias -> e.schema.label).toMap
     // OPTIONAL MATCH aliases may be NULL on preserved rows: an
     // unconditional constant fold would return a non-null labels()/type()/
     // keys()/properties() for a row whose optional pattern did NOT match
@@ -976,6 +1029,9 @@ final class DataFrameBuilder(
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("type") && relLabels.contains(a) =>
         relGuard(a, Expr.Lit(relLabels(a)))
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("type") && altRelAliases(a) =>
+        relGuard(a, Expr.Prop(a, RelTypeCol))
       // id(n) → the node's id column (node ids ARE the user-visible ids in
       // the edge-list model; relationships carry no surrogate id)
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
@@ -994,6 +1050,16 @@ final class DataFrameBuilder(
         if n.equalsIgnoreCase("keys") && relLabels.contains(a) =>
         relGuard(a,
           Expr.ListLit(allEdges.find(_.alias == a).get.schema.columns.map(c => Expr.Lit(c))))
+      // alternated alias: per-row key list via the type tag (each branch
+      // has a statically known column list)
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("keys") && altRelAliases(a) =>
+        val ed = allEdges.find(_.alias == a).get
+        relGuard(a, Expr.CaseWhen(
+          (ed.schema +: ed.altSchemas).map { sc =>
+            (Expr.Bin("=", Expr.Prop(a, RelTypeCol), Expr.Lit(sc.label)),
+              Expr.ListLit(sc.columns.map(c => Expr.Lit(c))))
+          }, None))
       // properties(n) → named struct over the alias's columns
       case Expr.Fn(n, Seq(Expr.Var(a)), false)
         if n.equalsIgnoreCase("properties") && plan.nodes.contains(a) =>
@@ -1016,7 +1082,13 @@ final class DataFrameBuilder(
         def spreadCols: Seq[String] =
           if (isNode) plan.nodes(a).schema.columns
           else {
-            val s = allEdges.find(_.alias == a).get.schema
+            val ed = allEdges.find(_.alias == a).get
+            if (ed.altSchemas.nonEmpty)
+              throw new GraftException(
+                s"$a {.*}: `.*` on an alternated relationship alias " +
+                "[:A|B] would misreport rows (only properties common to " +
+                "every type exist per row); list the properties explicitly")
+            val s = ed.schema
             s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
           }
         val expanded = pairs.grouped(2).flatMap {

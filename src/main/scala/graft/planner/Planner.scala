@@ -39,7 +39,13 @@ final case class ResolvedEdge(
     pathAlias: Option[String] = None,
     /** `allShortestPaths(...)`: keep EVERY minimum-length path per pair
       * (always path-materialized — row count is the path count). */
-    allShortest: Boolean = false)
+    allShortest: Boolean = false,
+    /** `[:A|B]` type alternation: the schemas BEYOND `schema`. All share
+      * `schema`'s (fromLabel, toLabel) — validated at plan time — and the
+      * hop scans the UNION ALL of the edge tables (a relationship has
+      * exactly one type, so the branches are disjoint matches). Empty =
+      * plain single-type edge. */
+    altSchemas: Seq[RelSchema] = Nil)
 
 /** Resolved match graph + query shape, ready for DataFrame construction. */
 final case class GraphPlan(
@@ -141,7 +147,9 @@ object Planner {
       inline: Seq[Expr], varLength: Option[(Int, Int)],
       block: Int, // -1 = main pattern, i = optionalMatches(i)
       shortest: Boolean = false, pathAlias: Option[String] = None,
-      allShortest: Boolean = false)
+      allShortest: Boolean = false,
+      /** `[:A|B]` alternation: types beyond relType. */
+      altTypes: Seq[String] = Nil)
 
   def plan(q: ReadQuery, catalog: GraphCatalog,
       ambientCols: Set[String] = Set.empty): GraphPlan = {
@@ -189,9 +197,9 @@ object Planner {
         val relAlias = rel.alias.getOrElse(fresh("r"))
         val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
         val e = rel.dir match {
-          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest)
-          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest)
-          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest)
+          case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest, rel.altTypes)
+          case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest, rel.altTypes)
+          case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, -1, rel.shortest, rel.pathAlias, rel.allShortest, rel.altTypes)
         }
         rawEdges += e
         prev = cur
@@ -214,9 +222,9 @@ object Planner {
           val relAlias = rel.alias.getOrElse(fresh("r"))
           val inline = rel.props.map { case (k, v) => Expr.Bin("=", Expr.Prop(relAlias, k), v) }
           val e = rel.dir match {
-            case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, bi)
-            case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, bi)
-            case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, bi)
+            case Dir.Out        => RawEdge(relAlias, rel.relType, prev, cur, undirected = false, inline, rel.varLength, bi, altTypes = rel.altTypes)
+            case Dir.In         => RawEdge(relAlias, rel.relType, cur, prev, undirected = false, inline, rel.varLength, bi, altTypes = rel.altTypes)
+            case Dir.Undirected => RawEdge(relAlias, rel.relType, prev, cur, undirected = true, inline, rel.varLength, bi, altTypes = rel.altTypes)
           }
           rawEdges += e
           prev = cur
@@ -262,6 +270,18 @@ object Planner {
                                var invalid: Boolean = false,
                                var sameLabelUndirected: Boolean = false)
     val states = rawEdges.map(e => new EdgeState(e, e.relType.map(catalog.rel))).toSeq
+
+    // [:A|B] alternation: every alternated type must connect the SAME
+    // labels as the first — label inference then needs only the primary
+    // schema, and the builder unions the edge tables
+    for (st <- states; if st.raw.altTypes.nonEmpty; primary <- st.schema;
+         alt <- st.raw.altTypes.map(catalog.rel))
+      if (alt.fromLabel != primary.fromLabel || alt.toLabel != primary.toLabel)
+        throw new GraftException(
+          s"type alternation [:${primary.label}|${alt.label}] requires all " +
+          s"types to connect the same labels: :${primary.label} is " +
+          s"(${primary.fromLabel})->(${primary.toLabel}) but :${alt.label} " +
+          s"is (${alt.fromLabel})->(${alt.toLabel})")
 
     var changed = true
     while (changed) {
@@ -422,6 +442,11 @@ object Planner {
 
       def fits(s: RelSchema, a: Option[String], b: Option[String]): Boolean =
         a.forall(_ == s.fromLabel) && b.forall(_ == s.toLabel)
+      if (rel.altTypes.nonEmpty)
+        throw new GraftException(
+          "type alternation [:A|B] is supported in MATCH patterns only, " +
+          "not in pattern predicates / EXISTS { } / COUNT { } / pattern " +
+          "comprehensions; OR two single-type predicates instead")
       val candidates = rel.relType match {
         case Some(t) => Seq(catalog.rel(t))
         case None    => catalog.rels.values.toSeq.sortBy(_.label)
@@ -722,7 +747,8 @@ object Planner {
       }
       ResolvedEdge(st.raw.alias, st.schema.get, st.raw.src, st.raw.dst,
         st.srcIsFrom, st.sameLabelUndirected, st.invalid, relPushed(st.raw.alias),
-        st.raw.varLength, st.raw.shortest, st.raw.pathAlias, st.raw.allShortest)
+        st.raw.varLength, st.raw.shortest, st.raw.pathAlias, st.raw.allShortest,
+        st.raw.altTypes.map(catalog.rel))
     }
     val (mainEdges, optEdges) = edges.zip(states).partition(_._2.raw.block == -1)
 

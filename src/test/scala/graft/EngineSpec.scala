@@ -1145,4 +1145,78 @@ class EngineSpec extends AnyFunSuite {
         |RETURN toIntegerList(split('1;x;3', ';')) AS xs;""".stripMargin)
     assert(df.collect().head.getSeq[Any](0) == Seq(1L, null, 3L))
   }
+
+  // -- [:A|B] relationship-type alternation ---------------------------------
+
+  /** Separate session: a third User→User type in the shared fixture would
+    * make the untyped-rel inference tests ambiguous. */
+  private lazy val altGs: GraftSession = {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("an", (1L to 4L).map(i => (i, s"v$i")).toDF("id", "name"))
+    g.registerTable("pn", Seq((9L, "p9")).toDF("id", "title"))
+    // Likes and Knows share (A)->(A); (1,2) exists under BOTH types.
+    // Likes carries (w, lo); Knows carries (w) — w is the common prop.
+    g.registerTable("Likes", Seq((1L, 2L, 10, 5), (2L, 3L, 20, 6))
+      .toDF("from_A", "to_A", "w", "lo"))
+    g.registerTable("Knows", Seq((1L, 2L, 30), (1L, 3L, 40))
+      .toDF("from_A", "to_A", "w"))
+    g.registerTable("Wrote", Seq((1L, 9L)).toDF("from_A", "to_P"))
+    g.registerNode("A", "an", "id")
+    g.registerNode("P", "pn", "id")
+    g.registerRel("Likes", "Likes", "A", "A")
+    g.registerRel("Knows", "Knows", "A", "A")
+    g.registerRel("Wrote", "Wrote", "A", "P")
+    g
+  }
+
+  test("[:A|B] alternation: union of edge tables, per-row type(r)") {
+    val df = altGs.cypher(
+      """MATCH (a:A)-[r:Likes|Knows]->(b:A)
+        |RETURN a.id AS a_id, b.id AS b_id, type(r) AS t;""".stripMargin)
+    assert(rows(df) == Set(
+      Seq(1L, 2L, "Likes"), Seq(2L, 3L, "Likes"),
+      Seq(1L, 2L, "Knows"), Seq(1L, 3L, "Knows")))
+    // aggregation happens over the unioned pattern, not per branch
+    val agg = altGs.cypher(
+      "MATCH (a:A)-[r:Likes|Knows]->(b:A) RETURN count(*) AS n;")
+    assert(agg.collect().head.getLong(0) == 4L)
+    // legacy :A|:B spelling parses to the same thing
+    val legacy = altGs.cypher(
+      "MATCH (a:A)-[r:Likes|:Knows]->(b:A) RETURN count(*) AS n;")
+    assert(legacy.collect().head.getLong(0) == 4L)
+  }
+
+  test("[:A|B] alternation: common property filters, missing prop is loud") {
+    val df = altGs.cypher(
+      """MATCH (a:A)-[r:Likes|Knows]->(b:A) WHERE r.w >= 20
+        |RETURN a.id AS a_id, b.id AS b_id, r.w AS w;""".stripMargin)
+    assert(rows(df) == Set(Seq(2L, 3L, 20), Seq(1L, 2L, 30), Seq(1L, 3L, 40)))
+    val e = intercept[GraftException](altGs.cypher(
+      "MATCH (a:A)-[r:Likes|Knows]->(b:A) RETURN r.lo AS x;").collect())
+    assert(e.getMessage.contains("Knows") && e.getMessage.contains("lo"))
+  }
+
+  test("[:A|B] alternation: undirected keeps one match per type") {
+    val df = altGs.cypher(
+      "MATCH (a:A {id: 2})-[r:Likes|Knows]-(b:A) RETURN b.id AS b, type(r) AS t;")
+    // 1-2 exists under both types (two relationships), 2-3 under Likes
+    assert(rows(df) == Set(Seq(1L, "Likes"), Seq(1L, "Knows"), Seq(3L, "Likes")))
+  }
+
+  test("[:A|B] alternation: var-length hop runs on the unioned base") {
+    val df = altGs.cypher(
+      """MATCH (a:A {id: 1})-[:Likes|Knows*1..2]->(b:A)
+        |RETURN b.id AS b;""".stripMargin)
+    assert(longs(df) == Set(2L, 3L))
+  }
+
+  test("[:A|B] alternation: endpoint-label mismatch and EXISTS are loud") {
+    val e1 = intercept[GraftException](altGs.cypher(
+      "MATCH (a:A)-[r:Likes|Wrote]->(b) RETURN b.id AS x;"))
+    assert(e1.getMessage.contains("same labels"))
+    val e2 = intercept[GraftException](altGs.cypher(
+      "MATCH (a:A) WHERE EXISTS { (a)-[:Likes|Knows]->(c:A) } RETURN a.id AS x;"))
+    assert(e2.getMessage.contains("MATCH patterns only"))
+  }
 }

@@ -411,6 +411,18 @@ object SparkEntry {
         .withColumn("mid", concat_ws(",", tfm(col("mid"), _.cast("string"))))
     }),
 
+    // properties(r) on an ADJ-INDEXED relationship: the expansion must
+    // force the edge-list path (the index carries only endpoints — the
+    // latent bug this entry pins); struct flattened for the hasher
+    "q_rel_props" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      cy("""MATCH (c:Customer)-[r:PLACED]->(o:Order)
+           |WHERE o.o_orderkey % 500 = 0
+           |RETURN o.o_orderkey AS k, properties(r) AS p;""".stripMargin)(s, dir)
+        .select(col("k"), col("p.o_orderdate").cast("date").cast("string")
+          .as("odate"))
+    }),
+
     "q_map_proj" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       cy("""MATCH (c:Customer) WHERE c.c_custkey % 100 = 0
@@ -911,6 +923,10 @@ object SparkEntry {
       """SELECT c_custkey AS ck, count(o_orderkey) AS cnt FROM customer
         |LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 100000.0
         |GROUP BY c_custkey""".stripMargin,
+
+    "q_rel_props" ->
+      """SELECT o_orderkey AS k, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate
+        |FROM orders WHERE o_orderkey % 500 = 0""".stripMargin,
 
     "q_alt_types" ->
       """WITH adj AS (

@@ -1066,6 +1066,22 @@ final class DataFrameBuilder(
         nodeGuard(a, Expr.Fn("__named_struct",
           plan.nodes(a).schema.columns.flatMap(c =>
             Seq(Expr.Lit(c), Expr.Prop(a, c))), distinct = false))
+      // properties(r) → named struct over the relationship's property
+      // columns (its table columns minus the endpoint keys — exactly what
+      // the edge frame materializes). Alternated aliases reject: only the
+      // common columns exist per row, so the struct would misreport.
+      case Expr.Fn(n, Seq(Expr.Var(a)), false)
+        if n.equalsIgnoreCase("properties") && relAliases(a) =>
+        if (altRelAliases(a))
+          throw new GraftException(
+            s"properties($a): not supported on an alternated relationship " +
+            "alias [:A|B] (only properties common to every type exist per " +
+            "row); project the needed properties explicitly")
+        val s = allEdges.find(_.alias == a).get.schema
+        val props = s.columns.filter(c => c != s.fromColumn && c != s.toColumn)
+        relGuard(a, Expr.Fn("__named_struct",
+          props.flatMap(c => Seq(Expr.Lit(c), Expr.Prop(a, c))),
+          distinct = false))
       // alias {.prop, .*, key: expr} map projection → named struct; `.*`
       // expands from the subject alias's schema (a relationship's property
       // columns are its table columns minus the endpoint keys — the edge

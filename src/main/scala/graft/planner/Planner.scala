@@ -712,8 +712,35 @@ object Planner {
       q.withStages.flatMap(s => s.items.map(_.expr) ++ s.where.toSeq) ++
       nodeInline.values.flatten ++ states.flatMap(_.raw.inline) ++
       q.optionalMatches.flatMap(_.where) ++ blockResiduals.flatten
+    // properties(r) and the r {.*} spread expand (in the builder) to
+    // EVERY property column of the relationship — the pruner and the
+    // adjacency-index gate must see those refs here, or an indexed edge
+    // would serve a frame carrying only its endpoints (the latent form of
+    // this bug: properties(r) on an adj-indexed rel resolved against a
+    // __src/__dst-only scan)
+    val relSchemaByAlias: Map[String, RelSchema] =
+      states.flatMap(st => st.schema.map(st.raw.alias -> _)).toMap
+    def relPropColsOf(a: String): Seq[String] = {
+      val s = relSchemaByAlias(a)
+      s.columns.filterNot(c => c == s.fromColumn || c == s.toColumn)
+    }
+    def relSpreadRefs(e: Expr): Seq[(String, String)] = {
+      val self = e match {
+        case Expr.Fn(n, Seq(Expr.Var(a)), _)
+          if n.equalsIgnoreCase("properties") && relSchemaByAlias.contains(a) =>
+          relPropColsOf(a).map(a -> _)
+        case Expr.Fn("__map_proj", Expr.Var(a) +: pairs, _)
+          if relSchemaByAlias.contains(a) && pairs.exists {
+            case Expr.Fn("__props_spread", _, _) => true; case _ => false
+          } =>
+          relPropColsOf(a).map(a -> _)
+        case _ => Nil
+      }
+      self ++ Expr.subexprs(e).flatMap(relSpreadRefs)
+    }
     val refProps: Map[String, Set[String]] =
-      allExprs.flatMap(Expr.propRefs).groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
+      (allExprs.flatMap(Expr.propRefs) ++ allExprs.flatMap(relSpreadRefs))
+        .groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
 
     // ListMap: preserve pattern order (RETURN * expansion + deterministic
     // join construction depend on it)

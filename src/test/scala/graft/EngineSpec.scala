@@ -1146,6 +1146,21 @@ class EngineSpec extends AnyFunSuite {
     assert(df.collect().head.getSeq[Any](0) == Seq(1L, null, 3L))
   }
 
+  test("properties(r): named struct, correct on the adj-indexed path") {
+    // Follows is adjacency-indexed; properties(f) must force the
+    // edge-list path (the index carries only endpoints)
+    val df = gs.cypher(
+      """MATCH (a:User {name:'u1'})-[f:Follows]->(b:User)
+        |RETURN b.id AS b, properties(f) AS p;""".stripMargin)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> r.getStruct(1).getAs[Int]("since")).toMap
+    assert(got == Map(2L -> 2019, 3L -> 2020))
+    // a relationship with no property columns yields an empty struct
+    val empty = gs.cypher(
+      "MATCH (u:User)-[c:Created]->(p:Post) RETURN properties(c) AS pr LIMIT 1;")
+    assert(empty.collect().head.getStruct(0).length == 0)
+  }
+
   // -- [:A|B] relationship-type alternation ---------------------------------
 
   /** Separate session: a third User→User type in the shared fixture would

@@ -545,6 +545,21 @@ object PipelineEntries {
     "g_ppr" -> ((s, dir) =>
       GraphAlgorithms.personalizedPageRank(TpchGraph.session(s, dir),
         "NATION_NEXT", sourceIds = Seq(0L, 10L), iters = 10)),
+
+    // modularity of the labelprop communities on the banded subgraph —
+    // two operators composing end-to-end, oracle re-derives both
+    "g_modularity" -> ((s, dir) => {
+      val gs = TpchGraph.session(s, dir)
+      GraphAlgorithms.modularity(gs, "NATION_ADJ",
+        GraphAlgorithms.labelPropagation(gs, "NATION_ADJ", iters = 5,
+          edgePred = Some(col("n_dist") <= 10)),
+        edgePred = Some(col("n_dist") <= 10))
+    }),
+
+    // degree assortativity of the banded subgraph (varied degrees 2..4)
+    "g_assort" -> ((s, dir) =>
+      GraphAlgorithms.assortativity(TpchGraph.session(s, dir),
+        "NATION_ADJ", Some(col("n_dist") <= 10))),
   )
 
   // ---- generated oracle SQL -----------------------------------------------
@@ -850,7 +865,10 @@ object PipelineEntries {
   /** Unrolled synchronous label propagation: each level joins neighbor
     * labels, takes the (count DESC, label ASC) mode per vertex, and
     * coalesces to the previous label — the exact Spark rule. */
-  private def labelPropOracleSql(iters: Int = 5): String = {
+  /** The shared banded-edge + label-propagation-round CTE body (through
+    * `l<iters>`) used by both the labelprop oracle and the modularity
+    * oracle — one source of truth so the two cannot drift. */
+  private def labelPropCtesSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""t$i AS (
          |  SELECT id, label FROM (
@@ -863,7 +881,7 @@ object PipelineEntries {
          |  SELECT v.id, COALESCE(t.label, v.label) AS label
          |  FROM l${i - 1} v LEFT JOIN t$i t ON t.id = v.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a, CAST(n2.n_nationkey AS BIGINT) AS b
        |  FROM nation n1 JOIN nation n2
        |    ON n1.n_regionkey = n2.n_regionkey
@@ -871,9 +889,36 @@ object PipelineEntries {
        |   AND n2.n_nationkey - n1.n_nationkey <= 10),
        |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
        |l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),
-       |$steps
-       |SELECT id, label FROM l$iters""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def labelPropOracleSql(iters: Int = 5): String =
+    s"""WITH ${labelPropCtesSql(iters)}
+       |SELECT id, label FROM l$iters""".stripMargin
+
+  /** DuckDB mirror of [[GraphAlgorithms.modularity]] over the labelprop
+    * communities: re-derives the same banded edges and label rounds, then
+    * per-community internal edges / degree sums / Newman contribution. */
+  private def modularityOracleSql(iters: Int = 5): String =
+    s"""WITH ${labelPropCtesSql(iters)},
+       |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+       |led AS (
+       |  SELECT e.a, e.b, COALESCE(la.label, e.a) AS la,
+       |         COALESCE(lb.label, e.b) AS lb
+       |  FROM e LEFT JOIN l$iters la ON la.id = e.a
+       |         LEFT JOIN l$iters lb ON lb.id = e.b),
+       |ein AS (SELECT la AS community, CAST(count(*) AS BIGINT) AS internal_edges
+       |        FROM led WHERE la = lb GROUP BY la),
+       |ds AS (SELECT community, CAST(count(*) AS BIGINT) AS degree_sum
+       |       FROM (SELECT la AS community FROM led
+       |             UNION ALL SELECT lb FROM led) GROUP BY community)
+       |SELECT ds.community,
+       |       COALESCE(ein.internal_edges, 0) AS internal_edges,
+       |       ds.degree_sum,
+       |       round(COALESCE(ein.internal_edges, 0) / mm.m
+       |             - power(ds.degree_sum / (2.0 * mm.m), 2), 6)
+       |         AS contribution
+       |FROM ds LEFT JOIN ein ON ein.community = ds.community, mm""".stripMargin
 
   private def pagerankOracleSql(iters: Int = 10): String = {
     val steps = (1 to iters).map { i =>
@@ -1229,6 +1274,31 @@ object PipelineEntries {
     "g_hits" -> hitsOracleSql(),
     "g_walks" -> randomWalksOracleSql(),
     "g_ppr" -> pprOracleSql(),
+    "g_modularity" -> modularityOracleSql(),
+
+    "g_assort" ->
+      """WITH e AS (
+        |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+        |         CAST(n2.n_nationkey AS BIGINT) AS b
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey
+        |   AND n1.n_nationkey < n2.n_nationkey
+        |   AND n2.n_nationkey - n1.n_nationkey <= 10),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a AS id, CAST(count(*) AS DOUBLE) AS d
+        |        FROM sym GROUP BY a),
+        |p AS (SELECT da.d AS x, db.d AS y
+        |      FROM sym JOIN deg da ON da.id = sym.a
+        |                JOIN deg db ON db.id = sym.b),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |             sum(y * y) AS syy FROM p)
+        |SELECT CAST(n / 2 AS BIGINT) AS edges,
+        |       round((n * sxy - sx * sy)
+        |             / NULLIF(sqrt(n * sxx - sx * sx)
+        |                      * sqrt(n * syy - sy * sy), 0.0),
+        |             6) AS r
+        |FROM s""".stripMargin,
 
     // all window functions share one WINDOW spec (ties broken by
     // event_id, same as the Spark side's orderBy(ts, event_id))

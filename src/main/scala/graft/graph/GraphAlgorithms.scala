@@ -609,6 +609,104 @@ object GraphAlgorithms {
         round(coalesce(col("rank"), lit(0.0)), 6).as("rank"))
   }
 
+  /** Newman modularity of a community assignment over the UNDIRECTED
+    * simple graph: per community c,
+    * contrib(c) = e_in(c)/m − (deg(c)/(2m))², where e_in counts edges
+    * with both endpoints in c, deg sums member degrees, and m is the
+    * total edge count. Returns one row per community
+    * (community, internal_edges, degree_sum, contribution) with the
+    * contribution 6-dp rounded — sum the column for the usual scalar Q.
+    * Composes with [[labelPropagation]] output (communities = (id,
+    * label)); vertices missing from `communities` are treated as
+    * singleton communities of themselves via a coalesce, so the measure
+    * is total over the edge-defined vertex set.
+    *
+    * Scale shape: one canonical-edge dedup, two broadcast-able label
+    * joins, and map-side-combinable aggregates; the 1-row m total
+    * attaches as a broadcast nested-loop join (the BM25 corpus-stats
+    * shape) — no window, no driver collect. */
+  def modularity(gs: GraftSession, relLabel: String, communities: DataFrame,
+      edgePred: Option[Column] = None): DataFrame = {
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val lab = communities.select(col("id").cast("long").as("__lid"),
+      col("label").cast("long").as("__lab"))
+    val labeled = canon
+      .join(lab.withColumnRenamed("__lid", "__la"), col("a") === col("__la"), "left")
+      .withColumnRenamed("__lab", "__laba")
+      .join(lab.withColumnRenamed("__lid", "__lb"), col("b") === col("__lb"), "left")
+      .withColumnRenamed("__lab", "__labb")
+      .select(col("a"), col("b"),
+        coalesce(col("__laba"), col("a")).as("la"),
+        coalesce(col("__labb"), col("b")).as("lb"))
+    val m = canon.agg(count(lit(1)).cast("double").as("__m"))
+    // per-community internal edges
+    val eIn = labeled.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    // per-community degree sum from the symmetric endpoint list
+    val degSum = labeled.select(col("la").as("community"))
+      .unionAll(labeled.select(col("lb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    degSum.join(eIn, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"))
+      .crossJoin(m)
+      .select(col("community"), col("internal_edges"), col("degree_sum"),
+        round(col("internal_edges") / col("__m")
+          - pow(col("degree_sum") / (lit(2.0) * col("__m")), 2), 6)
+          .as("contribution"))
+  }
+
+  /** Degree assortativity (Pearson correlation of endpoint degrees over
+    * the symmetric edge list of the UNDIRECTED simple graph — Newman's r).
+    * Returns one row (edges, r) with r 6-dp rounded; r is NULL for
+    * degree-regular graphs (zero variance). Computed from explicit sum
+    * aggregates (Σx, Σy, Σxy, Σx², Σy², n) so the DuckDB mirror runs the
+    * identical formula — one degree aggregate + one join + one global
+    * aggregate, all map-side combinable. */
+  def assortativity(gs: GraftSession, relLabel: String,
+      edgePred: Option[Column] = None): DataFrame = {
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val sym = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val deg = sym.groupBy(col("a").as("__d_id"))
+      .agg(count(lit(1)).cast("double").as("__deg"))
+    val pairs = sym
+      .join(deg.withColumnRenamed("__d_id", "__da"), col("a") === col("__da"))
+      .withColumnRenamed("__deg", "x")
+      .join(deg.withColumnRenamed("__d_id", "__db")
+        .withColumnRenamed("__deg", "y"), col("b") === col("__db"))
+      .select(col("x"), col("y"))
+    pairs.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select((col("n") / 2).cast("long").as("edges"),
+        // NULLIF keeps the zero-variance (degree-regular) case NULL
+        // instead of tripping ANSI divide-by-zero; mirrored in SQL
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0)),
+          6).as("r"))
+  }
+
   /** In/out degree per vertex from the edge list (pure DataFrame op). */
   def degrees(gs: GraftSession, relLabel: String): DataFrame = {
     val r = gs.catalog.rel(relLabel)

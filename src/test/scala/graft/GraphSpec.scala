@@ -249,6 +249,57 @@ class GraphSpec extends AnyFunSuite {
     assert(got(4L) == 0.0 && got(5L) == 0.0)
   }
 
+  test("modularity: hand-checked two-community graph") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("mn", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // two triangles joined by one bridge edge: m = 7
+    g.registerTable("ME", Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("from_M", "to_M"))
+    g.registerNode("M", "mn", "id")
+    g.registerRel("ME", "ME", "M", "M")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "label")
+    val got = GraphAlgorithms.modularity(g, "ME", comm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // community 1: e_in=3, deg_sum=2+2+3=7 ⇒ 3/7 − (7/14)² = 3/7 − 1/4
+    val c1 = 3.0 / 7 - 0.25
+    assert(got(1L)._1 == 3L && got(1L)._2 == 7L)
+    assert(math.abs(got(1L)._3 - c1) < 1e-6)
+    assert(got(4L) == got(1L)) // symmetric structure
+    // total Q for the natural split of two bridged triangles
+    val q = got.values.map(_._3).sum
+    assert(math.abs(q - 2 * c1) < 1e-6)
+    // vertices absent from the assignment fall back to singleton
+    // communities: dropping 6's row moves it to community 6
+    val partial = comm.filter(
+      org.apache.spark.sql.functions.col("id") =!= 6L)
+    val got2 = GraphAlgorithms.modularity(g, "ME", partial)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2.contains(6L) && got2(6L) == 2L)
+  }
+
+  test("assortativity: perfect on a regular pairing, negative on a star") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("sn", (1L to 5L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // star: hub 1 to leaves 2..5 — hubs pair with leaves only ⇒ r = −1
+    g.registerTable("SE", Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("from_S", "to_S"))
+    g.registerNode("S", "sn", "id")
+    g.registerRel("SE", "SE", "S", "S")
+    val star = GraphAlgorithms.assortativity(g, "SE").collect().head
+    assert(star.getLong(0) == 4L)
+    assert(star.getDouble(1) == -1.0)
+    // degree-regular graph (a 4-cycle): zero variance ⇒ NULL r
+    g.registerTable("CE2", Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("from_S", "to_S"))
+    g.registerRel("CE2", "CE2", "S", "S")
+    val cyc = GraphAlgorithms.assortativity(g, "CE2").collect().head
+    assert(cyc.getLong(0) == 4L && cyc.isNullAt(1))
+  }
+
   test("random walks: bit-exact vs a from-the-spec reimplementation") {
     import spark.implicits._
     val g = new GraftSession(spark)

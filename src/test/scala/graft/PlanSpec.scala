@@ -85,6 +85,39 @@ class PlanSpec extends AnyFunSuite {
     assert(hashAggs >= 2, plan) // partial + final
   }
 
+  test("[:A|B] alternation compiles to a union of the edge scans, one agg") {
+    val df = gs.cypher(
+      """MATCH (a:Nation)-[r:NATION_NEXT|NATION_ADJ]->(b:Nation)
+        |RETURN a.n_nationkey AS k, count(*) AS deg;""".stripMargin)
+    val plan = formatted(df)
+    assert(plan.contains("Union"), plan)
+    // the aggregate runs over the unioned pattern: partial+final, so
+    // exactly one aggregation pair — not one per branch
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("sequence examples: one user-key exchange feeds every window fn") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val ev = Seq((1L, 1L, 1000L, "a"), (2L, 1L, 2000L, "b"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("us")))
+    val df = graft.pipeline.Sequences.sequenceExamples(ev, k = 1)
+    df.collect() // materialize so AQE finalizes the executed plan
+    // keep only the final-plan section (toString renders the pre-AQE
+    // initial plan below it, which would double-count the exchange)
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // AQE hides the exchange inside a ShuffleQueryStage, so count in the
+    // rendered final plan rather than via tree collect
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(planStr).size
+    assert(exchanges == 1, s"expected exactly one exchange:\n$planStr")
+    // and exactly ONE Window operator hosts every window function
+    assert("Window \\[".r.findAllMatchIn(planStr).size == 1, planStr)
+  }
+
   test("no CartesianProduct in ANY driver-contract query plan") {
     // non-equi joins are allowed to be BroadcastNestedLoop (bounded by a
     // broadcast side); an unpartitioned CartesianProduct never is

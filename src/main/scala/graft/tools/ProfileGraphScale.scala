@@ -57,6 +57,28 @@ object ProfileGraphScale {
         graft.graph.GraphAlgorithms.randomWalks(gs, "PLACED").count()
       }
       graft.pipeline.PipelineCaches.clear(blocking = true)
+      // PPR from 3 customer sources over the bipartite graph: rank mass
+      // dies at order sinks, so this measures |E|-proportional round cost
+      time(s"r$round personalizedPageRank(PLACED, 10)") {
+        graft.graph.GraphAlgorithms.personalizedPageRank(gs, "PLACED",
+          sourceIds = Seq(1L, 2L, 3L), iters = 10).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      // modularity of the trivial per-customer assignment: exercises the
+      // two label joins + aggregates at |E| scale
+      time(s"r$round modularity(PLACED)") {
+        val comm = gs.table("PLACED")
+          .select(org.apache.spark.sql.functions.col("from_Customer")
+            .as("id"))
+          .distinct()
+          .withColumn("label", org.apache.spark.sql.functions.col("id"))
+        graft.graph.GraphAlgorithms.modularity(gs, "PLACED", comm).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      time(s"r$round assortativity(PLACED)") {
+        graft.graph.GraphAlgorithms.assortativity(gs, "PLACED").count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
     }
     spark.stop()
   }

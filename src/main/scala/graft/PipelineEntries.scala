@@ -546,6 +546,14 @@ object PipelineEntries {
       GraphAlgorithms.personalizedPageRank(TpchGraph.session(s, dir),
         "NATION_NEXT", sourceIds = Seq(0L, 10L), iters = 10)),
 
+    // node2vec-style biased walks (p=2 return-averse, q=0.5 exploratory)
+    // over directed NATION_ADJ — oracle: unrolled candidate/cumulative-
+    // weight CTEs computing the identical float arithmetic
+    "g_walks_biased" -> ((s, dir) =>
+      GraphAlgorithms.biasedRandomWalks(TpchGraph.session(s, dir),
+        "NATION_ADJ", walkLen = 3, walksPerNode = 2, seed = 42L,
+        p = 2.0, q = 0.5)),
+
     // modularity of the labelprop communities on the banded subgraph —
     // two operators composing end-to-end, oracle re-derives both
     "g_modularity" -> ((s, dir) => {
@@ -1122,6 +1130,77 @@ object PipelineEntries {
        |SELECT start, rep, step, node FROM ($all)""".stripMargin
   }
 
+  /** DuckDB mirror of [[GraphAlgorithms.biasedRandomWalks]]: ranked
+    * adjacency + uniform first step, then per unrolled step a candidate
+    * CTE (weights via the same CASE) and a pick CTE reproducing the
+    * engine's float arithmetic exactly — sequential window cumsum,
+    * `cum - w <= thresh < cum`, threshold = LCG fraction × total. The
+    * 1/p and 1/q weights are folded in Scala and spliced, so both
+    * engines parse identical doubles. */
+  private def biasedWalksOracleSql(walkLen: Int = 3, walksPerNode: Int = 2,
+      seed: Long = 42L, p: Double = 2.0, q: Double = 0.5): String = {
+    import GraphAlgorithms.{WalkMixMod, WalkMixNode, WalkMixPrime,
+      WalkMixRep, WalkMixStart, WalkMixStep}
+    val retW = 1.0 / p
+    val farW = 1.0 / q
+    def mixSql(nodeCol: String, step: Int): String =
+      s"""((($nodeCol % $WalkMixPrime) * $WalkMixNode
+         |     + (start % $WalkMixPrime) * $WalkMixStart
+         |     + rep * $WalkMixRep
+         |     + CAST($step AS BIGINT) * $WalkMixStep
+         |     + $seed) % $WalkMixMod)""".stripMargin
+    val steps = (2 to walkLen).map { s =>
+      s"""c$s AS MATERIALIZED (
+         |  SELECT fr.start, fr.rep, fr.prev, fr.node, adj.t AS x,
+         |         CASE WHEN adj.t = fr.prev THEN $retW
+         |              WHEN chk.t IS NOT NULL THEN 1.0
+         |              ELSE $farW END AS w
+         |  FROM f${s - 1} fr JOIN adj ON adj.f = fr.node
+         |  LEFT JOIN e chk ON chk.f = fr.prev AND chk.t = adj.t),
+         |f$s AS MATERIALIZED (
+         |  SELECT start, rep, node AS prev, x AS node
+         |  FROM (SELECT c.*,
+         |          sum(w) OVER (PARTITION BY start, rep ORDER BY x) AS cum,
+         |          sum(w) OVER (PARTITION BY start, rep) AS tot
+         |        FROM c$s c)
+         |  WHERE cum - w <= CAST(${mixSql("node", s)} AS DOUBLE)
+         |          / 2147483647.0 * tot
+         |    AND CAST(${mixSql("node", s)} AS DOUBLE)
+         |          / 2147483647.0 * tot < cum)""".stripMargin
+    }.mkString(",\n")
+    val outs = (2 to walkLen)
+      .map(s => s"SELECT start, rep, CAST($s AS BIGINT) AS step, node FROM f$s")
+    val all = (Seq(
+      "SELECT start, rep, CAST(0 AS BIGINT) AS step, node FROM w0",
+      "SELECT start, rep, CAST(1 AS BIGINT) AS step, node FROM f1") ++ outs)
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(n1.n_nationkey AS BIGINT) AS f,
+       |         CAST(n2.n_nationkey AS BIGINT) AS t
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey),
+       |adj AS (
+       |  SELECT f, t,
+       |         CAST(row_number() OVER (PARTITION BY f ORDER BY t) - 1
+       |              AS BIGINT) AS idx
+       |  FROM e),
+       |dg AS (SELECT f, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY f),
+       |vv AS (SELECT f AS id FROM e UNION SELECT t FROM e),
+       |w0 AS (
+       |  SELECT vv.id AS start, CAST(r.rep AS BIGINT) AS rep, vv.id AS node
+       |  FROM vv CROSS JOIN
+       |    (SELECT unnest(range(0, $walksPerNode)) AS rep) r),
+       |f1 AS MATERIALIZED (
+       |  SELECT w.start, w.rep, w.node AS prev, adj.t AS node
+       |  FROM w0 w
+       |  JOIN dg ON dg.f = w.node
+       |  JOIN adj ON adj.f = w.node
+       |   AND adj.idx = ${mixSql("w.node", 1)} % dg.deg),
+       |$steps
+       |SELECT start, rep, step, node FROM ($all)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "p_lang_id" -> langIdOracleSql,
 
@@ -1273,6 +1352,7 @@ object PipelineEntries {
     "g_kcore" -> kCoreOracleSql(),
     "g_hits" -> hitsOracleSql(),
     "g_walks" -> randomWalksOracleSql(),
+    "g_walks_biased" -> biasedWalksOracleSql(),
     "g_ppr" -> pprOracleSql(),
     "g_modularity" -> modularityOracleSql(),
 

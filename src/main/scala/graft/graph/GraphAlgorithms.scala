@@ -609,6 +609,97 @@ object GraphAlgorithms {
         round(coalesce(col("rank"), lit(0.0)), 6).as("rank"))
   }
 
+  /** node2vec-style SECOND-ORDER biased random walks (Grover &
+    * Leskovec, KDD'16): after a uniform first step, the walker at `cur`
+    * (having come from `prev`) weights each out-neighbor x by 1/p if
+    * x = prev (return), 1 if the edge prev→x exists (BFS-ish), else 1/q
+    * (DFS-ish), and picks deterministically: the LCG mix of (cur, start,
+    * rep, step, seed) maps to a fraction of the walk's total weight, and
+    * the first neighbor (ordered by id) whose running cumulative weight
+    * exceeds that threshold wins. The cumulative sum is a sequential
+    * window fold in both engines, so the choice — float arithmetic and
+    * all — reproduces bit-for-bit in the DuckDB mirror, like
+    * [[randomWalks]]. Walks stop at sinks. Returns
+    * (start, rep, step, node) rows incl. step 0.
+    *
+    * Scale shape per step: one frontier⋈adjacency equi-join (candidates
+    * ∝ frontier × avg degree), one LEFT probe of the edge list for the
+    * prev→x existence flag, and one (start, rep)-partitioned window pair
+    * (running + total weight) — no driver loop, state ≤ |V|·walksPerNode
+    * like the uniform walker; the adjacency and edge frames are cached
+    * once and reused every step. */
+  def biasedRandomWalks(gs: GraftSession, relLabel: String, walkLen: Int = 4,
+      walksPerNode: Int = 2, seed: Long = 42L, p: Double = 1.0,
+      q: Double = 1.0, edgePred: Option[Column] = None): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(seed >= 0, s"seed must be >= 0, got $seed")
+    require(p > 0 && q > 0, s"p and q must be > 0, got p=$p q=$q")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e = base.select(col(r.fromColumn).cast("long").as("f"),
+        col(r.toColumn).cast("long").as("t"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val adj = e
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("f").orderBy("t")) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val v = e.select(col("f").as("id")).union(e.select(col("t").as("id")))
+      .distinct()
+
+    def mixAt(step: Int): Column =
+      ((col("node") % WalkMixPrime) * WalkMixNode
+        + (col("start") % WalkMixPrime) * WalkMixStart
+        + col("rep") * WalkMixRep
+        + lit(step.toLong) * WalkMixStep
+        + lit(seed)) % WalkMixMod
+
+    val w0 = v
+      .select(col("id").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("rep"))
+      .select(col("start"), col("rep").cast("long").as("rep"),
+        lit(0L).as("step"), col("start").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer(w0)
+    // step 1: uniform, exactly the [[randomWalks]] selection
+    var frontier = w0.join(adj, col("node") === col("f")
+        && col("idx") === mixAt(1) % col("deg"))
+      .select(col("start"), col("rep"), lit(1L).as("step"),
+        col("node").as("prev"), col("t").as("node"))
+    steps += frontier.select("start", "rep", "step", "node")
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("start", "rep")
+    for (s <- 2 to walkLen) {
+      val cand = frontier.join(adj, frontier("node") === col("f"))
+        .join(e.select(col("f").as("__cf"), col("t").as("__ct")),
+          col("prev") === col("__cf") && col("t") === col("__ct"), "left")
+        .withColumn("w",
+          when(col("t") === col("prev"), lit(1.0 / p))
+            .when(col("__ct").isNotNull, lit(1.0))
+            .otherwise(lit(1.0 / q)))
+      val picked = cand
+        .withColumn("cum", sum("w").over(wWin.orderBy("t")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+        .withColumn("tot", sum("w").over(wWin))
+        .withColumn("thresh",
+          mixAt(s).cast("double") / lit(WalkMixMod.toDouble) * col("tot"))
+        .filter(col("cum") - col("w") <= col("thresh")
+          && col("thresh") < col("cum"))
+      frontier = picked.select(col("start"), col("rep"),
+        lit(s.toLong).as("step"), col("node").as("prev"),
+        col("t").as("node"))
+      steps += frontier.select("start", "rep", "step", "node")
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Newman modularity of a community assignment over the UNDIRECTED
     * simple graph: per community c,
     * contrib(c) = e_in(c)/m − (deg(c)/(2m))², where e_in counts edges

@@ -249,6 +249,75 @@ class GraphSpec extends AnyFunSuite {
     assert(got(4L) == 0.0 && got(5L) == 0.0)
   }
 
+  test("biased walks: bit-exact vs a from-the-spec reimplementation") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("bn", (1L to 5L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // cycle + chords so return/common/explore weights all occur
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 2L), (4L, 5L), (5L, 3L), (1L, 4L))
+    g.registerTable("BE", edges.toDF("from_B", "to_B"))
+    g.registerNode("B", "bn", "id")
+    g.registerRel("BE", "BE", "B", "B")
+    val walkLen = 4; val reps = 2; val seed = 11L
+    val p = 2.0; val q = 0.5
+    val got = GraphAlgorithms
+      .biasedRandomWalks(g, "BE", walkLen, reps, seed, p, q)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // independent reimplementation straight from the scaladoc contract
+    val eset = edges.toSet
+    val adj = edges.groupBy(_._1).map { case (f, es) =>
+      f -> es.map(_._2).distinct.sorted.toIndexedSeq }
+    import GraphAlgorithms.{WalkMixMod, WalkMixNode, WalkMixPrime,
+      WalkMixRep, WalkMixStart, WalkMixStep}
+    def mix(node: Long, start: Long, rep: Long, step: Long): Long =
+      ((node % WalkMixPrime) * WalkMixNode
+        + (start % WalkMixPrime) * WalkMixStart
+        + rep * WalkMixRep + step * WalkMixStep + seed) % WalkMixMod
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (start <- 1L to 5L; rep <- 0L until reps.toLong) {
+      var prev = start
+      var node = start
+      expected += ((start, rep, 0L, node))
+      var alive = adj.contains(node)
+      if (alive) { // step 1: uniform
+        val ns = adj(node)
+        val nxt = ns((mix(node, start, rep, 1L) % ns.size).toInt)
+        expected += ((start, rep, 1L, nxt)); prev = node; node = nxt
+      }
+      var step = 2L
+      while (alive && step <= walkLen && adj.contains(node)) {
+        val ns = adj(node)
+        val ws = ns.map { x =>
+          if (x == prev) 1.0 / p
+          else if (eset((prev, x))) 1.0 else 1.0 / q
+        }
+        val tot = ws.foldLeft(0.0)(_ + _)
+        val thresh = mix(node, start, rep, step).toDouble / 2147483647.0 * tot
+        var cum = 0.0; var chosen = -1L
+        for ((x, w) <- ns.zip(ws) if chosen < 0) {
+          cum += w
+          // the engine filters on (cum − w), not the pre-add value —
+          // replicate the exact float arithmetic
+          if (cum - w <= thresh && thresh < cum) chosen = x
+        }
+        expected += ((start, rep, step, chosen))
+        prev = node; node = chosen; step += 1
+      }
+    }
+    assert(got == expected.toSet)
+    // p/q actually bias: a different (p, q) changes at least one step
+    val other = GraphAlgorithms
+      .biasedRandomWalks(g, "BE", walkLen, reps, seed, p = 0.25, q = 4.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(other != got)
+  }
+
   test("modularity: hand-checked two-community graph") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -107,6 +107,19 @@ object PipelineEntries {
         minedPairs = Some(Dedup.ngramJaccardPairsPersisted(d, path, threshold = 0.5)))
     }),
 
+    // quality-aware keeper selection per dup cluster: dedup that keeps
+    // the BEST copy (unrounded-score argmax, id tie-break) — three
+    // operators composing (pair mining → CC clustering → quality rank),
+    // oracle re-derives the whole chain
+    "p_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.keepBestPerCluster(d, Dedup.dupClusters(d, threshold = 0.5,
+        minedPairs = Some(Dedup.ngramJaccardPairsPersisted(d, path,
+          threshold = 0.5))))
+    }),
+
     // symmetric int8 embedding quantization (storage path) — oracle-checked.
     // The library op returns (vec_id, scale, q: array<long>); the gate entry
     // posexplodes to one scalar row per component so the driver's pandas
@@ -568,6 +581,13 @@ object PipelineEntries {
     "g_assort" -> ((s, dir) =>
       GraphAlgorithms.assortativity(TpchGraph.session(s, dir),
         "NATION_ADJ", Some(col("n_dist") <= 10))),
+
+    // eigenvector centrality on the banded subgraph's symmetric form
+    // (degree variance ⇒ non-uniform Perron weights) — oracle: unrolled
+    // unnormalized power-iteration CTEs, one final L1 normalize
+    "g_eigen" -> ((s, dir) =>
+      GraphAlgorithms.eigenvectorCentrality(TpchGraph.session(s, dir),
+        "NATION_ADJ", iters = 10, edgePred = Some(col("n_dist") <= 10))),
   )
 
   // ---- generated oracle SQL -----------------------------------------------
@@ -1045,6 +1065,34 @@ object PipelineEntries {
        |$rows""".stripMargin
   }
 
+  /** DuckDB mirror of [[GraphAlgorithms.eigenvectorCentrality]] on the
+    * banded symmetric graph: unnormalized power-iteration rounds (sparse
+    * sums, each referencing its predecessor once) + one final L1
+    * normalize, 6-dp rounded — the [[GraphAlgorithms.hits]] oracle's
+    * single-score sibling. */
+  private def eigenOracleSql(iters: Int = 10): String = {
+    val steps = (1 to iters).map { i =>
+      s"""x$i AS MATERIALIZED (
+         |  SELECT sym.b AS id, sum(x${i - 1}.x) AS x
+         |  FROM sym JOIN x${i - 1} ON x${i - 1}.id = sym.a
+         |  GROUP BY sym.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+       |         CAST(n2.n_nationkey AS BIGINT) AS b
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey
+       |   AND n2.n_nationkey - n1.n_nationkey <= 10),
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |vv AS (SELECT DISTINCT a AS id FROM sym),
+       |x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM vv),
+       |$steps,
+       |tt AS (SELECT sum(x) AS s FROM x$iters)
+       |SELECT vv.id, round(COALESCE(xx.x, 0.0) / tt.s, 6) AS centrality
+       |FROM vv LEFT JOIN x$iters xx ON xx.id = vv.id, tt""".stripMargin
+  }
+
   /** DuckDB mirror of [[GraphAlgorithms.personalizedPageRank]] over the
     * NATION_NEXT successor chain: identical explicit formula — r₀ = s,
     * rᵢ = (1−resetProb)·Σ in-contributions + resetProb·s — with the
@@ -1355,6 +1403,7 @@ object PipelineEntries {
     "g_walks_biased" -> biasedWalksOracleSql(),
     "g_ppr" -> pprOracleSql(),
     "g_modularity" -> modularityOracleSql(),
+    "g_eigen" -> eigenOracleSql(),
 
     "g_assort" ->
       """WITH e AS (
@@ -1603,6 +1652,55 @@ object PipelineEntries {
         |  UNION
         |  SELECT ue.b AS id, cc.comp FROM cc JOIN ue ON ue.a = cc.id)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+
+    // same cluster derivation + the UNROUNDED quality-score argmax per
+    // cluster (ties -> smallest doc id); only the reported score rounds
+    "p_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)),
+        |e AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM t x JOIN t y ON x.doc_id < y.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |ue AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |cc AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT ue.b AS id, cc.comp FROM cc JOIN ue ON ue.a = cc.id),
+        |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |         least(n_tokens, 100) / 100.0 * 0.5 +
+        |         CAST(stop_cnt AS DOUBLE) / n_tokens * 0.3 +
+        |         (1.0 - least(punct_cnt, 20) / 20.0) * 0.2 AS score
+        |  FROM (
+        |    SELECT doc_id,
+        |           CAST(len(toks) AS BIGINT) AS n_tokens,
+        |           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_cnt,
+        |           CAST(len(list_filter(toks, t2 -> list_contains(
+        |             ['the','a','an','of','and','to','in','is','it','that'], t2))) AS BIGINT) AS stop_cnt
+        |    FROM (SELECT doc_id, text,
+        |                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |          FROM documents))),
+        |r AS (
+        |  SELECT cl.cluster_id, cl.doc_id, q.score,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |           ORDER BY q.score DESC, cl.doc_id ASC) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT)
+        |           AS cluster_size
+        |  FROM cl JOIN q ON q.doc_id = cl.doc_id)
+        |SELECT cluster_id, doc_id AS kept_doc_id, cluster_size,
+        |       round(score, 4) AS kept_score
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // exploded to (vec_id, scale, idx, qval) scalar rows — mirrors the
     // posexplode on the Spark side; list cells are unsortable in the

@@ -469,6 +469,50 @@ object GraphAlgorithms {
         round(col("__a") / col("__atot"), 6).as("authority"))
   }
 
+  /** Eigenvector centrality over the UNDIRECTED simple graph (power
+    * iteration on the symmetric adjacency), fixed `iters` rounds —
+    * unnormalized like [[hits]] (L1 normalization commutes with the
+    * linear map; one normalize at the end) and on GraphX
+    * `aggregateMessages` for the same reason: an RDD round costs ~20 ms
+    * where a Catalyst round pays planning + codegen + stage latency.
+    * The vertex set is edge-defined; returns (id, centrality) 6-dp
+    * rounded. Overflow bound: entries grow ≤ max-degree× per round —
+    * doubles survive iters·log2(maxdeg) < 1024. */
+  def eigenvectorCentrality(gs: GraftSession, relLabel: String,
+      iters: Int = 10, edgePred: Option[Column] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = gs.spark
+    import spark.implicits._
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val sym = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val edgeRdd = sym.rdd.map(row => Edge(row.getLong(0), row.getLong(1), ()))
+    var g = tracked(Graph.fromEdges(edgeRdd, 1.0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK))
+    g.vertices.count()
+    for (_ <- 1 to iters) {
+      val msgs = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
+      val g2 = tracked(g.outerJoinVertices(msgs)(
+        (_, _, m) => m.getOrElse(0.0)))
+      g2.vertices.count()
+      g.unpersistVertices(blocking = false)
+      g.edges.unpersist(blocking = false)
+      g = g2
+    }
+    val scores = g.vertices.map { case (id, x) => (id, x) }
+      .toDF("id", "__x")
+    val tot = scores.agg(sum("__x").as("__tot"))
+    scores.crossJoin(tot)
+      .select(col("id"),
+        round(col("__x") / col("__tot"), 6).as("centrality"))
+  }
+
   /** Multiplier/modulus constants for the [[randomWalks]] step mix — a
     * fixed LCG-style integer hash both engines compute identically in
     * 64-bit arithmetic (every operand is pre-reduced so the largest

@@ -609,4 +609,32 @@ object Dedup {
         col("n_tokens"),
         (col("n_tokens") - size(col("__kept"))).cast("long").as("removed_tokens"))
   }
+
+  /** Quality-aware keeper selection: per duplicate cluster keep the doc
+    * with the highest [[TextAnalysis.qualityFeaturesRaw]] composite score
+    * (ties → smallest doc id) — the curation policy "dedup, but keep the
+    * BEST copy, not an arbitrary one". The argmax compares the UNROUNDED
+    * scores (both engines compute the identical IEEE expression, so the
+    * ordering cannot flip; only the REPORTED score is rounded — the
+    * p_curate lesson). Takes the (doc_id, cluster_id) frame from
+    * [[dupClusters]]; returns (cluster_id, kept_doc_id, cluster_size,
+    * kept_score).
+    *
+    * Scale shape: one broadcast-able join of the cluster assignment onto
+    * the narrow quality projection and ONE cluster-keyed window pair
+    * (rank + size share the partition) — shuffle ∝ corpus rows, window
+    * state ∝ cluster size, the SemDeDup rank discipline. */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityFeaturesRaw(docs)
+      .select(col("doc_id"), col("score"))
+    val j = clusters.join(q, Seq("doc_id"))
+    val part = Window.partitionBy("cluster_id")
+    j.withColumn("__rk", row_number().over(
+        part.orderBy(col("score").desc, col("doc_id").asc)))
+      .withColumn("cluster_size", count(lit(1)).over(part))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("cluster_size"), round(col("score"), 4).as("kept_score"))
+  }
 }

@@ -318,6 +318,40 @@ class GraphSpec extends AnyFunSuite {
     assert(other != got)
   }
 
+  test("eigenvector centrality: regular graph uniform, star hub dominates") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("en", (1L to 4L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // triangle: 2-regular ⇒ exactly uniform 1/3 at any iteration count
+    g.registerTable("EE", Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("from_E", "to_E"))
+    g.registerNode("E", "en", "id")
+    g.registerRel("EE", "EE", "E", "E")
+    val tri = GraphAlgorithms.eigenvectorCentrality(g, "EE", iters = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tri == Map(1L -> 0.333333, 2L -> 0.333333, 3L -> 0.333333))
+    // star 1−{2,3,4}: from-the-spec unnormalized power fold
+    g.registerTable("SE2", Seq((1L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("from_E", "to_E"))
+    g.registerRel("SE2", "SE2", "E", "E")
+    // ODD iterations: the star is bipartite, so even rounds oscillate to
+    // hub == leaf values — the fold below pins that too, but the
+    // dominance check needs an odd round
+    val got = GraphAlgorithms.eigenvectorCentrality(g, "SE2", iters = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sym = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    var x = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0)
+    for (_ <- 1 to 7)
+      x = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => x(e._1)).sum }
+    val tot = x.values.sum
+    for ((id, v) <- x)
+      assert(got(id) ==
+        BigDecimal(v / tot).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"vertex $id")
+    assert(got(1L) > got(2L)) // the hub dominates
+  }
+
   test("modularity: hand-checked two-community graph") {
     import spark.implicits._
     val g = new GraftSession(spark)

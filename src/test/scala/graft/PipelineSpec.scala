@@ -1161,6 +1161,26 @@ class SamplingSpec extends AnyFunSuite {
       "shard shuffle must never collapse to a single partition")
   }
 
+  test("keepBestPerCluster: quality argmax per cluster, id tie-break") {
+    import spark.implicits._
+    // cluster {1,2}: doc 2 scores ≈0.312 (9 tokens ⇒ 0.045, 2/9
+    // stopwords ⇒ 0.067, no punct ⇒ 0.2) vs doc 1's 0.2 (2 tokens ⇒
+    // 0.01, "the!" is not a stopword token, one '!' ⇒ 0.19); {3}
+    // singleton; {4,5}: identical texts ⇒ exact score tie, id 4 wins
+    val d = Seq(
+      (1L, "cat the!"), (2L, "the cat sat on mat with hat and rat"),
+      (3L, "solo document"), (4L, "same words here"), (5L, "same words here"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = graft.pipeline.Dedup.keepBestPerCluster(d, clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 2L)
+    assert(got(3L) == ((3L, 1L)))
+    assert(got(4L) == ((4L, 2L))) // exact score tie -> smallest id
+  }
+
   test("sequenceExamples: hand-checked contexts, ts ties break by id") {
     import spark.implicits._
     val ev = Seq(

@@ -79,6 +79,19 @@ object ProfileGraphScale {
         graft.graph.GraphAlgorithms.assortativity(gs, "PLACED").count()
       }
       graft.pipeline.PipelineCaches.clear(blocking = true)
+      // biased walks on the bipartite graph stop at order sinks after one
+      // step, so this measures the candidate join + window-pick cost of
+      // step 2 over |V|·reps frontier rows plus the adjacency build
+      time(s"r$round biasedRandomWalks(PLACED, 3)") {
+        graft.graph.GraphAlgorithms.biasedRandomWalks(gs, "PLACED",
+          walkLen = 3).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      time(s"r$round eigenvectorCentrality(PLACED, 5)") {
+        graft.graph.GraphAlgorithms.eigenvectorCentrality(gs, "PLACED",
+          iters = 5).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
     }
     spark.stop()
   }

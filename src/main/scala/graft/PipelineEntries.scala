@@ -582,6 +582,13 @@ object PipelineEntries {
       GraphAlgorithms.assortativity(TpchGraph.session(s, dir),
         "NATION_ADJ", Some(col("n_dist") <= 10))),
 
+    // weighted PageRank over NATION_ADJ's n_dist weights (close nations
+    // get more rank mass than the uniform split) — oracle: unrolled
+    // rounds on the identical share formula
+    "g_wpagerank" -> ((s, dir) =>
+      GraphAlgorithms.weightedPageRank(TpchGraph.session(s, dir),
+        "NATION_ADJ", "n_dist", iters = 10)),
+
     // eigenvector centrality on the banded subgraph's symmetric form
     // (degree variance ⇒ non-uniform Perron weights) — oracle: unrolled
     // unnormalized power-iteration CTEs, one final L1 normalize
@@ -1065,6 +1072,38 @@ object PipelineEntries {
        |$rows""".stripMargin
   }
 
+  /** DuckDB mirror of [[GraphAlgorithms.weightedPageRank]] over
+    * NATION_ADJ's n_dist weights: identical share formula
+    * (w / out-weight sum), dense rounds with the reset base, 6-dp round
+    * at the end — the weighted sibling of [[pagerankOracleSql]], with
+    * constants folded in Scala and spliced. */
+  private def weightedPagerankOracleSql(iters: Int = 10,
+      resetProb: Double = 0.15): String = {
+    val oneMinus = 1.0 - resetProb
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v.id, $resetProb + $oneMinus * COALESCE(m.s, 0) AS rank
+         |  FROM v LEFT JOIN (
+         |    SELECT ew.t AS id, sum(r${i - 1}.rank * ew.share) AS s
+         |    FROM ew JOIN r${i - 1} ON r${i - 1}.id = ew.f
+         |    GROUP BY ew.t) m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS f,
+       |         CAST(n2.n_nationkey AS BIGINT) AS t,
+       |         CAST(n2.n_nationkey - n1.n_nationkey AS DOUBLE) AS w
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey),
+       |ws AS (SELECT f AS wf, sum(w) AS wsum FROM e GROUP BY f),
+       |ew AS (SELECT e.f, e.t, e.w / ws.wsum AS share
+       |       FROM e JOIN ws ON ws.wf = e.f),
+       |v AS (SELECT f AS id FROM e UNION SELECT t FROM e),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
+       |$steps
+       |SELECT id, round(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   /** DuckDB mirror of [[GraphAlgorithms.eigenvectorCentrality]] on the
     * banded symmetric graph: unnormalized power-iteration rounds (sparse
     * sums, each referencing its predecessor once) + one final L1
@@ -1404,6 +1443,7 @@ object PipelineEntries {
     "g_ppr" -> pprOracleSql(),
     "g_modularity" -> modularityOracleSql(),
     "g_eigen" -> eigenOracleSql(),
+    "g_wpagerank" -> weightedPagerankOracleSql(),
 
     "g_assort" ->
       """WITH e AS (

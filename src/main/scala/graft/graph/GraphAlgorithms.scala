@@ -469,6 +469,59 @@ object GraphAlgorithms {
         round(col("__a") / col("__atot"), 6).as("authority"))
   }
 
+  /** WEIGHTED PageRank over the directed simple graph: each vertex
+    * splits its rank across out-edges proportionally to `weightCol`
+    * (r_i(v) = reset + (1−reset)·Σ r_{i−1}(u)·w(u,v)/W(u), W(u) = u's
+    * out-weight sum), fixed `iters` rounds, dangling mass decays — the
+    * same explicit semantics as the static PageRank mirror, with weights.
+    * Vertex set is edge-defined; r₀ = 1. Returns (id, rank) 6-dp rounded.
+    * Zero/negative weights are rejected (a zero out-weight sum would
+    * divide by zero; negative weights make the split meaningless).
+    *
+    * Scale shape: the weighted out-share eW = w/W(u) is computed ONCE
+    * (one aggregate + one join) and cached; the rounds build a single
+    * lazy linear chain — per round one |E|-proportional equi-join +
+    * partial/final sum and a dense left join back onto the |V| frame
+    * (dense is required: the reset base keeps every vertex nonzero) —
+    * evaluated in one action like [[personalizedPageRank]]. */
+  def weightedPageRank(gs: GraftSession, relLabel: String,
+      weightCol: String, iters: Int = 10, resetProb: Double = 0.15,
+      edgePred: Option[Column] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(resetProb > 0 && resetProb < 1,
+      s"resetProb must be in (0, 1), got $resetProb")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e = base.select(col(r.fromColumn).cast("long").as("f"),
+        col(r.toColumn).cast("long").as("t"),
+        col(weightCol).cast("double").as("w"))
+    if (e.filter(col("w") <= 0).limit(1).count() > 0)
+      throw new graft.cypher.GraftException(
+        s"weightedPageRank: $weightCol must be strictly positive")
+    val eW = e
+      .join(e.groupBy(col("f").as("__wf")).agg(sum("w").as("__wsum")),
+        col("f") === col("__wf"))
+      .select(col("f"), col("t"), (col("w") / col("__wsum")).as("share"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val v = e.select(col("f").as("id")).union(e.select(col("t").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    var rank = v.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val m = eW.join(rank.withColumnRenamed("id", "__rid"),
+          col("f") === col("__rid"))
+        .groupBy(col("t").as("__mid"))
+        .agg(sum(col("rank") * col("share")).as("__ms"))
+      rank = v.join(m, col("id") === col("__mid"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1.0 - resetProb)
+            * coalesce(col("__ms"), lit(0.0))).as("rank"))
+    }
+    rank.select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Eigenvector centrality over the UNDIRECTED simple graph (power
     * iteration on the symmetric adjacency), fixed `iters` rounds —
     * unnormalized like [[hits]] (L1 normalization commutes with the

@@ -318,6 +318,42 @@ class GraphSpec extends AnyFunSuite {
     assert(other != got)
   }
 
+  test("weighted pagerank: from-the-spec fold, scale-invariant shares") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("wpn", (1L to 3L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // 1 splits 3:1 between 2 and 3; 2→3 closes mass toward 3
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 3L, 2.0))
+    g.registerTable("WPE", edges.toDF("from_WP", "to_WP", "wt"))
+    g.registerNode("WP", "wpn", "id")
+    g.registerRel("WPE", "WPE", "WP", "WP")
+    val got = GraphAlgorithms.weightedPageRank(g, "WPE", "wt", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // from-the-spec fold
+    val shares = Map((1L, 2L) -> 0.75, (1L, 3L) -> 0.25, (2L, 3L) -> 1.0)
+    var rank = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0)
+    for (_ <- 1 to 4) {
+      val m = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (((u, vv), s) <- shares) m(vv) += rank(u) * s
+      rank = (1L to 3L).map(vv => vv -> (0.15 + 0.85 * m(vv))).toMap
+    }
+    for (vv <- 1L to 3L)
+      assert(got(vv) == BigDecimal(rank(vv))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"vertex $vv")
+    // shares are scale-invariant: doubling every weight changes nothing
+    g.registerTable("WPE2", edges.map { case (a, b, w) => (a, b, w * 2) }
+      .toDF("from_WP", "to_WP", "wt"))
+    g.registerRel("WPE2", "WPE2", "WP", "WP")
+    val scaled = GraphAlgorithms.weightedPageRank(g, "WPE2", "wt", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scaled == got)
+    // zero / negative weights are loud
+    g.registerTable("WPE3", Seq((1L, 2L, 0.0)).toDF("from_WP", "to_WP", "wt"))
+    g.registerRel("WPE3", "WPE3", "WP", "WP")
+    assertThrows[graft.cypher.GraftException](
+      GraphAlgorithms.weightedPageRank(g, "WPE3", "wt"))
+  }
+
   test("eigenvector centrality: regular graph uniform, star hub dominates") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -582,6 +582,15 @@ object PipelineEntries {
       GraphAlgorithms.assortativity(TpchGraph.session(s, dir),
         "NATION_ADJ", Some(col("n_dist") <= 10))),
 
+    // exact betweenness on the banded subgraph (all vertices as sources;
+    // the scalable landmark-sampled form is spec-pinned) — oracle: the
+    // CLOSED FORM Σ σ(s,v)·σ(v,t)/σ(s,t) over all-pairs shortest-path
+    // counts, a deliberately different derivation from the engine's
+    // Brandes sweep (oracles need correctness, not scale)
+    "g_between" -> ((s, dir) =>
+      GraphAlgorithms.betweennessCentrality(TpchGraph.session(s, dir),
+        "NATION_ADJ", maxDepth = 8, edgePred = Some(col("n_dist") <= 10))),
+
     // weighted PageRank over NATION_ADJ's n_dist weights (close nations
     // get more rank mass than the uniform split) — oracle: unrolled
     // rounds on the identical share formula
@@ -1072,6 +1081,51 @@ object PipelineEntries {
        |$rows""".stripMargin
   }
 
+  /** DuckDB mirror of [[GraphAlgorithms.betweennessCentrality]] on the
+    * banded symmetric graph, via the CLOSED FORM rather than Brandes:
+    * σ(s,v) = walks of length dist(s,v) (a walk of exactly shortest
+    * length cannot revisit), built from `levels` unrolled walk-count
+    * CTEs; then B(v) = Σ_{s,t} σ(s,v)·σ(v,t)/σ(s,t) over ordered pairs
+    * whose distances compose. An independent derivation of the same
+    * quantity — the strongest kind of mirror. */
+  private def betweennessOracleSql(levels: Int = 8): String = {
+    val steps = (1 to levels).map { l =>
+      s"""w$l AS MATERIALIZED (
+         |  SELECT w.s, sym.b AS v, SUM(w.c) AS c
+         |  FROM w${l - 1} w JOIN sym ON sym.a = w.v
+         |  GROUP BY w.s, sym.b)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to levels)
+      .map(l => s"SELECT s, v, $l AS l, c FROM w$l")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+       |         CAST(n2.n_nationkey AS BIGINT) AS b
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey
+       |   AND n2.n_nationkey - n1.n_nationkey <= 10),
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |vv AS (SELECT DISTINCT a AS id FROM sym),
+       |w0 AS (SELECT id AS s, id AS v, CAST(1.0 AS DOUBLE) AS c FROM vv),
+       |$steps,
+       |allw AS ($unions),
+       |dd AS (SELECT s, v, min(l) AS d FROM allw GROUP BY s, v),
+       |sp AS MATERIALIZED (
+       |  SELECT dd.s, dd.v, dd.d, a.c AS sigma
+       |  FROM dd JOIN allw a ON a.s = dd.s AND a.v = dd.v AND a.l = dd.d),
+       |bt AS (
+       |  SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS b
+       |  FROM sp sv
+       |  JOIN sp vt ON vt.s = sv.v AND vt.d > 0
+       |  JOIN sp st ON st.s = sv.s AND st.v = vt.v
+       |             AND st.d = sv.d + vt.d
+       |  WHERE sv.d > 0
+       |  GROUP BY sv.v)
+       |SELECT vv.id, round(COALESCE(bt.b, 0.0), 6) AS betweenness
+       |FROM vv LEFT JOIN bt ON bt.id = vv.id""".stripMargin
+  }
+
   /** DuckDB mirror of [[GraphAlgorithms.weightedPageRank]] over
     * NATION_ADJ's n_dist weights: identical share formula
     * (w / out-weight sum), dense rounds with the reset base, 6-dp round
@@ -1444,6 +1498,7 @@ object PipelineEntries {
     "g_modularity" -> modularityOracleSql(),
     "g_eigen" -> eigenOracleSql(),
     "g_wpagerank" -> weightedPagerankOracleSql(),
+    "g_between" -> betweennessOracleSql(),
 
     "g_assort" ->
       """WITH e AS (

@@ -469,6 +469,114 @@ object GraphAlgorithms {
         round(col("__a") / col("__atot"), 6).as("authority"))
   }
 
+  /** Betweenness centrality over the UNDIRECTED simple graph via
+    * multi-source Brandes (Brandes 2001): a level-synchronous forward
+    * BFS counts shortest paths σ(s,v) for EVERY source in one set of
+    * frames (state keyed by (source, vertex) — sources parallelize as
+    * data, not loop iterations), then the backward sweep accumulates
+    * pair dependencies δ_s(v) = Σ_{w∈succ} σ(s,v)/σ(s,w)·(1+δ_s(w))
+    * level by level. Returns (id, betweenness) with betweenness =
+    * Σ_{s∈sources} δ_s(v), 6-dp rounded — pass every vertex as a source
+    * for the exact (ordered-pair) betweenness, divide by 2 for the
+    * undirected convention, or pass a deterministic landmark sample for
+    * the scalable approximation (the standard trade at 100 TB: cost is
+    * |sources| BFS+sweep passes, NOT all-pairs).
+    *
+    * Scale shape: per forward level one frontier⋈edges join + one
+    * map-side-combinable σ sum + one anti-join against the settled set
+    * (frontier-delta, like the shortestPath composition); per backward
+    * level one succ join + one combinable δ sum. Every level frame is
+    * re-based through [[rebaseRows]] — the forward loop references the
+    * growing settled set each level and the loop is count-gated, the
+    * exact shape the rebase exists for. State ≤ |sources|·|V|. */
+  def betweennessCentrality(gs: GraftSession, relLabel: String,
+      sources: Seq[Long] = Nil, maxDepth: Int = 10,
+      edgePred: Option[Column] = None): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val spark = gs.spark
+    import spark.implicits._
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val sym = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val v = sym.select(col("a").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    val srcFrame =
+      if (sources.isEmpty) v.select(col("id").as("src"))
+      else sources.toDF("src")
+
+    // ---- forward: per-level (src, v, sigma) frames -----------------------
+    val (lev0, lev0Rdd, _) = rebaseRows(
+      srcFrame.select(col("src"), col("src").as("v"), lit(1.0).as("sigma")))
+    var settled = lev0
+    var settledRdd = lev0Rdd
+    val levels = scala.collection.mutable.ArrayBuffer(lev0)
+    var frontier = lev0
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val expanded = frontier.join(sym, col("v") === col("a"))
+        .groupBy(col("src"), col("b").as("__nv"))
+        .agg(sum("sigma").as("sigma"))
+      val (nxt, nxtRdd, n) = rebaseRows(expanded
+        .join(settled.select(col("src").as("__ss"), col("v").as("__sv")),
+          col("src") === col("__ss") && col("__nv") === col("__sv"),
+          "left_anti")
+        .select(col("src"), col("__nv").as("v"), col("sigma")))
+      if (n == 0) { nxtRdd.unpersist(blocking = false); done = true }
+      else {
+        val (st, stRdd, _) = rebaseRows(settled.unionByName(nxt))
+        settledRdd.unpersist(blocking = false)
+        settled = st; settledRdd = stRdd
+        levels += nxt
+        frontier = nxt
+        depth += 1
+      }
+    }
+
+    // ---- backward: dependency accumulation, deepest level first ----------
+    var deeper = levels.last.withColumn("delta", lit(0.0))
+    val perSourceDeps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (levels.size > 1)
+      perSourceDeps += deeper.select(col("src"), col("v"), col("delta"))
+    for (l <- (levels.size - 2) to 0 by -1) {
+      val cur = levels(l)
+      val contrib = cur.join(sym, col("v") === col("a"))
+        .join(deeper.select(col("src").as("__ds"), col("v").as("__dv"),
+            col("sigma").as("__dsig"), col("delta").as("__ddel")),
+          col("src") === col("__ds") && col("b") === col("__dv"))
+        .groupBy(col("src"), col("v"))
+        .agg(sum(col("sigma") / col("__dsig")
+          * (lit(1.0) + col("__ddel"))).as("__c"))
+      val (d, _, _) = rebaseRows(cur
+        .join(contrib.select(col("src").as("__cs"), col("v").as("__cv"),
+            col("__c")),
+          col("src") === col("__cs") && col("v") === col("__cv"), "left")
+        .select(col("src"), col("v"), col("sigma"),
+          coalesce(col("__c"), lit(0.0)).as("delta")))
+      if (l > 0) perSourceDeps += d.select(col("src"), col("v"), col("delta"))
+      deeper = d
+    }
+
+    val acc =
+      if (perSourceDeps.isEmpty)
+        v.select(col("id"), lit(0.0).as("betweenness"))
+      else perSourceDeps.reduce(_ unionByName _)
+        .groupBy(col("v").as("id"))
+        .agg(sum("delta").as("betweenness"))
+    v.join(acc.withColumnRenamed("id", "__bid"),
+        col("id") === col("__bid"), "left")
+      .select(col("id"),
+        round(coalesce(col("betweenness"), lit(0.0)), 6).as("betweenness"))
+  }
+
   /** WEIGHTED PageRank over the directed simple graph: each vertex
     * splits its rank across out-edges proportionally to `weightCol`
     * (r_i(v) = reset + (1−reset)·Σ r_{i−1}(u)·w(u,v)/W(u), W(u) = u's

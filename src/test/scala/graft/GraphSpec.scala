@@ -318,6 +318,37 @@ class GraphSpec extends AnyFunSuite {
     assert(other != got)
   }
 
+  test("betweenness: hand-checked path/star/bridge, landmark subset") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("btn", (1L to 7L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // path 1-2-3-4 (ordered-pair betweenness of 2 and 3 = 4 each),
+    // plus separate star 5-{6,7} (B(5) = 2: the 6↔7 pairs)
+    g.registerTable("BTE", Seq((1L, 2L), (2L, 3L), (3L, 4L),
+        (5L, 6L), (5L, 7L)).toDF("from_BT", "to_BT"))
+    g.registerNode("BT", "btn", "id")
+    g.registerRel("BTE", "BTE", "BT", "BT")
+    val got = GraphAlgorithms.betweennessCentrality(g, "BTE")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 4.0, 3L -> 4.0, 4L -> 0.0,
+      5L -> 2.0, 6L -> 0.0, 7L -> 0.0))
+    // split shortest paths: a 4-cycle 1-2-4-3-1 has two equal routes per
+    // opposite pair, each midpoint carrying 1/2 per ordered pair
+    g.registerTable("BTE2", Seq((1L, 2L), (2L, 4L), (3L, 4L), (1L, 3L))
+      .toDF("from_BT", "to_BT"))
+    g.registerRel("BTE2", "BTE2", "BT", "BT")
+    val cyc = GraphAlgorithms.betweennessCentrality(g, "BTE2")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // each vertex sits on exactly one of two shortest routes for the
+    // opposite pair, both directions: 2 · 1/2 = 1
+    assert(cyc == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    // landmark subset: sources = {1} accumulates only s=1 dependencies
+    // on the path graph: delta_1(2) = 2 (paths to 3 and 4), delta_1(3) = 1
+    val lm = GraphAlgorithms.betweennessCentrality(g, "BTE", sources = Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lm(2L) == 2.0 && lm(3L) == 1.0 && lm(1L) == 0.0 && lm(5L) == 0.0)
+  }
+
   test("weighted pagerank: from-the-spec fold, scale-invariant shares") {
     import spark.implicits._
     val g = new GraftSession(spark)

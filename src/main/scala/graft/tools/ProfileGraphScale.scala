@@ -92,6 +92,14 @@ object ProfileGraphScale {
           iters = 5).count()
       }
       graft.pipeline.PipelineCaches.clear(blocking = true)
+      // landmark-sampled Brandes: 8 fixed sources — per-source cost is a
+      // frontier BFS + backward sweep over the bipartite graph (2 levels
+      // deep), so wall clock tracks |E| touched, not all-pairs
+      time(s"r$round betweenness(PLACED, 8 landmarks)") {
+        graft.graph.GraphAlgorithms.betweennessCentrality(gs, "PLACED",
+          sources = (1L to 8L), maxDepth = 6).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
     }
     spark.stop()
   }

@@ -1226,6 +1226,17 @@ class EngineSpec extends AnyFunSuite {
     assert(longs(df) == Set(2L, 3L))
   }
 
+  test("[:A|B] alternation composes with OPTIONAL MATCH") {
+    val df = altGs.cypher(
+      """MATCH (a:A)
+        |OPTIONAL MATCH (a)-[r:Likes|Knows]->(b:A)
+        |RETURN a.id AS a_id, count(r) AS n;""".stripMargin)
+    // 1 has 1 Likes + 2 Knows... Likes(1,2) + Knows(1,2),(1,3) = 3;
+    // 2 has Likes(2,3) = 1; 3 and 4 have none but keep their rows
+    assert(rows(df) == Set(Seq(1L, 3L), Seq(2L, 1L),
+      Seq(3L, 0L), Seq(4L, 0L)))
+  }
+
   test("[:A|B] alternation: endpoint-label mismatch and EXISTS are loud") {
     val e1 = intercept[GraftException](altGs.cypher(
       "MATCH (a:A)-[r:Likes|Wrote]->(b) RETURN b.id AS x;"))

@@ -1530,15 +1530,15 @@ object PipelineEntries {
       """WITH o AS (
         |  SELECT user_id,
         |         CAST(row_number() OVER w AS BIGINT) AS pos,
-        |         lag(event_type, 3) OVER w AS c1,
-        |         lag(event_type, 2) OVER w AS c2,
-        |         lag(event_type, 1) OVER w AS c3,
+        |         COALESCE(lag(event_type, 3) OVER w, '<null>') AS c1,
+        |         COALESCE(lag(event_type, 2) OVER w, '<null>') AS c2,
+        |         COALESCE(lag(event_type, 1) OVER w, '<null>') AS c3,
         |         event_type
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id AS user, pos,
         |       c1 || ',' || c2 || ',' || c3 AS context,
-        |       event_type AS label
-        |FROM o WHERE c1 IS NOT NULL""".stripMargin,
+        |       COALESCE(event_type, '<null>') AS label
+        |FROM o WHERE pos > 3""".stripMargin,
 
     // one-scan column profile of documents (same stats per column the
     // Spark side's single aggregate computes)

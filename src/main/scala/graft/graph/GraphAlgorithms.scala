@@ -603,9 +603,10 @@ object GraphAlgorithms {
     val e = base.select(col(r.fromColumn).cast("long").as("f"),
         col(r.toColumn).cast("long").as("t"),
         col(weightCol).cast("double").as("w"))
-    if (e.filter(col("w") <= 0).limit(1).count() > 0)
+    if (e.filter(col("w") <= 0 || col("w").isNull).limit(1).count() > 0)
       throw new graft.cypher.GraftException(
-        s"weightedPageRank: $weightCol must be strictly positive")
+        s"weightedPageRank: $weightCol must be strictly positive " +
+        "(NULL weights would silently poison the share sums)")
     val eW = e
       .join(e.groupBy(col("f").as("__wf")).agg(sum("w").as("__wsum")),
         col("f") === col("__wf"))

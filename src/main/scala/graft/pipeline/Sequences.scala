@@ -28,14 +28,18 @@ object Sequences {
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
-    val lags = (k to 1 by -1).map(i => lag(col(eventCol), i).over(w))
+    // concat_ws silently SKIPS nulls, which would shorten a context
+    // instead of marking the gap — surface null event types explicitly
+    val lags = (k to 1 by -1).map(i =>
+      coalesce(lag(col(eventCol), i).over(w), lit("<null>")))
     events
       .select(col(userCol).as("user"),
         row_number().over(w).cast("long").as("pos"),
         concat_ws(",", lags: _*).as("context"),
-        lags.head.isNotNull.as("__full"),
-        col(eventCol).as("label"))
-      .filter(col("__full"))
-      .drop("__full")
+        coalesce(col(eventCol), lit("<null>")).as("label"))
+      // a full context exists iff the event has k predecessors — gate on
+      // the position, not on lag nullability (a NULL event TYPE is data,
+      // not a missing predecessor)
+      .filter(col("pos") > k)
   }
 }

@@ -59,7 +59,10 @@ object StreamingSequences {
           var pending = st.pending
           for (e <- batch) {
             val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
-            pending = (us, e.eventId, e.eventType) :: pending
+            // the batch operator renders NULL event types as '<null>' in
+            // contexts; mirror that here
+            pending = (us, e.eventId,
+              Option(e.eventType).getOrElse("<null>")) :: pending
           }
 
           // finalize events the watermark has passed, in (ts, id) order —

@@ -1201,6 +1201,16 @@ class SamplingSpec extends AnyFunSuite {
       (2L, 3L, "x,y", "z")))
     // k larger than any stream yields nothing, not an error
     assert(graft.pipeline.Sequences.sequenceExamples(ev, k = 10).isEmpty)
+    // NULL event types surface as the '<null>' sentinel in contexts AND
+    // labels — concat_ws would otherwise silently SHORTEN the context
+    val evN = Seq((1L, 9L, 1000L, "a"), (2L, 9L, 2000L, null),
+        (3L, 9L, 3000L, "c"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("us")))
+    val gotN = graft.pipeline.Sequences.sequenceExamples(evN, k = 2)
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(gotN == Set(("a,<null>", "c")))
   }
 
   test("profileTable: hand-checked per-column stats in one aggregate") {

@@ -582,6 +582,13 @@ object PipelineEntries {
       GraphAlgorithms.assortativity(TpchGraph.session(s, dir),
         "NATION_ADJ", Some(col("n_dist") <= 10))),
 
+    // landmark closeness/harmonic over NATION_NEXT hop distances (same
+    // landmarks as g_shortest) — oracle: the recursive BFS CTE + an
+    // ordered-fold aggregation
+    "g_closeness" -> ((s, dir) =>
+      GraphAlgorithms.closenessCentrality(TpchGraph.session(s, dir),
+        "NATION_NEXT", Seq(24L, 10L, 3L))),
+
     // exact betweenness on the banded subgraph (all vertices as sources;
     // the scalable landmark-sampled form is spec-pinned) — oracle: the
     // CLOSED FORM Σ σ(s,v)·σ(v,t)/σ(s,t) over all-pairs shortest-path
@@ -1499,6 +1506,36 @@ object PipelineEntries {
     "g_eigen" -> eigenOracleSql(),
     "g_wpagerank" -> weightedPagerankOracleSql(),
     "g_between" -> betweennessOracleSql(),
+
+    // same recursive-BFS distances as g_shortest; the harmonic sum folds
+    // over the SORTED (distance, landmark) pairs left to right, exactly
+    // like the Spark side's sorted-collect aggregate
+    "g_closeness" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT n1.n_nationkey AS f, min(n2.n_nationkey) AS t
+        |  FROM nation n1 JOIN nation n2
+        |    ON n1.n_regionkey = n2.n_regionkey AND n2.n_nationkey > n1.n_nationkey
+        |  GROUP BY n1.n_nationkey),
+        |bfs AS (
+        |  SELECT CAST(lm AS BIGINT) AS id, CAST(lm AS BIGINT) AS landmark,
+        |         0 AS dist
+        |  FROM (VALUES (24), (10), (3)) t(lm)
+        |  UNION ALL
+        |  SELECT CAST(nxt.f AS BIGINT), bfs.landmark, bfs.dist + 1
+        |  FROM bfs JOIN nxt ON CAST(nxt.t AS BIGINT) = bfs.id),
+        |b AS (SELECT id, CAST(dist AS BIGINT) AS d, landmark
+        |      FROM bfs WHERE dist > 0),
+        |s AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS reached,
+        |         sum(d) AS sumd,
+        |         list_sort(list(struct_pack(distance := d,
+        |                                    landmark := landmark))) AS pairs
+        |  FROM b GROUP BY id)
+        |SELECT id, reached,
+        |       round(list_reduce(list_transform(pairs, p -> 1.0 / p.distance),
+        |                         (a, x) -> a + x), 6) AS harmonic,
+        |       round(CAST(reached AS DOUBLE) / sumd, 6) AS closeness
+        |FROM s""".stripMargin,
 
     "g_assort" ->
       """WITH e AS (

@@ -157,6 +157,38 @@ object GraphAlgorithms {
       .toDF("id", "landmark", "distance")
   }
 
+  /** Closeness and harmonic centrality with respect to a LANDMARK set,
+    * over hop-count distances ([[shortestPaths]] — GraphX Pregel):
+    * harmonic(v) = Σ_{lm reached, d>0} 1/d(v, lm), closeness(v) =
+    * reached_nonzero / Σ d — the landmark-sampled estimator that stands
+    * in for the all-pairs definition at scale (exact over the landmark
+    * set; sample more landmarks for a tighter estimate). Unreached
+    * vertices are absent, matching [[shortestPaths]]. Returns
+    * (id, reached, harmonic, closeness) with the float columns 6-dp
+    * rounded; both are NULL when every reached landmark is the vertex
+    * itself (no nonzero distances). The fractions fold in ascending
+    * landmark-distance order via a sorted-collect aggregate, so the sum
+    * order is deterministic and the DuckDB mirror reproduces it. */
+  def closenessCentrality(gs: GraftSession, relLabel: String,
+      landmarks: Seq[Long]): DataFrame = {
+    require(landmarks.nonEmpty, "closenessCentrality needs >= 1 landmark")
+    val sp = shortestPaths(gs, relLabel, landmarks)
+      .filter(col("distance") > 0)
+    sp.groupBy(col("id"))
+      .agg(count(lit(1)).as("reached"),
+        sum("distance").as("__sumd"),
+        // deterministic fold order: sort the (distance, landmark) pairs,
+        // then sum 1/d left to right
+        aggregate(
+          sort_array(collect_list(struct(col("distance"), col("landmark")))),
+          lit(0.0),
+          (acc, x) => acc + lit(1.0) / x.getField("distance")).as("__h"))
+      .select(col("id"), col("reached"),
+        round(col("__h"), 6).as("harmonic"),
+        round(col("reached").cast("double") / col("__sumd"), 6)
+          .as("closeness"))
+  }
+
   /** Local clustering coefficient over the UNDIRECTED simple graph induced
     * by `relLabel`, optionally restricted to edges satisfying `edgePred`:
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0.0 when deg(v) < 2.

@@ -318,6 +318,26 @@ class GraphSpec extends AnyFunSuite {
     assert(other != got)
   }
 
+  test("closeness: hand-checked chain distances to landmarks") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("cln", (1L to 4L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // chain 1→2→3→4, landmarks {4, 3}: vertex 1 reaches 4 at d=3 and 3
+    // at d=2 ⇒ harmonic = 1/3 + 1/2, closeness = 2/5
+    g.registerTable("CLE", Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("from_CL", "to_CL"))
+    g.registerNode("CL", "cln", "id")
+    g.registerRel("CLE", "CLE", "CL", "CL")
+    val got = GraphAlgorithms.closenessCentrality(g, "CLE", Seq(4L, 3L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 0.833333, 0.4)))
+    assert(got(2L) == ((2L, 1.5, 0.666667))) // d=2 and d=1
+    assert(got(3L) == ((1L, 1.0, 1.0)))      // only landmark 4 at d=1
+    assert(!got.contains(4L)) // reaches no landmark at d>0
+  }
+
   test("betweenness: hand-checked path/star/bridge, landmark subset") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -582,6 +582,14 @@ object PipelineEntries {
       GraphAlgorithms.assortativity(TpchGraph.session(s, dir),
         "NATION_ADJ", Some(col("n_dist") <= 10))),
 
+    // full core decomposition on the even-gap subgraph (coreness 1 for
+    // the parity-peeled 10 nations, 2 for the surviving 15) — oracle:
+    // nested unroll (peel rounds within ascending k) mirroring the
+    // incremental start-from-previous-core peel
+    "g_coreness" -> ((s, dir) =>
+      GraphAlgorithms.coreNumbers(TpchGraph.session(s, dir), "NATION_ADJ",
+        maxK = 4, edgePred = Some(col("n_dist") % 2 === 0))),
+
     // landmark closeness/harmonic over NATION_NEXT hop distances (same
     // landmarks as g_shortest) — oracle: the recursive BFS CTE + an
     // ordered-fold aggregation
@@ -1020,6 +1028,47 @@ object PipelineEntries {
        |c0 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
        |$steps
        |SELECT a AS id, count(*) AS degree FROM c$rounds GROUP BY a""".stripMargin
+  }
+
+  /** DuckDB mirror of [[GraphAlgorithms.coreNumbers]] on the even-gap
+    * subgraph: for each k (ascending), `rounds` unrolled peel CTEs
+    * starting from the PREVIOUS k's survivors; the vertices each k-peel
+    * removes get coreness k−1, and anything alive after maxK gets maxK —
+    * the same incremental semantics as the engine loop. All iterated
+    * CTEs are MATERIALIZED (3 predecessor references per round). */
+  private def coreNumbersOracleSql(maxK: Int = 4, rounds: Int = 8): String = {
+    def peel(k: Int): String = {
+      val steps = (1 to rounds).map { r =>
+        val prev = if (r == 1) s"s${k - 1}" else s"c${k}_${r - 1}"
+        s"""c${k}_$r AS MATERIALIZED (
+           |  SELECT u.a, u.b FROM $prev u
+           |  WHERE u.a IN (SELECT a FROM $prev GROUP BY a
+           |                HAVING count(*) >= $k)
+           |    AND u.b IN (SELECT a FROM $prev GROUP BY a
+           |                HAVING count(*) >= $k))""".stripMargin
+      }.mkString(",\n")
+      s"""$steps,
+         |s$k AS MATERIALIZED (SELECT a, b FROM c${k}_$rounds),
+         |d$k AS MATERIALIZED (
+         |  SELECT id, CAST(${k - 1} AS BIGINT) AS coreness FROM (
+         |    SELECT DISTINCT a AS id FROM s${k - 1}
+         |    EXCEPT SELECT DISTINCT a FROM s$k))""".stripMargin
+    }
+    val ks = (2 to maxK + 1).map(peel).mkString(",\n")
+    val unions = ((2 to maxK + 1).map(k => s"SELECT * FROM d$k") :+
+      s"""SELECT id, CAST($maxK AS BIGINT) AS coreness
+         |FROM (SELECT DISTINCT a AS id FROM s${maxK + 1})""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+       |         CAST(n2.n_nationkey AS BIGINT) AS b
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey
+       |   AND (n2.n_nationkey - n1.n_nationkey) % 2 = 0),
+       |s1 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |$ks
+       |$unions""".stripMargin
   }
 
   /** DuckDB mirror of [[GraphAlgorithms.hits]]: the identical
@@ -1498,6 +1547,7 @@ object PipelineEntries {
     "g_pagerank" -> pagerankOracleSql(),
     "g_labelprop" -> labelPropOracleSql(),
     "g_kcore" -> kCoreOracleSql(),
+    "g_coreness" -> coreNumbersOracleSql(),
     "g_hits" -> hitsOracleSql(),
     "g_walks" -> randomWalksOracleSql(),
     "g_walks_biased" -> biasedWalksOracleSql(),

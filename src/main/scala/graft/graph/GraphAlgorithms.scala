@@ -394,8 +394,23 @@ object GraphAlgorithms {
       .filter(col("a") =!= col("b"))
     val canon = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct()
-    var (cur, curRdd, curEdges) = rebaseRows(
+    val start = rebaseRows(
       canon.unionAll(canon.select(col("b").as("a"), col("a").as("b"))))
+    val (cur, _, _, rounds) = peelToFixpoint(start, k, maxRounds)
+    lastKCoreRounds.set(rounds)
+    cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** The k-core peel loop over a re-based symmetric edge frame: delete
+    * degree-<k vertices round by round until a round removes nothing (or
+    * `maxRounds`). Consumes (and frees) the input's backing RDD as rounds
+    * advance; returns the surviving frame, its RDD, edge count, and the
+    * round count. Shared by [[kCore]] and [[coreNumbers]]. */
+  private def peelToFixpoint(
+      start: (DataFrame, RDD[org.apache.spark.sql.Row], Long),
+      k: Int, maxRounds: Int)
+      : (DataFrame, RDD[org.apache.spark.sql.Row], Long, Int) = {
+    var (cur, curRdd, curEdges) = start
     var i = 0
     var stable = curEdges == 0
     while (i < maxRounds && !stable) {
@@ -410,8 +425,56 @@ object GraphAlgorithms {
       cur = next; curRdd = nextRdd; curEdges = nextEdges
       i += 1
     }
-    lastKCoreRounds.set(i)
-    cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    (cur, curRdd, curEdges, i)
+  }
+
+  /** Full core decomposition: coreness(v) = the largest k such that v
+    * belongs to the k-core. Iterates [[peelToFixpoint]] with ascending k,
+    * each peel STARTING from the previous k's survivors (the standard
+    * incremental trick — the k-core is a subgraph of the (k−1)-core), and
+    * assigns coreness k−1 to the vertices the k-peel removes. Vertices
+    * absent from the edge list are absent (edge-defined, like [[kCore]]).
+    * Returns (id, coreness).
+    *
+    * Scale shape: Σ_k (peel rounds at k) rebased rounds over a
+    * monotonically SHRINKING edge set — k stops at the degeneracy (the
+    * first k whose core is empty), which is ≤ √(2·|E|) and tiny for
+    * real-world graphs; per-k dropped-vertex frames are |V|-bounded. */
+  def coreNumbers(gs: GraftSession, relLabel: String, maxK: Int = 64,
+      maxRoundsPerK: Int = 50, edgePred: Option[Column] = None): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    var state = rebaseRows(
+      canon.unionAll(canon.select(col("b").as("a"), col("a").as("b"))))
+    def vertsOf(df: DataFrame): DataFrame =
+      df.select(col("a").as("id")).distinct()
+    var prevVerts = vertsOf(state._1)
+    val assigned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var k = 2
+    var emptied = state._3 == 0
+    while (!emptied && k <= maxK + 1) {
+      val (cur, rdd, edges, _) = peelToFixpoint(state, k, maxRoundsPerK)
+      val curVerts = vertsOf(cur)
+      val (dropped, _, _) = rebaseRows(prevVerts
+        .join(curVerts.withColumnRenamed("id", "__kid"),
+          col("id") === col("__kid"), "left_anti")
+        .select(col("id"), lit((k - 1).toLong).as("coreness")))
+      assigned += dropped
+      state = (cur, rdd, edges)
+      prevVerts = curVerts
+      emptied = edges == 0
+      k += 1
+    }
+    if (!emptied) // degeneracy above maxK: remaining vertices get maxK
+      assigned += prevVerts.select(col("id"),
+        lit(maxK.toLong).as("coreness"))
+    assigned.reduce(_ unionByName _)
   }
 
   /** Peel rounds the last [[kCore]] call executed — test probe for the

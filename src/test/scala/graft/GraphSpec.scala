@@ -198,6 +198,27 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphAlgorithms.kCore(g, "KE", k = 4).count() == 0)
   }
 
+  test("core numbers: hand-checked K4 + tail + pendant") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("con", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // K4 on {1,2,3,4} (coreness 3), tail 4-5 (5: coreness 1), pendant
+    // 5-6 (6: coreness 1)
+    g.registerTable("COE", Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+        (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("from_CO", "to_CO"))
+    g.registerNode("CO", "con", "id")
+    g.registerRel("COE", "COE", "CO", "CO")
+    val got = GraphAlgorithms.coreNumbers(g, "COE")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L))
+    // consistency with kCore membership: the 3-core is exactly the
+    // coreness->=3 set
+    val core3 = GraphAlgorithms.kCore(g, "COE", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(core3 == got.filter(_._2 >= 3L).keySet)
+  }
+
   test("hits: hubs and authorities on a hand-checked star, dups collapse") {
     import spark.implicits._
     val g = new GraftSession(spark)

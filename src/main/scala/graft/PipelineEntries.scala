@@ -619,6 +619,17 @@ object PipelineEntries {
     "g_eigen" -> ((s, dir) =>
       GraphAlgorithms.eigenvectorCentrality(TpchGraph.session(s, dir),
         "NATION_ADJ", iters = 10, edgePred = Some(col("n_dist") <= 10))),
+
+    // full multi-level Louvain (2 levels × 4 synchronous bit-staggered
+    // rounds, exact integer modularity-gain scores) on the banded
+    // subgraph — level 1 under-merges by construction (fixed rounds
+    // split regions), level 2's contraction completes the per-region
+    // communities, so the gate exercises local moving AND the weighted
+    // self-loop contraction; oracle: the identical integer arithmetic
+    // unrolled through the contraction
+    "g_louvain" -> ((s, dir) =>
+      GraphAlgorithms.louvain(TpchGraph.session(s, dir), "NATION_ADJ",
+        rounds = 4, levels = 2, edgePred = Some(col("n_dist") <= 10))),
   )
 
   // ---- generated oracle SQL -----------------------------------------------
@@ -954,6 +965,87 @@ object PipelineEntries {
   private def labelPropOracleSql(iters: Int = 5): String =
     s"""WITH ${labelPropCtesSql(iters)}
        |SELECT id, label FROM l$iters""".stripMargin
+
+  /** DuckDB mirror of [[GraphAlgorithms.louvain]], levels × rounds fully
+    * unrolled. Per round the EXACT INTEGER score
+    * `totW2·k − s·(vol − [c = cur]·s)` ranks candidate communities
+    * (row_number, ties → smallest community id) and only vertices with
+    * bit (round−1) mod 64 of the id CLEAR may move; between levels the
+    * edge list contracts via least/greatest community endpoints so
+    * internal edges fold into self-loops (strength counts them twice).
+    * Round and contraction CTEs are MATERIALIZED: each round references
+    * its predecessor three times, the same 3^rounds inlining blow-up the
+    * Spark side's rebaseRows exists to avoid. */
+  private def louvainOracleSql(rounds: Int = 4, levels: Int = 2): String = {
+    def levelCtes(l: Int): String = {
+      val prep =
+        s"""sym$l AS (SELECT a, b, w FROM e$l WHERE a <> b
+           |  UNION ALL SELECT b, a, w FROM e$l WHERE a <> b),
+           |v$l AS (SELECT DISTINCT id FROM (
+           |  SELECT a AS id FROM e$l UNION ALL SELECT b AS id FROM e$l)),
+           |st$l AS MATERIALIZED (
+           |  SELECT v.id, COALESCE(sw.s, 0) + 2 * COALESCE(se.s, 0) AS s
+           |  FROM v$l v
+           |  LEFT JOIN (SELECT a AS id, sum(w) AS s FROM sym$l GROUP BY a) sw
+           |    ON sw.id = v.id
+           |  LEFT JOIN (SELECT a AS id, sum(w) AS s FROM e$l WHERE a = b
+           |             GROUP BY a) se ON se.id = v.id),
+           |tot$l AS (SELECT sum(s) AS t2 FROM st$l),
+           |c${l}_0 AS (SELECT id, id AS c FROM st$l)""".stripMargin
+      val rnds = (1 to rounds).map { t =>
+        s"""sc${l}_$t AS (
+           |  SELECT cand.a, cand.cc, cur.c AS curc,
+           |         tot.t2 * cand.k - st.s *
+           |           (vol.vol - CASE WHEN cand.cc = cur.c THEN st.s
+           |                           ELSE 0 END) AS s
+           |  FROM (SELECT a, cc, max(k) AS k FROM (
+           |          SELECT u.a, p.c AS cc, sum(u.w) AS k
+           |          FROM sym$l u JOIN c${l}_${t - 1} p ON p.id = u.b
+           |          GROUP BY u.a, p.c
+           |          UNION ALL SELECT id, c, 0 FROM c${l}_${t - 1})
+           |        GROUP BY a, cc) cand
+           |  JOIN st$l st ON st.id = cand.a
+           |  JOIN (SELECT p.c AS cc, sum(st2.s) AS vol
+           |        FROM c${l}_${t - 1} p JOIN st$l st2 ON st2.id = p.id
+           |        GROUP BY p.c) vol ON vol.cc = cand.cc
+           |  JOIN c${l}_${t - 1} cur ON cur.id = cand.a, tot$l tot),
+           |c${l}_$t AS MATERIALIZED (
+           |  SELECT a AS id,
+           |         CASE WHEN ((a >> ${(t - 1) % 64}) & 1) = 0 THEN cc
+           |              ELSE curc END AS c
+           |  FROM (SELECT a, cc, curc,
+           |               row_number() OVER (PARTITION BY a
+           |                 ORDER BY s DESC, cc ASC) AS rk
+           |        FROM sc${l}_$t) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      prep + ",\n" + rnds
+    }
+    val body = (0 until levels).map { l =>
+      val contraction = if (l == 0) "" else
+        s"""e$l AS MATERIALIZED (
+           |  SELECT least(ca.c, cb.c) AS a, greatest(ca.c, cb.c) AS b,
+           |         sum(e.w) AS w
+           |  FROM e${l - 1} e
+           |  JOIN c${l - 1}_$rounds ca ON ca.id = e.a
+           |  JOIN c${l - 1}_$rounds cb ON cb.id = e.b
+           |  GROUP BY 1, 2),
+           |""".stripMargin
+      contraction + levelCtes(l)
+    }.mkString(",\n")
+    val compose = (1 until levels).foldLeft(s"SELECT id, c FROM c0_$rounds") {
+      (acc, l) =>
+        s"SELECT m.id, n.c FROM ($acc) m JOIN c${l}_$rounds n ON n.id = m.c"
+    }
+    s"""WITH e0 AS (
+       |  SELECT CAST(n1.n_nationkey AS BIGINT) AS a,
+       |         CAST(n2.n_nationkey AS BIGINT) AS b, CAST(1 AS BIGINT) AS w
+       |  FROM nation n1 JOIN nation n2
+       |    ON n1.n_regionkey = n2.n_regionkey
+       |   AND n1.n_nationkey < n2.n_nationkey
+       |   AND n2.n_nationkey - n1.n_nationkey <= 10),
+       |$body
+       |SELECT id, CAST(c AS BIGINT) AS community FROM ($compose)""".stripMargin
+  }
 
   /** DuckDB mirror of [[GraphAlgorithms.modularity]] over the labelprop
     * communities: re-derives the same banded edges and label rounds, then
@@ -1546,6 +1638,7 @@ object PipelineEntries {
     "p_reduce_dim" -> reduceDimOracleSql(),
     "g_pagerank" -> pagerankOracleSql(),
     "g_labelprop" -> labelPropOracleSql(),
+    "g_louvain" -> louvainOracleSql(),
     "g_kcore" -> kCoreOracleSql(),
     "g_coreness" -> coreNumbersOracleSql(),
     "g_hits" -> hitsOracleSql(),

@@ -1099,6 +1099,178 @@ object GraphAlgorithms {
           6).as("r"))
   }
 
+  /** Louvain community detection (Blondel et al. 2008) — synchronous
+    * local-moving rounds with deterministic parity staggering, optionally
+    * multi-level: after each level's rounds, communities contract into
+    * weighted super-nodes (cross weights summed, internal edges folded
+    * into self-loops) and the local moving repeats on the coarse graph.
+    * Returns (id, community) over the ORIGINAL vertex ids, composed
+    * through every level.
+    *
+    * Determinism (the property GraphX's LPA and textbook sequential
+    * Louvain both lack): each round every PERMITTED vertex evaluates the
+    * candidate set {its neighbors' communities} ∪ {its own} and adopts
+    * the argmax of the EXACT INTEGER score
+    * `S(i,c) = totW2·k(i,c) − s(i)·(vol(c) − [c = c_i]·s(i))`
+    * (ties → smallest community id), which orders candidates identically
+    * to the real-valued modularity gain ΔQ = k/ (2m) − s·vol'/(2m)² — it
+    * is ΔQ·(2m)² with the constant own-community terms folded out, so no
+    * float ever enters the comparison and the DuckDB mirror reproduces
+    * the run bit-for-bit. Synchronous argmax moves oscillate on symmetric
+    * structures (a 4-cycle 2-colors itself forever; two super-nodes swap
+    * labels), the standard distributed-Louvain hazard; the mitigation is
+    * bit staggering — round t only lets vertices whose id has BIT
+    * `(t−1) mod 64` clear move. Any two distinct ids differ in some bit,
+    * so every pairwise swap cycle de-synchronizes within 64 rounds
+    * (plain even/odd parity fails exactly when a swapping pair shares
+    * parity — observed between contracted super-nodes 6 and 16), while
+    * the schedule stays a pure function of (id, round).
+    * Overflow bound: |S| < totW2·s(max) must stay under 2^63, which
+    * holds through ~2·10⁹ unit-weight edges against a 10⁹-strength hub —
+    * beyond that, scale weights down before calling (documented, loud at
+    * the gate scale it cannot hit).
+    *
+    * Scale shape per round (per level): the one |E|-proportional shuffle
+    * is the neighbor-community weight aggregate — a map-side-combining
+    * `reduceByKey` fed by a NARROW join against the pre-partitioned
+    * symmetric edge RDD (see [[louvainLocalMoving]] for why the rounds
+    * run on RDD primitives); volumes/strengths are |V|-row reduces and
+    * the global weight is one driver long. Round state is persisted,
+    * materialized, and the prior round freed, so lineage stays flat.
+    * Contraction is one groupBy over the current edge list; coarse
+    * levels shrink geometrically, so the total cost is dominated by
+    * level 0, exactly the published behavior.
+    *
+    * Reference: brahmand has no graph-algorithm library (ClickHouse
+    * cannot iterate); this extends the analytics surface the way
+    * labelPropagation/modularity already do. */
+  def louvain(gs: GraftSession, relLabel: String, rounds: Int = 4,
+      levels: Int = 1, edgePred: Option[Column] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    val r = gs.catalog.rel(relLabel)
+    val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
+    val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
+        col(r.toColumn).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var canon = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+      .withColumn("w", lit(1L))
+    var mapping: DataFrame = null
+    var level = 0
+    while (level < levels) {
+      val labels = louvainLocalMoving(canon, rounds)
+      mapping =
+        if (mapping == null) labels.select(col("id"), col("c").as("community"))
+        else rebaseRows(mapping
+          .join(labels.select(col("id").as("__cid"), col("c").as("__cnew")),
+            col("community") === col("__cid"))
+          .select(col("id"), col("__cnew").as("community")))._1
+      if (level < levels - 1) {
+        // contract: endpoints → communities; least/greatest folds internal
+        // edges (and prior self-loops) into community self-loops whose
+        // weight keeps vol(c) invariant across the level change. Re-based
+        // to a fresh scan so level l+1's round plans don't nest level l's.
+        val lab = labels.select(col("id").as("__lid"), col("c").as("__lc"))
+        canon = rebaseRows(canon
+          .join(lab.withColumnRenamed("__lid", "__la"), col("a") === col("__la"))
+          .withColumnRenamed("__lc", "__ca")
+          .join(lab.withColumnRenamed("__lid", "__lb")
+            .withColumnRenamed("__lc", "__cb"), col("b") === col("__lb"))
+          .select(least(col("__ca"), col("__cb")).as("a"),
+            greatest(col("__ca"), col("__cb")).as("b"), col("w"))
+          .groupBy("a", "b").agg(sum("w").as("w")))._1
+      }
+      level += 1
+    }
+    mapping
+  }
+
+  /** One Louvain level: `rounds` synchronous bit-staggered local-move
+    * rounds over a weighted canonical edge list (a ≤ b; a = b rows are
+    * self-loops carrying contracted internal weight). Returns (id, c).
+    *
+    * The rounds run on RDD `reduceByKey`/`join` primitives rather than
+    * per-round DataFrame plans — the HITS rationale: a Catalyst plan per
+    * round pays planning + codegen compilation `rounds` times (measured
+    * 6.6 s for the 25-vertex gate as DataFrame rounds, even with
+    * rebaseRows flattening lineage), while the RDD loop's per-round job
+    * is tens of ms. Nothing scale-relevant is lost: `reduceByKey` is
+    * map-side combining like a partial aggregate, the neighbor-count
+    * join runs co-partitioned against the pre-partitioned symmetric edge
+    * RDD (narrow on the |E| side), and all arithmetic is exact longs.
+    * Per-round state is persisted and the predecessor freed, the Pregel
+    * discipline. */
+  private def louvainLocalMoving(canon: DataFrame, rounds: Int): DataFrame = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    def trackRdd[T](r: RDD[T]): RDD[T] = {
+      val p = r.persist(StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.PipelineCaches.onClear(p)(_.unpersist(blocking = false))
+      p
+    }
+    val canonRdd = canon.select("a", "b", "w").as[(Long, Long, Long)].rdd
+    val parts = math.max(1, math.min(canonRdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val self = canonRdd.filter(t => t._1 == t._2).map(t => (t._1, t._3))
+    val cross = canonRdd.filter(t => t._1 != t._2)
+    // keyed by the NEIGHBOR endpoint so each round's label join is narrow
+    val symByB = trackRdd(cross
+      .flatMap(t => Seq((t._2, (t._1, t._3)), (t._1, (t._2, t._3))))
+      .partitionBy(part))
+    // strength s(i) = Σ_{j≠i} w_ij + 2·w_ii  (self-loops count twice, the
+    // convention that keeps community volume invariant under contraction)
+    val strength = trackRdd(symByB.map { case (_, (a, w)) => (a, w) }
+      .union(self.mapValues(_ * 2L))
+      .reduceByKey(part, _ + _))
+    val totW2 = strength.map(_._2).fold(0L)(_ + _)
+    var labels = trackRdd(strength
+      .map { case (id, _) => (id, id) }.partitionBy(part))
+    labels.count()
+    var t = 1
+    while (t <= rounds) {
+      val prev = labels
+      // k(i,c): weight from i into each neighbor community
+      val cnt = symByB.join(prev)
+        .map { case (_, ((a, w), cb)) => ((a, cb), w) }
+        .reduceByKey(_ + _)
+        .map { case ((a, c), k) => (c, (a, k)) }
+      // community volumes; both joins below are co-partitioned (narrow)
+      val vol = prev.join(strength)
+        .map { case (_, (c, s)) => (c, s) }.reduceByKey(_ + _)
+      val curWithVol = prev.join(strength)
+        .map { case (id, (c, s)) => (c, (id, s)) }
+        .join(vol)
+        .map { case (c, ((id, s), v)) => (id, (c, s, v)) }
+      // candidate scores; the explicit stay row (k = 0) keeps the own
+      // community in play when i has no neighbor inside it — when it
+      // does, the real k(i,cur) row scores strictly higher and wins
+      val scored = cnt.join(vol)
+        .map { case (c, ((a, k), v)) => (a, (c, k, v)) }
+        .join(curWithVol)
+        .map { case (a, ((c, k, v), (curc, s, _))) =>
+          val volAdj = if (c == curc) v - s else v
+          (a, (totW2 * k - s * volAdj, c))
+        }
+      val stay = curWithVol.map { case (id, (curc, s, cv)) =>
+        (id, (-s * (cv - s), curc))
+      }
+      val best = scored.union(stay).reduceByKey(part, (x, y) =>
+        if (x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)) x else y)
+      // bit staggering: only ids with bit (t-1)%64 clear may move
+      val bit = (t - 1) % 64
+      labels = trackRdd(best.join(prev, part).map {
+        case (id, ((_, bestc), curc)) =>
+          (id, if (((id >> bit) & 1L) == 0L) bestc else curc)
+      }.partitionBy(part))
+      labels.count()
+      prev.unpersist(blocking = false)
+      t += 1
+    }
+    labels.toDF("id", "c")
+  }
+
   /** In/out degree per vertex from the edge list (pure DataFrame op). */
   def degrees(gs: GraftSession, relLabel: String): DataFrame = {
     val r = gs.catalog.rel(relLabel)

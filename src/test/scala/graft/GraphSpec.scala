@@ -559,4 +559,65 @@ class GraphSpec extends AnyFunSuite {
       .toSet
     assert(again == got)
   }
+
+  private def louvainSession(edges: Seq[(Long, Long)], n: Long): GraftSession = {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("lvn", (1L to n).map(i => (i, s"v$i")).toDF("id", "name"))
+    g.registerTable("LVE", edges.toDF("from_LV", "to_LV"))
+    g.registerNode("LV", "lvn", "id")
+    g.registerRel("LVE", "LVE", "LV", "LV")
+    g
+  }
+
+  private def louvainMap(g: GraftSession, rounds: Int, levels: Int)
+      : Map[Long, Long] =
+    GraphAlgorithms.louvain(g, "LVE", rounds = rounds, levels = levels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("louvain: two K5s resolve to the cliques; level 2 stable") {
+    val k5a = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val k5b = for { i <- 6L to 10L; j <- (i + 1) to 10L } yield (i, j)
+    val g = louvainSession(k5a ++ k5b :+ (5L -> 6L), 10)
+    val l1 = louvainMap(g, rounds = 4, levels = 1)
+    assert(l1 == ((1L to 5L).map(_ -> 1L) ++ (6L to 10L).map(_ -> 7L)).toMap)
+    // the partition is already optimal: contraction finds no merge
+    assert(louvainMap(g, rounds = 4, levels = 2) == l1)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("louvain: contraction completes what short local moving leaves") {
+    val k5a = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val k5b = for { i <- 6L to 10L; j <- (i + 1) to 10L } yield (i, j)
+    val g = louvainSession(k5a ++ k5b :+ (5L -> 6L), 10)
+    // 2 rounds strand vertex 3 as a singleton inside clique A...
+    val l1 = louvainMap(g, rounds = 2, levels = 1)
+    assert(l1.values.toSet.size == 3)
+    assert(l1(3L) == 3L && l1(1L) == 1L)
+    // ...and the level-2 contraction (weighted super-edges + self-loops)
+    // merges the stranded super-node back into its clique
+    val l2 = louvainMap(g, rounds = 2, levels = 2)
+    assert(l2 == ((1L to 5L).map(_ -> 3L) ++ (6L to 10L).map(_ -> 7L)).toMap)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("louvain: bit staggering breaks the 4-cycle oscillation") {
+    // duplicate + reversed edges must collapse into the simple square
+    val g = louvainSession(
+      Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 4L, 4L -> 3L, 1L -> 4L), 4)
+    // plain synchronous argmax 2-colors a square forever; staggered
+    // rounds settle on the (equal-modularity) opposite-edge split
+    assert(louvainMap(g, rounds = 4, levels = 1) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("louvain: hexagon level 2 keeps the optimal two-arc split") {
+    val g = louvainSession(
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 1L -> 6L), 6)
+    val l2 = louvainMap(g, rounds = 4, levels = 2)
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L))
+    graft.pipeline.PipelineCaches.clear()
+  }
 }

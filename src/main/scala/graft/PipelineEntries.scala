@@ -620,6 +620,15 @@ object PipelineEntries {
       GraphAlgorithms.eigenvectorCentrality(TpchGraph.session(s, dir),
         "NATION_ADJ", iters = 10, edgePred = Some(col("n_dist") <= 10))),
 
+    // strongly connected components over the cyclic NATION_RING fixture
+    // (per-region directed rings + one-way bridges): SCCs stay one per
+    // ring while undirected reachability is a single component, so the
+    // oracle witnesses MUTUAL reachability — recursive-CTE transitive
+    // closure + min over the symmetric-reach pairs
+    "g_scc" -> ((s, dir) =>
+      GraphAlgorithms.stronglyConnectedComponents(
+        TpchGraph.session(s, dir), "NATION_RING")),
+
     // full multi-level Louvain (2 levels × 4 synchronous bit-staggered
     // rounds, exact integer modularity-gain scores) on the banded
     // subgraph — level 1 under-merges by construction (fixed rounds
@@ -965,6 +974,38 @@ object PipelineEntries {
   private def labelPropOracleSql(iters: Int = 5): String =
     s"""WITH ${labelPropCtesSql(iters)}
        |SELECT id, label FROM l$iters""".stripMargin
+
+  /** DuckDB mirror of [[GraphAlgorithms.stronglyConnectedComponents]]
+    * over the NATION_RING fixture: re-derives the ring edges (per-region
+    * successor chain + wrap + one-way bridges), builds the transitive
+    * closure with a recursive CTE, and assigns each vertex the MINIMUM id
+    * among mutually-reachable vertices (self included) — the GraphX
+    * lowest-id-in-SCC convention. A deliberately different derivation
+    * from the engine's coloring algorithm (oracles need correctness, not
+    * scale). */
+  private def sccOracleSql: String =
+    s"""WITH RECURSIVE rmm AS (
+       |  SELECT n_regionkey AS rg, CAST(min(n_nationkey) AS BIGINT) AS mn,
+       |         CAST(max(n_nationkey) AS BIGINT) AS mx
+       |  FROM nation GROUP BY n_regionkey),
+       |e AS (
+       |  SELECT f, t FROM (
+       |    SELECT CAST(n_nationkey AS BIGINT) AS f,
+       |           CAST(lead(n_nationkey) OVER (PARTITION BY n_regionkey
+       |             ORDER BY n_nationkey) AS BIGINT) AS t
+       |    FROM nation) WHERE t IS NOT NULL
+       |  UNION ALL SELECT mx, mn FROM rmm
+       |  UNION ALL SELECT r1.mn, r2.mn FROM rmm r1
+       |    JOIN rmm r2 ON r1.rg = 0 AND r2.rg = 1),
+       |v AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+       |r AS (SELECT f AS src, t AS dst FROM e
+       |      UNION
+       |      SELECT r.src, e.t FROM r JOIN e ON e.f = r.dst),
+       |mut AS (SELECT id, id AS o FROM v
+       |        UNION ALL
+       |        SELECT a.src AS id, a.dst AS o
+       |        FROM r a JOIN r b ON b.src = a.dst AND b.dst = a.src)
+       |SELECT id, min(o) AS component FROM mut GROUP BY id""".stripMargin
 
   /** DuckDB mirror of [[GraphAlgorithms.louvain]], levels × rounds fully
     * unrolled. Per round the EXACT INTEGER score
@@ -1639,6 +1680,7 @@ object PipelineEntries {
     "g_pagerank" -> pagerankOracleSql(),
     "g_labelprop" -> labelPropOracleSql(),
     "g_louvain" -> louvainOracleSql(),
+    "g_scc" -> sccOracleSql,
     "g_kcore" -> kCoreOracleSql(),
     "g_coreness" -> coreNumbersOracleSql(),
     "g_hits" -> hitsOracleSql(),

@@ -102,6 +102,31 @@ object TpchGraph {
       .filter(col("to_Nation").isNotNull))
     gs.registerRel("NATION_NEXT", "NATION_NEXT", "Nation", "Nation")
 
+    // cyclic directed fixture: NATION_NEXT plus the wrap edge (region max
+    // key → region min key) makes each region one directed ring, and ONE
+    // one-way bridge (region 0's min key → region 1's min key) connects
+    // two rings without creating a cross-region cycle — so strongly
+    // connected components are the 5 rings while rings 0 and 1 merge
+    // under undirected reachability, the distinction an SCC oracle must
+    // witness. A single bridge (not a chain) keeps the condensation DAG
+    // two layers deep: GraphX's SCC finalizes one condensation layer per
+    // outer iteration, so a 5-ring bridge chain would need 6+ iterations
+    // for a fixture whose point is direction, not depth.
+    val rext = nation.groupBy(col("n_regionkey").as("__rg"))
+      .agg(min("n_nationkey").as("__rmin"), max("n_nationkey").as("__rmax"))
+    val wrapE = rext.select(col("__rmax").as("from_Nation"),
+      col("__rmin").as("to_Nation"))
+    val bridgeE = rext.alias("r1").join(rext.alias("r2"),
+        col("r1.__rg") === 0 && col("r2.__rg") === 1)
+      .select(col("r1.__rmin").as("from_Nation"),
+        col("r2.__rmin").as("to_Nation"))
+    gs.registerTable("NATION_RING", nation
+      .select(col("n_nationkey").as("from_Nation"),
+              lead(col("n_nationkey"), 1).over(w).as("to_Nation"))
+      .filter(col("to_Nation").isNotNull)
+      .unionAll(wrapE).unionAll(bridgeE))
+    gs.registerRel("NATION_RING", "NATION_RING", "Nation", "Nation")
+
     // customer→region shortcut edge; closes the FROM_NATION/IN_REGION triangle
     gs.registerTable("CUST_REGION", customer.join(nation,
         col("c_nationkey") === col("n_nationkey"))

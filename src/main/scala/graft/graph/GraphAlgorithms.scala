@@ -62,6 +62,32 @@ object GraphAlgorithms {
       .toDF("id", "component")
   }
 
+  /** Strongly connected components of the DIRECTED graph (GraphX's
+    * coloring/propagation algorithm); component id = the minimum vertex
+    * id in the SCC, so the output convention matches
+    * [[connectedComponents]]. `numIter` bounds the outer peel loop —
+    * each iteration finalizes at least the condensation DAG's current
+    * sources/sinks, so it needs to cover the longest chain of SCCs, not
+    * the diameter; vertices GraphX has not finalized keep a provisional
+    * color, which a fixed bound makes deterministic but potentially
+    * unconverged — size it like the hop bounds on the BFS operators.
+    * Isolated vertices (in the node tables but no edges) are their own
+    * SCC, as in [[connectedComponents]]. Returns (id, component).
+    *
+    * The oracle distinction this must witness: over a graph whose
+    * regions are directed rings joined by ONE-WAY bridges, undirected
+    * reachability is a single component while SCCs keep one component
+    * per ring — mutual reachability only. */
+  def stronglyConnectedComponents(gs: GraftSession, relLabel: String,
+      numIter: Int = 10): DataFrame = {
+    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
+    val spark = gs.spark
+    import spark.implicits._
+    tracked(graph(gs, relLabel).stronglyConnectedComponents(numIter))
+      .vertices.map { case (id, comp) => (id, comp) }
+      .toDF("id", "component")
+  }
+
   /** PageRank (fixed iterations for determinism). Returns (id, rank). */
   def pageRank(gs: GraftSession, relLabel: String, iters: Int = 10,
       resetProb: Double = 0.15): DataFrame = {

@@ -560,6 +560,27 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("scc: mutual reachability only, lowest id, isolated kept") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("sn", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // 3-cycle 1→2→3→1, one-way bridge 3→4, 2-cycle 4⇄5, isolated 6
+    g.registerTable("SE", Seq(
+        (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L))
+      .toDF("from_S", "to_S"))
+    g.registerNode("S", "sn", "id")
+    g.registerRel("SE", "SE", "S", "S")
+    val scc = GraphAlgorithms.stronglyConnectedComponents(g, "SE")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+    // the one-way bridge merges everything under UNDIRECTED reachability
+    val cc = GraphAlgorithms.connectedComponents(g, "SE")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(4L) == 1L && cc(5L) == 1L && scc(4L) == 4L)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   private def louvainSession(edges: Seq[(Long, Long)], n: Long): GraftSession = {
     import spark.implicits._
     val g = new GraftSession(spark)

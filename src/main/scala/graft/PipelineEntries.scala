@@ -272,6 +272,18 @@ object PipelineEntries {
       Sampling.mixtureWeights(docs(s, dir), "source",
         Map("src0" -> 0.2, "src1" -> 0.2, "src2" -> 0.1))),
 
+    // temperature-based (alpha = 0.3) mixture balancing: no hand-written
+    // target — the target IS share^0.3 renormalized, so rare sources
+    // up-weight and dominant ones thin (XLM-R-style corpus flattening)
+    "p_tempmix" -> ((s, dir) =>
+      Sampling.temperatureWeights(docs(s, dir), "source", alpha = 0.3)),
+
+    // ...and its realized resample: per-doc epochs from the 4-dp report
+    // weights via the same MINSTD² fractional-keep arithmetic as p_mix
+    "p_tempsample" -> ((s, dir) =>
+      Sampling.temperatureSample(docs(s, dir), "source", alpha = 0.3)
+        .select("doc_id", "source", "epoch")),
+
     // seeded deterministic global shuffle into training shards (the
     // oracle recomputes the permutation from doc_id alone — shard order
     // is engine-portable)
@@ -1808,6 +1820,47 @@ object PipelineEntries {
         |                     WHEN 'src2' THEN 0.1 ELSE 0.0 END)
         |        / (count(*) / sum(count(*)) OVER ()), 4)) AS BIGINT)) AS repeats
         |FROM documents GROUP BY source""".stripMargin,
+
+    // temperature weights: share^0.3 renormalized; the denominator folds
+    // a SORTED list so float addition order matches the Spark side
+    "p_tempmix" ->
+      """WITH d AS (SELECT source AS domain, count(*) AS n
+        |           FROM documents GROUP BY source),
+        |p AS (SELECT domain, n,
+        |             CAST(n AS DOUBLE) / (SELECT sum(n) FROM d) AS share,
+        |             pow(CAST(n AS DOUBLE) / (SELECT sum(n) FROM d), 0.3) AS ps
+        |      FROM d),
+        |den AS (SELECT list_sum(list_sort(list(ps))) AS denom FROM p)
+        |SELECT domain, n, round(share, 6) AS share,
+        |       round(ps / denom, 6) AS temp_share,
+        |       round(ps / denom / share, 4) AS weight,
+        |       least(1.0, round(ps / denom / share, 4)) AS down_rate,
+        |       greatest(1, CAST(ceil(round(ps / denom / share, 4)) AS BIGINT))
+        |         AS repeats
+        |FROM p, den""".stripMargin,
+
+    // temperature resample: the 4-dp report weight drives the identical
+    // floor + fractional-MINSTD² epoch arithmetic as p_mix
+    "p_tempsample" ->
+      """WITH d AS (SELECT source AS domain, count(*) AS n
+        |           FROM documents GROUP BY source),
+        |p AS (SELECT domain,
+        |             CAST(n AS DOUBLE) / (SELECT sum(n) FROM d) AS share,
+        |             pow(CAST(n AS DOUBLE) / (SELECT sum(n) FROM d), 0.3) AS ps
+        |      FROM d),
+        |den AS (SELECT list_sum(list_sort(list(ps))) AS denom FROM p),
+        |wt AS (SELECT domain, round(ps / denom / share, 4) AS wt FROM p, den),
+        |w AS (SELECT doc_id, source, wt.wt AS wt,
+        |             ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |               % 2147483647 % 1000000 AS h
+        |      FROM documents JOIN wt ON wt.domain = documents.source),
+        |c AS (SELECT doc_id, source,
+        |             CAST(floor(wt) AS BIGINT) +
+        |             CASE WHEN h < CAST(round((wt - floor(wt)) * 1000000) AS BIGINT)
+        |                  THEN 1 ELSE 0 END AS n
+        |      FROM w)
+        |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+        |FROM c WHERE n > 0""".stripMargin,
 
     // the permutation recomputed from doc_id alone: seeded MINSTD² bucket
     // (id mod M + seed) * 48271 mod M * 48271 mod M mod 1e6, M = 2^31-1

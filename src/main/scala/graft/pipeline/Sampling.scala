@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   *    report observed shares and the weight / down-sampling rate /
   *    up-sampling repeats that realize it (what you inspect and sign off
   *    before running the resample);
+  *  - [[temperatureWeights]] / [[temperatureSample]] — the same plan /
+  *    execute pair where the target is share^alpha renormalized
+  *    (temperature balancing, XLM-R-style) instead of hand-written;
   *  - [[seededShuffle]] / [[writeShards]] — seeded deterministic global
   *    shuffle into training shards, and its partitioned write path.
   *
@@ -88,6 +91,66 @@ object Sampling {
       .withColumn("repeats",
         when(col("weight").isNotNull,
           greatest(lit(1L), ceil(col("weight")).cast("long"))))
+  }
+
+  /** Temperature-based (exponent-`alpha`) mixture re-balancing report —
+    * the multilingual-pretraining technique (XLM-R / mT5: sample domain
+    * d with probability ∝ share_d^alpha, alpha < 1 flattens the
+    * distribution toward rare domains, alpha = 1 is the natural mix,
+    * alpha → 0 approaches uniform). Unlike [[mixtureWeights]] there is
+    * no hand-written target: the target IS share^alpha renormalized.
+    * Returns per domain (domain, n, share, temp_share, weight,
+    * down_rate, repeats) with weight = temp_share / share — feed the
+    * weights to [[Corpus.mixtureSample]] (or call [[temperatureSample]]
+    * for the fused path).
+    *
+    * Scale shape: one map-side-combinable count aggregate over
+    * ~|domains| keys; everything after runs on the aggregated tiny
+    * frame (the denominator Σ share^alpha is folded from a SORTED
+    * collected list so the float addition order is deterministic and
+    * engine-portable — a plain float `sum()` would follow Spark's
+    * combine order, the cross-engine flake class bm25Scores documents).
+    * down_rate / repeats derive from the 4-dp ROUNDED weight so an
+    * external mirror reproduces them exactly. */
+  def temperatureWeights(docs: DataFrame, domainCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val perDom = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n"))
+      // integer total: order-free, safe over an unbounded window
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("share", col("n") / col("total"))
+      .withColumn("__ps", pow(col("share"), lit(alpha)))
+    val denom = perDom.groupBy()
+      .agg(aggregate(sort_array(collect_list(col("__ps"))), lit(0.0),
+        (acc, x) => acc + x).as("__denom"))
+    perDom.crossJoin(broadcast(denom))
+      .withColumn("temp_share", col("__ps") / col("__denom"))
+      .withColumn("weight", round(col("temp_share") / col("share"), 4))
+      .select(col("domain"), col("n"), round(col("share"), 6).as("share"),
+        round(col("temp_share"), 6).as("temp_share"), col("weight"),
+        least(lit(1.0), col("weight")).as("down_rate"),
+        greatest(lit(1L), ceil(col("weight")).cast("long")).as("repeats"))
+  }
+
+  /** Realize a temperature-`alpha` mixture: [[temperatureWeights]] to
+    * plan, [[Corpus.mixtureSample]] to execute — rare domains replicate
+    * into extra epochs, over-represented domains thin deterministically
+    * by id-hash. The per-domain weight map passes through the driver,
+    * which is bounded by construction: |domains| rows (a mixture over
+    * millions of distinct domains is not a mixture plan). Weights are
+    * the 4-dp rounded report values, so the realized sample is exactly
+    * reproducible from the report alone. Rows whose domain is NULL get
+    * weight 0 (dropped) — a NULL domain has no share to rebalance. */
+  def temperatureSample(docs: DataFrame, domainCol: String, alpha: Double,
+      idCol: String = "doc_id", den: Int = 1000000): DataFrame = {
+    val w = temperatureWeights(docs, domainCol, alpha)
+      .select("domain", "weight").collect()
+      .flatMap(r => Option(r.get(0)).map(d => d.toString -> r.getDouble(1)))
+      .toMap
+    Corpus.mixtureSample(docs, w, defaultWeight = 0.0,
+      sourceCol = domainCol, idCol = idCol, den = den)
   }
 
   /** Seeded deterministic global shuffle into `shards` training shards:

@@ -1014,6 +1014,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.mixtureSample(d, Map("a" -> 2.5)).count() ==
       Corpus.mixtureSample(d, Map("a" -> 2.5)).count())
   }
+
+  test("temperature weights: alpha flattens toward rare domains, hand-exact") {
+    import spark.implicits._
+    val d = ((0L until 8L).map(i => (i, "a")) ++ Seq((8L, "b"), (9L, "b")))
+      .toDF("doc_id", "source")
+    val got = graft.pipeline.Sampling.temperatureWeights(d, "source", alpha = 0.5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    // shares .8/.2 -> sqrt .894427/.447214, denom 1.341641: temp 2/3, 1/3
+    assert(got("a") == ((8L, 0.8, 0.666667, 0.8333, 0.8333, 1L)))
+    assert(got("b") == ((2L, 0.2, 0.333333, 1.6667, 1.0, 2L)))
+    // alpha = 1 is the identity mix: every weight exactly 1
+    assert(graft.pipeline.Sampling.temperatureWeights(d, "source", alpha = 1.0).collect()
+      .forall(r => r.getDouble(4) == 1.0))
+    assertThrows[IllegalArgumentException](
+      graft.pipeline.Sampling.temperatureWeights(d, "source", alpha = 0.0))
+    assertThrows[IllegalArgumentException](
+      graft.pipeline.Sampling.temperatureWeights(d, "source", alpha = 1.5))
+  }
+
+  test("temperature sample: realizes the 4-dp report weights exactly") {
+    import spark.implicits._
+    // 16a / 4b keeps the .8/.2 shares (weights .8333 / 1.6667) while the
+    // id range includes both a fractional drop and a replication
+    val d = (0L until 20L).map(i => (i, if (i < 16) "a" else "b"))
+      .toDF("doc_id", "source")
+    // the spec-side MINSTD² mirror of Corpus.lcgBucket
+    def bucket(id: Long): Long =
+      id % 2147483647L * 48271L % 2147483647L * 48271L % 2147483647L % 1000000L
+    val got = graft.pipeline.Sampling.temperatureSample(d, "source", alpha = 0.5)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a-docs (weight .8333) keep iff bucket < 833300; b-docs (1.6667) get
+    // one whole epoch plus a fractional one iff bucket < 666700
+    val expected = (0L until 20L).flatMap { i =>
+      val n = if (i < 16) (if (bucket(i) < 833300L) 1L else 0L)
+              else 1L + (if (bucket(i) < 666700L) 1L else 0L)
+      if (n > 0) Some(i -> n) else None
+    }.toMap
+    assert(got == expected)
+    // both replicated and dropped rows actually occur on this fixture
+    assert(got.values.exists(_ == 2L) && !(0L until 16L).forall(got.contains))
+  }
 }
 
 class MetadataSpec extends AnyFunSuite {

@@ -153,6 +153,92 @@ object Sampling {
       sourceCol = domainCol, idCol = idCol, den = den)
   }
 
+  /** DSIR importance scores (Data Selection via Importance Resampling,
+    * Xie et al. 2023): each document scores by the log-likelihood ratio
+    * of its unigram+bigram bag under a TARGET n-gram model vs the RAW
+    * corpus model, `score(d) = Σ_f c_{d,f}·(ln p̂_tgt(f) − ln p̂_raw(f))`
+    * with add-one smoothing. `targetPred` marks the in-domain slice the
+    * selection should move the corpus toward. Returns (doc_id, score)
+    * for EVERY input doc (feature-free docs score 0), score 6-dp rounded.
+    *
+    * Feature space: `hashBuckets = None` (default) keeps the top
+    * `vocabSize` n-grams by raw count (count desc, gram asc — an integer
+    * ranking, so the vocab is engine-portable and the whole score is
+    * DuckDB-mirrorable; out-of-vocab grams drop). `Some(b)` is the
+    * published hashed variant — xxhash64(gram) mod b, no vocab pass and
+    * no OOV, for when the corpus is too broad for a fixed list to
+    * represent (the 100 TB path; xxhash64 is Spark-native, so this side
+    * is spec-pinned rather than oracle-checked).
+    *
+    * Scale shape: one map-side-combinable (doc, feature) count shuffle
+    * (∝ corpus tokens), one feature-stats aggregate bounded by
+    * vocabSize / b, λ joins back as a BROADCAST (the model is tiny by
+    * construction), and the per-doc score folds a SORTED collected list
+    * so float addition order is deterministic cross-engine. No driver
+    * collect anywhere. */
+  def dsirScores(docs: DataFrame, targetPred: Column, vocabSize: Int = 512,
+      hashBuckets: Option[Int] = None, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    hashBuckets.foreach(b => require(b > 0, s"hashBuckets must be positive"))
+    val toks = Dedup.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+        targetPred.as("__tgt"), toks.as("__toks"))
+      .withColumn("__grams", concat(col("__toks"),
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(2)))))
+          .otherwise(array().cast("array<string>"))))
+    val grams = base.select(col("doc_id"), col("__tgt"),
+      explode(col("__grams")).as("gram"))
+    val feat = hashBuckets match {
+      case Some(b) => grams.withColumn("f", pmod(xxhash64(col("gram")), lit(b.toLong)))
+      case None    => grams.withColumn("f", col("gram"))
+    }
+    val dg = feat.groupBy("doc_id", "__tgt", "f").agg(count(lit(1)).as("c"))
+    val stats = dg.groupBy("f").agg(sum("c").as("r"),
+      sum(when(col("__tgt"), col("c")).otherwise(lit(0L))).as("t"))
+    val vocab = hashBuckets match {
+      case Some(_) => stats
+      case None    => stats.orderBy(col("r").desc, col("f").asc).limit(vocabSize)
+    }
+    val v = hashBuckets.getOrElse(vocabSize).toDouble
+    // model totals over the kept feature space — integer sums, order-free
+    val totals = vocab.groupBy().agg(sum("t").as("__tt"), sum("r").as("__rr"))
+    val lam = vocab.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (log((col("t") + lit(1)).cast("double") / (col("__tt") + lit(v))) -
+         log((col("r") + lit(1)).cast("double") / (col("__rr") + lit(v))))
+          .as("__lam"))
+    val scored = dg.join(broadcast(lam), Seq("f"))
+      .groupBy("doc_id")
+      .agg(round(aggregate(
+        sort_array(collect_list(col("c") * col("__lam"))),
+        lit(0.0), (acc, x) => acc + x), 6).as("score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** DSIR selection: Gumbel-top-k over [[dsirScores]] — equivalent to
+    * sampling k docs without replacement with probability ∝ exp(score),
+    * but DETERMINISTIC: the Gumbel noise `−ln(−ln(u))` derives its
+    * uniform from the seeded MINSTD² id-bucket, so the same (seed, k)
+    * selects the same documents on any engine. The ranking key rounds to
+    * 6 dp with doc_id as the final tie-break, making the k-boundary
+    * engine-portable. Returns (doc_id, score, key) for the k kept docs;
+    * one TakeOrdered, no global sort materialization. */
+  def dsirSelect(docs: DataFrame, targetPred: Column, k: Int,
+      vocabSize: Int = 512, hashBuckets: Option[Int] = None, seed: Long = 7L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (seededBucket(col("doc_id"), seed) + lit(0.5)) / lit(Buckets.toDouble)
+    dsirScores(docs, targetPred, vocabSize, hashBuckets, textCol, idCol)
+      .withColumn("key", round(col("score") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Seeded deterministic global shuffle into `shards` training shards:
     * shard = bucket mod shards, position = rank of the bucket within the
     * shard (ties broken by id — total order is deterministic). Windows

@@ -295,6 +295,20 @@ object PipelineEntries {
     "p_split" -> ((s, dir) =>
       Sampling.assignSplits(docs(s, dir)).select("doc_id", "lang", "split")),
 
+    // DSIR importance scores (Xie et al. 2023): per-doc log-likelihood
+    // ratio of its unigram+bigram bag under the lang='en' target model vs
+    // the raw corpus model, top-512 word vocab — oracle-checked (the
+    // vocab variant is an integer ranking + ln arithmetic, so DuckDB
+    // mirrors it exactly; the hashed 100 TB variant is spec-pinned)
+    "p_dsir" -> ((s, dir) =>
+      Sampling.dsirScores(docs(s, dir), col("lang") === "en")),
+
+    // ...and its Gumbel-top-k selection: deterministic sample-without-
+    // replacement ∝ exp(score) via the seeded MINSTD² uniform — the same
+    // (seed, k) selects the same docs on any engine; oracle-checked
+    "p_dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(docs(s, dir), col("lang") === "en", k = 50)),
+
     // multimodal: real byte-level header decode (PNG IHDR / JPEG SOFn scan /
     // GIF screen descriptor / WAV fmt chunk + corrupt→NULL) over synthesized
     // real container payloads — oracle-checked (dims are arithmetic in
@@ -1886,6 +1900,78 @@ object PipelineEntries {
         |            WHEN b < 950000 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM t""".stripMargin,
+
+    // DSIR λ model recomputed end-to-end: unigram+bigram bag, per-feature
+    // (raw, target) counts, top-512 vocab by (count desc, gram asc),
+    // add-one-smoothed log-ratio, per-doc SORTED-list fold (same float
+    // addition order as the Spark side), absent-feature docs score 0
+    "p_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tgt, unnest(toks) AS gram FROM t
+        |  UNION ALL
+        |  SELECT doc_id, tgt, toks[i] || ' ' || toks[i+1] AS gram
+        |  FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |dg AS (SELECT doc_id, tgt, gram AS f, count(*) AS c
+        |       FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT f, sum(c) AS r,
+        |                 sum(CASE WHEN tgt THEN c ELSE 0 END) AS t
+        |          FROM dg GROUP BY f),
+        |vocab AS (SELECT * FROM stats ORDER BY r DESC, f ASC LIMIT 512),
+        |totals AS (SELECT sum(t) AS tt, sum(r) AS rr FROM vocab),
+        |lam AS (SELECT f,
+        |               ln(CAST(t + 1 AS DOUBLE) / (tt + 512.0)) -
+        |               ln(CAST(r + 1 AS DOUBLE) / (rr + 512.0)) AS lam
+        |        FROM vocab, totals),
+        |scored AS (SELECT doc_id,
+        |                  round(list_sum(list_sort(list(c * lam))), 6) AS score
+        |           FROM dg JOIN lam USING (f) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.score, 0.0) AS score
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+
+    // Gumbel-top-k over the p_dsir scores: u from the seed-7 MINSTD²
+    // bucket, key = round(score − ln(−ln(u)), 6), top 50 by (key desc,
+    // doc_id asc)
+    "p_dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tgt, unnest(toks) AS gram FROM t
+        |  UNION ALL
+        |  SELECT doc_id, tgt, toks[i] || ' ' || toks[i+1] AS gram
+        |  FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |dg AS (SELECT doc_id, tgt, gram AS f, count(*) AS c
+        |       FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT f, sum(c) AS r,
+        |                 sum(CASE WHEN tgt THEN c ELSE 0 END) AS t
+        |          FROM dg GROUP BY f),
+        |vocab AS (SELECT * FROM stats ORDER BY r DESC, f ASC LIMIT 512),
+        |totals AS (SELECT sum(t) AS tt, sum(r) AS rr FROM vocab),
+        |lam AS (SELECT f,
+        |               ln(CAST(t + 1 AS DOUBLE) / (tt + 512.0)) -
+        |               ln(CAST(r + 1 AS DOUBLE) / (rr + 512.0)) AS lam
+        |        FROM vocab, totals),
+        |scored AS (SELECT doc_id,
+        |                  round(list_sum(list_sort(list(c * lam))), 6) AS score
+        |           FROM dg JOIN lam USING (f) GROUP BY doc_id),
+        |all_s AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score
+        |          FROM documents d LEFT JOIN scored s USING (doc_id)),
+        |keyed AS (
+        |  SELECT doc_id, score,
+        |         round(score - ln(-ln(
+        |           ((doc_id % 2147483647 + 7) * 48271 % 2147483647
+        |             * 48271 % 2147483647 % 1000000 + 0.5) / 1000000.0)), 6)
+        |           AS key
+        |  FROM all_s)
+        |SELECT doc_id, score, key FROM keyed
+        |ORDER BY key DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     // positional 5-grams (same short-doc bound as the Spark side); interval
     // union via lead(): consecutive starts p, p' overlap when p' - p < 5

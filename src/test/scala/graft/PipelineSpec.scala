@@ -1204,6 +1204,124 @@ class SamplingSpec extends AnyFunSuite {
       "shard shuffle must never collapse to a single partition")
   }
 
+  /** From-the-spec DSIR reference (Xie et al. 2023, §3: importance weight
+    * = log-ratio of target vs raw n-gram models with add-one smoothing):
+    * independent of [[Sampling.dsirScores]]'s DataFrame pipeline. `feat`
+    * maps a gram to its feature id (identity for the word-vocab variant;
+    * a hash bucket for the hashed variant). */
+  private def dsirRef(rows: Seq[(Long, String, Boolean)], vocabSize: Int,
+      feat: String => String = identity,
+      hashed: Boolean = false): Map[Long, Double] = {
+    def grams(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val dg = rows.flatMap { case (id, t, tgt) =>
+      grams(t).map(g => ((id, tgt, feat(g)), 1L)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val stats = dg.toSeq.map { case ((_, tgt, f), c) => (f, tgt, c) }
+      .groupBy(_._1).map { case (f, xs) =>
+        f -> ((xs.map(_._3).sum, xs.filter(_._2).map(_._3).sum)) }
+    val vocab =
+      if (hashed) stats.toSeq
+      else stats.toSeq.sortBy { case (f, (r, _)) => (-r, f) }.take(vocabSize)
+    val tt = vocab.map(_._2._2).sum.toDouble
+    val rr = vocab.map(_._2._1).sum.toDouble
+    val v = vocabSize.toDouble
+    val lam = vocab.map { case (f, (r, t)) =>
+      f -> (math.log((t + 1) / (tt + v)) - math.log((r + 1) / (rr + v))) }.toMap
+    val scored = dg.toSeq.collect {
+      case ((id, _, f), c) if lam.contains(f) => (id, c * lam(f)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        val s = xs.map(_._2).sorted.foldLeft(0.0)(_ + _)
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    rows.map { case (id, _, _) => id -> scored.getOrElse(id, 0.0) }.toMap
+  }
+
+  test("dsirScores: word-vocab variant matches the from-the-spec reference") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "apple banana apple", true),
+      (2L, "banana cherry", true),
+      (3L, "dog cat dog cat", false),
+      (4L, "apple dog", false),
+      (5L, "zebra", false)) // OOV-only under a tiny vocab
+    val d = fixture.toDF("doc_id", "text", "tgt")
+    val got = Sampling.dsirScores(d, col("tgt"), vocabSize = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == dsirRef(fixture, 512))
+    // target docs score above the non-target docs they share no grams with
+    assert(got(1L) > got(3L))
+    // vocab truncation: with vocabSize 3 only the 3 most frequent grams
+    // survive; the reference reproduces the truncated model exactly
+    val gotSmall = Sampling.dsirScores(d, col("tgt"), vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotSmall == dsirRef(fixture, 3))
+    // a doc whose every gram fell out of vocab scores exactly 0
+    assert(gotSmall(5L) == 0.0)
+    assertThrows[IllegalArgumentException](
+      Sampling.dsirScores(d, col("tgt"), vocabSize = 0))
+  }
+
+  test("dsirScores: hashed variant matches the reference over real buckets") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "apple banana apple", true),
+      (2L, "banana cherry", true),
+      (3L, "dog cat dog cat", false),
+      (4L, "apple dog", false))
+    val d = fixture.toDF("doc_id", "text", "tgt")
+    val b = 16
+    val got = Sampling.dsirScores(d, col("tgt"), hashBuckets = Some(b))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pin the gram->bucket map with Spark's own xxhash64 (the published
+    // hashed variant has no OOV and no vocab pass), then score in plain
+    // Scala — exercises dsirScores' aggregation independently of its hash
+    val gramSet = fixture.flatMap { case (_, t, _) =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }.distinct
+    val bucketOf = gramSet.toDF("gram")
+      .select(col("gram"), pmod(xxhash64(col("gram")), lit(b.toLong)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toString).toMap
+    assert(got == dsirRef(fixture, b, feat = bucketOf, hashed = true))
+    // deterministic across evaluations
+    assert(got == Sampling.dsirScores(d, col("tgt"), hashBuckets = Some(b))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    assertThrows[IllegalArgumentException](
+      Sampling.dsirScores(d, col("tgt"), hashBuckets = Some(0)))
+  }
+
+  test("dsirSelect: Gumbel-top-k is deterministic and recomputable") {
+    import spark.implicits._
+    val fixture = (0L until 40L).map(i =>
+      (i, s"tok${i % 5} tok${i % 3} filler", i % 4 == 0))
+    val d = fixture.toDF("doc_id", "text", "tgt")
+    val scores = Sampling.dsirScores(d, col("tgt")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // recompute the Gumbel keys from the published seed-7 MINSTD² bucket
+    val M = 2147483647L
+    def key(id: Long): Double = {
+      val bucket = (id % M + 7) * 48271 % M * 48271 % M % 1000000
+      val u = (bucket + 0.5) / 1000000.0
+      BigDecimal(scores(id) - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = fixture.map(_._1).sortBy(id => (-key(id), id)).take(10)
+    val got = Sampling.dsirSelect(d, col("tgt"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == expect)
+    assert(got.forall { case (id, s, k) => s == scores(id) && k == key(id) })
+    // same (seed, k) reselects identically; another seed moves the set
+    assert(got.toSeq == Sampling.dsirSelect(d, col("tgt"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq)
+    assert(Sampling.dsirSelect(d, col("tgt"), k = 10, seed = 1234L)
+      .collect().map(_.getLong(0)).toSeq != got.map(_._1).toSeq)
+    assertThrows[IllegalArgumentException](
+      Sampling.dsirSelect(d, col("tgt"), k = 0))
+  }
+
   test("keepBestPerCluster: quality argmax per cluster, id tie-break") {
     import spark.implicits._
     // cluster {1,2}: doc 2 scores ≈0.312 (9 tokens ⇒ 0.045, 2/9

@@ -288,10 +288,15 @@ final class GraftSession(val spark: SparkSession) {
   /** Append edge ROWS to the relationship's backing table (in-memory
     * registered frames union; catalog-managed tables append-write), the
     * storage half of [[appendEdges]]' contract. */
-  private def appendEdgeRows(relLabel: String, rows: DataFrame): Unit = {
-    val r = _catalog.rel(relLabel)
-    if (tables.contains(r.tableName)) {
-      val merged = tables(r.tableName).unionByName(rows)
+  private def appendEdgeRows(relLabel: String, rows: DataFrame): Unit =
+    appendTableRows(_catalog.rel(relLabel).tableName, rows)
+
+  /** Append ROWS to a registered backing table: in-memory frames union
+    * (materialized — see the lineage note below); catalog-managed tables
+    * append-write. Shared by edge appends and CREATE node inserts. */
+  private def appendTableRows(tableName: String, rows: DataFrame): Unit = {
+    if (tables.contains(tableName)) {
+      val merged = tables(tableName).unionByName(rows)
       // materialize: an accreting lazy union would re-execute every prior
       // batch on each fingerprint pass (O(batches²) cumulative) and grow
       // the plan without bound. The new copy is persisted and PINNED
@@ -303,17 +308,17 @@ final class GraftSession(val spark: SparkSession) {
       val rdd = merged.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val mat = spark.createDataFrame(rdd, merged.schema)
       mat.count()
-      tables.put(r.tableName, mat)
-      tableRdds.put(r.tableName, rdd).foreach(old =>
+      tables.put(tableName, mat)
+      tableRdds.put(tableName, rdd).foreach(old =>
         try old.unpersist(blocking = false) catch { case _: Exception => })
     } else {
       // insertInto resolves by POSITION; the index half (appendEdges)
       // resolves by NAME — align the rows to the table's column order so
       // the two halves can never disagree on a reordered input frame
-      val cols = spark.table(r.tableName).columns
+      val cols = spark.table(tableName).columns
       rows.select(cols.map(col(_)).toIndexedSeq: _*)
-        .write.mode("append").insertInto(r.tableName)
-      spark.catalog.refreshTable(r.tableName)
+        .write.mode("append").insertInto(tableName)
+      spark.catalog.refreshTable(tableName)
     }
   }
 
@@ -454,7 +459,179 @@ final class GraftSession(val spark: SparkSession) {
           .toDF("plan")
       case ddl: CreateNodeTable => executeDdl(ddl)
       case ddl: CreateRelTable  => executeDdl(ddl)
+      case cg: CreateGraphQuery => executeCreate(cg, params)
     }
+
+  // ---- CREATE instance inserts (flag-gated extension) ----------------------
+
+  /** CREATE instance inserts are an extension: the reference classifies
+    * them and then IGNORES them (query_planner/mod.rs:21-31), and this
+    * engine's parity mode rejects them loudly. The flag is a Spark conf so
+    * it works identically through the session API and the HTTP server. */
+  private def writesEnabled: Boolean =
+    spark.conf.getOption("spark.graft.writes.enabled").exists(_.toBoolean)
+
+  /** Execute `CREATE (n:Label {props})` / `CREATE (:A {id})-[:R
+    * {props}]->(:B {id})` patterns. Node inserts append a row to the
+    * label's backing table; relationship inserts append to the edge table
+    * AND absorb the delta into a persisted adjacency index when one exists
+    * ([[appendEdges]] — partition-pruned OR-merge, never a rebuild), or
+    * drop the memoized index so the next read rebuilds from the updated
+    * table. Relationship endpoints REFERENCE existing nodes by the node's
+    * id property only — node creation is its own pattern, so a typo'd
+    * endpoint can never silently materialize a node.
+    *
+    * Property values must be literals or bound `$params` (no expressions —
+    * an insert row has no input row to evaluate against), and are
+    * type-checked against the backing schema BEFORE casting: a Spark cast
+    * of a bad literal produces NULL silently, which for an insert means
+    * corrupting a row rather than failing a query.
+    *
+    * Returns one summary row per touched (kind, label): the insert
+    * counts, deterministic for a given statement. */
+  private def executeCreate(cg: CreateGraphQuery,
+      params: Map[String, Any]): DataFrame = {
+    if (!writesEnabled) throw new GraftException(
+      "CREATE instance inserts are not supported; load data by writing " +
+      "to the backing tables (reference parity). This engine can apply " +
+      "them as an extension: set spark.graft.writes.enabled=true")
+    val nodeRows = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Map[String, Any]]]
+    val relRows = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Map[String, Any]]]
+
+    def litVal(where: String, k: String, e: Expr): Any =
+      Expr.bind(e, params) match {
+        case Expr.Lit(v) => v
+        case other => throw new GraftException(
+          s"CREATE $where.$k: property values must be literals or bound " +
+          s"$$parameters, got ${other.getClass.getSimpleName}")
+      }
+
+    def endpointId(n: NodePattern, wantLabel: String, side: String): Any = {
+      n.label.filter(_ != wantLabel).foreach(l => throw new GraftException(
+        s"CREATE: $side endpoint label $l does not match the " +
+        s"relationship's declared $wantLabel"))
+      val ns = _catalog.node(wantLabel)
+      val extra = n.props.map(_._1).filterNot(_ == ns.idColumn)
+      if (extra.nonEmpty) throw new GraftException(
+        s"CREATE: $side endpoint may only carry the id property " +
+        s"${ns.idColumn} (it references an existing $wantLabel node; " +
+        s"CREATE the node as its own pattern) — got ${extra.mkString(", ")}")
+      n.props.collectFirst { case (k, e) if k == ns.idColumn =>
+        litVal(s"$side endpoint", k, e)
+      }.getOrElse(throw new GraftException(
+        s"CREATE: $side endpoint must identify the $wantLabel node by " +
+        s"its id property ${ns.idColumn}"))
+    }
+
+    cg.paths.foreach { p =>
+      if (p.hops.isEmpty) {
+        val n = p.start
+        val label = n.label.getOrElse(throw new GraftException(
+          "CREATE node: a label is required"))
+        val ns = _catalog.node(label)
+        n.props.map(_._1).filterNot(ns.columns.contains).foreach(k =>
+          throw new GraftException(
+            s"CREATE (:$label): unknown property '$k' — table " +
+            s"${ns.tableName} has ${ns.columns.mkString(", ")}"))
+        val vals = n.props.map { case (k, e) => k -> litVal(label, k, e) }.toMap
+        if (!vals.contains(ns.idColumn) || vals(ns.idColumn) == null)
+          throw new GraftException(
+            s"CREATE (:$label): the node id property ${ns.idColumn} is required")
+        nodeRows.getOrElseUpdate(label,
+          scala.collection.mutable.ArrayBuffer.empty) += vals
+      } else if (p.hops.size == 1) {
+        val (r, endNode) = p.hops.head
+        if (r.varLength.isDefined) throw new GraftException(
+          "CREATE: var-length relationship patterns cannot be inserted")
+        if (r.altTypes.nonEmpty) throw new GraftException(
+          "CREATE: a relationship insert needs exactly one type, got an alternation")
+        val relType = r.relType.getOrElse(throw new GraftException(
+          "CREATE: relationship inserts require an explicit type"))
+        val rs = _catalog.rel(relType)
+        val (fromNode, toNode) = r.dir match {
+          case Dir.Out => (p.start, endNode)
+          case Dir.In  => (endNode, p.start)
+          case Dir.Undirected => throw new GraftException(
+            "CREATE: relationship inserts must be directed (-[:R]-> or <-[:R]-)")
+        }
+        val fromId = endpointId(fromNode, rs.fromLabel, "from")
+        val toId = endpointId(toNode, rs.toLabel, "to")
+        r.props.map(_._1).filterNot(rs.columns.contains).foreach(k =>
+          throw new GraftException(
+            s"CREATE [:$relType]: unknown property '$k' — table " +
+            s"${rs.tableName} has ${rs.columns.mkString(", ")}"))
+        if (r.props.map(_._1).exists(k => k == rs.fromColumn || k == rs.toColumn))
+          throw new GraftException(
+            s"CREATE [:$relType]: ${rs.fromColumn}/${rs.toColumn} come from " +
+            "the endpoints, not relationship properties")
+        val vals = Map(rs.fromColumn -> fromId, rs.toColumn -> toId) ++
+          r.props.map { case (k, e) => k -> litVal(relType, k, e) }
+        relRows.getOrElseUpdate(relType,
+          scala.collection.mutable.ArrayBuffer.empty) += vals
+      } else throw new GraftException(
+        "CREATE supports single nodes and single relationships per " +
+        s"pattern, got a ${p.hops.size}-hop path")
+    }
+
+    // literal Scala value vs target column type, BEFORE the cast: Spark
+    // casts bad literals to NULL silently, which for an insert means a
+    // corrupted row, not a failed query
+    def checkType(where: String, k: String, v: Any, dt: DataType): Unit = {
+      val ok = v match {
+        case null => true
+        case _: Long => dt.isInstanceOf[NumericType]
+        case _: Double =>
+          dt.isInstanceOf[DoubleType] || dt.isInstanceOf[FloatType] ||
+          dt.isInstanceOf[DecimalType]
+        case _: Boolean => dt.isInstanceOf[BooleanType]
+        case _: String =>
+          dt.isInstanceOf[StringType] || dt.isInstanceOf[DateType] ||
+          dt.isInstanceOf[TimestampType]
+        case _ => false
+      }
+      if (!ok) throw new GraftException(
+        s"CREATE $where.$k: literal ${v} (${v.getClass.getSimpleName}) " +
+        s"does not fit column type ${dt.simpleString}")
+    }
+
+    /** One typed row per map, aligned to the backing schema (absent
+      * properties become typed NULLs). Row counts here are statement-
+      * sized — a bulk load belongs on the DataFrame API, not CREATE. */
+    def typedRows(where: String, tableName: String,
+        rows: Seq[Map[String, Any]]): DataFrame = {
+      val target = table(tableName).schema
+      rows.map { m =>
+        val cols = target.fields.toIndexedSeq.map { f =>
+          val v = m.getOrElse(f.name, null)
+          checkType(where, f.name, v, f.dataType)
+          lit(v).cast(f.dataType).as(f.name)
+        }
+        spark.range(1).select(cols: _*)
+      }.reduce(_ unionByName _)
+    }
+
+    nodeRows.foreach { case (label, rows) =>
+      appendTableRows(_catalog.node(label).tableName, typedRows(label,
+        _catalog.node(label).tableName, rows.toSeq))
+    }
+    relRows.foreach { case (relType, rows) =>
+      val df = typedRows(relType, _catalog.rel(relType).tableName, rows.toSeq)
+      appendEdgeRows(relType, df)
+      val persisted = Seq(true, false).forall(o =>
+        spark.catalog.tableExists(adjTableName(relType, o)))
+      if (persisted) appendEdges(relType, df)
+      else for (o <- Seq(true, false))
+        adjCache.remove((relType, o)).foreach(f =>
+          try f.unpersist(blocking = false) catch { case _: Exception => })
+    }
+
+    import spark.implicits._
+    (nodeRows.toSeq.map { case (l, rs) => ("node", l, rs.size.toLong) } ++
+      relRows.toSeq.map { case (l, rs) => ("rel", l, rs.size.toLong) })
+      .toDF("kind", "label", "n")
+  }
 
   /** UNION: each part plans independently; parts must return the same
     * column NAME SET (checked here for a clear error — Spark's unionByName

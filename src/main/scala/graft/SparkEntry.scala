@@ -320,6 +320,26 @@ object SparkEntry {
         |MATCH (n:Nation)-[:IN_REGION]->(r:Region {r_name: 'AFRICA'})
         |RETURN n.n_name AS name;""".stripMargin),
 
+    // flag-gated write path (extension; default mode keeps the reference-
+    // parity rejection): CREATE a Nation node and an IN_REGION edge via
+    // the engine on a FRESH session (each invocation rebuilds, so bench
+    // iterations are idempotent), then traverse the mutated graph — the
+    // oracle replays the insert as UNION ALL VALUES over the parquet
+    "q_create_insert" -> ((s, dir) => {
+      val gs = TpchGraph.build(s, dir)
+      s.conf.set("spark.graft.writes.enabled", "true")
+      try {
+        gs.cypher(
+          "CREATE (:Nation {n_nationkey: 99, n_name: 'ATLANTIS', n_regionkey: 2});")
+        gs.cypher(
+          "CREATE (:Nation {n_nationkey: 99})-[:IN_REGION]->(:Region {r_regionkey: 2});")
+      } finally s.conf.set("spark.graft.writes.enabled", "false")
+      gs.cypher(
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+          |RETURN r.r_regionkey AS region, count(n.n_nationkey) AS n_nations
+          |ORDER BY region;""".stripMargin)
+    }),
+
     // shortestPath + length(p) (extension): min hop distances over the
     // sparse per-region NATION_NEXT chain, where the true distance is the
     // within-region rank difference — a closed-form oracle
@@ -776,6 +796,17 @@ object SparkEntry {
         |  CAST(r_regionkey * (r_regionkey + 1) // 2 AS BIGINT) AS total,
         |  r_regionkey <= 2 AS all_small
         |FROM region""".stripMargin,
+
+    // the engine-side insert replayed in SQL: the IN_REGION edge table is
+    // the nation (key, regionkey) projection, so the post-insert graph is
+    // that projection UNION ALL the inserted edge's VALUES
+    "q_create_insert" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS f, n_regionkey AS t FROM nation
+        |  UNION ALL SELECT 99, 2)
+        |SELECT r.r_regionkey AS region, count(*) AS n_nations
+        |FROM e JOIN region r ON e.t = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // NATION_NEXT chains nations by ascending key within a region, so the
     // shortest hop count is exactly the rank difference

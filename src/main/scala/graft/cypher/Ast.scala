@@ -479,5 +479,17 @@ final case class CreateRelTable(
     columns: Seq[ColumnDef],
     adjIndex: Boolean) extends CypherStatement
 
+/** `CREATE (n:Label {props})[, ...]` / `CREATE (:A {id})-[:R {props}]->(:B
+  * {id})` instance inserts — an EXTENSION over the reference, which
+  * classifies instance CREATEs and then ignores them
+  * (query_planner/mod.rs:21-31, handlers.rs:65-76). Execution is
+  * flag-gated ([[graft.GraftSession]]): the default mode keeps the
+  * reference-parity rejection. Patterns reuse [[PathPattern]]; shape
+  * validation (single node, or one directed hop whose endpoints reference
+  * existing nodes by id) happens at execution, where the catalog is in
+  * scope. */
+final case class CreateGraphQuery(paths: Seq[PathPattern])
+    extends CypherStatement
+
 class GraftException(msg: String) extends RuntimeException(msg)
 class DisconnectedPatternException(msg: String) extends GraftException(msg)

@@ -617,9 +617,17 @@ object CypherParser extends RegexParsers {
       case calls ~ main => CallQuery(calls, main)
     }
 
+  /** `CREATE (n:Label {props})[, ...]` instance inserts (extension; the
+    * reference ignores these — query_planner/mod.rs:21-31). Ordered AFTER
+    * the table DDL alternatives so `CREATE NODE TABLE` / `CREATE REL
+    * TABLE` never reach it; shape validation runs at execution. */
+  private def createInstance: Parser[CreateGraphQuery] =
+    kw("create") ~> rep1sep(pathPattern, ",") ^^ CreateGraphQuery.apply
+
   private def statement: Parser[CypherStatement] =
     opt(kw("explain")) ~
-      ((createNodeTable | createRelTable | callBlocks | readOrUnion) <~ opt(";")) ^^ {
+      ((createNodeTable | createRelTable | createInstance | callBlocks |
+        readOrUnion) <~ opt(";")) ^^ {
       case Some(_) ~ inner => inner match {
         case _: ReadQuery | _: UnionQuery | _: CallQuery => ExplainQuery(inner)
         case _ => throw new GraftException("EXPLAIN only applies to read queries")

@@ -1245,4 +1245,118 @@ class EngineSpec extends AnyFunSuite {
       "MATCH (a:A) WHERE EXISTS { (a)-[:Likes|Knows]->(c:A) } RETURN a.id AS x;"))
     assert(e2.getMessage.contains("MATCH patterns only"))
   }
+
+  // ---- CREATE instance inserts (flag-gated write path) ---------------------
+
+  /** Fresh writable graph per test — CREATE mutates registered tables, so
+    * sharing the read-only `gs` fixture would poison unrelated tests. */
+  private def writeGs(): GraftSession = {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("wusers",
+      Seq((1L, "u1", "berlin"), (2L, "u2", "paris"), (3L, "u3", "berlin"))
+        .toDF("id", "name", "city"))
+    g.registerTable("wposts", Seq((10L, "p10")).toDF("id", "title"))
+    g.registerTable("WFollows",
+      Seq((1L, 2L, 2019), (2L, 3L, 2021)).toDF("from_User", "to_User", "since"))
+    g.registerNode("User", "wusers", "id")
+    g.registerNode("Post", "wposts", "id")
+    g.registerRel("WFollows", "WFollows", "User", "User", adjIndex = true)
+    g
+  }
+
+  private def withWrites[A](body: => A): A = {
+    spark.conf.set("spark.graft.writes.enabled", "true")
+    try body finally spark.conf.set("spark.graft.writes.enabled", "false")
+  }
+
+  test("CREATE instance inserts: reference-parity rejection by default") {
+    val e = intercept[GraftException](writeGs().cypher(
+      "CREATE (:User {id: 9, name: 'u9', city: 'oslo'});"))
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+    assert(e.getMessage.contains("reference parity"), e.getMessage)
+    // the enable hint names the flag
+    assert(e.getMessage.contains("spark.graft.writes.enabled"), e.getMessage)
+  }
+
+  test("CREATE node + relationship insert, then traverse (writes enabled)") {
+    val g = writeGs()
+    withWrites {
+      // index-backed traversal FIRST so the memoized adjacency index
+      // exists and must be invalidated by the relationship insert below
+      assert(longs(g.cypher(
+        "MATCH (a:User {name:'u1'})-[:WFollows]->(b:User) RETURN b.id AS id;"))
+        == Set(2L))
+      val s1 = g.cypher("CREATE (:User {id: 6, name: 'u6', city: 'oslo'});")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(s1.toSeq == Seq(("node", "User", 1L)))
+      val s2 = g.cypher(
+        "CREATE (:User {id: 6})-[:WFollows {since: 2024}]->(:User {id: 1});")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(s2.toSeq == Seq(("rel", "WFollows", 1L)))
+      // edge-list path (rel-property filter) sees the new edge + props
+      assert(longs(g.cypher(
+        """MATCH (a:User {name:'u6'})-[f:WFollows]->(b:User)
+          |WHERE f.since = 2024 RETURN b.id AS id;""".stripMargin)) == Set(1L))
+      // adjacency-index path rebuilt from the updated table, not stale
+      assert(longs(g.cypher(
+        "MATCH (a:User {name:'u6'})-[:WFollows]->(b:User) RETURN b.id AS id;"))
+        == Set(1L))
+      // multiple patterns in one CREATE; absent property -> typed NULL
+      g.cypher("CREATE (:Post {id: 13}), (:User {id: 7, name: 'u7', city: 'rome'});")
+      assert(rows(g.cypher(
+        "MATCH (p:Post) WHERE p.id = 13 RETURN p.id AS id, p.title AS t;"))
+        == Set(Seq(13L, null)))
+      // bound parameters work as property values
+      g.cypher("CREATE (:User {id: $i, name: $n, city: 'paris'});",
+        Map("i" -> 8L, "n" -> "u8"))
+      assert(longs(g.cypher(
+        "MATCH (u:User {name:'u8'}) RETURN u.id AS id;")) == Set(8L))
+    }
+  }
+
+  test("CREATE validation: every malformed shape is loud, nothing half-applies") {
+    val g = writeGs()
+    withWrites {
+      def bad(q: String, want: String): Unit = {
+        val e = intercept[GraftException](g.cypher(q))
+        assert(e.getMessage.contains(want), s"$q => ${e.getMessage}")
+      }
+      bad("CREATE (:User {id: 9, nope: 1});", "unknown property")
+      bad("CREATE (:User {name: 'x'});", "id property")
+      bad("CREATE (n {id: 9});", "label is required")
+      bad("CREATE (:User {id: 9, name: upper('x')});", "must be literals")
+      bad("CREATE (:User {id: 6})-[:WFollows]-(:User {id: 1});", "directed")
+      bad("CREATE (:User {id: 6})-[:WFollows*1..2]->(:User {id: 1});", "var-length")
+      bad("CREATE (:User {id: 6})-[]->(:User {id: 1});", "explicit type")
+      bad("CREATE (:Post {id: 6})-[:WFollows]->(:User {id: 1});",
+        "does not match")
+      bad("CREATE (:User {id: 6, name: 'x'})-[:WFollows]->(:User {id: 1});",
+        "only carry the id property")
+      bad("CREATE (:User {id: 6})-[:WFollows {from_User: 3}]->(:User {id: 1});",
+        "come from the endpoints")
+      bad("CREATE (:User {id: 6})-[:WFollows]->(:User {id: 1})-[:WFollows]->(:User {id: 2});",
+        "single relationships")
+      // type mismatch caught BEFORE the cast can NULL the literal
+      bad("CREATE (:User {id: 9, name: 77});", "does not fit")
+      // nothing from the failed statements landed
+      assert(g.cypher("MATCH (u:User) RETURN count(u.id) AS n;")
+        .collect().head.getLong(0) == 3L)
+    }
+  }
+
+  test("CREATE relationship insert maintains a persisted adjacency index in place") {
+    val g = writeGs()
+    g.persistAdjIndex("WFollows", buckets = 2, partGroups = 2)
+    withWrites {
+      g.cypher("CREATE (:User {id: 6, name: 'u6', city: 'x'});")
+      g.cypher("CREATE (:User {id: 6})-[:WFollows {since: 2030}]->(:User {id: 2});")
+      // the persisted index absorbed the delta: a STRICT attach (refuse if
+      // stale) succeeds because appendEdges refreshed the fingerprint
+      g.attachAdjIndex("WFollows", rebuildIfStale = false)
+      assert(longs(g.cypher(
+        "MATCH (a:User {name:'u6'})-[:WFollows]->(b:User) RETURN b.id AS id;"))
+        == Set(2L))
+    }
+  }
 }

@@ -329,6 +329,16 @@ object PipelineEntries {
       Multimodal.resizeImages(s,
         Multimodal.synthesizeMedia(s, docs(s, dir)))),
 
+    // perceptual-hash image dedup: REAL uncompressed BMP payloads (pixels
+    // arithmetic in doc_id on the fixture side), real byte-level pixel
+    // decode, dHash over the decoded luma, 16-bit-chunk-blocked Hamming
+    // pairs (lossless for maxDist <= 3) — oracle recomputes the 9×8 grid
+    // bits from the id arithmetic and brute-forces pair distances
+    "p_mm_dedup" -> ((s, dir) =>
+      Dedup.imageHashPairs(
+        Multimodal.imageDHash(s,
+          Multimodal.synthesizeBmpMedia(s, docs(s, dir))))),
+
     // video-shaped frame sampling: one row per sampled frame — oracle-checked
     "p_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.attachBinary(docs(s, dir)))),
@@ -2289,6 +2299,31 @@ object PipelineEntries {
         |  FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 100 AS BIGINT) AS byte_off
         |FROM (SELECT doc_id, unnest(range(0, n_frames, 4)) AS i FROM m)""".stripMargin,
+
+    // the dHash grid recomputed from the fixture's pixel arithmetic
+    // (px(x,y) = (17·(id/4) + 7x + 13y + id%4) mod 256, 27×16 → exact
+    // grid coords x=3c, y=2r), pair distances brute-forced — a
+    // deliberately different derivation from the engine's byte decode +
+    // blocked join (oracles need correctness, not scale)
+    "p_mm_dedup" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+        |  WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, r, c,
+        |    ((17 * g + 7 * (3 * c) + 13 * (2 * r) + m) % 256 <
+        |     (17 * g + 7 * (3 * (c + 1)) + 13 * (2 * r) + m) % 256) AS bit
+        |  FROM img,
+        |       (SELECT unnest(range(0, 8)) AS r),
+        |       (SELECT unnest(range(0, 8)) AS c)),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS dist
+        |  FROM bits x JOIN bits y
+        |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin,
 
     "p_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,

@@ -341,6 +341,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate IMAGE pairs by perceptual-hash (dHash) Hamming
+    * distance — the image counterpart of [[simhashPairs]], sharing its
+    * 16-bit chunk blocking: `hashes` is (id, 64-bit hash), e.g.
+    * [[Multimodal.imageDHash]] output.
+    *
+    * Unlike SimHash text blocking (probabilistic at distance 6), the
+    * 4-chunk block is LOSSLESS here: `maxDist` ≤ 3 differing bits can
+    * touch at most 3 of the 4 chunks, so every qualifying pair shares at
+    * least one exact chunk — the equi-join is a complete candidate set,
+    * enforced by the require. Same singleton-prune + bucket cap before
+    * the self-join; candidates ∝ similar pairs, not corpus². */
+  def imageHashPairs(
+      hashes: DataFrame, maxDist: Int = 2, hashCol: String = "dhash",
+      idCol: String = "doc_id", maxBucketSize: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist $maxDist: the 4-chunk block is only lossless through 3")
+    val prep = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = prep.select(col("id"), col("h"),
+      posexplode(chunks).as(Seq("chunk", "cv")))
+    val okBuckets = chunked.groupBy("chunk", "cv").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+      .select("chunk", "cv")
+    val inBuckets = chunked.join(okBuckets, Seq("chunk", "cv"))
+    inBuckets.alias("x").join(inBuckets.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   // ---- exact n-gram Jaccard (prefix-filtered similarity join) ---------------
 
   /** EXACT all-pairs 3-word-shingle Jaccard >= threshold — the

@@ -286,6 +286,127 @@ object Multimodal {
       .toDF()
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing: real uncompressed BMP payloads (the one
+  // mainstream image container with codec-free pixel access), a real
+  // byte-level pixel decoder, and dHash over the decoded luma — the
+  // missing image counterpart of the text dedup families. Pixel values in
+  // the fixture are arithmetic in doc_id (like the dims above) so an
+  // external oracle recomputes the hash without parsing bytes; the
+  // engine-side decoder only ever sees the payload.
+  // ---------------------------------------------------------------------
+
+  /** Real 24bpp BITMAPINFOHEADER BMP: 14-byte file header, 40-byte info
+    * header, BGR rows padded to 4 bytes, BOTTOM-UP row order (positive
+    * height, per the format). `px(x, y)` is the grayscale value at
+    * TOP-DOWN coordinates. */
+  private[graft] def bmpBytes(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataLen = rowBytes * h
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-array offset
+    bb.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val y = h - 1 - row // bottom-up storage
+      for (x <- 0 until w) {
+        val v = (px(x, y) & 0xFF).toByte
+        bb.put(v).put(v).put(v) // grayscale: B = G = R
+      }
+      for (_ <- w * 3 until rowBytes) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** Fixture BMPs, deterministic from doc_id: 27×16 grayscale gradient
+    * `px(x, y) = (17·(id/4) + 7x + 13y + id%4) mod 256` — docs sharing
+    * `id/4` differ only by a tiny brightness offset, so they land within a
+    * small Hamming distance of each other under [[imageDHash]] (the
+    * near-duplicate structure an image-dedup fixture needs). `id % 17 = 0`
+    * payloads are truncated (corrupt) and must drop out of the hash. */
+  def synthesizeBmpMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.map { id =>
+          val media =
+            if (id % 17 == 0) Array[Byte]('B'.toByte, 'M'.toByte, 3, 0)
+            else bmpBytes(27, 16, (x, y) =>
+              ((17 * (id / 4) + 7 * x + 13 * y + id % 4) % 256).toInt)
+          MediaRecord(id, media)
+        })
+      }
+      .toDF()
+  }
+
+  /** Real BMP decode: validate the BM signature, header sizes, 24bpp
+    * uncompressed, then expose a TOP-DOWN luma accessor over the padded
+    * bottom-up (or top-down, negative-height) pixel array. Structural
+    * violations → None, like the other decoders. */
+  private[graft] def decodeBmp(b: Array[Byte]): Option[(Int, Int, (Int, Int) => Int)] = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val off = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return None
+    val w = le32(b, 18).toInt
+    val rawH = le32(b, 22).toInt
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0L) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off + rowBytes.toLong * h > b.length) return None
+    val luma = (x: Int, y: Int) => {
+      val row = if (topDown) y else h - 1 - y
+      val p = off.toInt + row * rowBytes + x * 3
+      ((b(p) & 0xFF) + (b(p + 1) & 0xFF) + (b(p + 2) & 0xFF)) / 3
+    }
+    Some((w, h, luma))
+  }
+
+  /** dHash (difference hash): nearest-neighbor sample a 9×8 luma grid —
+    * `grid(r, c) = luma(⌊c·w/9⌋, ⌊r·h/8⌋)` — and emit 64 horizontal
+    * gradient bits, `bit(r·8+c) = grid(r, c) < grid(r, c+1)`. Robust to
+    * uniform brightness/contrast shifts (gradients survive), which is the
+    * property that makes it a perceptual hash rather than a byte hash. */
+  private[graft] def dhashOf(w: Int, h: Int, luma: (Int, Int) => Int): Long = {
+    var hash = 0L
+    var k = 0
+    var r = 0
+    while (r < 8) {
+      val y = r * h / 8
+      var c = 0
+      while (c < 8) {
+        if (luma(c * w / 9, y) < luma((c + 1) * w / 9, y)) hash |= (1L << k)
+        k += 1; c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  final case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Per-image 64-bit dHash over a binary BMP column: one batched
+    * partition-local decode pass, undecodable payloads dropped (corrupt
+    * bytes are data). Feed the result to
+    * [[graft.pipeline.Dedup.imageHashPairs]] for blocked near-dup pairs. */
+  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.flatMap { rec =>
+          decodeBmp(rec.media).map { case (w, h, luma) =>
+            ImageHash(rec.doc_id, dhashOf(w, h, luma))
+          }
+        })
+      }
+      .toDF()
+  }
+
   final case class SampledFrame(doc_id: Long, frame_idx: Long, byte_off: Long)
 
   /** Frame sampling plan for video-shaped payloads: treat the payload as

@@ -32,6 +32,32 @@ object PipelineEntries {
     * one-off build. */
   def prewarmPersistedIvf(s: SparkSession, dir: String): Unit =
     Similarity.buildIvfIndexIfStale(emb(s, dir), ivfPath(dir))
+
+  /** Where the persisted-dedup entries keep the MinHash-signature and
+    * mined-pair artifacts for a given sf dir (tmpdir-scoped, shared by
+    * every entry that consumes them). */
+  private def mhSigPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mhsig_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+  private def pairsPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  /** Build (or freshness-check) the persisted dedup artifacts —
+    * MinHash signatures and mined n-gram-Jaccard pairs — exactly as
+    * [[prewarmPersistedIvf]] does for the IVF index. Artifact builds are
+    * corpus SETUP, paid once per corpus fingerprint; running this in
+    * Bench's untimed section keeps the timed p_dedup_minhash /
+    * p_dedup_clusters / p_dedup_keep_best iterations measuring the
+    * band-join / CC probe, not a one-off mine (the r11 driver container
+    * started with an empty tmpdir and charged 8-12 s builds to timed
+    * iterations). Both builders log a loud ARTIFACT REBUILD line if
+    * they do rebuild, so a stale-fence bug can't hide here. */
+  def prewarmPersistedDedup(s: SparkSession, dir: String): Unit = {
+    val d = docs(s, dir)
+    Dedup.minhashSignaturesPersisted(d, mhSigPath(dir))
+    Dedup.ngramJaccardPairsPersisted(d, pairsPath(dir), threshold = 0.5)
+  }
   /** The events table's `ts` has shipped as both TIMESTAMP(NANOS) (which
     * Spark 4 rejects by default — read nanos as long, floor-convert to µs,
     * matching DuckDB's cast) and plain TIMESTAMP(MICROS) (readable as-is).
@@ -59,11 +85,8 @@ object PipelineEntries {
     // routed through the persisted signature artifact: signatures build
     // once per corpus fingerprint, and a corpus append pays only the
     // delta's signatures before the band join
-    "p_dedup_minhash" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mhsig_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      Dedup.minhashPairsPersisted(docs(s, dir), path, threshold = 0.8)
-    }),
+    "p_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairsPersisted(docs(s, dir), mhSigPath(dir), threshold = 0.8)),
 
     // SimHash near-dup pairs (chunk-blocked Hamming)
     "p_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
@@ -101,10 +124,9 @@ object PipelineEntries {
     // repeat clustering pays only the CC iteration, not a re-mine.
     "p_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
-        java.lang.Integer.toHexString(dir.hashCode)
       Dedup.dupClusters(d, threshold = 0.5,
-        minedPairs = Some(Dedup.ngramJaccardPairsPersisted(d, path, threshold = 0.5)))
+        minedPairs = Some(
+          Dedup.ngramJaccardPairsPersisted(d, pairsPath(dir), threshold = 0.5)))
     }),
 
     // quality-aware keeper selection per dup cluster: dedup that keeps
@@ -113,10 +135,8 @@ object PipelineEntries {
     // oracle re-derives the whole chain
     "p_dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
-        java.lang.Integer.toHexString(dir.hashCode)
       Dedup.keepBestPerCluster(d, Dedup.dupClusters(d, threshold = 0.5,
-        minedPairs = Some(Dedup.ngramJaccardPairsPersisted(d, path,
+        minedPairs = Some(Dedup.ngramJaccardPairsPersisted(d, pairsPath(dir),
           threshold = 0.5))))
     }),
 
@@ -300,8 +320,14 @@ object PipelineEntries {
     // the raw corpus model, top-512 word vocab — oracle-checked (the
     // vocab variant is an integer ranking + ln arithmetic, so DuckDB
     // mirrors it exactly; the hashed 100 TB variant is spec-pinned)
+    // The trailing !isnan(score) filter is always true (scores are finite
+    // by construction) but references the computed column, so the bench's
+    // `.count()` cannot prune the λ-model through the left-outer join —
+    // without it the entry timed `docs.count()` (r11 judge: 0.12 s
+    // "measured" vs ≈8.7 s real) and could never catch a DSIR regression.
     "p_dsir" -> ((s, dir) =>
-      Sampling.dsirScores(docs(s, dir), col("lang") === "en")),
+      Sampling.dsirScores(docs(s, dir), col("lang") === "en")
+        .filter(!isnan(col("score")))),
 
     // ...and its Gumbel-top-k selection: deterministic sample-without-
     // replacement ∝ exp(score) via the seeded MINSTD² uniform — the same

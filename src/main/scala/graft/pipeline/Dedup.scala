@@ -230,6 +230,12 @@ object Dedup {
       "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1)))
     if (meta.exists(_.endsWith(marker)) && liveDir.nonEmpty)
       return spark.read.parquet(s"$path/${liveDir.get}")
+    Artifacts.logRebuild(path,
+      if (meta.isEmpty) "no meta"
+      else if (!meta.exists(_.endsWith(s""""hashes":$NumHashes}""")))
+        "hash-family mismatch"
+      else if (liveDir.isEmpty) "meta missing live dir"
+      else "corpus fingerprint mismatch (incremental merge)")
 
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("__mh_text"))
       .withColumn("txh", xxhash64(col("__mh_text")))
@@ -468,8 +474,12 @@ object Dedup {
     // on '"threshold":0.5' would also match a stored 0.55 (round-6 review)
     val marker =
       s""""fingerprint":"${graft.catalog.Snapshot.fingerprint(docs)}","threshold":$threshold}"""
-    val fresh = Artifacts.readStringIfExists(spark, metaPath).exists(_.endsWith(marker))
+    val meta = Artifacts.readStringIfExists(spark, metaPath)
+    val fresh = meta.exists(_.endsWith(marker))
     if (!fresh) {
+      Artifacts.logRebuild(path,
+        if (meta.isEmpty) "no meta"
+        else "corpus fingerprint or threshold mismatch (full re-mine)")
       ngramJaccardPairs(docs, threshold)
         .write.mode("overwrite").parquet(s"$path/pairs")
       Artifacts.writeString(spark, metaPath, s"""{"version":1,$marker""")

@@ -189,8 +189,11 @@ object Sampling {
           transform(sequence(lit(1), size(col("__toks")) - 1),
             i => concat_ws(" ", slice(col("__toks"), i, lit(2)))))
           .otherwise(array().cast("array<string>"))))
-    val grams = base.select(col("doc_id"), col("__tgt"),
-      explode(col("__grams")).as("gram"))
+    // explodeNoInfer: the inferred size(__grams)>0 filter would re-derive
+    // the HOF-built gram array per element (see [[Explodes]]); concat_ws
+    // grams are never null, so the outer+isNotNull form is row-identical.
+    val grams = Explodes.explodeNoInfer(base,
+      Seq(col("doc_id"), col("__tgt")), col("__grams"), "gram")
     val feat = hashBuckets match {
       case Some(b) => grams.withColumn("f", pmod(xxhash64(col("gram")), lit(b.toLong)))
       case None    => grams.withColumn("f", col("gram"))

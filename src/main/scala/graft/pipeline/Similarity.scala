@@ -634,11 +634,17 @@ object Similarity {
       refineIters: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean = {
     val spark = corpus.sparkSession
-    val fresh = Artifacts.readStringIfExists(spark, ivfMetaPath(path)).exists { meta =>
+    val meta = Artifacts.readStringIfExists(spark, ivfMetaPath(path))
+    val fresh = meta.exists { m =>
       val fp = graft.catalog.Snapshot.fingerprint(corpus)
-      meta.endsWith(ivfMarker(fp, nlist, refineIters, idCol, vecCol))
+      m.endsWith(ivfMarker(fp, nlist, refineIters, idCol, vecCol))
     }
-    if (!fresh) buildIvfIndex(corpus, path, nlist, refineIters, idCol, vecCol)
+    if (!fresh) {
+      Artifacts.logRebuild(path,
+        if (meta.isEmpty) "no meta"
+        else "corpus fingerprint or build-params mismatch (full retrain)")
+      buildIvfIndex(corpus, path, nlist, refineIters, idCol, vecCol)
+    }
     !fresh
   }
 

@@ -41,6 +41,20 @@ final class GraftSession(val spark: SparkSession) {
 
   // ---- registration --------------------------------------------------------
 
+  /** Release every persisted materialization this session pinned
+    * ([[appendTableRows]] pins one MEMORY_AND_DISK RDD per streamed/
+    * mutated in-memory table). A discarded session — e.g. the fresh
+    * per-invocation session the `q_create_insert` gate entry builds —
+    * must call this (or be registered with `PipelineCaches.onClear`),
+    * or its cached blocks outlive it for the JVM's lifetime. Reads
+    * against the session stay correct after close: dropping the persist
+    * handle only means recomputing through the original lineage. */
+  def close(): Unit = {
+    tableRdds.keys.toSeq.foreach(k => tableRdds.remove(k).foreach(old =>
+      try old.unpersist(blocking = false) catch { case _: Exception => }))
+    adjCache.clear()
+  }
+
   def registerTable(name: String, df: DataFrame): Unit = {
     tables.put(name, df)
     // a replaced streamed table must also release its materialization
@@ -479,13 +493,18 @@ final class GraftSession(val spark: SparkSession) {
     * drop the memoized index so the next read rebuilds from the updated
     * table. Relationship endpoints REFERENCE existing nodes by the node's
     * id property only — node creation is its own pattern, so a typo'd
-    * endpoint can never silently materialize a node.
+    * endpoint can never silently materialize a node; endpoint ids are
+    * verified against the node tables (or this statement's own node
+    * patterns) before anything is written, so a typo'd id errors instead
+    * of inserting a traversal-invisible dangling edge.
     *
     * Property values must be literals or bound `$params` (no expressions —
     * an insert row has no input row to evaluate against), and are
     * type-checked against the backing schema BEFORE casting: a Spark cast
     * of a bad literal produces NULL silently, which for an insert means
-    * corrupting a row rather than failing a query.
+    * corrupting a row rather than failing a query. Validation covers ALL
+    * patterns before ANY append, so a multi-pattern statement either
+    * fully applies or fully rejects — never half.
     *
     * Returns one summary row per touched (kind, label): the insert
     * counts, deterministic for a given statement. */
@@ -576,48 +595,140 @@ final class GraftSession(val spark: SparkSession) {
     }
 
     // literal Scala value vs target column type, BEFORE the cast: Spark
-    // casts bad literals to NULL silently, which for an insert means a
-    // corrupted row, not a failed query
+    // casts bad literals to NULL silently (non-ANSI), which for an insert
+    // means a corrupted row, not a failed query. The value-level checks
+    // close the cast's silent holes: date/timestamp STRINGS parse eagerly
+    // on the driver (lit("garbage").cast(date) is a silent NULL), and
+    // integral/decimal literals range-check against the target's bounds
+    // (a Long into Int/Short/Byte wraps or NULLs; into decimal(p,s),
+    // overflow NULLs).
     def checkType(where: String, k: String, v: Any, dt: DataType): Unit = {
+      def fail(why: String): Nothing = throw new GraftException(
+        s"CREATE $where.$k: literal ${v} (${v.getClass.getSimpleName}) " +
+        s"does not fit column type ${dt.simpleString}$why")
+      def intFits(lo: Long, hi: Long): Unit = v match {
+        case l: Long if l < lo || l > hi => fail(s" (range $lo..$hi)")
+        case _ => ()
+      }
       val ok = v match {
         case null => true
-        case _: Long => dt.isInstanceOf[NumericType]
-        case _: Double =>
-          dt.isInstanceOf[DoubleType] || dt.isInstanceOf[FloatType] ||
-          dt.isInstanceOf[DecimalType]
+        case _: Long =>
+          dt match {
+            case _: ByteType    => intFits(Byte.MinValue, Byte.MaxValue); true
+            case _: ShortType   => intFits(Short.MinValue, Short.MaxValue); true
+            case _: IntegerType => intFits(Int.MinValue, Int.MaxValue); true
+            case d: DecimalType =>
+              val bd = java.math.BigDecimal.valueOf(v.asInstanceOf[Long])
+              if (bd.precision > d.precision - d.scale)
+                fail(s" (needs ${bd.precision} integer digits, " +
+                  s"decimal(${d.precision},${d.scale}) holds ${d.precision - d.scale})")
+              true
+            case _: NumericType => true
+            case _ => false
+          }
+        case d: Double =>
+          dt match {
+            case dec: DecimalType =>
+              if (d.isNaN || d.isInfinite) fail(" (not finite)")
+              if (math.abs(d) >= math.pow(10, (dec.precision - dec.scale).toDouble))
+                fail(s" (overflows decimal(${dec.precision},${dec.scale}))")
+              true
+            case _: DoubleType | _: FloatType => true
+            case _ => false
+          }
         case _: Boolean => dt.isInstanceOf[BooleanType]
-        case _: String =>
-          dt.isInstanceOf[StringType] || dt.isInstanceOf[DateType] ||
-          dt.isInstanceOf[TimestampType]
+        case s: String =>
+          dt match {
+            case _: StringType => true
+            case _: DateType =>
+              try { java.time.LocalDate.parse(s); true }
+              catch { case _: java.time.DateTimeException =>
+                fail(" (expected yyyy-MM-dd)") }
+            case _: TimestampType =>
+              // the forms Spark's string->timestamp cast accepts that we
+              // can verify exactly on the driver: ISO local (T or space
+              // separated, optional fraction) or a bare date
+              val iso = s.replaceFirst(" ", "T")
+              val okTs =
+                try { java.time.LocalDateTime.parse(iso); true }
+                catch { case _: java.time.DateTimeException =>
+                  try { java.time.LocalDate.parse(s); true }
+                  catch { case _: java.time.DateTimeException => false } }
+              if (!okTs) fail(" (expected yyyy-MM-dd[ HH:mm:ss[.S]])")
+              true
+            case _ => false
+          }
         case _ => false
       }
-      if (!ok) throw new GraftException(
-        s"CREATE $where.$k: literal ${v} (${v.getClass.getSimpleName}) " +
-        s"does not fit column type ${dt.simpleString}")
+      if (!ok) fail("")
     }
 
     /** One typed row per map, aligned to the backing schema (absent
-      * properties become typed NULLs). Row counts here are statement-
-      * sized — a bulk load belongs on the DataFrame API, not CREATE. */
-    def typedRows(where: String, tableName: String,
-        rows: Seq[Map[String, Any]]): DataFrame = {
+      * properties become typed NULLs). Values were already validated by
+      * [[checkType]] in the all-patterns validation pass below. Row
+      * counts here are statement-sized — a bulk load belongs on the
+      * DataFrame API, not CREATE. */
+    def typedRows(tableName: String, rows: Seq[Map[String, Any]]): DataFrame = {
       val target = table(tableName).schema
       rows.map { m =>
         val cols = target.fields.toIndexedSeq.map { f =>
-          val v = m.getOrElse(f.name, null)
-          checkType(where, f.name, v, f.dataType)
-          lit(v).cast(f.dataType).as(f.name)
+          lit(m.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
         }
         spark.range(1).select(cols: _*)
       }.reduce(_ unionByName _)
     }
 
+    // ---- validation pass: EVERY pattern's rows type-check and every
+    // relationship endpoint resolves BEFORE any append — a later
+    // pattern's error must not leave an earlier pattern half-applied
+    // (multi-pattern CREATE is atomic-or-rejected)
     nodeRows.foreach { case (label, rows) =>
-      appendTableRows(_catalog.node(label).tableName, typedRows(label,
-        _catalog.node(label).tableName, rows.toSeq))
+      val target = table(_catalog.node(label).tableName).schema
+      rows.foreach(m => target.fields.foreach(f =>
+        checkType(label, f.name, m.getOrElse(f.name, null), f.dataType)))
     }
     relRows.foreach { case (relType, rows) =>
-      val df = typedRows(relType, _catalog.rel(relType).tableName, rows.toSeq)
+      val target = table(_catalog.rel(relType).tableName).schema
+      rows.foreach(m => target.fields.foreach(f =>
+        checkType(relType, f.name, m.getOrElse(f.name, null), f.dataType)))
+    }
+    // endpoint ids must reference existing nodes (or ones created by this
+    // same statement): a typo'd id would otherwise insert a dangling edge
+    // that every traversal silently drops (node joins filter it). The
+    // probe is one pushed-isin scan per (rel type, side) over a
+    // statement-sized id list — cheap, and worth a loud error.
+    relRows.foreach { case (relType, rows) =>
+      val rs = _catalog.rel(relType)
+      Seq((rs.fromLabel, rs.fromColumn, "from"),
+          (rs.toLabel, rs.toColumn, "to")).foreach {
+        case (label, colName, side) =>
+          val ns = _catalog.node(label)
+          val ids = rows.map(_(colName)).distinct
+          ids.find(_ == null).foreach(_ => throw new GraftException(
+            s"CREATE [:$relType]: $side endpoint id must not be null"))
+          val pending = nodeRows.get(label).toSeq.flatten
+            .flatMap(_.get(ns.idColumn)).map(String.valueOf).toSet
+          val unresolved = ids.filterNot(v => pending.contains(String.valueOf(v)))
+          if (unresolved.nonEmpty) {
+            val found = table(ns.tableName)
+              .filter(col(ns.idColumn).isin(unresolved.toIndexedSeq: _*))
+              .select(col(ns.idColumn)).distinct()
+              .collect().map(r => String.valueOf(r.get(0))).toSet
+            val missing = unresolved.filterNot(v => found.contains(String.valueOf(v)))
+            if (missing.nonEmpty) throw new GraftException(
+              s"CREATE [:$relType]: $side endpoint ${ns.idColumn} " +
+              s"${missing.mkString(", ")} does not match any existing " +
+              s"$label node (CREATE the node first, or in this statement)")
+          }
+      }
+    }
+
+    nodeRows.foreach { case (label, rows) =>
+      appendTableRows(_catalog.node(label).tableName,
+        typedRows(_catalog.node(label).tableName, rows.toSeq))
+    }
+    relRows.foreach { case (relType, rows) =>
+      val df = typedRows(_catalog.rel(relType).tableName, rows.toSeq)
       appendEdgeRows(relType, df)
       val persisted = Seq(true, false).forall(o =>
         spark.catalog.tableExists(adjTableName(relType, o)))

@@ -353,12 +353,20 @@ object Multimodal {
     val w = le32(b, 18).toInt
     val rawH = le32(b, 22).toInt
     val topDown = rawH < 0
-    val h = math.abs(rawH)
+    // Long-domain abs: math.abs(Int.MinValue) is NEGATIVE and would
+    // slip through an `h == 0` guard into the bounds check (r11 advice)
+    val h = math.abs(rawH.toLong).toInt
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0L) return None
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (off < 54 || off + rowBytes.toLong * h > b.length) return None
+    // cap dims so a malformed header can't overflow the Int row math
+    // below (a real payload this size could never fit in a task anyway);
+    // rowBytes computed in Long first for the same reason
+    val MaxDim = 1 << 20
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+      rawH == Int.MinValue || bpp != 24 || compression != 0L) return None
+    val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+    if (off < 54 || off + rowBytesL * h > b.length) return None
+    val rowBytes = rowBytesL.toInt
     val luma = (x: Int, y: Int) => {
       val row = if (topDown) y else h - 1 - y
       val p = off.toInt + row * rowBytes + x * 3

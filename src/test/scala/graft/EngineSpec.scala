@@ -1359,4 +1359,74 @@ class EngineSpec extends AnyFunSuite {
         == Set(2L))
     }
   }
+
+  test("CREATE multi-pattern atomicity: a late pattern's error applies nothing") {
+    val g = writeGs()
+    withWrites {
+      // second pattern's type error must not leave the first appended
+      intercept[GraftException](g.cypher(
+        "CREATE (:User {id: 30, name: 'a', city: 'x'}), (:Post {id: 31, title: 99});"))
+      assert(g.cypher("MATCH (u:User) WHERE u.id = 30 RETURN u.id AS id;")
+        .collect().isEmpty)
+      // node pattern + relationship pattern whose OTHER endpoint is a typo:
+      // the endpoint check fails the statement before the node lands
+      intercept[GraftException](g.cypher(
+        """CREATE (:User {id: 40, name: 'u40', city: 'x'}),
+          |       (:User {id: 40})-[:WFollows {since: 1}]->(:User {id: 999});""".stripMargin))
+      assert(g.cypher("MATCH (u:User) WHERE u.id = 40 RETURN u.id AS id;")
+        .collect().isEmpty)
+    }
+  }
+
+  test("CREATE endpoint ids must reference existing or same-statement nodes") {
+    val g = writeGs()
+    withWrites {
+      // a typo'd endpoint would insert a traversal-invisible dangling
+      // edge; it errors loudly instead
+      val e = intercept[GraftException](g.cypher(
+        "CREATE (:User {id: 1})-[:WFollows {since: 1}]->(:User {id: 999});"))
+      assert(e.getMessage.contains("999") &&
+        e.getMessage.contains("does not match any existing"), e.getMessage)
+      // ...but a node created by the SAME statement resolves
+      g.cypher(
+        """CREATE (:User {id: 50, name: 'u50', city: 'x'}),
+          |       (:User {id: 50})-[:WFollows {since: 7}]->(:User {id: 1});""".stripMargin)
+      assert(longs(g.cypher(
+        "MATCH (a:User {name:'u50'})-[:WFollows]->(b:User) RETURN b.id AS id;"))
+        == Set(1L))
+    }
+  }
+
+  test("CREATE literal checks close the silent-cast holes") {
+    import spark.implicits._
+    val g = writeGs()
+    g.registerTable("wevents", Seq(
+      (20L, java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5))
+      .toDF("id", "d", "ts", "n"))
+    g.registerNode("Event", "wevents", "id")
+    withWrites {
+      def bad(q: String, want: String): Unit = {
+        val e = intercept[GraftException](g.cypher(q))
+        assert(e.getMessage.contains(want), s"$q => ${e.getMessage}")
+      }
+      // a garbage date/timestamp STRING passes a class check but
+      // cast()s to silent NULL — it must parse eagerly on the driver
+      bad("CREATE (:Event {id: 21, d: 'garbage'});", "yyyy-MM-dd")
+      bad("CREATE (:Event {id: 21, d: '2024-02-30'});", "yyyy-MM-dd")
+      bad("CREATE (:Event {id: 21, ts: 'soon'});", "does not fit")
+      // out-of-range integral into an INT column wraps/NULLs in a cast —
+      // range-checked instead
+      bad("CREATE (:Event {id: 21, n: 99999999999});", "range")
+      // the valid forms land with their exact values
+      g.cypher("CREATE (:Event {id: 22, d: '2024-02-29', " +
+        "ts: '2024-01-02 03:04:05', n: 7});")
+      val r = g.cypher(
+        "MATCH (e:Event) WHERE e.id = 22 RETURN e.d AS d, e.ts AS ts, e.n AS n;")
+        .collect().head
+      assert(r.getDate(0).toString == "2024-02-29")
+      assert(r.getTimestamp(1).toString.startsWith("2024-01-02 03:04:05"))
+      assert(r.getInt(2) == 7)
+    }
+  }
 }

@@ -264,6 +264,52 @@ class DedupSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     } finally graft.pipeline.PipelineCaches.clear()
   }
+
+  test("imageHashPairs: lossless 4-chunk block through maxDist 3, reject 4") {
+    import TestSpark.spark.implicits._
+    // worst case for the block: the 3 differing bits land in 3 DIFFERENT
+    // 16-bit chunks, leaving exactly ONE shared chunk — still found
+    val h0 = 0x0123456789ABCDEFL
+    val d3 = h0 ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) // chunks 0,1,2 touched
+    val d1 = h0 ^ (1L << 63)                          // chunk 3 touched
+    val d4 = h0 ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48) // all 4
+    val far = ~h0                                     // dist 64
+    val hashes = Seq((1L, h0), (2L, d3), (3L, d1), (4L, d4), (5L, far))
+      .toDF("doc_id", "dhash")
+    val got = Dedup.imageHashPairs(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,2) dist 3 found via the SINGLE shared chunk (chunk 3); (1,3)
+    // dist 1; (2,4) dist 1 (differ only in bit 48). Excluded: (1,4) and
+    // (2,3) dist 4, (3,4) dist 5, and 5 shares no chunk with anyone
+    assert(got == Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 4L, 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.imageHashPairs(hashes, maxDist = 4) // block lossless only to 3
+    }
+    assert(Dedup.imageHashPairs(hashes, maxDist = 3).columns.toSeq ==
+      Seq("doc_a", "doc_b", "dist"))
+  }
+
+  test("imageHashPairs bucket cap prunes oversized buckets") {
+    import TestSpark.spark.implicits._
+    val same = (1L to 5L).map(i => (i, 42L)).toDF("doc_id", "dhash")
+    assert(Dedup.imageHashPairs(same, maxDist = 0).count() == 10) // 5C2
+    assert(Dedup.imageHashPairs(same, maxDist = 0, maxBucketSize = 3).count() == 0)
+  }
+
+  test("end-to-end image dedup: synthesized BMPs -> dHash -> blocked pairs") {
+    import TestSpark.spark.implicits._
+    val d = (1L until 8L).toDF("doc_id") // ids 1..7; no corrupt (id%17) ids
+    val pairs = Dedup.imageHashPairs(
+        graft.pipeline.Multimodal.imageDHash(TestSpark.spark,
+          graft.pipeline.Multimodal.synthesizeBmpMedia(TestSpark.spark, d)),
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same id/4 groups {1,2,3} and {4,5,6,7} are brightness-shifted
+    // near-dups; cross-group gradients differ at many wrap points
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(pairs.contains((4L, 5L)) && pairs.contains((6L, 7L)))
+    assert(!pairs.exists { case (a, b) => a / 4 != b / 4 })
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -797,6 +843,68 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.sampleFrames(spark, Multimodal.attachBinary(d))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(f == Set((0L, 0L), (4L, 400L), (8L, 800L)))
+  }
+
+  test("BMP golden decode: dims, bottom-up luma, malformed-header rejection") {
+    // 3x2 grayscale, px(x,y) = 10x + 100y (top-down coords)
+    val b = Multimodal.bmpBytes(3, 2, (x, y) => 10 * x + 100 * y)
+    val Some((w, h, luma)) = Multimodal.decodeBmp(b)
+    assert(w == 3 && h == 2)
+    for (x <- 0 until 3; y <- 0 until 2)
+      assert(luma(x, y) == 10 * x + 100 * y, s"px($x,$y)")
+    // structural violations -> None, never a throw
+    assert(Multimodal.decodeBmp(b.take(53)).isEmpty)        // truncated header
+    assert(Multimodal.decodeBmp(Array[Byte]('B', 'M', 3, 0)).isEmpty)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      c(off) = (v & 0xFF).toByte; c(off + 1) = ((v >> 8) & 0xFF).toByte
+      c(off + 2) = ((v >> 16) & 0xFF).toByte; c(off + 3) = ((v >> 24) & 0xFF).toByte
+      c
+    }
+    assert(Multimodal.decodeBmp(patched(18, 0)).isEmpty)           // w = 0
+    assert(Multimodal.decodeBmp(patched(30, 1)).isEmpty)           // compressed
+    // r11-advice overflow payloads: giant w wraps Int rowBytes math,
+    // h = Int.MinValue survives an == 0 guard via abs — both must
+    // reject cleanly instead of crashing the task downstream
+    assert(Multimodal.decodeBmp(patched(18, Int.MaxValue - 2)).isEmpty)
+    assert(Multimodal.decodeBmp(patched(22, Int.MinValue)).isEmpty)
+    // top-down (negative height) variant still decodes
+    val td = Multimodal.decodeBmp(patched(22, -2))
+    assert(td.nonEmpty && td.get._2 == 2)
+  }
+
+  test("dHash hand-computed: gradient, flat, alternating-stripe fixtures") {
+    // strictly-increasing luma -> every grid(r,c) < grid(r,c+1) -> all 64 bits
+    assert(Multimodal.dhashOf(27, 16, (x, _) => x) == -1L)
+    // flat image: no strict inequality anywhere -> 0
+    assert(Multimodal.dhashOf(27, 16, (_, _) => 128) == 0L)
+    // 9x8 image samples grid(r,c) = luma(c,r) directly; alternating
+    // columns 0,255,0,... set exactly the even-c bit of each row:
+    // per-row byte 0b01010101 = 0x55 -> hash 0x5555555555555555
+    assert(Multimodal.dhashOf(9, 8, (x, _) => if (x % 2 == 0) 0 else 255) ==
+      0x5555555555555555L)
+    // brightness invariance: +40 offset leaves every gradient bit intact
+    val base = (x: Int, y: Int) => (7 * x + 13 * y) % 200
+    assert(Multimodal.dhashOf(27, 16, base) ==
+      Multimodal.dhashOf(27, 16, (x, y) => base(x, y) + 40))
+  }
+
+  test("imageDHash drops corrupt payloads and round-trips the BMP fixture") {
+    import spark.implicits._
+    val d = (0L until 20L).toDF("doc_id")
+    val hashes = Multimodal.imageDHash(spark, Multimodal.synthesizeBmpMedia(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id % 17 == 0 payloads are truncated-corrupt -> no row, not a null/throw
+    assert(!hashes.contains(0L) && !hashes.contains(17L))
+    assert(hashes.size == 18)
+    // same id/4 group differs only by a brightness offset; gradients
+    // survive except at shifted mod-256 wrap points -> tiny Hamming
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) <= 3 && ham(hashes(2L), hashes(3L)) <= 3)
+    // hash matches a driver-side decode+dhash of the same bytes
+    val Some((w, h, luma)) = Multimodal.decodeBmp(
+      Multimodal.bmpBytes(27, 16, (x, y) => (17 * (5L / 4) + 7 * x + 13 * y + 5 % 4).toInt % 256))
+    assert(hashes(5L) == Multimodal.dhashOf(w, h, luma))
   }
 }
 

@@ -432,11 +432,18 @@ final class GraftSession(val spark: SparkSession) {
   def startCatalogRefresh(path: String, intervalMs: Long = 60000L): Unit = synchronized {
     if (refreshThread != null) return
     val t = new Thread(() => {
-      while (!Thread.currentThread().isInterrupted) {
+      // no `return` in here: inside a lambda it compiles to a
+      // NonLocalReturnControl throw targeting the (long-gone)
+      // startCatalogRefresh frame and escapes the thread instead of
+      // stopping it cleanly — exit by falling out of the loop
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
         try refreshCatalogIfNewer(path)
-        catch { case _: InterruptedException => return; case _: Exception => }
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => return }
+        catch { case _: InterruptedException => live = false; case _: Exception => }
+        if (live) {
+          try Thread.sleep(intervalMs)
+          catch { case _: InterruptedException => live = false }
+        }
       }
     }, "graft-catalog-refresh")
     t.setDaemon(true)

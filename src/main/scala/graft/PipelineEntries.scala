@@ -659,8 +659,9 @@ object PipelineEntries {
       GraphAlgorithms.closenessCentrality(TpchGraph.session(s, dir),
         "NATION_NEXT", Seq(24L, 10L, 3L))),
 
-    // exact betweenness on the banded subgraph (all vertices as sources;
-    // the scalable landmark-sampled form is spec-pinned) — oracle: the
+    // betweenness on the banded subgraph: the default bounded landmark
+    // sample covers all 25 nations (min(V, 64) lowest ids ⊇ V here), so
+    // the result IS the exact all-vertices betweenness — oracle: the
     // CLOSED FORM Σ σ(s,v)·σ(v,t)/σ(s,t) over all-pairs shortest-path
     // counts, a deliberately different derivation from the engine's
     // Brandes sweep (oracles need correctness, not scale)

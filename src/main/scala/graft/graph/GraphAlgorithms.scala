@@ -597,11 +597,19 @@ object GraphAlgorithms {
     * data, not loop iterations), then the backward sweep accumulates
     * pair dependencies δ_s(v) = Σ_{w∈succ} σ(s,v)/σ(s,w)·(1+δ_s(w))
     * level by level. Returns (id, betweenness) with betweenness =
-    * Σ_{s∈sources} δ_s(v), 6-dp rounded — pass every vertex as a source
-    * for the exact (ordered-pair) betweenness, divide by 2 for the
-    * undirected convention, or pass a deterministic landmark sample for
-    * the scalable approximation (the standard trade at 100 TB: cost is
-    * |sources| BFS+sweep passes, NOT all-pairs).
+    * Σ_{s∈sources} δ_s(v), 6-dp rounded; divide by 2 for the undirected
+    * convention.
+    *
+    * SOURCE SELECTION — the 100 TB guard: with `sources` given, exactly
+    * those run. With `sources = Nil` the default is a BOUNDED
+    * deterministic landmark sample — the min(V, 64) lowest vertex ids —
+    * because all-vertices Brandes is O(V·E): an innocuous
+    * zero-argument call must not silently schedule an all-pairs job on
+    * a billion-vertex graph. All-vertices exact betweenness is an
+    * explicit opt-in (`exact = true`, rejected alongside a `sources`
+    * list). On graphs with ≤ 64 vertices the default landmark set IS
+    * every vertex, so small-graph results equal the exact form. Cost is
+    * |sources| BFS+sweep passes, NOT all-pairs.
     *
     * Scale shape: per forward level one frontier⋈edges join + one
     * map-side-combinable σ sum + one anti-join against the settled set
@@ -612,8 +620,11 @@ object GraphAlgorithms {
     * exact shape the rebase exists for. State ≤ |sources|·|V|. */
   def betweennessCentrality(gs: GraftSession, relLabel: String,
       sources: Seq[Long] = Nil, maxDepth: Int = 10,
-      edgePred: Option[Column] = None): DataFrame = {
+      edgePred: Option[Column] = None, exact: Boolean = false): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    require(!(exact && sources.nonEmpty),
+      "exact = true runs every vertex as a source; it cannot be combined " +
+      "with an explicit sources list")
     val spark = gs.spark
     import spark.implicits._
     val r = gs.catalog.rel(relLabel)
@@ -630,8 +641,11 @@ object GraphAlgorithms {
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.pipeline.PipelineCaches.track)
     val srcFrame =
-      if (sources.isEmpty) v.select(col("id").as("src"))
-      else sources.toDF("src")
+      if (sources.nonEmpty) sources.toDF("src")
+      else if (exact) v.select(col("id").as("src"))
+      // default: bounded deterministic landmark sample — TakeOrdered over
+      // the vertex set, never an all-vertices O(V·E) schedule by accident
+      else v.orderBy(col("id")).limit(64).select(col("id").as("src"))
 
     // ---- forward: per-level (src, v, sigma) frames -----------------------
     val (lev0, lev0Rdd, _) = rebaseRows(

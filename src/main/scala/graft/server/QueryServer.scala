@@ -88,7 +88,18 @@ final class QueryServer(gs: GraftSession, port: Int = 0,
         case other => respond(ex, 400, s"unknown format: $other")
       }
     } catch {
-      case e: Throwable => respond(ex, 400, s"error: ${e.getMessage}")
+      // 400 vs 500 (reference: handlers.rs maps query errors to client
+      // status): anything the USER caused — parse, validation, planning,
+      // bad parameters, Spark analysis of the built plan — is a 400;
+      // a fault while EXECUTING an accepted query (runtime SparkException,
+      // engine bugs) is a 500, so clients and monitors can tell "fix
+      // your query" from "the engine broke"
+      case e: graft.cypher.GraftException =>
+        respond(ex, 400, s"error: ${e.getMessage}")
+      case e: org.apache.spark.sql.AnalysisException =>
+        respond(ex, 400, s"error: ${e.getMessage}")
+      case e: Throwable =>
+        respond(ex, 500, s"internal error: ${e.getMessage}")
     } finally {
       // The response is fully rendered by now (streams drain inside
       // respondStream), so any caches a CALL+UNION plan or a pipeline

@@ -202,4 +202,35 @@ class CatalogSpec extends AnyFunSuite {
       assert(g2.catalog.nodes.contains("Post2"))
     } finally g2.stopCatalogRefresh()
   }
+
+  test("refresh thread stops cleanly on interrupt (no escaping throw)") {
+    val g = freshGraph()
+    val path = Files.createTempFile("graft_catalog_stop", ".json").toString
+    g.saveCatalog(path)
+    val g2 = new GraftSession(spark)
+    g2.loadCatalog(path)
+    // capture anything that escapes the refresh thread: the old lambda
+    // `return` compiled to a NonLocalReturnControl throw that killed the
+    // thread via the uncaught handler instead of a clean loop exit
+    val escaped = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val prior = Thread.getDefaultUncaughtExceptionHandler
+    Thread.setDefaultUncaughtExceptionHandler((t, e) =>
+      if (t.getName == "graft-catalog-refresh") escaped.set(e)
+      else if (prior != null) prior.uncaughtException(t, e))
+    try {
+      g2.startCatalogRefresh(path, intervalMs = 50L)
+      Thread.sleep(120) // let it take at least one tick
+      val t = Thread.getAllStackTraces.keySet.toArray(Array.empty[Thread])
+        .find(_.getName == "graft-catalog-refresh")
+      assert(t.isDefined)
+      g2.stopCatalogRefresh()
+      t.get.join(3000)
+      assert(!t.get.isAlive, "refresh thread should terminate on interrupt")
+      assert(escaped.get == null,
+        s"refresh thread must exit its loop, not throw: ${escaped.get}")
+    } finally {
+      g2.stopCatalogRefresh()
+      Thread.setDefaultUncaughtExceptionHandler(prior)
+    }
+  }
 }

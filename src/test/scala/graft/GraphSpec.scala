@@ -390,6 +390,40 @@ class GraphSpec extends AnyFunSuite {
     assert(lm(2L) == 2.0 && lm(3L) == 1.0 && lm(1L) == 0.0 && lm(5L) == 0.0)
   }
 
+  test("betweenness default is a bounded landmark sample; exact opts in") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    // path 1-2-...-70: more vertices than the 64-landmark default
+    g.registerTable("btg", (1L to 70L).map(i => (i, s"v$i")).toDF("id", "name"))
+    g.registerTable("BGE", (1L until 70L).map(i => (i, i + 1))
+      .toDF("from_BG", "to_BG"))
+    g.registerNode("BG", "btg", "id")
+    g.registerRel("BGE", "BGE", "BG", "BG")
+    val dflt = GraphAlgorithms.betweennessCentrality(g, "BGE", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // zero-arg call must equal the EXPLICIT 64-lowest-ids landmark run,
+    // not an all-vertices schedule
+    val explicit = GraphAlgorithms.betweennessCentrality(g, "BGE",
+        sources = (1L to 64L), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dflt == explicit)
+    // all-vertices is an explicit opt-in and differs here: sources 65-70
+    // contribute dependencies the landmark run omits (e.g. s=70 adds
+    // delta through 69/68 that no source <= 64 reaches within depth 3)
+    val exact = GraphAlgorithms.betweennessCentrality(g, "BGE",
+        maxDepth = 3, exact = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact != dflt)
+    assert(exact(69L) > dflt(69L))
+    // exact + explicit sources is contradictory -> loud
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.betweennessCentrality(g, "BGE", sources = Seq(1L),
+        exact = true)
+    }
+    // small graphs (V <= 64) are unaffected: default == exact there is
+    // pinned by the hand-checked path/star/bridge test above
+  }
+
   test("weighted pagerank: from-the-spec fold, scale-invariant shares") {
     import spark.implicits._
     val g = new GraftSession(spark)

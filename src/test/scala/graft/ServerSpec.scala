@@ -87,6 +87,42 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("user errors are 400, engine execution faults are 500") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val g = new GraftSession(spark)
+    g.registerTable("users5", Seq((1L, "u1")).toDF("id", "name"))
+    g.registerNode("User5", "users5", "id")
+    // a table whose EXECUTION throws: analysis sees a valid Long column,
+    // the fault only fires when a task evaluates the row — the shape of
+    // an internal engine/storage failure, not a bad query
+    val boom = udf((i: Long) =>
+      if (i > 0) throw new IllegalStateException("storage fault") else i)
+    g.registerTable("faulty", Seq((1L, "f1")).toDF("id", "name")
+      .withColumn("id", boom(col("id"))))
+    g.registerNode("Faulty", "faulty", "id")
+    val srv = new QueryServer(g)
+    val port = srv.start()
+    try {
+      // parse error -> 400
+      val (cp, _) = post(port, """{"query": "MATCH ("}""")
+      assert(cp == 400)
+      // valid parse, unknown label -> 400
+      val (cv, _) = post(port, """{"query": "MATCH (x:Nope) RETURN x.id AS i;"}""")
+      assert(cv == 400)
+      // accepted query that dies mid-execution -> 500 (Pretty collects
+      // before the header, so the status can still carry the fault)
+      val (ce, be) = post(port,
+        """{"query": "MATCH (f:Faulty) RETURN f.id AS id;", "format": "Pretty"}""")
+      assert(ce == 500, s"got $ce: $be")
+      assert(be.contains("internal error"))
+      // the server survives the fault and keeps serving
+      val (cok, bok) = post(port,
+        """{"query": "MATCH (u:User5) RETURN u.id AS id;"}""")
+      assert(cok == 200 && bok == "{\"id\":1}\n")
+    } finally srv.stop()
+  }
+
   test("CLI client: scripted REPL round trip against a live server") {
     val srv = new QueryServer(gs)
     val port = srv.start()

@@ -454,21 +454,43 @@ object GraphAlgorithms {
     (cur, curRdd, curEdges, i)
   }
 
+  /** Rounds the last [[coreNumbers]] call executed — test probe for the
+    * h-index refinement's convergence count. */
+  private[graft] val lastCorenessRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Full core decomposition: coreness(v) = the largest k such that v
-    * belongs to the k-core. Iterates [[peelToFixpoint]] with ascending k,
-    * each peel STARTING from the previous k's survivors (the standard
-    * incremental trick — the k-core is a subgraph of the (k−1)-core), and
-    * assigns coreness k−1 to the vertices the k-peel removes. Vertices
-    * absent from the edge list are absent (edge-defined, like [[kCore]]).
-    * Returns (id, coreness).
+    * belongs to the k-core, capped at `maxK` (vertices whose true
+    * coreness exceeds maxK report maxK). Vertices absent from the edge
+    * list are absent (edge-defined, like [[kCore]]). Returns
+    * (id, coreness).
     *
-    * Scale shape: Σ_k (peel rounds at k) rebased rounds over a
-    * monotonically SHRINKING edge set — k stops at the degeneracy (the
-    * first k whose core is empty), which is ≤ √(2·|E|) and tiny for
-    * real-world graphs; per-k dropped-vertex frames are |V|-bounded. */
+    * Algorithm: distributed h-index refinement (Montresor, De Pellegrini,
+    * Miorandi, "Distributed k-core decomposition", 2011; also Lü et al.
+    * 2016): start every vertex at c₀(v) = min(deg v, maxK) and repeat
+    * c(v) ← min(c(v), H{c(u) : u ∈ N(v)}), where H is the h-index — the
+    * largest t with ≥ t neighbors whose value is ≥ t. The sequence is
+    * monotone non-increasing and its fixpoint is exactly the coreness.
+    * One loop computes EVERY k simultaneously — unlike per-k peeling,
+    * whose k=2 pass alone needs one synchronous round per layer of a
+    * chain cascade (the previous implementation capped those rounds and
+    * silently mis-assigned coreness past the cap; this one converges or
+    * throws).
+    *
+    * Scale shape per round: one edge⋈values join (shuffle ∝ |E|) + one
+    * map-side-combinable aggregate computing the ≥t neighbor counts for
+    * t = 1..maxK as maxK conditional sums — no collect_list, so a
+    * billion-degree hub costs the same per edge as anyone else. The
+    * monotone total Σc(v) doubles as the free convergence probe (stable
+    * sum ⟺ fixpoint, since values are integers that never increase).
+    * Round count = the graph's cascade depth; real-world graphs converge
+    * in tens of rounds (that's the published selling point of h-index
+    * refinement) and every round's frame is lineage-truncated via
+    * [[rebaseRows]], so deep cascades cost time, not stack. */
   def coreNumbers(gs: GraftSession, relLabel: String, maxK: Int = 64,
-      maxRoundsPerK: Int = 50, edgePred: Option[Column] = None): DataFrame = {
+      maxRounds: Int = 500, edgePred: Option[Column] = None): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val r = gs.catalog.rel(relLabel)
     val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
     val e0 = base.select(col(r.fromColumn).cast("long").as("a"),
@@ -476,31 +498,56 @@ object GraphAlgorithms {
       .filter(col("a") =!= col("b"))
     val canon = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct()
-    var state = rebaseRows(
+    val (edges, _, edgeCount) = rebaseRows(
       canon.unionAll(canon.select(col("b").as("a"), col("a").as("b"))))
-    def vertsOf(df: DataFrame): DataFrame =
-      df.select(col("a").as("id")).distinct()
-    var prevVerts = vertsOf(state._1)
-    val assigned = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var k = 2
-    var emptied = state._3 == 0
-    while (!emptied && k <= maxK + 1) {
-      val (cur, rdd, edges, _) = peelToFixpoint(state, k, maxRoundsPerK)
-      val curVerts = vertsOf(cur)
-      val (dropped, _, _) = rebaseRows(prevVerts
-        .join(curVerts.withColumnRenamed("id", "__kid"),
-          col("id") === col("__kid"), "left_anti")
-        .select(col("id"), lit((k - 1).toLong).as("coreness")))
-      assigned += dropped
-      state = (cur, rdd, edges)
-      prevVerts = curVerts
-      emptied = edges == 0
-      k += 1
+    if (edgeCount == 0)
+      return gs.spark.createDataFrame(
+        gs.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("coreness",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    // h-index of the neighbor multiset from its ≥t counts: the largest
+    // t in 1..maxK with count(c_u >= t) >= t. Counts are non-increasing
+    // in t, so the last satisfied t in an ascending when-chain is it.
+    def hIndex(prefix: String): Column =
+      (1 to maxK).foldLeft(lit(0L)) { (acc, t) =>
+        when(col(s"$prefix$t") >= t, lit(t.toLong)).otherwise(acc)
+      }
+    var state = rebaseRows(edges
+      .groupBy(col("a").as("id")).agg(count(lit(1)).as("__deg"))
+      .select(col("id"), least(col("__deg"), lit(maxK.toLong)).as("c")))
+    def totalOf(df: DataFrame): Long =
+      df.agg(sum("c")).head().getLong(0)
+    var total = totalOf(state._1)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrCounts = edges
+        .join(state._1.withColumnRenamed("id", "__nid"),
+          col("b") === col("__nid"))
+        .groupBy(col("a").as("id"))
+        .agg(sum(when(col("c") >= 1, 1L).otherwise(0L)).as("__ge1"),
+          (2 to maxK).map(t =>
+            sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"__ge$t")): _*)
+      val next = rebaseRows(state._1.withColumnRenamed("c", "__cprev")
+        .join(nbrCounts, "id")
+        .select(col("id"), least(col("__cprev"), hIndex("__ge")).as("c")))
+      state._2.unpersist(blocking = false)
+      state = next
+      val newTotal = totalOf(state._1)
+      converged = newTotal == total
+      total = newTotal
+      round += 1
     }
-    if (!emptied) // degeneracy above maxK: remaining vertices get maxK
-      assigned += prevVerts.select(col("id"),
-        lit(maxK.toLong).as("coreness"))
-    assigned.reduce(_ unionByName _)
+    lastCorenessRounds.set(round)
+    if (!converged)
+      throw new IllegalStateException(
+        s"coreNumbers($relLabel) did not converge within $maxRounds " +
+        s"rounds (cascade depth exceeds the budget); raise maxRounds — " +
+        s"refusing to return a partially-refined decomposition")
+    state._1.select(col("id"), col("c").as("coreness"))
   }
 
   /** Peel rounds the last [[kCore]] call executed — test probe for the
@@ -518,10 +565,23 @@ object GraphAlgorithms {
     * trap). The RDD hop costs one row-encode pass over the frame and
     * keeps lineage, plan size, and planning time constant per round.
     * The RDD is registered for [[graft.pipeline.PipelineCaches]] cleanup;
-    * the returned count doubles as the eager materialization barrier. */
+    * the returned count doubles as the eager materialization barrier.
+    *
+    * `localCheckpoint` is what makes the truncation REAL: createDataFrame
+    * resets the logical plan, but without it the new RDD still references
+    * the previous round's RDD through its dependency chain, and Java task
+    * serialization walks that whole object graph — a loop that rebases
+    * hundreds of times (deep peel cascades, long BFS frontiers) dies in
+    * StackOverflowError at stage submission even though every hop is
+    * persisted (observed: coreNumbers on the sf0.01 PLACED probe graph).
+    * The trade is the standard iterative-graph one: a truncated RDD
+    * cannot be recomputed if an executor holding its only copy dies —
+    * MEMORY_AND_DISK keeps a disk copy per executor, and these loops
+    * re-run from the query anyway on failure. */
   private def rebaseRows(df: DataFrame)
       : (DataFrame, RDD[org.apache.spark.sql.Row], Long) = {
     val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
     graft.pipeline.PipelineCaches.onClear(rdd)(_.unpersist(blocking = false))
     val n = rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd, n)
@@ -668,7 +728,10 @@ object GraphAlgorithms {
       if (n == 0) { nxtRdd.unpersist(blocking = false); done = true }
       else {
         val (st, stRdd, _) = rebaseRows(settled.unionByName(nxt))
-        settledRdd.unpersist(blocking = false)
+        // the first settled IS level 0, which the backward sweep still
+        // reads — never unpersist a frame that lives on in `levels`
+        // (rebased RDDs are lineage-truncated: unpersist = unrecomputable)
+        if (!(settledRdd eq lev0Rdd)) settledRdd.unpersist(blocking = false)
         settled = st; settledRdd = stRdd
         levels += nxt
         frontier = nxt

@@ -21,10 +21,16 @@ object ProfileGraphScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val gs = graft.fixtures.TpchGraph.session(spark, sfDir)
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+    // optional op-name filter (substring match on the label), so a single
+    // slow operator can be probed in isolation without re-running the rest
+    val only: Set[String] = args.toSet
+    def time[A](label: String)(f: => A): Option[A] =
+      if (only.nonEmpty && !only.exists(label.contains)) None
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        Some(r)
+      }
     for (round <- 1 to 3) {
       time(s"r$round labelprop(PLACED, 5)") {
         graft.graph.GraphAlgorithms.labelPropagation(gs, "PLACED", iters = 5)
@@ -98,6 +104,36 @@ object ProfileGraphScale {
       time(s"r$round betweenness(PLACED, 8 landmarks)") {
         graft.graph.GraphAlgorithms.betweennessCentrality(gs, "PLACED",
           sources = (1L to 8L), maxDepth = 6).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      // Louvain on the bipartite graph: every order has exactly one
+      // customer edge, so local moving converges in round 1 (orders adopt
+      // their customer's community) — the measured cost is the canonical
+      // edge build + per-round gain join at |E|
+      time(s"r$round louvain(PLACED, 2 rounds)") {
+        graft.graph.GraphAlgorithms.louvain(gs, "PLACED", rounds = 2)
+          .count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      // customer->order edges form a DAG, so every SCC is a singleton;
+      // the probe measures the Pregel label-convergence cost over |E|
+      time(s"r$round scc(PLACED, 5)") {
+        graft.graph.GraphAlgorithms.stronglyConnectedComponents(gs,
+          "PLACED", numIter = 5).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      // 3 customer landmarks; BFS dies at order sinks after one level, so
+      // the cost is the landmark BFS frontier joins + the fold aggregate
+      time(s"r$round closeness(PLACED, 3 landmarks)") {
+        graft.graph.GraphAlgorithms.closenessCentrality(gs, "PLACED",
+          landmarks = Seq(1L, 2L, 3L)).count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
+      // degeneracy of the bipartite graph is 1 (every order has degree
+      // 1), so the decomposition runs the k=1 sweep plus the emptying
+      // k=2 peel — the same two-full-|E|-peel worst case as kCore above
+      time(s"r$round coreNumbers(PLACED)") {
+        graft.graph.GraphAlgorithms.coreNumbers(gs, "PLACED").count()
       }
       graft.pipeline.PipelineCaches.clear(blocking = true)
     }

@@ -219,6 +219,42 @@ class GraphSpec extends AnyFunSuite {
     assert(core3 == got.filter(_._2 >= 3L).keySet)
   }
 
+  test("core numbers: chain cascade converges; cap and budget behave") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    // a 30-vertex path welded to a K4 at one end: the path is the
+    // worst case for layer-at-a-time refinement (the old per-k peel
+    // needed one round per path vertex AT EVERY k and silently
+    // mis-assigned past its 50-round cap)
+    g.registerTable("ccn", (1L to 34L).map(i => (i, s"v$i")).toDF("id", "name"))
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val k4 = Seq((30L, 31L), (30L, 32L), (30L, 33L), (31L, 32L),
+      (31L, 33L), (32L, 33L))
+    g.registerTable("CCE", (path ++ k4).toDF("from_CC", "to_CC"))
+    g.registerNode("CC", "ccn", "id")
+    g.registerRel("CCE", "CCE", "CC", "CC")
+    val got = GraphAlgorithms.coreNumbers(g, "CCE")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 members (30 sits in the K4 and on the path): coreness 3;
+    // every pure path vertex: coreness 1
+    assert((30L to 33L).forall(got(_) == 3L))
+    assert((1L to 29L).forall(got(_) == 1L))
+    // the refinement erodes the path one layer per round from each end:
+    // hand-derivable round count is ~|path|/2, well under the budget
+    val rounds = GraphAlgorithms.lastCorenessRounds.get()
+    assert(rounds > 5 && rounds <= 40, s"unexpected round count $rounds")
+    // maxK caps REPORTED coreness without disturbing values below it
+    val capped = GraphAlgorithms.coreNumbers(g, "CCE", maxK = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((30L to 33L).forall(capped(_) == 2L))
+    assert((1L to 29L).forall(capped(_) == 1L))
+    // an insufficient round budget throws instead of returning a
+    // partially-refined (wrong) decomposition
+    intercept[IllegalStateException] {
+      GraphAlgorithms.coreNumbers(g, "CCE", maxRounds = 2)
+    }
+  }
+
   test("hits: hubs and authorities on a hand-checked star, dups collapse") {
     import spark.implicits._
     val g = new GraftSession(spark)

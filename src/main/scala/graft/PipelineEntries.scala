@@ -1333,6 +1333,118 @@ object PipelineEntries {
        |$rows""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.pipeline.Bpe.train]]: the merge loop,
+    * unrolled — one (pair-count, argmax, apply) CTE triple per merge.
+    *
+    * The trick that makes "apply merge (l,r)" SQL-expressible: each
+    * word's symbol sequence is kept as ONE string with every symbol
+    * wrapped in chr(1) separators ("␁l␁␁o␁␁w␁␁</w>␁"), so any
+    * "␁X␁" with separator-free X is exactly one whole symbol and the
+    * inter-symbol boundary is the double separator. A merge is then a
+    * single replace(enc, '␁l␁␁r␁', '␁lr␁') — SQL replace scans left to
+    * right, substitutes non-overlapping occurrences, and resumes AFTER
+    * the replacement, which is precisely the trainer's greedy
+    * mergePair semantics (e.g. a·a·a + (a,a) → aa·a, not a·aa).
+    * Pair COUNTING (overlap allowed, unlike application) unnests the
+    * symbols with positions and self-joins on i+1; the argmax mirrors
+    * the (max count, then lexicographic) tie-break; early stop mirrors
+    * minPairCount: an empty bK keeps hK+1 = hK via the LEFT JOIN, and
+    * stays empty at every later K. CTEs are MATERIALIZED — DuckDB
+    * inlines chained CTEs by default, and each hK is referenced
+    * multiple times, so inlining would recompute h0 exponentially. */
+  /** The chr(1)-wrapped symbol encoding of a word expression. */
+  private def bpeEncExpr(wordExpr: String): String =
+    s"regexp_replace($wordExpr, '(.)', chr(1) || '\\1' || chr(1), 'g') " +
+      "|| chr(1) || '</w>' || chr(1)"
+
+  /** The shared trainer CTE chain h0, (s0,b0,h1), …: hK = the word
+    * histogram after K merges, bK = merge K's (left, right) pair (empty
+    * once training early-stops). */
+  private def bpeTrainCtes(numMerges: Int, topWords: Int,
+      minPairCount: Long): String = {
+    val head =
+      s"""h0 AS MATERIALIZED (
+         |  SELECT ${bpeEncExpr("word")} AS enc, cnt
+         |  FROM (SELECT word, count(*) AS cnt
+         |        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         |              FROM documents)
+         |        WHERE word <> '' GROUP BY word
+         |        ORDER BY cnt DESC, word ASC LIMIT $topWords))""".stripMargin
+    val steps = (0 until numMerges).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT enc, cnt,
+         |         unnest(string_split(trim(enc, chr(1)), chr(1) || chr(1))) AS sym,
+         |         unnest(generate_series(1, len(string_split(trim(enc, chr(1)), chr(1) || chr(1))))) AS i
+         |  FROM h$k),
+         |b$k AS MATERIALIZED (
+         |  SELECT a.sym AS lft, b.sym AS rgt
+         |  FROM s$k a JOIN s$k b ON a.enc = b.enc AND b.i = a.i + 1
+         |  GROUP BY a.sym, b.sym
+         |  HAVING sum(a.cnt) >= $minPairCount
+         |  ORDER BY sum(a.cnt) DESC, a.sym ASC, b.sym ASC LIMIT 1),
+         |h${k + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN b.lft IS NULL THEN h.enc
+         |              ELSE replace(h.enc,
+         |                           chr(1) || b.lft || chr(1) || chr(1) || b.rgt || chr(1),
+         |                           chr(1) || b.lft || b.rgt || chr(1))
+         |         END AS enc, h.cnt
+         |  FROM h$k h LEFT JOIN b$k b ON true)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps"
+  }
+
+  private def bpeTrainOracleSql(numMerges: Int = 50, topWords: Int = 30000,
+      minPairCount: Long = 2): String = {
+    val unions = (0 until numMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, lft AS "left", rgt AS "right" FROM b$k"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)}\n$unions\nORDER BY rank"
+  }
+
+  /** DuckDB mirror of [[graft.pipeline.Bpe.tokenCounts]] under the
+    * table [[bpeTrainOracleSql]] learns (re-derived in the same query).
+    * encodeWord applies the lowest-RANKED pair present until none is —
+    * equivalent, for a table trained on this corpus, to ONE greedy
+    * replace per merge in rank order: merge k's operands only exist
+    * after merges < k have applied, and a merge never creates a new
+    * adjacency between pre-existing symbols, so no earlier pair can
+    * reappear once passed. Hence the same separator-replace chain as
+    * training, over the corpus's DISTINCT words (counts join back per
+    * doc — corpora repeat words, exactly the memo in tokenCounts). */
+  private def bpeTokensOracleSql(numMerges: Int = 50, topWords: Int = 30000,
+      minPairCount: Long = 2): String = {
+    val applySteps = (0 until numMerges).map { k =>
+      s"""e${k + 1} AS MATERIALIZED (
+         |  SELECT e.word,
+         |         CASE WHEN b.lft IS NULL THEN e.enc
+         |              ELSE replace(e.enc,
+         |                           chr(1) || b.lft || chr(1) || chr(1) || b.rgt || chr(1),
+         |                           chr(1) || b.lft || b.rgt || chr(1))
+         |         END AS enc
+         |  FROM e$k e LEFT JOIN b$k b ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, word, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY doc_id, word),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, ${bpeEncExpr("word")} AS enc
+       |  FROM (SELECT DISTINCT word FROM dw)),
+       |$applySteps,
+       |wl AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(trim(enc, chr(1)), chr(1) || chr(1))) AS BIGINT) AS bl
+       |  FROM e$numMerges)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(t.nws, 0) AS BIGINT) AS n_ws_tokens,
+       |       CAST(coalesce(t.nbpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN (SELECT dw.doc_id, sum(dw.c) AS nws, sum(dw.c * wl.bl) AS nbpe
+       |           FROM dw JOIN wl USING (word) GROUP BY dw.doc_id) t
+       |USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB mirror of [[GraphAlgorithms.betweennessCentrality]] on the
     * banded symmetric graph, via the CLOSED FORM rather than Brandes:
     * σ(s,v) = walks of length dist(s,v) (a walk of exactly shortest
@@ -1828,6 +1940,12 @@ object PipelineEntries {
     // one-scan column profile of documents (same stats per column the
     // Spark side's single aggregate computes)
     "p_profile" -> profileOracleSql,
+
+    // the merge loop IS SQL-expressible after all (round-10 ask):
+    // unrolled CTE triples + separator-string replace, see the
+    // generator's scaladoc. Kept at the gate entries' exact params.
+    "p_bpe_train" -> bpeTrainOracleSql(numMerges = 50),
+    "p_bpe_tokens" -> bpeTokensOracleSql(numMerges = 50),
 
     "g_linkpred" ->
       """WITH e AS (

@@ -1352,6 +1352,203 @@ object PipelineEntries {
     * stays empty at every later K. CTEs are MATERIALIZED — DuckDB
     * inlines chained CTEs by default, and each hK is referenced
     * multiple times, so inlining would recompute h0 exponentially. */
+  // ---- XXH64 in DuckDB SQL ----------------------------------------------
+  // Spark's xxhash64 is standard XXH64 (seed 42) over the string's UTF-8
+  // bytes. DuckDB has no xxhash builtin, so the p_fingerprint /
+  // p_dedup_simhash oracles reimplement it from the public spec in SQL:
+  // 64-bit wraparound arithmetic emulated in HUGEINT mod 2^64 (UBIGINT
+  // throws on overflow), 64×64 multiplies split into 32-bit halves to
+  // stay under 2^127, the unbounded 32-byte stripe loop as a recursive
+  // CTE, and the ≤31-byte tail statically unrolled (3×8B + 1×4B + 3×1B).
+  // Validated against a from-the-spec reference on the official test
+  // vectors and 25 mixed ASCII/UTF-8 lengths (tools/spikes/xxh64_sql.py).
+
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val XP1 = "11400714785074694791::HUGEINT"
+  private val XP2 = "14029467366897019727::HUGEINT"
+  private val XP3 = "1609587929392839161::HUGEINT"
+  private val XP4 = "9650029242287828579::HUGEINT"
+  private val XP5 = "2870177450012600261::HUGEINT"
+
+  /** (x*y) mod 2^64 via 32-bit-half split — args must be COLUMN REFS or
+    * small literals (each appears 3×). */
+  private def xMul(x: String, y: String): String =
+    s"((($x)%4294967296)*(($y)%4294967296) + (((($x)//4294967296)*(($y)%4294967296) + " +
+      s"(($x)%4294967296)*(($y)//4294967296)) % 4294967296) * 4294967296) % $M64"
+  private def xAdd(x: String, y: String): String = s"((($x) + ($y)) % $M64)"
+  private def xRotl(x: String, r: Int): String =
+    // BigInt: (1L << 63) wraps to Long.MinValue and emits a NEGATIVE
+    // divisor (caught as an off-by-one in n_fp on real docs)
+    s"(((($x) * ${BigInt(1) << r}::HUGEINT) % $M64 + (($x) // ${BigInt(1) << (64 - r)}::HUGEINT)) % $M64)"
+  private def xXor(x: String, y: String): String =
+    s"xor(($x)::UBIGINT, ($y)::UBIGINT)::HUGEINT"
+  private def xShr(x: String, r: Int): String =
+    s"(($x) // ${1L << r}::HUGEINT)"
+  private def xLane(b: String, off: String, n: Int): String =
+    "(" + (0 until n).map(j =>
+      s"($b[$off+$j]::HUGEINT)*${BigInt(256).pow(j)}::HUGEINT").mkString(" + ") + ")"
+
+  /** CTE chain hashing column `s` of CTE `src` keyed by BIGINT column
+    * `k`; result CTE `{pfx}res(k, h)` with h ∈ [0, 2^64) as HUGEINT.
+    * The emitted SQL requires a WITH RECURSIVE prelude. */
+  private def xxh64Ctes(src: String, pfx: String = "x"): String = {
+    val seed = "42::HUGEINT"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""${pfx}by AS MATERIALIZED (
+      |  SELECT k, flatten(list_transform(
+      |    list_transform(range(1, length(s)+1), i -> unicode(substring(s, i, 1))),
+      |    cp -> CASE WHEN cp < 128 THEN [cp]
+      |               WHEN cp < 2048 THEN [192 + cp//64, 128 + cp%64]
+      |               WHEN cp < 65536 THEN [224 + cp//4096, 128 + (cp//64)%64, 128 + cp%64]
+      |               ELSE [240 + cp//262144, 128 + (cp//4096)%64, 128 + (cp//64)%64, 128 + cp%64] END)) AS b
+      |  FROM $src)""".stripMargin
+    ctes += s"${pfx}bn AS MATERIALIZED (SELECT k, b, len(b) AS n, len(b)//32 AS ns FROM ${pfx}by)"
+    val a1i = xAdd(xAdd(seed, XP1), XP2)
+    val a2i = xAdd(seed, XP2)
+    val a4i = s"(($seed - $XP1 + $M64) % $M64)"
+    val lanes = (0 until 4).map(c => xLane("r.b", s"(r.i*32+${8 * c}+1)", 8))
+    val inner = (0 until 4).map(j =>
+      s"${xAdd(s"r.a${j + 1}", xMul(lanes(j), XP2))} AS t${j + 1}").mkString(", ")
+    val outer = (0 until 4).map(j =>
+      s"${xMul(xRotl(s"q.t${j + 1}", 31), XP1)} AS a${j + 1}").mkString(", ")
+    ctes += s"""${pfx}st AS (
+      |  SELECT k, b, n, ns, 0 AS i, $a1i AS a1, $a2i AS a2, $seed AS a3, $a4i AS a4
+      |  FROM ${pfx}bn WHERE n >= 32
+      |  UNION ALL
+      |  SELECT q.k, q.b, q.n, q.ns, q.i + 1, $outer
+      |  FROM (SELECT r.k, r.b, r.n, r.ns, r.i, $inner
+      |        FROM ${pfx}st r WHERE r.i < r.ns) q)""".stripMargin
+    val h0 = xAdd(xAdd(xRotl("a1", 1), xRotl("a2", 7)),
+      xAdd(xRotl("a3", 12), xRotl("a4", 18)))
+    ctes += s"""${pfx}sd AS MATERIALIZED (
+      |  SELECT k, b, n, ns, a1, a2, a3, a4, $h0 AS h
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn FROM ${pfx}st) WHERE rn = 1)""".stripMargin
+    for (j <- 1 to 4) {
+      val from = if (j == 1) s"${pfx}sd" else s"${pfx}m${j - 1}"
+      ctes += s"""${pfx}m$j AS MATERIALIZED (
+        |  SELECT k, b, n, ns, a1, a2, a3, a4, ${xAdd(xMul(xXor("h", xMul(xRotl(xMul(s"a$j", XP2), 31), XP1)), XP1), XP4)} AS h FROM $from)""".stripMargin
+    }
+    ctes += s"""${pfx}t0 AS MATERIALIZED (
+      |  SELECT k, b, n, n//32*32 AS p, ${xAdd("h", "n")} AS h FROM ${pfx}m4
+      |  UNION ALL
+      |  SELECT k, b, n, 0 AS p, ${xAdd(xAdd(seed, XP5), "n")} AS h FROM ${pfx}bn WHERE n < 32)""".stripMargin
+    val k8 = xLane("b", "(p+1)", 8)
+    for (j <- 1 to 3) {
+      val from = if (j == 1) s"${pfx}t0" else s"${pfx}e${j - 1}"
+      ctes += s"""${pfx}e$j AS MATERIALIZED (
+        |  SELECT k, b, n, CASE WHEN p + 8 <= n THEN p + 8 ELSE p END AS p,
+        |         CASE WHEN p + 8 <= n THEN ${xAdd(xMul(xRotl(xXor("h", xMul(xRotl(xMul(k8, XP2), 31), XP1)), 27), XP1), XP4)} ELSE h END AS h
+        |  FROM $from)""".stripMargin
+    }
+    val k4 = xLane("b", "(p+1)", 4)
+    ctes += s"""${pfx}f AS MATERIALIZED (
+      |  SELECT k, b, n, CASE WHEN p + 4 <= n THEN p + 4 ELSE p END AS p,
+      |         CASE WHEN p + 4 <= n THEN ${xAdd(xMul(xRotl(xXor("h", xMul(k4, XP1)), 23), XP2), XP3)} ELSE h END AS h
+      |  FROM ${pfx}e3)""".stripMargin
+    for (j <- 1 to 3) {
+      val from = if (j == 1) s"${pfx}f" else s"${pfx}g${j - 1}"
+      ctes += s"""${pfx}g$j AS MATERIALIZED (
+        |  SELECT k, b, n, CASE WHEN p < n THEN p + 1 ELSE p END AS p,
+        |         CASE WHEN p < n THEN ${xMul(xRotl(xXor("h", xMul("(b[p+1]::HUGEINT)", XP5)), 11), XP1)} ELSE h END AS h
+        |  FROM $from)""".stripMargin
+    }
+    ctes += s"${pfx}v1 AS MATERIALIZED (SELECT k, ${xMul(xXor("h", xShr("h", 33)), XP2)} AS h FROM ${pfx}g3)"
+    ctes += s"${pfx}v2 AS MATERIALIZED (SELECT k, ${xMul(xXor("h", xShr("h", 29)), XP3)} AS h FROM ${pfx}v1)"
+    ctes += s"${pfx}res AS MATERIALIZED (SELECT k, ${xXor("h", xShr("h", 32))} AS h FROM ${pfx}v2)"
+    ctes.mkString(",\n")
+  }
+
+  /** DuckDB mirror of [[graft.pipeline.TextAnalysis.fingerprints]]
+    * (winnowing, Schleimer et al.): 4-word shingles (first-occurrence
+    * distinct, ORDER PRESERVED — the sliding window walks the list),
+    * [[xxh64Ctes]] per shingle, signed conversion BEFORE the window min
+    * (Spark compares signed longs), window-4 mins, distinct-count +
+    * global min. */
+  private def fingerprintOracleSql: String =
+    s"""WITH RECURSIVE
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, i AS idx, array_to_string(list_slice(toks, i, i + 3), ' ') AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents),
+       |       unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS t(i)
+       |),
+       |shd AS MATERIALIZED (
+       |  SELECT doc_id, idx, s,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS sidx
+       |  FROM (SELECT doc_id, idx, s,
+       |               row_number() OVER (PARTITION BY doc_id, s ORDER BY idx) AS occ
+       |        FROM sh)
+       |  WHERE occ = 1
+       |),
+       |hin AS MATERIALIZED (
+       |  SELECT doc_id * 1000000 + sidx AS k, s FROM shd
+       |),
+       |${xxh64Ctes("hin")},
+       |hs AS MATERIALIZED (
+       |  SELECT k // 1000000 AS doc_id, k % 1000000 AS sidx,
+       |         CASE WHEN h >= 9223372036854775808::HUGEINT
+       |              THEN (h - $M64)::BIGINT
+       |              ELSE h::BIGINT END AS h
+       |  FROM xres
+       |),
+       |hl AS MATERIALIZED (
+       |  SELECT doc_id, list(h ORDER BY sidx) AS hs FROM hs GROUP BY doc_id
+       |),
+       |mins AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+       |                                i -> list_min(hs[i:i+3])) AS mins
+       |  FROM hl
+       |)
+       |SELECT doc_id, CAST(len(list_distinct(mins)) AS INTEGER) AS n_fp,
+       |       list_min(mins) AS fp_min
+       |FROM mins""".stripMargin
+
+  /** DuckDB mirror of [[graft.pipeline.Dedup.simhashPairs]]: distinct
+    * 3-word shingles → [[xxh64Ctes]] → per-bit ±1 votes over the
+    * UNSIGNED hash (bit test = div/mod — identical bits to Spark's
+    * signed bitwiseAND), sign of vote sum sets the bit; 16-bit-chunk
+    * blocking with the same singleton-prune + 10000 bucket cap; Hamming
+    * ≤ 6 via bit_count(xor); DISTINCT pairs. */
+  private def simhashOracleSql: String =
+    s"""WITH RECURSIVE
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, i AS idx, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents),
+       |       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+       |),
+       |shd AS MATERIALIZED (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY min(idx)) AS sidx, s
+       |  FROM sh GROUP BY doc_id, s
+       |),
+       |hin AS MATERIALIZED (SELECT doc_id * 1000000 + sidx AS k, s FROM shd),
+       |${xxh64Ctes("hin")},
+       |hs AS MATERIALIZED (SELECT k // 1000000 AS doc_id, h FROM xres),
+       |bits AS MATERIALIZED (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h // (1::HUGEINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs, unnest(range(0, 64)) AS t(j)
+       |  GROUP BY doc_id, j
+       |),
+       |sims AS MATERIALIZED (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS simu
+       |  FROM bits GROUP BY doc_id
+       |),
+       |chunked AS MATERIALIZED (
+       |  SELECT doc_id, simu, c AS chunk, (simu // (1::HUGEINT << (16*c))) % 65536 AS cv
+       |  FROM sims, unnest(range(0, 4)) AS t(c)
+       |),
+       |ok AS MATERIALIZED (
+       |  SELECT chunk, cv FROM chunked GROUP BY chunk, cv
+       |  HAVING count(*) > 1 AND count(*) <= 10000
+       |),
+       |inb AS MATERIALIZED (SELECT c.* FROM chunked c JOIN ok USING (chunk, cv))
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.simu::UBIGINT, y.simu::UBIGINT)) AS INTEGER) AS hamming
+       |FROM inb x JOIN inb y
+       |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simu::UBIGINT, y.simu::UBIGINT)) <= 6""".stripMargin
+
   /** The chr(1)-wrapped symbol encoding of a word expression. */
   private def bpeEncExpr(wordExpr: String): String =
     s"regexp_replace($wordExpr, '(.)', chr(1) || '\\1' || chr(1), 'g') " +
@@ -1946,6 +2143,12 @@ object PipelineEntries {
     // generator's scaladoc. Kept at the gate entries' exact params.
     "p_bpe_train" -> bpeTrainOracleSql(numMerges = 50),
     "p_bpe_tokens" -> bpeTokensOracleSql(numMerges = 50),
+
+    // xxhash64 is NOT missing from DuckDB after all — reimplemented
+    // from the public XXH64 spec in SQL (see xxh64Ctes); these two
+    // leave the no_oracle list
+    "p_fingerprint" -> fingerprintOracleSql,
+    "p_dedup_simhash" -> simhashOracleSql,
 
     "g_linkpred" ->
       """WITH e AS (

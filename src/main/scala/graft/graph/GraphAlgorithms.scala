@@ -477,16 +477,21 @@ object GraphAlgorithms {
     * silently mis-assigned coreness past the cap; this one converges or
     * throws).
     *
-    * Scale shape per round: one edge⋈values join (shuffle ∝ |E|) + one
-    * map-side-combinable aggregate computing the ≥t neighbor counts for
-    * t = 1..maxK as maxK conditional sums — no collect_list, so a
-    * billion-degree hub costs the same per edge as anyone else. The
-    * monotone total Σc(v) doubles as the free convergence probe (stable
-    * sum ⟺ fixpoint, since values are integers that never increase).
-    * Round count = the graph's cascade depth; real-world graphs converge
-    * in tens of rounds (that's the published selling point of h-index
-    * refinement) and every round's frame is lineage-truncated via
-    * [[rebaseRows]], so deep cascades cost time, not stack. */
+    * Scale shape: DELTA iteration — a vertex's h-index only drops when
+    * a neighbor's value dropped, so each round recomputes just the
+    * neighbors of the previous round's changed set (round 0 sweeps all).
+    * Per round: one frontier semi-join + one edges⋈values join over the
+    * AFFECTED vertices' edges + a map-side-combinable aggregate of the
+    * ≥t neighbor counts for t = 1..maxK as maxK conditional sums — no
+    * collect_list, so a billion-degree hub costs the same per edge as
+    * anyone else. Total edge-visits across the run ≈ Σ deg(affected)
+    * (≈ |E| + cascade), NOT rounds × |E|. The changed-set count is the
+    * free convergence probe (empty frontier ⟺ fixpoint — values are
+    * integers that never increase). Round count = the graph's cascade
+    * depth; real-world graphs converge in tens of rounds (the published
+    * selling point of h-index refinement) and every round's frame is
+    * lineage-truncated via [[rebaseRows]], so deep cascades cost time,
+    * not stack. */
   def coreNumbers(gs: GraftSession, relLabel: String, maxK: Int = 64,
       maxRounds: Int = 500, edgePred: Option[Column] = None): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
@@ -518,31 +523,57 @@ object GraphAlgorithms {
     var state = rebaseRows(edges
       .groupBy(col("a").as("id")).agg(count(lit(1)).as("__deg"))
       .select(col("id"), least(col("__deg"), lit(maxK.toLong)).as("c")))
-    def totalOf(df: DataFrame): Long =
-      df.agg(sum("c")).head().getLong(0)
-    var total = totalOf(state._1)
+    // DELTA iteration: a vertex's h-index can only drop when a
+    // NEIGHBOR's value dropped, so each round recomputes only the
+    // neighbors of the previous round's changed set. Total edge-visits
+    // across the whole run ≈ Σ_rounds deg(affected) instead of
+    // rounds × |E| — on cascade-deep graphs (one layer changes per
+    // round) that is the difference between O(|E|) and O(depth·|E|)
+    // total shuffle volume, the property that matters at 100 TB.
+    // Round 0 seeds the frontier with every vertex (first full sweep).
+    var frontier = state._1.select(col("id").as("fid"))
+    var frontierCount = state._3
     var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
+    while (frontierCount > 0 && round < maxRounds) {
+      // single-use within this round's plan — no rebase needed
+      val affected =
+        if (round == 0) state._1.select(col("id"))
+        else edges
+          .join(frontier, col("b") === col("fid"), "left_semi")
+          .select(col("a").as("id")).distinct()
       val nbrCounts = edges
+        .join(affected.withColumnRenamed("id", "__aid"),
+          col("a") === col("__aid"), "left_semi")
         .join(state._1.withColumnRenamed("id", "__nid"),
           col("b") === col("__nid"))
         .groupBy(col("a").as("id"))
         .agg(sum(when(col("c") >= 1, 1L).otherwise(0L)).as("__ge1"),
           (2 to maxK).map(t =>
             sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"__ge$t")): _*)
-      val next = rebaseRows(state._1.withColumnRenamed("c", "__cprev")
-        .join(nbrCounts, "id")
-        .select(col("id"), least(col("__cprev"), hIndex("__ge")).as("c")))
+      // one materialization of the recomputed values per round: both the
+      // state merge and the next frontier read it (left lazy, the whole
+      // nbrCounts aggregate would run twice)
+      val (upd, updRdd, _) = rebaseRows(nbrCounts
+        .join(state._1.withColumnRenamed("c", "__cprev"), "id")
+        .select(col("id"), col("__cprev"),
+          least(col("__cprev"), hIndex("__ge")).as("c")))
+      val chg = upd.filter(col("c") < col("__cprev"))
+      val nChanged = chg.count()
+      val next = rebaseRows(state._1.withColumnRenamed("c", "__cold")
+        .join(upd.select(col("id").as("__uid"), col("c").as("__cnew")),
+          col("id") === col("__uid"), "left")
+        .select(col("id"), coalesce(col("__cnew"), col("__cold")).as("c")))
       state._2.unpersist(blocking = false)
       state = next
-      val newTotal = totalOf(state._1)
-      converged = newTotal == total
-      total = newTotal
+      // referenced once (next round's affected semi-join) — lazy over the
+      // rebased upd is safe and cheap. Per-round upd rdds are frontier-
+      // sized and released in bulk by PipelineCaches at query end.
+      frontier = chg.select(col("id").as("fid"))
+      frontierCount = nChanged
       round += 1
     }
     lastCorenessRounds.set(round)
-    if (!converged)
+    if (frontierCount > 0)
       throw new IllegalStateException(
         s"coreNumbers($relLabel) did not converge within $maxRounds " +
         s"rounds (cascade depth exceeds the budget); raise maxRounds — " +

@@ -24,6 +24,7 @@ object ProfileGraphScale {
     // optional op-name filter (substring match on the label), so a single
     // slow operator can be probed in isolation without re-running the rest
     val only: Set[String] = args.toSet
+    val probeRounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "3").toInt
     def time[A](label: String)(f: => A): Option[A] =
       if (only.nonEmpty && !only.exists(label.contains)) None
       else {
@@ -31,7 +32,7 @@ object ProfileGraphScale {
         println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         Some(r)
       }
-    for (round <- 1 to 3) {
+    for (round <- 1 to probeRounds) {
       time(s"r$round labelprop(PLACED, 5)") {
         graft.graph.GraphAlgorithms.labelPropagation(gs, "PLACED", iters = 5)
           .count()
@@ -133,7 +134,10 @@ object ProfileGraphScale {
       // 1), so the decomposition runs the k=1 sweep plus the emptying
       // k=2 peel — the same two-full-|E|-peel worst case as kCore above
       time(s"r$round coreNumbers(PLACED)") {
-        graft.graph.GraphAlgorithms.coreNumbers(gs, "PLACED").count()
+        val n = graft.graph.GraphAlgorithms.coreNumbers(gs, "PLACED").count()
+        println(s"[profile]   coreNumbers rounds=" +
+          graft.graph.GraphAlgorithms.lastCorenessRounds.get)
+        n
       }
       graft.pipeline.PipelineCaches.clear(blocking = true)
     }

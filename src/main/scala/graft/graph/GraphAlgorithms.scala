@@ -62,30 +62,165 @@ object GraphAlgorithms {
       .toDF("id", "component")
   }
 
-  /** Strongly connected components of the DIRECTED graph (GraphX's
-    * coloring/propagation algorithm); component id = the minimum vertex
-    * id in the SCC, so the output convention matches
-    * [[connectedComponents]]. `numIter` bounds the outer peel loop —
-    * each iteration finalizes at least the condensation DAG's current
-    * sources/sinks, so it needs to cover the longest chain of SCCs, not
-    * the diameter; vertices GraphX has not finalized keep a provisional
-    * color, which a fixed bound makes deterministic but potentially
-    * unconverged — size it like the hop bounds on the BFS operators.
-    * Isolated vertices (in the node tables but no edges) are their own
-    * SCC, as in [[connectedComponents]]. Returns (id, component).
+  /** Strongly connected components of the DIRECTED graph; component id
+    * = the minimum vertex id in the SCC, so the output convention
+    * matches [[connectedComponents]]. `numIter` bounds the outer peel
+    * loop — each iteration finalizes every source-SCC of the remaining
+    * condensation, so it must cover the condensation's source-chain
+    * depth, not the diameter. Isolated vertices (in the node tables but
+    * no edges) are their own SCC, as in [[connectedComponents]].
+    * Returns (id, component); exhausting either budget THROWS rather
+    * than returning an unconverged decomposition.
     *
     * The oracle distinction this must witness: over a graph whose
     * regions are directed rings joined by ONE-WAY bridges, undirected
     * reachability is a single component while SCCs keep one component
     * per ring — mutual reachability only. */
+  /** Spark-rounds the last [[stronglyConnectedComponents]] call executed
+    * (trim + color + mark rounds summed) — test probe. */
+  private[graft] val lastSccRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def stronglyConnectedComponents(gs: GraftSession, relLabel: String,
-      numIter: Int = 10): DataFrame = {
+      numIter: Int = 10, maxRounds: Int = 4000): DataFrame = {
     require(numIter >= 1, s"numIter must be >= 1, got $numIter")
+    // DataFrame-native trim + forward-min coloring + backward confirm
+    // (Orzan-style), NOT GraphX's stronglyConnectedComponents: that
+    // implementation chains Graph lineage across its internal trim and
+    // Pregel loops without ever truncating, and on a high-diameter graph
+    // it dies in StackOverflowError at task (de)serialization ~140k
+    // stages in (observed on the sf0.1 PLACED probe — the Pregel
+    // checkpointInterval conf does not cover its hand-rolled trim loop).
+    // Every round here re-bases through [[rebaseRows]], so depth costs
+    // time, not stack.
+    //
+    // Phases per outer iteration:
+    //   trim:  repeatedly drop vertices with no in- or no out-edge —
+    //          each is a singleton SCC (own id, assigned implicitly by
+    //          the final fallback join). Kills entire DAG regions.
+    //   color: propagate min id FORWARD to fixpoint: c(v) = min over
+    //          in-neighbors ∪ self. Within an SCC all members share c,
+    //          and a root (c(v) = v) is the minimum of its SCC.
+    //   mark:  backward reach from roots along reversed edges WITHIN the
+    //          same color = exactly the root's SCC; assign component =
+    //          root (= min member, the GraphX/CC convention), remove
+    //          those vertices, repeat. Each outer iteration finalizes at
+    //          least every source-SCC of the remaining condensation, so
+    //          `numIter` must cover the condensation's source-chain
+    //          depth; `maxRounds` bounds total Spark rounds. Either
+    //          budget exhausting THROWS — never a silent partial result.
+    val r = gs.catalog.rel(relLabel)
     val spark = gs.spark
-    import spark.implicits._
-    tracked(graph(gs, relLabel).stronglyConnectedComponents(numIter))
-      .vertices.map { case (id, comp) => (id, comp) }
-      .toDF("id", "component")
+    var rounds = 0
+    def budget(): Unit = {
+      rounds += 1
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"stronglyConnectedComponents($relLabel) exceeded $maxRounds " +
+        "Spark rounds (trim cascade or diameter beyond budget); raise " +
+        "maxRounds — refusing to return a partial decomposition")
+    }
+    var state = rebaseRows(gs.table(r.tableName)
+      .select(col(r.fromColumn).cast("long").as("s"),
+        col(r.toColumn).cast("long").as("d"))
+      .distinct())
+    def trimToFixpoint(): Unit = {
+      var stable = state._3 == 0
+      while (!stable) {
+        budget()
+        val keep = state._1.select(col("s").as("__k")).distinct()
+          .join(state._1.select(col("d").as("__k")).distinct(), "__k")
+        val next = rebaseRows(state._1
+          .join(keep, col("s") === col("__k"), "left_semi")
+          .join(keep.withColumnRenamed("__k", "__k2"),
+            col("d") === col("__k2"), "left_semi"))
+        stable = next._3 == state._3
+        state._2.unpersist(blocking = false)
+        state = next
+      }
+    }
+    val assigned = scala.collection.mutable.ArrayBuffer[(DataFrame, RDD[org.apache.spark.sql.Row])]()
+    trimToFixpoint()
+    var outer = 0
+    while (state._3 > 0) {
+      if (outer >= numIter) throw new IllegalStateException(
+        s"stronglyConnectedComponents($relLabel) did not finish within " +
+        s"numIter = $numIter outer iterations (condensation chain deeper " +
+        "than the budget); raise numIter")
+      // ---- forward-min coloring to fixpoint --------------------------
+      var color = rebaseRows(state._1.select(col("s").as("id"))
+        .unionAll(state._1.select(col("d").as("id"))).distinct()
+        .select(col("id"), col("id").as("c")))
+      var stable = false
+      while (!stable) {
+        budget()
+        val inMin = state._1
+          .join(color._1.select(col("id").as("__sid"), col("c").as("__sc")),
+            col("s") === col("__sid"))
+          .groupBy(col("d").as("id")).agg(min("__sc").as("__mc"))
+        val next = rebaseRows(color._1
+          .join(inMin.withColumnRenamed("id", "__mid"),
+            col("id") === col("__mid"), "left")
+          .select(col("id"), least(col("c"), coalesce(col("__mc"), col("c"))).as("c")))
+        // fixpoint when the monotone total stops falling (integer mins)
+        stable = next._1.agg(sum("c")).head().getLong(0) ==
+          color._1.agg(sum("c")).head().getLong(0)
+        color._2.unpersist(blocking = false)
+        color = next
+      }
+      // ---- backward confirm within color ----------------------------
+      var marked = rebaseRows(color._1.filter(col("id") === col("c")))
+      stable = false
+      while (!stable) {
+        budget()
+        val pred = state._1
+          .join(marked._1.select(col("id").as("__mid"), col("c").as("__mc")),
+            col("d") === col("__mid"))
+          .select(col("s").as("id"), col("__mc").as("c"))
+          .join(color._1.select(col("id").as("__cid"), col("c").as("__cc")),
+            col("id") === col("__cid") && col("c") === col("__cc"), "left_semi")
+        val next = rebaseRows(marked._1.unionByName(pred).distinct())
+        stable = next._3 == marked._3
+        marked._2.unpersist(blocking = false)
+        marked = next
+      }
+      assigned += ((marked._1.select(col("id"), col("c").as("component")),
+        marked._2))
+      // remove finalized vertices' edges, re-trim, next outer iteration
+      val next = rebaseRows(state._1
+        .join(marked._1.select(col("id").as("__rid")),
+          col("s") === col("__rid"), "left_anti")
+        .join(marked._1.select(col("id").as("__rid2")),
+          col("d") === col("__rid2"), "left_anti"))
+      state._2.unpersist(blocking = false)
+      state = next
+      trimToFixpoint()
+      outer += 1
+    }
+    lastSccRounds.set(rounds)
+    // vertex universe = both endpoint node tables (isolated vertices kept,
+    // matching the GraphX construction); everything not in a nontrivial
+    // SCC — isolated, trimmed, or never on an edge — is its own component
+    val allVerts = {
+      val ids = Seq(r.fromLabel, r.toLabel).distinct.map { label =>
+        val n = gs.catalog.node(label)
+        gs.table(n.tableName).select(col(n.idColumn).cast("long").as("id"))
+      }
+      ids.reduce(_ unionAll _).distinct()
+    }
+    val nontrivial =
+      if (assigned.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("component",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      else assigned.map(_._1).reduce(_ unionByName _)
+    allVerts
+      .join(nontrivial.withColumnRenamed("id", "__aid"),
+        col("id") === col("__aid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** PageRank (fixed iterations for determinism). Returns (id, rank). */

@@ -10,13 +10,26 @@ import org.apache.spark.sql.SparkSession
   * the same operators over the PLACED edge list (|E| = |orders|, 10× per
   * factor) so DESIGN.md can report a real curve.
   *
+  * GRAPH SHAPE CAVEAT (round 12): PLACED keeps raw o_custkey/o_orderkey,
+  * whose key spaces COLLIDE numerically — operators that canonicalize to
+  * an undirected vertex space (kCore, coreNumbers, louvain, the walks)
+  * see NOT a clean bipartite graph but a tangle with long chains, and
+  * BFS/peel/refinement depth GROWS with sf (measured coreness cascade:
+  * 53 rounds at sf0.01 → 273 at sf0.1). That makes this an adversarial
+  * high-diameter probe — per-op comments below describing bipartite
+  * behavior hold for the directed view only. Round-heavy numbers here
+  * are depth-dominated, not |E|-dominated; real-world graphs keep depth
+  * roughly constant as they grow.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.ProfileGraphScale
+  *        [op-name substrings]   (SPARK_GRAFT_PROBE_ROUNDS=N, default 3)
   */
 object ProfileGraphScale {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -651,6 +651,38 @@ class GraphSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("scc: condensation chains, DAG trim, converge-or-throw budgets") {
+    import spark.implicits._
+    val g = new GraftSession(spark)
+    g.registerTable("sn2", (1L to 16L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // three 3-cycles chained by one-way bridges (condensation depth 3),
+    // then a pure DAG tail 9->10->...->16 (trim-only territory)
+    val ring = (base: Long) => Seq((base, base + 1), (base + 1, base + 2),
+      (base + 2, base))
+    val edges = ring(1L) ++ Seq((3L, 4L)) ++ ring(4L) ++ Seq((6L, 7L)) ++
+      ring(7L) ++ Seq((9L, 10L)) ++ (10L until 16L).map(i => (i, i + 1))
+    g.registerTable("SE2", edges.toDF("from_S2", "to_S2"))
+    g.registerNode("S2", "sn2", "id")
+    g.registerRel("SE2", "SE2", "S2", "S2")
+    val scc = GraphAlgorithms.stronglyConnectedComponents(g, "SE2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(scc(_) == 1L))
+    assert((4L to 6L).forall(scc(_) == 4L))
+    assert((7L to 9L).forall(scc(_) == 7L))
+    assert((10L to 16L).forall(i => scc(i) == i)) // DAG tail: singletons
+    assert(GraphAlgorithms.lastSccRounds.get() > 0)
+    // a condensation chain deeper than numIter throws instead of
+    // silently returning provisional colors
+    intercept[IllegalStateException] {
+      GraphAlgorithms.stronglyConnectedComponents(g, "SE2", numIter = 2)
+    }
+    // ... and so does an exhausted total-round budget
+    intercept[IllegalStateException] {
+      GraphAlgorithms.stronglyConnectedComponents(g, "SE2", maxRounds = 2)
+    }
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   private def louvainSession(edges: Seq[(Long, Long)], n: Long): GraftSession = {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -84,115 +84,155 @@ object GraphAlgorithms {
   def stronglyConnectedComponents(gs: GraftSession, relLabel: String,
       numIter: Int = 10, maxRounds: Int = 4000): DataFrame = {
     require(numIter >= 1, s"numIter must be >= 1, got $numIter")
-    // DataFrame-native trim + forward-min coloring + backward confirm
-    // (Orzan-style), NOT GraphX's stronglyConnectedComponents: that
-    // implementation chains Graph lineage across its internal trim and
-    // Pregel loops without ever truncating, and on a high-diameter graph
-    // it dies in StackOverflowError at task (de)serialization ~140k
-    // stages in (observed on the sf0.1 PLACED probe — the Pregel
-    // checkpointInterval conf does not cover its hand-rolled trim loop).
-    // Every round here re-bases through [[rebaseRows]], so depth costs
-    // time, not stack.
+    // DataFrame in, RDD rounds inside, DataFrame out — the same substrate
+    // split the repo settled for HITS/PageRank: an SCC round is CHEAP
+    // (one tiny join or two), and a Catalyst round costs ~100 ms of
+    // planning/stage overhead regardless of data size, while an RDD
+    // round is a plain ~20 ms job. GraphX's own stronglyConnectedComponents
+    // is NOT usable: it chains Graph lineage across its hand-rolled trim
+    // loop and Pregel runs without truncating, and on a high-diameter
+    // graph dies in StackOverflowError at task (de)serialization ~140k
+    // stages in (observed on the sf0.1 PLACED probe). Here every loop
+    // RDD is persisted, the predecessor released, and lineage truncated
+    // via localCheckpoint every [[SccTruncateEvery]] rounds — depth
+    // costs time, not stack.
     //
-    // Phases per outer iteration:
-    //   trim:  repeatedly drop vertices with no in- or no out-edge —
-    //          each is a singleton SCC (own id, assigned implicitly by
-    //          the final fallback join). Kills entire DAG regions.
-    //   color: propagate min id FORWARD to fixpoint: c(v) = min over
-    //          in-neighbors ∪ self. Within an SCC all members share c,
-    //          and a root (c(v) = v) is the minimum of its SCC.
-    //   mark:  backward reach from roots along reversed edges WITHIN the
-    //          same color = exactly the root's SCC; assign component =
-    //          root (= min member, the GraphX/CC convention), remove
-    //          those vertices, repeat. Each outer iteration finalizes at
-    //          least every source-SCC of the remaining condensation, so
-    //          `numIter` must cover the condensation's source-chain
-    //          depth; `maxRounds` bounds total Spark rounds. Either
-    //          budget exhausting THROWS — never a silent partial result.
+    // Algorithm (Orzan-style), per outer iteration:
+    //   trim:  drop vertices with no in- or no out-edge to fixpoint —
+    //          singleton SCCs (own id via the final fallback join)
+    //   color: forward-min to fixpoint; a root (c(v) = v) is the
+    //          minimum of its SCC
+    //   mark:  backward reach from roots within the root's color =
+    //          exactly the root's SCC; assign component = root, remove,
+    //          re-trim, repeat. Each outer iteration finalizes every
+    //          source-SCC of the remaining condensation, so `numIter`
+    //          covers the condensation source-chain depth; `maxRounds`
+    //          bounds total rounds. Either budget exhausting THROWS —
+    //          never a silent partial decomposition.
     val r = gs.catalog.rel(relLabel)
     val spark = gs.spark
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 4)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    def trackRdd[T](x: RDD[T]): RDD[T] = {
+      val p = x.persist(StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.PipelineCaches.onClear(p)(_.unpersist(blocking = false))
+      p
+    }
     var rounds = 0
     def budget(): Unit = {
       rounds += 1
       if (rounds > maxRounds) throw new IllegalStateException(
         s"stronglyConnectedComponents($relLabel) exceeded $maxRounds " +
-        "Spark rounds (trim cascade or diameter beyond budget); raise " +
+        "rounds (trim cascade or diameter beyond budget); raise " +
         "maxRounds — refusing to return a partial decomposition")
     }
-    var state = rebaseRows(gs.table(r.tableName)
-      .select(col(r.fromColumn).cast("long").as("s"),
-        col(r.toColumn).cast("long").as("d"))
-      .distinct())
+    // periodic physical-lineage truncation: persist alone leaves the
+    // dependency chain growing round over round, and Java task
+    // serialization walks it — truncate every N rounds
+    val SccTruncateEvery = 16
+    def mat[T](x: RDD[T]): (RDD[T], Long) = {
+      val p = trackRdd(x)
+      if (rounds % SccTruncateEvery == 0) p.localCheckpoint()
+      (p, p.count())
+    }
+    var edges: RDD[(Long, Long)] = null
+    var edgeCount = 0L
+    locally {
+      val e0 = gs.table(r.tableName)
+        .select(col(r.fromColumn).cast("long").as("s"),
+          col(r.toColumn).cast("long").as("d"))
+        .distinct()
+        .as[(Long, Long)].rdd.partitionBy(part)
+      val (p, n) = mat(e0)
+      edges = p; edgeCount = n
+    }
     def trimToFixpoint(): Unit = {
-      var stable = state._3 == 0
+      var stable = edgeCount == 0
       while (!stable) {
         budget()
-        val keep = state._1.select(col("s").as("__k")).distinct()
-          .join(state._1.select(col("d").as("__k")).distinct(), "__k")
-        val next = rebaseRows(state._1
-          .join(keep, col("s") === col("__k"), "left_semi")
-          .join(keep.withColumnRenamed("__k", "__k2"),
-            col("d") === col("__k2"), "left_semi"))
-        stable = next._3 == state._3
-        state._2.unpersist(blocking = false)
-        state = next
+        val keep = edges.keys.distinct(parts).map((_, ()))
+          .join(edges.values.distinct(parts).map((_, ())), part)
+          .mapValues(_ => ())
+        // keep = src ∩ dst id sets; vertices outside lose all edges
+        val kept = edges.join(keep, part)
+          .map { case (s, ((d), _)) => (d, s) }
+          .join(keep, part)
+          .map { case (d, (s, _)) => (s, d) }
+          .partitionBy(part)
+        val (p, n) = mat(kept)
+        stable = n == edgeCount
+        edges.unpersist(blocking = false)
+        edges = p; edgeCount = n
       }
     }
-    val assigned = scala.collection.mutable.ArrayBuffer[(DataFrame, RDD[org.apache.spark.sql.Row])]()
+    val assigned = scala.collection.mutable.ArrayBuffer[RDD[(Long, Long)]]()
     trimToFixpoint()
     var outer = 0
-    while (state._3 > 0) {
+    while (edgeCount > 0) {
       if (outer >= numIter) throw new IllegalStateException(
         s"stronglyConnectedComponents($relLabel) did not finish within " +
         s"numIter = $numIter outer iterations (condensation chain deeper " +
         "than the budget); raise numIter")
       // ---- forward-min coloring to fixpoint --------------------------
-      var color = rebaseRows(state._1.select(col("s").as("id"))
-        .unionAll(state._1.select(col("d").as("id"))).distinct()
-        .select(col("id"), col("id").as("c")))
+      val verts = trackRdd(edges.flatMap { case (s, d) => Iterator(s, d) }
+        .distinct(parts).map(v => (v, v)).partitionBy(part))
+      verts.count()
+      var color = verts
+      var colorTotal = color.values.fold(0L)(_ + _)
       var stable = false
       while (!stable) {
         budget()
-        val inMin = state._1
-          .join(color._1.select(col("id").as("__sid"), col("c").as("__sc")),
-            col("s") === col("__sid"))
-          .groupBy(col("d").as("id")).agg(min("__sc").as("__mc"))
-        val next = rebaseRows(color._1
-          .join(inMin.withColumnRenamed("id", "__mid"),
-            col("id") === col("__mid"), "left")
-          .select(col("id"), least(col("c"), coalesce(col("__mc"), col("c"))).as("c")))
-        // fixpoint when the monotone total stops falling (integer mins)
-        stable = next._1.agg(sum("c")).head().getLong(0) ==
-          color._1.agg(sum("c")).head().getLong(0)
-        color._2.unpersist(blocking = false)
-        color = next
+        val msgs = edges.join(color, part)
+          .map { case (_, (d, c)) => (d, c) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val next = color.leftOuterJoin(msgs, part)
+          .mapValues { case (c, m) => math.min(c, m.getOrElse(c)) }
+        val (p, _) = mat(next)
+        val nextTotal = p.values.fold(0L)(_ + _)
+        stable = nextTotal == colorTotal
+        colorTotal = nextTotal
+        if (!(color eq verts)) color.unpersist(blocking = false)
+        color = p
       }
       // ---- backward confirm within color ----------------------------
-      var marked = rebaseRows(color._1.filter(col("id") === col("c")))
+      // reversed same-color edges: the mark wave cannot cross colors
+      val backEdges = trackRdd(edges.join(color, part)
+        .map { case (s, (d, cs)) => (d, (s, cs)) }
+        .join(color, part)
+        .flatMap { case (d, ((s, cs), cd)) =>
+          if (cs == cd) Iterator((d, s)) else Iterator.empty }
+        .partitionBy(part))
+      backEdges.count()
+      var marked = trackRdd(color.filter { case (v, c) => v == c })
+      var markedCount = marked.count()
       stable = false
       while (!stable) {
         budget()
-        val pred = state._1
-          .join(marked._1.select(col("id").as("__mid"), col("c").as("__mc")),
-            col("d") === col("__mid"))
-          .select(col("s").as("id"), col("__mc").as("c"))
-          .join(color._1.select(col("id").as("__cid"), col("c").as("__cc")),
-            col("id") === col("__cid") && col("c") === col("__cc"), "left_semi")
-        val next = rebaseRows(marked._1.unionByName(pred).distinct())
-        stable = next._3 == marked._3
-        marked._2.unpersist(blocking = false)
-        marked = next
+        val wave = backEdges.join(marked, part)
+          .map { case (_, (s, c)) => (s, c) }
+        val next = marked.union(wave).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val (p, n) = mat(next)
+        stable = n == markedCount
+        marked.unpersist(blocking = false)
+        marked = p; markedCount = n
       }
-      assigned += ((marked._1.select(col("id"), col("c").as("component")),
-        marked._2))
+      assigned += marked
       // remove finalized vertices' edges, re-trim, next outer iteration
-      val next = rebaseRows(state._1
-        .join(marked._1.select(col("id").as("__rid")),
-          col("s") === col("__rid"), "left_anti")
-        .join(marked._1.select(col("id").as("__rid2")),
-          col("d") === col("__rid2"), "left_anti"))
-      state._2.unpersist(blocking = false)
-      state = next
+      val remaining = edges
+        .leftOuterJoin(marked, part)
+        .flatMap { case (s, (d, m)) =>
+          if (m.isEmpty) Iterator((d, s)) else Iterator.empty }
+        .leftOuterJoin(marked, part)
+        .flatMap { case (d, (s, m)) =>
+          if (m.isEmpty) Iterator((s, d)) else Iterator.empty }
+        .partitionBy(part)
+      val (p, n) = mat(remaining)
+      edges.unpersist(blocking = false)
+      edges = p; edgeCount = n
+      backEdges.unpersist(blocking = false)
+      if (!(color eq verts)) color.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
       trimToFixpoint()
       outer += 1
     }
@@ -216,7 +256,12 @@ object GraphAlgorithms {
               org.apache.spark.sql.types.LongType, nullable = false),
             org.apache.spark.sql.types.StructField("component",
               org.apache.spark.sql.types.LongType, nullable = false))))
-      else assigned.map(_._1).reduce(_ unionByName _)
+      else spark.createDataset(
+        assigned.reduce(_ union _))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("id", "component")
     allVerts
       .join(nontrivial.withColumnRenamed("id", "__aid"),
         col("id") === col("__aid"), "left")

@@ -39,9 +39,21 @@ object GraphAlgorithms {
     ids.rdd.map(row => (row.getLong(0), ()))
   }
 
-  def graph(gs: GraftSession, relLabel: String): Graph[Unit, Double] =
+  def graph(gs: GraftSession, relLabel: String): Graph[Unit, Double] = {
+    // Pregel truncates its per-superstep lineage only when BOTH
+    // spark.graphx.pregel.checkpointInterval is set (session builders
+    // set 10) AND a checkpoint directory exists — PeriodicCheckpointer
+    // silently skips without one, and a high-diameter graph then grows
+    // an unbounded chain (see stronglyConnectedComponents). Every GraphX
+    // op flows through here, so this is the one place to guarantee it.
+    val sc = gs.spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty &&
+        sc.getConf.getInt("spark.graphx.pregel.checkpointInterval", -1) > 0)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     tracked(Graph(vertices(gs, relLabel), edges(gs, relLabel), (),
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** GraphX caches vertex/edge RDDs internally and never frees them on its
     * own; register every graph with the pipeline cache registry so

@@ -136,6 +136,15 @@ object ProfileGraphScale {
           "PLACED", numIter = 5).count()
       }
       graft.pipeline.PipelineCaches.clear(blocking = true)
+      // GraphX Pregel on the high-diameter collided graph: supersteps ∝
+      // diameter (hundreds at sf0.1), so this exercises the
+      // spark.graphx.pregel.checkpointInterval lineage truncation that
+      // keeps deep Pregel runs from overflowing the stack
+      time(s"r$round connectedComponents(PLACED)") {
+        graft.graph.GraphAlgorithms.connectedComponents(gs, "PLACED")
+          .count()
+      }
+      graft.pipeline.PipelineCaches.clear(blocking = true)
       // 3 customer landmarks; BFS dies at order sinks after one level, so
       // the cost is the landmark BFS frontier joins + the fold aggregate
       time(s"r$round closeness(PLACED, 3 landmarks)") {

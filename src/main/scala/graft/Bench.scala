@@ -151,7 +151,17 @@ object Bench {
       while (i < iters && !errors.contains(name)) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // Force FULL row materialization, not count(): an
+          // Aggregate(count(1)) lets Catalyst prune every projection it
+          // does not need, so entries whose cost IS the projection
+          // (p_fingerprint's hash pipeline, p_span_dedup's span arrays,
+          // the text-quality features) timed only their scan — the
+          // p_dsir hollow-measurement bug, generalized (round-12 audit:
+          // 8 entries were 2-11x under-measured; tools/HollowCheck).
+          // toRdd.foreach computes every output column distributed,
+          // collects nothing, and is what the correctness gate's parquet
+          // write pays anyway.
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
           times += (System.nanoTime() - t0) / 1e9
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -202,7 +212,7 @@ object Bench {
     val totalMin = samples.values.collect {
       case ts if ts.nonEmpty => ts.min }.sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"vmin":$totalMin,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"vmin":$totalMin,"unit":"sec","force":"rows","queries":$qs,""" +
         s""""samples":$smp,"calib":$calibStart,"calib_end":$calibEnd,""" +
         s""""calib_par":$calibParStart,"calib_par_end":$calibParEnd,""" +
         s""""iters":$iters,"errors":$errs,""" +
@@ -233,7 +243,7 @@ object Bench {
       "\"" + k + "\":" + r3(if (ts.isEmpty) -1.0 else ts.min)
     }.mkString("{", ",", "}")
     val compactLine =
-      s"""{"metric":"total","value":${r3(total)},"vmin":${r3(totalMin)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${r3(total)},"vmin":${r3(totalMin)},"unit":"sec","force":"rows",""" +
         s""""queries":$qsCompact,"qmin":$qMin,"calib":${r3(calibStart)},""" +
         s""""calib_end":${r3(calibEnd)},"calib_par":${r3(calibParStart)},""" +
         s""""calib_par_end":${r3(calibParEnd)},""" +
@@ -272,14 +282,14 @@ object Bench {
           "BENCH LEGEND STALE: tools/bench_query_order.json does not match " +
             "SparkEntry.queries — run `sbt \"runMain graft.BenchLegend\"` " +
             "and commit. Positional output suppressed.")
-        println(s"""{"metric":"total","value":${r3(total)},"vmin":${r3(totalMin)},"unit":"sec","legend_stale":true,"nq":${names.size},"names_crc":${crc.getValue},"full":"${outFile.toString}","sf":"$sfDir"}""")
+        println(s"""{"metric":"total","value":${r3(total)},"vmin":${r3(totalMin)},"unit":"sec","force":"rows","legend_stale":true,"nq":${names.size},"names_crc":${crc.getValue},"full":"${outFile.toString}","sf":"$sfDir"}""")
       } else {
       val qArr = results.map { case (_, v) => r3(v) }.mkString("[", ",", "]")
       val qMinArr = samples.values.map { ts =>
         r3(if (ts.isEmpty) -1.0 else ts.min)
       }.mkString("[", ",", "]")
       def posLine(withMin: Boolean) =
-        s"""{"metric":"total","value":${r3(total)},"vmin":${r3(totalMin)},"unit":"sec",""" +
+        s"""{"metric":"total","value":${r3(total)},"vmin":${r3(totalMin)},"unit":"sec","force":"rows",""" +
           s""""nq":${names.size},"order":"name-asc",""" +
           s""""legend":"tools/bench_query_order.json","names_crc":${crc.getValue},""" +
           s""""q":$qArr,""" + (if (withMin) s""""qmin":$qMinArr,""" else "") +

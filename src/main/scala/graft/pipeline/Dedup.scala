@@ -561,8 +561,12 @@ object Dedup {
     * doc-freq aggregate is the big shuffle (same shape as [[minhashPairs]]'
     * signature pass); the duplicated-gram set is typically orders of
     * magnitude smaller than the corpus and AQE will broadcast it into the
-    * position join. For production runs key the join on `xxhash64(gram)`
-    * instead of the string (kept raw here for SQL-oracle parity).
+    * position join. Raw gram STRINGS stay the join/agg key on purpose: a
+    * round-12 A/B (force=rows, isolated, flat calib) measured the
+    * "production" xxhash64-keyed variant at 2.52 s vs 1.63 s for this form
+    * at sf0.1 — per-row hashing of every exploded position costs more than
+    * the narrower shuffle saves until shuffle I/O dominates. Revisit the
+    * hashed key only when network shuffle is the measured bottleneck.
     *
     * Interval union on gram START positions: consecutive starts p, p'
     * overlap when p' − p < n, so each position contributes

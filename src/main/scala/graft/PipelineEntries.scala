@@ -42,6 +42,9 @@ object PipelineEntries {
   private def pairsPath(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
       java.lang.Integer.toHexString(dir.hashCode)
+  private def spanPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_span_" +
+      java.lang.Integer.toHexString(dir.hashCode)
 
   /** Build (or freshness-check) the persisted dedup artifacts —
     * MinHash signatures and mined n-gram-Jaccard pairs — exactly as
@@ -57,6 +60,7 @@ object PipelineEntries {
     val d = docs(s, dir)
     Dedup.minhashSignaturesPersisted(d, mhSigPath(dir))
     Dedup.ngramJaccardPairsPersisted(d, pairsPath(dir), threshold = 0.5)
+    Dedup.dupSpanStartsPersisted(d, spanPath(dir))
   }
   /** The events table's `ts` has shipped as both TIMESTAMP(NANOS) (which
     * Spark 4 rejects by default — read nanos as long, floor-convert to µs,
@@ -116,6 +120,13 @@ object PipelineEntries {
           round(avg(col("removed_tokens").cast("double") / col("n_tokens")), 6)
             .as("mean_removed_frac"))
     }),
+
+    // coverage over the persisted span-mining artifact: identical rows to
+    // p_span_dedup, but the mine (tokenize → gram explode → doc-freq agg)
+    // is amortized once per corpus fingerprint like the pairs/IVF
+    // artifacts — the timed work is the dup-position window + ntok join
+    "p_span_persisted" -> ((s, dir) =>
+      Dedup.dupSpanCoveragePersisted(docs(s, dir), spanPath(dir))),
 
     // transitive dup clustering: GraphX connected components over the
     // exact pair graph; canonical id = min doc in cluster — oracle-checked
@@ -1590,6 +1601,39 @@ object PipelineEntries {
     s"$head,\n$steps"
   }
 
+  /** Shared by `p_span_dedup` (fresh mine) and `p_span_persisted`
+    * (artifact read) — the artifact is a materialization boundary, not a
+    * semantic change, so one oracle pins both. */
+  private val spanCoverageOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+      |p AS (
+      |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+      |         array_to_string(toks[i:i+4], ' ') AS gram
+      |  FROM (SELECT doc_id, n_tokens, toks,
+      |               unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
+      |        FROM m)),
+      |df AS (
+      |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM p)
+      |  GROUP BY gram HAVING count(*) >= 2),
+      |c AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM p JOIN df USING (gram)),
+      |s AS (
+      |  SELECT doc_id,
+      |         count(*) AS dup_positions,
+      |         sum(least(5, n_tokens - pos, coalesce(nxt - pos, 5))) AS covered
+      |  FROM c GROUP BY doc_id)
+      |SELECT m.doc_id, m.n_tokens,
+      |       CAST(coalesce(s.dup_positions, 0) AS BIGINT) AS dup_positions,
+      |       CAST(coalesce(s.covered, 0) AS BIGINT) AS covered_tokens,
+      |       round(coalesce(s.covered, 0) / CAST(m.n_tokens AS DOUBLE), 6)
+      |         AS coverage
+      |FROM m LEFT JOIN s ON m.doc_id = s.doc_id""".stripMargin
+
   private def bpeTrainOracleSql(numMerges: Int = 50, topWords: Int = 30000,
       minPairCount: Long = 2): String = {
     val unions = (0 until numMerges).map { k =>
@@ -2333,35 +2377,12 @@ object PipelineEntries {
 
     // positional 5-grams (same short-doc bound as the Spark side); interval
     // union via lead(): consecutive starts p, p' overlap when p' - p < 5
-    "p_span_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
-        |p AS (
-        |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
-        |         array_to_string(toks[i:i+4], ' ') AS gram
-        |  FROM (SELECT doc_id, n_tokens, toks,
-        |               unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
-        |        FROM m)),
-        |df AS (
-        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM p)
-        |  GROUP BY gram HAVING count(*) >= 2),
-        |c AS (
-        |  SELECT doc_id, n_tokens, pos,
-        |         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-        |  FROM p JOIN df USING (gram)),
-        |s AS (
-        |  SELECT doc_id,
-        |         count(*) AS dup_positions,
-        |         sum(least(5, n_tokens - pos, coalesce(nxt - pos, 5))) AS covered
-        |  FROM c GROUP BY doc_id)
-        |SELECT m.doc_id, m.n_tokens,
-        |       CAST(coalesce(s.dup_positions, 0) AS BIGINT) AS dup_positions,
-        |       CAST(coalesce(s.covered, 0) AS BIGINT) AS covered_tokens,
-        |       round(coalesce(s.covered, 0) / CAST(m.n_tokens AS DOUBLE), 6)
-        |         AS coverage
-        |FROM m LEFT JOIN s ON m.doc_id = s.doc_id""".stripMargin,
+    "p_span_dedup" -> spanCoverageOracleSql,
+
+    // the persisted-artifact variant computes IDENTICAL rows (the
+    // artifact is a materialization boundary, not a semantic change) —
+    // same oracle, the p_ann_ivf_persisted convention
+    "p_span_persisted" -> spanCoverageOracleSql,
 
     // the span-remove CTE prefix without the string re-assembly: removed
     // tokens per doc = covered-position count, aggregated per source

@@ -574,8 +574,20 @@ object Dedup {
     * window per doc, no quadratic interval merge. */
   def dupSpanCoverage(docs: DataFrame, n: Int = 5, minDocFreq: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (toksDf, dupPos) = dupSpanStarts(docs, n, minDocFreq, textCol, idCol)
+    // one join: toksDf already carries every doc's n_tokens (the old
+    // three-way docs⋈perDoc⋈toksDf form re-tokenized the corpus a second
+    // time — round-5 review)
+    coverageFromMined(toksDf.select(col(idCol), col("n_tokens")),
+      dupPos, n, idCol)
+  }
+
+  /** Coverage scoring over an already-mined `(ntok, dupPos)` pair — the
+    * shared tail of [[dupSpanCoverage]] (fresh mine) and
+    * [[dupSpanCoveragePersisted]] (artifact read). */
+  private def coverageFromMined(ntok: DataFrame, dupPos: DataFrame,
+      n: Int, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val contrib = dupPos
       .withColumn("__next", lead(col("pos"), 1).over(w))
@@ -585,16 +597,63 @@ object Dedup {
     val perDoc = contrib.groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_positions"),
            sum("__covered").cast("long").as("covered_tokens"))
-    // one join: toksDf already carries every doc's n_tokens (the old
-    // three-way docs⋈perDoc⋈toksDf form re-tokenized the corpus a second
-    // time — round-5 review)
-    toksDf.select(col(idCol), col("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
+    ntok.join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("coverage"))
+  }
+
+  /** Persisted span-mining artifact: `(ntok, dupPos)` — per-doc token
+    * counts and the duplicated-gram START positions — written once per
+    * (corpus fingerprint, n, minDocFreq) and re-read from parquet after
+    * that, exactly the [[ngramJaccardPairsPersisted]] contract. The mine
+    * (tokenize → positional gram explode → doc-freq aggregate) is the
+    * dominant cost of every span operator and depends only on the corpus,
+    * so repeated curation runs — score, then remove, then re-score after
+    * policy tweaks — should pay it once, like writing a bucketed table.
+    *
+    * Any corpus change is a FULL re-mine by design: an appended document
+    * can promote an n-gram from unique to duplicated, which needs the
+    * gram's positions in OLD documents — and storing every position of
+    * every unique gram (the data needed for an incremental promote) is
+    * the corpus itself, orders of magnitude bigger than this artifact
+    * (which is ∝ duplicated positions only). The signature artifact can
+    * merge incrementally ([[minhashSignaturesPersisted]]) because its
+    * per-doc state is self-contained; duplicated-ness is corpus-global. */
+  def dupSpanStartsPersisted(docs: DataFrame, path: String, n: Int = 5,
+      minDocFreq: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val metaPath = s"$path/_span_meta.json"
+    // TERMINATED marker (ends with the closing brace) — a bare contains()
+    // would false-match a prefix value, the round-6 pairs-meta lesson
+    val marker =
+      s""""fingerprint":"${graft.catalog.Snapshot.fingerprint(docs)}","n":$n,"minDocFreq":$minDocFreq}"""
+    val meta = Artifacts.readStringIfExists(spark, metaPath)
+    if (!meta.exists(_.endsWith(marker))) {
+      Artifacts.logRebuild(path,
+        if (meta.isEmpty) "no meta"
+        else "corpus fingerprint or span-params mismatch (full re-mine)")
+      val (toksDf, dupPos) = dupSpanStarts(docs, n, minDocFreq, textCol, idCol)
+      toksDf.select(col(idCol), col("n_tokens"))
+        .write.mode("overwrite").parquet(s"$path/ntok")
+      dupPos.write.mode("overwrite").parquet(s"$path/pos")
+      Artifacts.writeString(spark, metaPath, s"""{"version":1,$marker""")
+    }
+    (spark.read.parquet(s"$path/ntok"), spark.read.parquet(s"$path/pos"))
+  }
+
+  /** [[dupSpanCoverage]] over the persisted artifact: identical rows, but
+    * the timed work is one dup-position window + one left join against the
+    * compact ntok table — the mine is amortized across calls. */
+  def dupSpanCoveragePersisted(docs: DataFrame, path: String, n: Int = 5,
+      minDocFreq: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (ntok, dupPos) =
+      dupSpanStartsPersisted(docs, path, n, minDocFreq, textCol, idCol)
+    coverageFromMined(ntok, dupPos, n, idCol)
   }
 
   /** Shared scorer/removal plumbing: `(tokenized docs, duplicated-gram

@@ -57,6 +57,30 @@ class DedupSpec extends AnyFunSuite {
       .forall(_.getDouble(4) == 1.0))
   }
 
+  test("persisted span artifact: equals fresh mine, rereads, rebuilds on param change") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c d z"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_span_spec").toString
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val fresh = asMap(Dedup.dupSpanCoverage(d, n = 3))
+    assert(asMap(Dedup.dupSpanCoveragePersisted(d, path, n = 3)) == fresh)
+    // second call must READ, not re-mine: the meta file's mtime is the
+    // build fence — unchanged means no rewrite happened
+    val meta = new java.io.File(s"$path/_span_meta.json")
+    val built = meta.lastModified()
+    assert(asMap(Dedup.dupSpanCoveragePersisted(d, path, n = 3)) == fresh)
+    assert(meta.lastModified() == built, "fresh artifact was rebuilt")
+    // param change -> rebuild with the NEW params (stale result would
+    // silently serve n=3 rows for an n=2 request)
+    val fresh2 = asMap(Dedup.dupSpanCoverage(d, n = 2))
+    assert(asMap(Dedup.dupSpanCoveragePersisted(d, path, n = 2)) == fresh2)
+    assert(meta.lastModified() != built, "param change did not rebuild")
+  }
+
   test("minhash jaccard matches exact shingle jaccard") {
     val j = Dedup.minhashPairs(docs, threshold = 0.1)
       .filter(col("a") === 1L && col("b") === 3L)

@@ -108,10 +108,14 @@ object PipelineEntries {
 
     // composition: span-removal feeding per-source curation stats (docs,
     // surviving clean tokens, mean removed fraction) — operators compose
-    // end-to-end like p_curate, oracle-checked
+    // end-to-end like p_curate, oracle-checked. Removal reads the
+    // persisted span artifact (the production shape: a curation pipeline
+    // re-runs its stats far more often than the corpus changes);
+    // p_span_remove above stays on the fresh mine as the honest re-mine
+    // reference, the p_dedup_ngram / p_dedup_clusters split.
     "p_span_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.removeDupSpans(d)
+      Dedup.removeDupSpansPersisted(d, spanPath(dir))
         .join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(

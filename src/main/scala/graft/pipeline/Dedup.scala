@@ -701,8 +701,31 @@ object Dedup {
     * the asymptotic win is what matters for long documents. */
   def removeDupSpans(docs: DataFrame, n: Int = 5, minDocFreq: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (toksDf, dupPos) = dupSpanStarts(docs, n, minDocFreq, textCol, idCol)
+    removalFromMined(toksDf, dupPos, n, idCol)
+  }
+
+  /** [[removeDupSpans]] over the persisted artifact
+    * ([[dupSpanStartsPersisted]]): identical rows; the per-doc token
+    * arrays are re-derived (a narrow tokenize, no gram explode) because
+    * clean text needs them, but the mine — the dominant cost — is read,
+    * not recomputed. */
+  def removeDupSpansPersisted(docs: DataFrame, path: String, n: Int = 5,
+      minDocFreq: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (_, dupPos) =
+      dupSpanStartsPersisted(docs, path, n, minDocFreq, textCol, idCol)
+    val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    removalFromMined(toksDf, dupPos, n, idCol)
+  }
+
+  /** Removal over an already-mined dup-position frame — the shared tail
+    * of [[removeDupSpans]] and [[removeDupSpansPersisted]]. `toksDf`
+    * carries `(idCol, __toks, n_tokens)`. */
+  private def removalFromMined(toksDf: DataFrame, dupPos: DataFrame,
+      n: Int, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val segs = dupPos
       .withColumn("__next", lead(col("pos"), 1).over(w))

@@ -79,6 +79,12 @@ class DedupSpec extends AnyFunSuite {
     val fresh2 = asMap(Dedup.dupSpanCoverage(d, n = 2))
     assert(asMap(Dedup.dupSpanCoveragePersisted(d, path, n = 2)) == fresh2)
     assert(meta.lastModified() != built, "param change did not rebuild")
+    // removal over the artifact row-matches the fresh-mine removal
+    def remRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(remRows(Dedup.removeDupSpansPersisted(d, path, n = 2))
+      == remRows(Dedup.removeDupSpans(d, n = 2)))
   }
 
   test("minhash jaccard matches exact shingle jaccard") {

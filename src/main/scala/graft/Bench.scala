@@ -157,7 +157,8 @@ object Bench {
           // (p_fingerprint's hash pipeline, p_span_dedup's span arrays,
           // the text-quality features) timed only their scan — the
           // p_dsir hollow-measurement bug, generalized (round-12 audit:
-          // 8 entries were 2-11x under-measured; tools/HollowCheck).
+          // ~15 entries up to 22x under-measured; tools/HollowCheck,
+          // full table in DESIGN.md §10).
           // toRdd.foreach computes every output column distributed,
           // collects nothing, and is what the correctness gate's parquet
           // write pays anyway.

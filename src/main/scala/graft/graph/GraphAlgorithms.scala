@@ -39,6 +39,26 @@ object GraphAlgorithms {
     ids.rdd.map(row => (row.getLong(0), ()))
   }
 
+  /** Advance a fixed-iteration `aggregateMessages` loop one round:
+    * cache and MATERIALIZE the new graph's vertices AND edges before
+    * unpersisting the old one. `outerJoinVertices` derives the new edge
+    * partitions from the old graph's, so dropping the old blocks first
+    * leaves the new round holding bare lineage — every later action then
+    * silently replays all prior rounds (O(iters²) recompute; the same
+    * reason Pregel persists the new graph via its checkpointer before
+    * `prevG.unpersist`). The extra `edges.count()` per round is the
+    * vertex-shipping job the next round's `aggregateMessages` would run
+    * anyway — forced here so it lands in cache while its inputs live. */
+  private def advance[VD: scala.reflect.ClassTag, ED](
+      old: Graph[VD, ED], next: Graph[VD, ED]): Graph[VD, ED] = {
+    next.cache()
+    next.vertices.count()
+    next.edges.count()
+    old.unpersistVertices(blocking = false)
+    old.edges.unpersist(blocking = false)
+    next
+  }
+
   def graph(gs: GraftSession, relLabel: String): Graph[Unit, Double] = {
     // Pregel truncates its per-superstep lineage only when BOTH
     // spark.graphx.pregel.checkpointInterval is set (session builders
@@ -858,10 +878,7 @@ object GraphAlgorithms {
         ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
       val g2 = tracked(g1.outerJoinVertices(hubMsgs)(
         (_, attr, h) => (h.getOrElse(0.0), attr._2)))
-      g2.vertices.count()
-      g.unpersistVertices(blocking = false)
-      g.edges.unpersist(blocking = false)
-      g = g2
+      g = advance(g, g2)
     }
     val scores = g.vertices
       .map { case (id, (h, a)) => (id, h, a) }
@@ -1028,10 +1045,14 @@ object GraphAlgorithms {
     val e = base.select(col(r.fromColumn).cast("long").as("f"),
         col(r.toColumn).cast("long").as("t"),
         col(weightCol).cast("double").as("w"))
-    if (e.filter(col("w") <= 0 || col("w").isNull).limit(1).count() > 0)
+    // NULL endpoints fail loudly too: the Edge RDD below calls getLong,
+    // which would NPE inside a task instead of explaining the data problem
+    if (e.filter(col("w") <= 0 || col("w").isNull
+          || col("f").isNull || col("t").isNull).limit(1).count() > 0)
       throw new graft.cypher.GraftException(
-        s"weightedPageRank: $weightCol must be strictly positive " +
-        "(NULL weights would silently poison the share sums)")
+        s"weightedPageRank: $weightCol must be strictly positive and " +
+        "edge endpoints non-NULL (NULL weights would silently poison " +
+        "the share sums; NULL endpoints have no vertex identity)")
     val eW = e
       .join(e.groupBy(col("f").as("__wf")).agg(sum("w").as("__wsum")),
         col("f") === col("__wf"))
@@ -1046,10 +1067,7 @@ object GraphAlgorithms {
         ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
       val g2 = tracked(g.outerJoinVertices(msgs)(
         (_, _, m) => resetProb + (1.0 - resetProb) * m.getOrElse(0.0)))
-      g2.vertices.count()
-      g.unpersistVertices(blocking = false)
-      g.edges.unpersist(blocking = false)
-      g = g2
+      g = advance(g, g2)
     }
     g.vertices.map { case (id, rank) => (id, rank) }
       .toDF("id", "rank")
@@ -1087,10 +1105,7 @@ object GraphAlgorithms {
         ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
       val g2 = tracked(g.outerJoinVertices(msgs)(
         (_, _, m) => m.getOrElse(0.0)))
-      g2.vertices.count()
-      g.unpersistVertices(blocking = false)
-      g.edges.unpersist(blocking = false)
-      g = g2
+      g = advance(g, g2)
     }
     val scores = g.vertices.map { case (id, x) => (id, x) }
       .toDF("id", "__x")

@@ -223,16 +223,26 @@ object Dedup {
     val metaPath = s"$path/_sig_meta.json"
     val fp = graft.catalog.Snapshot.fingerprint(docs)
     // TERMINATED marker (ends with the closing brace) — see
-    // ngramJaccardPairsPersisted
-    val marker = s""""fingerprint":"$fp","hashes":$NumHashes}"""
+    // ngramJaccardPairsPersisted. textCol/idCol are fenced: the corpus
+    // fingerprint hashes the input frame, so the same docs hashed over a
+    // different column would otherwise serve stale signatures
+    val marker =
+      s""""fingerprint":"$fp","hashes":$NumHashes,"textCol":"$textCol","idCol":"$idCol"}"""
     val meta = Artifacts.readStringIfExists(spark, metaPath)
     val liveDir = meta.flatMap(m =>
       "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1)))
     if (meta.exists(_.endsWith(marker)) && liveDir.nonEmpty)
       return spark.read.parquet(s"$path/${liveDir.get}")
+    // COMMA-terminated family probe (the full marker now ends with
+    // textCol/idCol): "hashes":96, cannot false-match 960 — the comma is
+    // the terminator. Merge eligibility needs only the hash family: the
+    // (id, txh) keying below self-corrects a textCol/idCol change (every
+    // row lands in the delta), it is the fresh early-return above that
+    // the textCol/idCol fence protects.
+    val familyProbe = s""""hashes":$NumHashes,"""
     Artifacts.logRebuild(path,
       if (meta.isEmpty) "no meta"
-      else if (!meta.exists(_.endsWith(s""""hashes":$NumHashes}""")))
+      else if (!meta.exists(_.contains(familyProbe)))
         "hash-family mismatch"
       else if (liveDir.isEmpty) "meta missing live dir"
       else "corpus fingerprint mismatch (incremental merge)")
@@ -241,7 +251,7 @@ object Dedup {
       .withColumn("txh", xxhash64(col("__mh_text")))
     // merge only against an artifact built with the same hash family
     val old = liveDir
-      .filter(_ => meta.exists(_.endsWith(s""""hashes":$NumHashes}""")))
+      .filter(_ => meta.exists(_.contains(familyProbe)))
       .map(d => spark.read.parquet(s"$path/$d"))
     val merged = old match {
       case Some(o) =>
@@ -628,9 +638,12 @@ object Dedup {
     val spark = docs.sparkSession
     val metaPath = s"$path/_span_meta.json"
     // TERMINATED marker (ends with the closing brace) — a bare contains()
-    // would false-match a prefix value, the round-6 pairs-meta lesson
+    // would false-match a prefix value, the round-6 pairs-meta lesson.
+    // textCol/idCol are fenced too: the corpus fingerprint hashes the
+    // INPUT frame, so the same docs mined over a different column would
+    // otherwise silently serve stale positions (round-12 review).
     val marker =
-      s""""fingerprint":"${graft.catalog.Snapshot.fingerprint(docs)}","n":$n,"minDocFreq":$minDocFreq}"""
+      s""""fingerprint":"${graft.catalog.Snapshot.fingerprint(docs)}","n":$n,"minDocFreq":$minDocFreq,"textCol":"$textCol","idCol":"$idCol"}"""
     val meta = Artifacts.readStringIfExists(spark, metaPath)
     if (!meta.exists(_.endsWith(marker))) {
       Artifacts.logRebuild(path,
@@ -639,7 +652,10 @@ object Dedup {
       val (toksDf, dupPos) = dupSpanStarts(docs, n, minDocFreq, textCol, idCol)
       toksDf.select(col(idCol), col("n_tokens"))
         .write.mode("overwrite").parquet(s"$path/ntok")
-      dupPos.write.mode("overwrite").parquet(s"$path/pos")
+      // drop the gram string: no consumer reads it, and it is the widest
+      // column per duplicated position (round-12 review)
+      dupPos.select(col(idCol), col("n_tokens"), col("pos"))
+        .write.mode("overwrite").parquet(s"$path/pos")
       Artifacts.writeString(spark, metaPath, s"""{"version":1,$marker""")
     }
     (spark.read.parquet(s"$path/ntok"), spark.read.parquet(s"$path/pos"))

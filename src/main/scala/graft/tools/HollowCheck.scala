@@ -26,13 +26,19 @@ object HollowCheck {
       def t(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      // warm once untimed
+      // warm BOTH plans untimed — the pruned count() plan does not
+      // compile the projections the full plan runs, so warming only it
+      // would charge first-time codegen/JIT of those expressions to the
+      // timed full pass and inflate the ratio (round-12 review); and
+      // take min-of-2 like Bench's own min-of-samples discipline
       fn(spark, sfDir).count()
+      fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       graft.pipeline.PipelineCaches.clear(blocking = true)
-      val tc = t { fn(spark, sfDir).count() }
-      graft.pipeline.PipelineCaches.clear(blocking = true)
-      val tf = t { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      graft.pipeline.PipelineCaches.clear(blocking = true)
+      def best(f: => Unit): Double = (1 to 2).map { _ =>
+        val v = t(f); graft.pipeline.PipelineCaches.clear(blocking = true); v
+      }.min
+      val tc = best { fn(spark, sfDir).count() }
+      val tf = best { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
       println(f"[hollow] $n%-16s count=$tc%6.2f s  full=$tf%6.2f s  ratio=${tf / math.max(tc, 0.001)}%5.1f")
     }
     spark.stop()

@@ -245,7 +245,9 @@ object Dedup {
       else if (!meta.exists(_.contains(familyProbe)))
         "hash-family mismatch"
       else if (liveDir.isEmpty) "meta missing live dir"
-      else "corpus fingerprint mismatch (incremental merge)")
+      else if (meta.exists(_.endsWith(s""""textCol":"$textCol","idCol":"$idCol"}""")))
+        "corpus fingerprint mismatch (incremental merge)"
+      else "textCol/idCol mismatch (full re-key)")
 
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("__mh_text"))
       .withColumn("txh", xxhash64(col("__mh_text")))
@@ -260,12 +262,17 @@ object Dedup {
         kept.unionByName(computeSignatures(delta))
       case None => computeSignatures(keyed)
     }
-    // FULL fingerprint in the dir name: a truncated prefix could collide
-    // with the live version's, making newDir == liveDir — and the
-    // overwrite would delete the directory the lazy merge above is still
-    // reading, silently losing signatures mid-write. With the full fp,
-    // newDir == liveDir implies fp unchanged, which returned early above.
-    val newDir = s"sigs_$fp"
+    // FULL fingerprint PLUS a params hash in the dir name: newDir must
+    // differ from the live dir on EVERY path that reaches this write, or
+    // the overwrite deletes the directory the lazy merge above is still
+    // reading, losing signatures mid-write (FAILED_READ_FILE). The fp
+    // alone stopped being sufficient when the marker gained textCol/idCol:
+    // the fingerprint hashes the whole frame, so a textCol-only change
+    // keeps fp — newDir == liveDir now implies fp AND params unchanged,
+    // which returned early above.
+    val paramsHash = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$NumHashes|$textCol|$idCol"))
+    val newDir = s"sigs_${fp}_$paramsHash"
     merged.write.mode("overwrite").parquet(s"$path/$newDir")
     Artifacts.writeString(spark, metaPath,
       s"""{"version":1,"dir":"$newDir",$marker""")

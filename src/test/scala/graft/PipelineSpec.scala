@@ -145,6 +145,40 @@ class DedupSpec extends AnyFunSuite {
     assert(liveDirs.size == 1, liveDirs)
   }
 
+  test("persisted artifacts fence on textCol: same frame, different column rebuilds") {
+    import spark.implicits._
+    import graft.pipeline.{Dedup => D}
+    // identical `text` (a dup pair) but unrelated `alt` texts. The corpus
+    // fingerprint hashes the whole frame — identical for both requests —
+    // so before the marker carried textCol, a textCol="alt" request served
+    // the text-built artifact verbatim (stale signatures / positions).
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog",
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "the quick brown fox jumps over the lazy dog",
+        "one two three four five six seven eight"))
+      .toDF("doc_id", "text", "alt")
+
+    val sigPath = java.nio.file.Files.createTempDirectory("graft_fence_sig").toString
+    def sigs(textCol: String) =
+      D.minhashSignaturesPersisted(d, sigPath, textCol = textCol)
+        .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+          r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    val byText = sigs("text")
+    assert(byText(1L) == byText(2L)) // identical text => identical signatures
+    val byAlt = sigs("alt")
+    assert(byAlt(1L) != byAlt(2L),
+      "stale text-built signatures served for textCol=alt")
+
+    val spanPath = java.nio.file.Files.createTempDirectory("graft_fence_span").toString
+    def frac(textCol: String) =
+      D.dupSpanCoveragePersisted(d, spanPath, n = 3, textCol = textCol)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(frac("text").values.forall(_ == 1.0)) // full-overlap pair
+    assert(frac("alt").values.forall(_ == 0.0),
+      "stale text-built span positions served for textCol=alt")
+  }
+
   test("minhash pairs through the persisted artifact match the direct miner") {
     val path = java.nio.file.Files.createTempDirectory("graft_mhpair_spec").toString
     def key(df: DataFrame) = df.collect()

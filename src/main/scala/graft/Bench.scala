@@ -145,6 +145,15 @@ object Bench {
     val calibStart = calibrate()
     val calibParStart = calibratePar(cpus.toInt)
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // Host-degradation timeline: start/end calib_par alone cannot place a
+    // mid-run co-tenant window (r12 local runs saw one window hit
+    // p_contamination..p_decon_bloom and another the late q_* region —
+    // 4-6x inflations with flat single-thread calib, both re-running
+    // clean isolated). A probe every ~25 queries (~0.5 s each, ≤7 per
+    // full run) names the degraded interval in the artifact so a judge
+    // can adjudicate flags against it instead of re-running by hand.
+    val calibTrack = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sinceProbe = 0
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
@@ -189,6 +198,11 @@ object Bench {
         i += 1
       }
       samples(name) = times.toSeq
+      sinceProbe += 1
+      if (sinceProbe >= 25) {
+        sinceProbe = 0
+        calibTrack += name -> calibratePar(cpus.toInt)
+      }
       val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> median
     }
@@ -258,6 +272,9 @@ object Bench {
         s""""calib_par":$calibParStart,"calib_par_end":$calibParEnd,""" +
         s""""iters":$iters,"errors":$errs,""" +
         s""""retried":${retried.map(graft.util.JsonUtil.quote).mkString("[", ",", "]")},""" +
+        s""""calib_track":${calibTrack.map { case (n, v) =>
+          s"""{"after":${graft.util.JsonUtil.quote(n)},"calib_par":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}}"""
+        }.mkString("[", ",", "]")},""" +
         s""""cache_entries":$cacheHighWater,"cache_growths":$cacheGrowths,""" +
         s""""sf":"$sfDir"}"""
     // Full-precision object to a file: the driver's tail capture truncates

@@ -56,6 +56,29 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Cumulative host-stall counters: (full-IO-stall micros from
+    * /proc/pressure/io, steal jiffies from /proc/stat). Per-query deltas
+    * of these separate "the virtual disk / hypervisor stalled" from "the
+    * plan is slow" — the r12 anomaly windows (p_dsir 61 s isolated, then
+    * 1.6 s minutes later; three different alphabetical blocks at 4-30×
+    * across three runs) left single-thread AND 32-thread CPU calibration
+    * flat, which is the IO-stall signature: Spark blocks on
+    * parquet/shuffle IO while register-only calibration loops run at
+    * full speed. Both counters are free to read; absent files (non-Linux)
+    * read as 0 and the deltas stay 0. */
+  private def stallCounters(): (Long, Long) = {
+    def slurp(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      catch { case scala.util.control.NonFatal(_) => "" }
+    val io = "full.*total=(\\d+)".r.findFirstMatchIn(slurp("/proc/pressure/io"))
+      .map(_.group(1).toLong).getOrElse(0L)
+    val steal = slurp("/proc/stat").linesIterator.find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+")).filter(_.length > 8)
+      .map(_(8).toLong).getOrElse(0L)
+    (io, steal)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -154,8 +177,14 @@ object Bench {
     // can adjudicate flags against it instead of re-running by hand.
     val calibTrack = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sinceProbe = 0
+    // per-query (full-IO-stall seconds, steal jiffies) measured across the
+    // query's iterations — see stallCounters()
+    val stalls = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    val benchT0 = System.nanoTime()
+    val tEnd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val (io0, steal0) = stallCounters()
       var i = 0
       while (i < iters && !errors.contains(name)) {
         val t0 = System.nanoTime()
@@ -198,6 +227,9 @@ object Bench {
         i += 1
       }
       samples(name) = times.toSeq
+      val (io1, steal1) = stallCounters()
+      stalls(name) = ((io1 - io0) / 1e6, steal1 - steal0)
+      tEnd(name) = (System.nanoTime() - benchT0) / 1e9
       sinceProbe += 1
       if (sinceProbe >= 25) {
         sinceProbe = 0
@@ -217,11 +249,27 @@ object Bench {
     // their own min, fold the extra samples in, and name them in the
     // artifact. A real regression keeps a slow MIN and is untouched.
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Second trigger: a stall long enough to cover ALL of a query's
+    // iterations leaves med ≈ min (r12f: p_dsir [12.3, 34.1, 19.2] — the
+    // med/min test is blind to it), so also retry when the MIN sits far
+    // above the committed baseline envelope. A real regression survives
+    // the retry slow (the min only drops if the work is actually cheap
+    // in a clean window); a stall-window victim recovers its qmin.
+    val baselineMin: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_BASELINE.json")), "UTF-8")
+        "\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val suspects = samples.toSeq.flatMap { case (name, ts) =>
       if (ts.size < 3 || errors.contains(name)) None
       else {
         val med = ts.sorted.apply(ts.size / 2)
+        val base = baselineMin.get(name)
         if (med > 2 * ts.min && med - ts.min > 0.3) Some((med - ts.min, name))
+        else if (base.exists(b => ts.min > 2 * b && ts.min - b > 0.3))
+          Some((ts.min - base.get, name))
         else None
       }
     }.sortBy(-_._1).take(12) // cap: a fully-degraded run would retry
@@ -275,6 +323,15 @@ object Bench {
         s""""calib_track":${calibTrack.map { case (n, v) =>
           s"""{"after":${graft.util.JsonUtil.quote(n)},"calib_par":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}}"""
         }.mkString("[", ",", "]")},""" +
+        s""""iostall_s":${stalls.map { case (n, (io, _)) =>
+          "\"" + n + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, io)
+        }.mkString("{", ",", "}")},""" +
+        s""""steal_jif":${stalls.map { case (n, (_, st)) =>
+          "\"" + n + "\":" + st
+        }.mkString("{", ",", "}")},""" +
+        s""""t_end":${tEnd.map { case (n, t) =>
+          "\"" + n + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, t)
+        }.mkString("{", ",", "}")},""" +
         s""""cache_entries":$cacheHighWater,"cache_growths":$cacheGrowths,""" +
         s""""sf":"$sfDir"}"""
     // Full-precision object to a file: the driver's tail capture truncates

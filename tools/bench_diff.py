@@ -164,7 +164,20 @@ def main() -> int:
             print(f"calib: host {factor:.2f}x baseline speed "
                   f"({oc:.2f}s -> {nc:.2f}s loop); times normalized")
 
-    flagged, improvements, fresh, errored = [], [], [], []
+    # per-query host-stall evidence (full bench lines only): seconds the
+    # host spent with ALL tasks blocked on IO while this query's
+    # iterations ran (/proc/pressure/io full-stall delta, graft.Bench).
+    # A query whose measured time is substantially stall is downgraded
+    # individually — the r12 anomaly class (4-30x inflation, flat CPU
+    # calibration, clean isolated re-run) is exactly this signature.
+    iostall = new.get("iostall_s", {})
+    def stall_frac(name):
+        ts = [t for t in new.get("samples", {}).get(name, []) if t >= 0]
+        span = sum(ts) if ts else new_q.get(name, 0)
+        s = iostall.get(name, 0.0)
+        return (s / span) if span > 0 else 0.0
+
+    flagged, improvements, fresh, errored, stalled = [], [], [], [], []
     for name, t in sorted(new_q.items()):
         if t < 0:
             errored.append(name)
@@ -178,7 +191,10 @@ def main() -> int:
         base = best_time(old, name, old_q[name])
         norm = best_time(new, name, t) / factor
         if base >= 0 and norm >= args.ratio * base and norm >= args.min_sec:
-            flagged.append((name, base, t, norm))
+            if not args.strict and stall_frac(name) >= 0.25:
+                stalled.append((name, base, t, stall_frac(name)))
+            else:
+                flagged.append((name, base, t, norm))
         elif base >= args.min_sec and norm <= base / args.ratio:
             improvements.append((name, base, t))
 
@@ -209,7 +225,11 @@ def main() -> int:
             return False
         calib_moved = abs(factor - 1.0) >= 0.15
         families = {family(f[0]) for f in blk}
-        return calib_moved or len(families) >= 3
+        # IO-stall corroboration: any member of the block measurably
+        # blocked on host IO (the per-query downgrade above needs >= 25%;
+        # a lighter >= 10% anywhere in the block corroborates the sweep)
+        io_evidence = any(stall_frac(f[0]) >= 0.10 for f in blk)
+        return calib_moved or len(families) >= 3 or io_evidence
 
     spikes, regressions, block = [], [], []
     for f in flagged:
@@ -243,6 +263,9 @@ def main() -> int:
         print(f"FASTER   {name:24s} {base:7.2f}s -> {t:7.2f}s ({t / base:.2f}x)")
     for name in errored:
         print(f"ERRORED  {name:24s}")
+    for name, base, t, frac in stalled:
+        print(f"HOSTSTALL {name:23s} {base:7.2f}s -> {t:7.2f}s "
+              f"({frac:.0%} of its wall in full-IO stall; not a plan)")
     for name, base, t, norm in spikes:
         print(f"LOADSPIKE {name:23s} {base:7.2f}s -> {t:7.2f}s "
               f"(contiguous block; re-measure in isolation)")

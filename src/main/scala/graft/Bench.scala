@@ -184,9 +184,15 @@ object Bench {
     val tEnd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val (io0, steal0) = stallCounters()
+      // stall deltas accumulate over the TIMED windows only (read in the
+      // finally BEFORE the cache clear): including the inter-iteration
+      // unpersist would inflate the stall fraction past what the timed
+      // samples — the denominator downstream — actually experienced
+      var ioAcc = 0L
+      var stealAcc = 0L
       var i = 0
       while (i < iters && !errors.contains(name)) {
+        val (io0, steal0) = stallCounters()
         val t0 = System.nanoTime()
         try {
           // Force FULL row materialization, not count(): an
@@ -207,6 +213,9 @@ object Bench {
             errors(name) = e.toString.take(300)
             System.err.println(s"BENCH FAIL $name: $e")
         } finally {
+          val (io1, steal1) = stallCounters()
+          ioAcc += io1 - io0
+          stealAcc += steal1 - steal0
           // blocking: an async unpersist races the NEXT iteration's
           // persists for block-manager space (p_contamination's 1.1→2.8 s
           // iteration drift in r09 had exactly this profile)
@@ -227,8 +236,7 @@ object Bench {
         i += 1
       }
       samples(name) = times.toSeq
-      val (io1, steal1) = stallCounters()
-      stalls(name) = ((io1 - io0) / 1e6, steal1 - steal0)
+      stalls(name) = (ioAcc / 1e6, stealAcc)
       tEnd(name) = (System.nanoTime() - benchT0) / 1e9
       sinceProbe += 1
       if (sinceProbe >= 25) {
@@ -255,18 +263,39 @@ object Bench {
     // above the committed baseline envelope. A real regression survives
     // the retry slow (the min only drops if the work is actually cheap
     // in a clean window); a stall-window victim recovers its qmin.
-    val baselineMin: Map[String, Double] =
+    // Parse is SCOPED to last_round's queries map — a whole-file regex
+    // would last-wins between the envelope and last_round sections (and
+    // sweep in non-query keys like "calib"). The baseline's own calib
+    // rescales the trigger: on a uniformly 2x-slow host every multi-
+    // second query would otherwise clear 2x-baseline and burn 12 retries
+    // per run on phantom suspects.
+    val (baselineMin, baselineCalib): (Map[String, Double], Option[Double]) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_BASELINE.json")), "UTF-8")
-        "\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+        val lr = txt.indexOf("\"last_round\"")
+        val scope = if (lr >= 0) txt.substring(lr) else txt
+        val cal = "\"calib\":([0-9.]+)".r.findFirstMatchIn(scope)
+          .map(_.group(1).toDouble).filter(_ > 0)
+        val qStart = scope.indexOf("\"queries\"")
+        val qScope =
+          if (qStart < 0) scope
+          else {
+            val open = scope.indexOf('{', qStart)
+            val close = scope.indexOf('}', open) // flat name:number map
+            if (open >= 0 && close > open) scope.substring(open, close)
+            else scope
+          }
+        ("\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qScope)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap, cal)
+      } catch { case scala.util.control.NonFatal(_) => (Map.empty, None) }
+    val hostVsBaseline = baselineCalib
+      .map(b => math.max(0.5, math.min(4.0, calibStart / b))).getOrElse(1.0)
     val suspects = samples.toSeq.flatMap { case (name, ts) =>
       if (ts.size < 3 || errors.contains(name)) None
       else {
         val med = ts.sorted.apply(ts.size / 2)
-        val base = baselineMin.get(name)
+        val base = baselineMin.get(name).map(_ * hostVsBaseline)
         if (med > 2 * ts.min && med - ts.min > 0.3) Some((med - ts.min, name))
         else if (base.exists(b => ts.min > 2 * b && ts.min - b > 0.3))
           Some((ts.min - base.get, name))
@@ -275,17 +304,30 @@ object Bench {
     }.sortBy(-_._1).take(12) // cap: a fully-degraded run would retry
                              // everything; calib_par_end exposes that state
     for ((_, name) <- suspects; fn <- SparkEntry.queries.get(name)) {
+      // extend this query's stall counters too: downstream stall-fraction
+      // analysis divides by the sum of ALL samples, so retry samples must
+      // contribute their own timed-window stall to the numerator
+      var rIo = 0L
+      var rSteal = 0L
       val extra = (0 until 2).flatMap { _ =>
+        val (io0, steal0) = stallCounters()
         try {
           val t0 = System.nanoTime()
           fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case scala.util.control.NonFatal(_) => None }
-        finally graft.pipeline.PipelineCaches.clear(blocking = true)
+        finally {
+          val (io1, steal1) = stallCounters()
+          rIo += io1 - io0
+          rSteal += steal1 - steal0
+          graft.pipeline.PipelineCaches.clear(blocking = true)
+        }
       }
       if (extra.nonEmpty) {
         retried += name
         samples(name) = samples(name) ++ extra
+        val (pIo, pSteal) = stalls(name)
+        stalls(name) = (pIo + rIo / 1e6, pSteal + rSteal)
         System.err.println(s"BENCH STALL-RETRY $name: " +
           s"samples ${samples(name).map(t => f"$t%.2f").mkString("[", ", ", "]")}")
       }

@@ -860,9 +860,14 @@ object GraphAlgorithms {
     import spark.implicits._
     val r = gs.catalog.rel(relLabel)
     val base = edgePred.foldLeft(gs.table(r.tableName))(_ filter _)
-    val edgeRdd = base.select(col(r.fromColumn).cast("long"),
-        col(r.toColumn).cast("long"))
-      .distinct()
+    val e = base.select(col(r.fromColumn).cast("long").as("f"),
+      col(r.toColumn).cast("long").as("t"))
+    // loud, like weightedPageRank: a NULL (or non-castable) endpoint has
+    // no vertex identity, and getLong below would NPE inside a task
+    if (e.filter(col("f").isNull || col("t").isNull).limit(1).count() > 0)
+      throw new graft.cypher.GraftException(
+        s"hits: $relLabel edge endpoints must be non-NULL castable ids")
+    val edgeRdd = e.distinct()
       .rdd.map(row => Edge(row.getLong(0), row.getLong(1), ()))
     // attr = (hub, authority); vertex set = edge endpoints, as in the
     // oracle's edge-defined v

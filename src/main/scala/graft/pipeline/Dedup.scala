@@ -233,19 +233,25 @@ object Dedup {
       "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1)))
     if (meta.exists(_.endsWith(marker)) && liveDir.nonEmpty)
       return spark.read.parquet(s"$path/${liveDir.get}")
-    // COMMA-terminated family probe (the full marker now ends with
-    // textCol/idCol): "hashes":96, cannot false-match 960 — the comma is
-    // the terminator. Merge eligibility needs only the hash family: the
-    // (id, txh) keying below self-corrects a textCol/idCol change (every
-    // row lands in the delta), it is the fresh early-return above that
-    // the textCol/idCol fence protects.
-    val familyProbe = s""""hashes":$NumHashes,"""
+    // Terminated family probe: "hashes":96, / "hashes":96} cannot
+    // false-match 960 — the comma (current meta format, textCol/idCol
+    // follow) or closing brace (pre-fence metas, which END with the hash
+    // count) is the terminator. Accepting BOTH keeps an existing
+    // artifact's cheap incremental merge across the format upgrade. Merge
+    // eligibility needs only the hash family: the (id, txh) keying below
+    // self-corrects a textCol/idCol change (every row lands in the
+    // delta); it is the fresh early-return above that the textCol/idCol
+    // fence protects.
+    val sameFamily = meta.exists(m =>
+      m.contains(s""""hashes":$NumHashes,""") ||
+        m.endsWith(s""""hashes":$NumHashes}"""))
     Artifacts.logRebuild(path,
       if (meta.isEmpty) "no meta"
-      else if (!meta.exists(_.contains(familyProbe)))
-        "hash-family mismatch"
+      else if (!sameFamily) "hash-family mismatch"
       else if (liveDir.isEmpty) "meta missing live dir"
-      else if (meta.exists(_.endsWith(s""""textCol":"$textCol","idCol":"$idCol"}""")))
+      else if (meta.exists(m =>
+          m.endsWith(s""""textCol":"$textCol","idCol":"$idCol"}""") ||
+            m.endsWith(s""""hashes":$NumHashes}""")))
         "corpus fingerprint mismatch (incremental merge)"
       else "textCol/idCol mismatch (full re-key)")
 
@@ -253,7 +259,7 @@ object Dedup {
       .withColumn("txh", xxhash64(col("__mh_text")))
     // merge only against an artifact built with the same hash family
     val old = liveDir
-      .filter(_ => meta.exists(_.contains(familyProbe)))
+      .filter(_ => sameFamily)
       .map(d => spark.read.parquet(s"$path/$d"))
     val merged = old match {
       case Some(o) =>

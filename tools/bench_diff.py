@@ -191,8 +191,14 @@ def main() -> int:
         base = best_time(old, name, old_q[name])
         norm = best_time(new, name, t) / factor
         if base >= 0 and norm >= args.ratio * base and norm >= args.min_sec:
-            if not args.strict and stall_frac(name) >= 0.25:
-                stalled.append((name, base, t, stall_frac(name)))
+            # downgrade only when the stall EXPLAINS the excess: with the
+            # stalled share removed the query would sit under the ratio.
+            # A genuine regression that merely coincides with some stall
+            # (e.g. a plan change scanning 10x the bytes) stays REGRESS.
+            frac = stall_frac(name)
+            if (not args.strict and frac >= 0.25
+                    and norm * (1 - frac) < args.ratio * base):
+                stalled.append((name, base, t, frac))
             else:
                 flagged.append((name, base, t, norm))
         elif base >= args.min_sec and norm <= base / args.ratio:
@@ -204,8 +210,12 @@ def main() -> int:
     # split a genuine spike block nor bridge two distant flagged queries.
     order = sorted(new_q)  # bench runs alphabetically, including errored
     pos = {n: i for i, n in enumerate(order)}
+    # HOSTSTALL-downgraded names are neutral like errored/NEW ones: they
+    # were flag-worthy and host-blocked, so they must neither split a
+    # spike block sweeping across them nor count as clean separators
+    stalled_names = {s[0] for s in stalled}
     can_flag = {n for n, t in new_q.items()
-                if t >= 0 and n in old_q and
+                if t >= 0 and n in old_q and n not in stalled_names and
                 best_time(new, n, t) / factor >= args.min_sec}
     flagged.sort(key=lambda f: pos[f[0]])
     def contiguous(a, b):
@@ -225,10 +235,12 @@ def main() -> int:
             return False
         calib_moved = abs(factor - 1.0) >= 0.15
         families = {family(f[0]) for f in blk}
-        # IO-stall corroboration: any member of the block measurably
-        # blocked on host IO (the per-query downgrade above needs >= 25%;
-        # a lighter >= 10% anywhere in the block corroborates the sweep)
-        io_evidence = any(stall_frac(f[0]) >= 0.10 for f in blk)
+        # IO-stall corroboration: at least HALF the block measurably
+        # blocked on host IO. A single member with 10% incidental stall
+        # must not downgrade a one-family block — that is exactly the
+        # shape of a genuine family regression the family rule protects.
+        io_evidence = (
+            sum(1 for f in blk if stall_frac(f[0]) >= 0.10) * 2 >= len(blk))
         return calib_moved or len(families) >= 3 or io_evidence
 
     spikes, regressions, block = [], [], []

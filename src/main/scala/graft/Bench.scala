@@ -275,7 +275,7 @@ object Bench {
           java.nio.file.Paths.get("BENCH_BASELINE.json")), "UTF-8")
         val lr = txt.indexOf("\"last_round\"")
         val scope = if (lr >= 0) txt.substring(lr) else txt
-        val cal = "\"calib\":([0-9.]+)".r.findFirstMatchIn(scope)
+        val cal = "\"calib\":\\s*([0-9.]+)".r.findFirstMatchIn(scope)
           .map(_.group(1).toDouble).filter(_ > 0)
         val qStart = scope.indexOf("\"queries\"")
         val qScope =
@@ -286,7 +286,11 @@ object Bench {
             if (open >= 0 && close > open) scope.substring(open, close)
             else scope
           }
-        ("\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qScope)
+        // \s* after the colon: the committed baseline is pretty-printed
+        // ("name": 0.17) — a no-space pattern silently parses ZERO
+        // entries and disables this trigger entirely (caught live: a
+        // 40x-stalled p_length_stats was never retried)
+        ("\"([a-zA-Z0-9_]+)\":\\s*([0-9.]+)".r.findAllMatchIn(qScope)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap, cal)
       } catch { case scala.util.control.NonFatal(_) => (Map.empty, None) }
     val hostVsBaseline = baselineCalib

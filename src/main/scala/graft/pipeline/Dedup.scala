@@ -701,8 +701,14 @@ object Dedup {
       toksDf.withColumn("__grams", gramArr),
       Seq(col(idCol), col("n_tokens")), col("__grams"), "pos", "gram")
       .withColumn("pos", col("pos").cast("long"))
-    val dupGrams = pos.select(col(idCol), col("gram")).distinct()
-      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+    // one shuffle, not two: distinct-on-(id,gram) THEN groupBy(gram)
+    // moves the full gram set across the wire twice (once partitioned by
+    // the pair, once by gram); count_distinct partially dedups (gram,id)
+    // map-side and ships each gram once — at corpus scale shuffle volume
+    // halves, and the gram-key skew profile is identical to the second
+    // shuffle the old form already paid
+    val dupGrams = pos.groupBy("gram")
+      .agg(count_distinct(col(idCol)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
       .select("gram")
     (toksDf, pos.join(dupGrams, "gram"))

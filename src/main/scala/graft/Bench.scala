@@ -132,6 +132,16 @@ object Bench {
       Seq("NATION_ADJ", "NATION_NEXT", "NATION_RING", "PLACED")
         .foreach(t => gs.table(t).limit(1).count())
       graft.graph.GraphAlgorithms.connectedComponents(gs, "NATION_ADJ").count()
+      // Adjacency-INDEX builds are corpus setup like the IVF/minhash
+      // artifacts above: the PLACED/CONTAINS bitmap indexes memoize per
+      // session on first traversal, so without this the build (~3-7 s at
+      // sf0.1, from the 600k-row lineitem aggregate) lands on whichever
+      // hop query's first timed iteration touches them — r12b charged
+      // q_3hop 6.9 s for it, a spike that needed manual adjudication.
+      // One index-path traversal here builds both memos untimed.
+      gs.cypher(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part)
+          |RETURN count(*) AS n;""".stripMargin).collect()
     } catch { case _: Throwable => } finally {
       // drop every warm-up cache (incl. the pipeline ops' internal
       // signature tables) so the timed loop starts from clean storage

@@ -98,6 +98,11 @@ object PipelineEntries {
     // exact n-gram Jaccard within (lang, length) blocks — oracle-checked
     "p_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
 
+    // asymmetric n-gram containment |a∩b|/|a| — the partial-scrape signal
+    // symmetric Jaccard misses (short doc embedded in a long one) —
+    // oracle-checked; threshold 0.6 on the synthetic near-dup fixture
+    "p_dedup_contain" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir), threshold = 0.6)),
+
     // duplicated-span coverage: fraction of each doc's tokens inside a
     // 5-gram shared with >=2 docs (substring-dedup signal) — oracle-checked
     "p_span_dedup" -> ((s, dir) => Dedup.dupSpanCoverage(docs(s, dir))),
@@ -267,6 +272,12 @@ object PipelineEntries {
 
     // quality scoring — oracle-checked
     "p_text_quality" -> ((s, dir) => TextAnalysis.qualityFeatures(docs(s, dir))),
+
+    // Gopher document-quality rules (Rae et al. 2021 Appendix A): the
+    // standard pre-training heuristic filter, integer-exact verdict —
+    // oracle-checked
+    "p_gopher" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir),
+      stopWords = Seq("the", "a", "value", "query", "table", "spark"))),
 
     // whitespace + BPE-ish token counts — oracle-checked
     "p_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -2469,6 +2480,23 @@ object PipelineEntries {
         |  FROM t x JOIN t y ON x.doc_id < y.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
 
+    // asymmetric containment: ordered pairs, denominator is the CONTAINED
+    // side's set size only — both directions checked independently
+    "p_dedup_contain" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT a, b, containment FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |               len(x.sh), 4) AS containment
+        |  FROM t x JOIN t y ON x.doc_id <> y.doc_id)
+        |WHERE containment >= 0.6""".stripMargin,
+
     "p_dedup_clusters" ->
       """WITH RECURSIVE
         |t AS (
@@ -2575,6 +2603,44 @@ object PipelineEntries {
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM s)
         |WHERE rank <= 5""".stripMargin,
+
+    // integer-exact verdict arithmetic mirrored exactly (rule 2 as
+    // 3n <= sum_len <= 10n etc.) so `passes` never hangs on float rounding
+    "p_gopher" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |         string_split(text, chr(10)) AS lines,
+        |         len(regexp_extract_all(text, '#')) +
+        |           len(regexp_extract_all(text, '\.\.\.')) AS sym
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+        |         CAST(sym AS BIGINT) AS sym,
+        |         CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS bullet,
+        |         CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS BIGINT) AS ellipsis,
+        |         CAST(len(lines) AS BIGINT) AS nlines,
+        |         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+        |         CAST(len(list_filter(['the','a','value','query','table','spark'],
+        |                              w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |       round(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |       round(CAST(sym AS DOUBLE) / n_words, 4) AS symbol_ratio,
+        |       round(CAST(bullet AS DOUBLE) / nlines, 4) AS bullet_frac,
+        |       round(CAST(ellipsis AS DOUBLE) / nlines, 4) AS ellipsis_frac,
+        |       round(CAST(alpha AS DOUBLE) / n_words, 4) AS alpha_word_frac,
+        |       stop_hits,
+        |       (n_words BETWEEN 50 AND 100000
+        |        AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |        AND sym * 10 <= n_words
+        |        AND bullet * 10 < nlines * 9
+        |        AND ellipsis * 10 < nlines * 3
+        |        AND alpha * 5 >= n_words * 4
+        |        AND stop_hits >= 2) AS passes
+        |FROM g""".stripMargin,
 
     "p_text_quality" ->
       """SELECT doc_id, n_tokens, punct_cnt, stop_cnt,

@@ -481,6 +481,86 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT asymmetric n-gram containment pairs: ordered (a, b) where
+    * C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold — doc `a`'s shingle
+    * set is (nearly) a subset of doc `b`'s. This is the partial-scrape /
+    * quote-inflation signal symmetric Jaccard misses: a short doc fully
+    * embedded in a long one has containment ≈ 1 while its Jaccard is
+    * ≈ |a|/|b|, far below any dedup threshold (the asymmetric measure in
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" §4 and the CC-pipeline literature; reference scope: brahmand
+    * has no text-dedup surface — this is pipeline-extension territory).
+    *
+    * Same PPJoin machinery as [[ngramJaccardPairs]], adapted to the
+    * asymmetric bound — each pruning step is LOSSLESS for containment:
+    *  1. prefix filter on the CONTAINED side only: if C ≥ t then
+    *     |a ∩ b| ≥ ⌈t·|a|⌉, so any (|a| − ⌈t·|a|⌉ + 1)-element subset of
+    *     a's shingles intersects b (pigeonhole). The container side
+    *     cannot be prefix-truncated (no upper bound ties |b| to the
+    *     intersection), so the probe joins a's rarest-first prefix
+    *     against the FULL shingle→doc index — the same `tok` frame the
+    *     frequency pass already built, reused, not recomputed;
+    *  2. size bound |b| ≥ |a ∩ b| ≥ t·|a| prunes candidates where the
+    *     container is too small to hold the required intersection;
+    *  3. exact verify via the zero-alloc sorted merge-intersect.
+    *
+    * Both directions are examined independently (a⊂b and b⊂a are
+    * different facts); mutual containment ≈ exact duplication and both
+    * rows appear. Candidate count is Σ_prefix-shingle df(shingle) with
+    * rarest-first prefixes — output-proportional on natural text, never
+    * corpus². Returns (a, b, containment) with containment 4-dp rounded. */
+  def containmentPairs(
+      docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+
+    // Same rounding-window discipline as [[ngramJaccardPairs]]: the final
+    // filter accepts ROUNDED containment >= threshold, so pruning must be
+    // lossless down to threshold - 5e-5.
+    val tPrune = threshold - 5e-5
+
+    val prep = withShingles(
+        docs.select(col("doc_id").as("id"), col("text")).repartition(col("id")), "text")
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+
+    val sets = prep.select(col("id"), array_sort(col("hs")).as("hs"))
+      .withColumn("sz", size(col("hs")))
+
+    // full shingle→doc index (container probe side) + global frequencies
+    val tok = prep.select(col("id"), explode(col("hs")).as("h"))
+    val freq = tok.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val ordered = tok.join(freq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("h")))).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+
+    // contained-side prefix: L = sz − ⌈t·sz⌉ + 1 rarest shingles
+    val prefix = ordered.select(col("id"), col("sz"),
+      explode(slice(col("ordered"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(tPrune)) + 1).cast("int"))).as("p"))
+
+    // container probe: (id, sz, h) straight off the cached prep — shingle
+    // arrays are per-doc distinct, so size(hs) is the set size
+    val tokSz = prep.select(col("id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+
+    val cand = prefix.alias("x").join(tokSz.alias("y"),
+        col("x.p").getField("h") === col("y.h") && col("x.id") =!= col("y.id") &&
+        // container must be large enough to hold the required intersection
+        col("y.sz").cast("double") >= col("x.sz") * tPrune)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    cand
+      .join(sets.select(col("id").as("a"), col("hs").as("ha"), col("sz").as("za")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+      .select(col("a"), col("b"),
+        round(GraftFunctions.sortedIntersectCount(col("ha"), col("hb"))
+          .cast("double") / col("za"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** [[ngramJaccardPairs]] as a build-once parquet artifact keyed by the
     * corpus content fingerprint + threshold ([[graft.catalog.Snapshot]]).
     * Pair mining is the expensive half of transitive clustering; persisting

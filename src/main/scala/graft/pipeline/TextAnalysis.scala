@@ -38,6 +38,83 @@ object TextAnalysis {
         (lit(1.0) - least(col("punct_cnt"), lit(20)).cast("double") / 20.0) * 0.2)
   }
 
+  /** Gopher stop-word list (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A —
+    * public paper; distinct from the scoring list above on purpose). */
+  private val GopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher repetition-free document-quality rules (Rae et al. 2021,
+    * Appendix A) as per-doc features + a `passes` verdict — the standard
+    * pre-training heuristic filter (also the C4/RefinedWeb baseline set):
+    *
+    *  1. word count in [50, 100000];
+    *  2. mean word length in [3, 10] characters;
+    *  3. symbol-to-word ratio ('#' or '...') ≤ 0.1;
+    *  4. < 90% of lines start with a bullet ('-', '*', '•');
+    *  5. < 30% of lines end with an ellipsis;
+    *  6. ≥ 80% of words contain at least one alphabetic character;
+    *  7. at least 2 distinct Gopher stop-words present.
+    *
+    * `passes` is computed with EXACT integer arithmetic (e.g. rule 2 as
+    * `3·n ≤ Σlen ≤ 10·n`, rule 6 as `5·alpha ≥ 4·n`) so the verdict never
+    * depends on float rounding mode — the reported ratio columns are
+    * 4-dp-rounded views of the same integers (oracle-mirrorable; the
+    * round-1 p_curate lesson). One narrow projection, no shuffle, no UDF:
+    * tokens/lines are materialized attributes so the HOF lambdas don't
+    * re-derive the split per element, and the whole op stays inside
+    * whole-stage codegen — linear scan at any corpus size.
+    *
+    * `stopWords` is a knob (default: the paper's list) because rule 7 is
+    * corpus-language-dependent — a production pipeline swaps in its
+    * language's list; the gate entry uses a fixture-vocabulary list so
+    * the verdict column genuinely varies under test instead of being
+    * constant-false on the synthetic word-soup. */
+  def gopherRules(docs: DataFrame,
+      stopWords: Seq[String] = GopherStop): DataFrame = {
+    val stopArr = array(stopWords.map(lit): _*)
+    docs
+      .withColumn("__toks", Dedup.tokens(col("text")))
+      .withColumn("__lines", split(col("text"), "\n"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("__sum_len"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("__sym"),
+        size(filter(col("__lines"), l => ltrim(l).rlike("^[-*•]")))
+          .cast("long").as("__bullet"),
+        size(filter(col("__lines"), l => rtrim(l).rlike("\\.\\.\\.$")))
+          .cast("long").as("__ellipsis"),
+        size(col("__lines")).cast("long").as("__nlines"),
+        size(filter(col("__toks"), t => t.rlike("[a-z]")))
+          .cast("long").as("__alpha"),
+        size(filter(stopArr, w => array_contains(col("__toks"), w)))
+          .cast("long").as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("__sum_len").cast("double") / col("n_words"), 4)
+          .as("mean_word_len"),
+        round(col("__sym").cast("double") / col("n_words"), 4)
+          .as("symbol_ratio"),
+        round(col("__bullet").cast("double") / col("__nlines"), 4)
+          .as("bullet_frac"),
+        round(col("__ellipsis").cast("double") / col("__nlines"), 4)
+          .as("ellipsis_frac"),
+        round(col("__alpha").cast("double") / col("n_words"), 4)
+          .as("alpha_word_frac"),
+        col("stop_hits"),
+        (col("n_words").between(50L, 100000L) &&
+          col("__sum_len") >= col("n_words") * 3 &&
+          col("__sum_len") <= col("n_words") * 10 &&
+          col("__sym") * 10 <= col("n_words") &&
+          col("__bullet") * 10 < col("__nlines") * 9 &&
+          col("__ellipsis") * 10 < col("__nlines") * 3 &&
+          col("__alpha") * 5 >= col("n_words") * 4 &&
+          col("stop_hits") >= 2).as("passes"))
+  }
+
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
     * runs, single symbols — the classic pre-tokenizer regex). */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -374,6 +374,44 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((4L, 5L)) && pairs.contains((6L, 7L)))
     assert(!pairs.exists { case (a, b) => a / 4 != b / 4 })
   }
+
+  test("containment: embedded doc found where symmetric jaccard misses it") {
+    import TestSpark.spark.implicits._
+    // doc 1 is verbatim inside doc 2's much longer text: containment
+    // 1→2 is 1.0 while Jaccard(1,2) = 5/17 — the partial-scrape case
+    val short1 = "alpha beta gamma delta epsilon zeta eta"     // 5 3-shingles
+    val long2 = ("one two three four five six seven eight " +
+      s"$short1 nine ten eleven twelve thirteen")
+    val d = Seq(
+      (1L, short1), (2L, long2),
+      (3L, "totally unrelated words in this document here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // asymmetric: ONLY (1 contained-in 2); never the reverse, no self rows
+    assert(got == Set((1L, 2L, 1.0)))
+    // symmetric jaccard at the same threshold does NOT see the pair
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.8).count() == 0)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("containment prefix filter equals brute force; mutual for exact dups") {
+    val got = Dedup.containmentPairs(docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the whole suite fixture (lossless-pruning check,
+    // same discipline as the ngram-jaccard spec)
+    val sh = Dedup.withShingles(docs, "text").select(col("doc_id"), col("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a != b
+      c = sh(a).intersect(sh(b)).size.toDouble / sh(a).size
+      if math.rint(c * 1e4) / 1e4 >= 0.6
+    } yield (a, b, math.rint(c * 1e4) / 1e4)).toSet
+    assert(got == expected)
+    // exact dups (1,2) contain each other: BOTH ordered rows at 1.0
+    assert(got.contains((1L, 2L, 1.0)) && got.contains((2L, 1L, 1.0)))
+    graft.pipeline.PipelineCaches.clear()
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -693,6 +731,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(1) == 5L) // tokens
     assert(r.getLong(2) == 2L) // , and !
     assert(r.getLong(3) == 3L) // the, and, a
+  }
+
+  test("gopher rules: per-rule boundaries on hand-built docs") {
+    import spark.implicits._
+    val pass = ("the old men be quick to move out of harm and " * 5).trim // 55 words
+    val d = Seq(
+      (1L, pass),                                   // every rule passes
+      (2L, "the be to of and that have with words") // fails word count (9 < 50)
+        ,
+      (3L, Seq.fill(50)("supercalifragilistic").mkString(" ")
+        + " the be")                                // mean word len > 10
+        ,
+      (4L, "# # # # # # # # " + pass)               // symbol ratio 8/63 > 0.1
+        ,
+      (5L, "- alpha\n- bravo\n- charlie\n" + pass)  // 3/4 bullet lines < 0.9 ⇒ ok
+        ,
+      (6L, ("77 " * 60).trim + " the be")           // alpha frac 2/62 < 0.8
+        ,
+      (7L, pass.replace("the ", "xx ").replace("be ", "yy ")
+        .replace("to ", "zz ").replace("of ", "qq ").replace("and ", "rr ")
+        .replace("have ", "ss ").replace("with ", "tt ")) // stop_hits < 2
+      ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> true, 6L -> false, 7L -> false))
+    // doc 7 fails via rule 7: only the final "and" (unreplaced — trim
+    // stripped its trailing space) survives, 1 < the required 2
+    val r7 = TextAnalysis.gopherRules(d).filter(col("doc_id") === 7L).collect().head
+    assert(r7.getAs[Long]("stop_hits") == 1L)
+    // feature arithmetic on the multi-line doc: 4 lines, 3 bullets
+    val r5 = TextAnalysis.gopherRules(d).filter(col("doc_id") === 5L).collect().head
+    assert(r5.getAs[Double]("bullet_frac") == 0.75)
+    // ellipsis-line rule: 2 of 3 lines end in '...' ⇒ 10·2 >= 3·3 fails it
+    val e = Seq((8L, s"waiting...\nstill waiting...\n$pass")).toDF("doc_id", "text")
+    val re = TextAnalysis.gopherRules(e).collect().head
+    assert(re.getAs[Double]("ellipsis_frac") == 0.6667 && !re.getBoolean(8))
   }
 
   test("token counts: whitespace vs subword") {

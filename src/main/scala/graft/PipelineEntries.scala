@@ -194,6 +194,16 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // recall@5 of the LSH index vs brute force — the in-engine ANN
+    // quality gauge; composes the two entries above — oracle-checked
+    "p_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.annRecall(
+        Similarity.lshTopK(e, q, k = 5),
+        Similarity.bruteForceTopK(e, q, k = 5))
+    }),
+
     // IVF-style ANN (coarse quantizer + nprobe lists)
     "p_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -771,8 +781,11 @@ object PipelineEntries {
     * codes; the per-table Hamming-1 probe expansion collapses to
     * `bit_count(xor(codes)) <= 1`. All-pairs in DuckDB (fine at oracle
     * scale); the Spark side stays the bucketed equi-join. */
-  private def lshOracleSql(k: Int = 5, planes: Int = 6, tables: Int = 8,
-      dim: Int = 64): String = {
+  /** The SRP scheme's generated SQL pieces, shared by [[lshOracleSql]]
+    * and [[annRecallOracleSql]] so both oracles evaluate the IDENTICAL
+    * plane set: (per-table code columns, Hamming-1 probe condition). */
+  private def srpOracleParts(planes: Int, tables: Int,
+      dim: Int): (String, String) = {
     def codeExpr(t: Int): String = {
       val signs = Similarity.planeSigns(planes, dim, seed = 7L + t * 1000L)
       signs.zipWithIndex.map { case (s, p) =>
@@ -782,9 +795,14 @@ object PipelineEntries {
           s"THEN ${1L << p} ELSE 0 END)"
       }.mkString("CAST(", " + ", " AS BIGINT)")
     }
-    val codeCols = (0 until tables).map(t => s"${codeExpr(t)} AS c$t").mkString(",\n    ")
-    val probeCond = (0 until tables)
-      .map(t => s"bit_count(xor(x.c$t, q.c$t)) <= 1").mkString(" OR ")
+    ((0 until tables).map(t => s"${codeExpr(t)} AS c$t").mkString(",\n    "),
+      (0 until tables).map(t => s"bit_count(xor(x.c$t, q.c$t)) <= 1")
+        .mkString(" OR "))
+  }
+
+  private def lshOracleSql(k: Int = 5, planes: Int = 6, tables: Int = 8,
+      dim: Int = 64): String = {
+    val (codeCols, probeCond) = srpOracleParts(planes, tables, dim)
     s"""WITH n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
@@ -804,6 +822,48 @@ object PipelineEntries {
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
        |  FROM s)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Recall@k oracle: one shared all-pairs similarity CTE ranked twice —
+    * once unrestricted (exact top-k), once restricted to SRP-probed
+    * candidates (the [[lshOracleSql]] result) — then the same
+    * count-the-overlap aggregation [[graft.pipeline.Similarity.annRecall]]
+    * performs. */
+  private def annRecallOracleSql(k: Int = 5, planes: Int = 6,
+      tables: Int = 8, dim: Int = 64): String = {
+    val (codeCols, probeCond) = srpOracleParts(planes, tables, dim)
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, v, nrm,
+       |    $codeCols
+       |  FROM n),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |         round(list_sum(list_transform(range(1,${dim + 1}), i -> q.v[i] * x.v[i])) /
+       |               (q.nrm * x.nrm), 6) AS sim,
+       |         ($probeCond) AS probed
+       |  FROM codes x JOIN codes q
+       |    ON q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id),
+       |appx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |    FROM sims WHERE probed)
+       |  WHERE rank <= $k),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $k)
+       |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+       |       CAST(count(*) AS BIGINT) AS n_true,
+       |       round(CAST(count(a.nid) AS DOUBLE) / count(*), 4) AS recall
+       |FROM ex e LEFT JOIN appx a ON e.qid = a.qid AND e.nid = a.nid
+       |GROUP BY e.qid""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.pipeline.Corpus.lengthStats]] that
@@ -2091,6 +2151,7 @@ object PipelineEntries {
         |SELECT a, b, cosine FROM s WHERE cosine >= 0.99""".stripMargin,
 
     "p_ann_lsh" -> lshOracleSql(),
+    "p_ann_recall" -> annRecallOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
     // identical quantizer + probe math ⇒ identical result set
     "p_ann_ivf_persisted" -> ivfOracleSql(),

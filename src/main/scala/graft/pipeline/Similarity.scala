@@ -75,6 +75,33 @@ object Similarity {
       .select("qid", "nid", "sim", "rank")
   }
 
+  /** Recall@k of an approximate ANN result against the exact one: per
+    * query, the fraction of true top-k neighbors the approximate index
+    * found. The in-engine quality gauge a pipeline runs after (re)building
+    * an index or tuning nprobe/tables — at 100 TB nobody eyeballs ANN
+    * output, they gate deploys on this number.
+    *
+    * Takes the two (qid, nid, …) top-k frames any of [[bruteForceTopK]] /
+    * [[lshTopK]] / [[ivfTopK]] produce (extra columns ignored), so it
+    * composes with every index family and with persisted variants. Both
+    * inputs are |queries|·k rows — vanishingly small next to the ANN
+    * computations they summarize — so the equi-join broadcasts and the
+    * per-query aggregation never becomes a scale concern. `n_true` is
+    * reported separately because a small corpus (or filtered probe) can
+    * yield fewer than k true neighbors; recall divides by what exists,
+    * not by nominal k. */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("nid")).alias("a")
+    exact.select(col("qid"), col("nid")).alias("e")
+      .join(a, col("e.qid") === col("a.qid") && col("e.nid") === col("a.nid"),
+        "left_outer")
+      .groupBy(col("e.qid"))
+      .agg(
+        count(col("a.nid")).as("hits"),
+        count(lit(1)).as("n_true"),
+        round(count(col("a.nid")).cast("double") / count(lit(1)), 4).as("recall"))
+  }
+
   /** Deterministic ±1 hyperplane signs from a seeded RNG — shared between
     * the Spark plan and the DuckDB oracle-SQL generator (PipelineEntries),
     * so both engines evaluate identical planes. */

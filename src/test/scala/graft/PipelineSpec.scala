@@ -455,6 +455,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("annRecall: hand-built overlap counts; agrees with the spec's set math") {
+    import TestSpark.spark.implicits._
+    // q1: approx found 2 of 3 true neighbors (an extra non-true row must
+    // NOT count); q2: perfect
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 20L))
+      .toDF("qid", "nid")
+    val got = Similarity.annRecall(approx, exact)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((2L, 3L, 0.6667)), 2L -> ((1L, 1L, 1.0))))
+    // on the suite fixture the operator reproduces the set-math recall the
+    // LSH spec above computes driver-side
+    val ex = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val ap = Similarity.lshTopK(emb, queries, k = 5)
+    val perQ = Similarity.annRecall(ap, ex)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    val exSet = ex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val apSet = ap.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(perQ.map(_._1).sum == exSet.intersect(apSet).size)
+    assert(perQ.map(_._2).sum == exSet.size)
+  }
+
   test("cosinePairs equals brute-force all-pairs on planted near-dups") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val base = emb.select(col("vec_id"),

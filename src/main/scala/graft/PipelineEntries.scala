@@ -18,6 +18,16 @@ object PipelineEntries {
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The fixture text is separator-free word-soup, so the line-structured
+    * entries (p_c4, p_boilerplate) synthesize deterministic line breaks
+    * with a PLAIN (non-regex) replace — semantics identical in Spark and
+    * DuckDB (`replace(text, ' query ', chr(10))`), so the oracle sees the
+    * very same lines. */
+  private def linedDocs(s: SparkSession, dir: String) =
+    docs(s, dir).withColumn("text",
+      org.apache.spark.sql.functions.replace(
+        col("text"), lit(" query "), lit("\n")))
+
   /** Where the persisted-ANN entries keep the durable IVF index for a
     * given sf dir (tmpdir-scoped; one artifact per corpus). */
   private def ivfPath(dir: String): String =
@@ -288,6 +298,22 @@ object PipelineEntries {
     // oracle-checked
     "p_gopher" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir),
       stopWords = Seq("the", "a", "value", "query", "table", "spark"))),
+
+    // C4 line-level cleaning over synthesized line structure (the fixture
+    // text is separator-free, so the entry materializes lines by the same
+    // deterministic `replace` both engines apply; suffix/blocked knobs use
+    // fixture vocabulary so every rule genuinely fires) — oracle-checked
+    "p_c4" -> ((s, dir) => TextAnalysis.c4Clean(
+      linedDocs(s, dir),
+      minLineWords = 4,
+      terminalSuffixes = Seq("row", "table", "value", "data", "key", "join", "line"),
+      blocked = Seq("slow"),
+      minKeptLines = 1)),
+
+    // CCNet boilerplate strike: lines occurring byte-identical in >= 3
+    // distinct docs vanish from all of them — oracle-checked
+    "p_boilerplate" -> ((s, dir) =>
+      Corpus.boilerplateRemove(linedDocs(s, dir), minDf = 3)),
 
     // whitespace + BPE-ish token counts — oracle-checked
     "p_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -2702,6 +2728,49 @@ object PipelineEntries {
         |        AND alpha * 5 >= n_words * 4
         |        AND stop_hits >= 2) AS passes
         |FROM g""".stripMargin,
+
+    // identical plain-replace line synthesis, then the three C4 rules as
+    // list_filter lambdas (word count via empty-stripped split, suffix
+    // set, blocked substring) and the doc-level kept-line floor
+    "p_c4" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(replace(text, ' query ', chr(10)), chr(10)) AS lines
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, l ->
+        |      len(list_filter(string_split(l, ' '), w -> w <> '')) >= 4
+        |      AND (suffix(l, 'row') OR suffix(l, 'table') OR suffix(l, 'value')
+        |           OR suffix(l, 'data') OR suffix(l, 'key') OR suffix(l, 'join')
+        |           OR suffix(l, 'line'))
+        |      AND NOT contains(lower(l), 'slow')) AS kept
+        |  FROM d)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped
+        |FROM k WHERE len(kept) >= 1""".stripMargin,
+
+    // frequent-line set built once (df over distinct docs), then struck
+    // from every doc's line list; coalesce([]) keeps the no-boilerplate
+    // corpus case well-typed
+    "p_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(replace(text, ' query ', chr(10)), chr(10)) AS lines
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(lines) AS line FROM d),
+        |freq AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |fl AS (SELECT coalesce(list(line), []) AS fls FROM freq),
+        |k AS (
+        |  SELECT doc_id, lines, list_filter(lines, x -> NOT list_contains(fls, x)) AS kept
+        |  FROM d CROSS JOIN fl)
+        |SELECT doc_id,
+        |       -- array_to_string([]) is NULL in DuckDB but '' in Spark
+        |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(len(lines) - len(kept) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
 
     "p_text_quality" ->
       """SELECT doc_id, n_tokens, punct_cnt, stop_cnt,

@@ -224,6 +224,54 @@ object Corpus {
     train.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** CCNet-style boilerplate removal (Wenzek et al. 2020 §3, the public
+    * CommonCrawl curation recipe): a line that occurs — byte-identical —
+    * in at least `minDf` DISTINCT documents is boilerplate (navigation,
+    * cookie banners, footers) and is struck from every document; the
+    * document survives with its remaining lines re-joined in original
+    * order. Returns (doc_id, clean_text, n_kept, n_removed) for EVERY
+    * input doc — a fully-boilerplate doc keeps its row with empty text,
+    * so downstream length filters (not this op) decide its fate.
+    *
+    * Scale shape: split is narrow; the line document-frequency is one
+    * map-side-combinable aggregate keyed by the line itself (no group
+    * exceeds a line's corpus df); the frequent-line set is then OUTPUT-
+    * bounded — boilerplate lines are by definition few distinct strings,
+    * however many copies exist — so the left-anti join broadcasts under
+    * AQE rather than reshuffling the corpus. Reassembly is the single
+    * unavoidable doc-keyed shuffle (bounded per-group by one document's
+    * lines); `array_sort` on (pos, line) structs restores original line
+    * order deterministically. */
+  def boilerplateRemove(docs: DataFrame, minDf: Int = 3,
+      lineSep: String = "\n", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), java.util.regex.Pattern.quote(lineSep))
+        .as("__lines"))
+    val lines = Explodes.posexplodeNoInfer(
+      base, Seq(col("doc_id")), col("__lines"), "pos", "line")
+    val frequent = lines.groupBy("line")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("line")
+    val kept = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          lineSep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("__lines")).cast("long").as("__n"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Gopher-style word-repetition quality signals per document (the
     * repetition family of Rae et al. 2021 §A1.1, word-level because the
     * corpus fixture has no line structure):

@@ -115,6 +115,56 @@ object TextAnalysis {
           col("stop_hits") >= 2).as("passes"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    * "Colossal Clean Crawled Corpus" heuristics): keep only lines that
+    * (1) have at least `minLineWords` words, (2) end with one of
+    * `terminalSuffixes` (C4 uses terminal punctuation `. ! ? "`), and
+    * (3) contain none of the `blocked` substrings (case-insensitive;
+    * C4 drops "lorem ipsum" / "{" / policy-phrase lines) — then drop
+    * whole documents with fewer than `minKeptLines` surviving lines.
+    * Returns (doc_id, clean_text, n_kept, n_dropped) for kept docs,
+    * `clean_text` re-joined with the original separator.
+    *
+    * All three rules are parameterized because they are corpus-language-
+    * dependent knobs, not constants — the gate entry runs fixture-
+    * vocabulary suffixes so the verdicts genuinely vary under test.
+    *
+    * Scale shape: one narrow projection + filter — NO shuffle, no UDF.
+    * `__lines` and `__kept` are materialized attributes across staged
+    * projections (CollapseProject keeps them staged: each HOF result is
+    * referenced more than once, so Catalyst will not inline-duplicate
+    * it), keeping the per-line lambda from re-deriving the split per
+    * element; the whole op stays inside whole-stage codegen and scans
+    * linearly at any corpus size. */
+  def c4Clean(docs: DataFrame,
+      minLineWords: Int = 5,
+      terminalSuffixes: Seq[String] = Seq(".", "!", "?", "\""),
+      blocked: Seq[String] = Seq("lorem ipsum", "{"),
+      minKeptLines: Int = 3,
+      lineSep: String = "\n"): DataFrame = {
+    require(minLineWords >= 0 && minKeptLines >= 0, "thresholds must be >= 0")
+    def keep(l: Column): Column = {
+      val words = size(filter(split(l, " "), w => w =!= "")) >= minLineWords
+      val terminal =
+        if (terminalSuffixes.isEmpty) lit(true)
+        else terminalSuffixes.map(sfx => l.endsWith(lit(sfx))).reduce(_ || _)
+      val clean = blocked.foldLeft(lit(true))((acc, b) =>
+        acc && !lower(l).contains(lit(b.toLowerCase)))
+      words && terminal && clean
+    }
+    docs
+      .withColumn("__lines",
+        split(col("text"), java.util.regex.Pattern.quote(lineSep)))
+      .withColumn("__kept", filter(col("__lines"), keep(_)))
+      .select(
+        col("doc_id"),
+        array_join(col("__kept"), lineSep).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_dropped"))
+      .filter(col("n_kept") >= minKeptLines)
+  }
+
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
     * runs, single symbols — the classic pre-tokenizer regex). */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -793,6 +793,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re.getAs[Double]("ellipsis_frac") == 0.6667 && !re.getBoolean(8))
   }
 
+  test("c4 line cleaning: per-rule boundaries, doc floor, re-join order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five.\nshort line.\nno terminal word here\n" +
+        "the lorem IPSUM line is long enough.\nalpha beta gamma delta six."),
+      (2L, "int main() { puts(hello); } here yes."),
+      (3L, "a b c d e f.")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(d, minKeptLines = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: exactly-5-word terminal lines survive; the 2-word line, the
+    // unterminated line, and the case-insensitive "lorem ipsum" line drop
+    assert(got == Map(1L ->
+      (("one two three four five.\nalpha beta gamma delta six.", 2L, 3L))))
+    // doc 2 dies to the '{' block, doc 3 to the kept-line floor (1 < 2);
+    // at floor 1 doc 3 returns and multi-space words still count stripped
+    val d2 = Seq((4L, "aa  bb   cc  dd  ee.\nx y\"")).toDF("doc_id", "text")
+    val r4 = TextAnalysis.c4Clean(d2, minKeptLines = 1).collect().head
+    assert(r4.getString(1) == "aa  bb   cc  dd  ee." && r4.getLong(2) == 1L)
+    // empty terminal-suffix list = no terminal rule
+    val r5 = TextAnalysis.c4Clean(d2, terminalSuffixes = Seq.empty,
+        minKeptLines = 1).collect().head
+    assert(r5.getLong(2) == 1L && r5.getLong(3) == 1L)
+  }
+
   test("token counts: whitespace vs subword") {
     import spark.implicits._
     val d = Seq((1L, "hello world42 x-y")).toDF("doc_id", "text")
@@ -1075,6 +1100,33 @@ class CorpusSpec extends AnyFunSuite {
 
   private lazy val docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("boilerplate removal: df threshold, line order, all-struck doc row") {
+    import TestSpark.spark.implicits._
+    // "cookie banner" occurs in 4 distinct docs (twice inside doc 3 —
+    // distinct-doc df counts it once, but BOTH copies are struck);
+    // "twice line" is in only 2 docs so it survives minDf = 3
+    val d = Seq(
+      (1L, "cookie banner\nunique alpha\ntwice line"),
+      (2L, "unique beta\ncookie banner\ntwice line"),
+      (3L, "cookie banner\ncookie banner\nunique gamma"),
+      (4L, "cookie banner"),
+      (5L, "z tail\ncookie banner\na head")).toDF("doc_id", "text")
+    val got = Corpus.boilerplateRemove(d, minDf = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("unique alpha\ntwice line", 2L, 1L)))
+    assert(got(2L) == (("unique beta\ntwice line", 2L, 1L)))
+    assert(got(3L) == (("unique gamma", 1L, 2L)))
+    // fully-boilerplate doc keeps its row with empty text
+    assert(got(4L) == (("", 0L, 1L)))
+    // original line ORDER is preserved (position sort, not lexicographic)
+    assert(got(5L) == (("z tail\na head", 2L, 1L)))
+    // df boundary: at minDf = 2 the twice-line is boilerplate too
+    val got2 = Corpus.boilerplateRemove(d, minDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(1L) == "unique alpha" && got2(2L) == "unique beta")
+  }
 
   test("stratified sample is deterministic and respects per-stratum rates") {
     val rates = Map("en" -> 50, "zh" -> 10)

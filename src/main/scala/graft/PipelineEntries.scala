@@ -427,6 +427,18 @@ object PipelineEntries {
         Multimodal.imageDHash(s,
           Multimodal.synthesizeBmpMedia(s, docs(s, dir))))),
 
+    // audio near-dup pairs: REAL RIFF/fmt/data chunk walk + PCM16 sample
+    // read over synthesized waveform payloads → 64-block cyclic
+    // energy-gradient fingerprint → the same blocked Hamming pair join
+    // the image path uses — oracle-checked (block energies are integer
+    // arithmetic in doc_id on the fixture side; the decoder only ever
+    // sees bytes)
+    "p_mm_audio" -> ((s, dir) =>
+      Dedup.imageHashPairs(
+        Multimodal.audioFingerprint(s,
+          Multimodal.synthesizeWavAudio(s, docs(s, dir))),
+        maxDist = 3, hashCol = "afp")),
+
     // video-shaped frame sampling: one row per sampled frame — oracle-checked
     "p_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.attachBinary(docs(s, dir)))),
@@ -2893,6 +2905,37 @@ object PipelineEntries {
         |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin,
+
+    // block energies re-derived arithmetically from the synthesis formula
+    // (sample i of doc d = ((fg·(i²+3i+7)) mod 65537) mod 2048 − 1024 +
+    // 3·(d mod 4), i = 8b+j), then the same cyclic-gradient bits and
+    // all-pairs Hamming count the Spark side reaches through real
+    // RIFF-chunk decoding
+    "p_mm_audio" ->
+      """WITH aud AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+        |  WHERE doc_id % 17 <> 0),
+        |e AS (
+        |  SELECT doc_id, b,
+        |    sum(abs(((((g * 2654435761) % 65537 + 1) *
+        |              ((8*b+j)*(8*b+j) + 3*(8*b+j) + 7)) % 65537) % 2048
+        |            - 1024 + 3*m)) AS en
+        |  FROM aud,
+        |       (SELECT unnest(range(0, 64)) AS b),
+        |       (SELECT unnest(range(0, 8)) AS j)
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT x.doc_id, x.b, (x.en > y.en) AS bit
+        |  FROM e x JOIN e y
+        |    ON x.doc_id = y.doc_id AND y.b = (x.b + 1) % 64),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS dist
+        |  FROM bits x JOIN bits y
+        |    ON x.b = y.b AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 3""".stripMargin,
 
     "p_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,

@@ -415,6 +415,128 @@ object Multimodal {
       .toDF()
   }
 
+  /** Fixture WAVs with real PCM16 CONTENT, deterministic from doc_id:
+    * 512 mono samples `s(i) = ((fg·(i² + 3i + 7)) mod 65537) mod 2048
+    * − 1024 + 3·(id mod 4)` with the per-group multiplier
+    * `fg = (⌊id/4⌋ · 2654435761) mod 65537 + 1`. The quadratic index
+    * polynomial times a group hash modulo the PRIME 65537 makes block
+    * energies effectively random ACROSS groups (zero accidental
+    * Hamming-3 collisions at fixture scale — an earlier 65536 modulus
+    * collapsed the waveform to `fg mod 2048` and aliased half the
+    * corpus), while docs sharing `⌊id/4⌋` differ only by a ±9 DC shift
+    * and land within Hamming distance ≤ 5 of each other — near-dup
+    * structure with a real boundary at maxDist 3. `id % 17 = 0` payloads
+    * are truncated (corrupt) and must drop out of the fingerprint. */
+  def synthesizeWavAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.map { id =>
+          val media =
+            if (id % 17 == 0) Array[Byte]('R'.toByte, 'I'.toByte, 'F'.toByte)
+            else {
+              val g = id / 4
+              val fg = (g * 2654435761L) % 65537L + 1L
+              val b = wavBytes(1, 8000, 512 * 2)
+              val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+              var i = 0L
+              while (i < 512) {
+                val s = ((fg * (i * i + 3 * i + 7)) % 65537L) % 2048L -
+                  1024L + 3L * (id % 4)
+                bb.putShort((44 + 2 * i).toInt, s.toShort)
+                i += 1
+              }
+              b
+            }
+          MediaRecord(id, media)
+        })
+      }
+      .toDF()
+  }
+
+  /** PCM16 WAV sample accessor: walk the RIFF chunks for `fmt ` (must be
+    * PCM, 16-bit) and `data`, then expose (sampleCount, i ⇒ signed LE16)
+    * over the data chunk without copying. Any structural violation →
+    * None. Channels are NOT deinterleaved — the energy fingerprint below
+    * is channel-agnostic by design. */
+  private[graft] def decodeWavPcm16(b: Array[Byte]): Option[(Int, Int => Int)] = {
+    if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+    var pos = 12
+    var bits = -1
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || size > b.length) return None
+      if (ascii(b, pos, "fmt ") && size >= 16 && pos + 8 + 16 <= b.length) {
+        fmtOk = le16(b, pos + 8) == 1 // PCM
+        bits = le16(b, pos + 8 + 14)
+      } else if (ascii(b, pos, "data")) {
+        dataOff = pos + 8
+        dataLen = size.toInt
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || bits != 16 || dataOff < 0 || dataLen < 2 ||
+      dataOff + dataLen > b.length) return None
+    val n = dataLen / 2
+    Some((n, (i: Int) => {
+      val p = dataOff + 2 * i
+      (b(p) & 0xFF) | (b(p + 1).toInt << 8) // signed LE16
+    }))
+  }
+
+  /** 64-bit audio energy fingerprint (the audio analogue of [[dhashOf]]):
+    * split the PCM stream into 64 equal blocks of `n/64` samples, sum
+    * |amplitude| per block, and emit the 64 CYCLIC energy-gradient bits
+    * `bit(b) = e(b) > e((b+1) mod 64)`. Gradients survive uniform gain /
+    * small DC shifts — the property that makes it perceptual rather than
+    * a byte hash — so re-encoded or slightly re-leveled copies land
+    * within a small Hamming distance. Streams shorter than 64 samples
+    * carry no 64-block structure → None. */
+  private[graft] def energyFingerprintOf(n: Int, sample: Int => Int): Option[Long] = {
+    val per = n / 64
+    if (per == 0) return None
+    val e = new Array[Long](64)
+    var b = 0
+    while (b < 64) {
+      var acc = 0L
+      var i = b * per
+      val end = i + per
+      while (i < end) { acc += math.abs(sample(i).toLong); i += 1 }
+      e(b) = acc
+      b += 1
+    }
+    var hash = 0L
+    b = 0
+    while (b < 64) {
+      if (e(b) > e((b + 1) % 64)) hash |= (1L << b)
+      b += 1
+    }
+    Some(hash)
+  }
+
+  final case class AudioHash(doc_id: Long, afp: Long)
+
+  /** Per-clip 64-bit energy fingerprint over a binary WAV column: one
+    * batched partition-local decode pass, undecodable payloads dropped.
+    * Feed the result to [[graft.pipeline.Dedup.imageHashPairs]] (the
+    * generic blocked 64-bit Hamming pair join — nothing in it is
+    * image-specific) with `hashCol = "afp"` for near-dup audio pairs. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.flatMap { rec =>
+          decodeWavPcm16(rec.media).flatMap { case (n, sample) =>
+            energyFingerprintOf(n, sample).map(AudioHash(rec.doc_id, _))
+          }
+        })
+      }
+      .toDF()
+  }
+
   final case class SampledFrame(doc_id: Long, frame_idx: Long, byte_off: Long)
 
   /** Frame sampling plan for video-shaped payloads: treat the payload as

@@ -1093,6 +1093,68 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.bmpBytes(27, 16, (x, y) => (17 * (5L / 4) + 7 * x + 13 * y + 5 % 4).toInt % 256))
     assert(hashes(5L) == Multimodal.dhashOf(w, h, luma))
   }
+
+  test("WAV PCM16 decode: chunk walk, format gates, signed sample read") {
+    // hand-built canonical WAV: 4 samples with known signed values
+    val b = Multimodal.wavBytes(1, 8000, 8)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(44, 100).putShort(46, -5).putShort(48, 0).putShort(50, 32767)
+    val Some((n, sample)) = Multimodal.decodeWavPcm16(b)
+    assert(n == 4 && sample(0) == 100 && sample(1) == -5 &&
+      sample(2) == 0 && sample(3) == 32767)
+    // structural violations -> None, never a throw
+    assert(Multimodal.decodeWavPcm16("RIF".getBytes).isEmpty)           // truncated
+    assert(Multimodal.decodeWavPcm16(b.take(40)).isEmpty)               // no data chunk
+    val bad8 = b.clone(); bad8(34) = 8                                  // bits = 8
+    assert(Multimodal.decodeWavPcm16(bad8).isEmpty)
+    val alaw = b.clone(); alaw(20) = 6                                  // fmt != PCM
+    assert(Multimodal.decodeWavPcm16(alaw).isEmpty)
+    val lying = b.clone(); lying(43) = 0x7F                             // data len > file
+    assert(Multimodal.decodeWavPcm16(lying).isEmpty)
+  }
+
+  test("energy fingerprint hand-computed: cyclic gradient, gain invariance") {
+    // 64 samples, one per block: e(b) = |s(b)|; strictly increasing
+    // energies set ONLY the cyclic wrap bit (e(63) > e(0))
+    assert(Multimodal.energyFingerprintOf(64, i => i + 1) ==
+      Some(java.lang.Long.MIN_VALUE)) // 1L << 63
+    // flat -> no strict inequality anywhere
+    assert(Multimodal.energyFingerprintOf(64, _ => 7) == Some(0L))
+    // alternating 0,9 energies: even blocks 0 < odd blocks 9, so exactly
+    // the odd bits set (cyclic: e(63)=9 > e(0)=0 included)
+    assert(Multimodal.energyFingerprintOf(64, i => if (i % 2 == 0) 0 else 9) ==
+      Some(java.lang.Long.parseUnsignedLong("aaaaaaaaaaaaaaaa", 16)))
+    // |amplitude|: sign does not matter; uniform gain does not matter
+    val base = (i: Int) => ((i * 37) % 101) - 50
+    val g1 = Multimodal.energyFingerprintOf(512, base)
+    assert(g1 == Multimodal.energyFingerprintOf(512, i => -base(i)))
+    assert(g1 == Multimodal.energyFingerprintOf(512, i => base(i) * 3))
+    // shorter than one sample per block -> no 64-block structure
+    assert(Multimodal.energyFingerprintOf(63, i => i).isEmpty)
+  }
+
+  test("audioFingerprint drops corrupt payloads and round-trips the fixture") {
+    import spark.implicits._
+    val d = (0L until 20L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint(spark,
+        Multimodal.synthesizeWavAudio(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id % 17 == 0 payloads are truncated-corrupt -> no row
+    assert(!fps.contains(0L) && !fps.contains(17L) && fps.size == 18)
+    // same id/4 group differs by a ±9 DC shift -> small Hamming distance;
+    // different groups are effectively random (far apart)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(4L), fps(5L)) <= 5 && ham(fps(8L), fps(9L)) <= 5)
+    assert(ham(fps(4L), fps(8L)) > 10)
+    // fingerprint matches a driver-side recomputation from the synthesis
+    // formula — pins decode+fingerprint against the arithmetic the
+    // DuckDB oracle uses
+    val g = 5L / 4; val fg = (g * 2654435761L) % 65537L + 1L
+    val s = (0 until 512).map(i =>
+      (((fg * (i.toLong * i + 3L * i + 7L)) % 65537L) % 2048L - 1024L +
+        3L * (5L % 4)).toInt)
+    assert(fps(5L) == Multimodal.energyFingerprintOf(512, s(_)).get)
+  }
 }
 
 class CorpusSpec extends AnyFunSuite {

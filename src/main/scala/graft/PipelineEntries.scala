@@ -23,6 +23,16 @@ object PipelineEntries {
     * with a PLAIN (non-regex) replace — semantics identical in Spark and
     * DuckDB (`replace(text, ' query ', chr(10))`), so the oracle sees the
     * very same lines. */
+  /** The p_classifier fixture model: 64 hash buckets, weights derived by
+    * the same integer formula in Scala and in the oracle SQL so both
+    * engines evaluate the identical model without shipping a literal
+    * list through two languages. Threshold is an interior value near the
+    * fixture logit median (never a round boundary — the p_curate
+    * lesson). */
+  private[graft] val ClassifierW: IndexedSeq[Double] =
+    (0 until 64).map(f => ((f.toLong * 2654435761L) % 1000L) / 1000.0 - 0.5)
+  private[graft] val ClassifierThreshold = 0.0137
+
   private def linedDocs(s: SparkSession, dir: String) =
     docs(s, dir).withColumn("text",
       org.apache.spark.sql.functions.replace(
@@ -333,6 +343,13 @@ object PipelineEntries {
     // corpus-trained bigram-LM scoring (CCNet-style perplexity filter) —
     // oracle-checked
     "p_lm_score" -> ((s, dir) => TextAnalysis.bigramLmScore(docs(s, dir))),
+
+    // fastText-style linear quality-classifier inference: 64-bucket
+    // hashed-unigram model with formula-derived weights (both engines
+    // re-derive w[f] = ((f·2654435761) mod 1000)/1000 − 0.5 so the
+    // oracle evaluates the IDENTICAL model) — oracle-checked
+    "p_classifier" -> ((s, dir) => TextAnalysis.classifierScore(
+      docs(s, dir), ClassifierW, bias = 0.0, threshold = ClassifierThreshold)),
 
     // top-3 TF-IDF terms per doc (6-dp-rounded before ranking, term-asc
     // ties) — oracle-checked
@@ -1588,6 +1605,44 @@ object PipelineEntries {
     * [[xxh64Ctes]] per shingle, signed conversion BEFORE the window min
     * (Spark compares signed longs), window-4 mins, distinct-count +
     * global min. */
+  /** DuckDB mirror of [[graft.pipeline.TextAnalysis.classifierScore]] at
+    * the p_classifier fixture parameters: distinct tokens hashed ONCE via
+    * the from-the-spec XXH64 CTE chain, weights re-derived by the same
+    * integer formula as [[ClassifierW]], per-doc contributions folded
+    * over the SORTED list exactly as the Spark side folds — identical
+    * IEEE addition order ⇒ bit-identical raw sum ⇒ the unrounded
+    * threshold compare is engine-safe. */
+  private def classifierOracleSql: String =
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |tokd AS MATERIALIZED (
+       |  SELECT s, row_number() OVER (ORDER BY s) AS k
+       |  FROM (SELECT DISTINCT unnest(toks) AS s FROM t)),
+       |hin AS MATERIALIZED (SELECT k, s FROM tokd),
+       |${xxh64Ctes("hin")},
+       |w AS MATERIALIZED (
+       |  SELECT tokd.s, ((h % 64) * 2654435761) % 1000 / 1000.0 - 0.5 AS wt
+       |  FROM xres JOIN tokd USING (k)),
+       |c AS (
+       |  SELECT u.doc_id, w.wt
+       |  FROM (SELECT doc_id, unnest(toks) AS s FROM t) u JOIN w USING (s)),
+       |f AS (
+       |  SELECT doc_id, list_sort(list(wt)) AS ws, count(*) AS n
+       |  FROM c GROUP BY doc_id),
+       |r AS (
+       |  SELECT t.doc_id, coalesce(f.n, 0) AS n,
+       |         CASE WHEN coalesce(f.n, 0) > 0
+       |              THEN list_reduce(f.ws, (a, b) -> a + b) / f.n
+       |              ELSE 0.0 END AS lg
+       |  FROM t LEFT JOIN f USING (doc_id))
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       -- + 0.0 folds DuckDB's -0.0 rounding artifact to +0.0
+       |       round(lg, 6) + 0.0 AS logit,
+       |       (lg >= $ClassifierThreshold) AS passes
+       |FROM r""".stripMargin
+
   private def fingerprintOracleSql: String =
     s"""WITH RECURSIVE
        |sh AS MATERIALIZED (
@@ -2095,6 +2150,8 @@ object PipelineEntries {
         |           / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6) AS score
         |FROM base, stats
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+
+    "p_classifier" -> classifierOracleSql,
 
     // identical model formulation: context counts derived from the bigram
     // table, vocab over ALL token positions, add-1 smoothing

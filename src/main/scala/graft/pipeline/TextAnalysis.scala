@@ -165,6 +165,49 @@ object TextAnalysis {
       .filter(col("n_kept") >= minKeptLines)
   }
 
+  /** Linear quality-classifier inference (the fastText-style model-based
+    * filter of CCNet / DCLM / FineWeb-Edu): each document scores
+    * `logit = bias + (Σ_tokens w[xxhash64(token) mod |w|]) / n_tokens`
+    * — a bag-of-hashed-unigrams linear model whose weight vector the
+    * caller trained offline — plus a raw-comparison `passes = logit ≥
+    * threshold` verdict. Returns (doc_id, n_tokens, logit 6-dp, passes);
+    * token-free docs score the bias alone.
+    *
+    * Engine-portability of the float math: contributions fold over the
+    * SORTED weight list (ascending), so the addition order — and with
+    * IEEE doubles, the exact sum — is identical on any engine; `passes`
+    * compares the UNROUNDED sum (the p_curate lesson). `weights.size`
+    * must be a power of two so `pmod(signed hash, size)` equals the
+    * unsigned-hash residue (2⁶⁴ is then divisible by the modulus).
+    *
+    * Scale shape: the model travels as a LITERAL array in the plan —
+    * zero shuffle, zero joins, whole-stage codegen; right for the
+    * ≤ 64 Ki-bucket models this signature admits. A multi-million-
+    * bucket model would bloat the plan: broadcast-join a (bucket,
+    * weight) table against exploded tokens instead. */
+  def classifierScore(docs: DataFrame, weights: IndexedSeq[Double],
+      bias: Double = 0.0, threshold: Double = 0.0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.size <= 65536 &&
+      Integer.bitCount(weights.size) == 1,
+      s"weights.size must be a power of two in [1, 65536], got ${weights.size}")
+    val wArr = array(weights.map(lit): _*)
+    docs
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn("__contrib", sort_array(transform(col("__toks"),
+        t => element_at(wArr,
+          pmod(xxhash64(t), lit(weights.size.toLong)).cast("int") + 1))))
+      .withColumn("__logit",
+        when(size(col("__toks")) > 0,
+          lit(bias) + aggregate(col("__contrib"), lit(0.0), (a, x) => a + x) /
+            size(col("__toks")).cast("double"))
+        .otherwise(lit(bias)))
+      .select(col(idCol).as("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        round(col("__logit"), 6).as("logit"),
+        (col("__logit") >= threshold).as("passes"))
+  }
+
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
     * runs, single symbols — the classic pre-tokenizer regex). */
   def tokenCounts(docs: DataFrame): DataFrame =

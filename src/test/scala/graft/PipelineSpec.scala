@@ -793,6 +793,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re.getAs[Double]("ellipsis_frac") == 0.6667 && !re.getBoolean(8))
   }
 
+  test("classifier score: uniform-model exact logit, threshold edge, pinned model") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // uniform weights make the logit hash-independent and float-exact:
+    // bias + (4 · 0.25)/4 = 0.25 regardless of which buckets tokens hit
+    val r = TextAnalysis.classifierScore(d, IndexedSeq.fill(8)(0.25),
+      bias = 0.0, threshold = 0.25).collect().head
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 0.25 && r.getBoolean(3))
+    // >= is inclusive; an epsilon above the logit flips it
+    assert(!TextAnalysis.classifierScore(d, IndexedSeq.fill(8)(0.25),
+      threshold = 0.2500001).collect().head.getBoolean(3))
+    // non-uniform model pinned against a driver-side recomputation from
+    // Spark's own xxhash64 (same bucketing the operator compiles in)
+    val w = (0 until 64).map(f => ((f.toLong * 2654435761L) % 1000L) / 1000.0 - 0.5)
+    val d2 = Seq((1L, "the quick brown fox"), (2L, "spark spark spark"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(d2, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val hashed = d2.select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .select(col("doc_id"), pmod(xxhash64(col("t")), lit(64L)).as("b"))
+      .collect().groupBy(_.getLong(0))
+    val expected = hashed.map { case (id, rows) =>
+      val contribs = rows.map(r => w(r.getLong(1).toInt)).sorted
+      id -> BigDecimal(contribs.foldLeft(0.0)(_ + _) / rows.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == expected)
+    // model size must be a power of two (pmod-vs-unsigned-residue safety)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.classifierScore(d, IndexedSeq(0.1, 0.2, 0.3))
+    }
+  }
+
   test("c4 line cleaning: per-rule boundaries, doc floor, re-join order") {
     import spark.implicits._
     val d = Seq(

@@ -224,6 +224,22 @@ object PipelineEntries {
         Similarity.bruteForceTopK(e, q, k = 5))
     }),
 
+    // PQ encoding: 64-dim vectors compress to 8 centroid indices under
+    // the seeded codebook (32× smaller scan footprint for ADC search) —
+    // oracle-checked
+    "p_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(emb(s, dir), Similarity.pqCodebook())),
+
+    // asymmetric-distance top-k over the PQ codes: per-query LUT,
+    // table-lookup scoring over the compressed corpus — oracle-checked
+    "p_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.pqCodebook()
+      Similarity.pqAdcTopK(Similarity.pqEncode(e, cb),
+          e.filter(pmod(col("vec_id"), lit(50)) === 0), cb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // IVF-style ANN (coarse quantizer + nprobe lists)
     "p_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -854,6 +870,63 @@ object PipelineEntries {
       (0 until tables).map(t => s"bit_count(xor(x.c$t, q.c$t)) <= 1")
         .mkString(" OR "))
   }
+
+  /** The PQ codebook as a DuckDB nested-list literal — the identical
+    * doubles the Spark plan constant-folds (shortest-round-trip repr
+    * parses back to the same IEEE value in both engines). */
+  private def pqCbSql: String = {
+    val cb = Similarity.pqCodebook()
+    cb.map(mm => mm.map(kk => kk.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+  }
+
+  /** Shared per-(vector, subspace) centroid-distance list: fold d = 0..7
+    * in order, exactly the Spark-side [[graft.pipeline.Similarity]]
+    * subDist2 fold, so argmin and ADC sums are IEEE-identical. */
+  private def pqDistListSql(vcol: String): String =
+    s"""list_transform(range(0, 16), kk ->
+       |      list_reduce(list_transform(range(0, 8), d ->
+       |        ($vcol[mm*8 + d + 1] - cb[mm+1][kk+1][d+1]) *
+       |        ($vcol[mm*8 + d + 1] - cb[mm+1][kk+1][d+1])),
+       |        (a, b) -> a + b))""".stripMargin
+
+  private def pqCodesCtes: String =
+    s"""cbt AS (SELECT $pqCbSql AS cb),
+       |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dl AS (
+       |  SELECT vec_id, mm,
+       |    ${pqDistListSql("v")} AS dl
+       |  FROM n CROSS JOIN cbt, unnest(range(0, 8)) AS t(mm)),
+       |codes AS (
+       |  SELECT vec_id,
+       |         list(CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER)
+       |              ORDER BY mm) AS codes
+       |  FROM dl GROUP BY vec_id)""".stripMargin
+
+  private def pqCodesOracleSql: String =
+    s"""WITH $pqCodesCtes
+       |SELECT vec_id, codes FROM codes""".stripMargin
+
+  private def pqAdcOracleSql(k: Int = 5): String =
+    s"""WITH $pqCodesCtes,
+       |lut AS (
+       |  SELECT vec_id AS qid, mm,
+       |    ${pqDistListSql("v")} AS lv
+       |  FROM n CROSS JOIN cbt, unnest(range(0, 8)) AS t(mm)
+       |  WHERE vec_id % 50 = 0),
+       |terms AS (
+       |  SELECT l.qid, c.vec_id AS nid, l.mm,
+       |         l.lv[c.codes[l.mm + 1] + 1] AS term
+       |  FROM codes c JOIN lut l ON c.vec_id <> l.qid),
+       |sc AS (
+       |  SELECT qid, nid,
+       |         list_reduce(list(term ORDER BY mm), (a, b) -> a + b) AS raw
+       |  FROM terms GROUP BY qid, nid)
+       |SELECT qid, nid, round(raw, 6) AS adist, rank FROM (
+       |  SELECT qid, nid, raw,
+       |         row_number() OVER (PARTITION BY qid ORDER BY raw, nid) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
 
   private def lshOracleSql(k: Int = 5, planes: Int = 6, tables: Int = 8,
       dim: Int = 64): String = {
@@ -2247,6 +2320,8 @@ object PipelineEntries {
 
     "p_ann_lsh" -> lshOracleSql(),
     "p_ann_recall" -> annRecallOracleSql(),
+    "p_pq_codes" -> pqCodesOracleSql,
+    "p_pq" -> pqAdcOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
     // identical quantizer + probe math ⇒ identical result set
     "p_ann_ivf_persisted" -> ivfOracleSql(),

@@ -102,6 +102,106 @@ object Similarity {
         round(count(col("a.nid")).cast("double") / count(lit(1)), 4).as("recall"))
   }
 
+  // ---- product quantization (compressed-domain ANN) -----------------------
+
+  /** Deterministic PQ codebook `[subspace][centroid][dim]` from a seeded
+    * RNG, values in the embedding fixture's [−0.5, 0.5] range — shared
+    * between the Spark plan and the DuckDB oracle-SQL generator so both
+    * engines evaluate the identical codebook (the [[planeSigns]]
+    * pattern). A production pipeline trains these per-subspace with
+    * k-means ([[kmeansAssign]] family) offline and passes them in; the
+    * operators below take ANY codebook. */
+  def pqCodebook(m: Int = 8, kCent: Int = 16, dSub: Int = 8,
+      seed: Long = 11L): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(m)(IndexedSeq.fill(kCent)(IndexedSeq.fill(dSub)(
+      rnd.nextDouble() - 0.5)))
+  }
+
+  private def cbLit(cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    array(cb.map(mm => array(mm.map(kk => array(kk.map(lit): _*)): _*)): _*)
+
+  /** Squared L2 distance between subvector `m` of `v` and centroid `cent`,
+    * folded d = 0..dSub−1 in order — the oracle folds identically, so the
+    * IEEE sum (and hence every argmin/ranking decision) is engine-exact. */
+  private def subDist2(v: Column, cent: Column, mIdx: Column, dSub: Int): Column =
+    aggregate(sequence(lit(0), lit(dSub - 1)), lit(0.0), (acc, d) => {
+      val diff = element_at(v, (mIdx * dSub + d + 1).cast("int")) -
+        element_at(cent, (d + 1).cast("int"))
+      acc + diff * diff
+    })
+
+  /** PQ encoding: each vector compresses to `m` centroid indices (its
+    * nearest centroid per subspace; ties → lowest index via the strict-<
+    * fold). Returns (vec_id, codes array<int>).
+    *
+    * THE 100 TB point of PQ: the scan side of ADC search reads m bytes
+    * per vector instead of 4·dim — a 32× smaller corpus footprint here —
+    * and encoding is a single narrow codegen'd projection (the codebook
+    * is a constant-folded literal; zero shuffle, zero joins). */
+  def pqEncode(vectors: DataFrame,
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = cb.size; val dSub = cb.head.head.size
+    val cbc = cbLit(cb)
+    vectors
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), mIdx => {
+          val best = aggregate(
+            sequence(lit(0), lit(cb.head.size - 1)),
+            struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+            (acc, kIdx) => {
+              val dist = subDist2(col("__v"),
+                element_at(element_at(cbc, (mIdx + 1).cast("int")),
+                  (kIdx + 1).cast("int")), mIdx, dSub)
+              when(dist < acc.getField("d"),
+                struct(dist.as("d"), kIdx.cast("int").as("i")))
+                .otherwise(acc)
+            })
+          best.getField("i")
+        }).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    * `[m][kCent]` lookup table of subspace distances to every centroid is
+    * computed ONCE, broadcast with the query, and each corpus vector
+    * scores as `Σ_m lut[m][code_m]` — table lookups and `m−1` additions
+    * per vector instead of a `dim`-wide float scan. Smallest distance
+    * wins; ties → lowest nid. Returns (qid, nid, adist 6-dp, rank ≤ k).
+    *
+    * Scale shape: identical to [[bruteForceTopK]]'s broadcast-queries ×
+    * corpus scan, but over the 32×-compressed codes — the form that
+    * makes exhaustive re-ranking viable at 100 TB (and the re-rank
+    * stage after an IVF probe). The per-query top-k window never
+    * materializes a global sort. */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame,
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = cb.size; val kCent = cb.head.size; val dSub = cb.head.head.size
+    val cbc = cbLit(cb)
+    val q = queries
+      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("__qv"))
+      .select(col("qid"),
+        transform(sequence(lit(0), lit(m - 1)), mIdx =>
+          transform(
+            element_at(cbc, (mIdx + 1).cast("int")),
+            cent => subDist2(col("__qv"), cent, mIdx, dSub))).as("__lut"))
+    val c = codes.select(col("vec_id").as("nid"), col("codes"))
+      .repartition(col("nid"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mIdx) =>
+          acc + element_at(
+            element_at(col("__lut"), (mIdx + 1).cast("int")),
+            element_at(col("codes"), (mIdx + 1).cast("int")) + 1)), 6)
+          .as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "adist", "rank")
+  }
+
   /** Deterministic ±1 hyperplane signs from a seeded RNG — shared between
     * the Spark plan and the DuckDB oracle-SQL generator (PipelineEntries),
     * so both engines evaluate identical planes. */

@@ -478,6 +478,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQ.map(_._2).sum == exSet.size)
   }
 
+  test("PQ encode/ADC: hand-computed codes, argmin tie-break, LUT scoring") {
+    import TestSpark.spark.implicits._
+    // tiny codebook: 2 subspaces x 2 centroids x 2 dims
+    val cb = IndexedSeq(
+      IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(1.0, 1.0)),
+      IndexedSeq(IndexedSeq(0.5, 0.5), IndexedSeq(-1.0, -1.0)))
+    val vecs = Seq(
+      (1L, Seq(0.1f, 0.1f, 0.4f, 0.6f)),  // codes [0, 0]
+      (2L, Seq(0.9f, 1.1f, -0.8f, -1.2f)) // codes [1, 1]
+      ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(vecs, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == Seq(0, 0) && codes(2L) == Seq(1, 1))
+    // equidistant subvector -> lowest centroid index (strict-< fold)
+    val tieCb = IndexedSeq(IndexedSeq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0)))
+    val tie = Seq((9L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.pqEncode(tie, tieCb).collect().head.getSeq[Int](1) == Seq(0))
+    // ADC: query (0,0, 0,0): LUT[0] = [0, 2], LUT[1] = [0.5, 2];
+    // adist(1) = 0 + 0.5, adist(2) = 2 + 2; ranks follow
+    val q = Seq((100L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(Similarity.pqEncode(vecs, cb), q, cb, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 0.5, 1), (2L, 4.0, 2)))
+    // fixture codebook shape: every code within [0, 16), 8 per vector
+    val fix = Similarity.pqEncode(emb, Similarity.pqCodebook()).collect()
+    assert(fix.forall(r => {
+      val cs = r.getSeq[Int](1); cs.size == 8 && cs.forall(c => c >= 0 && c < 16)
+    }))
+  }
+
   test("cosinePairs equals brute-force all-pairs on planted near-dups") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val base = emb.select(col("vec_id"),

@@ -240,6 +240,16 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // two-stage retrieval: PQ compressed-scan shortlist (kCand=25) ->
+    // exact-cosine re-rank of only those candidates — oracle-checked
+    "p_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.pqCodebook()
+      Similarity.pqRerankTopK(e, Similarity.pqEncode(e, cb),
+          e.filter(pmod(col("vec_id"), lit(50)) === 0), cb)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // IVF-style ANN (coarse quantizer + nprobe lists)
     "p_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -926,6 +936,48 @@ object PipelineEntries {
        |  SELECT qid, nid, raw,
        |         row_number() OVER (PARTITION BY qid ORDER BY raw, nid) AS rank
        |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Two-stage mirror: the [[pqAdcOracleSql]] candidate CTEs at kCand,
+    * then the exact-cosine formula every ANN oracle here shares, ranked
+    * per query over candidates only. */
+  private def pqRerankOracleSql(kCand: Int = 25, k: Int = 5,
+      dim: Int = 64): String =
+    s"""WITH $pqCodesCtes,
+       |lut AS (
+       |  SELECT vec_id AS qid, mm,
+       |    ${pqDistListSql("v")} AS lv
+       |  FROM n CROSS JOIN cbt, unnest(range(0, 8)) AS t(mm)
+       |  WHERE vec_id % 50 = 0),
+       |terms AS (
+       |  SELECT l.qid, c.vec_id AS nid, l.mm,
+       |         l.lv[c.codes[l.mm + 1] + 1] AS term
+       |  FROM codes c JOIN lut l ON c.vec_id <> l.qid),
+       |sc AS (
+       |  SELECT qid, nid,
+       |         list_reduce(list(term ORDER BY mm), (a, b) -> a + b) AS raw
+       |  FROM terms GROUP BY qid, nid),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY raw, nid) AS rank
+       |    FROM sc)
+       |  WHERE rank <= $kCand),
+       |x AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_sum(list_transform(v, e -> e * e))) AS nrm
+       |  FROM n),
+       |sims AS (
+       |  SELECT cand.qid, cand.nid,
+       |         round(list_sum(list_transform(range(1, ${dim + 1}),
+       |                 i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS sim
+       |  FROM cand JOIN x q ON q.vec_id = cand.qid
+       |            JOIN x c ON c.vec_id = cand.nid)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY sim DESC, nid) AS rank
+       |  FROM sims)
        |WHERE rank <= $k""".stripMargin
 
   private def lshOracleSql(k: Int = 5, planes: Int = 6, tables: Int = 8,
@@ -2322,6 +2374,7 @@ object PipelineEntries {
     "p_ann_recall" -> annRecallOracleSql(),
     "p_pq_codes" -> pqCodesOracleSql,
     "p_pq" -> pqAdcOracleSql(),
+    "p_pq_rerank" -> pqRerankOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
     // identical quantizer + probe math ⇒ identical result set
     "p_ann_ivf_persisted" -> ivfOracleSql(),

@@ -202,6 +202,39 @@ object Similarity {
       .select("qid", "nid", "adist", "rank")
   }
 
+  /** Two-stage retrieval: [[pqAdcTopK]] shortlists `kCand` candidates per
+    * query over the 32×-compressed codes, then ONLY those candidates'
+    * raw vectors are fetched and re-ranked by exact cosine — the
+    * production ANN serving shape (compressed scan for coverage, exact
+    * math for the final order). Returns (qid, nid, sim 6-dp, rank ≤ k).
+    *
+    * Scale arithmetic: the exact-math stage touches `|q|·kCand` vectors
+    * instead of N — at 100 TB the full-precision corpus is only ever
+    * read through the candidate semi-join (a partition-prunable id
+    * join), while the exhaustive pass streams codes. Recall is bounded
+    * by the shortlist; [[annRecall]] against [[bruteForceTopK]] is the
+    * deploy gate for choosing `kCand`. */
+  def pqRerankTopK(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], kCand: Int = 25,
+      k: Int = 5, dim: Int = DefaultDim, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cand = pqAdcTopK(codes, queries, cb, kCand, idCol, vecCol)
+      .select(col("qid"), col("nid"))
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", normFixed(col("cv"), dim))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", normFixed(col("qv"), dim))
+    val exact = cand.join(c, "nid").join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        round(dotFixed(col("qv"), col("cv"), dim) /
+              (col("qnorm") * col("cnorm")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+
   /** Deterministic ±1 hyperplane signs from a seeded RNG — shared between
     * the Spark plan and the DuckDB oracle-SQL generator (PipelineEntries),
     * so both engines evaluate identical planes. */

@@ -508,6 +508,26 @@ class SimilaritySpec extends AnyFunSuite {
     }))
   }
 
+  test("PQ rerank with a full-corpus shortlist equals brute force exactly") {
+    val cb = Similarity.pqCodebook()
+    val n = emb.count().toInt
+    // kCand >= corpus size => the shortlist prunes nothing and the exact
+    // re-rank must reproduce bruteForceTopK row for row
+    val rr = Similarity.pqRerankTopK(emb, Similarity.pqEncode(emb, cb),
+        queries, cb, kCand = n, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rr == bf && rr.nonEmpty)
+    // a tight shortlist returns k rows per query, ranked by exact cosine
+    val tight = Similarity.pqRerankTopK(emb, Similarity.pqEncode(emb, cb),
+      queries, cb, kCand = 10, k = 3).collect()
+    val perQ = tight.groupBy(_.getLong(0))
+    assert(perQ.values.forall(rows =>
+      rows.length == 3 && rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+        .sliding(2).forall { case Seq(a, b) => a >= b case _ => true }))
+  }
+
   test("cosinePairs equals brute-force all-pairs on planted near-dups") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val base = emb.select(col("vec_id"),

@@ -226,6 +226,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Clean, classifierScore and pqEncode are shuffle-free narrow plans") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((name, df) <- Seq(
+        "c4Clean" -> graft.pipeline.TextAnalysis.c4Clean(docs,
+          minLineWords = 2, terminalSuffixes = Seq.empty, minKeptLines = 1),
+        "classifierScore" -> graft.pipeline.TextAnalysis.classifierScore(
+          docs, IndexedSeq.fill(64)(0.1)),
+        "pqEncode" -> graft.pipeline.Similarity.pqEncode(emb,
+          graft.pipeline.Similarity.pqCodebook()))) {
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty, s"$name plan shuffles:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("boilerplate removal: frequent-line anti-join broadcasts, corpus never reshuffles on line") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.pipeline.Corpus.boilerplateRemove(docs, minDf = 2)
+    df.collect() // AQE finalizes the join strategy
+    val plan = df.queryExecution.executedPlan.toString
+    // the LeftAnti strike against the (output-bounded) frequent-line set
+    // must be a broadcast join — a shuffled anti-join would re-exchange
+    // the whole corpus's lines a second time
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join not broadcast:\n$plan")
+  }
+
   test("as-of join and rolling aggregate: ONE shuffle each (union-merge shape)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.functions.col

@@ -377,6 +377,13 @@ object GraftFunctions {
     }),
     // per-row (csim, -cent_id) struct array vs a foldable centroid set
     // (ids / flat matrix / norms as array literals, evaluated at build)
+    // PQ codes vs a foldable codebook (flat matrix + geometry literals)
+    ("graft_pq_encode", classOf[PqEncodeExpr], exprs => {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      def i(e: Expression) = e.eval().asInstanceOf[Number].intValue
+      val cbFlat = exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray
+      PqEncodeExpr(exprs(0), cbFlat, i(exprs(2)), i(exprs(3)), i(exprs(4)))
+    }),
     ("graft_cent_sims", classOf[CentroidSimsExpr], exprs => {
       import org.apache.spark.sql.catalyst.util.ArrayData
       val ids = exprs(2).eval().asInstanceOf[ArrayData].toLongArray.toSeq
@@ -420,6 +427,11 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_cent_sims", v, vnorm,
       lit(ids), lit(centsFlat), lit(norms), lit(dim))
+  }
+  def pqEncode(v: Column, cbFlat: Array[Double], m: Int, kCent: Int,
+      dSub: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_pq_encode", v, lit(cbFlat), lit(m), lit(kCent), lit(dSub))
   }
   def simhash64(shingles: Column): Column = call_function("graft_simhash", shingles)
   /** Probe a broadcast-able serialized Bloom filter with an xxhash64

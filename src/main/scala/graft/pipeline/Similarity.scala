@@ -132,35 +132,30 @@ object Similarity {
     })
 
   /** PQ encoding: each vector compresses to `m` centroid indices (its
-    * nearest centroid per subspace; ties → lowest index via the strict-<
-    * fold). Returns (vec_id, codes array<int>).
+    * nearest centroid per subspace; ties → lowest index via
+    * `array_position(dists, array_min(dists))`, the first occurrence).
+    * Returns (vec_id, codes array<int>).
     *
     * THE 100 TB point of PQ: the scan side of ADC search reads m bytes
     * per vector instead of 4·dim — a 32× smaller corpus footprint here —
-    * and encoding is a single narrow codegen'd projection (the codebook
-    * is a constant-folded literal; zero shuffle, zero joins). */
+    * and encoding is a single narrow projection, zero shuffle.
+    *
+    * Perf shape: the encode is the fused native expression
+    * [[graft.functions.PqEncodeExpr]] — both the HOF-lambda and the
+    * unrolled-literal formulations of the same arithmetic evaluate
+    * INTERPRETED (HOF bodies get no codegen; ~3k-node literal trees
+    * compile past the JIT method limit and the stage silently falls
+    * back — both profiled ~1 ms/row), where the fused loop is
+    * microseconds. The left-to-right distance sum and first-minimum
+    * scan reproduce the oracle's fold bit-exactly. */
   def pqEncode(vectors: DataFrame,
       cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = cb.size; val dSub = cb.head.head.size
-    val cbc = cbLit(cb)
-    vectors
-      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), mIdx => {
-          val best = aggregate(
-            sequence(lit(0), lit(cb.head.size - 1)),
-            struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
-            (acc, kIdx) => {
-              val dist = subDist2(col("__v"),
-                element_at(element_at(cbc, (mIdx + 1).cast("int")),
-                  (kIdx + 1).cast("int")), mIdx, dSub)
-              when(dist < acc.getField("d"),
-                struct(dist.as("d"), kIdx.cast("int").as("i")))
-                .otherwise(acc)
-            })
-          best.getField("i")
-        }).as("codes"))
+    GraftFunctions.register(vectors.sparkSession)
+    val m = cb.size; val kCent = cb.head.size; val dSub = cb.head.head.size
+    vectors.select(col(idCol).as("vec_id"),
+      GraftFunctions.pqEncode(col(vecCol),
+        cb.flatten.flatten.toArray, m, kCent, dSub).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a
@@ -189,13 +184,14 @@ object Similarity {
             cent => subDist2(col("__qv"), cent, mIdx, dSub))).as("__lut"))
     val c = codes.select(col("vec_id").as("nid"), col("codes"))
       .repartition(col("nid"))
+    // unrolled table-lookup sum (left-assoc, oracle fold order) — plain
+    // element_at chains stay codegen'd, unlike a HOF fold
+    val adcSum = (0 until m).map(mi =>
+        element_at(element_at(col("__lut"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1))
+      .reduceLeft(_ + _)
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mIdx) =>
-          acc + element_at(
-            element_at(col("__lut"), (mIdx + 1).cast("int")),
-            element_at(col("codes"), (mIdx + 1).cast("int")) + 1)), 6)
-          .as("adist"))
+      .select(col("qid"), col("nid"), round(adcSum, 6).as("adist"))
     val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

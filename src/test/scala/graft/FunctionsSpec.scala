@@ -193,6 +193,40 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncodeExpr equals the per-subspace literal argmin form bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val m = 4; val kCent = 8; val dSub = 4
+    val cb = IndexedSeq.fill(m)(IndexedSeq.fill(kCent)(
+      IndexedSeq.fill(dSub)(rnd.nextDouble() - 0.5)))
+    val vecs = Seq.fill(200)(Array.fill(m * dSub)(rnd.nextDouble() - 0.5))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // the replaced formulation: unrolled literal distances + first-min
+    // position per subspace
+    val literalForm = array((0 until m).map { mi =>
+      val dists = array((0 until kCent).map { ki =>
+        (0 until dSub).map { d =>
+          val diff = element_at(col("v"), mi * dSub + d + 1) - lit(cb(mi)(ki)(d))
+          diff * diff
+        }.reduceLeft(_ + _)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val fused = GraftFunctions.pqEncode(col("v"),
+      cb.flatten.flatten.toArray, m, kCent, dSub)
+    val rows = vecs.select(col("id"), fused.as("f"), literalForm.as("l")).collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"codes mismatch id=${r.getLong(0)}"))
+    // float input path: same codes from the float-typed fixture column
+    val fv = vecs.withColumn("vf", col("v").cast("array<float>"))
+    val both = fv.select(
+      GraftFunctions.pqEncode(col("vf"), cb.flatten.flatten.toArray, m, kCent, dSub).as("a"),
+      GraftFunctions.pqEncode(col("v").cast("array<float>").cast("array<double>"),
+        cb.flatten.flatten.toArray, m, kCent, dSub).as("b")).collect()
+    both.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("usable from Cypher through the function registry") {
     import spark.implicits._
     val g = new GraftSession(spark)

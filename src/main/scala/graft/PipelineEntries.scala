@@ -381,6 +381,15 @@ object PipelineEntries {
     // ties) — oracle-checked
     "p_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir))),
 
+    // feature-hashed TF-IDF document embeddings (hashing trick): raw text
+    // -> cosine-ready unit vector with no external model — the bridge from
+    // the documents table into every embedding-space operator; posexploded
+    // to scalar rows for the driver's hasher, like p_normalize
+    "p_hash_embed" -> ((s, dir) =>
+      Explodes.posexplodeNoInfer(TextAnalysis.hashedTfidf(docs(s, dir)),
+          Seq(col("doc_id")), col("vec"), "idx", "comp")
+        .withColumn("idx", col("idx").cast("long"))),
+
     // pattern scrubbing: the PII email preset (0 hits on the synthetic
     // corpus — plumbing proof) plus a lexical pattern with real hits so
     // counts and redacted text are non-trivially oracle-checked
@@ -1853,6 +1862,52 @@ object PipelineEntries {
        |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simu::UBIGINT, y.simu::UBIGINT)) <= 6""".stripMargin
 
+  /** DuckDB mirror of [[graft.pipeline.TextAnalysis.hashedTfidf]]: distinct
+    * vocabulary → [[xxh64Ctes]]; bucket = h mod dim (low bits — identical
+    * on the unsigned HUGEINT and Spark's signed long two's complement),
+    * sign = the next bit up; INTEGER sign sums per (doc, bucket) — the
+    * only unordered aggregation, so exact; per-bucket idf `ln(N/df)`;
+    * dense bucket-ordered list; `list_sum` norm fold (the p_normalize
+    * pattern — matches Spark's in-order dot fold); 6-dp components. */
+  private def hashEmbedOracleSql(dim: Int = 64): String =
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT term, row_number() OVER (ORDER BY term) AS k
+       |  FROM (SELECT DISTINCT term FROM t)),
+       |hin AS MATERIALIZED (SELECT k, term AS s FROM vocab),
+       |${xxh64Ctes("hin")},
+       |th AS MATERIALIZED (
+       |  SELECT v.term, CAST(x.h % $dim AS INTEGER) AS bucket,
+       |         CASE WHEN (x.h // $dim) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+       |  FROM vocab v JOIN xres x USING (k)),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, bucket, sum(sgn) AS w0
+       |  FROM t JOIN th USING (term) GROUP BY doc_id, bucket),
+       |df AS (SELECT bucket, count(*) AS df FROM tf GROUP BY bucket),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, bucket, w0 * ln(CAST(n AS DOUBLE) / df) AS w
+       |  FROM tf JOIN df USING (bucket) CROSS JOIN n),
+       |grid AS (
+       |  SELECT d.doc_id, g.b
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       |       unnest(range(0, $dim)) AS g(b)),
+       |cells AS (
+       |  SELECT g.doc_id, g.b, coalesce(w.w, 0.0) AS w
+       |  FROM grid g LEFT JOIN w ON g.doc_id = w.doc_id AND g.b = w.bucket),
+       |v AS (SELECT doc_id, list(w ORDER BY b) AS vec FROM cells GROUP BY doc_id),
+       |nv AS (
+       |  SELECT doc_id, vec,
+       |         sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+       |  FROM v)
+       |SELECT doc_id, CAST(g.b AS BIGINT) AS idx,
+       |       round(vec[g.b + 1] / nrm, 6) AS comp
+       |FROM nv, unnest(range(0, $dim)) AS g(b)
+       |WHERE nrm <> 0""".stripMargin
+
   /** The chr(1)-wrapped symbol encoding of a word expression. */
   private def bpeEncExpr(wordExpr: String): String =
     s"regexp_replace($wordExpr, '(.)', chr(1) || '\\1' || chr(1), 'g') " +
@@ -2318,6 +2373,8 @@ object PipelineEntries {
         |  FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "p_hash_embed" -> hashEmbedOracleSql(),
 
     // same patterns verbatim (Java-regex/RE2 common syntax); DuckDB
     // regexp_replace needs the 'g' flag to match Spark's replace-all

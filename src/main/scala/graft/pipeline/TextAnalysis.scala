@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Text analysis operators for training-data curation: quality scoring,
   * token counting, language identification, document fingerprinting.
   * Expression-only (codegen-friendly), one narrow projection per operator —
@@ -432,5 +434,80 @@ object TextAnalysis {
              (coalesce(col("cu"), lit(0L)) + col("v") * k)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__nll")), 6).as("avg_nll"))
+  }
+
+  /** Feature-hashed TF-IDF document embeddings — the "hashing trick"
+    * (Weinberger et al., ICML 2009): every token maps to one of `dim`
+    * buckets via its xxhash64 low bits, carrying a ±1 sign drawn from the
+    * next hash bit so colliding tokens cancel in expectation instead of
+    * accumulating bias. IDF is per BUCKET (`ln(N/df)` over bucket document
+    * frequency — the collision-folded vocabulary IS the feature space), so
+    * stop-buckets are downweighted exactly as classic TF-IDF downweights
+    * stop words. Vectors are L2-normalized, dropping straight into the
+    * cosine operators ([[Similarity.bruteForceTopK]], kmeans, SemDeDup,
+    * IVF/PQ): this is the operator that turns a RAW TEXT corpus into the
+    * `embeddings`-shaped table every vector op consumes, with no external
+    * model. Returns (doc_id, vec array<double>); empty-norm docs get a
+    * null vec (same contract as [[Similarity.normalizeL2]]).
+    *
+    * Engine-exactness: the only values crossing UNORDERED aggregation are
+    * integer sign sums — every float op (idf multiply, norm fold, divide)
+    * runs on scalars or on the materialized bucket-ordered array, so the
+    * result is bit-stable across partitionings and engines (full DuckDB
+    * oracle, `p_hash_embed`).
+    *
+    * Scale notes (100 TB): the token explode feeds ONE map-side-combinable
+    * aggregate keyed (doc, bucket); bucket document-frequency is a ≤`dim`
+    * row broadcast; corpus size N a 1-row broadcast; vector assembly
+    * re-aggregates ndocs·≤dim rows — bounded by OUTPUT size, not corpus
+    * size. No window, no self-join, and the shuffle key is the int bucket,
+    * never a raw vocabulary string — an open web-scale vocabulary adds
+    * zero shuffle width. */
+  def hashedTfidf(docs: DataFrame, dim: Int = Similarity.DefaultDim,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim must be a positive power of two (bucket = low hash bits), got $dim")
+    GraftFunctions.register(docs.sparkSession)
+    val logDim = java.lang.Integer.numberOfTrailingZeros(dim)
+    val toksDf = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("__toks"))
+    val terms =
+      Explodes.explodeNoInfer(toksDf, Seq(col("doc_id")), col("__toks"), "term")
+    val h = xxhash64(col("term"))
+    // bucket = low log2(dim) bits (pmod == bit-mask for a power of two);
+    // sign = the NEXT bit, independent of every bucket bit
+    val hashed = terms.select(col("doc_id"),
+      pmod(h, lit(dim.toLong)).cast("int").as("bucket"),
+      when(shiftright(h, logDim).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L)).as("sgn"))
+    // persisted: df derives FROM tf, and an unmaterialized tf would make
+    // Spark re-tokenize the whole corpus for the broadcast branch (plan
+    // audited — the Generate subtree appeared twice). tf is OUTPUT-bounded
+    // (ndocs · ≤dim rows), orders of magnitude smaller than the corpus.
+    val tf = hashed.groupBy("doc_id", "bucket").agg(sum("sgn").as("w0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(broadcast(dfreq), "bucket").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("bucket"),
+        (col("w0").cast("double") *
+          log(col("n").cast("double") / col("df"))).as("w"))
+    // dense assembly in bucket order: map lookup kills collect_list's
+    // order-nondeterminism, and the fixed-order norm fold over the
+    // materialized array keeps the norm engine-exact (see normalizeL2)
+    val assembled = w.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          b => coalesce(element_at(col("__m"), b.cast("int")), lit(0.0)))
+          .as("__v"))
+    assembled
+      .withColumn("__n", Similarity.normFixed(col("__v"), dim))
+      .select(col("doc_id"),
+        when(col("__n") === 0.0, lit(null))
+          .otherwise(transform(col("__v"), x => round(x / col("__n"), 6)))
+          .as("vec"))
   }
 }

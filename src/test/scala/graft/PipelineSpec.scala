@@ -1017,6 +1017,95 @@ class TextAnalysisSpec extends AnyFunSuite {
     for ((id, t) <- texts)
       assert(got(id) == refWinnow(t), s"doc $id")
   }
+
+  /** Independent plain-Scala reimplementation of the hashing-trick TF-IDF
+    * (Weinberger et al. 2009): xxhash64 low bits → bucket, next bit →
+    * ±1 sign, integer sign sums per (doc, bucket), bucket-level ln(N/df)
+    * idf, in-order norm fold, 6-dp HALF_UP components. The documented
+    * ground truth for [[TextAnalysis.hashedTfidf]] alongside its DuckDB
+    * oracle. */
+  private def refHashedTfidf(texts: Map[Long, String], dim: Int = 64)
+      : Map[Long, Option[IndexedSeq[Double]]] = {
+    val logDim = java.lang.Integer.numberOfTrailingZeros(dim)
+    val w0: Map[Long, Map[Int, Long]] = texts.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+        .map { term =>
+          val h = TestSpark.xxhash64Ref(term)
+          (java.lang.Math.floorMod(h, dim.toLong).toInt,
+            if (((h >> logDim) & 1L) == 1L) 1L else -1L)
+        }
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    }
+    val df = w0.values.flatMap(_.keys).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size }
+    val n = texts.size.toDouble
+    texts.keys.map { id =>
+      val w = (0 until dim).map(b =>
+        w0(id).get(b).map(_.toDouble * math.log(n / df(b))).getOrElse(0.0))
+      val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      id -> (if (nrm == 0.0) None
+             else Some(w.map(x => BigDecimal(x / nrm)
+               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    }.toMap
+  }
+
+  test("hashedTfidf equals the reference hashing-trick implementation exactly") {
+    import spark.implicits._
+    // ids 1/2 duplicate texts; 3 disjoint vocabulary; 4's only token
+    // appears in every doc → idf 0 → zero norm → null vec (provided no
+    // other token collides into its bucket — deterministic hash, checked
+    // against the reference which applies the identical rule)
+    val texts = Map(
+      1L -> "shared alpha beta gamma alpha",
+      2L -> "shared alpha beta gamma alpha",
+      3L -> "shared omicron sigma tau upsilon phi chi psi",
+      4L -> "shared")
+    val d = texts.toSeq.toDF("doc_id", "text")
+    val ref = refHashedTfidf(texts)
+    val got = TextAnalysis.hashedTfidf(d).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getSeq[Double](1)).map(_.toIndexedSeq)).toMap
+    assert(got.keySet == texts.keySet)
+    for ((id, expect) <- ref) assert(got(id) == expect, s"doc $id")
+    // the duplicate pair got identical vectors; reference confirmed doc 4
+    // really is the zero-norm case (the test would silently weaken if a
+    // collision gave it weight)
+    assert(got(1L) == got(2L) && got(1L).isDefined)
+    assert(ref(4L).isEmpty && got(4L).isEmpty)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("hashedTfidf vectors are unit-norm and compose with cosine top-k") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical"),
+      (3L, "completely unrelated culinary text about bread flour and yeast"))
+      .toDF("doc_id", "text")
+    val vecs = TextAnalysis.hashedTfidf(d)
+    val norms = vecs.select(col("doc_id"),
+        graft.pipeline.Similarity.normFixed(col("vec"), 64).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, n) <- norms) assert(math.abs(n - 1.0) < 1e-4, s"doc $id norm $n")
+    // drop-in composition with the embedding-space operators
+    val emb = vecs.select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+    val top = graft.pipeline.Similarity.bruteForceTopK(emb, emb, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the 6-dp component rounding keeps the dup-pair cosine only ≈1
+    assert(top(1L)._1 == 2L && top(1L)._2 > 0.999)
+    assert(top(2L)._1 == 1L && top(2L)._2 > 0.999)
+    assert(top(3L)._2 < 0.5)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("hashedTfidf rejects a non-power-of-two dim") {
+    import spark.implicits._
+    val d = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.hashedTfidf(d, dim = 48)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

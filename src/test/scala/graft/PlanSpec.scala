@@ -243,6 +243,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hashedTfidf: one corpus tokenize, broadcast idf, no Window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.pipeline.TextAnalysis.hashedTfidf(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    // the token Generate lives ONCE inside the persisted tf relation; the
+    // df branch must READ that cache, not re-tokenize. Each cache READ
+    // re-prints the cached subtree, so count parity is the check: every
+    // Generate print sits under an InMemoryRelation print (an un-cached
+    // second tokenize would print a Generate with no relation of its own).
+    val generates = "Generate explode".r.findAllIn(plan).size
+    val cachedRels = "InMemoryRelation".r.findAllIn(plan).size
+    assert(generates >= 1 && generates == cachedRels,
+      s"corpus tokenized outside the persisted tf cache " +
+        s"($generates generates, $cachedRels cached relations):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$plan")
+    // each cached-relation print re-prints the tf exchange; beyond those,
+    // only the dim-bounded df agg and the per-doc assembly may shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2 + cachedRels,
+      s"unexpected shuffles:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("boilerplate removal: frequent-line anti-join broadcasts, corpus never reshuffles on line") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

@@ -390,6 +390,19 @@ object PipelineEntries {
           Seq(col("doc_id")), col("vec"), "idx", "comp")
         .withColumn("idx", col("idx").cast("long"))),
 
+    // the train/apply split of the same operator: idf model trained once
+    // (≤dim rows collected), then a shuffle-free per-row projection embeds
+    // the corpus — the form that runs unchanged on a stream. Trained and
+    // applied on the same corpus it equals hashedTfidf bit-exactly, so it
+    // shares p_hash_embed's oracle
+    "p_hash_embed_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextAnalysis.hashedTfidfIdfValues(TextAnalysis.hashedTfidfIdf(d))
+      Explodes.posexplodeNoInfer(TextAnalysis.hashedTfidfApply(d, model),
+          Seq(col("doc_id")), col("vec"), "idx", "comp")
+        .withColumn("idx", col("idx").cast("long"))
+    }),
+
     // pattern scrubbing: the PII email preset (0 hits on the synthetic
     // corpus — plumbing proof) plus a lexical pattern with real hits so
     // counts and redacted text are non-trivially oracle-checked
@@ -2375,6 +2388,8 @@ object PipelineEntries {
         |FROM r WHERE rank <= 3""".stripMargin,
 
     "p_hash_embed" -> hashEmbedOracleSql(),
+    // train==apply corpus ⇒ identical math path (spec-pinned bit-equality)
+    "p_hash_embed_apply" -> hashEmbedOracleSql(),
 
     // same patterns verbatim (Java-regex/RE2 common syntax); DuckDB
     // regexp_replace needs the 'g' flag to match Spark's replace-all

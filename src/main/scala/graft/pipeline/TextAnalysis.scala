@@ -510,4 +510,85 @@ object TextAnalysis {
           .otherwise(transform(col("__v"), x => round(x / col("__n"), 6)))
           .as("vec"))
   }
+
+  /** The frozen model side of [[hashedTfidf]]'s train/apply split:
+    * (bucket, idf) with idf = ln(N/df) over bucket document frequency —
+    * at most `dim` rows, the artifact a pipeline trains ONCE on a corpus
+    * sample and ships to [[hashedTfidfApply]]. */
+  def hashedTfidfIdf(docs: DataFrame, dim: Int = Similarity.DefaultDim,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim must be a positive power of two (bucket = low hash bits), got $dim")
+    val logDim = java.lang.Integer.numberOfTrailingZeros(dim)
+    val toksDf = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("__toks"))
+    val terms =
+      Explodes.explodeNoInfer(toksDf, Seq(col("doc_id")), col("__toks"), "term")
+    // df = docs with >=1 token in the bucket; sign is irrelevant to the
+    // model, so this path needs no tf materialization at all
+    val hit = terms.select(col("doc_id"),
+      pmod(xxhash64(col("term")), lit(dim.toLong)).cast("int").as("bucket"))
+      .distinct()
+    val n = docs.agg(count(lit(1)).as("n"))
+    hit.groupBy("bucket").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"),
+        log(col("n").cast("double") / col("df")).as("idf"))
+  }
+
+  /** Collect a [[hashedTfidfIdf]] model frame to the dense dim-length
+    * array [[hashedTfidfApply]] embeds as a literal — 0.0 (feature
+    * ignored) for buckets no training document hit. Driver-side but
+    * dim-bounded: ≤`dim` rows regardless of corpus size. */
+  def hashedTfidfIdfValues(model: DataFrame, dim: Int = Similarity.DefaultDim)
+      : IndexedSeq[Double] = {
+    val m = model.select(col("bucket").cast("int"), col("idf").cast("double"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    IndexedSeq.tabulate(dim)(b => m.getOrElse(b, 0.0))
+  }
+
+  /** Apply a FROZEN idf model to documents: the per-row half of the
+    * train/apply split ([[bigramLmScore]]'s `modelDocs` pattern). Sign
+    * counts fold per bucket INSIDE the row over the token array, the idf
+    * vector is a broadcast-free literal, and the norm runs over the
+    * materialized bucket-ordered array — a stateless narrow projection
+    * with NO shuffle and no driver state, so the same call runs
+    * unchanged on a Structured Streaming frame (append mode, no
+    * watermark needed). Trained and applied on the same corpus it
+    * reproduces [[hashedTfidf]] bit-exactly (spec-pinned, and the
+    * `p_hash_embed_apply` gate entry shares `p_hash_embed`'s oracle).
+    *
+    * Scale notes (100 TB): train once on a bounded sample (the model is
+    * ≤dim numbers), then this projection embeds the full corpus — or the
+    * live stream — with zero shuffles; at 1000 executors there is no
+    * coordination at all. Per-row cost is dim·|tokens| fused long ops
+    * (codegen'd HOF folds), ~10⁴ for a typical web document. */
+  def hashedTfidfApply(docs: DataFrame, idf: IndexedSeq[Double],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dim = idf.size
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"idf model length must be a positive power of two, got $dim")
+    GraftFunctions.register(docs.sparkSession)
+    val logDim = java.lang.Integer.numberOfTrailingZeros(dim)
+    val idfLit = array(idf.map(lit): _*)
+    // staged projections: each array is a materialized attribute before a
+    // lambda references it repeatedly (no CSE inside lambda bodies)
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("__hs", transform(col("__toks"), t => xxhash64(t)))
+      .withColumn("__bs", transform(col("__hs"), h =>
+        struct(pmod(h, lit(dim.toLong)).cast("int").as("b"),
+          when(shiftright(h, logDim).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)).as("s"))))
+    val w = hashed.withColumn("__w",
+      transform(sequence(lit(0), lit(dim - 1)), b =>
+        aggregate(col("__bs"), lit(0L), (acc, x) =>
+          acc + when(x.getField("b") === b, x.getField("s")).otherwise(lit(0L)))
+          .cast("double") * element_at(idfLit, b + 1)))
+    w.withColumn("__n", Similarity.normFixed(col("__w"), dim))
+      .select(col("doc_id"),
+        when(col("__n") === 0.0, lit(null))
+          .otherwise(transform(col("__w"), x => round(x / col("__n"), 6)))
+          .as("vec"))
+  }
 }

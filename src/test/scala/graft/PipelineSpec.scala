@@ -1106,6 +1106,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("power of two"))
   }
+
+  test("hashedTfidf train/apply split reproduces the batch vectors bit-exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared alpha beta gamma alpha"),
+      (2L, "shared alpha beta gamma alpha"),
+      (3L, "shared omicron sigma tau upsilon phi chi psi"),
+      (4L, "shared"))
+      .toDF("doc_id", "text")
+    val batch = TextAnalysis.hashedTfidf(d).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    val model =
+      TextAnalysis.hashedTfidfIdfValues(TextAnalysis.hashedTfidfIdf(d))
+    val applied = TextAnalysis.hashedTfidfApply(d, model).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(applied == batch) // includes doc 4's zero-norm null
+    // a held-out doc whose vocabulary the model never saw: every bucket
+    // idf defaults to 0.0 -> zero norm -> null vec, not a crash
+    val held = Seq((9L, "zzzq wwwk vvvj")).toDF("doc_id", "text")
+    val h = TextAnalysis.hashedTfidfApply(held, IndexedSeq.fill(64)(0.0))
+      .collect().head
+    assert(h.isNullAt(1))
+    graft.pipeline.PipelineCaches.clear()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -235,6 +235,8 @@ class PlanSpec extends AnyFunSuite {
           minLineWords = 2, terminalSuffixes = Seq.empty, minKeptLines = 1),
         "classifierScore" -> graft.pipeline.TextAnalysis.classifierScore(
           docs, IndexedSeq.fill(64)(0.1)),
+        "hashedTfidfApply" -> graft.pipeline.TextAnalysis.hashedTfidfApply(
+          docs, IndexedSeq.fill(64)(0.5)),
         "pqEncode" -> graft.pipeline.Similarity.pqEncode(emb,
           graft.pipeline.Similarity.pqCodebook()))) {
       val shuffles = df.queryExecution.executedPlan.collect {

@@ -9,6 +9,8 @@ import graft.streaming.StreamingOps
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+case class SDoc(doc_id: Long, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -294,5 +296,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(2))).toSet == expectSplit)
     assert(spark.table("chunk_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == expectChunk)
+  }
+
+  test("hashedTfidfApply embeds a stream identically to the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // training docs share "spark catalyst" but differ — a shared-by-all
+    // token gets idf ln(2/2)=0, the differing ones ln(2/1)>0
+    val docs = Seq(
+      SDoc(1L, "spark catalyst optimizer rewrites logical plans"),
+      SDoc(2L, "spark catalyst streaming watermark state store"),
+      SDoc(3L, "fresh unseen vocabulary arriving mid stream"))
+    // model trained on a batch sample (docs 1-2), applied to the stream —
+    // the production shape: the frozen idf literal is the only state
+    val model = graft.pipeline.TextAnalysis.hashedTfidfIdfValues(
+      graft.pipeline.TextAnalysis.hashedTfidfIdf(docs.take(2).toDF()))
+    val mem = MemoryStream[SDoc]
+    mem.addData(docs.take(2): _*)
+    val q = graft.pipeline.TextAnalysis.hashedTfidfApply(mem.toDF(), model)
+      .writeStream.format("memory").queryName("hembed_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*) // second micro-batch, held-out vocab
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hembed_out").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    val batch = graft.pipeline.TextAnalysis.hashedTfidfApply(docs.toDF(), model)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(streamed == batch)
+    assert(streamed(1L).isDefined && streamed(2L).isDefined)
+    assert(streamed(1L) != streamed(2L)) // differing vocab -> different vectors
+    assert(streamed(3L).isEmpty) // unseen vocab -> all idf 0 -> null vec
   }
 }

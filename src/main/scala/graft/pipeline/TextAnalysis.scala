@@ -575,6 +575,11 @@ object TextAnalysis {
     // lambda references it repeatedly (no CSE inside lambda bodies)
     val hashed = docs
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
+      // NULL text tokenizes to a NULL array; the batch form drops such
+      // docs (they never enter its aggregate), so apply drops them too —
+      // otherwise the HOF chain would emit a row with a null vec and the
+      // two forms would diverge on exactly the degenerate input
+      .filter(col("__toks").isNotNull)
       .withColumn("__hs", transform(col("__toks"), t => xxhash64(t)))
       .withColumn("__bs", transform(col("__hs"), h =>
         struct(pmod(h, lit(dim.toLong)).cast("int").as("b"),

@@ -1128,7 +1128,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     val h = TextAnalysis.hashedTfidfApply(held, IndexedSeq.fill(64)(0.0))
       .collect().head
     assert(h.isNullAt(1))
+    // NULL text: dropped by BOTH forms (batch never aggregates it; apply
+    // filters it), not emitted as a null-vec row by one of them
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, null),
+        org.apache.spark.sql.Row(8L, "alpha beta"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    assert(TextAnalysis.hashedTfidf(withNull).collect().map(_.getLong(0))
+      .toSet == Set(8L))
+    assert(TextAnalysis.hashedTfidfApply(withNull, model).collect()
+      .map(_.getLong(0)).toSet == Set(8L))
     graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("hashedTfidf matches the reference on randomized corpora (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi", "rho")
+    for (trial <- 0 until 5) {
+      val texts = (1L to 8L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }.toMap
+      val d = texts.toSeq.toDF("doc_id", "text")
+      val ref = refHashedTfidf(texts)
+      val got = TextAnalysis.hashedTfidf(d).collect()
+        .map(r => r.getLong(0) ->
+          Option(r.getSeq[Double](1)).map(_.toIndexedSeq)).toMap
+      for ((id, expect) <- ref)
+        assert(got(id) == expect, s"trial $trial doc $id")
+      graft.pipeline.PipelineCaches.clear()
+    }
   }
 }
 

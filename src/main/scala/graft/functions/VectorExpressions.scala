@@ -384,6 +384,12 @@ object GraftFunctions {
       val cbFlat = exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray
       PqEncodeExpr(exprs(0), cbFlat, i(exprs(2)), i(exprs(3)), i(exprs(4)))
     }),
+    // feature-hashed TF-IDF apply vs a foldable idf model (array literal)
+    ("graft_hash_embed", classOf[HashEmbedExpr], exprs => {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      HashEmbedExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray)
+    }),
     ("graft_cent_sims", classOf[CentroidSimsExpr], exprs => {
       import org.apache.spark.sql.catalyst.util.ArrayData
       val ids = exprs(2).eval().asInstanceOf[ArrayData].toLongArray.toSeq
@@ -434,6 +440,10 @@ object GraftFunctions {
     call_function("graft_pq_encode", v, lit(cbFlat), lit(m), lit(kCent), lit(dSub))
   }
   def simhash64(shingles: Column): Column = call_function("graft_simhash", shingles)
+  def hashEmbed(toks: Column, idf: Array[Double]): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_hash_embed", toks, lit(idf))
+  }
   /** Probe a broadcast-able serialized Bloom filter with an xxhash64
     * value; pair with `df.stat.bloomFilter` built over the same hashes. */
   def bloomMightContain(bloomBytes: Column, hashed: Column): Column =

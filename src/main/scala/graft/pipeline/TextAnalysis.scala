@@ -548,52 +548,36 @@ object TextAnalysis {
   }
 
   /** Apply a FROZEN idf model to documents: the per-row half of the
-    * train/apply split ([[bigramLmScore]]'s `modelDocs` pattern). Sign
-    * counts fold per bucket INSIDE the row over the token array, the idf
-    * vector is a broadcast-free literal, and the norm runs over the
-    * materialized bucket-ordered array — a stateless narrow projection
-    * with NO shuffle and no driver state, so the same call runs
-    * unchanged on a Structured Streaming frame (append mode, no
-    * watermark needed). Trained and applied on the same corpus it
-    * reproduces [[hashedTfidf]] bit-exactly (spec-pinned, and the
-    * `p_hash_embed_apply` gate entry shares `p_hash_embed`'s oracle).
+    * train/apply split ([[bigramLmScore]]'s `modelDocs` pattern). The
+    * whole embedding — token hashing, sign sums, idf multiply, norm,
+    * rounding — runs as ONE fused native expression per row
+    * ([[graft.functions.HashEmbedExpr]], codegen'd; the HOF formulation
+    * re-scanned the token array per bucket and profiled ~6× slower), so
+    * this is a stateless narrow projection with NO shuffle and no driver
+    * state: the same call runs unchanged on a Structured Streaming frame
+    * (append mode, no watermark needed). Trained and applied on the same
+    * corpus it reproduces [[hashedTfidf]] bit-exactly (spec-pinned, and
+    * the `p_hash_embed_apply` gate entry shares `p_hash_embed`'s oracle).
     *
     * Scale notes (100 TB): train once on a bounded sample (the model is
-    * ≤dim numbers), then this projection embeds the full corpus — or the
-    * live stream — with zero shuffles; at 1000 executors there is no
-    * coordination at all. Per-row cost is dim·|tokens| fused long ops
-    * (codegen'd HOF folds), ~10⁴ for a typical web document. */
+    * ≤dim numbers riding inside the expression), then this projection
+    * embeds the full corpus — or the live stream — with zero shuffles; at
+    * 1000 executors there is no coordination at all. Per-row cost is
+    * |tokens| hash steps plus dim multiply-adds in one compiled loop. */
   def hashedTfidfApply(docs: DataFrame, idf: IndexedSeq[Double],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val dim = idf.size
     require(dim > 0 && (dim & (dim - 1)) == 0,
       s"idf model length must be a positive power of two, got $dim")
     GraftFunctions.register(docs.sparkSession)
-    val logDim = java.lang.Integer.numberOfTrailingZeros(dim)
-    val idfLit = array(idf.map(lit): _*)
-    // staged projections: each array is a materialized attribute before a
-    // lambda references it repeatedly (no CSE inside lambda bodies)
-    val hashed = docs
+    docs
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__toks"))
       // NULL text tokenizes to a NULL array; the batch form drops such
       // docs (they never enter its aggregate), so apply drops them too —
-      // otherwise the HOF chain would emit a row with a null vec and the
-      // two forms would diverge on exactly the degenerate input
+      // otherwise it would emit a row with a null vec and the two forms
+      // would diverge on exactly the degenerate input
       .filter(col("__toks").isNotNull)
-      .withColumn("__hs", transform(col("__toks"), t => xxhash64(t)))
-      .withColumn("__bs", transform(col("__hs"), h =>
-        struct(pmod(h, lit(dim.toLong)).cast("int").as("b"),
-          when(shiftright(h, logDim).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L)).as("s"))))
-    val w = hashed.withColumn("__w",
-      transform(sequence(lit(0), lit(dim - 1)), b =>
-        aggregate(col("__bs"), lit(0L), (acc, x) =>
-          acc + when(x.getField("b") === b, x.getField("s")).otherwise(lit(0L)))
-          .cast("double") * element_at(idfLit, b + 1)))
-    w.withColumn("__n", Similarity.normFixed(col("__w"), dim))
       .select(col("doc_id"),
-        when(col("__n") === 0.0, lit(null))
-          .otherwise(transform(col("__w"), x => round(x / col("__n"), 6)))
-          .as("vec"))
+        GraftFunctions.hashEmbed(col("__toks"), idf.toArray).as("vec"))
   }
 }

@@ -115,6 +115,22 @@ object PipelineEntries {
     // SimHash near-dup pairs (chunk-blocked Hamming)
     "p_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
 
+    // LSH deploy gauge (the annRecall counterpart for the dedup family):
+    // MinHash-LSH pairs vs the exact PPJoin ground truth at the same
+    // threshold and feature space — one (n_true, n_found, n_extra,
+    // recall) summary row. The oracle derives n_true independently and
+    // asserts recall 1.0 / n_extra 0, the same fixture fact
+    // p_dedup_minhash's exhaustive oracle pins
+    "p_dedup_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.pairRecall(
+        Dedup.minhashPairsPersisted(d, mhSigPath(dir), threshold = 0.8),
+        // truth at 0.8 is a FREE filter of the persisted exact mine at
+        // 0.5 (a superset threshold) — no second PPJoin
+        Dedup.ngramJaccardPairsPersisted(d, pairsPath(dir), threshold = 0.5)
+          .filter(col("jaccard") >= 0.8))
+    }),
+
     // exact n-gram Jaccard within (lang, length) blocks — oracle-checked
     "p_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
 
@@ -2835,6 +2851,31 @@ object PipelineEntries {
         |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
         |  FROM t x JOIN t y ON x.doc_id < y.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // the gauge's truth count recomputed exhaustively; recall 1.0 and
+    // n_extra 0 are the fixture facts the p_dedup_minhash oracle pins
+    // (the seeded 12x8 bands catch every J>=0.8 pair at this scale, and
+    // minhash pairs are exact-verified so none fall outside the truth)
+    "p_dedup_recall" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM t x JOIN t y ON x.doc_id < y.doc_id)
+        |  WHERE jaccard >= 0.8)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       CAST(0 AS BIGINT) AS n_extra,
+        |       CAST(1.0 AS DOUBLE) AS recall
+        |FROM p""".stripMargin,
 
     // asymmetric containment: ordered pairs, denominator is the CONTAINED
     // side's set size only — both directions checked independently

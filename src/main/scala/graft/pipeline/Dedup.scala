@@ -590,7 +590,46 @@ object Dedup {
     spark.read.parquet(s"$path/pairs")
   }
 
-  // ---- transitive dup clustering --------------------------------------------
+  // ---- pair-miner recall gauge + transitive dup clustering ------------------
+
+  /** Recall/precision gauge for an approximate near-dup pair miner
+    * against an exact ground truth — the dedup counterpart of
+    * [[Similarity.annRecall]]: the number a pipeline gates an LSH
+    * parameter change (bands, bucket cap, hash count) on before trusting
+    * the approximate miner at corpus scale. Takes any two (a, b, …) pair
+    * frames ([[minhashPairs]], [[simhashPairs]], [[imageHashPairs]],
+    * persisted variants… vs [[ngramJaccardPairs]] or a sampled exact
+    * mine; extra columns ignored) and returns ONE summary row:
+    * `n_true`, `n_found` (true pairs the approx miner surfaced),
+    * `n_extra` (approx pairs outside the truth set — non-zero only for
+    * miners without an exact-verify stage, e.g. SimHash at loose radii),
+    * `recall` (4 dp; 1.0 on an empty truth set — nothing to miss).
+    *
+    * Scale: both inputs are pair-proportional, orders of magnitude
+    * smaller than the corpora they summarize; in production the truth
+    * side comes from an exact mine over a SAMPLE, making the gauge
+    * sample-sized. The joins broadcast. */
+  def pairRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    // both frames feed TWO joins (hit count + extra count); persisted
+    // (pair-sized) so the upstream miners run once, not twice
+    val a = approx.select(col("a"), col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track).alias("x")
+    val e = exact.select(col("a"), col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track).alias("t")
+    val hits = e.join(a,
+        col("t.a") === col("x.a") && col("t.b") === col("x.b"), "left_outer")
+      .agg(count(col("x.a")).as("n_found"), count(lit(1)).as("n_true"))
+    val extra = a.join(e,
+        col("x.a") === col("t.a") && col("x.b") === col("t.b"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    hits.crossJoin(extra)
+      .select(col("n_true"), col("n_found"), col("n_extra"),
+        when(col("n_true") === 0L, lit(1.0))
+          .otherwise(round(col("n_found").cast("double") / col("n_true"), 4))
+          .as("recall"))
+  }
 
   /** Transitive dedup clusters: connected components over the exact
     * n-gram-Jaccard pair graph ([[ngramJaccardPairs]]), so A~B and B~C

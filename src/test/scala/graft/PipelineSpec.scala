@@ -29,6 +29,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 4)             // 4 distinct texts
   }
 
+  test("pairRecall: hand-built miss/extra arithmetic, empty truth, fixture gauge") {
+    import spark.implicits._
+    // truth {AB, AC, BC}; approx found {AB, AC} plus a spurious {DE}
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val approx = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a", "b")
+    val g = Dedup.pairRecall(approx, truth).collect().head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getDouble(3)) ==
+      ((3L, 2L, 1L, 0.6667)))
+    // empty truth: nothing to miss -> recall 1.0
+    val empty = Dedup.pairRecall(approx, truth.filter(col("a") > 99)).collect().head
+    assert((empty.getLong(0), empty.getLong(2), empty.getDouble(3)) ==
+      ((0L, 3L, 1.0)))
+    // on the fixture corpus the banded LSH catches every exact pair
+    val fx = Dedup.pairRecall(
+      Dedup.minhashPairs(docs, threshold = 0.6),
+      Dedup.ngramJaccardPairs(docs, threshold = 0.6)).collect().head
+    assert(fx.getLong(0) > 0L && fx.getDouble(3) == 1.0 && fx.getLong(2) == 0L)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("minhash finds exact and near duplicates, no false positives") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

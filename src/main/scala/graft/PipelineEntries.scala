@@ -654,6 +654,16 @@ object PipelineEntries {
         d.filter(pmod(col("doc_id"), lit(100)) === 0))
     }),
 
+    // span-level decontamination: remove only the eval-overlapping spans
+    // from train docs, keep the rest (the surgical variant; same
+    // train/eval slices as p_contamination) — oracle-checked
+    "p_decon_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.removeContaminatedSpans(
+        d.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(100)) === 0))
+    }),
+
     // decontamination: the clean train complement (anti-join on the
     // contaminated-id set) — oracle-checked
     "p_decontaminate" -> ((s, dir) => {
@@ -3393,6 +3403,42 @@ object PipelineEntries {
     // the Bloom prefilter is result-invariant (exact verify join) —
     // same oracle
     "p_decon_bloom" -> decontaminateOracleSql,
+
+    // span-level decontamination: the p_span_remove gap-rebuild SQL with
+    // the doc-freq CTE swapped for the eval slice's distinct 3-grams
+    "p_decon_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+        |      FROM t WHERE doc_id % 100 <> 0),
+        |ev AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS gram
+        |  FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+        |        FROM t WHERE doc_id % 100 = 0)),
+        |p AS (
+        |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(toks[i:i+2], ' ') AS gram
+        |  FROM (SELECT doc_id, n_tokens, toks,
+        |               unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+        |        FROM m)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT p.doc_id, unnest(range(p.pos, least(p.pos + 3, p.n_tokens))) AS cp
+        |    FROM p JOIN ev USING (gram))),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tpos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM m)),
+        |kept AS (
+        |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.tpos) AS clean_text,
+        |         count(*) AS kept_n
+        |  FROM tokpos tp LEFT JOIN covered c
+        |    ON tp.doc_id = c.doc_id AND tp.tpos = c.cp
+        |  WHERE c.cp IS NULL
+        |  GROUP BY tp.doc_id)
+        |SELECT m.doc_id, coalesce(k.clean_text, '') AS clean_text, m.n_tokens,
+        |       CAST(m.n_tokens - coalesce(k.kept_n, 0) AS BIGINT) AS removed_tokens
+        |FROM m LEFT JOIN kept k ON m.doc_id = k.doc_id""".stripMargin,
 
     "p_length_stats" -> lengthStatsOracleSql,
 

@@ -874,6 +874,41 @@ object Dedup {
     removalFromMined(toksDf, dupPos, n, idCol)
   }
 
+  /** Span-level benchmark decontamination — the surgical variant of
+    * [[Corpus.decontaminate]]: instead of DROPPING every training
+    * document that shares an n-gram with the eval corpus, remove only
+    * the overlapping spans and keep the rest of the document (the
+    * Lee et al. span machinery pointed at an EXTERNAL gram set instead
+    * of the corpus's own duplicated grams — the GPT-3/PaLM-style
+    * n-gram-overlap scrub that preserves the training doc). Returns
+    * `(idCol, clean_text, n_tokens, removed_tokens)`; documents with no
+    * overlap come back untouched with `removed_tokens = 0`.
+    *
+    * Scale (100 TB): eval corpora are benchmark-sized, so the distinct
+    * eval-gram set BROADCASTS; the train side pays one positional-gram
+    * explode, the broadcast semi-join, and the per-doc segment window —
+    * no corpus-wide gram doc-frequency shuffle at all (strictly cheaper
+    * than the within-corpus [[removeDupSpans]] mine). */
+  def removeContaminatedSpans(train: DataFrame, eval_ : DataFrame,
+      n: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = Explodes.explodeNoInfer(
+      withShingles(eval_.select(col(textCol)), textCol, n),
+      Seq.empty, col("sh"), "gram").distinct()
+    val toksDf = train.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    // positional grams, same short-doc bound as the within-corpus miner
+    val gramArr = transform(
+      sequence(lit(0), greatest(size(col("__toks")) - (n - 1), lit(1)) - 1),
+      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))
+    val pos = Explodes.posexplodeNoInfer(
+      toksDf.withColumn("__grams", gramArr),
+      Seq(col(idCol), col("n_tokens")), col("__grams"), "pos", "gram")
+      .withColumn("pos", col("pos").cast("long"))
+    val hit = pos.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+    removalFromMined(toksDf, hit, n, idCol)
+  }
+
   /** Removal over an already-mined dup-position frame — the shared tail
     * of [[removeDupSpans]] and [[removeDupSpansPersisted]]. `toksDf`
     * carries `(idCol, __toks, n_tokens)`. */

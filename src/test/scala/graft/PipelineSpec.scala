@@ -29,6 +29,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 4)             // 4 distinct texts
   }
 
+  test("removeContaminatedSpans: hand-checked surgical scrub, untouched docs, full cover") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f"),          // one eval 3-gram at pos 1 -> drop b c d
+      (2L, "totally clean words"),  // no overlap -> untouched
+      (3L, "x y z"),                // short doc fully covered by eval gram
+      (4L, "a b c d q b c d"))      // two disjoint hits -> keep "a q"
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "b c d"), (200L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.removeContaminatedSpans(train, eval_).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a e f", 6L, 3L)))
+    assert(got(2L) == (("totally clean words", 3L, 0L)))
+    assert(got(3L) == (("", 3L, 3L)))
+    assert(got(4L) == (("a q", 8L, 6L)))
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("pairRecall: hand-built miss/extra arithmetic, empty truth, fixture gauge") {
     import spark.implicits._
     // truth {AB, AC, BC}; approx found {AB, AC} plus a spurious {DE}

@@ -245,6 +245,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("removeContaminatedSpans: eval grams broadcast, no corpus gram shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val df = graft.pipeline.Dedup.removeContaminatedSpans(
+      docs.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(100)) === 0))
+    val plan = df.queryExecution.executedPlan.toString
+    // the eval-gram set is benchmark-sized: the positional-gram probe must
+    // be a broadcast LeftSemi, never a gram-keyed CORPUS shuffle. The one
+    // gram exchange allowed is the eval slice's own distinct (eval-sized);
+    // a second would mean the train grams went over the wire
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).nonEmpty, plan)
+    // count DISTINCT exchanges (a reused one prints once per branch)
+    val gramExchanges = "Exchange hashpartitioning\\(gram[^\\]]*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(gramExchanges.size <= 1, s"corpus shuffled on gram:\n$plan")
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("hashedTfidf: one corpus tokenize, broadcast idf, no Window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.pipeline.TextAnalysis.hashedTfidf(docs)

@@ -99,6 +99,39 @@ object StreamingOps {
       .drop("__graft_ch", "__graft_cl")
   }
 
+  /** Streaming benchmark-contamination flagging — the ingestion-time
+    * complement of [[graft.pipeline.Corpus.contamination]]: emit each
+    * stream document that shares ≥ 1 n-gram with a STATIC eval corpus,
+    * original columns intact. Shape: the stream side explodes its
+    * distinct n-grams (stateless row multiplication), a stream-static
+    * LEFT SEMI join probes the eval gram set (static, benchmark-sized ⇒
+    * broadcast), and `dropDuplicatesWithinWatermark` on the id collapses
+    * multi-gram hits back to one row per doc with watermark-bounded
+    * state. The flag SET matches the batch op exactly (spec-pinned);
+    * the batch op's per-doc overlap COUNT is a stateful stream aggregate
+    * and deliberately stays batch-only.
+    *
+    * Scale: eval grams are fixed-size however large the stream; state is
+    * one compact key per contaminated doc inside the watermark horizon —
+    * contaminated docs are the rare case, so state stays small even on a
+    * hot stream. */
+  def streamingContamination(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame = {
+    import graft.pipeline.{Dedup, Explodes}
+    require(!docs.columns.contains("__graft_gram"),
+      "input already carries graft's internal gram column")
+    val evalGrams = Explodes.explodeNoInfer(
+      Dedup.withShingles(evalDocs.select(col(textCol)), textCol, n),
+      Seq.empty, col("sh"), "__graft_gram").distinct()
+    val exploded = Explodes.explodeNoInfer(
+      Dedup.withShingles(docs.withWatermark(tsCol, horizon), textCol, n),
+      docs.columns.map(col).toSeq, col("sh"), "__graft_gram")
+    exploded.join(evalGrams, Seq("__graft_gram"), "left_semi")
+      .dropDuplicatesWithinWatermark(idCol)
+      .drop("__graft_gram")
+  }
+
   /** Per-source token-quota admission — a training-mix budget enforced at
     * ingest: each source may contribute at most `quota` tokens; a document
     * is admitted iff the source's running total BEFORE it is still under

@@ -298,6 +298,42 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == expectChunk)
   }
 
+  test("streaming contamination flags exactly the batch-contaminated docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eval_ = Seq(
+      (100L, "the quick brown fox"),
+      (200L, "catalyst optimizer internals")).toDF("doc_id", "text")
+    val stream = Seq(
+      (1L, t("2024-01-01 10:00:00"), "watch the quick brown fox run"), // hit
+      (2L, t("2024-01-01 10:01:00"), "completely unrelated text here"),
+      (3L, t("2024-01-01 10:02:00"),
+        "spark catalyst optimizer internals are neat"),                // hit
+      (4L, t("2024-01-01 10:03:00"), "quick brown dog"))               // no shared 3-gram
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(stream.take(2): _*)
+    val q = StreamingOps.streamingContamination(
+        mem.toDF().toDF("doc_id", "ts", "text"), eval_)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(stream.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.table("contam_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // exactly one row per contaminated doc, original columns intact
+    assert(flagged == Set(1L, 3L))
+    assert(spark.table("contam_out").count() == 2)
+    assert(spark.table("contam_out").columns.toSeq == Seq("doc_id", "ts", "text"))
+    // batch equality: same flag set as Corpus.contamination
+    val batch = graft.pipeline.Corpus.contamination(
+      stream.toDF("doc_id", "ts", "text"), eval_)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == flagged)
+  }
+
   test("hashedTfidfApply embeds a stream identically to the batch form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

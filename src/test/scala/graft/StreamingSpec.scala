@@ -298,6 +298,34 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == expectChunk)
   }
 
+  test("stateless curation ops run unchanged on a stream (batch/stream contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      SDoc(1L, "the quick brown fox jumps over the lazy dog today and more words here."),
+      SDoc(2L, "x"),
+      SDoc(3L, "a longer document with many reasonable words that should pass most rules."))
+    val batch = docs.toDF()
+    // each op is a stateless narrow projection/filter — the SAME function
+    // must accept a streaming frame and emit the batch rows (the
+    // logical-plan contract StreamingOps documents; no watermark needed)
+    val ops = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("classifier", d => graft.pipeline.TextAnalysis.classifierScore(
+        d, IndexedSeq.fill(64)(0.1))),
+      ("c4", d => graft.pipeline.TextAnalysis.c4Clean(d)),
+      ("gopher", d => graft.pipeline.TextAnalysis.gopherRules(d)))
+    for ((tag, op) <- ops) {
+      val mem = MemoryStream[SDoc]
+      mem.addData(docs: _*)
+      val q = op(mem.toDF())
+        .writeStream.format("memory").queryName(s"stateless_$tag")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = rows(spark.table(s"stateless_$tag"))
+      assert(streamed == rows(op(batch)), tag)
+    }
+  }
+
   test("streaming contamination flags exactly the batch-contaminated docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

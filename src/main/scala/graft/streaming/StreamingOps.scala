@@ -121,9 +121,14 @@ object StreamingOps {
     import graft.pipeline.{Dedup, Explodes}
     require(!docs.columns.contains("__graft_gram"),
       "input already carries graft's internal gram column")
+    // persisted: the static side of a stream-static join is re-evaluated
+    // every micro-batch — without this, a long-running stream re-tokenizes
+    // the eval corpus once per trigger
     val evalGrams = Explodes.explodeNoInfer(
       Dedup.withShingles(evalDocs.select(col(textCol)), textCol, n),
       Seq.empty, col("sh"), "__graft_gram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
     val exploded = Explodes.explodeNoInfer(
       Dedup.withShingles(docs.withWatermark(tsCol, horizon), textCol, n),
       docs.columns.map(col).toSeq, col("sh"), "__graft_gram")

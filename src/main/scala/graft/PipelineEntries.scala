@@ -629,6 +629,18 @@ object PipelineEntries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
     }),
 
+    // global token-budget selection: best-quality docs until a corpus-wide
+    // 10k-token budget, computed as a distributed prefix-sum (range
+    // partitions + bounded offset collect), never a single global window —
+    // oracle-checked against DuckDB's global cumulative window
+    "p_budget_select" -> ((s, dir) => {
+      val q = TextAnalysis.qualityFeaturesRaw(docs(s, dir))
+        .select("doc_id", "n_tokens", "score")
+      Sampling.selectUnderTokenBudget(q, budget = 10000L)
+        .select("doc_id", "n_tokens") // id + integral tokens; the raw
+                                      // float score stays out of the hash
+    }),
+
     // deterministic stratified sampling (reproducible training mixes):
     // per-lang keep rates compiled into one filter — oracle-checked
     "p_sample" -> ((s, dir) =>
@@ -3349,6 +3361,30 @@ object PipelineEntries {
         |JOIN q ON q.doc_id = d.doc_id
         |WHERE q.score >= 0.4999999990
         |GROUP BY d.lang""".stripMargin,
+
+    // the same admission rule as the Spark distributed prefix-sum, spelled
+    // as DuckDB's global cumulative window (fine at oracle scale); the
+    // quality-score formula is p_curate's, raw (unrounded) for ordering
+    "p_budget_select" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         least(len(toks), 100) / 100.0 * 0.5 +
+        |           CAST(len(list_filter(toks, t -> list_contains(
+        |             ['the','a','an','of','and','to','in','is','it','that'], t))) AS DOUBLE)
+        |             / len(toks) * 0.3 +
+        |           (1.0 - least(length(text) -
+        |             length(regexp_replace(text, '[[:punct:]]', '', 'g')), 20) / 20.0) * 0.2
+        |           AS score
+        |  FROM (SELECT doc_id, text,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT doc_id, n_tokens FROM (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cumb
+        |  FROM q)
+        |WHERE cumb < 10000""".stripMargin,
 
     "p_sample" ->
       """SELECT doc_id, lang FROM documents

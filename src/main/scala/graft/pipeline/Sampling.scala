@@ -247,6 +247,63 @@ object Sampling {
     * shard (ties broken by id — total order is deterministic). Windows
     * partition by shard; the only exchange is the shard hash. The same
     * (seed, shards) reproduces the identical permutation anywhere. */
+  /** Global token-budget selection — keep the best-scoring documents
+    * until a CORPUS-WIDE token budget is exhausted (the data-constrained
+    * curation cut: "the best N-billion-token subset"). Admission mirrors
+    * [[graft.streaming.StreamingOps.quotaFilter]]: a doc is kept iff the
+    * running token total BEFORE it (in `scoreCol` desc, `idCol` asc
+    * order) is still under `budget`, so one oversized doc cannot end the
+    * selection and at least one doc is always kept. Returns the kept
+    * rows, columns unchanged.
+    *
+    * THE 100 TB SHAPE: the rule needs a GLOBAL running sum in selection
+    * order — the naive `Window.orderBy(...)` (no partition key) funnels
+    * the corpus through ONE partition. Distributed prefix-sum instead:
+    * (1) range-partition on the selection order (ordered ranges — every
+    * row of partition i sorts before every row of partition i+1);
+    * (2) ONE bounded collect of per-partition token sums (#partitions
+    * rows, cluster-sized not data-sized); (3) each partition's prefix
+    * offset rides back as a literal map keyed by partition id; (4) the
+    * within-partition cumulative sum is an ordinary PARALLEL window.
+    * The result is exact whatever boundaries the range sampler picks:
+    * the (score desc, id) total order is preserved across ranges, and
+    * ties cannot straddle a boundary ambiguously because id completes
+    * the total order. */
+  def selectUnderTokenBudget(docs: DataFrame, budget: Long,
+      scoreCol: String = "score", tokenCol: String = "n_tokens",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!docs.columns.contains("__pid"),
+      "input already carries graft's internal partition-id column")
+    val spark = docs.sparkSession
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = docs
+      .repartitionByRange(parts, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    // bounded collect: one row per non-empty partition
+    val perPart = ranged.groupBy(col("__pid"))
+      .agg(sum(col(tokenCol)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (perPart.isEmpty) return docs.filter(lit(false)) // empty corpus
+    var acc = 0L
+    val offsets = perPart.map { case (pid, t) =>
+      val o = acc; acc += t; (pid, o)
+    }
+    val offMap =
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }.toSeq: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    ranged
+      .withColumn("__cum_before",
+        coalesce(element_at(offMap, col("__pid")), lit(0L)) +
+          sum(col(tokenCol)).over(w) - col(tokenCol))
+      .filter(col("__cum_before") < budget)
+      .drop("__pid", "__cum_before")
+  }
+
   def seededShuffle(docs: DataFrame, shards: Int = 8, seed: Long = 43L,
       idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, "shards must be positive")

@@ -2072,4 +2072,41 @@ class SamplingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("selectUnderTokenBudget: hand-checked admission, boundary doc, tie order") {
+    import spark.implicits._
+    // budget 10, order by score desc then id: a(0), b(5), c(9) admitted —
+    // c straddles the budget but its cum-BEFORE is under; d(12) is not.
+    // e ties with d on score; higher id loses first.
+    val d = Seq(
+      ("a", 0.9, 5L), ("b", 0.8, 4L), ("c", 0.7, 3L),
+      ("d", 0.6, 10L), ("e", 0.6, 1L))
+      .toDF("doc_id", "score", "n_tokens")
+    val kept = Sampling.selectUnderTokenBudget(d, budget = 10L,
+        idCol = "doc_id").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a", "b", "c")) // cum-before: a 0, b 5, c 9, d 12, e 22
+    // at least one doc is always admitted, even over-budget
+    val one = Seq(("big", 1.0, 999L)).toDF("doc_id", "score", "n_tokens")
+    assert(Sampling.selectUnderTokenBudget(one, budget = 10L).count() == 1)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("selectUnderTokenBudget equals the naive global-window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 300 docs with colliding scores and varied token counts — the
+    // distributed prefix-sum must match the single-partition window
+    // exactly, including ties resolved by id
+    val d = (0L until 300L).map(i =>
+      (i, (i % 17).toDouble / 17.0, 1L + i % 23)).toDF("doc_id", "score", "n_tokens")
+    val naive = d.withColumn("__cb",
+        sum(col("n_tokens")).over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)) - col("n_tokens"))
+      .filter(col("__cb") < 500L).drop("__cb")
+      .collect().map(_.getLong(0)).toSet
+    val got = Sampling.selectUnderTokenBudget(d, budget = 500L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == naive && got.nonEmpty)
+    graft.pipeline.PipelineCaches.clear()
+  }
 }

@@ -245,6 +245,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("selectUnderTokenBudget: range-partitioned prefix-sum, no global window") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.pipeline.TextAnalysis.qualityFeaturesRaw(docs)
+      .select("doc_id", "n_tokens", "score")
+    val df = graft.pipeline.Sampling.selectUnderTokenBudget(q, budget = 1000L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the global running sum must ride range partitions + per-partition
+    // windows — a Window with an EMPTY partition spec is the
+    // single-partition funnel this operator exists to avoid
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("windowspecdefinition(" + "score"),
+      s"global (unpartitioned) window found:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    df.queryExecution.toRdd.count() // execute: the bounded collect ran at build
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("removeContaminatedSpans: eval grams broadcast, no corpus gram shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     import org.apache.spark.sql.functions.{col, pmod, lit}

@@ -397,6 +397,12 @@ object PipelineEntries {
     // ties) — oracle-checked
     "p_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir))),
 
+    // in-engine classifier TRAINING: hashed Naive Bayes over the lang=='en'
+    // label; the dim-row model (integer counts + ln-of-rational weights)
+    // feeds classifierScore directly — oracle-checked
+    "p_nb_train" -> ((s, dir) =>
+      TextAnalysis.trainNaiveBayes(docs(s, dir), col("lang") === "en")),
+
     // feature-hashed TF-IDF document embeddings (hashing trick): raw text
     // -> cosine-ready unit vector with no external model — the bridge from
     // the documents table into every embedding-space operator; posexploded
@@ -2428,6 +2434,40 @@ object PipelineEntries {
     "p_hash_embed" -> hashEmbedOracleSql(),
     // train==apply corpus ⇒ identical math path (spec-pinned bit-equality)
     "p_hash_embed_apply" -> hashEmbedOracleSql(),
+
+    // hashed-NB trainer: integer (bucket, class) occurrence counts via the
+    // XXH64 SQL mirror, add-1 smoothed ln-ratio weights on the dim grid
+    "p_nb_train" ->
+      s"""WITH RECURSIVE
+         |t AS MATERIALIZED (
+         |  SELECT doc_id, lang = 'en' AS y,
+         |         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT term, row_number() OVER (ORDER BY term) AS k
+         |  FROM (SELECT DISTINCT term FROM t)),
+         |hin AS MATERIALIZED (SELECT k, term AS s FROM vocab),
+         |${xxh64Ctes("hin")},
+         |th AS MATERIALIZED (
+         |  SELECT v.term, CAST(x.h % 64 AS INTEGER) AS bucket
+         |  FROM vocab v JOIN xres x USING (k)),
+         |c AS MATERIALIZED (
+         |  SELECT bucket,
+         |         sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+         |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+         |  FROM t JOIN th USING (term) GROUP BY bucket),
+         |tot AS (
+         |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS t_pos,
+         |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS t_neg
+         |  FROM t),
+         |grid AS (SELECT CAST(b AS INTEGER) AS bucket FROM unnest(range(0, 64)) AS g(b))
+         |SELECT CAST(grid.bucket AS BIGINT) AS bucket,
+         |       CAST(coalesce(c.n_pos, 0) AS BIGINT) AS n_pos,
+         |       CAST(coalesce(c.n_neg, 0) AS BIGINT) AS n_neg,
+         |       round(ln((coalesce(c.n_pos, 0) + 1) / CAST(t_pos + 64 AS DOUBLE)) -
+         |             ln((coalesce(c.n_neg, 0) + 1) / CAST(t_neg + 64 AS DOUBLE)), 6)
+         |         AS weight
+         |FROM grid LEFT JOIN c ON grid.bucket = c.bucket CROSS JOIN tot""".stripMargin,
 
     // same patterns verbatim (Java-regex/RE2 common syntax); DuckDB
     // regexp_replace needs the 'g' flag to match Spark's replace-all

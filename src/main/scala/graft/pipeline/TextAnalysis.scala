@@ -210,6 +210,66 @@ object TextAnalysis {
         (col("__logit") >= threshold).as("passes"))
   }
 
+  /** In-engine quality-classifier TRAINING — hashed multinomial Naive
+    * Bayes, the classic SQL-expressible counterpart of the fastText
+    * classifiers CCNet/LLaMA-style pipelines train for quality filtering.
+    * Features are the same xxhash64 buckets [[classifierScore]] scores
+    * with, so the trained weights drop straight into it:
+    * `classifierScore(docs, trainNaiveBayes(...)weights, bias)`.
+    *
+    * Per bucket b and class c ∈ {pos, neg} (`labelCol` boolean), with
+    * token-occurrence counts n(b,c), class totals T(c) = Σ_b n(b,c) and
+    * add-1 smoothing over the dim-bucket vocabulary:
+    * `weight(b) = ln((n(b,pos)+1)/(T(pos)+dim)) − ln((n(b,neg)+1)/(T(neg)+dim))`;
+    * the prior `bias = ln(D_pos/D_neg)` over document counts. Returns the
+    * FULL dim-row model `(bucket, n_pos, n_neg, weight)` — zero-count
+    * buckets still carry their smoothed weight.
+    *
+    * Engine-exact by the house rule: only INTEGER counts cross unordered
+    * aggregation; every float op is a scalar ln of a rational on the
+    * dim-bounded model table (full DuckDB oracle, `p_nb_train`).
+    *
+    * Scale (100 TB): one explode into a map-side-combinable
+    * (bucket, label) count — ≤ 2·dim groups; the model never exceeds dim
+    * rows whatever the corpus. Train on a labeled sample, apply with the
+    * shuffle-free [[classifierScore]] projection. */
+  def trainNaiveBayes(docs: DataFrame, labelCol: Column,
+      dim: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim must be a positive power of two, got $dim")
+    val spark = docs.sparkSession
+    val labeled = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("__toks"), labelCol.as("__y"))
+    val terms = Explodes.explodeNoInfer(labeled,
+      Seq(col("doc_id"), col("__y")), col("__toks"), "term")
+    val counts = terms
+      .select(pmod(xxhash64(col("term")), lit(dim.toLong)).cast("int")
+        .as("bucket"), col("__y"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"))
+    // dense grid: zero-count buckets still get their smoothed weight
+    val grid = spark.range(dim).select(col("id").cast("int").as("bucket"))
+    val totals = labeled.agg(
+      sum(when(col("__y"), size(col("__toks")).cast("long"))
+        .otherwise(0L)).as("t_pos"),
+      sum(when(col("__y"), 0L)
+        .otherwise(size(col("__toks")).cast("long"))).as("t_neg"),
+      count(when(col("__y"), lit(1))).as("d_pos"),
+      count(when(!col("__y"), lit(1))).as("d_neg"))
+    grid.join(counts, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("n_pos", "n_neg"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_pos"), col("n_neg"),
+        round(
+          log((col("n_pos") + 1L).cast("double") /
+            (col("t_pos") + dim.toLong).cast("double")) -
+          log((col("n_neg") + 1L).cast("double") /
+            (col("t_neg") + dim.toLong).cast("double")), 6).as("weight"))
+  }
+
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
     * runs, single symbols — the classic pre-tokenizer regex). */
   def tokenCounts(docs: DataFrame): DataFrame =

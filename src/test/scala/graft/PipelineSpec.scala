@@ -1185,6 +1185,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("trainNaiveBayes equals a plain-Scala reference; model feeds classifierScore") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog ran to the park", true),
+      (3L, "der hund lief zum park", false),
+      (4L, "die katze sass auf der matte", false))
+    val d = texts.toDF("doc_id", "text", "is_en")
+    val dim = 64
+    // reference: integer (bucket, class) occurrence counts, add-1 ln ratio
+    val occ = texts.flatMap { case (_, t, y) =>
+      t.split("\\s+").map(w =>
+        (java.lang.Math.floorMod(TestSpark.xxhash64Ref(w), dim.toLong).toInt, y))
+    }
+    val tPos = occ.count(_._2).toLong
+    val tNeg = occ.count(!_._2).toLong
+    val ref = (0 until dim).map { b =>
+      val np = occ.count(o => o._1 == b && o._2).toLong
+      val nn = occ.count(o => o._1 == b && !o._2).toLong
+      (b.toLong, np, nn,
+        BigDecimal(math.log((np + 1).toDouble / (tPos + dim)) -
+          math.log((nn + 1).toDouble / (tNeg + dim)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val model = TextAnalysis.trainNaiveBayes(d, col("is_en"), dim)
+    val got = model.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toIndexedSeq
+    assert(got == ref)
+    // weights drop into classifierScore: every en doc outscores every de doc
+    val weights = got.map(_._4)
+    val scored = TextAnalysis.classifierScore(d, weights)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Seq(1L, 2L).map(scored).min > Seq(3L, 4L).map(scored).max)
+  }
+
   test("hashedTfidf matches the reference on randomized corpora (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

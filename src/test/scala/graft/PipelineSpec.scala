@@ -48,6 +48,68 @@ class DedupSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  /** Plain-Scala reference for span decontamination: mark every token
+    * covered by an n-gram present in the eval gram set, rebuild text from
+    * the uncovered tokens. */
+  private def refDeconSpans(train: Map[Long, String], eval_ : Seq[String],
+      n: Int): Map[Long, (String, Long, Long)] = {
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    def grams(ts: Seq[String]) = {
+      val m = math.max(ts.size - (n - 1), 1)
+      (0 until m).map(i => ts.slice(i, i + n).mkString(" "))
+    }
+    val evalSet = eval_.flatMap(t => grams(toks(t))).toSet
+    train.map { case (id, t) =>
+      val ts = toks(t)
+      val covered = scala.collection.mutable.Set[Int]()
+      for ((g, i) <- grams(ts).zipWithIndex if evalSet(g);
+           p <- i until math.min(i + n, ts.size)) covered += p
+      val kept = ts.indices.filterNot(covered).map(ts)
+      id -> ((kept.mkString(" "), ts.size.toLong, (ts.size - kept.size).toLong))
+    }
+  }
+
+  test("removeContaminatedSpans equals the reference on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (trial <- 0 until 5) {
+      val train = (1L to 10L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }.toMap
+      val eval_ = Seq.fill(3)(
+        Seq.fill(3 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = Dedup.removeContaminatedSpans(
+          train.toSeq.toDF("doc_id", "text"),
+          eval_.zipWithIndex.map { case (t, i) => (100L + i, t) }
+            .toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == refDeconSpans(train, eval_, n = 3), s"trial $trial")
+      graft.pipeline.PipelineCaches.clear()
+    }
+  }
+
+  test("pairRecall matches set arithmetic on randomized pair frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    for (trial <- 0 until 5) {
+      def pairs() = Seq.fill(20)((rnd.nextInt(8).toLong, 8L + rnd.nextInt(8)))
+        .distinct
+      val ap = pairs(); val ep = pairs()
+      val g = Dedup.pairRecall(ap.toDF("a", "b"), ep.toDF("a", "b"))
+        .collect().head
+      val inter = ap.toSet.intersect(ep.toSet).size.toLong
+      assert(g.getLong(0) == ep.size.toLong, s"trial $trial n_true")
+      assert(g.getLong(1) == inter, s"trial $trial n_found")
+      assert(g.getLong(2) == ap.size - inter, s"trial $trial n_extra")
+      assert(g.getDouble(3) == BigDecimal(inter.toDouble / ep.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"trial $trial")
+      graft.pipeline.PipelineCaches.clear()
+    }
+  }
+
   test("pairRecall: hand-built miss/extra arithmetic, empty truth, fixture gauge") {
     import spark.implicits._
     // truth {AB, AC, BC}; approx found {AB, AC} plus a spurious {DE}

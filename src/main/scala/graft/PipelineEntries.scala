@@ -242,9 +242,14 @@ object PipelineEntries {
 
     // PQ encoding: 64-dim vectors compress to 8 centroid indices under
     // the seeded codebook (32× smaller scan footprint for ADC search) —
-    // oracle-checked
+    // oracle-checked; posexploded to one scalar row per subspace code so
+    // the driver's pandas checker can sort/hash it (the p_hash_embed
+    // convention — raw array<int> cells crash its lexsort)
     "p_pq_codes" -> ((s, dir) =>
-      Similarity.pqEncode(emb(s, dir), Similarity.pqCodebook())),
+      Explodes.posexplodeNoInfer(
+          Similarity.pqEncode(emb(s, dir), Similarity.pqCodebook()),
+          Seq(col("vec_id")), col("codes"), "pos", "code")
+        .withColumn("pos", col("pos").cast("long"))),
 
     // asymmetric-distance top-k over the PQ codes: per-query LUT,
     // table-lookup scoring over the compressed corpus — oracle-checked
@@ -981,7 +986,9 @@ object PipelineEntries {
 
   private def pqCodesOracleSql: String =
     s"""WITH $pqCodesCtes
-       |SELECT vec_id, codes FROM codes""".stripMargin
+       |SELECT vec_id, CAST(t.range AS BIGINT) AS pos,
+       |       codes[CAST(t.range AS INT) + 1] AS code
+       |FROM codes CROSS JOIN range(0, 8) t""".stripMargin
 
   private def pqAdcOracleSql(k: Int = 5): String =
     s"""WITH $pqCodesCtes,

@@ -118,6 +118,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllMatchIn(planStr).size == 1, planStr)
   }
 
+  test("driver-gate outputs are scalar-only (pandas checker can sort them)") {
+    // The driver's correctness checker sorts result columns with pandas
+    // lexsort, which crashes on array/map/struct cells (unhashable numpy
+    // arrays) — the r12 p_pq_codes ERR. Every gate entry must posexplode
+    // or stringify complex columns (the p_hash_embed convention); this
+    // turns a driver-gate ERR into a local test failure.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for ((name, fn) <- SparkEntry.queries) {
+      val schema = fn(spark, "/root/testdata/sf0.001").schema
+      val complex = schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(complex.isEmpty,
+        s"$name returns non-scalar column(s) ${complex.map(_.name).mkString(", ")} — " +
+          "posexplode or stringify so the driver checker can sort the output")
+    }
+  }
+
   test("no CartesianProduct in ANY driver-contract query plan") {
     // non-equi joins are allowed to be BroadcastNestedLoop (bounded by a
     // broadcast side); an unpartitioned CartesianProduct never is

@@ -447,10 +447,15 @@ object Dedup {
     val sets = prep.select(col("id"), array_sort(col("hs")).as("hs"))
       .withColumn("sz", size(col("hs")))
 
-    // global shingle frequencies → rarest-first total order (cnt, h)
+    // global shingle frequencies → rarest-first total order (cnt, h).
+    // count-over-window instead of groupBy(h)+join-back: same cnt per
+    // (h) key, but ONE hash-exchange of tok instead of two plus a join
+    // (measured: the SMJ form re-shuffled tok for the probe side and
+    // re-scanned the persisted prep)
     val tok = prep.select(col("id"), explode(col("hs")).as("h"))
-    val freq = tok.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val ordered = tok.join(freq, "h")
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val ordered = tok
+      .withColumn("cnt", count(lit(1)).over(wCnt))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("cnt"), col("h")))).as("ordered"))
       .withColumn("sz", size(col("ordered")))
@@ -528,9 +533,11 @@ object Dedup {
       .withColumn("sz", size(col("hs")))
 
     // full shingle→doc index (container probe side) + global frequencies
+    // (count-over-window form — see the [[ngramJaccardPairs]] note)
     val tok = prep.select(col("id"), explode(col("hs")).as("h"))
-    val freq = tok.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val ordered = tok.join(freq, "h")
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val ordered = tok
+      .withColumn("cnt", count(lit(1)).over(wCnt))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("cnt"), col("h")))).as("ordered"))
       .withColumn("sz", size(col("ordered")))

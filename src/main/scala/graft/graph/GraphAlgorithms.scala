@@ -1209,14 +1209,18 @@ object GraphAlgorithms {
     * mirror. Returns (id, rank) dense over the edge-defined vertex set,
     * 6-dp rounded.
     *
-    * Scale shape: rank frames stay SPARSE (nonzero only on the reachable
-    * set — for small source sets this is the whole point of PPR) and the
-    * rounds build ONE lazy linear chain evaluated in a single action,
-    * like [[weightedShortestPaths]] — each round references its
-    * predecessor once, so no per-round materialization or rebase is
-    * needed; per round the plan is one |E_active|-proportional equi-join
-    * + partial/final sum and a broadcast outer join against the tiny
-    * source frame. */
+    * Scale shape: GraphX `aggregateMessages` rounds with the out-share
+    * 1/outdeg(u) precomputed ONCE as the edge attribute, like
+    * [[weightedPageRank]] (whose port from a 10-round Catalyst join
+    * chain measured 3× — an RDD round costs ~20 ms where each Catalyst
+    * round pays planning + codegen + stage-launch latency, ×10
+    * sequential rounds). The source-teleport term is a per-vertex
+    * constant (`resetProb/|S|` on sources, 0 elsewhere), folded into the
+    * vertex update. PPR's sparsity is preserved in SHUFFLE volume: the
+    * send closure skips zero-rank sources, so early-round message
+    * traffic is ∝ the frontier's out-edges even though the edge
+    * partitions are scanned — on a 100 TB graph with a small source set
+    * the network cost tracks the reachable set, not |E|. */
   def personalizedPageRank(gs: GraftSession, relLabel: String,
       sourceIds: Seq[Long], iters: Int = 10, resetProb: Double = 0.15,
       edgePred: Option[Column] = None): DataFrame = {
@@ -1231,33 +1235,31 @@ object GraphAlgorithms {
     val e = base.select(col(r.fromColumn).cast("long").as("f"),
         col(r.toColumn).cast("long").as("t"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.pipeline.PipelineCaches.track)
-    val eDeg = e.join(e.groupBy(col("f").as("__df"))
+    val eShare = e.join(e.groupBy(col("f").as("__df"))
         .agg(count(lit(1)).as("deg")), col("f") === col("__df"))
-      .select(col("f"), col("t"), col("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.pipeline.PipelineCaches.track)
-    val v = e.select(col("f").as("id")).union(e.select(col("t").as("id")))
-      .distinct()
+      .select(col("f"), col("t"), (lit(1.0) / col("deg")).as("share"))
+    val edgeRdd = eShare.rdd.map(row =>
+      Edge(row.getLong(0), row.getLong(1), row.getDouble(2)))
     val sProb = 1.0 / sourceIds.size
-    val src = sourceIds.toDF("id").withColumn("sprob", lit(sProb))
-    var rank = src.select(col("id"), col("sprob").as("rank"))
+    // small by contract (a PPR source set); ships in the task closure
+    val srcSet = sourceIds.toSet
+    var g = tracked(Graph.fromEdges(edgeRdd, 0.0,
+        StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (srcSet(id)) sProb else 0.0))
+    g.cache()
+    g.vertices.count()
     for (_ <- 1 to iters) {
-      val m = eDeg.join(rank.withColumnRenamed("id", "__rid"),
-          col("f") === col("__rid"))
-        .groupBy(col("t").as("id"))
-        .agg(sum(col("rank") / col("deg")).as("__ms"))
-      rank = m.join(src.withColumnRenamed("id", "__sid"),
-          col("id") === col("__sid"), "full_outer")
-        .select(coalesce(col("id"), col("__sid")).as("id"),
-          (lit(1.0 - resetProb) * coalesce(col("__ms"), lit(0.0))
-            + lit(resetProb) * coalesce(col("sprob"), lit(0.0))).as("rank"))
+      val msgs = g.aggregateMessages[Double](
+        ctx => if (ctx.srcAttr != 0.0) ctx.sendToDst(ctx.srcAttr * ctx.attr),
+        _ + _)
+      val g2 = tracked(g.outerJoinVertices(msgs)((id, _, m) =>
+        (if (srcSet(id)) resetProb * sProb else 0.0)
+          + (1.0 - resetProb) * m.getOrElse(0.0)))
+      g = advance(g, g2)
     }
-    v.join(rank.withColumnRenamed("id", "__pid"),
-        col("id") === col("__pid"), "left")
-      .select(col("id"),
-        round(coalesce(col("rank"), lit(0.0)), 6).as("rank"))
+    g.vertices.map { case (id, rank) => (id, rank) }
+      .toDF("id", "rank")
+      .select(col("id"), round(col("rank"), 6).as("rank"))
   }
 
   /** node2vec-style SECOND-ORDER biased random walks (Grover &

@@ -303,6 +303,16 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF-PQ composed ANN (FAISS IVFADC): coarse-quantizer partition
+    // pruning + ADC scoring over the 32×-compressed codes within the
+    // probed lists — both pruning axes in one operator — oracle-checked
+    "p_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(pmod(col("vec_id"), lit(50)) === 0),
+          Similarity.pqCodebook(), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // deterministic k-means assignment (the IVF quantizer as a first-class
     // clustering op) — oracle-checked against the same Lloyd CTE prefix
     "p_kmeans" -> ((s, dir) => Similarity.kmeansAssign(emb(s, dir))),
@@ -1284,10 +1294,13 @@ object PipelineEntries {
          |           ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rk
          |  FROM asg) WHERE rk <= $per""".stripMargin)
 
-  private def ivfOracleSql(k: Int = 5, nprobe: Int = 4,
-      dim: Int = 64, candPred: String = "TRUE"): String = {
+  /** Shared IVF CTE chain (corpus → seeds → one Lloyd step → final
+    * `assigned` lists + `qa` probe rows) — the [[ivfOracleSql]] prefix,
+    * factored so [[ivfPqOracleSql]] composes the same quantizer with the
+    * ADC scoring CTEs instead of duplicating it. */
+  private def ivfChainCtes(nprobe: Int, dim: Int): String = {
     val csim = s"round(list_sum(list_transform(range(1,${dim + 1}), i -> n.v[i] * c.cent[i])) / (n.nrm * c.centnorm), 6)"
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), e -> e * e))) AS nrm
        |  FROM embeddings),
@@ -1322,7 +1335,12 @@ object PipelineEntries {
        |    SELECT n.vec_id, n.v, n.nrm, c.cent_id,
        |           row_number() OVER (PARTITION BY n.vec_id
        |             ORDER BY $csim DESC, c.cent_id ASC) AS crank
-       |    FROM n, cents c WHERE n.vec_id % 50 = 0) WHERE crank <= $nprobe),
+       |    FROM n, cents c WHERE n.vec_id % 50 = 0) WHERE crank <= $nprobe)""".stripMargin
+  }
+
+  private def ivfOracleSql(k: Int = 5, nprobe: Int = 4,
+      dim: Int = 64, candPred: String = "TRUE"): String = {
+    s"""WITH ${ivfChainCtes(nprobe, dim)},
        |s AS (
        |  SELECT qa.qid, a.vec_id AS nid,
        |         round(list_sum(list_transform(range(1,${dim + 1}), i -> qa.qv[i] * a.v[i])) /
@@ -1335,6 +1353,44 @@ object PipelineEntries {
        |  FROM s)
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** DuckDB mirror of [[Similarity.ivfPqTopK]]: the [[ivfChainCtes]]
+    * quantizer (same seeds/Lloyd/probe rows), then the [[pqAdcOracleSql]]
+    * LUT + table-lookup scoring restricted to each query's probed
+    * lists — the two existing mirrors composed, like the operator. */
+  private def ivfPqOracleSql(k: Int = 5, nprobe: Int = 4,
+      dim: Int = 64): String =
+    s"""WITH ${ivfChainCtes(nprobe, dim)},
+       |cbt AS (SELECT $pqCbSql AS cb),
+       |dl AS (
+       |  SELECT a.vec_id, a.list_id, mm,
+       |    ${pqDistListSql("a.v")} AS dl
+       |  FROM assigned a CROSS JOIN cbt, unnest(range(0, 8)) AS t(mm)),
+       |codes AS (
+       |  SELECT vec_id, list_id,
+       |         list(CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER)
+       |              ORDER BY mm) AS codes
+       |  FROM dl GROUP BY vec_id, list_id),
+       |qlut AS (
+       |  SELECT q.qid, mm,
+       |    ${pqDistListSql("q.qv")} AS lv
+       |  FROM (SELECT DISTINCT qid, qv FROM qa) q
+       |       CROSS JOIN cbt, unnest(range(0, 8)) AS t(mm)),
+       |terms AS (
+       |  SELECT qa.qid, c.vec_id AS nid, l.mm,
+       |         l.lv[c.codes[l.mm + 1] + 1] AS term
+       |  FROM qa JOIN codes c ON c.list_id = qa.list_id
+       |                      AND c.vec_id <> qa.qid
+       |       JOIN qlut l ON l.qid = qa.qid),
+       |sc AS (
+       |  SELECT qid, nid,
+       |         list_reduce(list(term ORDER BY mm), (a, b) -> a + b) AS raw
+       |  FROM terms GROUP BY qid, nid)
+       |SELECT qid, nid, round(raw, 6) AS adist, rank FROM (
+       |  SELECT qid, nid, raw,
+       |         row_number() OVER (PARTITION BY qid ORDER BY raw, nid) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
 
   /** DuckDB mirror of GraphX staticPageRank on the NATION_ADJ edge list:
     * ranks start at 1.0 and iterate rank = 0.15 + 0.85·Σ(in-rank/out-deg)
@@ -2533,6 +2589,7 @@ object PipelineEntries {
     "p_pq" -> pqAdcOracleSql(),
     "p_pq_rerank" -> pqRerankOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
+    "p_ann_ivfpq" -> ivfPqOracleSql(),
     // identical quantizer + probe math ⇒ identical result set
     "p_ann_ivf_persisted" -> ivfOracleSql(),
     "p_ann_filtered" -> ivfOracleSql(candPred = "a.vec_id % 2 = 1"),

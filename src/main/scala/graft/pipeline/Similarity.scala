@@ -231,6 +231,78 @@ object Similarity {
       .select("qid", "nid", "sim", "rank")
   }
 
+  /** IVF-PQ composed ANN — the FAISS "IVFADC" serving shape (Jégou et
+    * al. 2011, "Product Quantization for Nearest Neighbor Search" §IV):
+    * the deterministic coarse quantizer ([[ivfTopK]]'s — seeded by
+    * lowest ids, 9-dp Lloyd means) prunes the search to each query's
+    * `nprobe` nearest inverted lists, and WITHIN those lists vectors
+    * score by PQ asymmetric distance over the m-byte codes instead of
+    * full-precision vectors. Smallest ADC distance wins; ties → lowest
+    * nid. Returns (qid, nid, adist 6-dp, rank ≤ k).
+    *
+    * This composes the two pruning axes that individually power
+    * [[ivfTopK]] (scan fraction falls as nprobe·√N/N) and [[pqAdcTopK]]
+    * (scan PAYLOAD falls 32×): at 100 TB the per-query read is
+    * `nprobe·(N/nlist)·m` bytes — partition-pruned AND compressed, which
+    * is why it is the standard billion-scale serving layout. Encoding
+    * runs once per corpus vector through the fused
+    * [[graft.functions.PqEncodeExpr]] codegen pass; the inverted lists
+    * carry (list_id, nid, codes) only. Each corpus vector lives in
+    * exactly ONE list, so probe joins never duplicate a (qid, nid) pair
+    * and no distinct is needed. Chain [[pqRerankTopK]]-style exact
+    * re-ranking on top when the final order must be full-precision. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], k: Int = 5,
+      nlist: Int = 0, nprobe: Int = 4, refineIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val m = cb.size; val kCent = cb.head.size; val dSub = cb.head.head.size
+    val c = prepIvfCorpus(corpus, idCol, vecCol)
+    val corpusSize = c.count()
+    if (corpusSize == 0L) {
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double, Int)].toDF("qid", "nid", "adist", "rank")
+    }
+    val cents = trainCentroids(c, autoNlist(nlist, corpusSize), refineIters)
+
+    // compressed inverted lists: (list_id, nid, codes) — m bytes of
+    // payload per vector; the full-precision cv never leaves this select
+    val lists = assignLists(c, cents)
+      .select(col("list_id"), col("nid"),
+        GraftFunctions.pqEncode(col("cv"),
+          cb.flatten.flatten.toArray, m, kCent, dSub).as("codes"))
+
+    // per query: the nprobe best lists (as in ivfTopK) and the
+    // [m][kCent] ADC lookup table (as in pqAdcTopK), computed once and
+    // broadcast — queries are small by contract
+    val probes = math.max(1, math.min(nprobe, cents.size))
+    val cbc = cbLit(cb)
+    val qAssigned = queries
+      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", normFixed(col("qv"), DefaultDim))
+      .withColumn("__lut", transform(sequence(lit(0), lit(m - 1)), mIdx =>
+        transform(element_at(cbc, (mIdx + 1).cast("int")),
+          cent => subDist2(col("qv"), cent, mIdx, dSub))))
+      .withColumn("probe",
+        explode(slice(array_sort(centSims(col("qv"), col("qnorm"), cents)),
+          -probes, probes)))
+      .select(col("qid"), col("__lut"), (-col("probe.negid")).as("list_id"))
+
+    // unrolled table-lookup sum, left-assoc — the pqAdcTopK fold order,
+    // so the oracle's list_reduce reproduces the IEEE sum bit-exactly
+    val adcSum = (0 until m).map(mi =>
+        element_at(element_at(col("__lut"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1))
+      .reduceLeft(_ + _)
+    val scored = lists.join(broadcast(qAssigned), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(adcSum, 6).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "adist", "rank")
+  }
+
   /** Deterministic ±1 hyperplane signs from a seeded RNG — shared between
     * the Spark plan and the DuckDB oracle-SQL generator (PipelineEntries),
     * so both engines evaluate identical planes. */

@@ -629,6 +629,26 @@ class SimilaritySpec extends AnyFunSuite {
         .sliding(2).forall { case Seq(a, b) => a >= b case _ => true }))
   }
 
+  test("IVF-PQ with all lists probed equals exhaustive ADC exactly") {
+    val cb = Similarity.pqCodebook()
+    // nprobe >= nlist => the coarse quantizer prunes nothing, so the
+    // composition must reproduce pqAdcTopK row for row (same codes, same
+    // LUT, same fold order)
+    val all = Similarity.ivfPqTopK(emb, queries, cb, k = 5, nprobe = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val adc = Similarity.pqAdcTopK(Similarity.pqEncode(emb, cb), queries, cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(all == adc && all.nonEmpty)
+    // pruned probes: <= k rows per query, adist ascending with rank, no self
+    val pruned = Similarity.ivfPqTopK(emb, queries, cb, k = 3).collect()
+    assert(pruned.nonEmpty && pruned.forall(r => r.getLong(0) != r.getLong(1)))
+    pruned.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length <= 3)
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(byRank.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+    }
+  }
+
   test("cosinePairs equals brute-force all-pairs on planted near-dups") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val base = emb.select(col("vec_id"),

@@ -131,6 +131,20 @@ object PipelineEntries {
           .filter(col("jaccard") >= 0.8))
     }),
 
+    // cross-corpus ingestion dedup: which delta docs (doc_id % 10 == 0,
+    // the "incoming batch") near-duplicate something already in the
+    // corpus? The corpus side is the PERSISTED signature artifact —
+    // built once per corpus fingerprint, zero corpus work per batch;
+    // only the delta is shingled/signed. Delta docs are themselves in
+    // the corpus table here, so self-matches are filtered — oracle-checked
+    "p_dedup_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossDedupPairs(d.filter(pmod(col("doc_id"), lit(10)) === 0),
+          Dedup.minhashSignaturesPersisted(d, mhSigPath(dir)),
+          threshold = 0.8)
+        .filter(col("a") =!= col("b"))
+    }),
+
     // exact n-gram Jaccard within (lang, length) blocks — oracle-checked
     "p_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
 
@@ -2562,6 +2576,23 @@ object PipelineEntries {
         |         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
         |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
         |  FROM t x JOIN t y ON x.doc_id < y.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    // exhaustive delta × corpus Jaccard — the cross-dedup ground truth
+    // (a = delta id, b = any other doc): LSH banding + exact verify must
+    // find every qualifying cross pair, the p_dedup_minhash premise
+    "p_dedup_cross" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |  FROM t x JOIN t y ON x.doc_id % 10 = 0 AND x.doc_id <> y.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
 
     // exhaustive all-pairs cosine over corpus + planted perturbations:

@@ -199,6 +199,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus near-dup pairs: every (delta doc, corpus doc) pair with
+    * exact shingle-Jaccard >= threshold — the continuous-ingestion dedup
+    * shape ("is any of today's crawl already in the corpus?"). Unlike the
+    * self-join miners this takes the corpus as a SIGNATURE TABLE
+    * ([[minhashSignatures]] live, or [[minhashSignaturesPersisted]] read
+    * back from the artifact), so at 100 TB the corpus pays NOTHING per
+    * ingest batch: only the delta is shingled/signed, the band join
+    * probes the corpus's banded signatures (candidates ∝ shared buckets,
+    * never |delta|·|corpus|), and the exact verify intersects pre-sorted
+    * hashed-shingle sets. The bucket cap applies to the CORPUS side of
+    * each band bucket — the quadratic risk is delta-bucket × corpus-
+    * bucket, and a boilerplate bucket is a corpus property. Returns
+    * (a = delta id, b = corpus id, jaccard 4-dp >= threshold); delta ids
+    * also present in the corpus table match themselves at jaccard 1.0 —
+    * filter `a <> b` upstream if re-ingestion is expected. */
+  def crossDedupPairs(delta: DataFrame, corpusSigs: DataFrame,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(delta.sparkSession)
+    val dSigs = minhashSignatures(delta, textCol, idCol)
+    def banded(sigs: DataFrame): DataFrame = {
+      val bandCols = (0 until Bands).map(b =>
+        hash(slice(col("sig"), lit(b * Rows + 1), lit(Rows))).as(s"b$b"))
+      sigs.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    }
+    val cBanded = banded(corpusSigs)
+    val okBuckets = cBanded.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucketSize)
+      .select("band", "bh")
+    val cand = banded(dSigs).alias("x")
+      .join(cBanded.join(okBuckets, Seq("band", "bh")).alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val dSets = dSigs.select(col("id").as("a"), col("hs").as("ha"),
+      size(col("hs")).as("za"))
+    val cSets = corpusSigs.select(col("id").as("b"), col("hs").as("hb"),
+      size(col("hs")).as("zb"))
+    cand.join(dSets, "a").join(cSets, "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.sortedIntersectCount(col("ha"), col("hb")).as("i"),
+        (col("za") + col("zb")).as("s"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("s") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The [[minhashSignatures]] table as a build-once, APPEND-CHEAP parquet
     * artifact keyed by the corpus content fingerprint
     * ([[graft.catalog.Snapshot]]). On a stale fingerprint the rebuild is

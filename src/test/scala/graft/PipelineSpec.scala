@@ -138,6 +138,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
   }
 
+  test("crossDedupPairs: delta probes corpus signatures, matches self-join truth") {
+    // delta = docs 2 and 3 (an exact dup and a near dup of corpus doc 1);
+    // corpus = the full table's signature frame
+    val delta = docs.filter(col("doc_id").isin(2L, 3L))
+    val got = Dedup.crossDedupPairs(delta, Dedup.minhashSignatures(docs),
+        threshold = 0.8)
+      .filter(col("a") =!= col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the self-join miner's pairs, re-oriented delta-first
+    // (both orderings when both ends are delta docs)
+    val self = Dedup.minhashPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = self.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).filter { case (x, _) => x == 2L || x == 3L } }
+    assert(got == expect && got.nonEmpty)
+    // a delta doc present in the corpus table self-matches at 1.0 until
+    // filtered — the documented re-ingestion contract
+    val unfiltered = Dedup.crossDedupPairs(delta, Dedup.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(unfiltered.count { case (a, b, j) => a == b && j == 1.0 } == 2)
+  }
+
   test("dup-span coverage: hand-checked interval union over shared 3-grams") {
     import spark.implicits._
     // d1/d2 share "a b c" and "b c d" -> in each doc the two overlapping

@@ -493,6 +493,20 @@ object PipelineEntries {
     "p_split" -> ((s, dir) =>
       Sampling.assignSplits(docs(s, dir)).select("doc_id", "lang", "split")),
 
+    // leakage-safe split: near-dup CLUSTERS are the split unit, so a test
+    // doc's near-copy can never train the model — composes the persisted
+    // pair mine -> CC clustering -> cluster-keyed band assignment.
+    // Oracle re-derives the whole chain (recursive-CTE CC + the LCG band
+    // on cluster_id) — oracle-checked
+    "p_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.assignSplitsByCluster(d,
+          Dedup.dupClusters(d, threshold = 0.5,
+            minedPairs = Some(Dedup.ngramJaccardPairsPersisted(d, pairsPath(dir),
+              threshold = 0.5))))
+        .select("doc_id", "cluster_id", "split")
+    }),
+
     // DSIR importance scores (Xie et al. 2023): per-doc log-likelihood
     // ratio of its unigram+bigram bag under the lang='en' target model vs
     // the raw corpus model, top-512 word vocab — oracle-checked (the
@@ -994,6 +1008,34 @@ object PipelineEntries {
        |        ($vcol[mm*8 + d + 1] - cb[mm+1][kk+1][d+1]) *
        |        ($vcol[mm*8 + d + 1] - cb[mm+1][kk+1][d+1])),
        |        (a, b) -> a + b))""".stripMargin
+
+  /** Shared `WITH RECURSIVE` body deriving the exact n-gram-Jaccard
+    * (threshold 0.5) dup clusters as `cl(doc_id, cluster_id)` — the
+    * DuckDB mirror of `Dedup.dupClusters(docs, 0.5)` over
+    * `ngramJaccardPairs`: exhaustive all-pairs Jaccard, undirected edge
+    * closure, min-id component labels. Callers open with
+    * `WITH RECURSIVE $dupClustersCtes` and may append further CTEs. */
+  private def dupClustersCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)),
+      |e AS (
+      |  SELECT a, b FROM (
+      |    SELECT x.doc_id AS a, y.doc_id AS b,
+      |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+      |    FROM t x JOIN t y ON x.doc_id < y.doc_id)
+      |  WHERE jaccard >= 0.5),
+      |ue AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      |cc AS (
+      |  SELECT doc_id AS id, doc_id AS comp FROM documents
+      |  UNION
+      |  SELECT ue.b AS id, cc.comp FROM cc JOIN ue ON ue.a = cc.id),
+      |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id)""".stripMargin
 
   private def pqCodesCtes: String =
     s"""cbt AS (SELECT $pqCbSql AS cb),
@@ -3052,52 +3094,28 @@ object PipelineEntries {
         |WHERE containment >= 0.6""".stripMargin,
 
     "p_dedup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id,
-        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |        FROM documents)),
-        |e AS (
-        |  SELECT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-        |                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |    FROM t x JOIN t y ON x.doc_id < y.doc_id)
-        |  WHERE jaccard >= 0.5),
-        |ue AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
-        |cc AS (
-        |  SELECT doc_id AS id, doc_id AS comp FROM documents
-        |  UNION
-        |  SELECT ue.b AS id, cc.comp FROM cc JOIN ue ON ue.a = cc.id)
-        |SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE $dupClustersCtes
+        |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+
+    // cluster derivation + the p_split LCG band applied to cluster_id:
+    // every member of a dup cluster lands in the same split band
+    "p_split_leakage" ->
+      s"""WITH RECURSIVE $dupClustersCtes,
+        |s AS (
+        |  SELECT doc_id, cluster_id,
+        |         (cluster_id % 2147483647 + 17) * 48271 % 2147483647
+        |           * 48271 % 2147483647 % 1000000 AS b
+        |  FROM cl)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN b < 900000 THEN 'train'
+        |            WHEN b < 950000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM s""".stripMargin,
 
     // same cluster derivation + the UNROUNDED quality-score argmax per
     // cluster (ties -> smallest doc id); only the reported score rounds
     "p_dedup_keep_best" ->
-      """WITH RECURSIVE
-        |t AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id,
-        |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |        FROM documents)),
-        |e AS (
-        |  SELECT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-        |                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |    FROM t x JOIN t y ON x.doc_id < y.doc_id)
-        |  WHERE jaccard >= 0.5),
-        |ue AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
-        |cc AS (
-        |  SELECT doc_id AS id, doc_id AS comp FROM documents
-        |  UNION
-        |  SELECT ue.b AS id, cc.comp FROM cc JOIN ue ON ue.a = cc.id),
-        |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id),
+      s"""WITH RECURSIVE $dupClustersCtes,
         |q AS (
         |  SELECT doc_id,
         |         least(n_tokens, 100) / 100.0 * 0.5 +
@@ -3110,7 +3128,7 @@ object PipelineEntries {
         |           CAST(len(list_filter(toks, t2 -> list_contains(
         |             ['the','a','an','of','and','to','in','is','it','that'], t2))) AS BIGINT) AS stop_cnt
         |    FROM (SELECT doc_id, text,
-        |                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
         |          FROM documents))),
         |r AS (
         |  SELECT cl.cluster_id, cl.doc_id, q.score,

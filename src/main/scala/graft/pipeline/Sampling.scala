@@ -348,6 +348,29 @@ object Sampling {
     docs.withColumn("split", expr)
   }
 
+  /** Leakage-safe split: [[assignSplits]] keyed by DUP CLUSTER instead of
+    * document id, so near-duplicates can never straddle the train/test
+    * boundary — the classic eval-contamination hole a per-doc split
+    * leaves open (a test doc's near-copy trains the model and the
+    * held-out score silently measures memorization). `clusters` is a
+    * (idCol, clusterCol) assignment — [[Dedup.dupClusters]] output, which
+    * covers every doc (singletons cluster as themselves), so the join is
+    * inner without loss. Same determinism contract as [[assignSplits]]:
+    * an assignment is a pure function of (cluster_id, seed); adding docs
+    * moves nothing EXCEPT when a new doc bridges two clusters — then the
+    * merged cluster follows its new min-id, which is the point (the
+    * near-dup set must land on one side whole). At 100 TB the clusters
+    * frame is corpus-row-sized and key-partitioned by the CC that built
+    * it; this adds one equi-join on the doc key plus a pure projection —
+    * no new shuffle shape beyond the join. */
+  def assignSplitsByCluster(docs: DataFrame, clusters: DataFrame,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: Long = 17L, idCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame =
+    assignSplits(docs.join(clusters.select(idCol, clusterCol), Seq(idCol)),
+      fractions, seed, idCol = clusterCol)
+
   /** Materialize [[seededShuffle]] as on-disk training shards: parquet
     * partitioned by shard, rows within each shard file in shuffle order.
     * `repartition(shard)` + in-partition sort = one exchange, then each

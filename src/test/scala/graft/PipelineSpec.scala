@@ -1937,6 +1937,28 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.assignSplits(docs, fractions = Seq("a" -> 0.5, "a" -> 0.5)))
   }
 
+  test("assignSplitsByCluster: cluster members never straddle the split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand-built clusters: docs 0..99 pair up (2k, 2k+1) -> cluster 2k;
+    // docs 100..199 are singletons (cluster = own id)
+    val clusters = (0L until 200L).map(i =>
+      (i, if (i < 100) i - i % 2 else i)).toDF("doc_id", "cluster_id")
+    val got = Sampling.assignSplitsByCluster(docs, clusters)
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 200)
+    // the leakage guarantee: one split per cluster
+    assert(got.groupBy(_._2).forall { case (_, g) => g.map(_._3).distinct.length == 1 })
+    // a cluster's split IS assignSplits of its cluster id, so singletons
+    // agree with the per-doc split exactly
+    val perDoc = Sampling.assignSplits(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(got.filter(_._1 >= 100L).forall { case (id, _, s) => perDoc(id) == s })
+    // paired docs both follow the EVEN member's per-doc assignment
+    assert(got.filter(_._1 < 100L).forall { case (_, c, s) => perDoc(c) == s })
+  }
+
   test("chunkDocuments: stride windows, overlap, short tail, empty doc") {
     import spark.implicits._
     val docs = Seq(

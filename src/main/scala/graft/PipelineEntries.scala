@@ -696,6 +696,12 @@ object PipelineEntries {
       Corpus.stratifiedSample(docs(s, dir), Map("en" -> 50, "zh" -> 10),
         defaultNum = 25).select("doc_id", "lang")),
 
+    // Efraimidis-Spirakis weighted sample without replacement, weight =
+    // n_chars (longer docs proportionally likelier) — oracle-checked
+    "p_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), k = 64, weightCol = "n_chars")
+        .select("doc_id", "n_chars", "es_key")),
+
     // weighted mixture resampling: src0 upsampled 2.5x, src1 kept at 30%,
     // rest at 1.0 — oracle-checked (MINSTD² mirror + range() explode)
     "p_mix" -> ((s, dir) =>
@@ -3543,6 +3549,21 @@ object PipelineEntries {
       """SELECT doc_id, lang FROM documents
         |WHERE ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647 % 100 <
         |      CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END""".stripMargin,
+
+    // E-S exponential keys on the seeded (seed=29) uniform, round-before-
+    // rank at 6dp, id tie-break, top-64 — weight-proportional without
+    // replacement; ln on the same rational u both engines
+    "p_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         ((doc_id % 2147483647 + 29) * 48271 % 2147483647
+        |            * 48271 % 2147483647 % 1000000 + 1) / 1000000.0 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |       round(ln(u) / n_chars, 6) + 0.0 AS es_key
+        |FROM t
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 64""".stripMargin,
 
     // same MINSTD² mirror; epochs = floor(w) + one more when the id-hash
     // bucket clears the fractional numerator

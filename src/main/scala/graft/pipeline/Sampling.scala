@@ -304,6 +304,32 @@ object Sampling {
       .drop("__pid", "__cum_before")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, exponential-key form): each row draws the seeded
+    * uniform u = (bucket+1)/1e6 from [[seededBucket]] and keys itself
+    * with ln(u)/w — the top-k keys are exactly a weight-proportional
+    * sample, the primitive behind "sample the corpus ∝ quality score".
+    * Deterministic end to end: a row's key is a pure function of
+    * (id, seed, weight), reruns and engines agree (the key ROUNDS to 6dp
+    * BEFORE ranking — the round-before-rank stability rule — with the id
+    * as tie-break). Rows with weight ≤ 0 are excluded (a zero weight's
+    * E-S key is -inf — it can never be drawn). At 100 TB this is a
+    * narrow projection into a TakeOrderedAndProject: per-partition top-k
+    * heaps, a k-row driver merge, NEVER a global sort. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+      seed: Long = 29L, idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (seededBucket(col(idCol), seed) + lit(1L)).cast("double") /
+      lit(Buckets.toDouble)
+    // + 0.0 normalizes the u≈1 corner where round yields IEEE -0.0 (the
+    // driver's value hash distinguishes it from the oracle's +0.0)
+    docs.filter(col(weightCol) > 0)
+      .withColumn("es_key",
+        round(log(u) / col(weightCol).cast("double"), 6) + lit(0.0))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   def seededShuffle(docs: DataFrame, shards: Int = 8, seed: Long = 43L,
       idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, "shards must be positive")

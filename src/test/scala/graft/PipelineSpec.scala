@@ -1937,6 +1937,36 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.assignSplits(docs, fractions = Seq("a" -> 0.5, "a" -> 0.5)))
   }
 
+  test("weightedSample: E-S top-k matches hand LCG/ln recompute, excludes w<=0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val weighted = docs.withColumn("w", (col("doc_id") % 10L).cast("long"))
+    val got = Sampling.weightedSample(weighted, k = 20, weightCol = "w")
+      .select("doc_id", "es_key").collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("es_key"))))
+    // hand recompute: MINSTD^2 with seed folded in, u = (b+1)/1e6,
+    // key = round(ln(u)/w, 6); w = id % 10, zero weights (id % 10 == 0)
+    // can never be drawn
+    val m = 2147483647L
+    val expect = (0L until 200L).filter(_ % 10 != 0).map { id =>
+      val b = (id % m + 29) * 48271 % m * 48271 % m % 1000000
+      val key = BigDecimal(math.log((b + 1) / 1e6) / (id % 10))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, key)
+    }.sortBy { case (id, k2) => (-k2, id) }.take(20)
+    assert(got.toSeq == expect)
+    assert(got.forall(_._1 % 10 != 0))
+    // deterministic across runs
+    val again = Sampling.weightedSample(weighted, k = 20, weightCol = "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again == got.map(_._1).toSeq)
+    // k beyond the positive-weight population returns all of it
+    assert(Sampling.weightedSample(weighted, k = 1000, weightCol = "w")
+      .count() == 180)
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(weighted, k = 0, weightCol = "w"))
+  }
+
   test("assignSplitsByCluster: cluster members never straddle the split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -422,6 +422,19 @@ object PipelineEntries {
     "p_classifier" -> ((s, dir) => TextAnalysis.classifierScore(
       docs(s, dir), ClassifierW, bias = 0.0, threshold = ClassifierThreshold)),
 
+    // PR threshold sweep of the quality classifier against the lang=='en'
+    // ground truth: the table a keep-if-score>=t cut is decided on —
+    // oracle-checked
+    "p_pr_curve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.prCurve(
+        TextAnalysis.classifierScore(d, ClassifierW, bias = 0.0,
+            threshold = ClassifierThreshold)
+          .join(d.select(col("doc_id"), (col("lang") === "en").as("__lab")),
+            "doc_id"),
+        labelCol = col("__lab"), scoreCol = "logit")
+    }),
+
     // top-3 TF-IDF terms per doc (6-dp-rounded before ranking, term-asc
     // ties) — oracle-checked
     "p_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir))),
@@ -1928,9 +1941,10 @@ object PipelineEntries {
     * over the SORTED list exactly as the Spark side folds — identical
     * IEEE addition order ⇒ bit-identical raw sum ⇒ the unrounded
     * threshold compare is engine-safe. */
-  private def classifierOracleSql: String =
-    s"""WITH RECURSIVE
-       |t AS MATERIALIZED (
+  /** CTE chain computing the hashed-linear-classifier logit as
+    * `r(doc_id, n, lg)` — shared by the score entry and the PR gauge. */
+  private def classifierCtes: String =
+    s"""t AS MATERIALIZED (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
        |  FROM documents),
        |tokd AS MATERIALIZED (
@@ -1952,12 +1966,45 @@ object PipelineEntries {
        |         CASE WHEN coalesce(f.n, 0) > 0
        |              THEN list_reduce(f.ws, (a, b) -> a + b) / f.n
        |              ELSE 0.0 END AS lg
-       |  FROM t LEFT JOIN f USING (doc_id))
+       |  FROM t LEFT JOIN f USING (doc_id))""".stripMargin
+
+  private def classifierOracleSql: String =
+    s"""WITH RECURSIVE
+       |$classifierCtes
        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
        |       -- + 0.0 folds DuckDB's -0.0 rounding artifact to +0.0
        |       round(lg, 6) + 0.0 AS logit,
        |       (lg >= $ClassifierThreshold) AS passes
        |FROM r""".stripMargin
+
+  /** PR sweep over the classifier logits, lang='en' as ground truth:
+    * 2-dp-quantized thresholds (double-rounded through the 6-dp logit,
+    * exactly like the Spark path), cumulative tp/fp descending. */
+  private def prCurveOracleSql: String =
+    s"""WITH RECURSIVE
+       |$classifierCtes,
+       |lab AS (
+       |  SELECT round(round(lg, 6) + 0.0, 2) + 0.0 AS threshold,
+       |         (d.lang = 'en') AS y
+       |  FROM r JOIN documents d USING (doc_id)),
+       |g AS (
+       |  SELECT threshold,
+       |         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+       |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+       |  FROM lab GROUP BY threshold),
+       |cum AS (
+       |  SELECT threshold,
+       |         sum(pos) OVER (ORDER BY threshold DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |         sum(neg) OVER (ORDER BY threshold DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+       |  FROM g),
+       |tot AS (SELECT sum(pos) AS p FROM g)
+       |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |       CAST(p - tp AS BIGINT) AS fn,
+       |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       |       CASE WHEN p > 0 THEN round(CAST(tp AS DOUBLE) / p, 6) END AS recall
+       |FROM cum CROSS JOIN tot""".stripMargin
 
   private def fingerprintOracleSql: String =
     s"""WITH RECURSIVE
@@ -2514,6 +2561,8 @@ object PipelineEntries {
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
 
     "p_classifier" -> classifierOracleSql,
+
+    "p_pr_curve" -> prCurveOracleSql,
 
     // identical model formulation: context counts derived from the bigram
     // table, vocab over ALL token positions, add-1 smoothing

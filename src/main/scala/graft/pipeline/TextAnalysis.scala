@@ -233,6 +233,43 @@ object TextAnalysis {
     * (bucket, label) count — ≤ 2·dim groups; the model never exceeds dim
     * rows whatever the corpus. Train on a labeled sample, apply with the
     * shuffle-free [[classifierScore]] projection. */
+  /** Classifier threshold-sweep gauge: precision/recall at every
+    * quantized score threshold — the table a filtering-threshold decision
+    * (keep docs with score ≥ t) is read off of. Scores quantize to
+    * `scale` decimals first, so the sweep has at most 10^scale·range
+    * distinct thresholds regardless of corpus size; per-threshold
+    * pos/neg counts come from one map-side-combinable aggregation over
+    * the corpus, and ONLY that bounded aggregate flows through the
+    * cumulative window (the empty partition spec is deliberate and safe
+    * here — the windowed frame is threshold-grid-sized, never
+    * corpus-sized). Returns one row per distinct threshold t descending:
+    * tp/fp/fn counting `score ≥ t` as predicted-positive over the
+    * quantized scores, precision = tp/(tp+fp), recall = tp/P (NULL when
+    * the frame has no positives). Double-rounds via the already-rounded
+    * score column so engine mirrors agree; + 0.0 folds -0.0. */
+  def prCurve(scored: DataFrame, labelCol: Column,
+      scoreCol: String = "logit", scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored
+      .select((round(col(scoreCol), scale) + lit(0.0)).as("threshold"),
+        labelCol.cast("boolean").as("__y"))
+      .groupBy("threshold")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("threshold"),
+      sum("__pos").over(w).as("tp"), sum("__neg").over(w).as("fp"))
+    val tot = g.agg(sum("__pos").as("__p"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("__p") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        when(col("__p") > 0,
+          round(col("tp").cast("double") / col("__p"), 6)).as("recall"))
+  }
+
   def trainNaiveBayes(docs: DataFrame, labelCol: Column,
       dim: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

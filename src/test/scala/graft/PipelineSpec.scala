@@ -940,6 +940,30 @@ class SimilaritySpec extends AnyFunSuite {
 class TextAnalysisSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("prCurve: hand-computed cumulative table, NULL recall w/o positives") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.304, true), (0.296, false), (0.2, true),
+      (0.1, false), (0.104, true), (-0.001, false))
+      .toDF("logit", "y")
+    val got = TextAnalysis.prCurve(scored, col("y")).collect().map(r =>
+      (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // 2dp quantization: 0.304→0.3, 0.296→0.3, 0.104→0.1, -0.001→-0.0→0.0
+    // thresholds desc: 0.3 (1T,1F), 0.2 (1T), 0.1 (1T,1F), 0.0 (1F)
+    assert(got.toSeq == Seq(
+      (0.3, 1L, 1L, 2L, 0.5, 0.333333),
+      (0.2, 2L, 1L, 1L, 0.666667, 0.666667),
+      (0.1, 3L, 2L, 0L, 0.6, 1.0),
+      (0.0, 3L, 3L, 0L, 0.5, 1.0)))
+    // the -0.0 corner quantized into the +0.0 threshold row (not a fifth)
+    assert(got.length == 4)
+    // no positives anywhere -> recall NULL, precision still counts
+    val neg = TextAnalysis.prCurve(
+      Seq((0.5, false), (0.1, false)).toDF("logit", "y"), col("y")).collect()
+    assert(neg.forall(_.isNullAt(5)) && neg.forall(_.getDouble(4) == 0.0))
+  }
+
   test("quality features on a known string") {
     import spark.implicits._
     val d = Seq((1L, "the cat, and a dog!")).toDF("doc_id", "text")

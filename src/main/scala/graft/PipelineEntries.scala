@@ -145,6 +145,17 @@ object PipelineEntries {
         .filter(col("a") =!= col("b"))
     }),
 
+    // the admission decision over the same delta: delta docs that
+    // near-duplicate nothing already in the corpus (self-matches don't
+    // veto) — oracle-checked
+    "p_ingest_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossDedupFilter(d.filter(pmod(col("doc_id"), lit(10)) === 0),
+          Dedup.minhashSignaturesPersisted(d, mhSigPath(dir)),
+          threshold = 0.8)
+        .select("doc_id", "lang", "source")
+    }),
+
     // exact n-gram Jaccard within (lang, length) blocks — oracle-checked
     "p_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
 
@@ -2691,6 +2702,25 @@ object PipelineEntries {
         |               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
         |  FROM t x JOIN t y ON x.doc_id % 10 = 0 AND x.doc_id <> y.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    // exhaustive ground truth of the admission decision: delta docs with
+    // no qualifying cross pair (self-pairs excluded by a <> b)
+    "p_ingest_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents)),
+        |dup AS (
+        |  SELECT DISTINCT a FROM (
+        |    SELECT x.doc_id AS a,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM t x JOIN t y ON x.doc_id % 10 = 0 AND x.doc_id <> y.doc_id)
+        |  WHERE jaccard >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT a FROM dup)""".stripMargin,
 
     // exhaustive all-pairs cosine over corpus + planted perturbations:
     // the LSH-bucketed Spark result must equal the exact set

@@ -246,6 +246,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Ingestion admission: the delta docs that near-duplicate NOTHING
+    * already in the corpus — [[crossDedupPairs]] composed into the
+    * decision a continuous-ingestion pipeline actually executes ("admit
+    * today's crawl minus what we already have"). Self-matches (a delta
+    * doc re-ingested while already signed into the corpus) don't veto
+    * admission. Left-anti join on the pair miner's output: candidates ∝
+    * near-dup pairs, the admitted set never shuffles more than its ids. */
+  def crossDedupFilter(delta: DataFrame, corpusSigs: DataFrame,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dup = crossDedupPairs(delta, corpusSigs, threshold, maxBucketSize,
+        textCol, idCol)
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as(idCol)).distinct()
+    delta.join(dup, Seq(idCol), "left_anti")
+  }
+
   /** The [[minhashSignatures]] table as a build-once, APPEND-CHEAP parquet
     * artifact keyed by the corpus content fingerprint
     * ([[graft.catalog.Snapshot]]). On a stale fingerprint the rebuild is

@@ -160,6 +160,22 @@ class DedupSpec extends AnyFunSuite {
     assert(unfiltered.count { case (a, b, j) => a == b && j == 1.0 } == 2)
   }
 
+  test("crossDedupFilter: admits exactly the delta docs with no corpus near-dup") {
+    import org.apache.spark.sql.functions.col
+    val delta = docs.filter(col("doc_id").isin(2L, 3L, 4L))
+    val admitted = Dedup.crossDedupFilter(delta, Dedup.minhashSignatures(docs),
+        threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cross truth from the pair miner: any pair touching 2/3/4 vetoes it
+    val vetoed = Dedup.minhashPairs(docs, threshold = 0.8).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val expect = Set(2L, 3L, 4L).filterNot(vetoed)
+    assert(admitted == expect)
+    // self-match at 1.0 (re-ingestion) must NOT veto: every admitted doc
+    // is still in the corpus signature table it was probed against
+    assert(admitted.subsetOf(Set(2L, 3L, 4L)))
+  }
+
   test("dup-span coverage: hand-checked interval union over shared 3-grams") {
     import spark.implicits._
     // d1/d2 share "a b c" and "b c d" -> in each doc the two overlapping

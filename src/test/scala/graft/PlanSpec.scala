@@ -245,6 +245,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample is TakeOrderedAndProject; prCurve windows only the grid") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ws = graft.pipeline.Sampling.weightedSample(docs, 10, "n_chars")
+    val wsPlan = ws.queryExecution.executedPlan.toString
+    assert(wsPlan.contains("TakeOrderedAndProject"), wsPlan)
+    // the corpus never pays a shuffle on the way into the top-k heaps
+    assert(ws.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e }.isEmpty, wsPlan)
+    // prCurve: the window's input is the quantized-threshold AGGREGATE —
+    // the only exchanges are the grid-sized agg + its single-partition
+    // window, never a corpus-row window
+    val pr = graft.pipeline.TextAnalysis.prCurve(
+      docs.selectExpr("CAST(n_chars AS DOUBLE) / 1000 AS logit",
+        "lang = 'en' AS y"), col("y"))
+    val plan = pr.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.substring(winIdx).contains("HashAggregate"),
+      s"window must sit ABOVE the grid aggregate:\n$plan")
+  }
+
   test("c4Clean, classifierScore and pqEncode are shuffle-free narrow plans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -365,6 +365,9 @@ object GraftFunctions {
     // aggregate: k-slot minhash signature over pre-hashed shingles
     ("graft_minhash", classOf[MinHashAgg],
       exprs => MinHashAgg(exprs.head, graft.pipeline.Dedup.NumHashes)),
+    // per-row form of the same signature (stream-signable, shuffle-free)
+    ("graft_minhash_row", classOf[MinHashRowExpr],
+      exprs => MinHashRowExpr(exprs.head, graft.pipeline.Dedup.NumHashes)),
     // aggregate: Roaring-bitmap neighbor set → sorted array<bigint>
     ("graft_bitmap_neighbors", classOf[BitmapNeighborsAgg],
       exprs => BitmapNeighborsAgg(exprs.head)),
@@ -420,6 +423,8 @@ object GraftFunctions {
     call_function("graft_isect", a, b)
   def minhashSignatureAgg(hashedShingle: Column): Column =
     call_function("graft_minhash", hashedShingle)
+  def minhashSignatureRow(hashedShingles: Column): Column =
+    call_function("graft_minhash_row", hashedShingles)
   def bitmapNeighborsAgg(id: Column): Column =
     call_function("graft_bitmap_neighbors", id)
   def srpCodes(v: Column, tables: Int, planes: Int, dim: Int,

@@ -134,12 +134,10 @@ object Dedup {
   private def computeSignatures(keyed: DataFrame): DataFrame = {
     GraftFunctions.register(keyed.sparkSession)
     // repartition by id BEFORE the CPU-heavy per-row work: small/few input
-    // splits otherwise serialize hashing on a handful of cores, and the
-    // subsequent groupBy("id") reuses this exact hash partitioning (no
-    // second exchange).
+    // splits otherwise serialize hashing on a handful of cores.
     // The tokenize→shingle→hash chain runs ONCE and is persisted as a
-    // compact (id, array<bigint>) table feeding both the signature
-    // aggregate and the exact-verify hash sets — round 1 recomputed the
+    // compact (id, array<bigint>) table feeding both the per-row
+    // signature and the exact-verify hash sets — round 1 recomputed the
     // whole string-shingling lineage for each consumer.
     val prep = withShingles(keyed.repartition(col("id")), "__mh_text")
       .select(col("id"), col("txh"),
@@ -147,17 +145,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
 
-    // Distributed minhash, flat-column formulation: explode hashed
-    // shingles into a single aggregated pass (map-side combinable — the
-    // shuffle carries one signature buffer per doc, not the shingles).
-    // Single TypedImperativeAggregate: one Array[Long] buffer per group,
-    // one update loop per row, map-side combinable (element-wise min).
-    val sig = prep.select(col("id"), explode(col("hs")).as("h"))
-      .groupBy("id")
-      .agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
-    // both sides hash-partitioned on id by prep's repartition — no exchange
-    sig.join(prep.select(col("id"), col("txh"),
-        array_sort(col("hs")).as("hs")), "id")
+    // Per-row fused signature ([[graft.functions.MinHashRowExpr]], bit-
+    // identical to the graft_minhash aggregate — spec-pinned): signing is
+    // a pure function of one row's shingle set, so the earlier
+    // explode → groupBy(agg) → join-back round-trip was three operators
+    // where one codegen'd projection suffices. Same |hs|·k XXH64 work,
+    // zero extra data movement, and the identical expression signs
+    // unbounded STREAMS (the ingestion-admission path).
+    // empty shingle sets stay excluded (the aggregate path dropped them
+    // via its inner join; an all-MaxValue signature would otherwise band
+    // every empty doc into one shared bucket)
+    prep.filter(size(col("hs")) > 0)
+      .select(col("id"), GraftFunctions.minhashSignatureRow(col("hs")).as("sig"),
+        col("txh"), array_sort(col("hs")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
   }

@@ -87,6 +87,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sig7 == sig(1L))
   }
 
+  test("graft_minhash_row is bit-identical to the grouped aggregate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val groups = Seq(
+      1L -> Seq(100L, 200L, -5L), 2L -> Seq(100L), 3L -> Seq.empty[Long])
+    val agg = groups.flatMap { case (id, hs) => hs.map(id -> _) }
+      .toDF("id", "h").groupBy("id")
+      .agg(GraftFunctions.minhashSignatureAgg(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val row = groups.toDF("id", "hs")
+      .select(col("id"), GraftFunctions.minhashSignatureRow(col("hs")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(row(1L) == agg(1L) && row(2L) == agg(2L))
+    // empty shingle set -> untouched buffer (all Long.MaxValue), matching
+    // what the aggregate would produce for an empty group
+    assert(row(3L).forall(_ == Long.MaxValue))
+    assert(row(1L).length == graft.pipeline.Dedup.NumHashes)
+  }
+
   test("graft_bitmap_neighbors equals sorted collect_set, incl. shuffle-merge path") {
     import spark.implicits._
     GraftFunctions.register(spark)

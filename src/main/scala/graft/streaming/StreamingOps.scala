@@ -137,6 +137,76 @@ object StreamingOps {
       .drop("__graft_gram")
   }
 
+  /** Streaming ingestion veto — [[graft.pipeline.Dedup.crossDedupPairs]]'s
+    * decision on an UNBOUNDED doc stream: emit each incoming doc that
+    * near-duplicates (exact shingle-Jaccard ≥ threshold) something
+    * already in the static corpus signature table
+    * ([[graft.pipeline.Dedup.minhashSignatures]] live or the persisted
+    * artifact). The batch complement admits; a stream cannot anti-join
+    * against itself, so the streaming form emits the VETOED docs and the
+    * sink drops them.
+    *
+    * Stream side is fully stateless until the final collapse: per-row
+    * shingle → xxhash64 → fused per-row signature (`graft_minhash_row` —
+    * the blocking signature AGGREGATE cannot run on a stream, which is
+    * why the row expression exists) → stateless band posexplode. Static
+    * side — banded corpus signatures filtered by the bucket cap — is
+    * computed once and persisted (a stream-static join re-evaluates the
+    * static plan every micro-batch otherwise). A stream-static inner
+    * join probes the buckets, the exact verify intersects the pre-sorted
+    * hash sets, self-matches (re-ingested ids) don't veto, and
+    * `dropDuplicatesWithinWatermark` collapses multi-band/multi-partner
+    * hits to one veto per doc with watermark-bounded state.
+    *
+    * Scale: per micro-batch the corpus pays nothing — candidates ∝
+    * shared band buckets, exactly the batch op's envelope; veto state is
+    * one compact key per vetoed doc inside the horizon. */
+  def streamingIngestVeto(docs: DataFrame, corpusSigs: DataFrame,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame = {
+    import graft.pipeline.Dedup
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    require(!docs.columns.exists(_.startsWith("__giv_")),
+      "input already carries graft's internal __giv_ columns")
+    def bandCols(sig: Column) = (0 until Dedup.Bands).map(b =>
+      hash(slice(sig, lit(b * Dedup.Rows + 1), lit(Dedup.Rows))))
+    val cBanded = corpusSigs.select(col("id"),
+      posexplode(array(bandCols(col("sig")): _*)).as(Seq("band", "bh")))
+    val okBuckets = cBanded.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucketSize).select("band", "bh")
+    val corpusBuckets = cBanded.join(okBuckets, Seq("band", "bh"))
+      .select(col("band").as("__giv_band"), col("bh").as("__giv_bh"),
+        col("id").as("__giv_cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
+    // hs in the signature table is pre-sorted (computeSignatures)
+    val corpusSets = corpusSigs.select(col("id").as("__giv_cid"),
+      col("hs").as("__giv_hb"), size(col("hs")).as("__giv_zb"))
+    val keep = docs.columns.map(col).toSeq
+    val signed = Dedup.withShingles(
+        docs.withWatermark(tsCol, horizon), textCol, out = "__giv_sh")
+      .withColumn("__giv_hs", transform(col("__giv_sh"), s => xxhash64(s)))
+      .filter(size(col("__giv_hs")) > 0)
+      .withColumn("__giv_sig",
+        graft.functions.GraftFunctions.minhashSignatureRow(col("__giv_hs")))
+      .withColumn("__giv_ha", array_sort(col("__giv_hs")))
+      .withColumn("__giv_za", size(col("__giv_hs")))
+    val banded = signed.select(keep ++ Seq(col("__giv_ha"), col("__giv_za"),
+      posexplode(array(bandCols(col("__giv_sig")): _*))
+        .as(Seq("__giv_band", "__giv_bh"))): _*)
+    banded
+      .join(corpusBuckets, Seq("__giv_band", "__giv_bh"))
+      .filter(col(idCol) =!= col("__giv_cid"))
+      .join(corpusSets, Seq("__giv_cid"))
+      .withColumn("__giv_i", graft.functions.GraftFunctions
+        .sortedIntersectCount(col("__giv_ha"), col("__giv_hb")))
+      .filter(round(col("__giv_i").cast("double") /
+        (col("__giv_za") + col("__giv_zb") - col("__giv_i")), 4) >= threshold)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(keep: _*)
+  }
+
   /** Per-source token-quota admission — a training-mix budget enforced at
     * ingest: each source may contribute at most `quota` tokens; a document
     * is admitted iff the source's running total BEFORE it is still under

@@ -736,6 +736,11 @@ object PipelineEntries {
     // corpus-wide top-100 3-gram document frequencies — oracle-checked
     "p_ngram_topk" -> ((s, dir) => Corpus.ngramTopK(docs(s, dir), k = 100)),
 
+    // KMV distinct-vocabulary sketch per language: the shuffle carries
+    // 256 longs per group instead of the vocabulary — oracle recomputes
+    // the sketch bit-exactly (same XXH64 minima, same estimator)
+    "p_kmv_vocab" -> ((s, dir) => Corpus.vocabEstimate(docs(s, dir))),
+
     // benchmark-contamination: train docs sharing >=1 3-shingle with the
     // (doc_id % 100 == 0) eval slice — oracle-checked
     "p_contamination" -> ((s, dir) => {
@@ -1988,6 +1993,33 @@ object PipelineEntries {
        |       (lg >= $ClassifierThreshold) AS passes
        |FROM r""".stripMargin
 
+  /** KMV vocabulary sketch recomputed bit-exactly: distinct tokens hashed
+    * through the from-spec XXH64 CTEs (h already UNSIGNED HUGEINT there),
+    * per-language k smallest, estimator `(k-1)·2^64 / u_k` with the
+    * under-k fallback to the exact count. */
+  private def kmvVocabOracleSql(k: Int = 256): String =
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED (
+       |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+       |  FROM documents),
+       |tokd AS MATERIALIZED (
+       |  SELECT s, row_number() OVER (ORDER BY s) AS k
+       |  FROM (SELECT DISTINCT s FROM t)),
+       |hin AS MATERIALIZED (SELECT k, s FROM tokd),
+       |${xxh64Ctes("hin")},
+       |hl AS (
+       |  SELECT DISTINCT t.lang, xres.h
+       |  FROM t JOIN tokd USING (s) JOIN xres USING (k)),
+       |r AS (
+       |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
+       |         count(*) OVER (PARTITION BY lang) AS nd
+       |  FROM hl)
+       |SELECT lang, CAST(least(nd, $k) AS BIGINT) AS n_min,
+       |       CASE WHEN nd < $k THEN round(CAST(nd AS DOUBLE), 4)
+       |            ELSE round(${k - 1}.0 * 18446744073709551616.0 /
+       |                       CAST(h AS DOUBLE), 4) END AS est_distinct
+       |FROM r WHERE rk = least(nd, $k)""".stripMargin
+
   /** PR sweep over the classifier logits, lang='en' as ground truth:
     * 2-dp-quantized thresholds (double-rounded through the 6-dp logit,
     * exactly like the Spark path), cumulative tp/fp descending. */
@@ -2574,6 +2606,8 @@ object PipelineEntries {
     "p_classifier" -> classifierOracleSql,
 
     "p_pr_curve" -> prCurveOracleSql,
+
+    "p_kmv_vocab" -> kmvVocabOracleSql(),
 
     // identical model formulation: context counts derived from the bigram
     // table, vocab over ALL token positions, add-1 smoothing

@@ -368,6 +368,9 @@ object GraftFunctions {
     // per-row form of the same signature (stream-signable, shuffle-free)
     ("graft_minhash_row", classOf[MinHashRowExpr],
       exprs => MinHashRowExpr(exprs.head, graft.pipeline.Dedup.NumHashes)),
+    // aggregate: k-minimum-values distinct sketch; k must be foldable
+    ("graft_kmv", classOf[KmvAgg], exprs =>
+      KmvAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)),
     // aggregate: Roaring-bitmap neighbor set → sorted array<bigint>
     ("graft_bitmap_neighbors", classOf[BitmapNeighborsAgg],
       exprs => BitmapNeighborsAgg(exprs.head)),
@@ -425,6 +428,10 @@ object GraftFunctions {
     call_function("graft_minhash", hashedShingle)
   def minhashSignatureRow(hashedShingles: Column): Column =
     call_function("graft_minhash_row", hashedShingles)
+  def kmvAgg(hash: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_kmv", hash, lit(k))
+  }
   def bitmapNeighborsAgg(id: Column): Column =
     call_function("graft_bitmap_neighbors", id)
   def srpCodes(v: Column, tables: Int, planes: Int, dim: Int,

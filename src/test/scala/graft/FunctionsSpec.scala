@@ -106,6 +106,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row(1L).length == graft.pipeline.Dedup.NumHashes)
   }
 
+  test("graft_kmv: unsigned k-minima, dedup, shuffle-merge, estimator accuracy") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val n = 20000
+    val df = spark.range(n).select(xxhash64(col("id")).as("h"))
+    def minsOf(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(GraftFunctions.kmvAgg(col("h"), 256).as("m"))
+        .collect()(0).getSeq[Long](0)
+    val mins = minsOf(df.repartition(8)) // partial+merge across partitions
+    val exact = df.collect().map(_.getLong(0)).distinct
+      .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0).take(256)
+    assert(mins == exact.toSeq)
+    // duplicates never inflate the sketch
+    assert(minsOf(df.union(df).repartition(7)) == mins)
+    // the estimator lands near the true distinct count (se ~ 1/sqrt(k-2))
+    val u = mins.last
+    val ud = u.toDouble + (if (u < 0) 1.8446744073709552E19 else 0.0)
+    val est = 255.0 * 1.8446744073709552E19 / ud
+    assert(math.abs(est - n) / n < 0.25, s"est=$est vs $n")
+    // under-k group: all values, unsigned order (-1L sorts LAST)
+    val small = Seq(5L, -1L, 3L, 5L).toDF("h")
+      .agg(GraftFunctions.kmvAgg(col("h"), 256).as("m"))
+      .collect()(0).getSeq[Long](0)
+    assert(small == Seq(3L, 5L, -1L))
+  }
+
   test("graft_bitmap_neighbors equals sorted collect_set, incl. shuffle-merge path") {
     import spark.implicits._
     GraftFunctions.register(spark)

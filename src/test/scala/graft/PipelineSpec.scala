@@ -2007,6 +2007,28 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.weightedSample(weighted, k = 0, weightCol = "w"))
   }
 
+  test("vocabEstimate: exact under k, sketch near truth over k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // lang 'a': 12 distinct tokens (< k=256) -> exact count, est == n_min;
+    // lang 'b': 3000 distinct tokens -> sketch path, est within ~25%
+    val d = (
+      (0 until 6).map(i => (i.toLong, s"alpha$i beta$i", "a")) ++
+      (0 until 100).map(i => (100L + i,
+        (0 until 30).map(j => s"tok${i * 30 + j}").mkString(" "), "b")))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.pipeline.Corpus.vocabEstimate(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") == ((12L, 12.0)))
+    val (nMinB, estB) = got("b")
+    assert(nMinB == 256L)
+    assert(math.abs(estB - 3000.0) / 3000.0 < 0.25, s"est=$estB")
+    // deterministic across runs
+    val again = graft.pipeline.Corpus.vocabEstimate(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == got)
+  }
+
   test("assignSplitsByCluster: cluster members never straddle the split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -296,6 +296,17 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // chunk->doc mean-pooled embeddings (groups of 10 consecutive vec_ids
+    // stand in for a doc's chunks); sorted-fold float determinism;
+    // posexploded to scalar rows — oracle-checked
+    "p_mean_pool" -> ((s, dir) =>
+      Explodes.posexplodeNoInfer(
+          Similarity.meanPool(emb(s, dir).select(
+            expr("vec_id DIV 10").as("doc_id"),
+            col("vec_id").as("chunk_id"), col("embedding").as("vec"))),
+          Seq(col("doc_id")), col("vec"), "idx", "comp")
+        .withColumn("idx", col("idx").cast("long"))),
+
     // IVF-style ANN (coarse quantizer + nprobe lists)
     "p_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -2608,6 +2619,21 @@ object PipelineEntries {
     "p_pr_curve" -> prCurveOracleSql,
 
     "p_kmv_vocab" -> kmvVocabOracleSql(),
+
+    // per-component list in ascending chunk order, left-fold sum (the
+    // Spark side's sorted fold adds a leading +0.0, an IEEE no-op), /n,
+    // round 6; + 0.0 folds the -0.0 corner
+    "p_mean_pool" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |g AS (SELECT vec_id // 10 AS doc_id, vec_id, v FROM n),
+        |comp AS (
+        |  SELECT doc_id, t.range AS idx,
+        |         list(v[CAST(t.range AS INT) + 1] ORDER BY vec_id) AS vals
+        |  FROM g CROSS JOIN range(0, 64) AS t
+        |  GROUP BY doc_id, t.range)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        |       round(list_reduce(vals, (a, b) -> a + b) / len(vals), 6) + 0.0 AS comp
+        |FROM comp""".stripMargin,
 
     // identical model formulation: context counts derived from the bigram
     // table, vocab over ALL token positions, add-1 smoothing

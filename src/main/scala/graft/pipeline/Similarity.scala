@@ -616,6 +616,32 @@ object Similarity {
           .as("unit"))
   }
 
+  /** Chunk→document embedding pooling: the element-wise MEAN of each
+    * group's vectors — how a long document gets one embedding from its
+    * chunk embeddings (compose with [[graft.pipeline.Corpus.chunkDocuments]]
+    * + any embedder). Engine-exact float contract: the group's vectors
+    * fold in ascending `orderCol` order (collect → array_sort → left
+    * fold), the sorted-fold determinism rule every float aggregate here
+    * follows — an unordered SQL SUM would be association-nondeterministic
+    * across engines AND across Spark runs. Components round to 6 dp;
+    * + 0.0 folds the single-chunk -0.0 corner. State is per-GROUP (a
+    * doc's own chunks, tens of rows), so the collect_list is bounded by
+    * document length, never corpus size — safe at any corpus scale. */
+  def meanPool(chunks: DataFrame, groupCol: String = "doc_id",
+      orderCol: String = "chunk_id", vecCol: String = "vec"): DataFrame =
+    chunks
+      .select(col(groupCol), struct(col(orderCol).as("o"),
+        toDouble(col(vecCol)).as("v")).as("__c"))
+      .groupBy(groupCol)
+      .agg(array_sort(collect_list(col("__c"))).as("__cs"),
+        count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        transform(
+          aggregate(col("__cs"),
+            transform(element_at(col("__cs"), 1).getField("v"), _ => lit(0.0)),
+            (acc, c) => zip_with(acc, c.getField("v"), (a, x) => a + x)),
+          s => round(s / col("__n"), 6) + lit(0.0)).as("vec"))
+
   /** Cluster-balanced diversity sampling (the SemDeDup/DataComp-style
     * subset selection): k-means-assign every vector, then keep the
     * `perCluster` vectors CLOSEST to their centroid (most representative;

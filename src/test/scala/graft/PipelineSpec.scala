@@ -2007,6 +2007,25 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.weightedSample(weighted, k = 0, weightCol = "w"))
   }
 
+  test("meanPool: hand-computed means, chunk-order canonicalization") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val chunks = Seq(
+      (1L, 10L, Seq(1.0f, 2.0f)), (1L, 11L, Seq(3.0f, 4.0f)),
+      (1L, 12L, Seq(5.0f, 0.0f)),
+      (2L, 20L, Seq(-1.5f, 2.5f)))
+      .toDF("doc_id", "chunk_id", "vec")
+    val got = graft.pipeline.Similarity.meanPool(chunks).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(3.0, 2.0))
+    assert(got(2L) == Seq(-1.5, 2.5))
+    // input row order is irrelevant: the fold canonicalizes on chunk_id
+    val shuffled = graft.pipeline.Similarity.meanPool(
+        chunks.orderBy(col("chunk_id").desc).repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(shuffled == got)
+  }
+
   test("vocabEstimate: exact under k, sketch near truth over k") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -444,6 +444,11 @@ object PipelineEntries {
     "p_classifier" -> ((s, dir) => TextAnalysis.classifierScore(
       docs(s, dir), ClassifierW, bias = 0.0, threshold = ClassifierThreshold)),
 
+    // codepoint Shannon entropy per doc (binary-spill/gibberish signal,
+    // fused native pass) — oracle-checked
+    "p_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir))),
+
     // PR threshold sweep of the quality classifier against the lang=='en'
     // ground truth: the table a keep-if-score>=t cut is decided on —
     // oracle-checked
@@ -2619,6 +2624,28 @@ object PipelineEntries {
     "p_pr_curve" -> prCurveOracleSql,
 
     "p_kmv_vocab" -> kmvVocabOracleSql(),
+
+    // per-codepoint counts, -sum(p ln p) folded in ASCENDING codepoint
+    // order (the Spark expr iterates its ordered map the same way);
+    // empty docs keep n_cp=0 / entropy 0.0 via the left join
+    "p_char_entropy" ->
+      """WITH cp AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, length(text) + 1),
+        |                               i -> unicode(substring(text, i, 1)))) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM cp GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+        |terms AS (
+        |  SELECT cnt.doc_id,
+        |         list((CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)
+        |              ORDER BY c) AS ts,
+        |         any_value(n) AS n
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_cp,
+        |       coalesce(round(-list_reduce(t.ts, (a, b) -> a + b), 6) + 0.0,
+        |                0.0) AS entropy
+        |FROM documents d LEFT JOIN terms t USING (doc_id)""".stripMargin,
 
     // per-component list in ascending chunk order, left-fold sum (the
     // Spark side's sorted fold adds a leading +0.0, an IEEE no-op), /n,

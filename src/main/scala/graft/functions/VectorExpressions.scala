@@ -371,6 +371,9 @@ object GraftFunctions {
     // aggregate: k-minimum-values distinct sketch; k must be foldable
     ("graft_kmv", classOf[KmvAgg], exprs =>
       KmvAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)),
+    // codepoint Shannon entropy (nats), sorted-fold deterministic
+    ("graft_char_entropy", classOf[CharEntropyExpr],
+      exprs => CharEntropyExpr(exprs.head)),
     // aggregate: Roaring-bitmap neighbor set → sorted array<bigint>
     ("graft_bitmap_neighbors", classOf[BitmapNeighborsAgg],
       exprs => BitmapNeighborsAgg(exprs.head)),
@@ -432,6 +435,8 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_kmv", hash, lit(k))
   }
+  def charEntropy(text: Column): Column =
+    call_function("graft_char_entropy", text)
   def bitmapNeighborsAgg(id: Column): Column =
     call_function("graft_bitmap_neighbors", id)
   def srpCodes(v: Column, tables: Int, planes: Int, dim: Int,

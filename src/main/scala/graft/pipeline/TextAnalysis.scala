@@ -233,6 +233,23 @@ object TextAnalysis {
     * (bucket, label) count — ≤ 2·dim groups; the model never exceeds dim
     * rows whatever the corpus. Train on a labeled sample, apply with the
     * shuffle-free [[classifierScore]] projection. */
+  /** Codepoint-entropy quality signal ([[graft.functions.CharEntropyExpr]]
+    * fused native pass): natural-language text sits in a narrow Shannon-
+    * entropy band, while base64/hex blobs run high and repeated-char
+    * padding runs low — the cheap first-line binary-spill detector run
+    * before any tokenization. Shuffle-free narrow projection; entropy in
+    * nats rounded to 6 dp (+ 0.0 folds the single-codepoint -0.0
+    * corner), `n_cp` counts CODEPOINTS (both engines' length()
+    * semantics). */
+  def charEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_cp"),
+      (round(GraftFunctions.charEntropy(col(textCol)), 6) + lit(0.0))
+        .as("entropy"))
+  }
+
   /** Classifier threshold-sweep gauge: precision/recall at every
     * quantized score threshold — the table a filtering-threshold decision
     * (keep docs with score ≥ t) is read off of. Scores quantize to

@@ -980,6 +980,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(neg.forall(_.isNullAt(5)) && neg.forall(_.getDouble(4) == 0.0))
   }
 
+  test("charEntropy: hand-computed values, uniform/degenerate/empty corners") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaa"),           // degenerate: entropy 0 (and -0.0 folds to +0.0)
+      (2L, "abab"),           // uniform over 2 -> ln 2
+      (3L, "abcd"),           // uniform over 4 -> ln 4
+      (4L, ""),               // empty -> 0.0, n_cp 0
+      (5L, "aéé"))  // multibyte: 3 codepoints, p={1/3, 2/3}
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, 0.0)) &&
+      !(1.0 / got(1L)._2).isNegInfinity) // +0.0, not -0.0
+    assert(got(2L) == ((4L, r6(math.log(2)))))
+    assert(got(3L) == ((4L, r6(math.log(4)))))
+    assert(got(4L) == ((0L, 0.0)))
+    val p1 = 1.0 / 3; val p2 = 2.0 / 3
+    assert(got(5L) == ((3L, r6(-(p1 * math.log(p1) + p2 * math.log(p2))))))
+  }
+
   test("quality features on a known string") {
     import spark.implicits._
     val d = Seq((1L, "the cat, and a dog!")).toDF("doc_id", "text")

@@ -801,6 +801,11 @@ object PipelineEntries {
     // oracle-checked against DuckDB quantile_cont
     "p_length_stats" -> ((s, dir) => Corpus.lengthStats(docs(s, dir))),
 
+    // percentile-band outlier trim: per-lang closed [p05, p95] token band
+    // (drop truncated fragments / merged-page monsters) — oracle-checked
+    "p_trim_outliers" -> ((s, dir) =>
+      Corpus.trimOutliers(docs(s, dir)).select("doc_id", "lang", "n_tokens")),
+
     // Gopher-style word-repetition quality signals — oracle-checked
     "p_repetition" -> ((s, dir) => Corpus.repetitionStats(docs(s, dir))),
 
@@ -1257,6 +1262,38 @@ object PipelineEntries {
       |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN e ON tr.ngram = e.ngram)
       |SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
+  /** Outlier-trim oracle. The band bounds mirror SPARK's percentile
+    * interpolation association exactly — `lower + (pos-floor)·(higher-
+    * lower)`, not the symmetric two-weight form lengthStats' display
+    * oracle uses — because the bounds feed an UNROUNDED >=/<= filter:
+    * the two associations differ in low-order bits and a doc sitting
+    * exactly on an integral-position bound would otherwise flip sides. */
+  private def trimOutliersOracleSql(pLo: Double = 0.05,
+      pHi: Double = 0.95): String = {
+    def bound(tag: String, p: Double): String =
+      s"""CAST(arr[CAST(floor($p * (nd - 1)) AS BIGINT) + 1] AS DOUBLE)
+         |  + ($p * (nd - 1) - floor($p * (nd - 1)))
+         |    * (CAST(arr[CAST(ceil($p * (nd - 1)) AS BIGINT) + 1] AS DOUBLE)
+         |       - CAST(arr[CAST(floor($p * (nd - 1)) AS BIGINT) + 1] AS DOUBLE))
+         |  AS $tag""".stripMargin
+    s"""WITH n AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, count(*) AS nd, list(n_tokens ORDER BY n_tokens) AS arr
+       |  FROM n GROUP BY lang),
+       |b AS (
+       |  SELECT lang,
+       |  ${bound("lo", pLo)},
+       |  ${bound("hi", pHi)}
+       |  FROM g)
+       |SELECT n.doc_id, n.lang, n.n_tokens
+       |FROM n JOIN b USING (lang)
+       |WHERE CAST(n.n_tokens AS DOUBLE) >= b.lo
+       |  AND CAST(n.n_tokens AS DOUBLE) <= b.hi""".stripMargin
+  }
 
   private def lengthStatsOracleSql: String = {
     def pct(tag: String): String =
@@ -3817,6 +3854,8 @@ object PipelineEntries {
         |FROM m LEFT JOIN kept k ON m.doc_id = k.doc_id""".stripMargin,
 
     "p_length_stats" -> lengthStatsOracleSql,
+
+    "p_trim_outliers" -> trimOutliersOracleSql(),
 
     // word + raw-2-gram repetition fractions; the 1-token doc contributes
     // its single word as the lone "2-gram" (greatest(len-1, 1) mirrors

@@ -407,6 +407,28 @@ object Corpus {
   /** Per-language corpus length statistics over whitespace token counts:
     * doc count, mean (6 dp), and exact p50/p95/p99 (linear interpolation —
     * matches DuckDB `quantile_cont` for the oracle). */
+  /** Percentile-band outlier trim: keep only docs whose token count lies
+    * inside the per-stratum exact interpolated [pLo, pHi] band — the
+    * standard "drop truncated fragments and merged-page monsters"
+    * curation cut, bounded per language so verbose and terse languages
+    * each keep their own center. The bounds frame is |strata|-sized and
+    * BROADCASTS into the filter, so the corpus pays one narrow pass plus
+    * the percentile aggregation. Keeps docs AT the boundary (closed
+    * band). Returns the surviving docs with `n_tokens` attached. */
+  def trimOutliers(docs: DataFrame, pLo: Double = 0.05, pHi: Double = 0.95,
+      textCol: String = "text", strataCol: String = "lang"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val withN = docs.withColumn("n_tokens",
+      size(Dedup.tokens(col(textCol))).cast("long"))
+    val bounds = withN.groupBy(col(strataCol))
+      .agg(expr(s"percentile(n_tokens, $pLo)").as("__lo"),
+        expr(s"percentile(n_tokens, $pHi)").as("__hi"))
+    withN.join(broadcast(bounds), Seq(strataCol))
+      .filter(col("n_tokens").cast("double") >= col("__lo") &&
+        col("n_tokens").cast("double") <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   def lengthStats(docs: DataFrame, textCol: String = "text",
       strataCol: String = "lang"): DataFrame = {
     val nTokens = size(Dedup.tokens(col(textCol))).cast("long")

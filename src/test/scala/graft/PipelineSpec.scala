@@ -2029,6 +2029,26 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.weightedSample(weighted, k = 0, weightCol = "w"))
   }
 
+  test("trimOutliers: closed percentile band, per-stratum bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // lang 'a': 11 docs with 1..11 tokens -> p05 pos = 0.5 (between 1 and
+    // 2 tokens), p95 pos = 9.5 (between 10 and 11) -> survivors 2..10;
+    // lang 'b': uniform 5 tokens -> degenerate band keeps everything
+    val d = (
+      (1 to 11).map(i => (i.toLong, ("w " * i).trim, "a")) ++
+      (1 to 4).map(i => (100L + i, "x y z q r", "b")))
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.pipeline.Corpus.trimOutliers(d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == ((2 to 10).map(_.toLong).toSet ++ (1 to 4).map(100L + _)))
+    // boundary docs at an integral percentile position stay IN (closed
+    // band): p0/p100 keeps all
+    assert(graft.pipeline.Corpus.trimOutliers(d, 0.0, 1.0).count() == 15)
+    intercept[IllegalArgumentException](
+      graft.pipeline.Corpus.trimOutliers(d, 0.9, 0.1))
+  }
+
   test("meanPool: hand-computed means, chunk-order canonicalization") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -757,6 +757,11 @@ object PipelineEntries {
     // the sketch bit-exactly (same XXH64 minima, same estimator)
     "p_kmv_vocab" -> ((s, dir) => Corpus.vocabEstimate(docs(s, dir))),
 
+    // count-min heavy hitters: exact top-20 tokens with exact + sketch
+    // counts (estimates always >= truth) — oracle rebuilds the identical
+    // d x w counters from the same bucket family
+    "p_cms_topk" -> ((s, dir) => Corpus.cmsHeavyHitters(docs(s, dir))),
+
     // benchmark-contamination: train docs sharing >=1 3-shingle with the
     // (doc_id % 100 == 0) eval slice — oracle-checked
     "p_contamination" -> ((s, dir) => {
@@ -2073,6 +2078,38 @@ object PipelineEntries {
        |                       CAST(h AS DOUBLE), 4) END AS est_distinct
        |FROM r WHERE rk = least(nd, $k)""".stripMargin
 
+  /** Count-min heavy-hitter oracle: rebuild the identical d×w counters —
+    * bucket = XXH64("cms<r> " || token) low bits (w = 2^10, so the Spark
+    * side's signed pmod equals the unsigned modulo) — then min the top-k
+    * tokens' cells. Pure integer arithmetic, engine-exact by construction. */
+  private def cmsTopkOracleSql(k: Int = 20, d: Int = 2, w: Int = 1024): String =
+    s"""WITH RECURSIVE
+       |t AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |c AS MATERIALIZED (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY tok),
+       |pre AS MATERIALIZED (
+       |  SELECT r.range AS r, c.tok, 'cms' || r.range || ' ' || c.tok AS s
+       |  FROM c CROSS JOIN range(0, $d) r),
+       |tokd AS MATERIALIZED (
+       |  SELECT s, row_number() OVER (ORDER BY s) AS k
+       |  FROM (SELECT DISTINCT s FROM pre)),
+       |hin AS MATERIALIZED (SELECT k, s FROM tokd),
+       |${xxh64Ctes("hin")},
+       |bck AS MATERIALIZED (
+       |  SELECT pre.r, pre.tok, CAST(xres.h % $w AS BIGINT) AS j
+       |  FROM pre JOIN tokd USING (s) JOIN xres USING (k)),
+       |cells AS (
+       |  SELECT b.r, b.j, sum(c.exact_cnt) AS cell
+       |  FROM bck b JOIN c USING (tok) GROUP BY b.r, b.j),
+       |top AS (SELECT tok, exact_cnt FROM c
+       |        ORDER BY exact_cnt DESC, tok ASC LIMIT $k)
+       |SELECT top.tok, CAST(top.exact_cnt AS BIGINT) AS exact_cnt,
+       |       CAST(min(cells.cell) AS BIGINT) AS est_cnt
+       |FROM top JOIN bck ON bck.tok = top.tok
+       |         JOIN cells ON cells.r = bck.r AND cells.j = bck.j
+       |GROUP BY top.tok, top.exact_cnt""".stripMargin
+
   /** PR sweep over the classifier logits, lang='en' as ground truth:
     * 2-dp-quantized thresholds (double-rounded through the 6-dp logit,
     * exactly like the Spark path), cumulative tp/fp descending. */
@@ -2661,6 +2698,8 @@ object PipelineEntries {
     "p_pr_curve" -> prCurveOracleSql,
 
     "p_kmv_vocab" -> kmvVocabOracleSql(),
+
+    "p_cms_topk" -> cmsTopkOracleSql(),
 
     // per-codepoint counts, -sum(p ln p) folded in ASCENDING codepoint
     // order (the Spark expr iterates its ordered map the same way);

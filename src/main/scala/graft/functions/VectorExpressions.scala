@@ -374,6 +374,11 @@ object GraftFunctions {
     // codepoint Shannon entropy (nats), sorted-fold deterministic
     ("graft_char_entropy", classOf[CharEntropyExpr],
       exprs => CharEntropyExpr(exprs.head)),
+    // aggregate: count-min sketch over pre-bucketed indices; d, w foldable
+    ("graft_cms", classOf[CountMinAgg], exprs =>
+      CountMinAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)),
     // aggregate: Roaring-bitmap neighbor set → sorted array<bigint>
     ("graft_bitmap_neighbors", classOf[BitmapNeighborsAgg],
       exprs => BitmapNeighborsAgg(exprs.head)),
@@ -437,6 +442,10 @@ object GraftFunctions {
   }
   def charEntropy(text: Column): Column =
     call_function("graft_char_entropy", text)
+  def cmsAgg(buckets: Column, d: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_cms", buckets, lit(d), lit(w))
+  }
   def bitmapNeighborsAgg(id: Column): Column =
     call_function("graft_bitmap_neighbors", id)
   def srpCodes(v: Column, tables: Int, planes: Int, dim: Int,

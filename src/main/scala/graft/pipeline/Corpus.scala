@@ -110,6 +110,37 @@ object Corpus {
       .orderBy(col("doc_freq").desc, col("ngram").asc)
       .limit(k)
 
+  /** Heavy-hitter gauge for the Count-Min sketch
+    * ([[graft.functions.CountMinAgg]]): build the d×w sketch over every
+    * token occurrence, then report the exact top-k tokens with BOTH the
+    * exact and the sketch-estimated count — the table that qualifies a
+    * sketch geometry before the exact side is dropped at scale (at
+    * 100 TB only the sketch survives: d·w longs of shuffle instead of
+    * the vocabulary, estimates always ≥ truth within εN, ε = e/w). The
+    * bucket family is `xxhash64("cms<r> " || token) mod w` with w a
+    * power of two, so the signed pmod equals the unsigned low bits and
+    * the DuckDB oracle rebuilds the identical counters. */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20, d: Int = 2,
+      w: Int = 1024, textCol: String = "text"): DataFrame = {
+    require(k > 0 && (w & (w - 1)) == 0,
+      s"w must be a power of two (signed pmod == unsigned low bits), got $w")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def bucket(r: Int, tok: Column) =
+      pmod(xxhash64(concat_ws(" ", lit(s"cms$r"), tok)), lit(w.toLong)).cast("int")
+    val toks = Explodes.explodeNoInfer(
+      docs.select(Dedup.tokens(col(textCol)).as("__toks")),
+      Seq.empty, col("__toks"), "tok")
+    val cms = toks.agg(graft.functions.GraftFunctions.cmsAgg(
+      array((0 until d).map(r => bucket(r, col("tok"))): _*), d, w).as("__cms"))
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(k)
+      .crossJoin(broadcast(cms))
+      .select(col("tok"), col("exact_cnt"),
+        least((0 until d).map(r => element_at(col("__cms"),
+          (lit(r * w) + bucket(r, col("tok")) + lit(1)).cast("int"))): _*)
+          .as("est_cnt"))
+  }
+
   /** Per-group distinct-token ESTIMATE via the k-minimum-values sketch
     * ([[graft.functions.KmvAgg]]): vocabulary size per language/source
     * without the vocabulary-sized shuffle an exact COUNT(DISTINCT) pays —

@@ -132,6 +132,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(small == Seq(3L, 5L, -1L))
   }
 
+  test("graft_cms: counters equal per-bucket group-by, estimates bound truth") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val d = 2; val w = 16
+    // 500 keys, zipf-ish multiplicities; buckets from the key's low bits
+    // of two seeded hashes
+    def bucket(r: Int, k: org.apache.spark.sql.Column) =
+      pmod(xxhash64(concat(lit(s"s$r-"), k.cast("string"))), lit(w.toLong)).cast("int")
+    val keys = spark.range(500)
+      .select((col("id") % 40).as("k"))
+      .repartition(8)
+    val cms = keys.agg(GraftFunctions.cmsAgg(
+        array(bucket(0, col("k")), bucket(1, col("k"))), d, w).as("m"))
+      .collect()(0).getSeq[Long](0)
+    // rebuild counters naively
+    val rows = keys.select(col("k"), bucket(0, col("k")).as("b0"),
+        bucket(1, col("k")).as("b1")).collect()
+    val expect = new Array[Long](d * w)
+    rows.foreach { r => expect(r.getInt(1)) += 1; expect(w + r.getInt(2)) += 1 }
+    assert(cms == expect.toSeq)
+    // point estimates are always >= truth
+    val truth = rows.groupBy(_.getLong(0)).view.mapValues(_.length.toLong)
+    truth.foreach { case (k, n) =>
+      val r0 = rows.find(_.getLong(0) == k).get
+      val est = math.min(cms(r0.getInt(1)), cms(w + r0.getInt(2)))
+      assert(est >= n, s"key $k: est $est < true $n")
+    }
+  }
+
   test("graft_bitmap_neighbors equals sorted collect_set, incl. shuffle-merge path") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -247,6 +247,16 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // hard negatives for contrastive training: top-5 most-similar vectors
+    // OUTSIDE the query's kmeans cluster, from an exact kCand=25
+    // shortlist — oracle-checked
+    "p_hard_neg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(pmod(col("vec_id"), lit(50)) === 0),
+          Similarity.kmeansAssign(e), k = 5, kCand = 25)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // hyperplane-LSH ANN over the same query set (scale path; recall vs
     // brute force asserted in SimilaritySpec)
     "p_ann_lsh" -> ((s, dir) => {
@@ -2700,6 +2710,31 @@ object PipelineEntries {
     "p_kmv_vocab" -> kmvVocabOracleSql(),
 
     "p_cms_topk" -> cmsTopkOracleSql(),
+
+    // kmeans CTE chain + exact kCand shortlist + cluster exclusion +
+    // re-rank — rounds sim to 6dp BEFORE every rank, like the Spark side
+    "p_hard_neg" -> kmeansOracleSql(finalSelect =
+      """, q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT qid, n.vec_id AS nid,
+        |         round(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+        |               (qnrm * nrm), 6) AS sim
+        |  FROM q, n WHERE n.vec_id <> q.qid),
+        |cand AS (
+        |  SELECT qid, nid, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS crank
+        |  FROM s),
+        |f AS (
+        |  SELECT c.qid, c.nid, c.sim
+        |  FROM (SELECT * FROM cand WHERE crank <= 25) c
+        |  JOIN asg aq ON aq.vec_id = c.qid
+        |  JOIN asg an ON an.vec_id = c.nid
+        |  WHERE aq.cluster_id <> an.cluster_id)
+        |SELECT qid, nid, sim, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT qid, nid, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM f)
+        |WHERE rank <= 5""".stripMargin),
 
     // per-codepoint counts, -sum(p ln p) folded in ASCENDING codepoint
     // order (the Spark expr iterates its ordered map the same way);

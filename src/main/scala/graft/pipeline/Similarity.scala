@@ -616,6 +616,35 @@ object Similarity {
           .as("unit"))
   }
 
+  /** Hard-negative mining for retrieval/contrastive training: each
+    * query's top-k most-similar vectors EXCLUDING its own cluster —
+    * similar-but-not-near-duplicate is exactly what a contrastive
+    * objective wants as a negative (an accidental near-dup labeled
+    * "negative" teaches the model wrong; Karpukhin et al. 2020's BM25
+    * hard negatives have the same failure mode). Composes ANY candidate
+    * top-k frame source (here the exact brute-force kCand shortlist; an
+    * IVF/PQ shortlist drops in identically) with ANY cluster assignment
+    * ([[kmeansAssign]] semantic clusters, or [[graft.pipeline.Dedup.dupClusters]]
+    * ids mapped into vector space). Cost beyond the candidate mine: two
+    * id-keyed joins on the kCand·|q| candidate rows and a per-query
+    * re-rank window bounded by kCand. Queries whose whole shortlist is
+    * same-cluster return fewer than k rows — widen kCand, not k. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      clusters: DataFrame, k: Int = 5, kCand: Int = 25,
+      dim: Int = DefaultDim, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cl = clusters.select(col(idCol), col("cluster_id"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    bruteForceTopK(corpus, queries, kCand, dim, idCol, vecCol)
+      .join(cl.select(col(idCol).as("qid"), col("cluster_id").as("__qc")), "qid")
+      .join(cl.select(col(idCol).as("nid"), col("cluster_id").as("__nc")), "nid")
+      .filter(col("__qc") =!= col("__nc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+
   /** Chunk→document embedding pooling: the element-wise MEAN of each
     * group's vectors — how a long document gets one embedding from its
     * chunk embeddings (compose with [[graft.pipeline.Corpus.chunkDocuments]]

@@ -560,6 +560,27 @@ class SimilaritySpec extends AnyFunSuite {
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
   private lazy val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
 
+  test("hardNegatives: cluster mates excluded, re-rank equals filtered shortlist") {
+    val clusters = Similarity.kmeansAssign(emb)
+    val got = Similarity.hardNegatives(emb, queries, clusters,
+      k = 5, kCand = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val cl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no negative shares its query's cluster
+    assert(got.nonEmpty && got.forall { case (q, nt, _, _) => cl(q) != cl(nt) })
+    // equals the brute-force kCand shortlist with mates dropped, re-ranked
+    val cand = Similarity.bruteForceTopK(emb, queries, k = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expect = cand.filter { case (q, nt, _, _) => cl(q) != cl(nt) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy { case (_, nt, s, _) => (-s, nt) }.take(5).zipWithIndex
+          .map { case ((_, nt, s, _), i) => (q, nt, s, i + 1) }
+      }.toSet
+    assert(got.toSet == expect)
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(emb, queries, clusters, k = 10, kCand = 5))
+  }
+
   test("brute-force top-k: k rows per query, sim in [-1,1], self excluded") {
     val out = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
     val n = queries.count()

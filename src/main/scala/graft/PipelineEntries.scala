@@ -459,6 +459,10 @@ object PipelineEntries {
     "p_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(docs(s, dir))),
 
+    // canonicalize-before-dedup: strip non-ws controls, collapse ws runs,
+    // trim; n_removed audits source dirtiness — oracle-checked
+    "p_norm_text" -> ((s, dir) => TextAnalysis.normalizeText(docs(s, dir))),
+
     // PR threshold sweep of the quality classifier against the lang=='en'
     // ground truth: the table a keep-if-score>=t cut is decided on —
     // oracle-checked
@@ -2735,6 +2739,18 @@ object PipelineEntries {
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         |  FROM f)
         |WHERE rank <= 5""".stripMargin),
+
+    // same two-stage replace: non-ws controls out, \s+ runs to one space,
+    // trim; lengths are codepoint counts in both engines
+    "p_norm_text" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(
+        |         regexp_replace(text, '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'),
+        |         '\s+', ' ', 'g')) AS norm_text,
+        |       CAST(length(text) - length(trim(regexp_replace(
+        |         regexp_replace(text, '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'),
+        |         '\s+', ' ', 'g'))) AS BIGINT) AS n_removed
+        |FROM documents""".stripMargin,
 
     // per-codepoint counts, -sum(p ln p) folded in ASCENDING codepoint
     // order (the Spark expr iterates its ordered map the same way);

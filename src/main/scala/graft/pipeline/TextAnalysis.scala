@@ -233,6 +233,25 @@ object TextAnalysis {
     * (bucket, label) count — ≤ 2·dim groups; the model never exceeds dim
     * rows whatever the corpus. Train on a labeled sample, apply with the
     * shuffle-free [[classifierScore]] projection. */
+  /** Text canonicalization before hashing/dedup: strip C0/C1 control
+    * codepoints that are not whitespace, collapse every whitespace run to
+    * one space, trim. Two otherwise-identical scrapes that differ only in
+    * line wrapping or stray control bytes then hash identically — run
+    * this before [[graft.pipeline.Dedup]]'s exact/minhash passes, not
+    * after. Shuffle-free narrow projection of two global regex replaces;
+    * `n_removed` (codepoints dropped or merged) is the cheap audit
+    * signal for how dirty a source is. */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // non-whitespace controls first (so "a b" -> "ab"), THEN the
+    // whitespace collapse (so "a\nb" -> "a b"), then trim
+    val stripped = regexp_replace(col(textCol),
+      "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]", "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    docs.select(col(idCol), collapsed.as("norm_text"),
+      (length(col(textCol)) - length(collapsed)).cast("long").as("n_removed"))
+  }
+
   /** Codepoint-entropy quality signal ([[graft.functions.CharEntropyExpr]]
     * fused native pass): natural-language text sits in a narrow Shannon-
     * entropy band, while base64/hex blobs run high and repeated-char

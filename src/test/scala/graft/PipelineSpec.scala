@@ -1001,6 +1001,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(neg.forall(_.isNullAt(5)) && neg.forall(_.getDouble(4) == 0.0))
   }
 
+  test("normalizeText: controls stripped, whitespace collapsed, dedup-stable") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a\u0000b  c\t\nd "), // NUL joins, ws runs collapse, trim
+      (2L, "ab c d"),              // the same doc wrapped differently
+      (3L, "\u0001\u0002"),        // all controls -> empty
+      (4L, "plain"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("ab c d", 4L)))
+    assert(got(2L) == (("ab c d", 0L)))
+    assert(got(3L) == (("", 2L)))
+    assert(got(4L) == (("plain", 0L)))
+    // the point: differently-wrapped scrapes hash identically after
+    assert(got(1L)._1 == got(2L)._1)
+  }
+
   test("charEntropy: hand-computed values, uniform/degenerate/empty corners") {
     import spark.implicits._
     val d = Seq(

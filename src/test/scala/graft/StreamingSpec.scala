@@ -395,6 +395,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(3L).isEmpty) // unseen vocab -> all idf 0 -> null vec
   }
 
+  test("streaming vocab sketch: update-mode KMV state converges to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 60L).map(i =>
+      (i, s"tok${i % 37} word${i % 11} fill${i}", if (i % 2 == 0) "en" else "de"))
+    val batch = graft.pipeline.Corpus.vocabEstimate(
+        docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(docs.take(30): _*)
+    // update output mode: the KMV aggregate's merge is the state update —
+    // k longs per group, which is WHY a sketch (not exact distinct state)
+    // is the streaming form of vocabulary tracking
+    val q = graft.pipeline.Corpus.vocabEstimate(
+        mem.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("vocab_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(docs.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("vocab_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming ingest veto matches the batch cross-dedup decision") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -243,7 +243,7 @@ object TextAnalysis {
     * signal for how dirty a source is. */
   def normalizeText(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // non-whitespace controls first (so "a b" -> "ab"), THEN the
+    // non-whitespace controls first (so "a<NUL>b" -> "ab"), THEN the
     // whitespace collapse (so "a\nb" -> "a b"), then trim
     val stripped = regexp_replace(col(textCol),
       "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]", "")

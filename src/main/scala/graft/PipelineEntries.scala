@@ -495,6 +495,15 @@ object PipelineEntries {
           Seq(col("doc_id")), col("vec"), "idx", "comp")
         .withColumn("idx", col("idx").cast("long"))),
 
+    // distribution-shift gauge: pairwise cosine between per-source
+    // hashedTfidf centroids — the drift alarm between corpus slices;
+    // |sources|^2 output rows however large the corpus — oracle-checked
+    "p_domain_shift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Similarity.centroidShift(
+        TextAnalysis.hashedTfidf(d).join(d.select("doc_id", "source"), "doc_id"))
+    }),
+
     // the train/apply split of the same operator: idf model trained once
     // (≤dim rows collected), then a shuffle-free per-row projection embeds
     // the corpus — the form that runs unchanged on a stream. Trained and
@@ -2245,7 +2254,9 @@ object PipelineEntries {
     * only unordered aggregation, so exact; per-bucket idf `ln(N/df)`;
     * dense bucket-ordered list; `list_sum` norm fold (the p_normalize
     * pattern — matches Spark's in-order dot fold); 6-dp components. */
-  private def hashEmbedOracleSql(dim: Int = 64): String =
+  /** The hashedTfidf CTE chain up to `nv(doc_id, vec, nrm)`; callers
+    * supply the final select (or further CTEs, leading with a comma). */
+  private def hashEmbedChain(dim: Int, finalSelect: String): String =
     s"""WITH RECURSIVE
        |t AS MATERIALIZED (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
@@ -2279,10 +2290,41 @@ object PipelineEntries {
        |  SELECT doc_id, vec,
        |         sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
        |  FROM v)
-       |SELECT doc_id, CAST(g.b AS BIGINT) AS idx,
-       |       round(vec[g.b + 1] / nrm, 6) AS comp
-       |FROM nv, unnest(range(0, $dim)) AS g(b)
-       |WHERE nrm <> 0""".stripMargin
+       |$finalSelect""".stripMargin
+
+  private def hashEmbedOracleSql(dim: Int = 64): String =
+    hashEmbedChain(dim,
+      s"""SELECT doc_id, CAST(g.b AS BIGINT) AS idx,
+         |       round(vec[g.b + 1] / nrm, 6) AS comp
+         |FROM nv, unnest(range(0, $dim)) AS g(b)
+         |WHERE nrm <> 0""".stripMargin)
+
+  /** Domain-shift oracle: the hashedTfidf chain's ROUNDED unit vectors
+    * (the same frame meanPool consumes on the Spark side), per-source
+    * component means folded in doc_id order, then pairwise centroid
+    * cosine over the upper triangle. */
+  private def domainShiftOracleSql(dim: Int = 64): String =
+    hashEmbedChain(dim,
+      s""", uv AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, ${dim + 1}), i -> round(vec[i] / nrm, 6)) AS v
+         |  FROM nv WHERE nrm <> 0),
+         |src AS (SELECT d.source, uv.doc_id, uv.v
+         |        FROM uv JOIN documents d USING (doc_id)),
+         |cmean AS (
+         |  SELECT source, t.i,
+         |         round(list_reduce(list(v[t.i] ORDER BY doc_id), (a, b) -> a + b)
+         |               / count(*), 6) + 0.0 AS c
+         |  FROM src, range(1, ${dim + 1}) t(i) GROUP BY source, t.i),
+         |cent AS (SELECT source, list(c ORDER BY i) AS cv FROM cmean GROUP BY source),
+         |n2 AS (SELECT source, cv,
+         |              sqrt(list_sum(list_transform(cv, x -> x * x))) AS nrm
+         |       FROM cent)
+         |SELECT x.source AS src_a, y.source AS src_b,
+         |       round(list_sum(list_transform(range(1, ${dim + 1}),
+         |                                     i -> x.cv[i] * y.cv[i])) /
+         |             (x.nrm * y.nrm), 6) AS cosine
+         |FROM n2 x JOIN n2 y ON x.source < y.source""".stripMargin)
 
   /** The chr(1)-wrapped symbol encoding of a word expression. */
   private def bpeEncExpr(wordExpr: String): String =
@@ -2831,6 +2873,8 @@ object PipelineEntries {
         |FROM r WHERE rank <= 3""".stripMargin,
 
     "p_hash_embed" -> hashEmbedOracleSql(),
+
+    "p_domain_shift" -> domainShiftOracleSql(),
     // train==apply corpus ⇒ identical math path (spec-pinned bit-equality)
     "p_hash_embed_apply" -> hashEmbedOracleSql(),
 

@@ -616,6 +616,32 @@ object Similarity {
           .as("unit"))
   }
 
+  /** Distribution-shift gauge between corpus slices: the pairwise cosine
+    * between per-group embedding CENTROIDS ([[meanPool]] of each group's
+    * vectors). Two sources whose centroids sit far apart in embedding
+    * space are different distributions — the number a mixture-weight or
+    * rebalancing decision is sanity-checked against, and the drift alarm
+    * between two crawl snapshots. Composes with any embedding source
+    * (hashedTfidf gives it without an external model). Output is the
+    * upper triangle (a < b), |groups|² rows at most — a broadcast-sized
+    * frame however large the corpus; the corpus itself pays only
+    * meanPool's group aggregation. NULL vectors (e.g. empty docs) are
+    * excluded before pooling. */
+  def centroidShift(vectors: DataFrame, groupCol: String = "source",
+      orderCol: String = "doc_id", vecCol: String = "vec",
+      dim: Int = DefaultDim): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val means = meanPool(vectors.filter(col(vecCol).isNotNull),
+      groupCol, orderCol, vecCol)
+    val a = means.select(col(groupCol).as("src_a"), col("vec").as("__va"))
+    val b = means.select(col(groupCol).as("src_b"), col("vec").as("__vb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(dotFixed(col("__va"), col("__vb"), dim) /
+          (normFixed(col("__va"), dim) * normFixed(col("__vb"), dim)), 6)
+          .as("cosine"))
+  }
+
   /** Hard-negative mining for retrieval/contrastive training: each
     * query's top-k most-similar vectors EXCLUDING its own cluster —
     * similar-but-not-near-duplicate is exactly what a contrastive

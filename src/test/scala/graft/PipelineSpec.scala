@@ -560,6 +560,25 @@ class SimilaritySpec extends AnyFunSuite {
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
   private lazy val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
 
+  test("centroidShift: pairwise centroid cosine, nulls excluded, triangle only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, "a", Seq(1.0, 0.0)), (2L, "a", Seq(0.0, 1.0)),     // centroid (.5, .5)
+      (3L, "b", Seq(1.0, 0.0)),                               // centroid (1, 0)
+      (4L, "c", Seq(-1.0, 0.0)), (5L, "c", Seq(-1.0, 0.0)),   // centroid (-1, 0)
+      (6L, "a", null))                                        // excluded
+      .toDF("doc_id", "source", "vec")
+    val got = Similarity.centroidShift(vecs, dim = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val s2 = math.sqrt(0.5 * 0.5 * 2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(
+      ("a", "b", r6(0.5 / s2)),   // cos between (.5,.5) and (1,0)
+      ("a", "c", r6(-0.5 / s2)),
+      ("b", "c", -1.0)))
+  }
+
   test("hardNegatives: cluster mates excluded, re-rank equals filtered shortlist") {
     val clusters = Similarity.kmeansAssign(emb)
     val got = Similarity.hardNegatives(emb, queries, clusters,

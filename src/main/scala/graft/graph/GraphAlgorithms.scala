@@ -561,36 +561,52 @@ object GraphAlgorithms {
       .filter(col("a") =!= col("b"))
     val canon = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct()
-    val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.pipeline.PipelineCaches.track)
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.pipeline.PipelineCaches.track)
-    labels.count()
+    // GraphX aggregateMessages rounds (the g_wpagerank/g_ppr move: the
+    // DataFrame form re-planned join+mode+persist per round, and on a
+    // real cluster re-shuffled the symmetric edge list each time; here
+    // the partitioning is built once and each synchronous round is one
+    // message pass). Messages carry per-label neighbor counts; the
+    // vertex update is max-count with MIN-LABEL ties — exactly
+    // `mode(label, deterministic = true)` of the neighbor multiset over
+    // the simple undirected graph, so the unrolled-CTE oracle is
+    // unchanged. Message size is bounded by the vertex's distinct
+    // neighbor labels (≤ degree), the same payload the DataFrame round
+    // shuffled as rows.
+    val spark = gs.spark
+    import spark.implicits._
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edgeRdd = canon.rdd.map(row => Edge(row.getLong(0), row.getLong(1), ()))
+    var g = tracked(Graph.fromEdges(edgeRdd, (),
+        StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => id))
+    g.cache()
+    g.vertices.count()
     var i = 0
     var stable = false
     while (i < iters && !stable) {
-      val prev = labels
-      labels = und.join(prev.withColumnRenamed("id", "__nid"),
-          col("b") === col("__nid"))
-        .groupBy(col("a").as("id"))
-        .agg(mode(col("label"), deterministic = true).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(graft.pipeline.PipelineCaches.track)
-      labels.count()
-      if (untilStable) {
-        val p = prev.select(col("id").as("__pid"), col("label").as("__plabel"))
-        stable = labels.join(p, col("id") === col("__pid"))
-          .filter(col("label") =!= col("__plabel")).isEmpty
-      }
-      prev.unpersist(blocking = false)
+      val msgs = g.aggregateMessages[scala.collection.mutable.Map[Long, Int]](
+        ctx => {
+          ctx.sendToDst(scala.collection.mutable.Map(ctx.srcAttr -> 1))
+          ctx.sendToSrc(scala.collection.mutable.Map(ctx.dstAttr -> 1))
+        },
+        (m1, m2) => {
+          m2.foreach { case (l, c) => m1.update(l, m1.getOrElse(l, 0) + c) }
+          m1
+        })
+      val g2 = tracked(g.outerJoinVertices(msgs)((_, old, m) =>
+        m.map(_.minBy { case (l, c) => (-c, l) }._1).getOrElse(old)))
+      g2.cache()
+      g2.vertices.count()
+      if (untilStable)
+        stable = g.vertices.join(g2.vertices)
+          .filter { case (_, (a, b)) => a != b }.isEmpty()
+      g.unpersistVertices(blocking = false)
+      g.edges.unpersist(blocking = false)
+      g = g2
       i += 1
     }
     lastLabelPropRounds.set(i)
-    labels
+    g.vertices.map { case (id, l) => (id, l) }.toDF("id", "label")
   }
 
   /** Rounds the last [[labelPropagation]] call executed — test probe for

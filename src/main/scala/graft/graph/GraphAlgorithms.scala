@@ -584,17 +584,35 @@ object GraphAlgorithms {
     var i = 0
     var stable = false
     while (i < iters && !stable) {
-      val msgs = g.aggregateMessages[scala.collection.mutable.Map[Long, Int]](
+      // messages are PRIMITIVE label arrays (concat-merged), not maps:
+      // per-edge boxed-map allocation is a linear cost that erased the
+      // port's win at PLACED scale; an Array[Long] message is one small
+      // allocation and merges via arraycopy. The mode is computed once
+      // per vertex from the sorted multiset with the min-label tie.
+      val msgs = g.aggregateMessages[Array[Long]](
         ctx => {
-          ctx.sendToDst(scala.collection.mutable.Map(ctx.srcAttr -> 1))
-          ctx.sendToSrc(scala.collection.mutable.Map(ctx.dstAttr -> 1))
+          ctx.sendToDst(Array(ctx.srcAttr))
+          ctx.sendToSrc(Array(ctx.dstAttr))
         },
-        (m1, m2) => {
-          m2.foreach { case (l, c) => m1.update(l, m1.getOrElse(l, 0) + c) }
-          m1
+        (a, b) => {
+          val out = new Array[Long](a.length + b.length)
+          System.arraycopy(a, 0, out, 0, a.length)
+          System.arraycopy(b, 0, out, a.length, b.length)
+          out
         })
       val g2 = tracked(g.outerJoinVertices(msgs)((_, old, m) =>
-        m.map(_.minBy { case (l, c) => (-c, l) }._1).getOrElse(old)))
+        m.map { arr =>
+          java.util.Arrays.sort(arr)
+          var best = arr(0); var bestN = 0
+          var j = 0
+          while (j < arr.length) {
+            var k = j
+            while (k < arr.length && arr(k) == arr(j)) k += 1
+            if (k - j > bestN) { best = arr(j); bestN = k - j }
+            j = k
+          }
+          best
+        }.getOrElse(old)))
       g2.cache()
       g2.vertices.count()
       if (untilStable)

@@ -422,6 +422,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming count-min: complete-mode counters converge to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    def buckets(k: org.apache.spark.sql.Column) = array(
+      pmod(xxhash64(concat(lit("s0-"), k)), lit(16L)).cast("int"),
+      pmod(xxhash64(concat(lit("s1-"), k)), lit(16L)).cast("int"))
+    val toks = (0L until 300L).map(i => s"tok${i % 23}")
+    val batchCms = toks.toDF("tok")
+      .agg(GraftFunctions.cmsAgg(buckets(col("tok")), 2, 16).as("m"))
+      .collect()(0).getSeq[Long](0)
+    val mem = MemoryStream[String]
+    mem.addData(toks.take(120): _*)
+    val q = mem.toDF().toDF("tok")
+      .agg(GraftFunctions.cmsAgg(buckets(col("tok")), 2, 16).as("m"))
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(toks.drop(120): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_out").collect()(0).getSeq[Long](0)
+    assert(streamed == batchCms)
+  }
+
   test("streaming ingest veto matches the batch cross-dedup decision") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -841,6 +841,11 @@ object PipelineEntries {
     // identical window formulation
     "p_pack" -> ((s, dir) => Corpus.packSequences(docs(s, dir))),
 
+    // per-shard packing efficiency: fill_frac = the FLOPs NOT burned on
+    // padding, the number a seqLen choice is made on — oracle-checked
+    "p_pack_stats" -> ((s, dir) =>
+      Corpus.packingStats(Corpus.packSequences(docs(s, dir)))),
+
     // GraphX connected components over the same-label NATION_ADJ edge
     // list; component id = min member id ⇒ SQL-oracle-checkable
     "g_concomp" -> ((s, dir) =>
@@ -4035,6 +4040,30 @@ object PipelineEntries {
         |SELECT doc_id, shard, n_tokens, cum_tokens,
         |       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS seq_bin
         |FROM c""".stripMargin,
+
+    // the same pack derivation aggregated per shard; fill_frac over the
+    // n_bins * 2048 capacity
+    "p_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |              AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |p AS (
+        |  SELECT shard, n_tokens,
+        |         CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS seq_bin
+        |  FROM c)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(max(seq_bin) + 1 AS BIGINT) AS n_bins,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) /
+        |             ((max(seq_bin) + 1) * 2048.0), 6) AS fill_frac
+        |FROM p GROUP BY shard""".stripMargin,
 
     "g_concomp" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

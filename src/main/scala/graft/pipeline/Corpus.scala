@@ -402,6 +402,26 @@ object Corpus {
         col("cum_tokens"), col("seq_bin"))
   }
 
+  /** Packing-efficiency gauge over [[packSequences]] output (or any
+    * (shard, n_tokens, seq_bin) frame): per shard, how full the
+    * fixed-length training bins actually are — `fill_frac` below ~0.9
+    * means the batch is burning that fraction of FLOPs on padding, the
+    * number a seqLen / shard-count choice is made on. One
+    * map-side-combinable aggregate over the packed frame; |shards| output
+    * rows. `fill_frac` can exceed 1 when documents straddle bin
+    * boundaries (this packing assigns a doc to the bin its START falls
+    * in) — values over 1 measure straddle spill, not over-capacity. */
+  def packingStats(packed: DataFrame, seqLen: Int = 2048): DataFrame =
+    packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("seq_bin") + 1).as("n_bins"))
+      .select(col("shard"), col("n_docs"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        col("n_bins").cast("long").as("n_bins"),
+        round(col("total_tokens").cast("double") /
+          (col("n_bins") * lit(seqLen.toDouble)), 6).as("fill_frac"))
+
   /** Fixed-token-window chunking with overlap — the standard
     * context-length preprocessing for training examples: each document
     * splits into windows of `maxTokens` whitespace tokens whose starts

@@ -2087,6 +2087,22 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.weightedSample(weighted, k = 0, weightCol = "w"))
   }
 
+  test("packingStats: hand-computed fill fractions incl. straddle spill") {
+    import spark.implicits._
+    // one shard, seqLen 10: docs of 4+4+4 tokens -> bins 0,0,0 (start
+    // offsets 0,4,8) -> n_bins 1, total 12, fill 1.2 (straddle spill);
+    // second shard: 3 tokens -> 1 bin, fill 0.3
+    val packed = Seq(
+      (1L, 0L, 4L, 4L, 0L), (2L, 0L, 4L, 8L, 0L), (3L, 0L, 4L, 12L, 0L),
+      (4L, 1L, 3L, 3L, 0L))
+      .toDF("doc_id", "shard", "n_tokens", "cum_tokens", "seq_bin")
+    val got = graft.pipeline.Corpus.packingStats(packed, seqLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((3L, 12L, 1L, 1.2)))
+    assert(got(1L) == ((1L, 3L, 1L, 0.3)))
+  }
+
   test("trimOutliers: closed percentile band, per-stratum bounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

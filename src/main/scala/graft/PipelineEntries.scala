@@ -1162,7 +1162,7 @@ object PipelineEntries {
        |  FROM terms GROUP BY qid, nid)
        |SELECT qid, nid, round(raw, 6) AS adist, rank FROM (
        |  SELECT qid, nid, raw,
-       |         row_number() OVER (PARTITION BY qid ORDER BY raw, nid) AS rank
+       |         row_number() OVER (PARTITION BY qid ORDER BY round(raw, 6), nid) AS rank
        |  FROM sc)
        |WHERE rank <= $k""".stripMargin
 
@@ -1188,7 +1188,7 @@ object PipelineEntries {
        |cand AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
-       |           row_number() OVER (PARTITION BY qid ORDER BY raw, nid) AS rank
+       |           row_number() OVER (PARTITION BY qid ORDER BY round(raw, 6), nid) AS rank
        |    FROM sc)
        |  WHERE rank <= $kCand),
        |x AS (
@@ -1297,19 +1297,28 @@ object PipelineEntries {
       |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
   /** Outlier-trim oracle. The band bounds mirror SPARK's percentile
-    * interpolation association exactly — `lower + (pos-floor)·(higher-
-    * lower)`, not the symmetric two-weight form lengthStats' display
-    * oracle uses — because the bounds feed an UNROUNDED >=/<= filter:
-    * the two associations differ in low-order bits and a doc sitting
-    * exactly on an integral-position bound would otherwise flip sides. */
+    * arithmetic exactly — PercentileBase.getPercentile's symmetric
+    * two-weight form `(ceil−pos)·lower + (pos−floor)·higher` with BOTH
+    * of its short-circuits (integral position ⇒ lower; equal keys ⇒
+    * lower — without the latter, inexact FP weights make w₁·x + w₂·x ≠ x
+    * and a doc sitting exactly on the bound flips sides), and the
+    * position forced to DOUBLE (DuckDB types the p literal DECIMAL;
+    * Spark computes `p·(n−1)` in doubles, and the two positions differ
+    * in low-order bits, e.g. 59.85 vs 59.849999999999994) — because the
+    * bounds feed an UNROUNDED >=/<= filter where 1-ulp differences are
+    * visible. */
   private def trimOutliersOracleSql(pLo: Double = 0.05,
       pHi: Double = 0.95): String = {
-    def bound(tag: String, p: Double): String =
-      s"""CAST(arr[CAST(floor($p * (nd - 1)) AS BIGINT) + 1] AS DOUBLE)
-         |  + ($p * (nd - 1) - floor($p * (nd - 1)))
-         |    * (CAST(arr[CAST(ceil($p * (nd - 1)) AS BIGINT) + 1] AS DOUBLE)
-         |       - CAST(arr[CAST(floor($p * (nd - 1)) AS BIGINT) + 1] AS DOUBLE))
-         |  AS $tag""".stripMargin
+    def bound(tag: String, p: Double): String = {
+      val pos = s"(CAST($p AS DOUBLE) * (nd - 1))"
+      val loV = s"CAST(arr[CAST(floor$pos AS BIGINT) + 1] AS DOUBLE)"
+      val hiV = s"CAST(arr[CAST(ceil$pos AS BIGINT) + 1] AS DOUBLE)"
+      s"""CASE WHEN ceil$pos = floor$pos OR $loV = $hiV
+         |     THEN $loV
+         |     ELSE (ceil$pos - $pos) * $loV
+         |        + ($pos - floor$pos) * $hiV
+         |END AS $tag""".stripMargin
+    }
     s"""WITH n AS (
        |  SELECT doc_id, lang,
        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
@@ -1565,7 +1574,7 @@ object PipelineEntries {
        |  FROM terms GROUP BY qid, nid)
        |SELECT qid, nid, round(raw, 6) AS adist, rank FROM (
        |  SELECT qid, nid, raw,
-       |         row_number() OVER (PARTITION BY qid ORDER BY raw, nid) AS rank
+       |         row_number() OVER (PARTITION BY qid ORDER BY round(raw, 6), nid) AS rank
        |  FROM sc)
        |WHERE rank <= $k""".stripMargin
 

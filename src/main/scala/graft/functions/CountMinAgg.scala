@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -18,10 +18,15 @@ import org.apache.spark.sql.types._
   * d cells; always ≥ the true count, within εN with ε = e/w at
   * confidence 1−e^−d.
   *
-  * Every update is `+1` into d cells — addition is order-free, so unlike
+  * Every update is `+weight` into d cells (weight defaults to 1 — the
+  * per-occurrence form) — addition is order-free, so unlike
   * sum-of-floats the sketch is DETERMINISTIC under any partitioning and
   * merge order (merge = element-wise add), and the DuckDB oracle can
-  * rebuild the exact same counters from group-bys. This is the
+  * rebuild the exact same counters from group-bys. The weighted form
+  * lets a PRE-GROUPED (key, count) frame feed the sketch — identical
+  * counters to streaming every occurrence, because counter addition
+  * commutes — so one tokenize+group pass can serve both the sketch and
+  * an exact top-k without a second corpus scan. This is the
   * heavy-hitter / frequency-estimate primitive at 100 TB: the shuffle
   * carries d·w longs total instead of the vocabulary.
   */
@@ -29,6 +34,7 @@ case class CountMinAgg(
     child: Expression,
     d: Int,
     w: Int,
+    weight: Expression = Literal(1L),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -37,15 +43,18 @@ case class CountMinAgg(
     s"sketch geometry out of range: $d x $w")
 
   override def prettyName: String = "graft_cms"
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<int> (per-row bucket indices), got ${t.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, weight.dataType) match {
+      case (ArrayType(IntegerType, _), LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, wt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> bucket indices, integral weight), " +
+          s"got (${t.catalogString}, ${wt.catalogString})")
+    }
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](d * w)
@@ -53,6 +62,12 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
+      val wv = weight.eval(input)
+      val inc = wv match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
       val idx = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       require(idx.numElements() == d,
         s"expected $d bucket indices, got ${idx.numElements()}")
@@ -60,7 +75,7 @@ case class CountMinAgg(
       while (r < d) {
         val j = idx.getInt(r)
         require(j >= 0 && j < w, s"bucket $j out of [0, $w)")
-        buf(r * w + j) += 1L
+        buf(r * w + j) += inc
         r += 1
       }
     }
@@ -92,5 +107,5 @@ case class CountMinAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CountMinAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren(0), weight = newChildren(1))
 }

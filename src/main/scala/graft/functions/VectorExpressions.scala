@@ -374,11 +374,19 @@ object GraftFunctions {
     // codepoint Shannon entropy (nats), sorted-fold deterministic
     ("graft_char_entropy", classOf[CharEntropyExpr],
       exprs => CharEntropyExpr(exprs.head)),
-    // aggregate: count-min sketch over pre-bucketed indices; d, w foldable
+    // aggregate: count-min sketch over pre-bucketed indices; d, w foldable.
+    // 3-arg form: +1 per row; 4-arg form: (buckets, weight, d, w) adds the
+    // row's weight — feeds the sketch from a pre-grouped (key, count) frame
     ("graft_cms", classOf[CountMinAgg], exprs =>
-      CountMinAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue)),
+      if (exprs.length == 4)
+        CountMinAgg(exprs.head,
+          exprs(2).eval().asInstanceOf[Number].intValue,
+          exprs(3).eval().asInstanceOf[Number].intValue,
+          weight = exprs(1))
+      else
+        CountMinAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue)),
     // aggregate: Roaring-bitmap neighbor set → sorted array<bigint>
     ("graft_bitmap_neighbors", classOf[BitmapNeighborsAgg],
       exprs => BitmapNeighborsAgg(exprs.head)),
@@ -445,6 +453,10 @@ object GraftFunctions {
   def cmsAgg(buckets: Column, d: Int, w: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_cms", buckets, lit(d), lit(w))
+  }
+  def cmsAggWeighted(buckets: Column, weight: Column, d: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_cms", buckets, weight, lit(d), lit(w))
   }
   def bitmapNeighborsAgg(id: Column): Column =
     call_function("graft_bitmap_neighbors", id)

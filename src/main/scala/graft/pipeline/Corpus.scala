@@ -119,7 +119,12 @@ object Corpus {
     * the vocabulary, estimates always ≥ truth within εN, ε = e/w). The
     * bucket family is `xxhash64("cms<r> " || token) mod w` with w a
     * power of two, so the signed pmod equals the unsigned low bits and
-    * the DuckDB oracle rebuilds the identical counters. */
+    * the DuckDB oracle rebuilds the identical counters.
+    *
+    * The corpus is tokenized ONCE: one grouped (tok, count) frame —
+    * vocabulary-sized, persisted — feeds BOTH consumers, the sketch via
+    * the weighted update (`+count` per distinct token ≡ `+1` per
+    * occurrence, counter addition commutes) and the exact top-k. */
   def cmsHeavyHitters(docs: DataFrame, k: Int = 20, d: Int = 2,
       w: Int = 1024, textCol: String = "text"): DataFrame = {
     require(k > 0 && (w & (w - 1)) == 0,
@@ -127,12 +132,16 @@ object Corpus {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     def bucket(r: Int, tok: Column) =
       pmod(xxhash64(concat_ws(" ", lit(s"cms$r"), tok)), lit(w.toLong)).cast("int")
-    val toks = Explodes.explodeNoInfer(
-      docs.select(Dedup.tokens(col(textCol)).as("__toks")),
-      Seq.empty, col("__toks"), "tok")
-    val cms = toks.agg(graft.functions.GraftFunctions.cmsAgg(
-      array((0 until d).map(r => bucket(r, col("tok"))): _*), d, w).as("__cms"))
-    toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val tokCounts = Explodes.explodeNoInfer(
+        docs.select(Dedup.tokens(col(textCol)).as("__toks")),
+        Seq.empty, col("__toks"), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    val cms = tokCounts.agg(graft.functions.GraftFunctions.cmsAggWeighted(
+      array((0 until d).map(r => bucket(r, col("tok"))): _*),
+      col("exact_cnt"), d, w).as("__cms"))
+    tokCounts
       .orderBy(col("exact_cnt").desc, col("tok").asc).limit(k)
       .crossJoin(broadcast(cms))
       .select(col("tok"), col("exact_cnt"),

@@ -282,13 +282,19 @@ object TextAnalysis {
     * tp/fp/fn counting `score ≥ t` as predicted-positive over the
     * quantized scores, precision = tp/(tp+fp), recall = tp/P (NULL when
     * the frame has no positives). Double-rounds via the already-rounded
-    * score column so engine mirrors agree; + 0.0 folds -0.0. */
+    * score column so engine mirrors agree; + 0.0 folds -0.0.
+    *
+    * Rows whose label is NULL (or casts to NULL) are EXCLUDED from the
+    * sweep — an unlabeled doc is neither a positive nor a negative, and
+    * silently tallying it as a negative would skew precision on
+    * partially-labeled frames. */
   def prCurve(scored: DataFrame, labelCol: Column,
       scoreCol: String = "logit", scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = scored
       .select((round(col(scoreCol), scale) + lit(0.0)).as("threshold"),
         labelCol.cast("boolean").as("__y"))
+      .filter(col("__y").isNotNull)
       .groupBy("threshold")
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))

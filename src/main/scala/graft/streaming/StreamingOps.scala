@@ -180,9 +180,14 @@ object StreamingOps {
         col("id").as("__giv_cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.pipeline.PipelineCaches.track)
-    // hs in the signature table is pre-sorted (computeSignatures)
+    // hs in the signature table is pre-sorted (computeSignatures).
+    // Persisted like corpusBuckets: this is the heaviest corpus
+    // projection and the stream-static exact-verify join would
+    // re-evaluate the corpus signature plan every micro-batch otherwise.
     val corpusSets = corpusSigs.select(col("id").as("__giv_cid"),
       col("hs").as("__giv_hb"), size(col("hs")).as("__giv_zb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.pipeline.PipelineCaches.track)
     val keep = docs.columns.map(col).toSeq
     val signed = Dedup.withShingles(
         docs.withWatermark(tsCol, horizon), textCol, out = "__giv_sh")

@@ -346,6 +346,23 @@ class PlanSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("cmsHeavyHitters: one tokenize subtree feeds both sketch and exact top-k") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.pipeline.Corpus.cmsHeavyHitters(docs, k = 5, d = 2, w = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    // the token Generate lives ONCE inside the persisted (tok, count)
+    // relation; both consumers (weighted sketch + exact top-k) must READ
+    // that cache. Each cache READ re-prints the cached subtree, so count
+    // parity is the check — an un-cached second tokenize would print a
+    // Generate with no relation of its own.
+    val generates = "Generate explode".r.findAllIn(plan).size
+    val cachedRels = "InMemoryRelation".r.findAllIn(plan).size
+    assert(generates >= 1 && generates == cachedRels,
+      s"corpus tokenized outside the persisted token-count cache " +
+        s"($generates generates, $cachedRels cached relations):\n$plan")
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("boilerplate removal: frequent-line anti-join broadcasts, corpus never reshuffles on line") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

@@ -257,6 +257,20 @@ object PipelineEntries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // hard negatives over the ANN serving path: IVF-PQ shortlist (coarse
+    // pruning + compressed ADC), exact-cosine refine, THEN the cluster
+    // exclusion — the composition a 100 TB user actually runs (the entry
+    // above proves the brute-force fixture) — oracle-checked
+    "p_hard_neg_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegativesFrom(
+          Similarity.ivfPqRerankTopK(e,
+            e.filter(pmod(col("vec_id"), lit(50)) === 0),
+            Similarity.pqCodebook(), kCand = 25, k = 25),
+          Similarity.kmeansAssign(e), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // hyperplane-LSH ANN over the same query set (scale path; recall vs
     // brute force asserted in SimilaritySpec)
     "p_ann_lsh" -> ((s, dir) => {
@@ -1540,14 +1554,12 @@ object PipelineEntries {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** DuckDB mirror of [[Similarity.ivfPqTopK]]: the [[ivfChainCtes]]
-    * quantizer (same seeds/Lloyd/probe rows), then the [[pqAdcOracleSql]]
-    * LUT + table-lookup scoring restricted to each query's probed
-    * lists — the two existing mirrors composed, like the operator. */
-  private def ivfPqOracleSql(k: Int = 5, nprobe: Int = 4,
-      dim: Int = 64): String =
-    s"""WITH ${ivfChainCtes(nprobe, dim)},
-       |cbt AS (SELECT $pqCbSql AS cb),
+  /** The ADC-scoring CTE block over [[ivfChainCtes]]' `assigned`/`qa`
+    * (codes per corpus vector, per-query LUT, probed-list table-lookup
+    * sums → `sc(qid, nid, raw)`) — shared by [[ivfPqOracleSql]] and
+    * [[hardNegAnnOracleSql]] so the two mirrors cannot drift. */
+  private def ivfPqAdcCtes: String =
+    s"""cbt AS (SELECT $pqCbSql AS cb),
        |dl AS (
        |  SELECT a.vec_id, a.list_id, mm,
        |    ${pqDistListSql("a.v")} AS dl
@@ -1571,11 +1583,56 @@ object PipelineEntries {
        |sc AS (
        |  SELECT qid, nid,
        |         list_reduce(list(term ORDER BY mm), (a, b) -> a + b) AS raw
-       |  FROM terms GROUP BY qid, nid)
+       |  FROM terms GROUP BY qid, nid)""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.ivfPqTopK]]: the [[ivfChainCtes]]
+    * quantizer (same seeds/Lloyd/probe rows), then the [[pqAdcOracleSql]]
+    * LUT + table-lookup scoring restricted to each query's probed
+    * lists — the two existing mirrors composed, like the operator. */
+  private def ivfPqOracleSql(k: Int = 5, nprobe: Int = 4,
+      dim: Int = 64): String =
+    s"""WITH ${ivfChainCtes(nprobe, dim)},
+       |$ivfPqAdcCtes
        |SELECT qid, nid, round(raw, 6) AS adist, rank FROM (
        |  SELECT qid, nid, raw,
        |         row_number() OVER (PARTITION BY qid ORDER BY round(raw, 6), nid) AS rank
        |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB mirror of `hardNegativesFrom(ivfPqRerankTopK(...), kmeans)`:
+    * the IVF-PQ chain shortlists kCand by rounded ADC distance, exact
+    * cosine rescores those candidates from the full-precision `n` rows,
+    * the query's/candidate's quantizer cells (`assigned.list_id` — the
+    * SAME deterministic quantizer [[Similarity.kmeansAssign]] mirrors as
+    * `asg.cluster_id`) drive the exclusion, and the survivors re-rank by
+    * sim DESC. */
+  private def hardNegAnnOracleSql(kCand: Int = 25, k: Int = 5,
+      nprobe: Int = 4, dim: Int = 64): String =
+    s"""WITH ${ivfChainCtes(nprobe, dim)},
+       |$ivfPqAdcCtes,
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY round(raw, 6), nid) AS crank
+       |    FROM sc)
+       |  WHERE crank <= $kCand),
+       |ex AS (
+       |  SELECT cand.qid, cand.nid,
+       |         round(list_sum(list_transform(range(1, ${dim + 1}),
+       |                 i -> qn.v[i] * cn.v[i])) /
+       |               (qn.nrm * cn.nrm), 6) AS sim
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.qid
+       |            JOIN n cn ON cn.vec_id = cand.nid),
+       |f AS (
+       |  SELECT ex.qid, ex.nid, ex.sim
+       |  FROM ex
+       |  JOIN assigned aq ON aq.vec_id = ex.qid
+       |  JOIN assigned an ON an.vec_id = ex.nid
+       |  WHERE aq.list_id <> an.list_id)
+       |SELECT qid, nid, sim, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM f)
        |WHERE rank <= $k""".stripMargin
 
   /** DuckDB mirror of GraphX staticPageRank on the NATION_ADJ edge list:
@@ -3020,6 +3077,8 @@ object PipelineEntries {
     "p_pq_rerank" -> pqRerankOracleSql(),
     "p_ann_ivf" -> ivfOracleSql(),
     "p_ann_ivfpq" -> ivfPqOracleSql(),
+
+    "p_hard_neg_ann" -> hardNegAnnOracleSql(),
     // identical quantizer + probe math ⇒ identical result set
     "p_ann_ivf_persisted" -> ivfOracleSql(),
     "p_ann_filtered" -> ivfOracleSql(candPred = "a.vec_id % 2 = 1"),

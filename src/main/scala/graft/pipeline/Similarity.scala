@@ -303,6 +303,41 @@ object Similarity {
       .select("qid", "nid", "adist", "rank")
   }
 
+  /** IVF-PQ shortlist + exact refine — FAISS's IVFADC+refine serving
+    * shape, and THE shortlist source for [[hardNegativesFrom]] at scale:
+    * [[ivfPqTopK]] prunes to each query's nprobe lists and shortlists
+    * kCand candidates by compressed ADC distance, then ONLY those
+    * candidates' full-precision vectors are fetched (an id-keyed,
+    * partition-prunable semi-join — kCand·|q| rows, never N) and
+    * re-ranked by exact cosine. Returns (qid, nid, sim 6-dp, rank ≤ k).
+    *
+    * Cost at 100 TB: the exhaustive pass reads `nprobe·(N/nlist)·m`
+    * BYTES of codes, and exact math touches kCand·|q| vectors — the
+    * brute-force O(|q|·N·dim) float scan never runs. Recall is bounded
+    * by the shortlist; gauge with [[annRecall]] to size kCand/nprobe. */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame,
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], kCand: Int = 25,
+      k: Int = 5, nlist: Int = 0, nprobe: Int = 4, refineIters: Int = 1,
+      dim: Int = DefaultDim, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cand = ivfPqTopK(corpus, queries, cb, kCand, nlist, nprobe,
+        refineIters, idCol, vecCol)
+      .select(col("qid"), col("nid"))
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", normFixed(col("cv"), dim))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", normFixed(col("qv"), dim))
+    val exact = cand.join(c, "nid").join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        round(dotFixed(col("qv"), col("cv"), dim) /
+              (col("qnorm") * col("cnorm")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "sim", "rank")
+  }
+
   /** Deterministic ±1 hyperplane signs from a seeded RNG — shared between
     * the Spark plan and the DuckDB oracle-SQL generator (PipelineEntries),
     * so both engines evaluate identical planes. */
@@ -654,15 +689,34 @@ object Similarity {
     * ids mapped into vector space). Cost beyond the candidate mine: two
     * id-keyed joins on the kCand·|q| candidate rows and a per-query
     * re-rank window bounded by kCand. Queries whose whole shortlist is
-    * same-cluster return fewer than k rows — widen kCand, not k. */
+    * same-cluster return fewer than k rows — widen kCand, not k.
+    *
+    * This form mines the shortlist exhaustively ([[bruteForceTopK]],
+    * O(|q|·N) — the recall-oracle fixture); the 100 TB path feeds an ANN
+    * shortlist through [[hardNegativesFrom]] instead (see
+    * [[ivfPqRerankTopK]] for the composed serving shape). */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
       clusters: DataFrame, k: Int = 5, kCand: Int = 25,
       dim: Int = DefaultDim, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    hardNegativesFrom(
+      bruteForceTopK(corpus, queries, kCand, dim, idCol, vecCol),
+      clusters, k, idCol)
+  }
+
+  /** [[hardNegatives]]' exclusion + re-rank half over ANY candidate
+    * shortlist frame (qid, nid, sim) — brute-force, [[pqRerankTopK]], or
+    * [[ivfPqRerankTopK]] output all drop in. This is the contract the
+    * scaladoc above promises: at 100 TB the shortlist comes from the
+    * compressed, partition-pruned index, and this function only ever
+    * touches kCand·|q| candidate rows (two id-keyed joins + a per-query
+    * window bounded by kCand). */
+  def hardNegativesFrom(candidates: DataFrame, clusters: DataFrame,
+      k: Int = 5, idCol: String = "vec_id"): DataFrame = {
     val cl = clusters.select(col(idCol), col("cluster_id"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    bruteForceTopK(corpus, queries, kCand, dim, idCol, vecCol)
+    candidates.select(col("qid"), col("nid"), col("sim"))
       .join(cl.select(col(idCol).as("qid"), col("cluster_id").as("__qc")), "qid")
       .join(cl.select(col(idCol).as("nid"), col("cluster_id").as("__nc")), "nid")
       .filter(col("__qc") =!= col("__nc"))

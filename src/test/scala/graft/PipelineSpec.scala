@@ -727,6 +727,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqRerankTopK: unpruned shortlist reproduces brute force; hardNegativesFrom composes") {
+    val cb = Similarity.pqCodebook()
+    val n = emb.count().toInt
+    // nprobe >= nlist and kCand >= N-1: the coarse quantizer prunes
+    // nothing and every candidate is exact-rescored, so the refine stage
+    // must reproduce the brute-force exact top-k row for row
+    val refined = Similarity.ivfPqRerankTopK(emb, queries, cb,
+        kCand = n, k = 5, nprobe = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(refined == bf && refined.nonEmpty)
+    // the pruned serving shape composed with the cluster exclusion: every
+    // negative sits outside its query's cluster, ranks are contiguous
+    // from 1 per query, sims descend with rank
+    val clusters = Similarity.kmeansAssign(emb)
+    val got = Similarity.hardNegativesFrom(
+      Similarity.ivfPqRerankTopK(emb, queries, cb, kCand = 25, k = 25),
+      clusters, k = 5).collect()
+    val cl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.forall(r => cl(r.getLong(0)) != cl(r.getLong(1))))
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to rows.length))
+      val sims = byRank.map(_.getDouble(2)).toSeq
+      assert(sims.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+    }
+  }
+
   test("cosinePairs equals brute-force all-pairs on planted near-dups") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val base = emb.select(col("vec_id"),

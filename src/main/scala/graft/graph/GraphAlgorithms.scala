@@ -584,35 +584,24 @@ object GraphAlgorithms {
     var i = 0
     var stable = false
     while (i < iters && !stable) {
-      // messages are PRIMITIVE label arrays (concat-merged), not maps:
-      // per-edge boxed-map allocation is a linear cost that erased the
-      // port's win at PLACED scale; an Array[Long] message is one small
-      // allocation and merges via arraycopy. The mode is computed once
-      // per vertex from the sorted multiset with the min-label tie.
+      // messages are PRIMITIVE label arrays, never maps: per-edge boxed-
+      // map allocation is a linear cost that erased the port's win at
+      // PLACED scale. The encoding is an RLE prefix of sorted
+      // (label, count) pairs plus an amortized in-place raw tail (see
+      // [[lpMsg]]/[[lpMergeMsgs]]), so a hub vertex's reduced message is
+      // O(distinct neighbor labels) — which converges toward
+      // O(#communities) as rounds proceed — NOT O(degree), and the
+      // combiner fold at a 10⁷-degree power-law hub at 100× data neither
+      // materializes a degree-sized multiset (the r13 verdict's one
+      // scale flag) nor pays degree² reallocation.
       val msgs = g.aggregateMessages[Array[Long]](
         ctx => {
-          ctx.sendToDst(Array(ctx.srcAttr))
-          ctx.sendToSrc(Array(ctx.dstAttr))
+          ctx.sendToDst(lpMsg(ctx.srcAttr))
+          ctx.sendToSrc(lpMsg(ctx.dstAttr))
         },
-        (a, b) => {
-          val out = new Array[Long](a.length + b.length)
-          System.arraycopy(a, 0, out, 0, a.length)
-          System.arraycopy(b, 0, out, a.length, b.length)
-          out
-        })
+        lpMergeMsgs)
       val g2 = tracked(g.outerJoinVertices(msgs)((_, old, m) =>
-        m.map { arr =>
-          java.util.Arrays.sort(arr)
-          var best = arr(0); var bestN = 0
-          var j = 0
-          while (j < arr.length) {
-            var k = j
-            while (k < arr.length && arr(k) == arr(j)) k += 1
-            if (k - j > bestN) { best = arr(j); bestN = k - j }
-            j = k
-          }
-          best
-        }.getOrElse(old)))
+        m.map(lpMode).getOrElse(old)))
       g2.cache()
       g2.vertices.count()
       if (untilStable)
@@ -625,6 +614,114 @@ object GraphAlgorithms {
     }
     lastLabelPropRounds.set(i)
     g.vertices.map { case (id, l) => (id, l) }.toDF("id", "label")
+  }
+
+  /** Tail-flush floor for label-prop messages: an unsorted raw tail is
+    * allowed to grow to max(LpRawCap, rle-prefix length) before it is
+    * sorted and folded into the run-length prefix — the standard
+    * geometric amortization, so a fold of n single-label messages costs
+    * O(n log n) total instead of the O(n²) of per-merge reallocation. */
+  private[graft] val LpRawCap = 128
+
+  /** Largest raw-only message that merges by in-place tail append rather
+    * than a full two-pointer pair merge. Per-edge messages (1 label) are
+    * always on this path. */
+  private[graft] val LpTinyCap = 32
+
+  /** Label-prop message layout, one primitive Array[Long]:
+    * `[rleUsed, tailUsed, rlePairs…, tailLabels…, slack…]` — slot 0
+    * counts the longs in the label-sorted (label, count) run-length
+    * prefix, slot 1 the raw labels in the unsorted tail; anything past
+    * `2 + rleUsed + tailUsed` is spare capacity from doubling growth.
+    * A reduced message is therefore O(distinct neighbor labels) + a
+    * bounded tail — which converges toward O(#communities) as rounds
+    * proceed — NOT O(degree), and tiny merges mutate the big side's tail
+    * in place (safe: GraphX's per-slot aggregation owns the left operand),
+    * so hub vertices neither materialize degree-sized multisets nor churn
+    * degree² allocation in the combiner fold. */
+  private[graft] def lpMsg(label: Long): Array[Long] = Array(0L, 1L, label)
+
+  /** Exact normal form `[R, 0, sorted (label,count) pairs]` of a message:
+    * sorts the raw tail, run-length encodes it, and key-merges it into
+    * the existing prefix. Identity (no copy) when already normalized. */
+  private[graft] def lpNormalize(m: Array[Long]): Array[Long] = {
+    val r = m(0).toInt; val t = m(1).toInt
+    if (t == 0)
+      return if (m.length == 2 + r) m else java.util.Arrays.copyOf(m, 2 + r)
+    val tail = java.util.Arrays.copyOfRange(m, 2 + r, 2 + r + t)
+    java.util.Arrays.sort(tail)
+    val out = new Array[Long](2 + r + 2 * t)
+    var i = 2; var ti = 0; var k = 2
+    val rEnd = 2 + r
+    while (i < rEnd || ti < t) {
+      if (ti >= t) { out(k) = m(i); out(k + 1) = m(i + 1); i += 2; k += 2 }
+      else {
+        val lab = tail(ti)
+        if (i < rEnd && m(i) < lab) {
+          out(k) = m(i); out(k + 1) = m(i + 1); i += 2; k += 2
+        } else {
+          var tj = ti; while (tj < t && tail(tj) == lab) tj += 1
+          var c = (tj - ti).toLong
+          if (i < rEnd && m(i) == lab) { c += m(i + 1); i += 2 }
+          out(k) = lab; out(k + 1) = c; ti = tj; k += 2
+        }
+      }
+    }
+    out(0) = (k - 2).toLong; out(1) = 0L
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Commutative/associative merge. A tiny raw message appends into the
+    * bigger side's tail in place (amortized O(1): capacity doubles, and
+    * the tail flushes into the RLE prefix only once it outgrows
+    * max([[LpRawCap]], prefix length)); two substantial messages
+    * normalize and key-merge their sorted pair runs in O(n + m). */
+  private[graft] def lpMergeMsgs(a0: Array[Long], b0: Array[Long]): Array[Long] = {
+    var a = a0; var b = b0
+    if (a(0) + a(1) < b(0) + b(1)) { val t = a; a = b; b = t }
+    if (b(0) == 0L && b(1) <= LpTinyCap) {
+      val r = a(0).toInt; var t = a(1).toInt; val add = b(1).toInt
+      if (2 + r + t + add > a.length)
+        a = java.util.Arrays.copyOf(a,
+          math.max(2 + r + (t + add) * 2, a.length * 2))
+      System.arraycopy(b, 2, a, 2 + r + t, add)
+      t += add; a(1) = t.toLong
+      if (t >= math.max(LpRawCap, r)) lpNormalize(a) else a
+    } else {
+      val na = lpNormalize(a); val nb = lpNormalize(b)
+      val out = new Array[Long](2 + na(0).toInt + nb(0).toInt)
+      var i = 2; var j = 2; var k = 2
+      val ia = 2 + na(0).toInt; val jb = 2 + nb(0).toInt
+      while (i < ia && j < jb) {
+        if (na(i) == nb(j)) {
+          out(k) = na(i); out(k + 1) = na(i + 1) + nb(j + 1); i += 2; j += 2
+        } else if (na(i) < nb(j)) {
+          out(k) = na(i); out(k + 1) = na(i + 1); i += 2
+        } else {
+          out(k) = nb(j); out(k + 1) = nb(j + 1); j += 2
+        }
+        k += 2
+      }
+      while (i < ia) { out(k) = na(i); out(k + 1) = na(i + 1); i += 2; k += 2 }
+      while (j < jb) { out(k) = nb(j); out(k + 1) = nb(j + 1); j += 2; k += 2 }
+      out(0) = (k - 2).toLong; out(1) = 0L
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+    }
+  }
+
+  /** Mode of a message with the MIN-LABEL tie — exactly
+    * `mode(label, deterministic = true)` of the neighbor multiset: the
+    * normalized pairs are label-sorted, so a strict count comparison
+    * keeps the smallest label among the maxima. */
+  private[graft] def lpMode(m: Array[Long]): Long = {
+    val n = lpNormalize(m)
+    var best = n(2); var bestC = 0L
+    var i = 2; val e = 2 + n(0).toInt
+    while (i < e) {
+      if (n(i + 1) > bestC) { best = n(i); bestC = n(i + 1) }
+      i += 2
+    }
+    best
   }
 
   /** Rounds the last [[labelPropagation]] call executed — test probe for

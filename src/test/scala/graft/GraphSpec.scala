@@ -133,6 +133,56 @@ class GraphSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("label-prop message merge: RLE-bounded, mode-exact, amortized tail") {
+    import GraphAlgorithms.{lpMergeMsgs, lpMode, lpMsg, lpNormalize, LpRawCap}
+    // brute-force mode with the min-label tie, the semantics the hybrid
+    // encoding must preserve exactly
+    def bruteMode(labels: Seq[Long]): Long = {
+      val byCount = labels.groupBy(identity).view.mapValues(_.size).toSeq
+      byCount.minBy { case (l, c) => (-c, l) }._1
+    }
+    val rnd = new scala.util.Random(42)
+    // random multisets merged in random tree orders — mode AND exact
+    // per-label counts must match the brute answer regardless of the
+    // merge shape (combiner trees are arbitrary) and of which merges took
+    // the in-place tail path vs the full pair merge
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(400)
+      val labels = Seq.fill(n)(rnd.nextInt(12).toLong)
+      var msgs = labels.map(lpMsg).toBuffer
+      while (msgs.size > 1) {
+        val i = rnd.nextInt(msgs.size - 1)
+        val merged = lpMergeMsgs(msgs(i), msgs.remove(i + 1))
+        msgs(i) = merged
+      }
+      assert(lpMode(msgs.head) == bruteMode(labels), s"trial $trial")
+      val norm = lpNormalize(msgs.head)
+      val pairs = norm.drop(2).grouped(2).map(p => p(0) -> p(1)).toMap
+      val want = labels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(pairs == want, s"trial $trial counts")
+    }
+    // small merges stay raw (tail append, no compression work)
+    val small = lpMergeMsgs(lpMsg(3L), lpMsg(1L))
+    assert(small(0) == 0L && small(1) == 2L)
+    // the hub shape: 1,000,000 neighbors carrying only 5 distinct labels.
+    // A degree-sized multiset would be 10^6 longs; the reduced message
+    // must stay bounded by distinct labels + the amortized tail cap —
+    // and the fold must not reallocate per message (the in-place append
+    // makes this loop linear; a per-merge copy would be quadratic).
+    var hub = lpMsg(0L)
+    var i = 0
+    while (i < 999999) { hub = lpMergeMsgs(hub, lpMsg((i % 5).toLong)); i += 1 }
+    assert(hub.length <= 2 + 2 * 5 + 2 * LpRawCap,
+      s"hub message is ${hub.length} longs — not bounded by distinct labels")
+    assert(lpMode(hub) == 0L) // the seed lpMsg(0) tips label 0 past the rest
+    // counts survive exactly: i%5 over i in 0..999998 gives label 0
+    // 200000 hits (+1 for the seed), label 4 only reaches i=999994
+    val norm = lpNormalize(hub)
+    assert(norm(0) == 10L && norm(1) == 0L)
+    val counts = norm.drop(2).grouped(2).map(p => p(0) -> p(1)).toMap
+    assert(counts(0L) == 200001L && counts(4L) == 199999L, counts.toString)
+  }
+
   test("weighted shortest paths: min total weight beats fewer hops") {
     import spark.implicits._
     val g = new GraftSession(spark)

@@ -820,20 +820,27 @@ object GraphAlgorithms {
     * silently mis-assigned coreness past the cap; this one converges or
     * throws).
     *
-    * Scale shape: DELTA iteration — a vertex's h-index only drops when
-    * a neighbor's value dropped, so each round recomputes just the
-    * neighbors of the previous round's changed set (round 0 sweeps all).
-    * Per round: one frontier semi-join + one edges⋈values join over the
-    * AFFECTED vertices' edges + a map-side-combinable aggregate of the
-    * ≥t neighbor counts for t = 1..maxK as maxK conditional sums — no
-    * collect_list, so a billion-degree hub costs the same per edge as
-    * anyone else. Total edge-visits across the run ≈ Σ deg(affected)
-    * (≈ |E| + cascade), NOT rounds × |E|. The changed-set count is the
-    * free convergence probe (empty frontier ⟺ fixpoint — values are
-    * integers that never increase). Round count = the graph's cascade
-    * depth; real-world graphs converge in tens of rounds (the published
-    * selling point of h-index refinement) and every round's frame is
-    * lineage-truncated via [[rebaseRows]], so deep cascades cost time,
+    * Substrate (round 14): DataFrame in, partitioned-RDD rounds inside,
+    * DataFrame out — the same split as [[stronglyConnectedComponents]].
+    * The r12/r13 DataFrame loop was already a delta iteration, but wall
+    * clock was ROUND-COUNT-dominated: ~0.5–0.65 s of Catalyst planning /
+    * stage scheduling per round regardless of data size, × a cascade
+    * depth that GROWS on high-diameter graphs (273 rounds → 164–202 s on
+    * the sf0.1 PLACED probe). An RDD round is a plain ~20 ms job.
+    *
+    * State: each vertex keeps (c, HISTOGRAM of its neighbors' values
+    * capped at maxK) — maxK+1 longs, the Montresor "estimate cache"
+    * collapsed to the only statistic the h-index needs. A changed vertex
+    * sends its (old, new) pair to its neighbors; deltas combine into a
+    * bounded maxK+1 histogram per receiver (map-side combinable, so a
+    * billion-degree hub's incoming deltas reduce before the shuffle),
+    * and the receiver recomputes h from the patched histogram in O(maxK)
+    * with NO re-scan of its edges. Per round the shuffle volume is
+    * frontier-proportional; edges never re-shuffle (hash-co-partitioned
+    * with the frontier once); the state pass is O(|V|/parts) per
+    * partition. Values are integers that never increase, so an empty
+    * frontier ⟺ fixpoint. Lineage is truncated via localCheckpoint every
+    * [[SccTruncateEvery]]-style interval, so deep cascades cost time,
     * not stack. */
   def coreNumbers(gs: GraftSession, relLabel: String, maxK: Int = 64,
       maxRounds: Int = 500, edgePred: Option[Column] = None): DataFrame = {
@@ -846,9 +853,35 @@ object GraphAlgorithms {
       .filter(col("a") =!= col("b"))
     val canon = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct()
-    val (edges, _, edgeCount) = rebaseRows(
-      canon.unionAll(canon.select(col("b").as("a"), col("a").as("b"))))
-    if (edgeCount == 0)
+    val spark = gs.spark
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 4)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    def trackRdd[T](x: RDD[T]): RDD[T] = {
+      val p = x.persist(StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.PipelineCaches.onClear(p)(_.unpersist(blocking = false))
+      p
+    }
+    val K = maxK
+    // largest t in 0..K with (count of neighbor values >= t) >= t: one
+    // descending pass accumulating the suffix sum of the capped histogram
+    def hIndexOf(hist: Array[Long]): Long = {
+      var s = 0L; var t = K
+      while (t >= 1) {
+        s += hist(t)
+        if (s >= t) return t.toLong
+        t -= 1
+      }
+      0L
+    }
+    def cap(c: Long): Int = if (c >= K) K else c.toInt
+    // symmetric edge list, hash-partitioned ONCE on the source vertex —
+    // every later frontier join and delta shuffle reuses this partitioner
+    val edges = trackRdd(
+      canon.select(col("a"), col("b")).as[(Long, Long)].rdd
+        .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .partitionBy(part))
+    if (edges.isEmpty())
       return gs.spark.createDataFrame(
         gs.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -856,64 +889,90 @@ object GraphAlgorithms {
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("coreness",
             org.apache.spark.sql.types.LongType, nullable = false))))
-    // h-index of the neighbor multiset from its ≥t counts: the largest
-    // t in 1..maxK with count(c_u >= t) >= t. Counts are non-increasing
-    // in t, so the last satisfied t in an ascending when-chain is it.
-    def hIndex(prefix: String): Column =
-      (1 to maxK).foldLeft(lit(0L)) { (acc, t) =>
-        when(col(s"$prefix$t") >= t, lit(t.toLong)).otherwise(acc)
-      }
-    var state = rebaseRows(edges
-      .groupBy(col("a").as("id")).agg(count(lit(1)).as("__deg"))
-      .select(col("id"), least(col("__deg"), lit(maxK.toLong)).as("c")))
-    // DELTA iteration: a vertex's h-index can only drop when a
-    // NEIGHBOR's value dropped, so each round recomputes only the
-    // neighbors of the previous round's changed set. Total edge-visits
-    // across the whole run ≈ Σ_rounds deg(affected) instead of
-    // rounds × |E| — on cascade-deep graphs (one layer changes per
-    // round) that is the difference between O(|E|) and O(depth·|E|)
-    // total shuffle volume, the property that matters at 100 TB.
-    // Round 0 seeds the frontier with every vertex (first full sweep).
-    var frontier = state._1.select(col("id").as("fid"))
-    var frontierCount = state._3
-    var round = 0
+    // c0 = min(degree, maxK); initial neighbor-value histograms in one
+    // |E| pass (the only full-edge aggregate of the run), map-side
+    // combined so hub in-deltas reduce before the shuffle
+    val c0 = trackRdd(edges.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .mapValues(d => math.min(d, K.toLong)))
+    val hist0 = edges.join(c0)
+      .map { case (_, (b, ca)) => (b, cap(ca)) }
+      .aggregateByKey(null: Array[Long], part)(
+        (h, v) => { val a = if (h == null) new Array[Long](K + 1) else h
+          a(v) += 1; a },
+        (x, y) => { var i = 0; while (i <= K) { x(i) += y(i); i += 1 }; x })
+    // state: (id, (c, prevRoundC, neighborHistogram)); prev > c marks the
+    // vertex as this round's frontier. The init sweep is round 1.
+    var state = trackRdd(c0.join(hist0).mapValues { case (c, h) =>
+      (math.min(c, hIndexOf(h)), c, h) })
+    state.localCheckpoint()
+    var frontierCount =
+      state.filter { case (_, (c, prev, _)) => prev > c }.count()
+    var round = 1
+    // BURST execution: rounds are built lazily (each round's state still
+    // persists — the diamond of frontier + join consumers would otherwise
+    // recompute exponentially) and only every CheckEvery-th round runs a
+    // materializing convergence count. One Spark JOB then executes a
+    // whole burst as a chain of tiny shuffle stages, so the per-round
+    // job-submission barrier (the dominant cost on cascade-deep graphs —
+    // each round's data is a layer, not the graph) is paid once per
+    // burst. Overshoot past the fixpoint is at most CheckEvery-1 rounds
+    // of empty-frontier stages.
+    val CheckEvery = 8
+    val pending = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     while (frontierCount > 0 && round < maxRounds) {
-      // single-use within this round's plan — no rebase needed
-      val affected =
-        if (round == 0) state._1.select(col("id"))
-        else edges
-          .join(frontier, col("b") === col("fid"), "left_semi")
-          .select(col("a").as("id")).distinct()
-      val nbrCounts = edges
-        .join(affected.withColumnRenamed("id", "__aid"),
-          col("a") === col("__aid"), "left_semi")
-        .join(state._1.withColumnRenamed("id", "__nid"),
-          col("b") === col("__nid"))
-        .groupBy(col("a").as("id"))
-        .agg(sum(when(col("c") >= 1, 1L).otherwise(0L)).as("__ge1"),
-          (2 to maxK).map(t =>
-            sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"__ge$t")): _*)
-      // one materialization of the recomputed values per round: both the
-      // state merge and the next frontier read it (left lazy, the whole
-      // nbrCounts aggregate would run twice)
-      val (upd, updRdd, _) = rebaseRows(nbrCounts
-        .join(state._1.withColumnRenamed("c", "__cprev"), "id")
-        .select(col("id"), col("__cprev"),
-          least(col("__cprev"), hIndex("__ge")).as("c")))
-      val chg = upd.filter(col("c") < col("__cprev"))
-      val nChanged = chg.count()
-      val next = rebaseRows(state._1.withColumnRenamed("c", "__cold")
-        .join(upd.select(col("id").as("__uid"), col("c").as("__cnew")),
-          col("id") === col("__uid"), "left")
-        .select(col("id"), coalesce(col("__cnew"), col("__cold")).as("c")))
-      state._2.unpersist(blocking = false)
-      state = next
-      // referenced once (next round's affected semi-join) — lazy over the
-      // rebased upd is safe and cheap. Per-round upd rdds are frontier-
-      // sized and released in bulk by PipelineCaches at query end.
-      frontier = chg.select(col("id").as("fid"))
-      frontierCount = nChanged
-      round += 1
+      var b = math.min(CheckEvery, maxRounds - round)
+      while (b > 0) {
+        // DELTA round, all co-partitioned on `part` (edges never move):
+        // changed vertices broadcast (old, new) along their edges; deltas
+        // combine into one bounded K+1 histogram patch per receiver; the
+        // receiver recomputes h in O(K) from its patched histogram —
+        // shuffle volume ∝ frontier edges, never rounds × |E|.
+        val frontier = state
+          .filter { case (_, (c, prev, _)) => prev > c }
+          .mapValues { case (c, prev, _) => (prev, c) }
+        // zipPartitions, not RDD join: both sides share `part`, so this
+        // hashes only the (tiny) frontier side and STREAMS the edge
+        // partition past it — an RDD join would cogroup-buffer the full
+        // edge partition every round. Partitions whose frontier slice is
+        // empty skip their edge scan outright, which on a cascade-deep
+        // tail (hundreds of rounds, a handful of changed vertices each)
+        // removes almost all per-round edge work.
+        val deltas = edges.zipPartitions(frontier) { (eIt, fIt) =>
+          val fm = new java.util.HashMap[Long, (Long, Long)]()
+          fIt.foreach { case (id, on) => fm.put(id, on) }
+          if (fm.isEmpty) Iterator.empty
+          else eIt.flatMap { case (a, b) =>
+            val on = fm.get(a)
+            if (on == null) Iterator.empty
+            else Iterator((b, (cap(on._1), cap(on._2))))
+          }
+        }
+          .aggregateByKey(null: Array[Long], part)(
+            (h, d) => { val a = if (h == null) new Array[Long](K + 1) else h
+              a(d._1) -= 1; a(d._2) += 1; a },
+            (x, y) => { var i = 0; while (i <= K) { x(i) += y(i); i += 1 }
+              x })
+        // copy-on-write: untouched vertices carry their histogram
+        // REFERENCE forward (no |V|-sized allocation per round); patched
+        // ones copy — mutating in place would corrupt the previous
+        // round's cached blocks
+        val next = trackRdd(state.leftOuterJoin(deltas).mapValues {
+          case ((c, _, h), None) => (c, c, h)
+          case ((c, _, h), Some(d)) =>
+            val h2 = java.util.Arrays.copyOf(h, K + 1)
+            var i = 0
+            while (i <= K) { h2(i) += d(i); i += 1 }
+            (math.min(c, hIndexOf(h2)), c, h2)
+        })
+        pending += state
+        state = next
+        round += 1; b -= 1
+      }
+      // one physical-lineage truncation + one convergence job per burst
+      state.localCheckpoint()
+      frontierCount = state.filter { case (_, (c, p, _)) => p > c }.count()
+      pending.foreach(_.unpersist(blocking = false))
+      pending.clear()
     }
     lastCorenessRounds.set(round)
     if (frontierCount > 0)
@@ -921,7 +980,7 @@ object GraphAlgorithms {
         s"coreNumbers($relLabel) did not converge within $maxRounds " +
         s"rounds (cascade depth exceeds the budget); raise maxRounds — " +
         s"refusing to return a partially-refined decomposition")
-    state._1.select(col("id"), col("c").as("coreness"))
+    state.map { case (id, (c, _, _)) => (id, c) }.toDF("id", "coreness")
   }
 
   /** Peel rounds the last [[kCore]] call executed — test probe for the

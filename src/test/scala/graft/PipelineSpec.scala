@@ -29,6 +29,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 4)             // 4 distinct texts
   }
 
+  test("corpus-restriction invariance: the fact the sampled sf0.1 oracle relies on") {
+    // The SPARK_GRAFT_ORACLE_SAMPLE sweep bound (SURVEY §8) verifies the
+    // heavyweight dedup/fingerprint entries at sf0.1 over the corpus
+    // restricted to doc_id % M == 0 ON BOTH SIDES. That is a sound check
+    // of the same operator because pair mining and per-doc fingerprints
+    // commute with input restriction: pairs(sample) == pairs(full)
+    // filtered to sampled endpoints, fingerprints(sample) ==
+    // fingerprints(full) filtered to sampled ids. Pin both here on the
+    // real sf0.001 corpus.
+    val full = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = full.filter(col("doc_id") % 2 === 0)
+    val pairsSampled = rows(Dedup.ngramJaccardPairs(sample, threshold = 0.5))
+    val pairsRestricted = rows(
+      Dedup.ngramJaccardPairs(full, threshold = 0.5)
+        .filter(col("a") % 2 === 0 && col("b") % 2 === 0))
+    assert(pairsSampled == pairsRestricted && pairsSampled.nonEmpty)
+    val fpSampled = rows(TextAnalysis.fingerprints(sample))
+    val fpRestricted = rows(
+      TextAnalysis.fingerprints(full).filter(col("doc_id") % 2 === 0))
+    assert(fpSampled == fpRestricted && fpSampled.nonEmpty)
+  }
+
   test("removeContaminatedSpans: hand-checked surgical scrub, untouched docs, full cover") {
     import spark.implicits._
     val train = Seq(

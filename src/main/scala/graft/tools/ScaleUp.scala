@@ -20,6 +20,19 @@ object ScaleUp {
 
   val Stride = 100000000L
 
+  /** The documents replication used for scale fixtures, shared with the
+    * ingestion rehearsal probe ([[ProfileIngest]]): copy k offsets
+    * doc_id by k·[[Stride]] and appends one suffix token, so each copy
+    * is a NEAR duplicate of copy 0 (one shingle-window of difference) —
+    * dedup work grows linearly instead of collapsing into one giant
+    * exact-dup bucket. */
+  def scaledDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val off = docs.withColumn("doc_id", col("doc_id") + lit(k * Stride))
+      if (k == 0) off
+      else off.withColumn("text", concat(col("text"), lit(s" copyvariant$k")))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
@@ -58,10 +71,7 @@ object ScaleUp {
     write(copies(read("embeddings"), Seq("vec_id")), "embeddings")
     // per-copy suffix token: copy k of a doc is a NEAR duplicate of copy 0
     // (one shingle-window of difference), preserving realistic dedup work
-    write(copies(read("documents"), Seq("doc_id"),
-      (d, k) => if (k == 0) d
-                else d.withColumn("text", concat(col("text"), lit(s" copyvariant$k")))),
-      "documents")
+    write(scaledDocuments(read("documents"), factor), "documents")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TpchGraph
 import graft.graph.GraphAlgorithms
-import graft.pipeline.{AsOf, Bpe, Corpus, Dedup, Explodes, Metadata, Multimodal, Profiling, Sampling, Sequences, Similarity, TextAnalysis}
+import graft.pipeline.{AsOf, Bpe, Corpus, Dedup, Explodes, Metadata, Multimodal, Profiling, Sampling, Sequences, Sft, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline operators surfaced as driver-checkable queries.
@@ -69,6 +69,31 @@ object PipelineEntries {
     docs(s, dir).withColumn("text",
       org.apache.spark.sql.functions.replace(
         col("text"), lit(" query "), lit("\n")))
+
+  /** Deterministic conversation fixture for the SFT family: turn
+    * boundaries wherever the corpus token `data` appears (the
+    * [[linedDocs]] replace trick — byte-identical in both engines), one
+    * `role: ` prefix per segment, roles by position with an optional
+    * leading `system` turn on conv_id % 3 == 0. The Spark gate entries
+    * then genuinely PARSE the flattened transcript back
+    * ([[graft.pipeline.Sft.parseTurns]]); the DuckDB mirrors re-derive
+    * the turns from the same replace + position arithmetic without
+    * string parsing — independent derivations of the same rows, the
+    * p_mm_dedup pattern. */
+  private def convDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id").as("conv_id"),
+        split(org.apache.spark.sql.functions.replace(
+          col("text"), lit(" data "), lit("\n")), "\n").as("__segs"),
+        (col("doc_id") % 3 === 0).cast("long").as("__sys"))
+      .select(col("conv_id"),
+        concat_ws("\n",
+          transform(col("__segs"), (seg, i) =>
+            concat(
+              when(col("__sys") === 1 && i === 0, lit("system"))
+                .otherwise(when(((i - col("__sys")) % 2) === 0, lit("user"))
+                  .otherwise(lit("assistant"))),
+              lit(": "), seg))).as("text"))
 
   /** Where the persisted-ANN entries keep the durable IVF index for a
     * given sf dir (tmpdir-scoped; one artifact per corpus). */
@@ -899,6 +924,27 @@ object PipelineEntries {
     "p_pack_stats" -> ((s, dir) =>
       Corpus.packingStats(Corpus.packSequences(docs(s, dir)))),
 
+    // SFT family over the deterministic conversation fixture (convDocs):
+    // parse the flattened `role: content` transcript into one row per
+    // turn — the ShareGPT-interchange ingestion step
+    "p_sft_turns" -> ((s, dir) => Sft.parseTurns(convDocs(s, dir))),
+
+    // conversation-structure gate: optional leading system turn, strict
+    // user/assistant alternation, no empty turns, assistant-final —
+    // the SFT filter decision, one row per conversation
+    "p_sft_valid" -> ((s, dir) =>
+      Sft.validateConversations(Sft.parseTurns(convDocs(s, dir)))),
+
+    // budgeted truncation on turn boundaries: system turn + the longest
+    // suffix of whole turns fitting 48 tokens (most-recent-context rule)
+    "p_sft_truncate" -> ((s, dir) =>
+      Sft.truncateToBudget(Sft.parseTurns(convDocs(s, dir)), maxTokens = 48)
+        .select("conv_id", "turn_idx", "role", "n_tokens")),
+
+    // quality-contrast preference pairs per (lang, source): argmax vs
+    // argmin of the shared quality score, min-id ties, rounded margin
+    "p_pref_pairs" -> ((s, dir) => Sft.preferencePairs(docs(s, dir))),
+
     // GraphX connected components over the same-label NATION_ADJ edge
     // list; component id = min member id ⇒ SQL-oracle-checkable
     "g_concomp" -> ((s, dir) =>
@@ -1160,6 +1206,30 @@ object PipelineEntries {
     * `docsRel` lets the timeout-prone consumers (p_dedup_clusters /
     * p_dedup_keep_best / p_split_leakage) bound their corpus via
     * [[heavyDocsRel]]. */
+  /** Shared DuckDB derivation of the [[convDocs]] fixture's turn rows —
+    * the replace + position arithmetic directly, NO string parsing, so
+    * the Spark side's regexp parse of the flattened transcript is
+    * checked by an independent derivation (the p_mm_dedup pattern). */
+  private def sftTurnsCtes: String =
+    """segs AS (
+      |  SELECT doc_id AS conv_id,
+      |         string_split(replace(text, ' data ', chr(10)), chr(10)) AS segs,
+      |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS sys
+      |  FROM documents),
+      |trn AS (
+      |  SELECT conv_id, CAST(i - 1 AS BIGINT) AS turn_idx,
+      |         CASE WHEN sys = 1 AND i = 1 THEN 'system'
+      |              WHEN (i - 1 - sys) % 2 = 0 THEN 'user'
+      |              ELSE 'assistant' END AS role,
+      |         segs[i] AS content, sys
+      |  FROM segs, unnest(range(1, len(segs) + 1)) AS t(i)),
+      |tt AS (
+      |  SELECT conv_id, turn_idx, role, content, sys,
+      |         CASE WHEN length(content) = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(len(string_split(content, ' ')) AS BIGINT)
+      |         END AS n_tokens
+      |  FROM trn)""".stripMargin
+
   private def dupClustersCtes(docsRel: String = "documents"): String =
     s"""t AS (
       |  SELECT doc_id,
@@ -4174,6 +4244,90 @@ object PipelineEntries {
         |       round(CAST(sum(n_tokens) AS DOUBLE) /
         |             ((max(seq_bin) + 1) * 2048.0), 6) AS fill_frac
         |FROM p GROUP BY shard""".stripMargin,
+
+    // SFT turn parse: the oracle re-derives turns from the fixture's
+    // replace + position arithmetic (no parsing) — see sftTurnsCtes
+    "p_sft_turns" ->
+      s"""WITH $sftTurnsCtes
+        |SELECT conv_id, turn_idx, role, content, n_tokens FROM tt""".stripMargin,
+
+    // conversation-structure flags: same rules as the operator, computed
+    // over the derived turns; every flag CAST to BIGINT (DuckDB sum/min/
+    // max of ints are HUGEINT/INT32 otherwise)
+    "p_sft_valid" ->
+      s"""WITH $sftTurnsCtes,
+        |v AS (
+        |  SELECT conv_id,
+        |    CAST(count(*) AS BIGINT) AS n_turns,
+        |    CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_empty,
+        |    CAST(min(CASE WHEN (sys = 1 AND turn_idx = 0)
+        |               OR (role = CASE WHEN (turn_idx - sys) % 2 = 0
+        |                               THEN 'user' ELSE 'assistant' END)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS alternation_ok,
+        |    CAST(max(CASE WHEN turn_idx = mx AND role = 'assistant'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS ends_assistant
+        |  FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+        |        FROM tt)
+        |  GROUP BY conv_id)
+        |SELECT conv_id, n_turns, n_empty, alternation_ok, ends_assistant,
+        |  CAST(CASE WHEN n_empty = 0 AND alternation_ok = 1
+        |              AND ends_assistant = 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS valid
+        |FROM v""".stripMargin,
+
+    // budgeted truncation: reverse cumulative turn-token sum per
+    // conversation + the once-per-conversation system cost, budget 48
+    "p_sft_truncate" ->
+      s"""WITH $sftTurnsCtes,
+        |x AS (
+        |  SELECT conv_id, turn_idx, role, n_tokens,
+        |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+        |             THEN n_tokens ELSE 0 END)
+        |      OVER (PARTITION BY conv_id) AS sys_cost,
+        |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+        |             THEN 0 ELSE n_tokens END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS suf_sum
+        |  FROM tt)
+        |SELECT conv_id, turn_idx, role, n_tokens FROM x
+        |WHERE (role = 'system' AND turn_idx = 0 AND n_tokens <= 48)
+        |   OR (NOT (role = 'system' AND turn_idx = 0)
+        |       AND suf_sum + sys_cost <= 48)""".stripMargin,
+
+    // quality-contrast pairs: the p_dedup_keep_best score formula
+    // (UNROUNDED through both argmax and argmin; only margin rounds),
+    // row_number ties mirroring the struct-ordering tie-breaks
+    "p_pref_pairs" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, source,
+        |         least(n_tokens, 100) / 100.0 * 0.5 +
+        |         CAST(stop_cnt AS DOUBLE) / n_tokens * 0.3 +
+        |         (1.0 - least(punct_cnt, 20) / 20.0) * 0.2 AS score
+        |  FROM (
+        |    SELECT doc_id, lang, source,
+        |           CAST(len(toks) AS BIGINT) AS n_tokens,
+        |           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_cnt,
+        |           CAST(len(list_filter(toks, t2 -> list_contains(
+        |             ['the','a','an','of','and','to','in','is','it','that'], t2))) AS BIGINT) AS stop_cnt
+        |    FROM (SELECT doc_id, lang, source, text,
+        |                 regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |          FROM documents))),
+        |r AS (
+        |  SELECT lang, source, doc_id, score,
+        |         row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY score DESC, doc_id ASC) AS rb,
+        |         row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY score ASC, doc_id ASC) AS rw
+        |  FROM q)
+        |SELECT b.lang, b.source, b.doc_id AS chosen_id,
+        |       w.doc_id AS rejected_id,
+        |       round(b.score - w.score, 4) AS margin
+        |FROM (SELECT * FROM r WHERE rb = 1) b
+        |JOIN (SELECT * FROM r WHERE rw = 1) w
+        |  ON b.lang = w.lang AND b.source = w.source
+        |WHERE b.doc_id <> w.doc_id""".stripMargin,
 
     "g_concomp" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

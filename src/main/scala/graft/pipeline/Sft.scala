@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / preference training-data preparation: the operators that turn a
+  * curated document corpus into instruction-tuning inputs — turn
+  * parsing, conversation-structure validation, budgeted truncation, and
+  * quality-contrast preference pairs. The reference engine has no
+  * counterpart (this is the LLM-pipeline family, like
+  * [[Dedup]]/[[Corpus]]); shapes are chosen for 100 TB: everything here
+  * is a narrow projection, a per-conversation window (partitioned by the
+  * conversation key — no global sort), or a map-side-combinable
+  * aggregate. No collect_list of turn content ever ships whole
+  * conversations through a shuffle.
+  */
+object Sft {
+
+  /** Parse flat `role: content` transcript text (one turn per line, the
+    * ShareGPT-flattened interchange shape) into one row per turn:
+    * (convIdCol, turn_idx, role, content, n_tokens). Lines that don't
+    * match `role: ` get role '' (callers decide; [[validateConversations]]
+    * rejects them). turn_idx is 0-based line position; n_tokens counts
+    * whitespace tokens, 0 for empty content.
+    *
+    * Scale: split + posexplode + two regexp projections — shuffle-free
+    * narrow work; conversations never leave their input partition. */
+  def parseTurns(conv: DataFrame, convIdCol: String = "conv_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = posexplode(split(col(textCol), "\n")).as(Seq("turn_idx", "__line"))
+    conv.select(col(convIdCol), lines)
+      .select(col(convIdCol), col("turn_idx").cast("long").as("turn_idx"),
+        regexp_extract(col("__line"), "^(system|user|assistant): ", 1)
+          .as("role"),
+        regexp_replace(col("__line"), "^(system|user|assistant): ", "")
+          .as("content"))
+      .withColumn("n_tokens",
+        when(length(col("content")) === 0, 0L)
+          .otherwise(size(split(col("content"), " ")).cast("long")))
+  }
+
+  /** Conversation-structure gate: one row per conversation with the
+    * boolean facts an SFT filter needs — an optional leading `system`
+    * turn, then STRICT user/assistant alternation starting at `user`,
+    * no empty or unlabeled turns, and a final `assistant` turn (the
+    * training target). `valid` is the conjunction. Flags ship as BIGINT
+    * 0/1 so the driver's value hasher sees one integer dtype on both
+    * engines.
+    *
+    * Scale: a role-sequence check needs each turn's predecessor — one
+    * window partitioned by the conversation key (conversation-local
+    * sort, no global order), then a map-side-combinable aggregate. */
+  def validateConversations(turns: DataFrame,
+      convIdCol: String = "conv_id"): DataFrame = {
+    val w = Window.partitionBy(convIdCol).orderBy("turn_idx")
+    // position among non-system turns: after stripping one optional
+    // leading system turn, even positions must be user, odd assistant
+    val t = turns
+      .withColumn("__sys0", (col("role") === "system" && col("turn_idx") === 0)
+        .cast("long"))
+      .withColumn("__hasSys", max(col("__sys0")).over(
+        Window.partitionBy(convIdCol)))
+      .withColumn("__pos", col("turn_idx") - col("__hasSys"))
+      .withColumn("__roleOk",
+        when(col("__sys0") === 1, lit(true))
+          .otherwise(
+            when(col("__pos") % 2 === 0, col("role") === "user")
+              .otherwise(col("role") === "assistant")))
+      .withColumn("__last", max(col("turn_idx")).over(
+        Window.partitionBy(convIdCol)))
+    t.groupBy(col(convIdCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("n_empty"),
+        min(when(col("__roleOk"), 1L).otherwise(0L)).as("alternation_ok"),
+        max(when(col("turn_idx") === col("__last") &&
+          col("role") === "assistant", 1L).otherwise(0L))
+          .as("ends_assistant"))
+      .withColumn("valid",
+        (col("n_empty") === 0 && col("alternation_ok") === 1 &&
+          col("ends_assistant") === 1).cast("long"))
+  }
+
+  /** Budgeted truncation on TURN boundaries: keep the leading `system`
+    * turn (if any) plus the longest SUFFIX of whole turns whose token
+    * sum fits what remains of `maxTokens` — the standard "most recent
+    * context wins" SFT packing rule, never splitting a turn. Returns the
+    * surviving turn rows (schema of the input).
+    *
+    * Scale: one reverse cumulative sum per conversation (window on the
+    * conversation key) against a broadcast-free per-conversation system
+    * cost — no shuffle beyond the window's conversation-local sort. */
+  def truncateToBudget(turns: DataFrame, maxTokens: Long,
+      convIdCol: String = "conv_id"): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens must be >= 0, got $maxTokens")
+    val byConv = Window.partitionBy(convIdCol)
+    val sysCost = sum(when(col("role") === "system" && col("turn_idx") === 0,
+      col("n_tokens")).otherwise(0L)).over(byConv)
+    val sufSum = sum(when(col("role") === "system" && col("turn_idx") === 0,
+        0L).otherwise(col("n_tokens")))
+      .over(byConv.orderBy(col("turn_idx").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    turns
+      .withColumn("__sysCost", sysCost)
+      .withColumn("__sufSum", sufSum)
+      .filter(
+        (col("role") === "system" && col("turn_idx") === 0 &&
+          col("n_tokens") <= lit(maxTokens)) ||
+        (!(col("role") === "system" && col("turn_idx") === 0) &&
+          col("__sufSum") + col("__sysCost") <= lit(maxTokens)))
+      .drop("__sysCost", "__sufSum")
+  }
+
+  /** Quality-contrast preference pairs: within each group (e.g.
+    * (lang, source)), pair the highest-quality document (chosen) with
+    * the lowest (rejected) under [[TextAnalysis.qualityFeaturesRaw]]'s
+    * score, deterministic min-id tie-breaks on both ends; groups whose
+    * best and worst coincide (single doc) emit nothing. The margin is
+    * the rounded score gap — the signal a reward-model curriculum sorts
+    * by.
+    *
+    * Scale: score is a narrow projection; the argmax/argmin collapse is
+    * one map-side-combinable aggregate per group via struct max/min —
+    * no window, no per-group sort, |groups| output rows. */
+  def preferencePairs(docs: DataFrame,
+      groupCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    // qualityFeaturesRaw projects the score features only — carry the
+    // group columns back in by key
+    val q = docs.select((groupCols.map(col) :+ col("doc_id")): _*)
+      .join(TextAnalysis.qualityFeaturesRaw(docs)
+        .select(col("doc_id"), col("score")), Seq("doc_id"))
+    // struct ordering is field-by-field: argmax on (score desc, id asc)
+    // is max over (score, -id); argmin on (score asc, id asc) is min
+    // over (score, id)
+    val best = max(struct(col("score"), (-col("doc_id")).as("nid")))
+    val worst = min(struct(col("score"), col("doc_id").as("pid")))
+    q.groupBy(groupCols.map(col): _*)
+      .agg(best.as("__b"), worst.as("__w"))
+      .select((groupCols.map(col) :+
+        (-col("__b.nid")).as("chosen_id") :+
+        col("__w.pid").as("rejected_id") :+
+        round(col("__b.score") - col("__w.score"), 4).as("margin")): _*)
+      .filter(col("chosen_id") =!= col("rejected_id"))
+  }
+}

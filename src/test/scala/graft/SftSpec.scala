@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Sft
+
+class SftSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def turnsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    Sft.parseTurns(rows.toSeq.toDF("conv_id", "text"))
+  }
+
+  test("parseTurns: roles, content, 0-token empty turns, unlabeled lines") {
+    val got = turnsOf(
+      (1L, "system: be helpful\nuser: hi there\nassistant: hello"),
+      (2L, "user: solo"),
+      (3L, "no role prefix\nuser: ok"),
+      (4L, "user: \nassistant: fine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got((1L, 0L)) == (("system", "be helpful", 2L)))
+    assert(got((1L, 1L)) == (("user", "hi there", 2L)))
+    assert(got((1L, 2L)) == (("assistant", "hello", 1L)))
+    assert(got((2L, 0L)) == (("user", "solo", 1L)))
+    // unlabeled line: role '' and the whole line as content
+    assert(got((3L, 0L)) == (("", "no role prefix", 3L)))
+    // empty content after the prefix counts 0 tokens
+    assert(got((4L, 0L)) == (("user", "", 0L)))
+  }
+
+  test("validateConversations: alternation, system handling, final-assistant") {
+    val v = Sft.validateConversations(turnsOf(
+        (1L, "system: s\nuser: a\nassistant: b"),          // valid
+        (2L, "user: a\nassistant: b\nuser: c\nassistant: d"), // valid, no system
+        (3L, "assistant: starts wrong\nuser: x"),           // bad alternation + bad end
+        (4L, "user: a\nuser: b"),                           // two users in a row
+        (5L, "user: a\nassistant: "),                       // empty final turn
+        (6L, "system: s\nuser: a")))                        // ends on user
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(v(1L) == ((3L, 0L, 1L, 1L, 1L)))
+    assert(v(2L) == ((4L, 0L, 1L, 1L, 1L)))
+    assert(v(3L)._3 == 0L && v(3L)._5 == 0L)
+    assert(v(4L)._3 == 0L)
+    assert(v(5L) == ((2L, 1L, 1L, 1L, 0L))) // structure ok, empty turn kills it
+    assert(v(6L)._4 == 0L && v(6L)._5 == 0L)
+  }
+
+  test("truncateToBudget: system kept, longest whole-turn suffix fits") {
+    // turns: system(2) user(4) assistant(4) user(4) assistant(4)
+    val t = turnsOf((1L,
+      "system: a b\nuser: c d e f\nassistant: g h i j\n" +
+      "user: k l m n\nassistant: o p q r"))
+    def kept(budget: Long) =
+      Sft.truncateToBudget(t, budget)
+        .collect().map(_.getLong(1)).toSet
+    // budget 10: system(2) + last two turns (8) = 10 fits; adding turn 1
+    // (4 more) would not
+    assert(kept(10L) == Set(0L, 3L, 4L))
+    // budget 18: everything (2 + 16)
+    assert(kept(18L) == Set(0L, 1L, 2L, 3L, 4L))
+    // budget 5: system + final turn only
+    assert(kept(6L) == Set(0L, 4L))
+    // budget 1: even the system turn is over budget -> nothing survives
+    assert(kept(1L) == Set.empty[Long])
+    // no-system conversation: plain suffix rule
+    val t2 = turnsOf((2L, "user: a b\nassistant: c d"))
+    assert(Sft.truncateToBudget(t2, 2L).collect().map(_.getLong(1)).toSet ==
+      Set(1L))
+  }
+
+  test("preferencePairs: per-group argmax/argmin, ties to min id, singletons drop") {
+    import spark.implicits._
+    // same (lang, source): long stopword-rich doc beats punctuation soup;
+    // one singleton group must emit nothing
+    val d = Seq(
+      (1L, "the cat sat on the mat and it is that good", "en", "s0", 40L),
+      (2L, "x! y! z! !!!! ????", "en", "s0", 20L),
+      (3L, "the cat sat on the mat and it is that good", "en", "s0", 40L), // tie with 1
+      (4L, "alone here", "zh", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Sft.preferencePairs(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 1) // zh/s1 is a singleton -> dropped
+    val (chosen, rejected, margin) = got(("en", "s0"))
+    assert(chosen == 1L)   // tie between 1 and 3 -> min id
+    assert(rejected == 2L)
+    assert(margin > 0.0)
+  }
+}

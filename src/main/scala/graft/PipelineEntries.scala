@@ -941,6 +941,12 @@ object PipelineEntries {
       Sft.truncateToBudget(Sft.parseTurns(convDocs(s, dir)), maxTokens = 48)
         .select("conv_id", "turn_idx", "role", "n_tokens")),
 
+    // loss-mask token spans: per-turn [start_tok, end_tok) offsets in
+    // the concatenated conversation + assistant-only train_mask — the
+    // metadata an SFT trainer builds its loss tensor from
+    "p_sft_spans" -> ((s, dir) =>
+      Sft.lossMaskSpans(Sft.parseTurns(convDocs(s, dir)))),
+
     // quality-contrast preference pairs per (lang, source): argmax vs
     // argmin of the shared quality score, min-id ties, rounded margin
     "p_pref_pairs" -> ((s, dir) => Sft.preferencePairs(docs(s, dir))),
@@ -4295,6 +4301,22 @@ object PipelineEntries {
         |WHERE (role = 'system' AND turn_idx = 0 AND n_tokens <= 48)
         |   OR (NOT (role = 'system' AND turn_idx = 0)
         |       AND suf_sum + sys_cost <= 48)""".stripMargin,
+
+    // per-turn token offsets: running sum window over the derived turns
+    "p_sft_spans" ->
+      s"""WITH $sftTurnsCtes
+        |SELECT conv_id, turn_idx, role,
+        |       CAST(sum(n_tokens) OVER (PARTITION BY conv_id
+        |              ORDER BY turn_idx
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - n_tokens AS BIGINT) AS start_tok,
+        |       CAST(sum(n_tokens) OVER (PARTITION BY conv_id
+        |              ORDER BY turn_idx
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS end_tok,
+        |       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+        |            AS BIGINT) AS train_mask
+        |FROM tt""".stripMargin,
 
     // quality-contrast pairs: the p_dedup_keep_best score formula
     // (UNROUNDED through both argmax and argmin; only margin rounds),

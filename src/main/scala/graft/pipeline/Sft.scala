@@ -112,6 +112,28 @@ object Sft {
       .drop("__sysCost", "__sufSum")
   }
 
+  /** Loss-mask token spans: the tensor-building metadata an SFT trainer
+    * consumes — for each turn, its half-open token offset range
+    * [start_tok, end_tok) in the concatenated conversation and whether
+    * its tokens receive loss (`train_mask` = 1 for `assistant` turns,
+    * 0 for system/user/unlabeled — supervised targets only). Offsets are
+    * the running sum of turn token counts in turn order.
+    *
+    * Scale: one cumulative-sum window per conversation (conversation-key
+    * partition, no global sort) over rows that already exist — no
+    * content movement, the offsets ride the turn metadata. */
+  def lossMaskSpans(turns: DataFrame,
+      convIdCol: String = "conv_id"): DataFrame = {
+    val w = Window.partitionBy(convIdCol).orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .select(col(convIdCol), col("turn_idx"), col("role"),
+        (col("end_tok") - col("n_tokens")).as("start_tok"),
+        col("end_tok"),
+        when(col("role") === "assistant", 1L).otherwise(0L).as("train_mask"))
+  }
+
   /** Quality-contrast preference pairs: within each group (e.g.
     * (lang, source)), pair the highest-quality document (chosen) with
     * the lowest (rejected) under [[TextAnalysis.qualityFeaturesRaw]]'s

@@ -267,6 +267,42 @@ class PlanSpec extends AnyFunSuite {
       s"window must sit ABOVE the grid aggregate:\n$plan")
   }
 
+  test("SFT plans: parse is shuffle-free; windows key on the conversation; pairs are one partial+final agg") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val conv = docs.selectExpr("doc_id AS conv_id",
+      "concat('user: hello there\nassistant: ', text) AS text")
+    val turns = graft.pipeline.Sft.parseTurns(conv)
+    // parsing never moves a conversation off its input partition
+    assert(turns.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e }.isEmpty,
+      turns.queryExecution.executedPlan.toString)
+    // validate / truncate / spans: every exchange is hashpartitioning on
+    // the conversation key — no global-order window, no corpus-row sort
+    for ((name, df) <- Seq(
+        "validate" -> graft.pipeline.Sft.validateConversations(turns),
+        "truncate" -> graft.pipeline.Sft.truncateToBudget(turns, 48),
+        "spans" -> graft.pipeline.Sft.lossMaskSpans(turns))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val bad = "Exchange (?!hashpartitioning\\(conv_id)".r
+        .findFirstIn(plan.linesIterator.filter(_.contains("Exchange"))
+          .mkString("\n"))
+      assert(df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike => e }
+        .forall(_.outputPartitioning.toString.contains("conv_id")),
+        s"$name has a non-conversation-key exchange:\n$plan")
+      assert(bad.isEmpty || bad.get.contains("conv_id"), s"$name:\n$plan")
+    }
+    // preference pairs: exactly one group-key shuffle, partial+final
+    // struct-max/min aggregation, and the score self-join broadcast
+    // (AQE wraps the join plan, so pin on the plan string)
+    val pp = graft.pipeline.Sft.preferencePairs(docs)
+    val ppPlan = pp.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ppPlan).size == 1, ppPlan)
+    assert(ppPlan.contains("partial_max"), ppPlan)
+    assert(ppPlan.contains("BroadcastHashJoin"), ppPlan)
+  }
+
   test("c4Clean, classifierScore and pqEncode are shuffle-free narrow plans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -73,6 +73,21 @@ class SftSpec extends AnyFunSuite {
       Set(1L))
   }
 
+  test("lossMaskSpans: contiguous half-open offsets, assistant-only mask") {
+    val got = Sft.lossMaskSpans(turnsOf(
+        (1L, "system: a b\nuser: c d e\nassistant: f")))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) == ((0L, 2L, 0L)))
+    assert(got(1L) == ((2L, 5L, 0L)))
+    assert(got(2L) == ((5L, 6L, 1L)))
+    // empty turn: zero-width span, still a row
+    val e = Sft.lossMaskSpans(turnsOf((2L, "user: \nassistant: x")))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(e(0L) == ((0L, 0L, 0L)) && e(1L) == ((0L, 1L, 1L)))
+  }
+
   test("preferencePairs: per-group argmax/argmin, ties to min id, singletons drop") {
     import spark.implicits._
     // same (lang, source): long stopword-rich doc beats punctuation soup;

@@ -924,6 +924,10 @@ object PipelineEntries {
     "p_pack_stats" -> ((s, dir) =>
       Corpus.packingStats(Corpus.packSequences(docs(s, dir)))),
 
+    // dataset-release shard manifest: per-shard row count, token total,
+    // order-independent xor content hash — diff two pipeline runs
+    "p_manifest" -> ((s, dir) => Corpus.shardManifest(docs(s, dir))),
+
     // SFT family over the deterministic conversation fixture (convDocs):
     // parse the flattened `role: content` transcript into one row per
     // turn — the ShareGPT-interchange ingestion step
@@ -4250,6 +4254,31 @@ object PipelineEntries {
         |       round(CAST(sum(n_tokens) AS DOUBLE) /
         |             ((max(seq_bin) + 1) * 2048.0), 6) AS fill_frac
         |FROM p GROUP BY shard""".stripMargin,
+
+    // per-doc from-spec XXH64 over the full text (k = doc_id), signed
+    // conversion before the xor fold (Spark xors signed longs; xor
+    // commutes with the two's-complement reinterpretation, but keep the
+    // compare honest in int64 space)
+    "p_manifest" ->
+      s"""WITH RECURSIVE
+        |d AS MATERIALIZED (
+        |  SELECT doc_id, text, doc_id % 8 AS shard,
+        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        |              AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |hin AS MATERIALIZED (SELECT doc_id AS k, text AS s FROM d),
+        |${xxh64Ctes("hin")},
+        |hs AS MATERIALIZED (
+        |  SELECT k AS doc_id,
+        |         CASE WHEN h >= 9223372036854775808::HUGEINT
+        |              THEN (h - $M64)::BIGINT
+        |              ELSE h::BIGINT END AS h
+        |  FROM xres)
+        |SELECT d.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+        |       bit_xor(hs.h) AS content_hash
+        |FROM d JOIN hs ON hs.doc_id = d.doc_id
+        |GROUP BY d.shard""".stripMargin,
 
     // SFT turn parse: the oracle re-derives turns from the fixture's
     // replace + position arithmetic (no parsing) — see sftTurnsCtes

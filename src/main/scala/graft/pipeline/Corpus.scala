@@ -398,6 +398,27 @@ object Corpus {
     * within shards, and `shards` is the parallelism unit (set it ≈ the
     * cluster's write parallelism at 100 TB). One shuffle on the shard
     * key; the per-shard running sum is a standard window. */
+  /** Dataset-release shard manifest — the reproducibility record a
+    * pipeline publishes with a training-data drop: per shard, the row
+    * count, whitespace-token total, and an ORDER-INDEPENDENT content
+    * hash (bit_xor of per-document xxhash64(text), seed 42 — Spark's
+    * builtin, already oracle-pinned against the from-spec XXH64 SQL).
+    * Re-run the pipeline, diff the manifest: any dropped, duplicated,
+    * or mutated document flips its shard's hash, while row order and
+    * partitioning are free to differ (xor commutes).
+    *
+    * Scale: one narrow hash+count projection into a map-side-combinable
+    * aggregate — |shards| output rows, no sort, no window; the 100 TB
+    * cost is exactly one scan. */
+  def shardManifest(docs: DataFrame, shards: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select((col(idCol) % lit(shards.toLong)).as("shard"),
+        xxhash64(col(textCol)).as("__h"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"),
+        expr("bit_xor(__h)").as("content_hash"))
+
   def packSequences(docs: DataFrame, seqLen: Int = 2048, shards: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -1774,6 +1774,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(got2(1L) == "unique alpha" && got2(2L) == "unique beta")
   }
 
+  test("shard manifest: order/partitioning-invariant, one mutation flips one shard") {
+    import TestSpark.spark.implicits._
+    val m1 = Corpus.shardManifest(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m1.size == 8 && m1.values.map(_._1).sum == docs.count())
+    // row order and partitioning are free to differ: xor commutes
+    val m2 = Corpus.shardManifest(
+        docs.orderBy(org.apache.spark.sql.functions.rand(7)).repartition(3))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m2 == m1)
+    // mutate ONE document: only its shard's content hash (and token
+    // total) may change; every other shard row is identical
+    val mutated = docs.withColumn("text",
+      org.apache.spark.sql.functions.when(col("doc_id") === 11L,
+        org.apache.spark.sql.functions.concat(col("text"),
+          org.apache.spark.sql.functions.lit(" tampered")))
+        .otherwise(col("text")))
+    val m3 = Corpus.shardManifest(mutated).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val changed = m3.filter { case (k, v) => m1(k) != v }.keySet
+    assert(changed == Set(11L % 8), s"changed shards: $changed")
+    assert(m3(3L)._3 != m1(3L)._3 && m3(3L)._1 == m1(3L)._1)
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val rates = Map("en" -> 50, "zh" -> 10)
     val s1 = Corpus.stratifiedSample(docs, rates, defaultNum = 25)

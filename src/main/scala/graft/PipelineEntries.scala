@@ -951,6 +951,11 @@ object PipelineEntries {
     "p_sft_spans" -> ((s, dir) =>
       Sft.lossMaskSpans(Sft.parseTurns(convDocs(s, dir)))),
 
+    // export path: parse the fixture transcript, render it back to the
+    // flattened text (round-trip identity is spec-pinned)
+    "p_sft_render" -> ((s, dir) =>
+      Sft.renderTranscript(Sft.parseTurns(convDocs(s, dir)))),
+
     // quality-contrast preference pairs per (lang, source): argmax vs
     // argmin of the shared quality score, min-id ties, rounded margin
     "p_pref_pairs" -> ((s, dir) => Sft.preferencePairs(docs(s, dir))),
@@ -4346,6 +4351,14 @@ object PipelineEntries {
         |       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
         |            AS BIGINT) AS train_mask
         |FROM tt""".stripMargin,
+
+    // the rendered transcript: ordered string_agg over the derived turns
+    "p_sft_render" ->
+      s"""WITH $sftTurnsCtes
+        |SELECT conv_id,
+        |       string_agg(role || ': ' || content, chr(10)
+        |         ORDER BY turn_idx) AS text
+        |FROM tt GROUP BY conv_id""".stripMargin,
 
     // quality-contrast pairs: the p_dedup_keep_best score formula
     // (UNROUNDED through both argmax and argmin; only margin rounds),

@@ -112,6 +112,23 @@ object Sft {
       .drop("__sysCost", "__sufSum")
   }
 
+  /** Render turn rows back to the flattened `role: content` transcript —
+    * the export path ([[parseTurns]]'s inverse; round-trip identity is
+    * spec-pinned). One ordered collect per conversation: the only place
+    * in the family where whole conversations re-assemble, and exactly
+    * the shape a final dataset write wants (one row per training
+    * example).
+    *
+    * Scale: array_join(collect over a conversation-key window) —
+    * conversation-local, no global sort; output rows = conversations. */
+  def renderTranscript(turns: DataFrame,
+      convIdCol: String = "conv_id"): DataFrame =
+    turns
+      .withColumn("__line", concat(col("role"), lit(": "), col("content")))
+      .groupBy(col(convIdCol))
+      .agg(array_join(array_sort(collect_list(struct(col("turn_idx"),
+        col("__line")))).getField("__line"), "\n").as("text"))
+
   /** Loss-mask token spans: the tensor-building metadata an SFT trainer
     * consumes — for each turn, its half-open token offset range
     * [start_tok, end_tok) in the concatenated conversation and whether

@@ -73,6 +73,17 @@ class SftSpec extends AnyFunSuite {
       Set(1L))
   }
 
+  test("renderTranscript: parse round-trips to the exact input text") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "system: be helpful\nuser: hi there\nassistant: hello"),
+      (2L, "user: a\nassistant: b\nuser: c\nassistant: d"),
+      (3L, "user: just one"))
+    val back = Sft.renderTranscript(Sft.parseTurns(texts.toDF("conv_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == texts.toMap)
+  }
+
   test("lossMaskSpans: contiguous half-open offsets, assistant-only mask") {
     val got = Sft.lossMaskSpans(turnsOf(
         (1L, "system: a b\nuser: c d e\nassistant: f")))

@@ -951,6 +951,13 @@ object PipelineEntries {
     "p_sft_spans" -> ((s, dir) =>
       Sft.lossMaskSpans(Sft.parseTurns(convDocs(s, dir)))),
 
+    // conversation-level packing: truncate to the window, then fill
+    // 64-token bins per shard — conversations never split across bins
+    "p_sft_pack" -> ((s, dir) =>
+      Sft.packConversations(
+        Sft.truncateToBudget(Sft.parseTurns(convDocs(s, dir)), maxTokens = 64),
+        seqLen = 64)),
+
     // export path: parse the fixture transcript, render it back to the
     // flattened text (round-trip identity is spec-pinned)
     "p_sft_render" -> ((s, dir) =>
@@ -4351,6 +4358,39 @@ object PipelineEntries {
         |       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
         |            AS BIGINT) AS train_mask
         |FROM tt""".stripMargin,
+
+    // mirrored truncation (budget 64) -> per-conversation totals -> the
+    // p_pack shard/bin window at seqLen 64
+    "p_sft_pack" ->
+      s"""WITH $sftTurnsCtes,
+        |x AS (
+        |  SELECT conv_id, turn_idx, role, n_tokens,
+        |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+        |             THEN n_tokens ELSE 0 END)
+        |      OVER (PARTITION BY conv_id) AS sys_cost,
+        |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+        |             THEN 0 ELSE n_tokens END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS suf_sum
+        |  FROM tt),
+        |kept AS (
+        |  SELECT conv_id, n_tokens FROM x
+        |  WHERE (role = 'system' AND turn_idx = 0 AND n_tokens <= 64)
+        |     OR (NOT (role = 'system' AND turn_idx = 0)
+        |         AND suf_sum + sys_cost <= 64)),
+        |tot AS (
+        |  SELECT conv_id, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |         conv_id % 8 AS shard
+        |  FROM kept GROUP BY conv_id),
+        |c AS (
+        |  SELECT conv_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |              ORDER BY conv_id) AS BIGINT) AS cum_tokens
+        |  FROM tot)
+        |SELECT conv_id, shard, n_tokens, cum_tokens,
+        |       CAST(floor((cum_tokens - n_tokens) / 64.0) AS BIGINT) AS seq_bin
+        |FROM c""".stripMargin,
 
     // the rendered transcript: ordered string_agg over the derived turns
     "p_sft_render" ->

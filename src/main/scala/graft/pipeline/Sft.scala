@@ -151,6 +151,30 @@ object Sft {
         when(col("role") === "assistant", 1L).otherwise(0L).as("train_mask"))
   }
 
+  /** Pack whole conversations into fixed-length training windows: the
+    * conversation-level twin of [[Corpus.packSequences]] — per shard
+    * (conv_id % shards), conversations fill `seqLen`-token bins in id
+    * order, spilling over like the document packer, and a conversation
+    * NEVER splits across bins (it spans [cum - total, cum)); run
+    * [[truncateToBudget]] first so no single conversation exceeds the
+    * window. Returns (conv_id, shard, n_tokens, cum_tokens, seq_bin).
+    *
+    * Scale: one sum aggregate to conversation totals + the same
+    * shard-key running-sum window as the document packer — shard-local
+    * sort only. */
+  def packConversations(turns: DataFrame, seqLen: Int = 2048,
+      shards: Int = 8, convIdCol: String = "conv_id"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(convIdCol)
+    turns.groupBy(col(convIdCol))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("shard", col(convIdCol) % lit(shards.toLong))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("seq_bin",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
+      .select(col(convIdCol), col("shard"), col("n_tokens"),
+        col("cum_tokens"), col("seq_bin"))
+  }
+
   /** Quality-contrast preference pairs: within each group (e.g.
     * (lang, source)), pair the highest-quality document (chosen) with
     * the lowest (rejected) under [[TextAnalysis.qualityFeaturesRaw]]'s

@@ -99,6 +99,25 @@ class SftSpec extends AnyFunSuite {
     assert(e(0L) == ((0L, 0L, 0L)) && e(1L) == ((0L, 1L, 1L)))
   }
 
+  test("packConversations: whole conversations fill bins, spillover like the doc packer") {
+    // conv 8k -> shard 0 with totals 3, 4, 5 tokens; seqLen 6:
+    // conv 0 (3) starts bin 0, conv 8 (4) spills to bin 1 (cum 7 - 4 = 3
+    // -> floor(3/6) = 0? no: bin = floor((cum - n)/seqLen) = start offset
+    // bin; conv 8 starts at 3 -> bin 0, conv 16 starts at 7 -> bin 1
+    val t = turnsOf(
+      (0L, "user: a b\nassistant: c"),
+      (8L, "user: a b c\nassistant: d"),
+      (16L, "user: a b c d\nassistant: e"))
+    val got = Sft.packConversations(t, seqLen = 6, shards = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((0L, 3L, 3L, 0L)))
+    assert(got(8L) == ((0L, 4L, 7L, 0L)))
+    assert(got(16L) == ((0L, 5L, 12L, 1L)))
+    // a conversation is one row — it can never split across bins
+    assert(got.size == 3)
+  }
+
   test("preferencePairs: per-group argmax/argmin, ties to min id, singletons drop") {
     import spark.implicits._
     // same (lang, source): long stopword-rich doc beats punctuation soup;

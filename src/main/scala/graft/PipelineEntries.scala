@@ -24,7 +24,7 @@ object PipelineEntries {
     * whose DuckDB oracles recompute 96-hash signatures / all-pairs
     * Jaccard / recursive closures / byte-loop XXH64 effectively
     * single-threaded and time out past gate scale. When
-    * `SPARK_GRAFT_ORACLE_SAMPLE=M` is set, BOTH sides of those five
+    * `SPARK_GRAFT_ORACLE_SAMPLE=M` is set, BOTH sides of those nine
     * entries restrict the corpus to `doc_id % M == 0` — the Spark input
     * frame via [[heavyDocs]] and the oracle SQL via [[heavyDocsRel]],
     * dumped by the same JVM, so they can never disagree about the
@@ -33,7 +33,17 @@ object PipelineEntries {
     * one purpose is the sf0.1 oracle sweep, where M=4 keeps a
     * 1250-document corpus (2.5× the full sf0.01 gate) inside DuckDB's
     * budget so every entry is verified against 10×-scale data with zero
-    * timeouts (SURVEY §8). */
+    * timeouts (SURVEY §8).
+    *
+    * `p_mm_dedup` is the one exception to the `doc_id % M == 0` shape:
+    * its image fixture groups by `doc_id / 4` with variant `doc_id % 4`,
+    * so a modulus-aligned sample keeps exactly ONE member per group and
+    * both engines emit zero pairs — a vacuously-green sweep (r14 ADVICE).
+    * That entry samples `doc_id % (2M) < 2` instead ([[mmSampleDocs]] /
+    * [[mmSampleRel]]): the same 1/M corpus fraction, but kept ids arrive
+    * in CONSECUTIVE pairs (8k, 8k+1), i.e. two variants of the same
+    * image group, so within-group near-dup pairs survive sampling and
+    * the sweep checks real pair output. */
   private[graft] def oracleSampleMod: Option[Long] =
     sys.env.get("SPARK_GRAFT_ORACLE_SAMPLE")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 2L)
@@ -43,6 +53,15 @@ object PipelineEntries {
   private def heavyDocsRel: String =
     oracleSampleMod.map(m =>
       s"(SELECT * FROM documents WHERE doc_id % $m = 0)")
+      .getOrElse("documents")
+  /** Variant-diversity-preserving sample for `p_mm_dedup` — see the
+    * [[oracleSampleMod]] scaladoc's exception paragraph. */
+  private def mmSampleDocs(s: SparkSession, dir: String): DataFrame =
+    oracleSampleMod.foldLeft(docs(s, dir))((d, m) =>
+      d.filter(col("doc_id") % (2 * m) < 2))
+  private def mmSampleRel: String =
+    oracleSampleMod.map(m =>
+      s"(SELECT * FROM documents WHERE doc_id % ${2 * m} < 2)")
       .getOrElse("documents")
   /** Sampled runs persist their dedup artifacts beside (not over) the
     * full-corpus ones — the staleness fence would otherwise rebuild the
@@ -696,7 +715,7 @@ object PipelineEntries {
     "p_mm_dedup" -> ((s, dir) =>
       Dedup.imageHashPairs(
         Multimodal.imageDHash(s,
-          Multimodal.synthesizeBmpMedia(s, heavyDocs(s, dir))))),
+          Multimodal.synthesizeBmpMedia(s, mmSampleDocs(s, dir))))),
 
     // audio near-dup pairs: REAL RIFF/fmt/data chunk walk + PCM16 sample
     // read over synthesized waveform payloads → 64-block cyclic
@@ -3911,7 +3930,7 @@ object PipelineEntries {
     // blocked join (oracles need correctness, not scale)
     "p_mm_dedup" ->
       s"""WITH img AS (
-        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM $heavyDocsRel
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM $mmSampleRel
         |  WHERE doc_id % 17 <> 0),
         |bits AS (
         |  SELECT doc_id, r, c,

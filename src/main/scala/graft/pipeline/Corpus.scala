@@ -398,6 +398,19 @@ object Corpus {
     * within shards, and `shards` is the parallelism unit (set it ≈ the
     * cluster's write parallelism at 100 TB). One shuffle on the shard
     * key; the per-shard running sum is a standard window. */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048, shards: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("seq_bin",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        col("cum_tokens"), col("seq_bin"))
+  }
+
   /** Dataset-release shard manifest — the reproducibility record a
     * pipeline publishes with a training-data drop: per shard, the row
     * count, whitespace-token total, and an ORDER-INDEPENDENT content
@@ -418,19 +431,6 @@ object Corpus {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"),
         expr("bit_xor(__h)").as("content_hash"))
-
-  def packSequences(docs: DataFrame, seqLen: Int = 2048, shards: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(idCol)
-    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
-        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .withColumn("seq_bin",
-        floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
-      .select(col(idCol), col("shard"), col("n_tokens"),
-        col("cum_tokens"), col("seq_bin"))
-  }
 
   /** Packing-efficiency gauge over [[packSequences]] output (or any
     * (shard, n_tokens, seq_bin) frame): per shard, how full the

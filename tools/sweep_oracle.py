@@ -73,6 +73,12 @@ def check_one(name, sql):
                [x for x in on if x not in sset][:2]
         return (name, 'ROWS', f'spark={len(sn)} oracle={len(on)} e.g. {diff}',
                 time.time() - t0)
+    if len(sn) == 0:
+        # empty-equals-empty proves nothing about the operator: a sample
+        # predicate that breaks the fixture's pair structure (the r14
+        # p_mm_dedup finding) passes this way. Distinct verdict so the
+        # summary names it instead of folding it into OK.
+        return (name, 'VACUOUS', 'rows=0 on both sides', time.time() - t0)
     return (name, 'OK', f'rows={len(sn)}', time.time() - t0)
 
 
@@ -120,18 +126,21 @@ def main():
                 results[name] = (name, 'TIMEOUT', f'>{timeout:.0f}s', timeout)
                 print(f'TIMEOUT    {name} >{timeout:.0f}s', flush=True)
 
-    bad = {n: r for n, r in results.items() if r[1] != 'OK'}
+    bad = {n: r for n, r in results.items()
+           if r[1] not in ('OK', 'VACUOUS')}
+    vacuous = sorted(n for n, r in results.items() if r[1] == 'VACUOUS')
     summary = {
         'sfdir': sfdir, 'timeout_s': timeout, 'total': len(results),
-        'ok': len(results) - len(bad),
+        'ok': len(results) - len(bad) - len(vacuous),
         'fails': sorted(n for n, r in bad.items() if r[1] not in ('TIMEOUT',)),
         'timeouts': sorted(n for n, r in bad.items() if r[1] == 'TIMEOUT'),
+        'vacuous': vacuous,
         'seconds': {n: round(r[3], 1) for n, r in results.items()},
     }
     with open(f'{outdir}/sweep_summary.json', 'w') as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(f"FAILS: {len(summary['fails'])}  TIMEOUTS: {len(summary['timeouts'])}"
-          f"  OK: {summary['ok']}/{summary['total']}")
+          f"  VACUOUS: {len(vacuous)}  OK: {summary['ok']}/{summary['total']}")
     sys.exit(1 if bad else 0)
 
 

@@ -93,12 +93,16 @@ object PipelineEntries {
     * boundaries wherever the corpus token `data` appears (the
     * [[linedDocs]] replace trick — byte-identical in both engines), one
     * `role: ` prefix per segment, roles by position with an optional
-    * leading `system` turn on conv_id % 3 == 0. The Spark gate entries
-    * then genuinely PARSE the flattened transcript back
+    * leading `system` turn on conv_id % 3 == 0. Turn content is
+    * MULTI-LINE wherever the token `the` appears inside a segment (a
+    * second replace → real newlines — 374/500 sf0.01 docs carry one), so
+    * the fixture exercises the escaped interchange: the flattened text
+    * carries `Sft.escapeTurnText`'d content and the Spark gate entries
+    * genuinely PARSE + UNESCAPE it back
     * ([[graft.pipeline.Sft.parseTurns]]); the DuckDB mirrors re-derive
-    * the turns from the same replace + position arithmetic without
-    * string parsing — independent derivations of the same rows, the
-    * p_mm_dedup pattern. */
+    * the multi-line content from the same replace + position arithmetic
+    * without any parsing or unescaping — independent derivations of the
+    * same rows, the p_mm_dedup pattern. */
   private def convDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id").as("conv_id"),
@@ -112,7 +116,9 @@ object PipelineEntries {
               when(col("__sys") === 1 && i === 0, lit("system"))
                 .otherwise(when(((i - col("__sys")) % 2) === 0, lit("user"))
                   .otherwise(lit("assistant"))),
-              lit(": "), seg))).as("text"))
+              lit(": "),
+              Sft.escapeTurnText(org.apache.spark.sql.functions.replace(
+                seg, lit(" the "), lit("\n")))))).as("text"))
 
   /** Where the persisted-ANN entries keep the durable IVF index for a
     * given sf dir (tmpdir-scoped; one artifact per corpus). */
@@ -1248,9 +1254,13 @@ object PipelineEntries {
     * p_dedup_keep_best / p_split_leakage) bound their corpus via
     * [[heavyDocsRel]]. */
   /** Shared DuckDB derivation of the [[convDocs]] fixture's turn rows —
-    * the replace + position arithmetic directly, NO string parsing, so
-    * the Spark side's regexp parse of the flattened transcript is
-    * checked by an independent derivation (the p_mm_dedup pattern). */
+    * the replace + position arithmetic directly, NO string parsing and
+    * NO unescaping (content is re-derived with its REAL newlines from
+    * the ' the '→chr(10) replace), so the Spark side's regexp parse +
+    * escape-sequence decode of the flattened transcript is checked by an
+    * independent derivation (the p_mm_dedup pattern). n_tokens is the
+    * whitespace-regex count with empty pieces dropped —
+    * `Sft.tokenCount`'s mirror. */
   private def sftTurnsCtes: String =
     """segs AS (
       |  SELECT doc_id AS conv_id,
@@ -1262,13 +1272,12 @@ object PipelineEntries {
       |         CASE WHEN sys = 1 AND i = 1 THEN 'system'
       |              WHEN (i - 1 - sys) % 2 = 0 THEN 'user'
       |              ELSE 'assistant' END AS role,
-      |         segs[i] AS content, sys
+      |         replace(segs[i], ' the ', chr(10)) AS content, sys
       |  FROM segs, unnest(range(1, len(segs) + 1)) AS t(i)),
       |tt AS (
       |  SELECT conv_id, turn_idx, role, content, sys,
-      |         CASE WHEN length(content) = 0 THEN CAST(0 AS BIGINT)
-      |              ELSE CAST(len(string_split(content, ' ')) AS BIGINT)
-      |         END AS n_tokens
+      |         CAST(len(list_filter(regexp_split_to_array(content, '\s+'),
+      |                              t2 -> t2 <> '')) AS BIGINT) AS n_tokens
       |  FROM trn)""".stripMargin
 
   private def dupClustersCtes(docsRel: String = "documents"): String =
@@ -4411,12 +4420,15 @@ object PipelineEntries {
         |       CAST(floor((cum_tokens - n_tokens) / 64.0) AS BIGINT) AS seq_bin
         |FROM c""".stripMargin,
 
-    // the rendered transcript: ordered string_agg over the derived turns
+    // the rendered transcript: ordered string_agg over the derived turns,
+    // content escaped per Sft.escapeTurnText (backslash first, then
+    // newline -> backslash-n) so multi-line turns flatten to one line
     "p_sft_render" ->
       s"""WITH $sftTurnsCtes
         |SELECT conv_id,
-        |       string_agg(role || ': ' || content, chr(10)
-        |         ORDER BY turn_idx) AS text
+        |       string_agg(role || ': ' ||
+        |           replace(replace(content, '\\', '\\\\'), chr(10), '\\n'),
+        |         chr(10) ORDER BY turn_idx) AS text
         |FROM tt GROUP BY conv_id""".stripMargin,
 
     // quality-contrast pairs: the p_dedup_keep_best score formula

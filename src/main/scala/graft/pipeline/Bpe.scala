@@ -159,4 +159,35 @@ object Bpe {
       }
       .toDF()
   }
+
+  /** Attach a BPE token count COLUMN to any frame — the schema-preserving
+    * form [[graft.pipeline.Sft]]'s budget operators compose with, so
+    * truncation / span / packing budgets are measured in the TRAINER's
+    * token currency instead of whitespace words (a whitespace budget
+    * under-fills or overflows a BPE-windowed trainer by the corpus'
+    * compression ratio). `merges` is collected once (≤ numMerges rows —
+    * bounded) and broadcast; the count itself is one deterministic UDF
+    * over `textCol` — a narrow per-row pass, no shuffle, no join (the
+    * per-partition word memo of [[tokenCounts]] is traded away for
+    * schema preservation; turn contents are short, so the encode is
+    * cheap per row). NULL text counts 0. */
+  def withTokenCountColumn(df: DataFrame, merges: DataFrame,
+      textCol: String = "content",
+      outCol: String = "n_bpe_tokens"): DataFrame = {
+    val spark = df.sparkSession
+    val mergeList = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(mergeList.zipWithIndex.toMap)
+    val count = udf { (txt: String) =>
+      if (txt == null) 0L
+      else {
+        val ranks = bc.value
+        var acc = 0L
+        for (w <- txt.toLowerCase.trim.split("\\s+") if w.nonEmpty)
+          acc += encodeWord(w, ranks).length
+        acc
+      }
+    }
+    df.withColumn(outCol, count(col(textCol)))
+  }
 }

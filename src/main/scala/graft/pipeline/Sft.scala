@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,15 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object Sft {
 
+  /** Escape turn content for the one-turn-per-line flattened
+    * interchange: `\` → `\\` (backslash first, so every escaped-form
+    * backslash is unambiguous), then newline → `\n`. Real SFT corpora
+    * are overwhelmingly multi-line (code blocks, lists); without this a
+    * newline-bearing assistant turn would split into spurious role-''
+    * lines on re-parse and silently shrink the dataset at validation.
+    * [[unescapeTurnText]] inverts it exactly (bijection spec-pinned on
+    * newline- and backslash-bearing content). Narrow string projection. */
+  def escapeTurnText(c: Column): Column =
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\n"), lit("\\n"))
+
+  /** Inverse of [[escapeTurnText]], in engine-portable builtins: split
+    * on `\\` (after backslash-escaping, the ONLY double-backslash runs
+    * are literal-backslash tokens — the newline token `\n` ends in `n`,
+    * so it can never textually collide), unescape `\n` → newline inside
+    * each piece (every remaining backslash there starts a `\n` token),
+    * re-join with `\`. The DuckDB spelling is the same three calls over
+    * string_split/list_transform/array_to_string. */
+  def unescapeTurnText(c: Column): Column =
+    array_join(transform(split(c, "\\\\\\\\", -1),
+      p => replace(p, lit("\\n"), lit("\n"))), "\\")
+
+  /** Whitespace-token count of turn content — [[Dedup.tokens]]' regex
+    * (`\s+`) with empty pieces dropped, so multi-line content counts its
+    * newline-separated words and empty / all-whitespace content counts
+    * 0. One token currency across the repo: the document packers
+    * ([[Corpus.packSequences]], [[Corpus.shardManifest]]) count the same
+    * way. */
+  def tokenCount(content: Column): Column =
+    size(filter(split(content, "\\s+"), t => length(t) > 0)).cast("long")
+
   /** Parse flat `role: content` transcript text (one turn per line, the
-    * ShareGPT-flattened interchange shape) into one row per turn:
-    * (convIdCol, turn_idx, role, content, n_tokens). Lines that don't
+    * ShareGPT-flattened interchange shape; content newlines/backslashes
+    * ESCAPED per [[escapeTurnText]]) into one row per turn:
+    * (convIdCol, turn_idx, role, content, n_tokens) — content unescaped
+    * back to its real (possibly multi-line) form. Lines that don't
     * match `role: ` get role '' (callers decide; [[validateConversations]]
     * rejects them). turn_idx is 0-based line position; n_tokens counts
-    * whitespace tokens, 0 for empty content.
+    * whitespace tokens ([[tokenCount]]), 0 for empty content.
     *
-    * Scale: split + posexplode + two regexp projections — shuffle-free
-    * narrow work; conversations never leave their input partition. */
+    * Scale: split + posexplode + narrow string projections —
+    * shuffle-free; conversations never leave their input partition. */
   def parseTurns(conv: DataFrame, convIdCol: String = "conv_id",
       textCol: String = "text"): DataFrame = {
     val lines = posexplode(split(col(textCol), "\n")).as(Seq("turn_idx", "__line"))
@@ -33,11 +66,10 @@ object Sft {
       .select(col(convIdCol), col("turn_idx").cast("long").as("turn_idx"),
         regexp_extract(col("__line"), "^(system|user|assistant): ", 1)
           .as("role"),
-        regexp_replace(col("__line"), "^(system|user|assistant): ", "")
+        unescapeTurnText(
+          regexp_replace(col("__line"), "^(system|user|assistant): ", ""))
           .as("content"))
-      .withColumn("n_tokens",
-        when(length(col("content")) === 0, 0L)
-          .otherwise(size(split(col("content"), " ")).cast("long")))
+      .withColumn("n_tokens", tokenCount(col("content")))
   }
 
   /** Conversation-structure gate: one row per conversation with the
@@ -88,17 +120,24 @@ object Sft {
     * context wins" SFT packing rule, never splitting a turn. Returns the
     * surviving turn rows (schema of the input).
     *
+    * `tokenCol` names the per-turn token count the budget is measured
+    * in — default the whitespace `n_tokens` [[parseTurns]] attaches, but
+    * a trainer's window is BPE tokens, so pass a tokenizer-faithful
+    * column (e.g. [[Bpe.withTokenCountColumn]]'s) to budget in trainer
+    * tokens.
+    *
     * Scale: one reverse cumulative sum per conversation (window on the
     * conversation key) against a broadcast-free per-conversation system
     * cost — no shuffle beyond the window's conversation-local sort. */
   def truncateToBudget(turns: DataFrame, maxTokens: Long,
-      convIdCol: String = "conv_id"): DataFrame = {
+      convIdCol: String = "conv_id",
+      tokenCol: String = "n_tokens"): DataFrame = {
     require(maxTokens >= 0, s"maxTokens must be >= 0, got $maxTokens")
     val byConv = Window.partitionBy(convIdCol)
     val sysCost = sum(when(col("role") === "system" && col("turn_idx") === 0,
-      col("n_tokens")).otherwise(0L)).over(byConv)
+      col(tokenCol)).otherwise(0L)).over(byConv)
     val sufSum = sum(when(col("role") === "system" && col("turn_idx") === 0,
-        0L).otherwise(col("n_tokens")))
+        0L).otherwise(col(tokenCol)))
       .over(byConv.orderBy(col("turn_idx").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     turns
@@ -106,25 +145,28 @@ object Sft {
       .withColumn("__sufSum", sufSum)
       .filter(
         (col("role") === "system" && col("turn_idx") === 0 &&
-          col("n_tokens") <= lit(maxTokens)) ||
+          col(tokenCol) <= lit(maxTokens)) ||
         (!(col("role") === "system" && col("turn_idx") === 0) &&
           col("__sufSum") + col("__sysCost") <= lit(maxTokens)))
       .drop("__sysCost", "__sufSum")
   }
 
-  /** Render turn rows back to the flattened `role: content` transcript —
-    * the export path ([[parseTurns]]'s inverse; round-trip identity is
-    * spec-pinned). One ordered collect per conversation: the only place
-    * in the family where whole conversations re-assemble, and exactly
-    * the shape a final dataset write wants (one row per training
-    * example).
+  /** Render turn rows back to the flattened `role: content` transcript,
+    * content ESCAPED per [[escapeTurnText]] so multi-line turns survive
+    * the one-turn-per-line format — the export path ([[parseTurns]]'s
+    * inverse; round-trip identity is spec-pinned ON CONTENT CONTAINING
+    * NEWLINES AND BACKSLASHES). One ordered collect per conversation:
+    * the only place in the family where whole conversations re-assemble,
+    * and exactly the shape a final dataset write wants (one row per
+    * training example).
     *
     * Scale: array_join(collect over a conversation-key window) —
     * conversation-local, no global sort; output rows = conversations. */
   def renderTranscript(turns: DataFrame,
       convIdCol: String = "conv_id"): DataFrame =
     turns
-      .withColumn("__line", concat(col("role"), lit(": "), col("content")))
+      .withColumn("__line",
+        concat(col("role"), lit(": "), escapeTurnText(col("content"))))
       .groupBy(col(convIdCol))
       .agg(array_join(array_sort(collect_list(struct(col("turn_idx"),
         col("__line")))).getField("__line"), "\n").as("text"))
@@ -136,17 +178,21 @@ object Sft {
     * 0 for system/user/unlabeled — supervised targets only). Offsets are
     * the running sum of turn token counts in turn order.
     *
+    * Offsets are measured in `tokenCol`'s currency (default whitespace
+    * `n_tokens`; pass a BPE count column for trainer-token spans).
+    *
     * Scale: one cumulative-sum window per conversation (conversation-key
     * partition, no global sort) over rows that already exist — no
     * content movement, the offsets ride the turn metadata. */
   def lossMaskSpans(turns: DataFrame,
-      convIdCol: String = "conv_id"): DataFrame = {
+      convIdCol: String = "conv_id",
+      tokenCol: String = "n_tokens"): DataFrame = {
     val w = Window.partitionBy(convIdCol).orderBy("turn_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     turns
-      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("end_tok", sum(col(tokenCol)).over(w))
       .select(col(convIdCol), col("turn_idx"), col("role"),
-        (col("end_tok") - col("n_tokens")).as("start_tok"),
+        (col("end_tok") - col(tokenCol)).as("start_tok"),
         col("end_tok"),
         when(col("role") === "assistant", 1L).otherwise(0L).as("train_mask"))
   }
@@ -163,10 +209,11 @@ object Sft {
     * shard-key running-sum window as the document packer — shard-local
     * sort only. */
   def packConversations(turns: DataFrame, seqLen: Int = 2048,
-      shards: Int = 8, convIdCol: String = "conv_id"): DataFrame = {
+      shards: Int = 8, convIdCol: String = "conv_id",
+      tokenCol: String = "n_tokens"): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(convIdCol)
     turns.groupBy(col(convIdCol))
-      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .agg(sum(col(tokenCol)).as("n_tokens"))
       .withColumn("shard", col(convIdCol) % lit(shards.toLong))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("seq_bin",

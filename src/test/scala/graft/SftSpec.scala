@@ -84,6 +84,82 @@ class SftSpec extends AnyFunSuite {
     assert(back == texts.toMap)
   }
 
+  test("escape/unescape: bijection on newline- and backslash-bearing content") {
+    import spark.implicits._
+    // every adversarial shape: bare newline, bare backslash, literal
+    // backslash-n that must NOT decode, backslash before newline,
+    // runs of backslashes, trailing/leading escapes, empty
+    val nasty = Seq(
+      "plain", "", "line1\nline2", "a\\nb", "a\\\nb", "\\", "\\\\",
+      "\\\\\\", "ends with \\", "\nstarts", "trail\n", "\\n", "a\n\nb",
+      "tab\tkeeps", "mix \\ and \n and \\n all three")
+    val df = nasty.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "raw")
+    val got = df.select(col("id"),
+        Sft.unescapeTurnText(Sft.escapeTurnText(col("raw"))).as("rt"),
+        Sft.escapeTurnText(col("raw")).as("esc"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    for ((s, i) <- nasty.zipWithIndex) {
+      assert(got(i.toLong)._1 == s, s"round-trip broke on <$s>")
+      // escaped form is single-line: the interchange invariant
+      assert(!got(i.toLong)._2.contains("\n"),
+        s"escaped form still multi-line for <$s>")
+    }
+  }
+
+  test("parseTurns: escaped newlines decode to multi-line content") {
+    val got = turnsOf(
+      (1L, "user: first\\nsecond line\nassistant: ok"),
+      // literal backslash-n survives as backslash-n (double-escaped)
+      (2L, "user: keep \\\\n literal\nassistant: fine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(3), r.getLong(4)))).toMap
+    assert(got((1L, 0L)) == (("first\nsecond line", 3L)))
+    assert(got((1L, 1L)) == (("ok", 1L)))
+    assert(got((2L, 0L)) == (("keep \\n literal", 3L)))
+  }
+
+  test("render ∘ parse identity on transcripts with escaped multi-line turns") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "system: be\\nhelpful\nuser: hi\nassistant: a\\nb\\nc"),
+      (2L, "user: code:\\n  x = 1\\n  y = 2\nassistant: looks\\ngood"),
+      (3L, "user: backslash \\\\ then\\nnewline\nassistant: ok"))
+    val back = Sft.renderTranscript(Sft.parseTurns(texts.toDF("conv_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == texts.toMap)
+  }
+
+  test("parse ∘ render identity on turn rows with embedded newlines") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "user", "multi\nline\nquestion"),
+      (1L, 1L, "assistant", "answer with \\ backslash\nand newline"),
+      (2L, 0L, "user", "single"),
+      (2L, 1L, "assistant", "also\n\nblank line inside"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+      .withColumn("n_tokens", Sft.tokenCount(col("content")))
+    val back = Sft.parseTurns(Sft.renderTranscript(turns))
+      .select("conv_id", "turn_idx", "role", "content", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    val want = turns.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(back == want)
+  }
+
+  test("tokenCount: whitespace-regex currency, newlines separate, empties drop") {
+    import spark.implicits._
+    val got = Seq("a b", "a\nb", "a\n\nb", "", " ", "\n", "one",
+        "a\tb c\nd")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "c")
+      .select(col("id"), Sft.tokenCount(col("c")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 1L, 7L -> 4L))
+  }
+
   test("lossMaskSpans: contiguous half-open offsets, assistant-only mask") {
     val got = Sft.lossMaskSpans(turnsOf(
         (1L, "system: a b\nuser: c d e\nassistant: f")))

@@ -976,6 +976,31 @@ object PipelineEntries {
     "p_sft_spans" -> ((s, dir) =>
       Sft.lossMaskSpans(Sft.parseTurns(convDocs(s, dir)))),
 
+    // tokenizer-faithful truncation: per-turn BPE token counts under the
+    // corpus-trained 50-merge vocabulary (Bpe.withTokenCountColumn), the
+    // budget measured in TRAINER tokens instead of whitespace words —
+    // oracle re-derives the merge table and the per-turn word encode
+    // chain in SQL (the bpeTokensOracleSql machinery over turn words)
+    "p_sft_truncate_bpe" -> ((s, dir) =>
+      Sft.truncateToBudget(
+        Bpe.withTokenCountColumn(
+          Sft.parseTurns(convDocs(s, dir)),
+          Bpe.train(docs(s, dir), numMerges = 50)),
+        maxTokens = 160, tokenCol = "n_bpe_tokens")
+        .select("conv_id", "turn_idx", "role", "n_bpe_tokens")),
+
+    // the composed SFT pipeline a user actually runs: parse -> structure
+    // gate (valid conversations only) -> budgeted truncation (48) ->
+    // loss-mask spans, one lazy plan end to end — the p_span_pipeline
+    // pattern for this family; oracle mirrors the chain over shared CTEs
+    "p_sft_pipeline" -> ((s, dir) => {
+      val turns = Sft.parseTurns(convDocs(s, dir))
+      val valid = Sft.validateConversations(turns)
+        .filter(col("valid") === 1).select("conv_id")
+      Sft.lossMaskSpans(
+        Sft.truncateToBudget(turns.join(valid, "conv_id"), maxTokens = 48))
+    }),
+
     // conversation-level packing: truncate to the window, then fill
     // 64-token bins per shard — conversations never split across bins
     "p_sft_pack" -> ((s, dir) =>
@@ -2685,6 +2710,64 @@ object PipelineEntries {
        |USING (doc_id)""".stripMargin
   }
 
+  /** DuckDB mirror of the `p_sft_truncate_bpe` composition: the
+    * [[bpeTrainCtes]] merge table + the [[bpeTokensOracleSql]]-style
+    * separator-replace apply chain, but over the DISTINCT WORDS OF TURN
+    * CONTENT (from [[sftTurnsCtes]]) instead of documents, joined back
+    * per (conv, turn) — then the same reverse-cumsum truncation window
+    * as `p_sft_truncate`, budget measured in the derived BPE counts. */
+  private def sftBpeTruncateOracleSql(budget: Long, numMerges: Int = 50,
+      topWords: Int = 30000, minPairCount: Long = 2): String = {
+    val applySteps = (0 until numMerges).map { k =>
+      s"""e${k + 1} AS MATERIALIZED (
+         |  SELECT e.word,
+         |         CASE WHEN b.lft IS NULL THEN e.enc
+         |              ELSE replace(e.enc,
+         |                           chr(1) || b.lft || chr(1) || chr(1) || b.rgt || chr(1),
+         |                           chr(1) || b.lft || b.rgt || chr(1))
+         |         END AS enc
+         |  FROM e$k e LEFT JOIN b$k b ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
+       |$sftTurnsCtes,
+       |tw AS MATERIALIZED (
+       |  SELECT conv_id, turn_idx, word, count(*) AS c
+       |  FROM (SELECT conv_id, turn_idx,
+       |               unnest(regexp_split_to_array(lower(trim(content)), '\\s+')) AS word
+       |        FROM tt)
+       |  WHERE word <> '' GROUP BY conv_id, turn_idx, word),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, ${bpeEncExpr("word")} AS enc
+       |  FROM (SELECT DISTINCT word FROM tw)),
+       |$applySteps,
+       |wl AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(trim(enc, chr(1)), chr(1) || chr(1))) AS BIGINT) AS bl
+       |  FROM e$numMerges),
+       |bt AS (
+       |  SELECT t.conv_id, t.turn_idx, t.role,
+       |         CAST(coalesce(x.nbpe, 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM tt t
+       |  LEFT JOIN (SELECT tw.conv_id, tw.turn_idx, sum(tw.c * wl.bl) AS nbpe
+       |             FROM tw JOIN wl USING (word)
+       |             GROUP BY tw.conv_id, tw.turn_idx) x
+       |    ON x.conv_id = t.conv_id AND x.turn_idx = t.turn_idx),
+       |x2 AS (
+       |  SELECT conv_id, turn_idx, role, n_bpe_tokens,
+       |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+       |             THEN n_bpe_tokens ELSE 0 END)
+       |      OVER (PARTITION BY conv_id) AS sys_cost,
+       |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+       |             THEN 0 ELSE n_bpe_tokens END)
+       |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS suf_sum
+       |  FROM bt)
+       |SELECT conv_id, turn_idx, role, n_bpe_tokens FROM x2
+       |WHERE (role = 'system' AND turn_idx = 0 AND n_bpe_tokens <= $budget)
+       |   OR (NOT (role = 'system' AND turn_idx = 0)
+       |       AND suf_sum + sys_cost <= $budget)""".stripMargin
+  }
+
   /** DuckDB mirror of [[GraphAlgorithms.betweennessCentrality]] on the
     * banded symmetric graph, via the CLOSED FORM rather than Brandes:
     * σ(s,v) = walks of length dist(s,v) (a walk of exactly shortest
@@ -4386,6 +4469,61 @@ object PipelineEntries {
         |       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
         |            AS BIGINT) AS train_mask
         |FROM tt""".stripMargin,
+
+    // BPE-budget truncation: the full merge-table + apply-chain
+    // re-derivation over turn words — see sftBpeTruncateOracleSql
+    "p_sft_truncate_bpe" -> sftBpeTruncateOracleSql(budget = 160),
+
+    // the composed pipeline: structure gate -> truncation (48) -> spans,
+    // all over the shared turn CTEs (the p_span_pipeline pattern)
+    "p_sft_pipeline" ->
+      s"""WITH $sftTurnsCtes,
+        |v AS (
+        |  SELECT conv_id,
+        |    CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_empty,
+        |    CAST(min(CASE WHEN (sys = 1 AND turn_idx = 0)
+        |               OR (role = CASE WHEN (turn_idx - sys) % 2 = 0
+        |                               THEN 'user' ELSE 'assistant' END)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS alternation_ok,
+        |    CAST(max(CASE WHEN turn_idx = mx AND role = 'assistant'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS ends_assistant
+        |  FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+        |        FROM tt)
+        |  GROUP BY conv_id),
+        |tv AS (
+        |  SELECT tt.* FROM tt
+        |  JOIN v ON v.conv_id = tt.conv_id
+        |  WHERE v.n_empty = 0 AND v.alternation_ok = 1
+        |    AND v.ends_assistant = 1),
+        |x AS (
+        |  SELECT conv_id, turn_idx, role, n_tokens,
+        |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+        |             THEN n_tokens ELSE 0 END)
+        |      OVER (PARTITION BY conv_id) AS sys_cost,
+        |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+        |             THEN 0 ELSE n_tokens END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS suf_sum
+        |  FROM tv),
+        |kept AS (
+        |  SELECT conv_id, turn_idx, role, n_tokens FROM x
+        |  WHERE (role = 'system' AND turn_idx = 0 AND n_tokens <= 48)
+        |     OR (NOT (role = 'system' AND turn_idx = 0)
+        |         AND suf_sum + sys_cost <= 48))
+        |SELECT conv_id, turn_idx, role,
+        |       CAST(sum(n_tokens) OVER (PARTITION BY conv_id
+        |              ORDER BY turn_idx
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - n_tokens AS BIGINT) AS start_tok,
+        |       CAST(sum(n_tokens) OVER (PARTITION BY conv_id
+        |              ORDER BY turn_idx
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS end_tok,
+        |       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+        |            AS BIGINT) AS train_mask
+        |FROM kept""".stripMargin,
 
     // mirrored truncation (budget 64) -> per-conversation totals -> the
     // p_pack shard/bin window at seqLen 64

@@ -66,4 +66,23 @@ class BpeSpec extends AnyFunSuite {
     // [w, i, dest</w>] and no (w,i)/(i,dest</w>) merges exist ⇒ 3 each
     assert(got(2L) == ((2L, 6L)))
   }
+
+  test("withTokenCountColumn: schema-preserving column matches tokenCounts") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val docs = Seq((1L, "low lowest newest", "x"), (2L, "widest widest", "y"),
+        (3L, "", "z"))
+      .toDF("doc_id", "text", "extra")
+    val got = Bpe.withTokenCountColumn(docs, merges, textCol = "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    // same counts as the tokenCounts spec above, other columns intact
+    assert(got(1L) == (("x", 4L)))
+    assert(got(2L) == (("y", 6L)))
+    assert(got(3L) == (("z", 0L))) // empty text counts 0, row survives
+    // multi-line content: newline is whitespace to the word splitter
+    val ml = Seq((9L, "low\nlowest")).toDF("doc_id", "c")
+    assert(Bpe.withTokenCountColumn(ml, merges, textCol = "c")
+      .collect().head.getLong(2) == 3L)
+  }
 }

@@ -149,6 +149,47 @@ class SftSpec extends AnyFunSuite {
     assert(back == want)
   }
 
+  test("truncateToBudget: tokenCol switches the budget currency") {
+    import spark.implicits._
+    // same turns, a BPE-ish count 3x the whitespace one: the whitespace
+    // budget keeps everything, the same budget in the custom currency
+    // keeps only the suffix that fits
+    val t = turnsOf((1L, "user: a b\nassistant: c d\nuser: e f\nassistant: g h"))
+      .withColumn("n_custom", col("n_tokens") * 3)
+    assert(Sft.truncateToBudget(t, 8L)
+      .collect().map(_.getLong(1)).toSet == Set(0L, 1L, 2L, 3L))
+    assert(Sft.truncateToBudget(t, 8L, tokenCol = "n_custom")
+      .collect().map(_.getLong(1)).toSet == Set(3L))
+    // spans in the custom currency: offsets scale with it
+    val sp = Sft.lossMaskSpans(t, tokenCol = "n_custom")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(sp(0L) == ((0L, 6L)) && sp(3L) == ((18L, 24L)))
+  }
+
+  test("pipeline composition: gate filters, truncation precedes spans") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "user: a b c\nassistant: d e f"),     // valid
+      (2L, "user: a\nuser: b"),                  // invalid: alternation + end
+      (3L, "user: a b c d e\nassistant: f g h")) // valid, truncates at 6
+    val turns = Sft.parseTurns(texts.toDF("conv_id", "text"))
+    val valid = Sft.validateConversations(turns)
+      .filter(col("valid") === 1).select("conv_id")
+    val spans = Sft.lossMaskSpans(
+        Sft.truncateToBudget(turns.join(valid, "conv_id"), maxTokens = 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // invalid conversation contributes nothing
+    assert(!spans.keys.exists(_._1 == 2L))
+    // conv 1 fits whole: offsets over both turns
+    assert(spans((1L, 0L)) == ((0L, 3L, 0L)))
+    assert(spans((1L, 1L)) == ((3L, 6L, 1L)))
+    // conv 3: only the final turn fits budget 6 — spans START AT 0 over
+    // the SURVIVING turns (truncation happens before offsetting)
+    assert(spans.get((3L, 0L)).isEmpty)
+    assert(spans((3L, 1L)) == ((0L, 3L, 1L)))
+  }
+
   test("tokenCount: whitespace-regex currency, newlines separate, empties drop") {
     import spark.implicits._
     val got = Seq("a b", "a\nb", "a\n\nb", "", " ", "\n", "one",

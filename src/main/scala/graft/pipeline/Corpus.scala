@@ -394,22 +394,24 @@ object Corpus {
     * (spillover packing — the assembler then splits at the boundary).
     *
     * Scale shape: packing is cumulative, so a single global order would
-    * serialize the corpus through one partition; real pipelines pack
-    * within shards, and `shards` is the parallelism unit (set it ≈ the
-    * cluster's write parallelism at 100 TB). One shuffle on the shard
-    * key; the per-shard running sum is a standard window. */
+    * serialize the corpus through one partition — and a per-shard window
+    * alone would still cap parallelism at `shards` (8 sequential
+    * prefix-sum partitions at 100 TB). The running sum therefore rides
+    * [[PrefixSum.groupedRunningSum]]'s distributed prefix-sum: ordered
+    * range partitions sized to the CLUSTER, one bounded per-slice offset
+    * collect, parallel (shard, slice)-keyed windows — shard counts stay
+    * a dataset-layout choice, not a parallelism ceiling. */
   def packSequences(docs: DataFrame, seqLen: Int = 2048, shards: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(idCol)
-    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong)).as("shard"),
-        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    PrefixSum.groupedRunningSum(
+        docs.select(col(idCol),
+          pmod(col(idCol), lit(shards.toLong)).as("shard"),
+          size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens")),
+        "shard", idCol, "n_tokens", "cum_tokens")
       .withColumn("seq_bin",
         floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
       .select(col(idCol), col("shard"), col("n_tokens"),
         col("cum_tokens"), col("seq_bin"))
-  }
 
   /** Dataset-release shard manifest — the reproducibility record a
     * pipeline publishes with a training-data drop: per shard, the row

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed grouped running sums — the shared cumulative-pass
+  * machinery behind the sequence/conversation packers
+  * ([[Corpus.packSequences]], [[Sft.packConversations]]), generalizing
+  * [[Sampling.selectUnderTokenBudget]]'s range-partition + offset-collect
+  * + parallel-window pattern from one global order to per-GROUP orders.
+  *
+  * THE 100 TB SHAPE: a per-group running sum spelled as
+  * `Window.partitionBy(group)` serializes each group through ONE task —
+  * with `shards` groups that is a parallelism ceiling of `shards`
+  * sequential prefix-sum partitions, each sorting and scanning 1/shards
+  * of the corpus on one core (the r14 verdict's one weak-at-100× item).
+  * Here instead: (1) range-partition on (group, order) into
+  * cluster-sized partitions — ordered ranges, so every row of partition
+  * i sorts before every row of partition i+1 within its group; (2) ONE
+  * bounded collect of per-(partition, group) sums — ranges are
+  * contiguous in (group, order), so at most #partitions + #groups − 1
+  * rows, cluster-sized not data-sized; (3) each slice's prefix offset
+  * rides back as a literal map keyed by "pid#group"; (4) the
+  * within-slice cumulative sum is an ordinary PARALLEL window over
+  * (group, partition-id). Exact whatever boundaries the range sampler
+  * picks: the (group, order) total order is preserved across ranges,
+  * and (group, order) must uniquely key rows (both packers order by a
+  * unique id), so ties cannot straddle a boundary ambiguously.
+  */
+object PrefixSum {
+
+  /** Append `outCol` = running sum of `valueCol` within each `groupCol`
+    * group in `orderCol` order, computed via the distributed prefix-sum
+    * above. Requires (groupCol, orderCol) unique per row and a
+    * non-null groupCol; the input is persisted for the bounded
+    * offset collect (tracked in [[PipelineCaches]] — callers clear). */
+  def groupedRunningSum(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, outCol: String): DataFrame = {
+    require(!df.columns.contains("__pid"),
+      "input already carries graft's internal partition-id column")
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = df
+      .repartitionByRange(parts, col(groupCol).asc, col(orderCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    // bounded collect: one row per (non-empty partition, group) slice —
+    // contiguous ranges keep this ≤ parts + |groups| − 1 rows
+    val perSlice = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), String.valueOf(r.get(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val offsets = perSlice.groupBy(_._2).iterator.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, t) =>
+        val o = acc; acc += t; (s"$pid#$g", o)
+      }
+    }.toSeq
+    val offMap =
+      map(offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }: _*)
+    val w = Window.partitionBy(col(groupCol), col("__pid"))
+      .orderBy(col(orderCol).asc)
+    ranged
+      .withColumn(outCol,
+        coalesce(element_at(offMap, concat_ws("#",
+          col("__pid").cast("string"), col(groupCol).cast("string"))),
+          lit(0L)) +
+        sum(col(valueCol)).over(w))
+      .drop("__pid")
+  }
+}

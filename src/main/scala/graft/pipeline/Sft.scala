@@ -203,24 +203,26 @@ object Sft {
     * order, spilling over like the document packer, and a conversation
     * NEVER splits across bins (it spans [cum - total, cum)); run
     * [[truncateToBudget]] first so no single conversation exceeds the
-    * window. Returns (conv_id, shard, n_tokens, cum_tokens, seq_bin).
+    * window; `tokenCol` picks the token currency the bins are measured
+    * in. Returns (conv_id, shard, n_tokens, cum_tokens, seq_bin).
     *
     * Scale: one sum aggregate to conversation totals + the same
-    * shard-key running-sum window as the document packer — shard-local
-    * sort only. */
+    * distributed prefix-sum as the document packer
+    * ([[PrefixSum.groupedRunningSum]]) — cluster-sized range partitions
+    * and parallel (shard, slice) windows, so `shards` is a dataset-
+    * layout choice, never a parallelism ceiling. */
   def packConversations(turns: DataFrame, seqLen: Int = 2048,
       shards: Int = 8, convIdCol: String = "conv_id",
-      tokenCol: String = "n_tokens"): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy(convIdCol)
-    turns.groupBy(col(convIdCol))
-      .agg(sum(col(tokenCol)).as("n_tokens"))
-      .withColumn("shard", col(convIdCol) % lit(shards.toLong))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      tokenCol: String = "n_tokens"): DataFrame =
+    PrefixSum.groupedRunningSum(
+        turns.groupBy(col(convIdCol))
+          .agg(sum(col(tokenCol)).as("n_tokens"))
+          .withColumn("shard", col(convIdCol) % lit(shards.toLong)),
+        "shard", convIdCol, "n_tokens", "cum_tokens")
       .withColumn("seq_bin",
         floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
       .select(col(convIdCol), col("shard"), col("n_tokens"),
         col("cum_tokens"), col("seq_bin"))
-  }
 
   /** Quality-contrast preference pairs: within each group (e.g.
     * (lang, source)), pair the highest-quality document (chosen) with

@@ -340,6 +340,29 @@ class PlanSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("packers: distributed prefix-sum, no shard-count-bounded window") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((name, df) <- Seq(
+        "packSequences" -> graft.pipeline.Corpus.packSequences(docs),
+        "packConversations" -> graft.pipeline.Sft.packConversations(
+          graft.pipeline.Sft.parseTurns(
+            docs.select(col("doc_id").as("conv_id"), col("text")))))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the cumulative pass must ride cluster-sized range partitions +
+      // (shard, slice)-keyed parallel windows — a window partitioned by
+      // the shard key ALONE caps parallelism at |shards| (8), the r14
+      // verdict's weak-at-100x item
+      assert(plan.contains("rangepartitioning"), s"$name:\n$plan")
+      assert(plan.contains("windowspecdefinition(shard"), s"$name:\n$plan")
+      assert(plan.contains("windowspecdefinition(shard#") &&
+        plan.contains(", __pid"),
+        s"$name window not sliced by partition id:\n$plan")
+      df.queryExecution.toRdd.count() // execute: bounded collect ran at build
+    }
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("removeContaminatedSpans: eval grams broadcast, no corpus gram shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     import org.apache.spark.sql.functions.{col, pmod, lit}

@@ -59,16 +59,19 @@ object PrefixSum {
         val o = acc; acc += t; (s"$pid#$g", o)
       }
     }.toSeq
-    val offMap =
-      map(offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }: _*)
+    // empty input ⇒ no offsets ⇒ a zero-entry map() literal would type as
+    // map<null,null> and fail element_at analysis — the offset is just 0
+    val offsetOf =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }: _*),
+        concat_ws("#",
+          col("__pid").cast("string"), col(groupCol).cast("string"))),
+        lit(0L))
     val w = Window.partitionBy(col(groupCol), col("__pid"))
       .orderBy(col(orderCol).asc)
     ranged
-      .withColumn(outCol,
-        coalesce(element_at(offMap, concat_ws("#",
-          col("__pid").cast("string"), col(groupCol).cast("string"))),
-          lit(0L)) +
-        sum(col(valueCol)).over(w))
+      .withColumn(outCol, offsetOf + sum(col(valueCol)).over(w))
       .drop("__pid")
   }
 }

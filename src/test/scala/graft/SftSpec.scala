@@ -235,6 +235,13 @@ class SftSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("packConversations: empty input yields an empty frame, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String, String, Long)]
+      .toDF("conv_id", "turn_idx", "role", "content", "n_tokens")
+    assert(Sft.packConversations(empty).collect().isEmpty)
+  }
+
   test("preferencePairs: per-group argmax/argmin, ties to min id, singletons drop") {
     import spark.implicits._
     // same (lang, source): long stopword-rich doc beats punctuation soup;

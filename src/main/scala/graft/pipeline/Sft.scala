@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * [[Dedup]]/[[Corpus]]); shapes are chosen for 100 TB: everything here
   * is a narrow projection, a per-conversation window (partitioned by the
   * conversation key — no global sort), or a map-side-combinable
-  * aggregate. No collect_list of turn content ever ships whole
-  * conversations through a shuffle.
+  * aggregate. The one place whole conversations re-assemble is
+  * [[renderTranscript]] — the export path, where one row per training
+  * example is exactly the output shape.
   */
 object Sft {
 

@@ -108,6 +108,35 @@ class SftSpec extends AnyFunSuite {
     }
   }
 
+  test("escape/unescape: property — bijection over the collision alphabet") {
+    import spark.implicits._
+    // exhaustive short strings + seeded random long ones over exactly the
+    // characters that can collide in the escaped form: backslash, 'n',
+    // newline (plus separators). One batched Spark pass for all cases.
+    val alpha = Array('\\', 'n', '\n', 'a', ' ', '\t')
+    val rnd = new scala.util.Random(421)
+    val rand = Seq.fill(800)(
+      (0 until rnd.nextInt(13)).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString)
+    val enum3 = for {
+      a <- alpha; b <- alpha; c <- alpha
+    } yield s"$a$b$c"
+    val cases = (rand ++ enum3).distinct
+    val got = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "raw")
+      .select(col("id"), col("raw"),
+        Sft.unescapeTurnText(Sft.escapeTurnText(col("raw"))).as("rt"),
+        Sft.escapeTurnText(col("raw")).as("esc"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"round-trip broke on <${r.getString(1).replace("\n", "\\u000a")}>")
+      assert(!r.getString(3).contains("\n"),
+        s"escaped form multi-line for <${r.getString(1).replace("\n", "\\u000a")}>")
+    }
+  }
+
   test("parseTurns: escaped newlines decode to multi-line content") {
     val got = turnsOf(
       (1L, "user: first\\nsecond line\nassistant: ok"),

@@ -326,6 +326,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("SFT ingestion on a stream: stateless parse + per-batch gate pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val convs = Seq(
+      (1L, "system: be\\nhelpful\nuser: hi there\nassistant: multi\\nline ok"),
+      (2L, "user: a\nuser: b"),               // invalid: two users in a row
+      (3L, "user: ask\nassistant: answer"))
+    val batch = convs.toDF("conv_id", "text")
+    // parseTurns is a stateless narrow projection (split + posexplode +
+    // unescape): the SAME function must accept a streaming frame and emit
+    // the batch rows in append mode — the transcript-ingestion entry point
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(convs: _*)
+    val q = graft.pipeline.Sft.parseTurns(
+        mem.toDF().toDF("conv_id", "text"))
+      .writeStream.format("memory").queryName("sft_parse_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(spark.table("sft_parse_stream")) ==
+      rows(graft.pipeline.Sft.parseTurns(batch)))
+    // the window-based gate chain (validate → truncate → spans) runs
+    // per micro-batch via foreachBatch — transcripts arrive whole, so a
+    // batch's conversations are complete and the batch answer is exact
+    def gate(turns: org.apache.spark.sql.DataFrame) = {
+      val valid = graft.pipeline.Sft.validateConversations(turns)
+        .filter(col("valid") === 1).select("conv_id")
+      graft.pipeline.Sft.lossMaskSpans(
+        graft.pipeline.Sft.truncateToBudget(turns.join(valid, "conv_id"),
+          maxTokens = 4))
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData(convs: _*)
+    val q2 = mem2.toDF().toDF("conv_id", "text")
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got += rows(gate(graft.pipeline.Sft.parseTurns(b)))
+          () // Unit: the (DataFrame, Long) => Unit foreachBatch overload
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.reduce(_ ++ _) == rows(gate(graft.pipeline.Sft.parseTurns(batch))))
+  }
+
   test("streaming contamination flags exactly the batch-contaminated docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

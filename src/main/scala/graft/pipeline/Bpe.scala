@@ -136,13 +136,22 @@ object Bpe {
     * narrow mapPartitions over (doc_id, text) — BPE apply is an
     * iterative in-word loop with no Catalyst-expression form. Returns
     * (doc_id, n_ws_tokens, n_bpe_tokens). */
+  /** Collect + broadcast a trained merge table as rank lookups — the
+    * shared prologue of both distributed apply paths (≤ numMerges rows,
+    * bounded by construction). */
+  private def broadcastRanks(merges: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]] = {
+    val spark = merges.sparkSession
+    val mergeList = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    spark.sparkContext.broadcast(mergeList.zipWithIndex.toMap)
+  }
+
   def tokenCounts(docs: DataFrame, merges: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val mergeList = merges.orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val bc = spark.sparkContext.broadcast(mergeList.zipWithIndex.toMap)
+    val bc = broadcastRanks(merges)
     docs.select(col(idCol).cast("long"), lower(trim(col(textCol))))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -174,16 +183,17 @@ object Bpe {
   def withTokenCountColumn(df: DataFrame, merges: DataFrame,
       textCol: String = "content",
       outCol: String = "n_bpe_tokens"): DataFrame = {
-    val spark = df.sparkSession
-    val mergeList = merges.orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val bc = spark.sparkContext.broadcast(mergeList.zipWithIndex.toMap)
+    val bc = broadcastRanks(merges)
     val count = udf { (txt: String) =>
       if (txt == null) 0L
       else {
         val ranks = bc.value
+        // Locale.ROOT: the vocabulary was trained through SQL lower()
+        // (locale-independent); a default-locale toLowerCase on a tr_TR
+        // JVM would map 'I' to dotless ı and miss every trained merge
         var acc = 0L
-        for (w <- txt.toLowerCase.trim.split("\\s+") if w.nonEmpty)
+        for (w <- txt.toLowerCase(java.util.Locale.ROOT).trim
+            .split("\\s+") if w.nonEmpty)
           acc += encodeWord(w, ranks).length
         acc
       }

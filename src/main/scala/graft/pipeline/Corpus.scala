@@ -400,7 +400,12 @@ object Corpus {
     * [[PrefixSum.groupedRunningSum]]'s distributed prefix-sum: ordered
     * range partitions sized to the CLUSTER, one bounded per-slice offset
     * collect, parallel (shard, slice)-keyed windows — shard counts stay
-    * a dataset-layout choice, not a parallelism ceiling. */
+    * a dataset-layout choice, not a parallelism ceiling. NOTE: the
+    * offset collect runs EAGERLY at call time and persists the ranged
+    * intermediate, tracked in [[PipelineCaches]] — long-lived callers
+    * release it with `PipelineCaches.clear()` after consuming the result
+    * (Verify/Bench/QueryServer already do, per the PipelineCaches
+    * contract). */
   def packSequences(docs: DataFrame, seqLen: Int = 2048, shards: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     PrefixSum.groupedRunningSum(

@@ -39,6 +39,20 @@ object PrefixSum {
       valueCol: String, outCol: String): DataFrame = {
     require(!df.columns.contains("__pid"),
       "input already carries graft's internal partition-id column")
+    // the offset rendezvous renders the group driver-side
+    // (String.valueOf) and runtime-side (cast to string); those agree
+    // for integral types only — anything else (timestamps, floats,
+    // nulls) could silently miss the lookup and zero the offset, so
+    // refuse it loudly. Integral value types keep sum() a long for the
+    // bounded collect.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    for ((name, what) <- Seq(groupCol -> "groupCol", valueCol -> "valueCol")) {
+      val dt = df.schema(name).dataType
+      require(integral.contains(dt),
+        s"groupedRunningSum: $what '$name' must be an integral type, got $dt")
+    }
     val spark = df.sparkSession
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
     val ranged = df
@@ -51,8 +65,13 @@ object PrefixSum {
     val perSlice = ranged.groupBy(col("__pid"), col(groupCol))
       .agg(sum(col(valueCol)).as("__t"))
       .collect()
-      .map(r => (r.getInt(0), String.valueOf(r.get(1)),
-        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .map { r =>
+        require(!r.isNullAt(1),
+          s"groupedRunningSum: null $groupCol value — the offset " +
+            "rendezvous cannot represent it; filter or coalesce first")
+        (r.getInt(0), String.valueOf(r.get(1)),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
     val offsets = perSlice.groupBy(_._2).iterator.flatMap { case (g, rows) =>
       var acc = 0L
       rows.sortBy(_._1).map { case (pid, _, t) =>

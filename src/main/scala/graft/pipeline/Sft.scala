@@ -43,9 +43,13 @@ object Sft {
   /** Whitespace-token count of turn content — [[Dedup.tokens]]' regex
     * (`\s+`) with empty pieces dropped, so multi-line content counts its
     * newline-separated words and empty / all-whitespace content counts
-    * 0. One token currency across the repo: the document packers
-    * ([[Corpus.packSequences]], [[Corpus.shardManifest]]) count the same
-    * way. */
+    * 0. Same regex currency as the document packers
+    * ([[Corpus.packSequences]], [[Corpus.shardManifest]]), with one
+    * deliberate divergence: `size(Dedup.tokens(text))` counts a wholly
+    * empty document as 1 (the split's single empty piece — harmless for
+    * whole documents, which are never empty post-curation), while turn
+    * content IS legitimately empty (the validator rejects on it), so
+    * empties must count 0 here. */
   def tokenCount(content: Column): Column =
     size(filter(split(content, "\\s+"), t => length(t) > 0)).cast("long")
 
@@ -211,7 +215,9 @@ object Sft {
     * distributed prefix-sum as the document packer
     * ([[PrefixSum.groupedRunningSum]]) — cluster-sized range partitions
     * and parallel (shard, slice) windows, so `shards` is a dataset-
-    * layout choice, never a parallelism ceiling. */
+    * layout choice, never a parallelism ceiling. Like the document
+    * packer, the offset collect runs eagerly at call time and the ranged
+    * intermediate persists under the [[PipelineCaches]] contract. */
   def packConversations(turns: DataFrame, seqLen: Int = 2048,
       shards: Int = 8, convIdCol: String = "conv_id",
       tokenCol: String = "n_tokens"): DataFrame =

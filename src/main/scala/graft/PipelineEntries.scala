@@ -953,6 +953,18 @@ object PipelineEntries {
     // order-independent xor content hash — diff two pipeline runs
     "p_manifest" -> ((s, dir) => Corpus.shardManifest(docs(s, dir))),
 
+    // incremental manifest maintenance: manifest(corpus) ⊕ delta must be
+    // BIT-IDENTICAL to recomputing over the merged corpus — the Spark
+    // side builds it incrementally (one delta scan, corpus never
+    // re-read), the oracle recomputes the FULL manifest from the
+    // from-spec XXH64, so the identity is what the driver hash-checks
+    "p_manifest_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.updateManifest(
+        Corpus.shardManifest(d.filter(pmod(col("doc_id"), lit(10)) =!= 0)),
+        d.filter(pmod(col("doc_id"), lit(10)) === 0))
+    }),
+
     // SFT family over the deterministic conversation fixture (convDocs):
     // parse the flattened `role: content` transcript into one row per
     // turn — the ShareGPT-interchange ingestion step
@@ -2710,6 +2722,30 @@ object PipelineEntries {
        |USING (doc_id)""".stripMargin
   }
 
+  /** Full-corpus manifest from the from-spec XXH64 — shared by
+    * `p_manifest` (direct) and `p_manifest_delta` (the Spark side
+    * builds the same rows incrementally, so one oracle pins both). */
+  private def manifestOracleSql: String =
+    s"""WITH RECURSIVE
+      |d AS MATERIALIZED (
+      |  SELECT doc_id, text, doc_id % 8 AS shard,
+      |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+      |              AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |hin AS MATERIALIZED (SELECT doc_id AS k, text AS s FROM d),
+      |${xxh64Ctes("hin")},
+      |hs AS MATERIALIZED (
+      |  SELECT k AS doc_id,
+      |         CASE WHEN h >= 9223372036854775808::HUGEINT
+      |              THEN (h - $M64)::BIGINT
+      |              ELSE h::BIGINT END AS h
+      |  FROM xres)
+      |SELECT d.shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+      |       bit_xor(hs.h) AS content_hash
+      |FROM d JOIN hs ON hs.doc_id = d.doc_id
+      |GROUP BY d.shard""".stripMargin
+
   /** DuckDB mirror of the `p_sft_truncate_bpe` composition: the
     * [[bpeTrainCtes]] merge table + the [[bpeTokensOracleSql]]-style
     * separator-replace apply chain, but over the DISTINCT WORDS OF TURN
@@ -4382,26 +4418,13 @@ object PipelineEntries {
     // conversion before the xor fold (Spark xors signed longs; xor
     // commutes with the two's-complement reinterpretation, but keep the
     // compare honest in int64 space)
-    "p_manifest" ->
-      s"""WITH RECURSIVE
-        |d AS MATERIALIZED (
-        |  SELECT doc_id, text, doc_id % 8 AS shard,
-        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
-        |              AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |hin AS MATERIALIZED (SELECT doc_id AS k, text AS s FROM d),
-        |${xxh64Ctes("hin")},
-        |hs AS MATERIALIZED (
-        |  SELECT k AS doc_id,
-        |         CASE WHEN h >= 9223372036854775808::HUGEINT
-        |              THEN (h - $M64)::BIGINT
-        |              ELSE h::BIGINT END AS h
-        |  FROM xres)
-        |SELECT d.shard, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
-        |       bit_xor(hs.h) AS content_hash
-        |FROM d JOIN hs ON hs.doc_id = d.doc_id
-        |GROUP BY d.shard""".stripMargin,
+    "p_manifest" -> manifestOracleSql,
+
+    // the SAME full-corpus manifest: the Spark side builds it
+    // incrementally (corpus manifest xor one delta scan), so hash
+    // equality against the from-scratch oracle IS the incremental-
+    // maintenance identity
+    "p_manifest_delta" -> manifestOracleSql,
 
     // SFT turn parse: the oracle re-derives turns from the fixture's
     // replace + position arithmetic (no parsing) — see sftTurnsCtes

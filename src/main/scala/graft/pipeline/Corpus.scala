@@ -439,6 +439,43 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"),
         expr("bit_xor(__h)").as("content_hash"))
 
+  /** Incrementally maintain a [[shardManifest]] under a document delta
+    * WITHOUT rescanning the corpus — the reason the manifest hash is an
+    * xor fold: xor is associative, commutative, and its own inverse, so
+    * `manifest(A ∪ B) = manifest(A) ⊕ manifest(B)` (counts add) and
+    * removal is the SAME fold (`remove = true` negates the counts while
+    * the hash xors identically). `updateManifest(prev, delta)` is
+    * therefore bit-identical to recomputing [[shardManifest]] over the
+    * merged corpus, provided delta ids are disjoint from (for add) or
+    * contained in (for remove) the corpus — the ingestion-dedup gates
+    * ([[graft.streaming.StreamingOps.streamingIngestVeto]],
+    * [[Dedup.crossDedupFilter]]) are what enforce that upstream.
+    *
+    * Scale: the 100 TB release manifest updates for the cost of ONE scan
+    * of the DELTA (hash + count projection, map-side agg) plus a
+    * |shards|-row broadcast-sized join — the corpus is never read.
+    * Shards a removal empties drop from the manifest (their xor returns
+    * to 0), matching a fresh [[shardManifest]] of the remainder. */
+  def updateManifest(prev: DataFrame, delta: DataFrame, shards: Int = 8,
+      remove: Boolean = false, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sign = if (remove) -1L else 1L
+    val d = shardManifest(delta, shards, textCol, idCol)
+      .select(col("shard"), col("n_docs").as("__dn"),
+        col("total_tokens").as("__dt"), col("content_hash").as("__dh"))
+    prev.select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("content_hash"))
+      .join(d, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          lit(sign) * coalesce(col("__dn"), lit(0L))).as("n_docs"),
+        (coalesce(col("total_tokens"), lit(0L)) +
+          lit(sign) * coalesce(col("__dt"), lit(0L))).as("total_tokens"),
+        coalesce(col("content_hash"), lit(0L))
+          .bitwiseXOR(coalesce(col("__dh"), lit(0L))).as("content_hash"))
+      .filter(col("n_docs") > 0)
+  }
+
   /** Packing-efficiency gauge over [[packSequences]] output (or any
     * (shard, n_tokens, seq_bin) frame): per shard, how full the
     * fixed-length training bins actually are — `fill_frac` below ~0.9

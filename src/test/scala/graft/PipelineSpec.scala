@@ -1802,6 +1802,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(m3(3L)._3 != m1(3L)._3 && m3(3L)._1 == m1(3L)._1)
   }
 
+  test("updateManifest: incremental add/remove match from-scratch manifests") {
+    import org.apache.spark.sql.functions.pmod
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    // add: manifest(corpus) ⊕ delta == manifest(corpus ∪ delta), bit-exact
+    assert(rows(Corpus.updateManifest(Corpus.shardManifest(corpus), delta))
+      == rows(Corpus.shardManifest(docs)))
+    // remove is the same fold (xor self-inverse): full ⊖ delta == corpus
+    assert(rows(Corpus.updateManifest(Corpus.shardManifest(docs), delta,
+        remove = true))
+      == rows(Corpus.shardManifest(corpus)))
+    // a removal that empties a shard drops its row, matching the fresh
+    // manifest of the remainder
+    val only3 = docs.filter(pmod(col("doc_id"), lit(8)) === 3)
+    val emptied = Corpus.updateManifest(Corpus.shardManifest(docs), only3,
+      remove = true)
+    assert(rows(emptied) == rows(Corpus.shardManifest(
+      docs.filter(pmod(col("doc_id"), lit(8)) =!= 3))))
+    assert(!rows(emptied).contains(3L))
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val rates = Map("en" -> 50, "zh" -> 10)
     val s1 = Corpus.stratifiedSample(docs, rates, defaultNum = 25)

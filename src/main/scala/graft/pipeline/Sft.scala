@@ -62,11 +62,19 @@ object Sft {
     * rejects them). turn_idx is 0-based line position; n_tokens counts
     * whitespace tokens ([[tokenCount]]), 0 for empty content.
     *
+    * CRLF transcripts are accepted: `\r\n` normalizes to `\n` before the
+    * line split (a Windows-exported corpus would otherwise carry an
+    * invisible trailing `\r` into every turn's content and token count).
+    * [[renderTranscript]] always emits LF, so render∘parse is identity
+    * for LF-canonical text and LF-normalizing for CRLF input.
+    *
     * Scale: split + posexplode + narrow string projections —
     * shuffle-free; conversations never leave their input partition. */
   def parseTurns(conv: DataFrame, convIdCol: String = "conv_id",
       textCol: String = "text"): DataFrame = {
-    val lines = posexplode(split(col(textCol), "\n")).as(Seq("turn_idx", "__line"))
+    val lines = posexplode(split(
+      replace(col(textCol), lit("\r\n"), lit("\n")), "\n"))
+      .as(Seq("turn_idx", "__line"))
     conv.select(col(convIdCol), lines)
       .select(col(convIdCol), col("turn_idx").cast("long").as("turn_idx"),
         regexp_extract(col("__line"), "^(system|user|assistant): ", 1)

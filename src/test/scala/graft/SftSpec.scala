@@ -137,6 +137,24 @@ class SftSpec extends AnyFunSuite {
     }
   }
 
+  test("parseTurns: CRLF transcripts normalize — no trailing \\r in content") {
+    import spark.implicits._
+    val lf = "system: be helpful\nuser: hi\\nthere\nassistant: ok"
+    val crlf = lf.replace("\n", "\r\n")
+    val a = Sft.parseTurns(Seq((1L, lf)).toDF("conv_id", "text")).collect()
+      .map(r => r.getLong(1) -> ((r.getString(2), r.getString(3), r.getLong(4))))
+      .toMap
+    val b = Sft.parseTurns(Seq((1L, crlf)).toDF("conv_id", "text")).collect()
+      .map(r => r.getLong(1) -> ((r.getString(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(b == a)
+    assert(!a.values.exists(_._2.contains("\r")))
+    // render of the CRLF parse is the LF-canonical text
+    assert(Sft.renderTranscript(
+        Sft.parseTurns(Seq((1L, crlf)).toDF("conv_id", "text")))
+      .collect().head.getString(1) == lf)
+  }
+
   test("parseTurns: escaped newlines decode to multi-line content") {
     val got = turnsOf(
       (1L, "user: first\\nsecond line\nassistant: ok"),

@@ -3571,7 +3571,7 @@ object PipelineEntries {
         |  FROM documents)
         |SELECT id, bucket % 4 AS shard,
         |       CAST(row_number() OVER (PARTITION BY bucket % 4
-        |         ORDER BY bucket, id) AS INTEGER) AS pos
+        |         ORDER BY bucket, id) AS BIGINT) AS pos
         |FROM t""".stripMargin,
 
     "p_split" ->

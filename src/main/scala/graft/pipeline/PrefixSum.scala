@@ -30,13 +30,21 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** Append `outCol` = running sum of `valueCol` within each `groupCol`
-    * group in `orderCol` order, computed via the distributed prefix-sum
-    * above. Requires (groupCol, orderCol) unique per row and a
-    * non-null groupCol; the input is persisted for the bounded
-    * offset collect (tracked in [[PipelineCaches]] — callers clear). */
+  /** Single-order-column form of [[groupedRunningSum]]. */
   def groupedRunningSum(df: DataFrame, groupCol: String, orderCol: String,
-      valueCol: String, outCol: String): DataFrame = {
+      valueCol: String, outCol: String): DataFrame =
+    groupedRunningSum(df, groupCol, Seq(orderCol), valueCol, outCol)
+
+  /** Append `outCol` = running sum of `valueCol` within each `groupCol`
+    * group in `orderCols` lexicographic order, computed via the
+    * distributed prefix-sum above. Requires (groupCol +: orderCols)
+    * unique per row and a non-null groupCol; the input is persisted for
+    * the bounded offset collect (tracked in [[PipelineCaches]] — callers
+    * clear). A running count (rank) is the `valueCol = lit(1)` special
+    * case — see [[Sampling.seededShuffle]]. */
+  def groupedRunningSum(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "at least one order column required")
     require(!df.columns.contains("__pid"),
       "input already carries graft's internal partition-id column")
     // the offset rendezvous renders the group driver-side
@@ -56,7 +64,8 @@ object PrefixSum {
     val spark = df.sparkSession
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
     val ranged = df
-      .repartitionByRange(parts, col(groupCol).asc, col(orderCol).asc)
+      .repartitionByRange(parts,
+        (col(groupCol).asc +: orderCols.map(col(_).asc)): _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(PipelineCaches.track)
@@ -88,7 +97,7 @@ object PrefixSum {
           col("__pid").cast("string"), col(groupCol).cast("string"))),
         lit(0L))
     val w = Window.partitionBy(col(groupCol), col("__pid"))
-      .orderBy(col(orderCol).asc)
+      .orderBy(orderCols.map(col(_).asc): _*)
     ranged
       .withColumn(outCol, offsetOf + sum(col(valueCol)).over(w))
       .drop("__pid")

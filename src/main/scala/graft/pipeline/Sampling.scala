@@ -334,10 +334,16 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, "shards must be positive")
     val b = seededBucket(col(idCol), seed)
-    docs.select(col(idCol).as("id"), b.as("bucket"),
-        pmod(b, lit(shards.toLong)).as("shard"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("shard").orderBy(col("bucket"), col("id"))))
+    // pos = rank within shard in (bucket, id) order, as a BIGINT running
+    // count over the distributed prefix-sum — like the packers
+    // (r15), a shard-keyed row_number window would serialize each
+    // shard's rank through one task, and an INT rank overflows past
+    // 2^31 rows per shard at 100 TB
+    PrefixSum.groupedRunningSum(
+        docs.select(col(idCol).as("id"), b.as("bucket"),
+            pmod(b, lit(shards.toLong)).as("shard"))
+          .withColumn("__one", lit(1L)),
+        "shard", Seq("bucket", "id"), "__one", "pos")
       .select(col("id"), col("shard"), col("pos"))
   }
 

@@ -2339,11 +2339,11 @@ class SamplingSpec extends AnyFunSuite {
 
   test("seeded shuffle: a permutation, deterministic, seed-sensitive, shard-parallel") {
     val df = Sampling.seededShuffle(docs, shards = 4)
-    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.map(_._1).toSet == (0L until 200L).toSet) // every doc, once
     // positions within a shard are exactly 1..n
     for ((_, inShard) <- got.groupBy(_._2))
-      assert(inShard.map(_._3).sorted.toSeq == (1 to inShard.length))
+      assert(inShard.map(_._3).sorted.toSeq == (1L to inShard.length))
     // deterministic across evaluations...
     assert(rows(df) == rows(Sampling.seededShuffle(docs, shards = 4)))
     // ...and a different seed is a genuinely different permutation
@@ -2559,7 +2559,7 @@ class SamplingSpec extends AnyFunSuite {
       // within a shard, file order IS shuffle order (training readers
       // stream shards sequentially without re-sorting)
       val shard0 = spark.read.parquet(s"$dir/shard=0")
-      val pos = shard0.collect().map(_.getInt(shard0.columns.indexOf("pos")))
+      val pos = shard0.collect().map(_.getLong(shard0.columns.indexOf("pos")))
       assert(pos.toSeq == pos.sorted.toSeq)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -347,7 +347,8 @@ class PlanSpec extends AnyFunSuite {
         "packSequences" -> graft.pipeline.Corpus.packSequences(docs),
         "packConversations" -> graft.pipeline.Sft.packConversations(
           graft.pipeline.Sft.parseTurns(
-            docs.select(col("doc_id").as("conv_id"), col("text")))))) {
+            docs.select(col("doc_id").as("conv_id"), col("text")))),
+        "seededShuffle" -> graft.pipeline.Sampling.seededShuffle(docs))) {
       val plan = df.queryExecution.executedPlan.toString
       // the cumulative pass must ride cluster-sized range partitions +
       // (shard, slice)-keyed parallel windows — a window partitioned by

@@ -4583,12 +4583,14 @@ object PipelineEntries {
 
     // the rendered transcript: ordered string_agg over the derived turns,
     // content escaped per Sft.escapeTurnText (backslash first, then
-    // newline -> backslash-n) so multi-line turns flatten to one line
+    // newline -> backslash-n, CR -> backslash-r) so multi-line turns
+    // flatten to one line
     "p_sft_render" ->
       s"""WITH $sftTurnsCtes
         |SELECT conv_id,
         |       string_agg(role || ': ' ||
-        |           replace(replace(content, '\\', '\\\\'), chr(10), '\\n'),
+        |           replace(replace(replace(content, '\\', '\\\\'),
+        |                   chr(10), '\\n'), chr(13), '\\r'),
         |         chr(10) ORDER BY turn_idx) AS text
         |FROM tt GROUP BY conv_id""".stripMargin,
 

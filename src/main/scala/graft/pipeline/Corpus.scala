@@ -451,6 +451,16 @@ object Corpus {
     * ([[graft.streaming.StreamingOps.streamingIngestVeto]],
     * [[Dedup.crossDedupFilter]]) are what enforce that upstream.
     *
+    * `shards` MUST equal the shard count `prev` was built with — the
+    * merge matches shard NUMBERS, so re-sharding the delta differently
+    * would xor 8-way rows into 16-way rows and produce a plausible but
+    * corrupt manifest. The common mismatch direction (prev built with
+    * MORE shards) fails loudly at execution: an unprunable assert rides
+    * the prev side and throws on any shard id ≥ `shards`. (The opposite
+    * direction — prev built with fewer — is structurally
+    * indistinguishable from a sparsely-populated manifest and stays the
+    * caller's contract.)
+    *
     * Scale: the 100 TB release manifest updates for the cost of ONE scan
     * of the DELTA (hash + count projection, map-side agg) plus a
     * |shards|-row broadcast-sized join — the corpus is never read.
@@ -465,6 +475,13 @@ object Corpus {
         col("total_tokens").as("__dt"), col("content_hash").as("__dh"))
     prev.select(col("shard"), col("n_docs"), col("total_tokens"),
         col("content_hash"))
+      // lazy, unprunable shard-domain check: assert_true returns NULL on
+      // success (isNull keeps the row) and THROWS on a prev shard id the
+      // delta's sharding could never reach — a filter cannot be pruned,
+      // unlike an unused projected column
+      .filter(assert_true(col("shard") < lit(shards.toLong),
+        lit(s"updateManifest: prev manifest has shard ids >= $shards — " +
+          "it was built with a different shard count")).isNull)
       .join(d, Seq("shard"), "full_outer")
       .select(col("shard"),
         (coalesce(col("n_docs"), lit(0L)) +

@@ -406,14 +406,21 @@ object Sampling {
   /** Materialize [[seededShuffle]] as on-disk training shards: parquet
     * partitioned by shard, rows within each shard file in shuffle order.
     * `repartition(shard)` + in-partition sort = one exchange, then each
-    * shard writes sequentially — the 1000-executor write path. */
+    * shard writes sequentially — the 1000-executor write path. Terminal
+    * operation: the shuffle's prefix-sum intermediate persists under the
+    * [[PipelineCaches]] contract, and since nothing can consume this
+    * call's plans after the write returns, writeShards clears the
+    * tracked caches itself (like Verify/Bench per query) instead of
+    * leaving a corpus-sized block pinned for the caller to discover. */
   def writeShards(docs: DataFrame, path: String, shards: Int = 8,
       seed: Long = 43L, idCol: String = "doc_id"): Unit = {
-    val shuffled = seededShuffle(docs, shards, seed, idCol)
-      .join(docs.withColumnRenamed(idCol, "id"), Seq("id"))
-    shuffled
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    try {
+      val shuffled = seededShuffle(docs, shards, seed, idCol)
+        .join(docs.withColumnRenamed(idCol, "id"), Seq("id"))
+      shuffled
+        .repartition(shards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    } finally PipelineCaches.clear()
   }
 }

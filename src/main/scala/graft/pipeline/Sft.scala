@@ -20,25 +20,31 @@ object Sft {
 
   /** Escape turn content for the one-turn-per-line flattened
     * interchange: `\` → `\\` (backslash first, so every escaped-form
-    * backslash is unambiguous), then newline → `\n`. Real SFT corpora
-    * are overwhelmingly multi-line (code blocks, lists); without this a
-    * newline-bearing assistant turn would split into spurious role-''
-    * lines on re-parse and silently shrink the dataset at validation.
-    * [[unescapeTurnText]] inverts it exactly (bijection spec-pinned on
-    * newline- and backslash-bearing content). Narrow string projection. */
+    * backslash is unambiguous), then newline → `\n` and carriage return
+    * → `\r`. Real SFT corpora are overwhelmingly multi-line (code
+    * blocks, lists); without this a newline-bearing assistant turn would
+    * split into spurious role-'' lines on re-parse and silently shrink
+    * the dataset at validation — and an unescaped content `\r` would
+    * merge with the line separator under [[parseTurns]]' CRLF
+    * normalization and silently vanish. [[unescapeTurnText]] inverts it
+    * exactly (bijection spec-pinned on newline-, CR- and
+    * backslash-bearing content). Narrow string projection. */
   def escapeTurnText(c: Column): Column =
-    replace(replace(c, lit("\\"), lit("\\\\")), lit("\n"), lit("\\n"))
+    replace(replace(replace(c, lit("\\"), lit("\\\\")),
+      lit("\n"), lit("\\n")), lit("\r"), lit("\\r"))
 
   /** Inverse of [[escapeTurnText]], in engine-portable builtins: split
     * on `\\` (after backslash-escaping, the ONLY double-backslash runs
-    * are literal-backslash tokens — the newline token `\n` ends in `n`,
-    * so it can never textually collide), unescape `\n` → newline inside
-    * each piece (every remaining backslash there starts a `\n` token),
-    * re-join with `\`. The DuckDB spelling is the same three calls over
-    * string_split/list_transform/array_to_string. */
+    * are literal-backslash tokens — the `\n`/`\r` tokens end in letters,
+    * so they can never textually collide), unescape `\n` → newline and
+    * `\r` → carriage return inside each piece (every remaining backslash
+    * there starts one of those tokens; the two literal replaces cannot
+    * overlap), re-join with `\`. The DuckDB spelling is the same calls
+    * over string_split/list_transform/array_to_string. */
   def unescapeTurnText(c: Column): Column =
     array_join(transform(split(c, "\\\\\\\\", -1),
-      p => replace(p, lit("\\n"), lit("\n"))), "\\")
+      p => replace(replace(p, lit("\\n"), lit("\n")),
+        lit("\\r"), lit("\r"))), "\\")
 
   /** Whitespace-token count of turn content — [[Dedup.tokens]]' regex
     * (`\s+`) with empty pieces dropped, so multi-line content counts its
@@ -65,8 +71,11 @@ object Sft {
     * CRLF transcripts are accepted: `\r\n` normalizes to `\n` before the
     * line split (a Windows-exported corpus would otherwise carry an
     * invisible trailing `\r` into every turn's content and token count).
-    * [[renderTranscript]] always emits LF, so render∘parse is identity
-    * for LF-canonical text and LF-normalizing for CRLF input.
+    * Canonically-escaped text contains no raw `\r` at all — content CRs
+    * ride the `\r` escape — so normalization touches only foreign line
+    * endings, never content. [[renderTranscript]] always emits LF;
+    * render∘parse is identity for LF-canonical text (including CR- and
+    * newline-bearing content) and LF-normalizing for CRLF input.
     *
     * Scale: split + posexplode + narrow string projections —
     * shuffle-free; conversations never leave their input partition. */

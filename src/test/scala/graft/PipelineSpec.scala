@@ -1826,6 +1826,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(!rows(emptied).contains(3L))
   }
 
+  test("updateManifest: mismatched shard count fails loudly, not corruptly") {
+    import org.apache.spark.sql.functions.pmod
+    // prev built 16-way, updated 8-way: shard ids 8..15 are unreachable
+    // by the delta's sharding — the lazy assert must throw at execution
+    val prev16 = Corpus.shardManifest(docs, shards = 16)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val ex = intercept[Exception] {
+      Corpus.updateManifest(prev16, delta, shards = 8).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // thrown, not corrupt
+  }
+
+  test("writeShards releases its tracked caches (terminal operation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    try {
+      graft.pipeline.Sampling.writeShards(docs, dir, shards = 4)
+      assert(graft.pipeline.PipelineCaches.trackedCount == 0,
+        "writeShards left tracked pipeline caches behind")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val rates = Map("en" -> 50, "zh" -> 10)
     val s1 = Corpus.stratifiedSample(docs, rates, defaultNum = 25)

@@ -92,7 +92,8 @@ class SftSpec extends AnyFunSuite {
     val nasty = Seq(
       "plain", "", "line1\nline2", "a\\nb", "a\\\nb", "\\", "\\\\",
       "\\\\\\", "ends with \\", "\nstarts", "trail\n", "\\n", "a\n\nb",
-      "tab\tkeeps", "mix \\ and \n and \\n all three")
+      "tab\tkeeps", "mix \\ and \n and \\n all three",
+      "cr\rhere", "crlf\r\ninside", "ends with cr\r", "\\r literal")
     val df = nasty.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("id", "raw")
     val got = df.select(col("id"),
@@ -102,8 +103,11 @@ class SftSpec extends AnyFunSuite {
       .toMap
     for ((s, i) <- nasty.zipWithIndex) {
       assert(got(i.toLong)._1 == s, s"round-trip broke on <$s>")
-      // escaped form is single-line: the interchange invariant
-      assert(!got(i.toLong)._2.contains("\n"),
+      // escaped form is single-line: the interchange invariant (no raw
+      // newline OR carriage return — a raw CR would merge with the line
+      // separator under parseTurns' CRLF normalization)
+      assert(!got(i.toLong)._2.contains("\n") &&
+        !got(i.toLong)._2.contains("\r"),
         s"escaped form still multi-line for <$s>")
     }
   }
@@ -113,7 +117,7 @@ class SftSpec extends AnyFunSuite {
     // exhaustive short strings + seeded random long ones over exactly the
     // characters that can collide in the escaped form: backslash, 'n',
     // newline (plus separators). One batched Spark pass for all cases.
-    val alpha = Array('\\', 'n', '\n', 'a', ' ', '\t')
+    val alpha = Array('\\', 'n', '\n', 'a', ' ', '\t', '\r', 'r')
     val rnd = new scala.util.Random(421)
     val rand = Seq.fill(800)(
       (0 until rnd.nextInt(13)).map(_ => alpha(rnd.nextInt(alpha.length)))
@@ -132,7 +136,7 @@ class SftSpec extends AnyFunSuite {
     got.foreach { r =>
       assert(r.getString(2) == r.getString(1),
         s"round-trip broke on <${r.getString(1).replace("\n", "\\u000a")}>")
-      assert(!r.getString(3).contains("\n"),
+      assert(!r.getString(3).contains("\n") && !r.getString(3).contains("\r"),
         s"escaped form multi-line for <${r.getString(1).replace("\n", "\\u000a")}>")
     }
   }

@@ -164,6 +164,18 @@ object PipelineEntries {
     Dedup.ngramJaccardPairsPersisted(d, pairsPath(dir), threshold = 0.5)
     Dedup.dupSpanStartsPersisted(d, spanPath(dir))
   }
+
+  private def bpePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+  /** Build (or freshness-check) the persisted BPE vocabulary the
+    * p_bpe_persisted entry reads — tokenizer training is corpus SETUP
+    * like the IVF/minhash artifacts above, so Bench prewarms it untimed
+    * and the timed iterations measure the distributed APPLY (the thing a
+    * production job pays per run). */
+  def prewarmPersistedBpe(s: SparkSession, dir: String): Unit =
+    Bpe.trainPersistedIfStale(docs(s, dir), bpePath(dir), numMerges = 50)
   /** The events table's `ts` has shipped as both TIMESTAMP(NANOS) (which
     * Spark 4 rejects by default — read nanos as long, floor-convert to µs,
     * matching DuckDB's cast) and plain TIMESTAMP(MICROS) (readable as-is).
@@ -770,6 +782,16 @@ object PipelineEntries {
     // rows-only + spec-pinned round trip
     "p_bpe_tokens" -> ((s, dir) =>
       Bpe.tokenCounts(docs(s, dir), Bpe.train(docs(s, dir), numMerges = 50))),
+
+    // the production tokenizer path: the vocabulary is a PERSISTED
+    // artifact (trained once per corpus fingerprint, staleness-fenced
+    // like the IVF index) and the timed work is the distributed apply —
+    // same oracle as the fresh-train twin, so artifact == retrain is
+    // what the hash check proves
+    "p_bpe_persisted" -> ((s, dir) =>
+      Bpe.tokenCounts(docs(s, dir),
+        Bpe.trainPersistedIfStale(docs(s, dir), bpePath(dir),
+          numMerges = 50))),
 
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)
@@ -3470,6 +3492,9 @@ object PipelineEntries {
     // generator's scaladoc. Kept at the gate entries' exact params.
     "p_bpe_train" -> bpeTrainOracleSql(numMerges = 50),
     "p_bpe_tokens" -> bpeTokensOracleSql(numMerges = 50),
+    // artifact read == fresh retrain: one oracle pins both twins (the
+    // p_span_persisted pattern)
+    "p_bpe_persisted" -> bpeTokensOracleSql(numMerges = 50),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two

@@ -136,6 +136,41 @@ object Bpe {
     * narrow mapPartitions over (doc_id, text) — BPE apply is an
     * iterative in-word loop with no Catalyst-expression form. Returns
     * (doc_id, n_ws_tokens, n_bpe_tokens). */
+  /** Persisted trained vocabulary — the production shape: a tokenizer is
+    * trained ONCE per corpus version and read by every consumer (token
+    * counting, SFT budget truncation, packing), never retrained per
+    * query. Same staleness-fence pattern as the IVF index and the
+    * MinHash signature artifact: the meta records the corpus fingerprint
+    * and every train parameter; any mismatch (or missing/interrupted
+    * artifact — the meta writes LAST) triggers a full retrain, logged
+    * via [[Artifacts.logRebuild]]. The artifact is ≤ `numMerges` rows —
+    * reading it costs nothing; building it costs the corpus histogram
+    * pass [[train]] documents. Returns the merge table (rank, left,
+    * right), freshly built or served from the artifact. */
+  def trainPersistedIfStale(docs: DataFrame, path: String,
+      numMerges: Int = 100, topWords: Int = 30000, minPairCount: Long = 2,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val metaPath = s"$path/_bpe_meta.json"
+    val fp = graft.catalog.Snapshot.fingerprint(docs)
+    // TERMINATED marker (ends with the closing brace), the
+    // minhashSignaturesPersisted convention: every parameter is fenced so
+    // the same corpus trained with different knobs can never serve stale
+    val marker = s""""fingerprint":"$fp","merges":$numMerges""" +
+      s""","topWords":$topWords,"minPair":$minPairCount""" +
+      s""","textCol":"$textCol"}"""
+    val meta = Artifacts.readStringIfExists(spark, metaPath)
+    if (!meta.exists(_.endsWith(marker))) {
+      Artifacts.logRebuild(path,
+        if (meta.isEmpty) "no meta"
+        else "corpus fingerprint or train-params mismatch (full retrain)")
+      train(docs, numMerges, topWords, minPairCount, textCol)
+        .write.mode("overwrite").parquet(s"$path/merges")
+      Artifacts.writeString(spark, metaPath, "{" + marker)
+    }
+    spark.read.parquet(s"$path/merges")
+  }
+
   /** Collect + broadcast a trained merge table as rank lookups — the
     * shared prologue of both distributed apply paths (≤ numMerges rows,
     * bounded by construction). */

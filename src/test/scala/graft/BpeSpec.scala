@@ -85,4 +85,36 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.withTokenCountColumn(ml, merges, textCol = "c")
       .collect().head.getLong(2) == 3L)
   }
+
+  test("trainPersistedIfStale: artifact serves, staleness-fence retrains") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_t").toString
+    try {
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val fresh = m(Bpe.train(corpusDf, numMerges = 10))
+      // first call builds; the artifact equals the fresh train
+      assert(m(Bpe.trainPersistedIfStale(corpusDf, dir, numMerges = 10))
+        == fresh)
+      // second call serves the artifact (same rows, meta unchanged)
+      val metaBefore = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_bpe_meta.json")), "UTF-8")
+      assert(m(Bpe.trainPersistedIfStale(corpusDf, dir, numMerges = 10))
+        == fresh)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_bpe_meta.json")), "UTF-8")
+        == metaBefore)
+      // parameter fence: a different merge count must retrain, not serve
+      val ten = fresh.size
+      assert(m(Bpe.trainPersistedIfStale(corpusDf, dir, numMerges = 5)).size
+        < ten)
+      // corpus fence: a changed corpus must retrain
+      val grown = corpusDf.unionAll(
+        Seq((99L, "zz zz zz zz zz zz zz zz")).toDF("doc_id", "text"))
+      assert(m(Bpe.trainPersistedIfStale(grown, dir, numMerges = 10))
+        == m(Bpe.train(grown, numMerges = 10)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

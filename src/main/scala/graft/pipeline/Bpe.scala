@@ -223,16 +223,18 @@ object Bpe {
       if (txt == null) 0L
       else {
         val ranks = bc.value
-        // Locale.ROOT: the vocabulary was trained through SQL lower()
-        // (locale-independent); a default-locale toLowerCase on a tr_TR
-        // JVM would map 'I' to dotless ı and miss every trained merge
         var acc = 0L
-        for (w <- txt.toLowerCase(java.util.Locale.ROOT).trim
-            .split("\\s+") if w.nonEmpty)
+        for (w <- txt.trim.split("\\s+") if w.nonEmpty)
           acc += encodeWord(w, ranks).length
         acc
       }
     }
-    df.withColumn(outCol, count(col(textCol)))
+    // lowercase via the SAME SQL lower() the trainer and tokenCounts use
+    // (NOT String.toLowerCase in the UDF): Spark's UTF8String lowercasing
+    // takes the JVM-default-locale path for non-ASCII strings, so a
+    // JVM-side lower could diverge from the trained vocabulary under a
+    // non-ROOT default locale (e.g. tr_TR I→ı) — one lowering, one
+    // currency (r15 ADVICE)
+    df.withColumn(outCol, count(lower(col(textCol))))
   }
 }

@@ -88,14 +88,25 @@ object PrefixSum {
       }
     }.toSeq
     // empty input ⇒ no offsets ⇒ a zero-entry map() literal would type as
-    // map<null,null> and fail element_at analysis — the offset is just 0
+    // map<null,null> and fail element_at analysis — the offset is just 0.
+    // Non-empty case: a key MISS means the runtime rows desynchronized
+    // from the collected slices (e.g. a cache-loss recompute with
+    // different range boundaries) — that must FAIL loudly, because a
+    // silently-zeroed offset produces plausible-but-wrong running sums
+    // (r15 ADVICE).
     val offsetOf =
       if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(
-        map(offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }: _*),
-        concat_ws("#",
-          col("__pid").cast("string"), col(groupCol).cast("string"))),
-        lit(0L))
+      else {
+        val key = concat_ws("#",
+          col("__pid").cast("string"), col(groupCol).cast("string"))
+        val hit = element_at(
+          map(offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }: _*),
+          key)
+        when(hit.isNotNull, hit).otherwise(raise_error(concat(
+          lit("groupedRunningSum: no collected offset for slice "), key,
+          lit(" — runtime partitioning desynchronized from the offset " +
+            "collect"))).cast("long"))
+      }
     val w = Window.partitionBy(col(groupCol), col("__pid"))
       .orderBy(orderCols.map(col(_).asc): _*)
     ranged

@@ -93,7 +93,11 @@ object PipelineEntries {
     * boundaries wherever the corpus token `data` appears (the
     * [[linedDocs]] replace trick — byte-identical in both engines), one
     * `role: ` prefix per segment, roles by position with an optional
-    * leading `system` turn on conv_id % 3 == 0. Turn content is
+    * leading `system` turn on conv_id % 3 == 0; on conv_id % 4 == 1
+    * conversations every non-first even (would-be `user`) position
+    * carries a `tool` turn instead — the function-call-result shape, so
+    * the gate entries exercise the extended role automaton (assistant →
+    * tool → assistant). Turn content is
     * MULTI-LINE wherever the token `the` appears inside a segment (a
     * second replace → real newlines — 374/500 sf0.01 docs carry one), so
     * the fixture exercises the escaped interchange: the flattened text
@@ -114,7 +118,9 @@ object PipelineEntries {
           transform(col("__segs"), (seg, i) =>
             concat(
               when(col("__sys") === 1 && i === 0, lit("system"))
-                .otherwise(when(((i - col("__sys")) % 2) === 0, lit("user"))
+                .otherwise(when(((i - col("__sys")) % 2) === 0,
+                    when(col("conv_id") % 4 === 1 && (i - col("__sys")) >= 2,
+                      lit("tool")).otherwise(lit("user")))
                   .otherwise(lit("assistant"))),
               lit(": "),
               Sft.escapeTurnText(org.apache.spark.sql.functions.replace(
@@ -1329,7 +1335,9 @@ object PipelineEntries {
       |trn AS (
       |  SELECT conv_id, CAST(i - 1 AS BIGINT) AS turn_idx,
       |         CASE WHEN sys = 1 AND i = 1 THEN 'system'
-      |              WHEN (i - 1 - sys) % 2 = 0 THEN 'user'
+      |              WHEN (i - 1 - sys) % 2 = 0 THEN
+      |                CASE WHEN conv_id % 4 = 1 AND (i - 1 - sys) >= 2
+      |                     THEN 'tool' ELSE 'user' END
       |              ELSE 'assistant' END AS role,
       |         replace(segs[i], ' the ', chr(10)) AS content, sys
       |  FROM segs, unnest(range(1, len(segs) + 1)) AS t(i)),
@@ -1338,6 +1346,24 @@ object PipelineEntries {
       |         CAST(len(list_filter(regexp_split_to_array(content, '\s+'),
       |                              t2 -> t2 <> '')) AS BIGINT) AS n_tokens
       |  FROM trn)""".stripMargin
+
+  /** The per-turn role-automaton check [[graft.pipeline.Sft.validateConversations]]
+    * applies, as a SQL CASE over (turn_idx, role, prev) — `prev` must be
+    * `lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)` in the
+    * enclosing query. Shared by the p_sft_valid and p_sft_pipeline
+    * mirrors so both gates run the identical automaton: [system] user
+    * (assistant [tool])*, tool only between assistant turns. */
+  private val sftRoleOkSql: String =
+    """CASE WHEN turn_idx = 0 AND role = 'system' THEN 1
+      |         WHEN prev IS NULL OR prev = 'system' THEN
+      |           CASE WHEN role = 'user' THEN 1 ELSE 0 END
+      |         WHEN prev = 'user' THEN
+      |           CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+      |         WHEN prev = 'assistant' THEN
+      |           CASE WHEN role IN ('user', 'tool') THEN 1 ELSE 0 END
+      |         WHEN prev = 'tool' THEN
+      |           CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+      |         ELSE 0 END""".stripMargin
 
   private def dupClustersCtes(docsRel: String = "documents"): String =
     s"""t AS (
@@ -4457,9 +4483,10 @@ object PipelineEntries {
       s"""WITH $sftTurnsCtes
         |SELECT conv_id, turn_idx, role, content, n_tokens FROM tt""".stripMargin,
 
-    // conversation-structure flags: same rules as the operator, computed
-    // over the derived turns; every flag CAST to BIGINT (DuckDB sum/min/
-    // max of ints are HUGEINT/INT32 otherwise)
+    // conversation-structure flags: same predecessor-based role
+    // automaton as the operator ([system] user (assistant [tool])*),
+    // computed over the derived turns; every flag CAST to BIGINT (DuckDB
+    // sum/min/max of ints are HUGEINT/INT32 otherwise)
     "p_sft_valid" ->
       s"""WITH $sftTurnsCtes,
         |v AS (
@@ -4467,13 +4494,12 @@ object PipelineEntries {
         |    CAST(count(*) AS BIGINT) AS n_turns,
         |    CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_empty,
-        |    CAST(min(CASE WHEN (sys = 1 AND turn_idx = 0)
-        |               OR (role = CASE WHEN (turn_idx - sys) % 2 = 0
-        |                               THEN 'user' ELSE 'assistant' END)
-        |             THEN 1 ELSE 0 END) AS BIGINT) AS alternation_ok,
+        |    CAST(min($sftRoleOkSql) AS BIGINT) AS alternation_ok,
         |    CAST(max(CASE WHEN turn_idx = mx AND role = 'assistant'
         |             THEN 1 ELSE 0 END) AS BIGINT) AS ends_assistant
-        |  FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+        |  FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx,
+        |               lag(role) OVER (PARTITION BY conv_id
+        |                               ORDER BY turn_idx) AS prev
         |        FROM tt)
         |  GROUP BY conv_id)
         |SELECT conv_id, n_turns, n_empty, alternation_ok, ends_assistant,
@@ -4530,13 +4556,12 @@ object PipelineEntries {
         |  SELECT conv_id,
         |    CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_empty,
-        |    CAST(min(CASE WHEN (sys = 1 AND turn_idx = 0)
-        |               OR (role = CASE WHEN (turn_idx - sys) % 2 = 0
-        |                               THEN 'user' ELSE 'assistant' END)
-        |             THEN 1 ELSE 0 END) AS BIGINT) AS alternation_ok,
+        |    CAST(min($sftRoleOkSql) AS BIGINT) AS alternation_ok,
         |    CAST(max(CASE WHEN turn_idx = mx AND role = 'assistant'
         |             THEN 1 ELSE 0 END) AS BIGINT) AS ends_assistant
-        |  FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+        |  FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mx,
+        |               lag(role) OVER (PARTITION BY conv_id
+        |                               ORDER BY turn_idx) AS prev
         |        FROM tt)
         |  GROUP BY conv_id),
         |tv AS (

@@ -63,7 +63,9 @@ object Sft {
     * ShareGPT-flattened interchange shape; content newlines/backslashes
     * ESCAPED per [[escapeTurnText]]) into one row per turn:
     * (convIdCol, turn_idx, role, content, n_tokens) — content unescaped
-    * back to its real (possibly multi-line) form. Lines that don't
+    * back to its real (possibly multi-line) form. Roles are
+    * system/user/assistant/tool (`tool` carries a tool/function-call
+    * result turn, now standard in SFT corpora); lines that don't
     * match `role: ` get role '' (callers decide; [[validateConversations]]
     * rejects them). turn_idx is 0-based line position; n_tokens counts
     * whitespace tokens ([[tokenCount]]), 0 for empty content.
@@ -86,21 +88,23 @@ object Sft {
       .as(Seq("turn_idx", "__line"))
     conv.select(col(convIdCol), lines)
       .select(col(convIdCol), col("turn_idx").cast("long").as("turn_idx"),
-        regexp_extract(col("__line"), "^(system|user|assistant): ", 1)
+        regexp_extract(col("__line"), "^(system|user|assistant|tool): ", 1)
           .as("role"),
         unescapeTurnText(
-          regexp_replace(col("__line"), "^(system|user|assistant): ", ""))
+          regexp_replace(col("__line"), "^(system|user|assistant|tool): ", ""))
           .as("content"))
       .withColumn("n_tokens", tokenCount(col("content")))
   }
 
   /** Conversation-structure gate: one row per conversation with the
     * boolean facts an SFT filter needs — an optional leading `system`
-    * turn, then STRICT user/assistant alternation starting at `user`,
-    * no empty or unlabeled turns, and a final `assistant` turn (the
-    * training target). `valid` is the conjunction. Flags ship as BIGINT
-    * 0/1 so the driver's value hasher sees one integer dtype on both
-    * engines.
+    * turn, then user/assistant alternation starting at `user` where an
+    * `assistant` turn may also be followed by a `tool` (function-call
+    * result) turn and a `tool` turn must be followed by `assistant`
+    * (the model always speaks after reading a tool result), no empty or
+    * unlabeled turns, and a final `assistant` turn (the training
+    * target). `valid` is the conjunction. Flags ship as BIGINT 0/1 so
+    * the driver's value hasher sees one integer dtype on both engines.
     *
     * Scale: a role-sequence check needs each turn's predecessor — one
     * window partitioned by the conversation key (conversation-local
@@ -108,19 +112,19 @@ object Sft {
   def validateConversations(turns: DataFrame,
       convIdCol: String = "conv_id"): DataFrame = {
     val w = Window.partitionBy(convIdCol).orderBy("turn_idx")
-    // position among non-system turns: after stripping one optional
-    // leading system turn, even positions must be user, odd assistant
+    // predecessor-based role automaton: [system] user (assistant
+    // [tool])* with every tool immediately between assistant turns
     val t = turns
-      .withColumn("__sys0", (col("role") === "system" && col("turn_idx") === 0)
-        .cast("long"))
-      .withColumn("__hasSys", max(col("__sys0")).over(
-        Window.partitionBy(convIdCol)))
-      .withColumn("__pos", col("turn_idx") - col("__hasSys"))
+      .withColumn("__prev", lag(col("role"), 1).over(w))
       .withColumn("__roleOk",
-        when(col("__sys0") === 1, lit(true))
-          .otherwise(
-            when(col("__pos") % 2 === 0, col("role") === "user")
-              .otherwise(col("role") === "assistant")))
+        when(col("turn_idx") === 0 && col("role") === "system", lit(true))
+          .when(col("__prev").isNull || col("__prev") === "system",
+            col("role") === "user")
+          .when(col("__prev") === "user", col("role") === "assistant")
+          .when(col("__prev") === "assistant",
+            col("role").isin("user", "tool"))
+          .when(col("__prev") === "tool", col("role") === "assistant")
+          .otherwise(lit(false)))
       .withColumn("__last", max(col("turn_idx")).over(
         Window.partitionBy(convIdCol)))
     t.groupBy(col(convIdCol))

@@ -50,6 +50,37 @@ class SftSpec extends AnyFunSuite {
     assert(v(6L)._4 == 0L && v(6L)._5 == 0L)
   }
 
+  test("parseTurns + validateConversations: tool turns ride the automaton") {
+    // tool parses as a first-class role
+    val got = turnsOf((1L, "user: run it\nassistant: calling\ntool: exit 0\nassistant: done"))
+      .collect().map(r => r.getLong(1) -> ((r.getString(2), r.getString(3))))
+      .toMap
+    assert(got(2L) == (("tool", "exit 0")))
+    val v = Sft.validateConversations(turnsOf(
+        // assistant → tool → assistant: valid
+        (1L, "user: a\nassistant: b\ntool: t\nassistant: c"),
+        // chained tool results: tool → tool is rejected (tool must be
+        // followed by assistant)
+        (2L, "user: a\nassistant: b\ntool: t\ntool: u\nassistant: c"),
+        // tool directly after user: invalid
+        (3L, "user: a\ntool: t\nassistant: c"),
+        // tool as the opener: invalid
+        (4L, "tool: t\nassistant: c"),
+        // tool-final: alternation fine up to it, but ends_assistant = 0
+        (5L, "user: a\nassistant: b\ntool: t"),
+        // with a leading system turn
+        (6L, "system: s\nuser: a\nassistant: b\ntool: t\nassistant: c")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(v(1L) == ((4L, 0L, 1L, 1L, 1L)))
+    assert(v(2L)._3 == 0L && v(2L)._5 == 0L)
+    assert(v(3L)._3 == 0L)
+    assert(v(4L)._3 == 0L)
+    assert(v(5L)._3 == 1L && v(5L)._4 == 0L && v(5L)._5 == 0L)
+    assert(v(6L) == ((5L, 0L, 1L, 1L, 1L)))
+  }
+
   test("truncateToBudget: system kept, longest whole-turn suffix fits") {
     // turns: system(2) user(4) assistant(4) user(4) assistant(4)
     val t = turnsOf((1L,

@@ -777,15 +777,15 @@ object PipelineEntries {
 
     // BPE vocabulary induction on the corpus word histogram: the learned
     // merge table (rank, left, right). Deterministic (count-then-lex
-    // tie-break) but not SQL-expressible — rows-only check here; the
-    // merge loop is pinned in BpeSpec against hand-derived merges on the
-    // canonical Sennrich corpus
+    // tie-break); oracle unrolls the merge loop as CTE triples (see
+    // bpeTrainCtes); the merge loop is also pinned in BpeSpec against
+    // hand-derived merges on the canonical Sennrich corpus
     "p_bpe_train" -> ((s, dir) =>
       Bpe.train(docs(s, dir), numMerges = 50)),
 
     // distributed tokenization under the trained vocabulary: per-doc
-    // whitespace vs BPE token counts (the compression the vocab buys).
-    // rows-only + spec-pinned round trip
+    // whitespace vs BPE token counts (the compression the vocab buys);
+    // oracle re-derives the merge table + per-word apply chain in SQL
     "p_bpe_tokens" -> ((s, dir) =>
       Bpe.tokenCounts(docs(s, dir), Bpe.train(docs(s, dir), numMerges = 50))),
 
@@ -798,6 +798,40 @@ object PipelineEntries {
       Bpe.tokenCounts(docs(s, dir),
         Bpe.trainPersistedIfStale(docs(s, dir), bpePath(dir),
           numMerges = 50))),
+
+    // the symbol → id vocabulary TABLE the merge table induces: corpus
+    // alphabet sorted, then </w>, then merge outputs in rank order —
+    // the id side of the tokenizer artifact (oracle re-derives it from
+    // the same merge CTEs + an alphabet scan)
+    "p_bpe_vocab" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bpe.vocabulary(d, Bpe.train(d, numMerges = 50))
+    }),
+
+    // per-document input_ids — the tensor content a trainer consumes —
+    // posexploded to scalar rows per the gate contract; encode runs on
+    // doc_id % 10 == 0 to bound the oracle's row count while the merges
+    // and vocabulary still derive from the FULL corpus
+    "p_bpe_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Bpe.train(d, numMerges = 50)
+      Bpe.encodeIds(d.filter(pmod(col("doc_id"), lit(10)) === 0), m,
+          Bpe.vocabulary(d, m))
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .withColumn("pos", col("pos").cast("long"))
+    }),
+
+    // loss-mask spans measured in TRAINER tokens: the same cumsum spans
+    // operator with the per-turn BPE count column attached — offsets are
+    // positions in the id arrays encodeIds emits (size(ids) == count is
+    // spec-pinned), completing the spans → input_ids composition
+    "p_sft_spans_bpe" -> ((s, dir) =>
+      Sft.lossMaskSpans(
+        Bpe.withTokenCountColumn(
+          Sft.parseTurns(convDocs(s, dir)),
+          Bpe.train(docs(s, dir), numMerges = 50)),
+        tokenCol = "n_bpe_tokens")),
 
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)
@@ -2718,6 +2752,99 @@ object PipelineEntries {
       |         AS coverage
       |FROM m LEFT JOIN s ON m.doc_id = s.doc_id""".stripMargin
 
+  /** The e0 → e{numMerges} separator-replace apply chain over an
+    * `e0(word, enc)` CTE under the [[bpeTrainCtes]] merge CTEs — the
+    * tokenizer APPLY, shared by every oracle that re-tokenizes words
+    * (doc token counts, turn counts, id sequences). */
+  private def bpeApplyStepsSql(numMerges: Int): String =
+    (0 until numMerges).map { k =>
+      s"""e${k + 1} AS MATERIALIZED (
+         |  SELECT e.word,
+         |         CASE WHEN b.lft IS NULL THEN e.enc
+         |              ELSE replace(e.enc,
+         |                           chr(1) || b.lft || chr(1) || chr(1) || b.rgt || chr(1),
+         |                           chr(1) || b.lft || b.rgt || chr(1))
+         |         END AS enc
+         |  FROM e$k e LEFT JOIN b$k b ON true)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB mirror of [[graft.pipeline.Bpe.vocabulary]], as CTEs ending
+    * in `vocab(token, token_id)` — assumes [[bpeTrainCtes]] in scope.
+    * Alphabet = distinct single characters of every corpus word (full
+    * corpus, not the training histogram), ids by sort order; then
+    * `</w>`; then merge outputs by FIRST rank (duplicate compositions
+    * keep their first id, exactly the Spark side's first-wins insert). */
+  private def bpeVocabCtes(numMerges: Int): String = {
+    val mergeUnion = (0 until numMerges).map(k =>
+      s"SELECT $k AS r, lft, rgt FROM b$k").mkString("\nUNION ALL\n")
+    s"""vw AS MATERIALIZED (
+       |  SELECT DISTINCT word
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE word <> ''),
+       |vch AS (
+       |  SELECT DISTINCT substring(word, i, 1) AS token
+       |  FROM vw, unnest(range(1, length(word) + 1)) AS t(i)),
+       |vbase AS (
+       |  SELECT token,
+       |         CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+       |  FROM vch),
+       |vnb AS (SELECT CAST(count(*) AS BIGINT) AS a FROM vbase),
+       |vmo AS (
+       |  SELECT token, min(r) AS r
+       |  FROM (SELECT lft || rgt AS token, r FROM ($mergeUnion))
+       |  WHERE token NOT IN (SELECT token FROM vbase) AND token <> '</w>'
+       |  GROUP BY token),
+       |vocab AS MATERIALIZED (
+       |  SELECT token, token_id FROM vbase
+       |  UNION ALL
+       |  SELECT '</w>' AS token, (SELECT a FROM vnb) AS token_id
+       |  UNION ALL
+       |  SELECT token,
+       |         (SELECT a FROM vnb)
+       |           + CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS token_id
+       |  FROM vmo)""".stripMargin
+  }
+
+  private def bpeVocabOracleSql(numMerges: Int = 50): String =
+    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+       |${bpeVocabCtes(numMerges)}
+       |SELECT token, token_id FROM vocab""".stripMargin
+
+  /** DuckDB mirror of [[graft.pipeline.Bpe.encodeIds]] over the sampled
+    * docs (vocab + merges still derive from the FULL corpus): words with
+    * positions, the shared apply chain to per-word symbol lists,
+    * cumulative per-doc offsets, then the vocabulary id lookup (LEFT
+    * JOIN + −1, mirroring the UNK convention). */
+  private def bpeIdsOracleSql(numMerges: Int = 50,
+      sampleMod: Int = 10): String =
+    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+       |${bpeVocabCtes(numMerges)},
+       |dwp AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS word
+       |  FROM (SELECT doc_id,
+       |               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                           x -> x <> '') AS ws
+       |        FROM documents WHERE doc_id % $sampleMod = 0),
+       |       unnest(range(1, len(ws) + 1)) AS t(i)),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, ${bpeEncExpr("word")} AS enc
+       |  FROM (SELECT DISTINCT word FROM dwp)),
+       |${bpeApplyStepsSql(numMerges)},
+       |wtl AS MATERIALIZED (
+       |  SELECT word, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms
+       |  FROM e$numMerges),
+       |off AS (
+       |  SELECT d.doc_id, d.wi, w2.syms,
+       |         CAST(sum(len(w2.syms)) OVER (PARTITION BY d.doc_id ORDER BY d.wi)
+       |              - len(w2.syms) AS BIGINT) AS o
+       |  FROM dwp d JOIN wtl w2 USING (word))
+       |SELECT f.doc_id, CAST(f.o + f.si - 1 AS BIGINT) AS pos,
+       |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+       |FROM (SELECT doc_id, o, si, syms[si] AS token
+       |      FROM off, unnest(range(1, len(syms) + 1)) AS t(si)) f
+       |LEFT JOIN vocab v USING (token)""".stripMargin
+
   private def bpeTrainOracleSql(numMerges: Int = 50, topWords: Int = 30000,
       minPairCount: Long = 2): String = {
     val unions = (0 until numMerges).map { k =>
@@ -2738,16 +2865,7 @@ object PipelineEntries {
     * doc — corpora repeat words, exactly the memo in tokenCounts). */
   private def bpeTokensOracleSql(numMerges: Int = 50, topWords: Int = 30000,
       minPairCount: Long = 2): String = {
-    val applySteps = (0 until numMerges).map { k =>
-      s"""e${k + 1} AS MATERIALIZED (
-         |  SELECT e.word,
-         |         CASE WHEN b.lft IS NULL THEN e.enc
-         |              ELSE replace(e.enc,
-         |                           chr(1) || b.lft || chr(1) || chr(1) || b.rgt || chr(1),
-         |                           chr(1) || b.lft || b.rgt || chr(1))
-         |         END AS enc
-         |  FROM e$k e LEFT JOIN b$k b ON true)""".stripMargin
-    }.mkString(",\n")
+    val applySteps = bpeApplyStepsSql(numMerges)
     s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
        |dw AS MATERIALIZED (
        |  SELECT doc_id, word, count(*) AS c
@@ -2800,21 +2918,13 @@ object PipelineEntries {
     * CONTENT (from [[sftTurnsCtes]]) instead of documents, joined back
     * per (conv, turn) — then the same reverse-cumsum truncation window
     * as `p_sft_truncate`, budget measured in the derived BPE counts. */
-  private def sftBpeTruncateOracleSql(budget: Long, numMerges: Int = 50,
-      topWords: Int = 30000, minPairCount: Long = 2): String = {
-    val applySteps = (0 until numMerges).map { k =>
-      s"""e${k + 1} AS MATERIALIZED (
-         |  SELECT e.word,
-         |         CASE WHEN b.lft IS NULL THEN e.enc
-         |              ELSE replace(e.enc,
-         |                           chr(1) || b.lft || chr(1) || chr(1) || b.rgt || chr(1),
-         |                           chr(1) || b.lft || b.rgt || chr(1))
-         |         END AS enc
-         |  FROM e$k e LEFT JOIN b$k b ON true)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
-       |$sftTurnsCtes,
-       |tw AS MATERIALIZED (
+  /** CTE chain deriving per-turn BPE token counts `bt(conv_id,
+    * turn_idx, role, n_bpe_tokens)` under the corpus-trained merge
+    * table — the shared prologue of the p_sft_truncate_bpe and
+    * p_sft_spans_bpe mirrors. Assumes [[bpeTrainCtes]] and
+    * [[sftTurnsCtes]] are already in scope. */
+  private def sftBpeCountCtes(numMerges: Int): String =
+    s"""tw AS MATERIALIZED (
        |  SELECT conv_id, turn_idx, word, count(*) AS c
        |  FROM (SELECT conv_id, turn_idx,
        |               unnest(regexp_split_to_array(lower(trim(content)), '\\s+')) AS word
@@ -2823,7 +2933,7 @@ object PipelineEntries {
        |e0 AS MATERIALIZED (
        |  SELECT word, ${bpeEncExpr("word")} AS enc
        |  FROM (SELECT DISTINCT word FROM tw)),
-       |$applySteps,
+       |${bpeApplyStepsSql(numMerges)},
        |wl AS MATERIALIZED (
        |  SELECT word, CAST(len(string_split(trim(enc, chr(1)), chr(1) || chr(1))) AS BIGINT) AS bl
        |  FROM e$numMerges),
@@ -2834,7 +2944,36 @@ object PipelineEntries {
        |  LEFT JOIN (SELECT tw.conv_id, tw.turn_idx, sum(tw.c * wl.bl) AS nbpe
        |             FROM tw JOIN wl USING (word)
        |             GROUP BY tw.conv_id, tw.turn_idx) x
-       |    ON x.conv_id = t.conv_id AND x.turn_idx = t.turn_idx),
+       |    ON x.conv_id = t.conv_id AND x.turn_idx = t.turn_idx)""".stripMargin
+
+  /** DuckDB mirror of the `p_sft_spans_bpe` composition: the shared
+    * per-turn BPE counts, then the same cumsum spans window as
+    * `p_sft_spans` — offsets measured in TRAINER tokens, i.e. positions
+    * in the very id arrays [[graft.pipeline.Bpe.encodeIds]] emits
+    * (size(ids) == the count column is spec-pinned in BpeSpec). */
+  private def sftBpeSpansOracleSql(numMerges: Int = 50,
+      topWords: Int = 30000, minPairCount: Long = 2): String =
+    s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
+       |$sftTurnsCtes,
+       |${sftBpeCountCtes(numMerges)}
+       |SELECT conv_id, turn_idx, role,
+       |       CAST(sum(n_bpe_tokens) OVER (PARTITION BY conv_id
+       |              ORDER BY turn_idx
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            - n_bpe_tokens AS BIGINT) AS start_tok,
+       |       CAST(sum(n_bpe_tokens) OVER (PARTITION BY conv_id
+       |              ORDER BY turn_idx
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS end_tok,
+       |       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+       |            AS BIGINT) AS train_mask
+       |FROM bt""".stripMargin
+
+  private def sftBpeTruncateOracleSql(budget: Long, numMerges: Int = 50,
+      topWords: Int = 30000, minPairCount: Long = 2): String = {
+    s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
+       |$sftTurnsCtes,
+       |${sftBpeCountCtes(numMerges)},
        |x2 AS (
        |  SELECT conv_id, turn_idx, role, n_bpe_tokens,
        |    sum(CASE WHEN role = 'system' AND turn_idx = 0
@@ -3521,6 +3660,12 @@ object PipelineEntries {
     // artifact read == fresh retrain: one oracle pins both twins (the
     // p_span_persisted pattern)
     "p_bpe_persisted" -> bpeTokensOracleSql(numMerges = 50),
+    // the id table: alphabet scan + merge outputs over the same merge
+    // CTEs — first-rank dedup mirrors the first-wins insert
+    "p_bpe_vocab" -> bpeVocabOracleSql(numMerges = 50),
+    // input_ids: apply chain to symbol lists, per-doc cumulative
+    // offsets, vocabulary lookup (LEFT JOIN + -1 = the UNK convention)
+    "p_bpe_ids" -> bpeIdsOracleSql(numMerges = 50),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two
@@ -4547,6 +4692,10 @@ object PipelineEntries {
     // BPE-budget truncation: the full merge-table + apply-chain
     // re-derivation over turn words — see sftBpeTruncateOracleSql
     "p_sft_truncate_bpe" -> sftBpeTruncateOracleSql(budget = 160),
+
+    // spans in TRAINER tokens: the shared per-turn BPE counts + the
+    // p_sft_spans cumsum window — see sftBpeSpansOracleSql
+    "p_sft_spans_bpe" -> sftBpeSpansOracleSql(),
 
     // the composed pipeline: structure gate -> truncation (48) -> spans,
     // all over the shared turn CTEs (the p_span_pipeline pattern)

@@ -1,11 +1,14 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-document token counts under a trained BPE vocabulary. */
 case class BpeTokenCounts(doc_id: Long, n_ws_tokens: Long,
   n_bpe_tokens: Long)
+
+/** Per-document token-id sequence under a trained BPE vocabulary. */
+case class BpeTokenIds(doc_id: Long, token_ids: Array[Long])
 
 /** Byte-pair-encoding tokenizer induction (Sennrich et al., ACL'16) —
   * the vocabulary-training step of a language-model data pipeline.
@@ -129,6 +132,87 @@ object Bpe {
     syms
   }
 
+  /** The symbol → id vocabulary TABLE a trained merge table induces —
+    * the artifact that turns token sequences into the `input_ids` a
+    * trainer consumes. Ids are deterministic: the corpus ALPHABET
+    * (distinct single-character symbols across every whitespace-lowered
+    * word — the full corpus, not the training histogram, so every
+    * corpus character is encodable) sorted ascending takes ids
+    * 0..A−1, [[EndOfWord]] takes id A, and merge OUTPUTS take
+    * A+1.. in rank order (first introduction wins when two merges
+    * compose the same string). Returns (token STRING, token_id BIGINT),
+    * ≤ alphabet + 1 + numMerges rows.
+    *
+    * Scale: the alphabet reduces distributed to distinct symbols (one
+    * shuffle over single characters — bounded by the corpus' codepoint
+    * alphabet, thousands of rows at any corpus size) before a bounded
+    * driver collect; merge outputs are ≤ numMerges rows. Symbols are
+    * UTF-16 code units (the trainer's [[symbolize]] convention); id
+    * order for the alphabet matches byte-wise UTF-8 comparison for all
+    * BMP characters. */
+  def vocabulary(docs: DataFrame, merges: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val alphabet: Array[String] = wordCounts(docs, textCol)
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .distinct().as[String].collect().sorted
+    val mergeOuts: Array[String] = merges.orderBy("rank").collect()
+      .map(r => r.getString(1) + r.getString(2))
+    val ids = scala.collection.mutable.LinkedHashMap[String, Long]()
+    alphabet.foreach(c => ids(c) = ids.size.toLong)
+    ids(EndOfWord) = ids.size.toLong
+    mergeOuts.foreach(m => if (!ids.contains(m)) ids(m) = ids.size.toLong)
+    ids.toSeq.toDF("token", "token_id")
+  }
+
+  /** Per-document `input_ids`: apply the trained merges ([[encodeWord]],
+    * broadcast ranks) and look each resulting symbol up in `vocab`
+    * ([[vocabulary]]'s (token, token_id) table, collected + broadcast —
+    * bounded by construction). Returns (idCol, token_ids ARRAY<BIGINT>)
+    * — the tensor content an SFT/pretraining trainer consumes; symbols
+    * absent from the vocabulary (foreign characters on a corpus the
+    * vocabulary was not derived from) emit id −1, the documented UNK
+    * convention, so a vocabulary/corpus mismatch is visible instead of
+    * silently dropped.
+    *
+    * Scale: narrow mapPartitions over (id, text) with a per-partition
+    * word → ids memo — no shuffle; the lowering rides the same SQL
+    * lower() as training. */
+  def encodeIds(docs: DataFrame, merges: DataFrame, vocab: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcRanks = broadcastRanks(merges)
+    val bcIds = spark.sparkContext.broadcast(
+      vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    docs.select(col(idCol).cast("long"), lower(trim(col(textCol))))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ranks = bcRanks.value
+        val ids = bcIds.value
+        val memo = scala.collection.mutable.HashMap[String, Array[Long]]()
+        rows.map { case (id, txt) =>
+          val words =
+            if (txt == null) Array.empty[String]
+            else txt.split("\\s+").filter(_.nonEmpty)
+          val out = new scala.collection.mutable.ArrayBuffer[Long]()
+          words.foreach { w =>
+            out ++= memo.getOrElseUpdate(w,
+              encodeWord(w, ranks).map(s => ids.getOrElse(s, -1L)))
+          }
+          BpeTokenIds(id, out.toArray)
+        }
+      }
+      .toDF(idCol, "token_ids")
+  }
+
+  /** Read the vocabulary table persisted beside the merge artifact by
+    * [[trainPersistedIfStale]]. */
+  def persistedVocabulary(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vocab")
+
   /** Distributed tokenization under a trained merge table: per document,
     * the whitespace token count and the BPE token count (the corpus
     * compression the vocabulary achieves). `merges` is collected once
@@ -143,10 +227,12 @@ object Bpe {
     * MinHash signature artifact: the meta records the corpus fingerprint
     * and every train parameter; any mismatch (or missing/interrupted
     * artifact — the meta writes LAST) triggers a full retrain, logged
-    * via [[Artifacts.logRebuild]]. The artifact is ≤ `numMerges` rows —
-    * reading it costs nothing; building it costs the corpus histogram
-    * pass [[train]] documents. Returns the merge table (rank, left,
-    * right), freshly built or served from the artifact. */
+    * via [[Artifacts.logRebuild]]. The artifact is the PAIR (merge
+    * table ≤ `numMerges` rows + the [[vocabulary]] symbol → id table,
+    * read back via [[persistedVocabulary]]) — reading costs nothing;
+    * building costs the corpus histogram pass [[train]] documents.
+    * Returns the merge table (rank, left, right), freshly built or
+    * served from the artifact. */
   def trainPersistedIfStale(docs: DataFrame, path: String,
       numMerges: Int = 100, topWords: Int = 30000, minPairCount: Long = 2,
       textCol: String = "text"): DataFrame = {
@@ -158,14 +244,18 @@ object Bpe {
     // the same corpus trained with different knobs can never serve stale
     val marker = s""""fingerprint":"$fp","merges":$numMerges""" +
       s""","topWords":$topWords,"minPair":$minPairCount""" +
-      s""","textCol":"$textCol"}"""
+      s""","textCol":"$textCol","vocab":1}"""
     val meta = Artifacts.readStringIfExists(spark, metaPath)
     if (!meta.exists(_.endsWith(marker))) {
       Artifacts.logRebuild(path,
         if (meta.isEmpty) "no meta"
         else "corpus fingerprint or train-params mismatch (full retrain)")
-      train(docs, numMerges, topWords, minPairCount, textCol)
-        .write.mode("overwrite").parquet(s"$path/merges")
+      val m = train(docs, numMerges, topWords, minPairCount, textCol)
+      m.write.mode("overwrite").parquet(s"$path/merges")
+      // the symbol → id table persists BESIDE the merges (same fence):
+      // every id consumer reads the artifact pair, never re-derives
+      vocabulary(docs, m, textCol)
+        .write.mode("overwrite").parquet(s"$path/vocab")
       Artifacts.writeString(spark, metaPath, "{" + marker)
     }
     spark.read.parquet(s"$path/merges")

@@ -86,6 +86,70 @@ class BpeSpec extends AnyFunSuite {
       .collect().head.getLong(2) == 3L)
   }
 
+  test("vocabulary: alphabet ids, </w>, then merge outputs in rank order") {
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val v = Bpe.vocabulary(corpusDf, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alphabet of {low, lower, newest, widest} sorted: d e i l n o r s t w
+    val expected = Map(
+      "d" -> 0L, "e" -> 1L, "i" -> 2L, "l" -> 3L, "n" -> 4L, "o" -> 5L,
+      "r" -> 6L, "s" -> 7L, "t" -> 8L, "w" -> 9L, "</w>" -> 10L,
+      // the 10 hand-derived merges (see the train spec), outputs in order
+      "es" -> 11L, "est" -> 12L, "est</w>" -> 13L, "lo" -> 14L,
+      "low" -> 15L, "ew" -> 16L, "ewest</w>" -> 17L, "newest</w>" -> 18L,
+      "low</w>" -> 19L, "dest</w>" -> 20L)
+    assert(v == expected)
+  }
+
+  test("encodeIds: ids mirror encodeWord symbols; unknown chars emit -1") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    val docs = Seq((1L, "low lowest newest"), (2L, "xyz"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encodeIds(docs, merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // low→[low</w>]=19, lowest→[low, est</w>]=[15,13], newest→[newest</w>]=18
+    assert(got(1L) == List(19L, 15L, 13L, 18L))
+    // foreign chars: UNK id -1, the word-final marker still resolves
+    assert(got(2L) == List(-1L, -1L, -1L, 10L))
+    // size(ids) == the schema-preserving count column — the spans /
+    // budget currency IS positions in these arrays
+    val counts = Bpe.withTokenCountColumn(docs, merges, textCol = "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.map { case (k, l) => k -> l.size.toLong } == counts)
+  }
+
+  test("lossMaskSpans in BPE ids: spans index the encodeIds arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    val turns = Seq(
+      (1L, 0L, "user", "low lowest"),
+      (1L, 1L, "assistant", "newest widest"),
+      (1L, 2L, "user", "lower low"),
+      (1L, 3L, "assistant", "low"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val spans = graft.pipeline.Sft.lossMaskSpans(
+        Bpe.withTokenCountColumn(turns, merges), tokenCol = "n_bpe_tokens")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    // each turn's content encoded as its own id array
+    val ids = Bpe.encodeIds(
+        turns.select(col("turn_idx").as("doc_id"), col("content").as("text")),
+        merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // [start_tok, end_tok) are EXACTLY the turn's positions in the
+    // concatenated conversation id sequence
+    var off = 0L
+    for (t <- 0L to 3L) {
+      assert(spans(t) == ((off, off + ids(t).length)),
+        s"turn $t span ${spans(t)} vs ids ${ids(t)}")
+      off += ids(t).length
+    }
+  }
+
   test("trainPersistedIfStale: artifact serves, staleness-fence retrains") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_t").toString
@@ -96,6 +160,13 @@ class BpeSpec extends AnyFunSuite {
       // first call builds; the artifact equals the fresh train
       assert(m(Bpe.trainPersistedIfStale(corpusDf, dir, numMerges = 10))
         == fresh)
+      // the vocabulary persists BESIDE the merges and equals the fresh
+      // derivation — the id side of the artifact twin
+      val vFresh = Bpe.vocabulary(corpusDf,
+          Bpe.train(corpusDf, numMerges = 10))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(Bpe.persistedVocabulary(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet == vFresh)
       // second call serves the artifact (same rows, meta unchanged)
       val metaBefore = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/_bpe_meta.json")), "UTF-8")

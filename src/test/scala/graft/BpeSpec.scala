@@ -86,6 +86,30 @@ class BpeSpec extends AnyFunSuite {
       .collect().head.getLong(2) == 3L)
   }
 
+  test("trainOnHistogram: incremental trainer == naive rescan, merge for merge") {
+    def hist(ws: (String, Long)*): Array[(Array[String], Long)] =
+      ws.toArray.map { case (w, c) => (Bpe.symbolize(w), c) }
+    val hists = Seq(
+      // the canonical corpus
+      hist("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      // overlap-heavy (repeated chars: "aaaa" counts (a,a) three times)
+      // + tie-heavy counts
+      hist("aaaa" -> 3L, "aab" -> 4L, "abab" -> 2L, "bbbb" -> 1L,
+        "ababab" -> 5L, "ba" -> 4L),
+      // early stop: every pair occurs once
+      hist("ab" -> 1L, "cd" -> 1L),
+      // single-char words and a shared suffix
+      hist("a" -> 9L, "b" -> 9L, "xa" -> 5L, "ya" -> 5L))
+    for (h <- hists; n <- Seq(1, 3, 10, 50); minPair <- Seq(1L, 2L)) {
+      val naive = Bpe.trainOnHistogramNaive(
+        h.map { case (s, c) => (s.clone(), c) }, n, minPair)
+      val inc = Bpe.trainOnHistogram(
+        h.map { case (s, c) => (s.clone(), c) }, n, minPair)
+      assert(inc == naive,
+        s"diverged at n=$n minPair=$minPair on ${h.map(_._1.mkString).toSeq}")
+    }
+  }
+
   test("vocabulary: alphabet ids, </w>, then merge outputs in rank order") {
     val merges = Bpe.train(corpusDf, numMerges = 10)
     val v = Bpe.vocabulary(corpusDf, merges)

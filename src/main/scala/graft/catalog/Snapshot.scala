@@ -38,14 +38,14 @@ object Snapshot {
         // projections differing only in a late column would stringify —
         // and therefore fingerprint — identically
         val canon = df.queryExecution.analyzed.canonicalized
-        val planHash =
+        val planHash = stripJvmIds(
           try canon.toJSON
           catch { // a non-JSON-serializable node: schema + tree string.
             // NonFatal only — swallowing OOM/linkage errors here would
             // turn a dying JVM into a silently-wrong fingerprint
             case scala.util.control.NonFatal(_) =>
               canon.schema.json + canon.toString
-          }
+          })
         files.sorted.map { f =>
           val p = new Path(f)
           val st = p.getFileSystem(conf).getFileStatus(p)
@@ -65,6 +65,17 @@ object Snapshot {
       }
     sha256Hex(material)
   }
+
+  /** Canonicalization normalizes expression IDS (0, 1, 2…) but each
+    * `ExprId` also carries a per-JVM UUID (`jvmId`) that `toJSON`
+    * serializes verbatim — so the "canonical" plan JSON differed across
+    * JVMs and every persisted artifact silently rebuilt once per
+    * session (found round 16: two identical Verify sessions both logged
+    * ARTIFACT REBUILD). Strip it: the normalized numeric id is the
+    * entire identity canonicalization intends. */
+  private[graft] def stripJvmIds(planJson: String): String =
+    planJson.replaceAll(
+      "\"jvmId\":\"[0-9a-fA-F-]{36}\"", "\"jvmId\":\"\"")
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

@@ -160,6 +160,27 @@ class CatalogSpec extends AnyFunSuite {
       Snapshot.fingerprint(wide.select(first25 :+ $"c28": _*)))
   }
 
+  test("fingerprint plan material is jvmId-free (cross-session stability)") {
+    import spark.implicits._
+    import graft.catalog.Snapshot
+    // ExprId carries a per-JVM UUID that canonicalization does NOT
+    // normalize and toJSON serializes verbatim — unstripped, the same
+    // derivation fingerprints differently in every JVM and every
+    // persisted artifact rebuilds once per session (round-16 find:
+    // back-to-back Verify sessions each logged ARTIFACT REBUILD)
+    assert(Snapshot.stripJvmIds(
+      """{"id":0,"jvmId":"47a39540-6812-46d6-b5f2-9e2d7051db56"},{"x":1}""")
+      == """{"id":0,"jvmId":""},{"x":1}""")
+    // on a real canonicalized plan: no UUID-shaped jvmId survives
+    val dir = Files.createTempDirectory("graft_fp_jvm").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val json = Snapshot.stripJvmIds(
+      spark.read.parquet(dir).select($"id")
+        .queryExecution.analyzed.canonicalized.toJSON)
+    assert(!"\"jvmId\":\"[0-9a-fA-F-]{36}\"".r.findFirstIn(json).isDefined,
+      "a per-JVM UUID survived into the fingerprint material")
+  }
+
   test("catalog save / load / version-poll refresh") {
     val g = freshGraph()
     val path = Files.createTempFile("graft_catalog", ".json").toString

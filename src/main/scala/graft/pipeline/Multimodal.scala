@@ -341,6 +341,89 @@ object Multimodal {
       .toDF()
   }
 
+  /** Real 8-bit GRAYSCALE PNG (color type 0): signature, IHDR, one IDAT
+    * holding the zlib-deflated filter-0 scanlines, IEND — a hand-rolled
+    * but fully spec-conformant encoder (java.util.zip IS zlib), so the
+    * payload exercises a real PNG decoder end to end. `px(x, y)` is the
+    * gray value at top-down coordinates. */
+  private[graft] def pngGrayBytes(w: Int, h: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (w + 1)) // filter byte 0 + w samples/row
+    for (y <- 0 until h; x <- 0 until w)
+      raw(y * (w + 1) + 1 + x) = (px(x, y) & 0xFF).toByte
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 = grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Fixture PNGs: the SAME 27×16 grayscale gradient (and corrupt rule)
+    * as [[synthesizeBmpMedia]], packaged as real compressed PNGs — the
+    * decode path is [[decodeImageIO]] instead of the hand BMP parser,
+    * and PNG is lossless, so the arithmetic dHash oracle pins that the
+    * codec path reproduces the exact pixels the formula predicts. */
+  def synthesizePngMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.iterator.map { id =>
+          val media =
+            if (id % 17 == 0) PngSig.take(4) ++ Array[Byte](0, 0) // truncated
+            else pngGrayBytes(27, 16, (x, y) =>
+              ((17 * (id / 4) + 7 * x + 13 * y + id % 4) % 256).toInt)
+          MediaRecord(id, media)
+        })
+      }
+      .toDF()
+  }
+
+  /** Codec-backed pixel decode via `javax.imageio` (public JDK API, no
+    * added dependency; executors run it headless) — the path for the
+    * container formats real crawls carry (PNG, JPEG, GIF). Undecodable
+    * payloads → None, like every decoder here. Luma matches
+    * [[decodeBmp]]'s (r+g+b)/3 so the two paths hash identically on
+    * identical pixels. */
+  private[graft] def decodeImageIO(
+      b: Array[Byte]): Option[(Int, Int, (Int, Int) => Int)] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        // single-band non-palette images (grayscale PNG/JPEG): read the
+        // STORED sample from the raster — getRGB would push it through a
+        // linear-gray → sRGB color-space conversion (64 → 137), a
+        // monotone but wrong luma. Palette (GIF) and RGB images take the
+        // getRGB path, where the value is already the intended color.
+        val grayBand = !img.getColorModel
+          .isInstanceOf[java.awt.image.IndexColorModel] &&
+          img.getColorModel.getNumComponents == 1
+        val luma =
+          if (grayBand) {
+            val raster = img.getRaster
+            (x: Int, y: Int) => raster.getSample(x, y, 0)
+          } else { (x: Int, y: Int) =>
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+          }
+        Some((img.getWidth, img.getHeight, luma))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Pixel decode across every supported image container: the hand BMP
+    * parser first (codec-free), then `javax.imageio` for PNG/JPEG/GIF. */
+  private[graft] def decodeImagePixels(
+      b: Array[Byte]): Option[(Int, Int, (Int, Int) => Int)] =
+    decodeBmp(b).orElse(decodeImageIO(b))
+
   /** Real BMP decode: validate the BM signature, header sizes, 24bpp
     * uncompressed, then expose a TOP-DOWN luma accessor over the padded
     * bottom-up (or top-down, negative-height) pixel array. Structural
@@ -398,16 +481,20 @@ object Multimodal {
 
   final case class ImageHash(doc_id: Long, dhash: Long)
 
-  /** Per-image 64-bit dHash over a binary BMP column: one batched
-    * partition-local decode pass, undecodable payloads dropped (corrupt
-    * bytes are data). Feed the result to
-    * [[graft.pipeline.Dedup.imageHashPairs]] for blocked near-dup pairs. */
+  /** Per-image 64-bit dHash over a binary image column — BMP via the
+    * hand parser, PNG/JPEG/GIF via `javax.imageio`
+    * ([[decodeImagePixels]]): one batched partition-local decode pass,
+    * undecodable payloads dropped (corrupt bytes are data). Feed the
+    * result to [[graft.pipeline.Dedup.imageHashPairs]] for blocked
+    * near-dup pairs. */
   def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord]
       .mapPartitions { it =>
+        // in-memory ImageIO: no disk-backed stream cache on executors
+        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(BatchSize).flatMap(_.iterator.flatMap { rec =>
-          decodeBmp(rec.media).map { case (w, h, luma) =>
+          decodeImagePixels(rec.media).map { case (w, h, luma) =>
             ImageHash(rec.doc_id, dhashOf(w, h, luma))
           }
         })

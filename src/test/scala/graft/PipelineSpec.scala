@@ -1678,6 +1678,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes(5L) == Multimodal.dhashOf(w, h, luma))
   }
 
+  test("PNG decode path: codec round-trip equals the BMP path pixel for pixel") {
+    import spark.implicits._
+    val d = (0L until 20L).toDF("doc_id")
+    val bmp = Multimodal.imageDHash(spark, Multimodal.synthesizeBmpMedia(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val png = Multimodal.imageDHash(spark, Multimodal.synthesizePngMedia(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical pixels through two decoders (hand BMP parser vs the
+    // javax.imageio PNG inflate) must hash IDENTICALLY — PNG is
+    // lossless; corrupt rows (id % 17 == 0) drop on both paths
+    assert(png == bmp)
+    // driver-side: decodeImagePixels reads the real compressed container
+    val Some((w, h, luma)) = Multimodal.decodeImagePixels(
+      Multimodal.pngGrayBytes(27, 16, (x, y) => (7 * x + 13 * y + 17) % 256))
+    assert(w == 27 && h == 16)
+    assert(luma(3, 2) == (7 * 3 + 13 * 2 + 17) % 256)
+    // malformed payloads: truncated signature; valid sig + truncated body
+    assert(Multimodal.decodeImagePixels(Array[Byte](0x89.toByte, 0x50)).isEmpty)
+    assert(Multimodal.decodeImagePixels(
+      Multimodal.pngGrayBytes(4, 4, (_, _) => 1).take(20)).isEmpty)
+  }
+
+  test("JPEG and GIF ride the same decode path (lossy-tolerant near-dup)") {
+    // encode the SAME gradient as a real JPEG via the JDK codec
+    val img = new java.awt.image.BufferedImage(27, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def px(x: Int, y: Int): Int = (17 * 3 + 7 * x + 13 * y) % 256
+    for (y <- 0 until 16; x <- 0 until 27) {
+      val v = px(x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val jb = jout.toByteArray
+    val Some((w, h, luma)) = Multimodal.decodeImagePixels(jb)
+    assert(w == 27 && h == 16)
+    // dHash of the lossy decode lands within a small Hamming distance of
+    // the lossless hash — the perceptual property the pair join needs
+    val lossless = Multimodal.dhashOf(27, 16, px)
+    val lossy = Multimodal.dhashOf(w, h, luma)
+    val dist = java.lang.Long.bitCount(lossless ^ lossy)
+    assert(dist <= 8, s"JPEG re-encode drifted $dist dHash bits")
+    // GIF (palette container) decodes losslessly for 256-gray content
+    val gout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gout)
+    val Some((gw, gh, gluma)) = Multimodal.decodeImagePixels(gout.toByteArray)
+    assert(gw == 27 && gh == 16)
+    assert(Multimodal.dhashOf(gw, gh, gluma) == lossless)
+    // corrupt payloads: truncated mid-stream JPEG -> dropped, no throw
+    assert(Multimodal.decodeImagePixels(jb.take(8)).isEmpty)
+  }
+
   test("WAV PCM16 decode: chunk walk, format gates, signed sample read") {
     // hand-built canonical WAV: 4 samples with known signed values
     val b = Multimodal.wavBytes(1, 8000, 8)

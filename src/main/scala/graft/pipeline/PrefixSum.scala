@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * bounded collect of per-(partition, group) sums — ranges are
   * contiguous in (group, order), so at most #partitions + #groups − 1
   * rows, cluster-sized not data-sized; (3) each slice's prefix offset
-  * rides back as a literal map keyed by "pid#group"; (4) the
+  * rides back as a plan constant — a literal map keyed by "pid#group"
+  * up to [[MapLiteralMax]] slices, a broadcast hash join past it (a map
+  * LITERAL lookup is a per-row linear scan, see the threshold's
+  * scaladoc); (4) the
   * within-slice cumulative sum is an ordinary PARALLEL window over
   * (group, partition-id). Exact whatever boundaries the range sampler
   * picks: the (group, order) total order is preserved across ranges,
@@ -29,6 +32,17 @@ import org.apache.spark.sql.functions._
   * unique id), so ties cannot straddle a boundary ambiguously.
   */
 object PrefixSum {
+
+  /** Above this many collected slices the offset rendezvous switches
+    * from a constant-folded map literal to a broadcast hash join:
+    * `element_at` on a map LITERAL is a linear scan per row
+    * (ArrayBasedMapData carries no hash index), so at cluster-sized
+    * partition counts the lookup costs O(parts) per row — measured
+    * 0.5 s → 10.4 s on the same 2M rows going 32 → 4096 partitions
+    * (`tools/ProfilePrefixSum`, the r15 verdict's watch item). The
+    * hashed broadcast relation restores O(1) and the join stays
+    * shuffle-free. */
+  private[graft] val MapLiteralMax = 1024
 
   /** Single-order-column form of [[groupedRunningSum]]. */
   def groupedRunningSum(df: DataFrame, groupCol: String, orderCol: String,
@@ -43,7 +57,16 @@ object PrefixSum {
     * clear). A running count (rank) is the `valueCol = lit(1)` special
     * case — see [[Sampling.seededShuffle]]. */
   def groupedRunningSum(df: DataFrame, groupCol: String,
-      orderCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+      orderCols: Seq[String], valueCol: String, outCol: String): DataFrame =
+    groupedRunningSum(df, groupCol, orderCols, valueCol, outCol,
+      MapLiteralMax)
+
+  /** [[groupedRunningSum]] with an explicit map-literal-vs-broadcast-join
+    * threshold — exposed so specs can force the join path on small
+    * fixtures; production callers use the measured default. */
+  private[graft] def groupedRunningSum(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String, outCol: String,
+      mapLiteralMax: Int): DataFrame = {
     require(orderCols.nonEmpty, "at least one order column required")
     require(!df.columns.contains("__pid"),
       "input already carries graft's internal partition-id column")
@@ -71,46 +94,67 @@ object PrefixSum {
       .transform(PipelineCaches.track)
     // bounded collect: one row per (non-empty partition, group) slice —
     // contiguous ranges keep this ≤ parts + |groups| − 1 rows
-    val perSlice = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(sum(col(valueCol)).as("__t"))
-      .collect()
-      .map { r =>
-        require(!r.isNullAt(1),
-          s"groupedRunningSum: null $groupCol value — the offset " +
-            "rendezvous cannot represent it; filter or coalesce first")
-        (r.getInt(0), String.valueOf(r.get(1)),
-          if (r.isNullAt(2)) 0L else r.getLong(2))
-      }
-    val offsets = perSlice.groupBy(_._2).iterator.flatMap { case (g, rows) =>
-      var acc = 0L
-      rows.sortBy(_._1).map { case (pid, _, t) =>
-        val o = acc; acc += t; (s"$pid#$g", o)
-      }
-    }.toSeq
-    // empty input ⇒ no offsets ⇒ a zero-entry map() literal would type as
-    // map<null,null> and fail element_at analysis — the offset is just 0.
-    // Non-empty case: a key MISS means the runtime rows desynchronized
-    // from the collected slices (e.g. a cache-loss recompute with
-    // different range boundaries) — that must FAIL loudly, because a
-    // silently-zeroed offset produces plausible-but-wrong running sums
-    // (r15 ADVICE).
-    val offsetOf =
-      if (offsets.isEmpty) lit(0L)
-      else {
-        val key = concat_ws("#",
-          col("__pid").cast("string"), col(groupCol).cast("string"))
-        val hit = element_at(
-          map(offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }: _*),
-          key)
-        when(hit.isNotNull, hit).otherwise(raise_error(concat(
-          lit("groupedRunningSum: no collected offset for slice "), key,
-          lit(" — runtime partitioning desynchronized from the offset " +
-            "collect"))).cast("long"))
-      }
+    val perSlice: Array[(Int, Long, Long)] =
+      ranged.groupBy(col("__pid"), col(groupCol))
+        .agg(sum(col(valueCol)).as("__t"))
+        .collect()
+        .map { r =>
+          require(!r.isNullAt(1),
+            s"groupedRunningSum: null $groupCol value — the offset " +
+              "rendezvous cannot represent it; filter or coalesce first")
+          (r.getInt(0), r.get(1).asInstanceOf[Number].longValue(),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
+        }
+    val offsets: Seq[(Int, Long, Long)] =
+      perSlice.groupBy(_._2).iterator.flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, t) =>
+          val o = acc; acc += t; (pid, g, o)
+        }
+      }.toSeq
     val w = Window.partitionBy(col(groupCol), col("__pid"))
       .orderBy(orderCols.map(col(_).asc): _*)
-    ranged
-      .withColumn(outCol, offsetOf + sum(col(valueCol)).over(w))
-      .drop("__pid")
+    val runningSum = sum(col(valueCol)).over(w)
+    // A rendezvous MISS means the runtime rows desynchronized from the
+    // collected slices (e.g. a cache-loss recompute with different range
+    // boundaries) — that must FAIL loudly on every path, because a
+    // silently-zeroed offset produces plausible-but-wrong running sums
+    // (r15 ADVICE).
+    def missing(key: Column): Column = raise_error(concat(
+      lit("groupedRunningSum: no collected offset for slice "), key,
+      lit(" — runtime partitioning desynchronized from the offset " +
+        "collect"))).cast("long")
+    if (offsets.isEmpty) {
+      // empty input ⇒ no offsets ⇒ a zero-entry map() literal would type
+      // as map<null,null> and fail element_at analysis — the offset is 0
+      ranged.withColumn(outCol, lit(0L) + runningSum).drop("__pid")
+    } else if (offsets.size <= mapLiteralMax) {
+      // plan-constant literal map: zero extra operators, right for the
+      // common cluster sizes
+      val key = concat_ws("#",
+        col("__pid").cast("string"), col(groupCol).cast("string"))
+      val hit = element_at(
+        map(offsets.flatMap { case (pid, g, o) =>
+          Seq(lit(s"$pid#$g"), lit(o))
+        }: _*), key)
+      val offsetOf = when(hit.isNotNull, hit).otherwise(missing(key))
+      ranged.withColumn(outCol, offsetOf + runningSum).drop("__pid")
+    } else {
+      // past MapLiteralMax slices the literal's per-row linear scan
+      // dominates (see the threshold's scaladoc) — rendezvous through a
+      // broadcast HASH join instead: O(1) probes, still shuffle-free
+      import spark.implicits._
+      val offDf = offsets.toDF("__opid", "__og", "__ooff")
+      ranged
+        .join(broadcast(offDf),
+          col("__pid") === col("__opid") &&
+            col(groupCol).cast("long") === col("__og"),
+          "left")
+        .withColumn(outCol,
+          when(col("__ooff").isNotNull, col("__ooff")).otherwise(
+            missing(concat_ws("#", col("__pid").cast("string"),
+              col(groupCol).cast("string")))) + runningSum)
+        .drop("__pid", "__opid", "__og", "__ooff")
+    }
   }
 }

@@ -364,6 +364,32 @@ class PlanSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("prefix-sum offset rendezvous: broadcast-join path equals the literal map") {
+    import org.apache.spark.sql.functions.{col, lit => litf}
+    val df = spark.range(10000).select(col("id"),
+      (col("id") % 8).as("shard"), litf(2L).as("v"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("shard", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val viaMap = graft.pipeline.PrefixSum.groupedRunningSum(
+      df, "shard", Seq("id"), "v", "cum")
+    // threshold 0 forces the broadcast-hash-join rendezvous (production
+    // crosses over at MapLiteralMax slices — the map LITERAL lookup is a
+    // per-row linear scan, measured 20x slower at 4096 partitions in
+    // tools/ProfilePrefixSum)
+    val viaJoin = graft.pipeline.PrefixSum.groupedRunningSum(
+      df, "shard", Seq("id"), "v", "cum", mapLiteralMax = 0)
+    assert(rows(viaMap) == rows(viaJoin))
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the join must not cost the shape its pins guarantee: range
+    // partitions + (shard, slice)-keyed parallel windows survive
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("windowspecdefinition(shard#") &&
+      plan.contains(", __pid"), plan)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("removeContaminatedSpans: eval grams broadcast, no corpus gram shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     import org.apache.spark.sql.functions.{col, pmod, lit}

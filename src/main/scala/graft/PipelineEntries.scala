@@ -1076,6 +1076,26 @@ object PipelineEntries {
         maxTokens = 160, tokenCol = "n_bpe_tokens")
         .select("conv_id", "turn_idx", "role", "n_bpe_tokens")),
 
+    // the capstone tensor export: parse -> token-id ARRAYS under the
+    // corpus-trained vocabulary -> budgeted truncation measured in the
+    // SAME ids -> conversations packed into 256-token windows -> one
+    // row per token (shard, seq_bin, pos, token_id, train_mask) — what
+    // a trainer's data loader reads; conv_id % 5 == 0 bounds the
+    // oracle's token rows while merges/vocabulary still derive from
+    // the full corpus
+    "p_sft_packed_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Bpe.train(d, numMerges = 50)
+      val turns = Sft.parseTurns(convDocs(s, dir))
+        .filter(pmod(col("conv_id"), lit(5)) === 0)
+      val withIds = Bpe.withTokenIdsColumn(turns, m, Bpe.vocabulary(d, m))
+        .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+      Sft.packedExamples(
+        Sft.truncateToBudget(withIds, maxTokens = 160,
+          tokenCol = "n_bpe_tokens"),
+        seqLen = 256, shards = 4)
+    }),
+
     // the composed SFT pipeline a user actually runs: parse -> structure
     // gate (valid conversations only) -> budgeted truncation (48) ->
     // loss-mask spans, one lazy plan end to end — the p_span_pipeline
@@ -2982,6 +3002,99 @@ object PipelineEntries {
        |            AS BIGINT) AS train_mask
        |FROM bt""".stripMargin
 
+  /** DuckDB mirror of the `p_sft_packed_ids` capstone: merge table +
+    * vocabulary, per-turn word symbol lists via the shared apply chain,
+    * per-turn BPE counts, the budget-160 truncation, conversation
+    * totals → shard/bin/bin-offset (the p_sft_pack window), per-word
+    * and per-turn running offsets, then one row per token with the
+    * vocabulary id lookup — the full tensor-export composition derived
+    * independently in SQL. */
+  private def sftPackedIdsOracleSql(budget: Long = 160, seqLen: Int = 256,
+      shards: Int = 4, sampleMod: Int = 5, numMerges: Int = 50): String =
+    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+       |$sftTurnsCtes,
+       |${bpeVocabCtes(numMerges)},
+       |tt2 AS (SELECT * FROM tt WHERE conv_id % $sampleMod = 0),
+       |twp AS MATERIALIZED (
+       |  SELECT conv_id, turn_idx, CAST(i AS BIGINT) AS wi, ws[i] AS word
+       |  FROM (SELECT conv_id, turn_idx,
+       |               list_filter(regexp_split_to_array(lower(trim(content)), '\\s+'),
+       |                           x -> x <> '') AS ws
+       |        FROM tt2),
+       |       unnest(range(1, len(ws) + 1)) AS t(i)),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, ${bpeEncExpr("word")} AS enc
+       |  FROM (SELECT DISTINCT word FROM twp)),
+       |${bpeApplyStepsSql(numMerges)},
+       |wtl AS MATERIALIZED (
+       |  SELECT word, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms
+       |  FROM e$numMerges),
+       |btc AS (
+       |  SELECT t.conv_id, t.turn_idx, t.role,
+       |         CAST(coalesce(x.nb, 0) AS BIGINT) AS nb
+       |  FROM tt2 t
+       |  LEFT JOIN (SELECT twp.conv_id, twp.turn_idx,
+       |                    sum(len(wtl.syms)) AS nb
+       |             FROM twp JOIN wtl USING (word)
+       |             GROUP BY 1, 2) x
+       |    ON x.conv_id = t.conv_id AND x.turn_idx = t.turn_idx),
+       |x2 AS (
+       |  SELECT conv_id, turn_idx, role, nb,
+       |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+       |             THEN nb ELSE 0 END)
+       |      OVER (PARTITION BY conv_id) AS sys_cost,
+       |    sum(CASE WHEN role = 'system' AND turn_idx = 0
+       |             THEN 0 ELSE nb END)
+       |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS suf_sum
+       |  FROM btc),
+       |kept AS (
+       |  SELECT conv_id, turn_idx, role, nb FROM x2
+       |  WHERE (role = 'system' AND turn_idx = 0 AND nb <= $budget)
+       |     OR (NOT (role = 'system' AND turn_idx = 0)
+       |         AND suf_sum + sys_cost <= $budget)),
+       |ks AS (
+       |  SELECT conv_id, turn_idx, role,
+       |         CAST(sum(nb) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+       |              - nb AS BIGINT) AS tstart
+       |  FROM kept),
+       |tot AS (
+       |  SELECT conv_id, CAST(sum(nb) AS BIGINT) AS n,
+       |         conv_id % $shards AS shard
+       |  FROM kept GROUP BY conv_id),
+       |pk AS (
+       |  SELECT conv_id, shard, n,
+       |         CAST(sum(n) OVER (PARTITION BY shard ORDER BY conv_id)
+       |              AS BIGINT) AS cum
+       |  FROM tot),
+       |pb AS (
+       |  SELECT conv_id, shard,
+       |         CAST(floor((cum - n) / ${seqLen}.0) AS BIGINT) AS seq_bin,
+       |         (cum - n) - CAST(floor((cum - n) / ${seqLen}.0) AS BIGINT)
+       |           * $seqLen AS binoff
+       |  FROM pk),
+       |kwp AS (
+       |  SELECT w.conv_id, w.turn_idx, w.wi, wtl.syms,
+       |         CAST(sum(len(wtl.syms))
+       |                OVER (PARTITION BY w.conv_id, w.turn_idx ORDER BY w.wi)
+       |              - len(wtl.syms) AS BIGINT) AS woff
+       |  FROM twp w
+       |  JOIN wtl USING (word)
+       |  JOIN kept k ON k.conv_id = w.conv_id AND k.turn_idx = w.turn_idx),
+       |tok AS (
+       |  SELECT conv_id, turn_idx, woff + si - 1 AS tpos, syms[si] AS token
+       |  FROM kwp, unnest(range(1, len(syms) + 1)) AS t(si))
+       |SELECT pb.shard, pb.seq_bin,
+       |       CAST(pb.binoff + ks.tstart + tok.tpos AS BIGINT) AS pos,
+       |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id,
+       |       CAST(CASE WHEN ks.role = 'assistant' THEN 1 ELSE 0 END
+       |            AS BIGINT) AS train_mask
+       |FROM tok
+       |JOIN ks ON ks.conv_id = tok.conv_id AND ks.turn_idx = tok.turn_idx
+       |JOIN pb ON pb.conv_id = tok.conv_id
+       |LEFT JOIN vocab v USING (token)""".stripMargin
+
   private def sftBpeTruncateOracleSql(budget: Long, numMerges: Int = 50,
       topWords: Int = 30000, minPairCount: Long = 2): String = {
     s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
@@ -4732,6 +4845,10 @@ object PipelineEntries {
     // spans in TRAINER tokens: the shared per-turn BPE counts + the
     // p_sft_spans cumsum window — see sftBpeSpansOracleSql
     "p_sft_spans_bpe" -> sftBpeSpansOracleSql(),
+
+    // the tensor export capstone: ids + truncation + packing composed
+    // and re-derived independently — see sftPackedIdsOracleSql
+    "p_sft_packed_ids" -> sftPackedIdsOracleSql(),
 
     // the composed pipeline: structure gate -> truncation (48) -> spans,
     // all over the shared turn CTEs (the p_span_pipeline pattern)

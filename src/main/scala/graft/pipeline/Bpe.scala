@@ -306,6 +306,36 @@ object Bpe {
       .toDF(idCol, "token_ids")
   }
 
+  /** Attach a token-id ARRAY column to any frame — the
+    * schema-preserving twin of [[encodeIds]], like
+    * [[withTokenCountColumn]] is for counts: per row, the `input_ids`
+    * of `textCol` under the trained merges + vocabulary (UNK = −1;
+    * NULL text ⇒ empty array; `size(outCol)` always equals
+    * [[withTokenCountColumn]]'s count — the spans/packing currency).
+    * One deterministic UDF over the SQL-lowered text: narrow, no
+    * shuffle, no join; merges and vocabulary broadcast (bounded). */
+  def withTokenIdsColumn(df: DataFrame, merges: DataFrame,
+      vocab: DataFrame, textCol: String = "content",
+      outCol: String = "token_ids"): DataFrame = {
+    val bcRanks = broadcastRanks(merges)
+    val bcIds = df.sparkSession.sparkContext.broadcast(
+      vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val enc = udf { (txt: String) =>
+      if (txt == null) Array.empty[Long]
+      else {
+        val ranks = bcRanks.value
+        val ids = bcIds.value
+        val out = new scala.collection.mutable.ArrayBuffer[Long]()
+        for (w <- txt.trim.split("\\s+") if w.nonEmpty)
+          out ++= encodeWord(w, ranks).map(s => ids.getOrElse(s, -1L))
+        out.toArray
+      }
+    }
+    // same SQL lower() as every trainer-side path (see
+    // withTokenCountColumn's locale note)
+    df.withColumn(outCol, enc(lower(col(textCol))))
+  }
+
   /** Read the vocabulary table persisted beside the merge artifact by
     * [[trainPersistedIfStale]]. */
   def persistedVocabulary(spark: SparkSession, path: String): DataFrame =

@@ -252,6 +252,47 @@ object Sft {
       .select(col(convIdCol), col("shard"), col("n_tokens"),
         col("cum_tokens"), col("seq_bin"))
 
+  /** Packed TRAINING EXAMPLES — the tensor content a trainer's data
+    * loader actually reads: one row per token, (shard, seq_bin, pos,
+    * token_id, train_mask), where `pos` is the token's position inside
+    * its fixed-length training window. Composes the whole family:
+    * turns must carry a token-id array (`idsCol`, from
+    * [[Bpe.withTokenIdsColumn]] — so the bin currency IS the id
+    * arrays' length), conversations fill `seqLen` windows per shard in
+    * id order without splitting ([[packConversations]] on
+    * `size(idsCol)`), each turn's ids land at the conversation's
+    * bin offset + the turn's running-token offset (the
+    * [[lossMaskSpans]] cumsum), and `train_mask` is 1 on assistant
+    * tokens only. Run [[truncateToBudget]] (same currency) first so no
+    * conversation exceeds the window; a conversation whose bin start
+    * is near the window end spills over like the document packer.
+    *
+    * Scale: one narrow encode already on the input, one
+    * per-conversation cumsum window, the packer's distributed
+    * prefix-sum, a |conversations|-row join (broadcastable), and one
+    * posexplode — the corpus-sized data moves exactly once, at the
+    * final explode. */
+  def packedExamples(turns: DataFrame, seqLen: Int = 2048,
+      shards: Int = 8, convIdCol: String = "conv_id",
+      idsCol: String = "token_ids"): DataFrame = {
+    val t = turns.withColumn("__n", size(col(idsCol)).cast("long"))
+    val pack = packConversations(t, seqLen, shards, convIdCol, "__n")
+      .select(col(convIdCol), col("shard"), col("seq_bin"),
+        (col("cum_tokens") - col("n_tokens") -
+          col("seq_bin") * lit(seqLen.toLong)).as("__binOff"))
+    val w = Window.partitionBy(convIdCol).orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .join(pack, convIdCol)
+      .select(col("shard"), col("seq_bin"),
+        (col("__binOff") + col("__start")).as("__base"),
+        when(col("role") === "assistant", 1L).otherwise(0L).as("train_mask"),
+        posexplode(col(idsCol)).as(Seq("__i", "token_id")))
+      .select(col("shard"), col("seq_bin"),
+        (col("__base") + col("__i")).as("pos"),
+        col("token_id"), col("train_mask"))
+  }
+
   /** Quality-contrast preference pairs: within each group (e.g.
     * (lang, source)), pair the highest-quality document (chosen) with
     * the lowest (rejected) under [[TextAnalysis.qualityFeaturesRaw]]'s

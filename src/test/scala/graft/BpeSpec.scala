@@ -174,6 +174,42 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("packedExamples: tensor rows compose ids, offsets, and bins by hand") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    // hand ids (see the vocabulary spec): low→[19], lowest→[15,13],
+    // newest→[18], widest→[9,2,20] (w, i, dest</w>)
+    val turns = Seq(
+      (0L, 0L, "user", "low lowest"),
+      (0L, 1L, "assistant", "newest"),
+      (2L, 0L, "user", "low"),
+      (2L, 1L, "assistant", "widest widest"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val withIds = Bpe.withTokenIdsColumn(turns, merges, vocab)
+    // size(ids) == the count column: the packing currency IS the arrays
+    val counts = Bpe.withTokenCountColumn(withIds, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(counts == Map((0L, 0L) -> 3L, (0L, 1L) -> 1L,
+      (2L, 0L) -> 1L, (2L, 1L) -> 6L))
+    val rows = graft.pipeline.Sft.packedExamples(withIds, seqLen = 6, shards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    // both convs shard 0; conv 0 fills bin 0 pos 0..3; conv 2 starts at
+    // cum 4 -> bin 0, binOff 4, pos 4 then 5..10 (spillover past seqLen
+    // is the documented packer semantic — conversations never split)
+    val expected = Seq(
+      (0L, 0L, 0L, 19L, 0L), (0L, 0L, 1L, 15L, 0L), (0L, 0L, 2L, 13L, 0L),
+      (0L, 0L, 3L, 18L, 1L),
+      (0L, 0L, 4L, 19L, 0L),
+      (0L, 0L, 5L, 9L, 1L), (0L, 0L, 6L, 2L, 1L), (0L, 0L, 7L, 20L, 1L),
+      (0L, 0L, 8L, 9L, 1L), (0L, 0L, 9L, 2L, 1L), (0L, 0L, 10L, 20L, 1L))
+    assert(rows.toSeq == expected)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("trainPersistedIfStale: artifact serves, staleness-fence retrains") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_t").toString

@@ -835,6 +835,20 @@ object PipelineEntries {
         .withColumn("pos", col("pos").cast("long"))
     }),
 
+    // the production id path: merges AND vocabulary read from the
+    // persisted artifact pair (trained once per corpus fingerprint) —
+    // shares p_bpe_ids' oracle, so artifact == fresh derivation is
+    // exactly what the hash check proves
+    "p_bpe_ids_persisted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Bpe.trainPersistedIfStale(d, bpePath(dir), numMerges = 50)
+      Bpe.encodeIds(d.filter(pmod(col("doc_id"), lit(10)) === 0), m,
+          Bpe.persistedVocabulary(s, bpePath(dir)))
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .withColumn("pos", col("pos").cast("long"))
+    }),
+
     // loss-mask spans measured in TRAINER tokens: the same cumsum spans
     // operator with the per-turn BPE count column attached — offsets are
     // positions in the id arrays encodeIds emits (size(ids) == count is
@@ -3792,6 +3806,8 @@ object PipelineEntries {
     // input_ids: apply chain to symbol lists, per-doc cumulative
     // offsets, vocabulary lookup (LEFT JOIN + -1 = the UNK convention)
     "p_bpe_ids" -> bpeIdsOracleSql(numMerges = 50),
+    // persisted twin shares the fresh oracle: artifact == retrain
+    "p_bpe_ids_persisted" -> bpeIdsOracleSql(numMerges = 50),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two

@@ -860,6 +860,20 @@ object PipelineEntries {
           Bpe.train(docs(s, dir), numMerges = 50)),
         tokenCol = "n_bpe_tokens")),
 
+    // the PRETRAINING tensor export: documents -> id arrays + EOS
+    // separator (id = vocabulary size) -> 512-token windows per shard ->
+    // one row per token (shard, seq_bin, pos, token_id) — the
+    // document-level twin of p_sft_packed_ids; doc_id % 10 == 0 bounds
+    // the oracle rows, merges/vocabulary from the full corpus
+    "p_pack_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Bpe.train(d, numMerges = 50)
+      val v = Bpe.vocabulary(d, m)
+      Corpus.packedSequenceIds(
+        d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v,
+        seqLen = 512, shards = 4, eosId = Some(v.count()))
+    }),
+
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)
     "p_chunk" -> ((s, dir) =>
@@ -2892,6 +2906,66 @@ object PipelineEntries {
        |      FROM off, unnest(range(1, len(syms) + 1)) AS t(si)) f
        |LEFT JOIN vocab v USING (token)""".stripMargin
 
+  /** DuckDB mirror of the `p_pack_ids` pretraining tensor export over
+    * the sampled docs: the [[bpeIdsOracleSql]] word/symbol/offset
+    * machinery, per-doc totals + the EOS separator (+1, id = vocabulary
+    * row count), the packSequences shard/bin window, then one row per
+    * token including the per-document EOS at position n−1. */
+  private def packIdsOracleSql(seqLen: Int = 512, shards: Int = 4,
+      sampleMod: Int = 10, numMerges: Int = 50): String =
+    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+       |${bpeVocabCtes(numMerges)},
+       |dwp AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS word
+       |  FROM (SELECT doc_id,
+       |               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                           x -> x <> '') AS ws
+       |        FROM documents WHERE doc_id % $sampleMod = 0),
+       |       unnest(range(1, len(ws) + 1)) AS t(i)),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, ${bpeEncExpr("word")} AS enc
+       |  FROM (SELECT DISTINCT word FROM dwp)),
+       |${bpeApplyStepsSql(numMerges)},
+       |wtl AS MATERIALIZED (
+       |  SELECT word, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms
+       |  FROM e$numMerges),
+       |dn AS (
+       |  SELECT d.doc_id, CAST(coalesce(x.nb, 0) + 1 AS BIGINT) AS n
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0) d
+       |  LEFT JOIN (SELECT dwp.doc_id, sum(len(wtl.syms)) AS nb
+       |             FROM dwp JOIN wtl USING (word) GROUP BY 1) x
+       |  USING (doc_id)),
+       |pk AS (
+       |  SELECT doc_id, doc_id % $shards AS shard, n,
+       |         CAST(sum(n) OVER (PARTITION BY doc_id % $shards
+       |                           ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM dn),
+       |pb AS (
+       |  SELECT doc_id, shard,
+       |         CAST(floor((cum - n) / ${seqLen}.0) AS BIGINT) AS seq_bin,
+       |         (cum - n) - CAST(floor((cum - n) / ${seqLen}.0) AS BIGINT)
+       |           * $seqLen AS binoff, n
+       |  FROM pk),
+       |off AS (
+       |  SELECT d.doc_id, d.wi, w2.syms,
+       |         CAST(sum(len(w2.syms)) OVER (PARTITION BY d.doc_id ORDER BY d.wi)
+       |              - len(w2.syms) AS BIGINT) AS o
+       |  FROM dwp d JOIN wtl w2 USING (word)),
+       |tok AS (
+       |  SELECT doc_id, o + si - 1 AS tpos, syms[si] AS token
+       |  FROM off, unnest(range(1, len(syms) + 1)) AS t(si)),
+       |idrows AS (
+       |  SELECT tok.doc_id, tok.tpos,
+       |         CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+       |  FROM tok LEFT JOIN vocab v USING (token)
+       |  UNION ALL
+       |  SELECT doc_id, n - 1 AS tpos,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS token_id
+       |  FROM dn)
+       |SELECT pb.shard, pb.seq_bin,
+       |       CAST(pb.binoff + i.tpos AS BIGINT) AS pos, i.token_id
+       |FROM idrows i JOIN pb USING (doc_id)""".stripMargin
+
   private def bpeTrainOracleSql(numMerges: Int = 50, topWords: Int = 30000,
       minPairCount: Long = 2): String = {
     val unions = (0 until numMerges).map { k =>
@@ -3808,6 +3882,9 @@ object PipelineEntries {
     "p_bpe_ids" -> bpeIdsOracleSql(numMerges = 50),
     // persisted twin shares the fresh oracle: artifact == retrain
     "p_bpe_ids_persisted" -> bpeIdsOracleSql(numMerges = 50),
+    // pretraining tensor export: ids + EOS + the packSequences window,
+    // re-derived end to end — see packIdsOracleSql
+    "p_pack_ids" -> packIdsOracleSql(),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two

@@ -418,6 +418,47 @@ object Corpus {
       .select(col(idCol), col("shard"), col("n_tokens"),
         col("cum_tokens"), col("seq_bin"))
 
+  /** Packed PRETRAINING examples — the document-level twin of
+    * [[Sft.packedExamples]] and the engine's pretraining tensor export:
+    * one row per token, (shard, seq_bin, pos, token_id), where
+    * documents fill `seqLen`-token windows per shard in id order
+    * without splitting (the [[packSequences]] rule, but measured in the
+    * TRAINER's currency: the bins count exactly the id arrays
+    * [[Bpe.withTokenIdsColumn]] emits, not whitespace words). `eosId`
+    * (a reserved id — conventionally the vocabulary size) appends a
+    * document-separator token to every document BEFORE packing, the
+    * standard pretraining shape so a trainer can mask attention across
+    * document boundaries.
+    *
+    * Scale: one narrow encode, the packer's distributed prefix-sum
+    * ([[PrefixSum.groupedRunningSum]] — eager bounded collect, cache
+    * tracked in [[PipelineCaches]]), and one posexplode: the
+    * corpus-sized data moves once, at the final explode. */
+  def packedSequenceIds(docs: DataFrame, merges: DataFrame,
+      vocab: DataFrame, seqLen: Int = 2048, shards: Int = 8,
+      eosId: Option[Long] = None, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val withIds0 = Bpe.withTokenIdsColumn(docs, merges, vocab,
+      textCol, "__ids")
+    val withIds = eosId match {
+      case Some(e) =>
+        withIds0.withColumn("__ids", concat(col("__ids"), array(lit(e))))
+      case None => withIds0
+    }
+    val t = withIds.select(col(idCol), col("__ids"),
+      size(col("__ids")).cast("long").as("__n"),
+      pmod(col(idCol), lit(shards.toLong)).as("shard"))
+    PrefixSum.groupedRunningSum(t, "shard", idCol, "__n", "__cum")
+      .withColumn("seq_bin",
+        floor((col("__cum") - col("__n")) / lit(seqLen)))
+      .select(col("shard"), col("seq_bin"),
+        (col("__cum") - col("__n") -
+          col("seq_bin") * lit(seqLen.toLong)).as("__binOff"),
+        posexplode(col("__ids")).as(Seq("__i", "token_id")))
+      .select(col("shard"), col("seq_bin"),
+        (col("__binOff") + col("__i")).as("pos"), col("token_id"))
+  }
+
   /** Dataset-release shard manifest — the reproducibility record a
     * pipeline publishes with a training-data drop: per shard, the row
     * count, whitespace-token total, and an ORDER-INDEPENDENT content

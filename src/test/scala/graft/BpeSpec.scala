@@ -210,6 +210,30 @@ class BpeSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("packedSequenceIds: pretraining rows with the EOS separator by hand") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    // vocab has 21 tokens (ids 0..20) -> EOS = 21, appended per document
+    val docs = Seq((0L, "low lowest"), (2L, "widest"))
+      .toDF("doc_id", "text")
+    val rows = graft.pipeline.Corpus.packedSequenceIds(
+        docs, merges, vocab, seqLen = 6, shards = 2, eosId = Some(21L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    // doc 0: [19,15,13,21] fills bin 0 pos 0..3; doc 2: [9,2,20,21]
+    // starts at cum 4 -> bin 0, binOff 4, pos 4..7 (spillover past
+    // seqLen 6 — documents never split)
+    val expected = Seq(
+      (0L, 0L, 0L, 19L), (0L, 0L, 1L, 15L), (0L, 0L, 2L, 13L),
+      (0L, 0L, 3L, 21L),
+      (0L, 0L, 4L, 9L), (0L, 0L, 5L, 2L), (0L, 0L, 6L, 20L),
+      (0L, 0L, 7L, 21L))
+    assert(rows.toSeq == expected)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("trainPersistedIfStale: artifact serves, staleness-fence retrains") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_t").toString

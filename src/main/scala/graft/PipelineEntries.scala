@@ -2872,16 +2872,15 @@ object PipelineEntries {
        |${bpeVocabCtes(numMerges)}
        |SELECT token, token_id FROM vocab""".stripMargin
 
-  /** DuckDB mirror of [[graft.pipeline.Bpe.encodeIds]] over the sampled
-    * docs (vocab + merges still derive from the FULL corpus): words with
-    * positions, the shared apply chain to per-word symbol lists,
-    * cumulative per-doc offsets, then the vocabulary id lookup (LEFT
-    * JOIN + −1, mirroring the UNK convention). */
-  private def bpeIdsOracleSql(numMerges: Int = 50,
-      sampleMod: Int = 10): String =
-    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
-       |${bpeVocabCtes(numMerges)},
-       |dwp AS MATERIALIZED (
+  /** The shared doc-level word → symbol-list → offset CTE machinery
+    * (sampled docs; assumes [[bpeTrainCtes]] in scope): `dwp(doc_id,
+    * wi, word)` words with positions, the apply chain to `wtl(word,
+    * syms)`, and `off(doc_id, wi, syms, o)` per-word cumulative token
+    * offsets within each doc. Shared by [[bpeIdsOracleSql]] and
+    * [[packIdsOracleSql]] so one tokenization definition feeds every
+    * id-emitting mirror. */
+  private def bpeDocWordCtes(numMerges: Int, sampleMod: Int): String =
+    s"""dwp AS MATERIALIZED (
        |  SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS word
        |  FROM (SELECT doc_id,
        |               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -2899,7 +2898,17 @@ object PipelineEntries {
        |  SELECT d.doc_id, d.wi, w2.syms,
        |         CAST(sum(len(w2.syms)) OVER (PARTITION BY d.doc_id ORDER BY d.wi)
        |              - len(w2.syms) AS BIGINT) AS o
-       |  FROM dwp d JOIN wtl w2 USING (word))
+       |  FROM dwp d JOIN wtl w2 USING (word))""".stripMargin
+
+  /** DuckDB mirror of [[graft.pipeline.Bpe.encodeIds]] over the sampled
+    * docs (vocab + merges still derive from the FULL corpus): the
+    * shared [[bpeDocWordCtes]] machinery, then the vocabulary id lookup
+    * (LEFT JOIN + −1, mirroring the UNK convention). */
+  private def bpeIdsOracleSql(numMerges: Int = 50,
+      sampleMod: Int = 10): String =
+    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+       |${bpeVocabCtes(numMerges)},
+       |${bpeDocWordCtes(numMerges, sampleMod)}
        |SELECT f.doc_id, CAST(f.o + f.si - 1 AS BIGINT) AS pos,
        |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
        |FROM (SELECT doc_id, o, si, syms[si] AS token
@@ -2915,20 +2924,7 @@ object PipelineEntries {
       sampleMod: Int = 10, numMerges: Int = 50): String =
     s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
        |${bpeVocabCtes(numMerges)},
-       |dwp AS MATERIALIZED (
-       |  SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS word
-       |  FROM (SELECT doc_id,
-       |               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-       |                           x -> x <> '') AS ws
-       |        FROM documents WHERE doc_id % $sampleMod = 0),
-       |       unnest(range(1, len(ws) + 1)) AS t(i)),
-       |e0 AS MATERIALIZED (
-       |  SELECT word, ${bpeEncExpr("word")} AS enc
-       |  FROM (SELECT DISTINCT word FROM dwp)),
-       |${bpeApplyStepsSql(numMerges)},
-       |wtl AS MATERIALIZED (
-       |  SELECT word, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms
-       |  FROM e$numMerges),
+       |${bpeDocWordCtes(numMerges, sampleMod)},
        |dn AS (
        |  SELECT d.doc_id, CAST(coalesce(x.nb, 0) + 1 AS BIGINT) AS n
        |  FROM (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0) d
@@ -2936,8 +2932,8 @@ object PipelineEntries {
        |             FROM dwp JOIN wtl USING (word) GROUP BY 1) x
        |  USING (doc_id)),
        |pk AS (
-       |  SELECT doc_id, doc_id % $shards AS shard, n,
-       |         CAST(sum(n) OVER (PARTITION BY doc_id % $shards
+       |  SELECT doc_id, ((doc_id % $shards) + $shards) % $shards AS shard, n,
+       |         CAST(sum(n) OVER (PARTITION BY ((doc_id % $shards) + $shards) % $shards
        |                           ORDER BY doc_id) AS BIGINT) AS cum
        |  FROM dn),
        |pb AS (
@@ -2946,11 +2942,6 @@ object PipelineEntries {
        |         (cum - n) - CAST(floor((cum - n) / ${seqLen}.0) AS BIGINT)
        |           * $seqLen AS binoff, n
        |  FROM pk),
-       |off AS (
-       |  SELECT d.doc_id, d.wi, w2.syms,
-       |         CAST(sum(len(w2.syms)) OVER (PARTITION BY d.doc_id ORDER BY d.wi)
-       |              - len(w2.syms) AS BIGINT) AS o
-       |  FROM dwp d JOIN wtl w2 USING (word)),
        |tok AS (
        |  SELECT doc_id, o + si - 1 AS tpos, syms[si] AS token
        |  FROM off, unnest(range(1, len(syms) + 1)) AS t(si)),
@@ -3015,7 +3006,7 @@ object PipelineEntries {
   private def manifestOracleSql: String =
     s"""WITH RECURSIVE
       |d AS MATERIALIZED (
-      |  SELECT doc_id, text, doc_id % 8 AS shard,
+      |  SELECT doc_id, text, ((doc_id % 8) + 8) % 8 AS shard,
       |         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
       |              AS BIGINT) AS n_tokens
       |  FROM documents),
@@ -3149,7 +3140,7 @@ object PipelineEntries {
        |  FROM kept),
        |tot AS (
        |  SELECT conv_id, CAST(sum(nb) AS BIGINT) AS n,
-       |         conv_id % $shards AS shard
+       |         ((conv_id % $shards) + $shards) % $shards AS shard
        |  FROM kept GROUP BY conv_id),
        |pk AS (
        |  SELECT conv_id, shard, n,
@@ -4815,7 +4806,7 @@ object PipelineEntries {
     // order, bin = where the document STARTS
     "p_pack" ->
       """WITH t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
+        |  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
         |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
         |           AS n_tokens
         |  FROM documents),
@@ -4832,7 +4823,7 @@ object PipelineEntries {
     // n_bins * 2048 capacity
     "p_pack_stats" ->
       """WITH t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
+        |  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
         |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
         |           AS n_tokens
         |  FROM documents),
@@ -5015,7 +5006,7 @@ object PipelineEntries {
         |         AND suf_sum + sys_cost <= 64)),
         |tot AS (
         |  SELECT conv_id, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |         conv_id % 8 AS shard
+        |         ((conv_id % 8) + 8) % 8 AS shard
         |  FROM kept GROUP BY conv_id),
         |c AS (
         |  SELECT conv_id, shard, n_tokens,

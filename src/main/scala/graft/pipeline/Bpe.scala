@@ -63,8 +63,24 @@ object Bpe {
       .toDF("rank", "left", "right")
   }
 
-  private[graft] def symbolize(word: String): Array[String] =
-    word.map(_.toString).toArray :+ EndOfWord
+  /** Split a word into base symbols + the end-of-word marker. Symbols
+    * are CODE POINTS, not UTF-16 code units: an astral character (emoji,
+    * rare CJK) is ONE symbol — splitting surrogate halves would create
+    * symbols the vocabulary/oracle side (which is code-point based:
+    * SQL substring, regex '.') can never contain, so every id consumer
+    * would emit UNK for in-vocabulary characters (round-16 review
+    * finding). */
+  private[graft] def symbolize(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
+  }
 
   /** The reference merge loop: recount EVERY pair over the full
     * histogram each iteration — O(numMerges × Σ wordLen). Exact and
@@ -245,9 +261,10 @@ object Bpe {
     * shuffle over single characters — bounded by the corpus' codepoint
     * alphabet, thousands of rows at any corpus size) before a bounded
     * driver collect; merge outputs are ≤ numMerges rows. Symbols are
-    * UTF-16 code units (the trainer's [[symbolize]] convention); id
-    * order for the alphabet matches byte-wise UTF-8 comparison for all
-    * BMP characters. */
+    * CODE POINTS ([[symbolize]]'s convention — Spark `split` on the
+    * empty pattern yields code points too), and the alphabet sorts by
+    * CODE POINT so id order matches the SQL mirror's byte-wise UTF-8
+    * ORDER BY for every Unicode character, astral included. */
   def vocabulary(docs: DataFrame, merges: DataFrame,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -255,7 +272,8 @@ object Bpe {
     val alphabet: Array[String] = wordCounts(docs, textCol)
       .select(explode(split(col("word"), "")).as("c"))
       .filter(col("c") =!= "")
-      .distinct().as[String].collect().sorted
+      .distinct().as[String].collect()
+      .sortBy(s => s.codePointAt(0))
     val mergeOuts: Array[String] = merges.orderBy("rank").collect()
       .map(r => r.getString(1) + r.getString(2))
     val ids = scala.collection.mutable.LinkedHashMap[String, Long]()

@@ -473,7 +473,7 @@ object Corpus {
     * cost is exactly one scan. */
   def shardManifest(docs: DataFrame, shards: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select((col(idCol) % lit(shards.toLong)).as("shard"),
+    docs.select(pmod(col(idCol), lit(shards.toLong)).as("shard"),
         xxhash64(col(textCol)).as("__h"),
         size(Dedup.tokens(col(textCol))).cast("long").as("__nt"))
       .groupBy("shard")

@@ -245,7 +245,7 @@ object Sft {
     PrefixSum.groupedRunningSum(
         turns.groupBy(col(convIdCol))
           .agg(sum(col(tokenCol)).as("n_tokens"))
-          .withColumn("shard", col(convIdCol) % lit(shards.toLong)),
+          .withColumn("shard", pmod(col(convIdCol), lit(shards.toLong))),
         "shard", convIdCol, "n_tokens", "cum_tokens")
       .withColumn("seq_bin",
         floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))

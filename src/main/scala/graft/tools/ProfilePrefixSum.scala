@@ -21,7 +21,7 @@ object ProfilePrefixSum {
   def main(args: Array[String]): Unit = {
     val rows = 2000000L
     val shards = 8L
-    println(f"${"parallelism"}%12s ${"build_s"}%8s ${"exec_s(min of 3)"}%16s  map_entries")
+    println(f"${"parallelism"}%12s ${"build_s"}%8s ${"exec_s(min of 3)"}%16s  rendezvous")
     for (par <- Seq(32, 1024, 4096, 8192)) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", 32)
@@ -35,8 +35,17 @@ object ProfilePrefixSum {
       val out = graft.pipeline.PrefixSum.groupedRunningSum(
         df, "shard", "id", "v", "cum")
       val build = (System.nanoTime() - t0) / 1e9 // includes offset collect
-      val mapEntries = "\"([0-9]+)#".r
-        .findAllIn(out.queryExecution.analyzed.toString).size
+      // which rendezvous the fixed code actually chose (the literal map
+      // below MapLiteralMax slices, a broadcast hash join above it) —
+      // read from the plan, not inferred from the formula
+      val plan = out.queryExecution.executedPlan.toString
+      val rendezvous =
+        if (plan.contains("BroadcastHashJoin")) "broadcast-join"
+        else {
+          val entries = "[0-9]+#[0-9]+".r
+            .findAllIn(out.queryExecution.analyzed.toString).size
+          s"literal map ($entries entries)"
+        }
       val execs = (1 to 3).map { _ =>
         val t1 = System.nanoTime()
         out.queryExecution.toRdd.foreach(_ => ())
@@ -50,7 +59,7 @@ object ProfilePrefixSum {
       for (sh <- 0L until shards)
         assert(last(sh) == 3L * (rows / shards),
           s"par=$par shard $sh cum ${last(sh)}")
-      println(f"$par%12d $build%8.2f ${execs.min}%16.2f  ~${par + shards - 1}")
+      println(f"$par%12d $build%8.2f ${execs.min}%16.2f  $rendezvous")
       graft.pipeline.PipelineCaches.clear()
       spark.stop()
       SparkSession.clearActiveSession()

@@ -144,6 +144,24 @@ class BpeSpec extends AnyFunSuite {
     assert(got.map { case (k, l) => k -> l.size.toLong } == counts)
   }
 
+  test("non-BMP characters are single symbols end to end (no surrogate UNKs)") {
+    import spark.implicits._
+    // U+1F600: two UTF-16 code units, ONE code point — must be one symbol
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Bpe.symbolize(emoji + "a").toSeq == Seq(emoji, "a", Bpe.EndOfWord))
+    val docs = Seq((1L, s"$emoji$emoji ab $emoji")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 3)
+    val vocab = Bpe.vocabulary(docs, merges)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the emoji is one vocabulary token (not two surrogate halves), and
+    // the alphabet sorts by CODE POINT: a < b < U+1F600
+    assert(v(emoji) == 2L && v("a") == 0L && v("b") == 1L)
+    // every id resolves — an in-corpus character never emits UNK
+    val ids = Bpe.encodeIds(docs, merges, vocab)
+      .collect().head.getSeq[Long](1)
+    assert(!ids.contains(-1L), ids.toString)
+  }
+
   test("lossMaskSpans in BPE ids: spans index the encodeIds arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -266,6 +266,11 @@ object Sft {
     * tokens only. Run [[truncateToBudget]] (same currency) first so no
     * conversation exceeds the window; a conversation whose bin start
     * is near the window end spills over like the document packer.
+    * Separator tokens are deliberately NOT injected here: SFT templates
+    * carry their own special tokens inside turn content (the chat
+    * template is applied before tokenization), unlike the pretraining
+    * packer [[Corpus.packedSequenceIds]], whose `eosId` inserts the
+    * document separator because raw documents have none.
     *
     * Scale: one narrow encode already on the input, one
     * per-conversation cumsum window, the packer's distributed

@@ -439,6 +439,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(3L).isEmpty) // unseen vocab -> all idf 0 -> null vec
   }
 
+  test("tokenizer id emission on a stream equals the batch ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production ingestion shape: tokenizer trained ONCE on a batch
+    // corpus (the persisted artifact pair), then every arriving document
+    // gets its input_ids attached by the same narrow UDF — stateless, so
+    // the stream form needs no watermark and equals the batch form
+    val train = Seq(
+      SDoc(1L, "low low low lower newest newest"),
+      SDoc(2L, "newest widest lowest low"))
+    val merges = graft.pipeline.Bpe.train(train.toDF(), numMerges = 5)
+    val vocab = graft.pipeline.Bpe.vocabulary(train.toDF(), merges)
+    val arriving = Seq(
+      SDoc(10L, "low lowest arriving later"),
+      SDoc(11L, "widest newest"),
+      SDoc(12L, ""))
+    val mem = MemoryStream[SDoc]
+    mem.addData(arriving.take(1): _*)
+    val q = graft.pipeline.Bpe.withTokenIdsColumn(
+        graft.pipeline.Bpe.withTokenCountColumn(
+          mem.toDF(), merges, textCol = "text"),
+        merges, vocab, textCol = "text")
+      .writeStream.format("memory").queryName("ids_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(arriving.drop(1): _*) // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ids_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getSeq[Long](3).toList)))
+      .toMap
+    val batch = graft.pipeline.Bpe.withTokenIdsColumn(
+        graft.pipeline.Bpe.withTokenCountColumn(
+          arriving.toDF(), merges, textCol = "text"),
+        merges, vocab, textCol = "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getSeq[Long](3).toList)))
+      .toMap
+    assert(streamed == batch)
+    // the two currencies agree on the stream too: count == size(ids)
+    streamed.values.foreach { case (n, ids) => assert(n == ids.size.toLong) }
+    assert(streamed(12L) == ((0L, Nil))) // empty doc: 0 tokens, [] ids
+  }
+
   test("streaming vocab sketch: update-mode KMV state converges to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

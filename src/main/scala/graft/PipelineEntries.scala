@@ -18,10 +18,10 @@ object PipelineEntries {
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Deterministic input bound for the ten heavyweight dedup /
+  /** Deterministic input bound for the eleven heavyweight dedup /
     * fingerprint mirrors (`p_dedup_keep_best/minhash/ngram/clusters/
     * contain/recall`, `p_split_leakage`, `p_fingerprint`, `p_mm_dedup`,
-    * `p_mm_dedup_png`),
+    * `p_mm_dedup_png`, `p_mm_dedup_gif`),
     * whose DuckDB oracles recompute 96-hash signatures / all-pairs
     * Jaccard / recursive closures / byte-loop XXH64 effectively
     * single-threaded and time out past gate scale. When
@@ -36,7 +36,7 @@ object PipelineEntries {
     * budget so every entry is verified against 10×-scale data with zero
     * timeouts (SURVEY §8).
     *
-    * `p_mm_dedup` / `p_mm_dedup_png` are the one exception to the
+    * `p_mm_dedup` / `p_mm_dedup_png` / `p_mm_dedup_gif` are the one exception to the
     * `doc_id % M == 0` shape: their image fixtures group by `doc_id / 4` with variant `doc_id % 4`,
     * so a modulus-aligned sample keeps exactly ONE member per group and
     * both engines emit zero pairs — a vacuously-green sweep (r14 ADVICE).
@@ -56,7 +56,7 @@ object PipelineEntries {
       s"(SELECT * FROM documents WHERE doc_id % $m = 0)")
       .getOrElse("documents")
   /** Variant-diversity-preserving sample for `p_mm_dedup` /
-    * `p_mm_dedup_png` — see the
+    * `p_mm_dedup_png` / `p_mm_dedup_gif` — see the
     * [[oracleSampleMod]] scaladoc's exception paragraph. */
   private def mmSampleDocs(s: SparkSession, dir: String): DataFrame =
     oracleSampleMod.foldLeft(docs(s, dir))((d, m) =>
@@ -753,6 +753,14 @@ object PipelineEntries {
       Dedup.imageHashPairs(
         Multimodal.imageDHash(s,
           Multimodal.synthesizePngMedia(s, mmSampleDocs(s, dir))))),
+
+    // and over real GIFs (the palette container, encoded through the
+    // JDK's own writer — lossless for 256-gray content): same gradient,
+    // same shared arithmetic oracle, third decode path pinned
+    "p_mm_dedup_gif" -> ((s, dir) =>
+      Dedup.imageHashPairs(
+        Multimodal.imageDHash(s,
+          Multimodal.synthesizeGifMedia(s, mmSampleDocs(s, dir))))),
 
     // audio near-dup pairs: REAL RIFF/fmt/data chunk walk + PCM16 sample
     // read over synthesized waveform payloads → 64-block cyclic
@@ -4482,10 +4490,31 @@ object PipelineEntries {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin,
 
-    // identical arithmetic mirror: the PNG fixture carries the same
+    // identical arithmetic mirror: the PNG/GIF fixtures carry the same
     // 27×16 gradient, so decode-via-javax.imageio == the formula is
-    // exactly what sharing this oracle proves (PNG is lossless)
+    // exactly what sharing this oracle proves (both containers are
+    // lossless for 256-gray content)
     "p_mm_dedup_png" ->
+      s"""WITH img AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM $mmSampleRel
+        |  WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, r, c,
+        |    ((17 * g + 7 * (3 * c) + 13 * (2 * r) + m) % 256 <
+        |     (17 * g + 7 * (3 * (c + 1)) + 13 * (2 * r) + m) % 256) AS bit
+        |  FROM img,
+        |       (SELECT unnest(range(0, 8)) AS r),
+        |       (SELECT unnest(range(0, 8)) AS c)),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS dist
+        |  FROM bits x JOIN bits y
+        |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin,
+
+    "p_mm_dedup_gif" ->
       s"""WITH img AS (
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM $mmSampleRel
         |  WHERE doc_id % 17 <> 0),

@@ -385,6 +385,36 @@ object Multimodal {
       .toDF()
   }
 
+  /** Fixture GIFs: the same gradient (and corrupt rule) as the BMP/PNG
+    * fixtures, ENCODED through the JDK's own GIF writer — the palette
+    * container. 256-level grayscale fits a GIF palette exactly, so the
+    * round trip is lossless and the shared arithmetic dHash oracle pins
+    * the palette decode path the way it pins the zlib path. */
+  def synthesizeGifMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(BatchSize).flatMap(_.iterator.map { id =>
+          val media =
+            if (id % 17 == 0) "GIF89a".getBytes("US-ASCII").take(4)
+            else {
+              val img = new java.awt.image.BufferedImage(27, 16,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              for (y <- 0 until 16; x <- 0 until 27)
+                raster.setSample(x, y,
+                  0, ((17 * (id / 4) + 7 * x + 13 * y + id % 4) % 256).toInt)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "gif", out)
+              out.toByteArray
+            }
+          MediaRecord(id, media)
+        })
+      }
+      .toDF()
+  }
+
   /** Codec-backed pixel decode via `javax.imageio` (public JDK API, no
     * added dependency; executors run it headless) — the path for the
     * container formats real crawls carry (PNG, JPEG, GIF). Undecodable

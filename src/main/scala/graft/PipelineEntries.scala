@@ -71,6 +71,33 @@ object PipelineEntries {
   private def samplePathSuffix: String =
     oracleSampleMod.map(m => s"_s$m").getOrElse("")
 
+  /** ONE arithmetic dHash mirror for both codec-container near-dup
+    * twins (`p_mm_dedup_png`, `p_mm_dedup_gif`): the fixtures carry the
+    * identical 27×16 gradient the BMP fixture does, and PNG/GIF are
+    * lossless for 256-gray content, so codec-decode == formula is
+    * exactly what sharing this oracle proves. A single binding (the
+    * spanCoverageOracleSql pattern) so the twins can never silently
+    * diverge. */
+  private def mmCodecDedupOracleSql: String =
+    s"""WITH img AS (
+      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM $mmSampleRel
+      |  WHERE doc_id % 17 <> 0),
+      |bits AS (
+      |  SELECT doc_id, r, c,
+      |    ((17 * g + 7 * (3 * c) + 13 * (2 * r) + m) % 256 <
+      |     (17 * g + 7 * (3 * (c + 1)) + 13 * (2 * r) + m) % 256) AS bit
+      |  FROM img,
+      |       (SELECT unnest(range(0, 8)) AS r),
+      |       (SELECT unnest(range(0, 8)) AS c)),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS dist
+      |  FROM bits x JOIN bits y
+      |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin
+
   /** The fixture text is separator-free word-soup, so the line-structured
     * entries (p_c4, p_boilerplate) synthesize deterministic line breaks
     * with a PLAIN (non-regex) replace — semantics identical in Spark and
@@ -4490,49 +4517,11 @@ object PipelineEntries {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin,
 
-    // identical arithmetic mirror: the PNG/GIF fixtures carry the same
-    // 27×16 gradient, so decode-via-javax.imageio == the formula is
-    // exactly what sharing this oracle proves (both containers are
-    // lossless for 256-gray content)
-    "p_mm_dedup_png" ->
-      s"""WITH img AS (
-        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM $mmSampleRel
-        |  WHERE doc_id % 17 <> 0),
-        |bits AS (
-        |  SELECT doc_id, r, c,
-        |    ((17 * g + 7 * (3 * c) + 13 * (2 * r) + m) % 256 <
-        |     (17 * g + 7 * (3 * (c + 1)) + 13 * (2 * r) + m) % 256) AS bit
-        |  FROM img,
-        |       (SELECT unnest(range(0, 8)) AS r),
-        |       (SELECT unnest(range(0, 8)) AS c)),
-        |pairs AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS dist
-        |  FROM bits x JOIN bits y
-        |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin,
+    // the two codec containers share ONE arithmetic mirror — see
+    // mmCodecDedupOracleSql
+    "p_mm_dedup_png" -> mmCodecDedupOracleSql,
 
-    "p_mm_dedup_gif" ->
-      s"""WITH img AS (
-        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM $mmSampleRel
-        |  WHERE doc_id % 17 <> 0),
-        |bits AS (
-        |  SELECT doc_id, r, c,
-        |    ((17 * g + 7 * (3 * c) + 13 * (2 * r) + m) % 256 <
-        |     (17 * g + 7 * (3 * (c + 1)) + 13 * (2 * r) + m) % 256) AS bit
-        |  FROM img,
-        |       (SELECT unnest(range(0, 8)) AS r),
-        |       (SELECT unnest(range(0, 8)) AS c)),
-        |pairs AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
-        |           AS BIGINT) AS dist
-        |  FROM bits x JOIN bits y
-        |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin,
+    "p_mm_dedup_gif" -> mmCodecDedupOracleSql,
 
     // block energies re-derived arithmetically from the synthesis formula
     // (sample i of doc d = ((fg·(i²+3i+7)) mod 65537) mod 2048 − 1024 +

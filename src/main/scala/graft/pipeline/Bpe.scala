@@ -147,8 +147,9 @@ object Bpe {
             b: (Long, String, String)): Int = {
           if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
           else {
-            val c = a._2.compareTo(b._2)
-            if (c != 0) c else a._3.compareTo(b._3)
+            // code-point order, matching pairLt and the SQL mirrors
+            val c = cpCompare(a._2, b._2)
+            if (c != 0) c else cpCompare(a._3, b._3)
           }
         }
       })
@@ -210,8 +211,29 @@ object Bpe {
     merges.toSeq
   }
 
-  private def pairLt(a: (String, String), b: (String, String)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Compare two symbol strings by CODE POINT (== UTF-8 byte order,
+    * what the SQL mirrors' ORDER BY uses). String.compareTo compares
+    * UTF-16 code units, which ranks astral symbols (surrogate range
+    * 0xD800–0xDFFF) BELOW U+E000–U+FFFF — the opposite of byte order —
+    * so a merge tie between such symbols would resolve differently in
+    * the two engines (round-16 review finding). */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def pairLt(a: (String, String), b: (String, String)): Boolean = {
+    val c = cpCompare(a._1, b._1)
+    c < 0 || (c == 0 && cpCompare(a._2, b._2) < 0)
+  }
 
   private[graft] def mergePair(syms: Array[String],
       p: (String, String)): Array[String] = {

@@ -38,14 +38,13 @@ object ProfilePrefixSum {
       // which rendezvous the fixed code actually chose (the literal map
       // below MapLiteralMax slices, a broadcast hash join above it) —
       // read from the plan, not inferred from the formula
-      val plan = out.queryExecution.executedPlan.toString
+      // label only — counting literal entries from the plan string is
+      // unreliable (window attribute names like _w0#245 also match a
+      // key-shaped regex), and the join path has no literal at all
       val rendezvous =
-        if (plan.contains("BroadcastHashJoin")) "broadcast-join"
-        else {
-          val entries = "[0-9]+#[0-9]+".r
-            .findAllIn(out.queryExecution.analyzed.toString).size
-          s"literal map ($entries entries)"
-        }
+        if (out.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin")) "broadcast-join"
+        else "literal-map"
       val execs = (1 to 3).map { _ =>
         val t1 = System.nanoTime()
         out.queryExecution.toRdd.foreach(_ => ())

@@ -160,6 +160,19 @@ class BpeSpec extends AnyFunSuite {
     val ids = Bpe.encodeIds(docs, merges, vocab)
       .collect().head.getSeq[Long](1)
     assert(!ids.contains(-1L), ids.toString)
+    // merge TIE-BREAKS are code-point order (== the SQL mirrors' UTF-8
+    // byte ORDER BY), not UTF-16 code-unit order: U+FFFD (EF BF BD)
+    // sorts BELOW U+1F600 (F0 9F 98 80) by bytes, though its UTF-16
+    // unit 0xFFFD is ABOVE the surrogate 0xD83D
+    val fffd = "\uFFFD"
+    val tie = Seq((1L, s"${fffd}x ${fffd}x ${emoji}x ${emoji}x"))
+      .toDF("doc_id", "text")
+    val m2 = Bpe.train(tie, numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // merge 0: (x,</w>) count 4; merge 1 ties at 2 — U+FFFD wins by
+    // code point; merge 2 is the emoji pair
+    assert(m2 == Seq(("x", "</w>"), (fffd, "x</w>"), (emoji, "x</w>")), m2)
   }
 
   test("lossMaskSpans in BPE ids: spans index the encodeIds arrays") {

@@ -1700,6 +1700,21 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.pngGrayBytes(4, 4, (_, _) => 1).take(20)).isEmpty)
   }
 
+  test("GIF fixture path: the JDK gray-to-palette round trip equals BMP") {
+    import spark.implicits._
+    val d = (0L until 20L).toDF("doc_id")
+    val bmp = Multimodal.imageDHash(spark, Multimodal.synthesizeBmpMedia(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the exact TYPE_BYTE_GRAY -> GIFImageWriter -> IndexColorModel
+    // path the fixture generator uses (the earlier GIF losslessness
+    // check encodes TYPE_INT_RGB — a different writer palette path), so
+    // a JDK palette-quantization change fails HERE, not as an opaque
+    // gate hash mismatch
+    val gif = Multimodal.imageDHash(spark, Multimodal.synthesizeGifMedia(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gif == bmp)
+  }
+
   test("JPEG and GIF ride the same decode path (lossy-tolerant near-dup)") {
     // encode the SAME gradient as a real JPEG via the JDK codec
     val img = new java.awt.image.BufferedImage(27, 16,

@@ -847,14 +847,15 @@ object PipelineEntries {
         Bpe.trainPersistedIfStale(docs(s, dir), bpePath(dir),
           numMerges = 50))),
 
-    // the symbol → id vocabulary TABLE the merge table induces: corpus
-    // alphabet sorted, then </w>, then merge outputs in rank order —
-    // the id side of the tokenizer artifact (oracle re-derives it from
-    // the same merge CTEs + an alphabet scan)
-    "p_bpe_vocab" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Bpe.vocabulary(d, Bpe.train(d, numMerges = 50))
-    }),
+    // the symbol → id vocabulary TABLE the merge table induces: the
+    // four reserved special tokens at ids 0..3 (UNK/BOS/EOS/PAD — rows
+    // in the artifact, not caller conventions), then the corpus
+    // alphabet sorted, </w>, merge outputs in rank order — the id side
+    // of the tokenizer artifact (oracle re-derives it from the same
+    // merge CTEs + an alphabet scan). One corpus histogram pass feeds
+    // both the trainer and the alphabet (trainAndVocabulary)
+    "p_bpe_vocab" -> ((s, dir) =>
+      Bpe.trainAndVocabulary(docs(s, dir), numMerges = 50)._2),
 
     // per-document input_ids — the tensor content a trainer consumes —
     // posexploded to scalar rows per the gate contract; encode runs on
@@ -862,9 +863,8 @@ object PipelineEntries {
     // and vocabulary still derive from the FULL corpus
     "p_bpe_ids" -> ((s, dir) => {
       val d = docs(s, dir)
-      val m = Bpe.train(d, numMerges = 50)
-      Bpe.encodeIds(d.filter(pmod(col("doc_id"), lit(10)) === 0), m,
-          Bpe.vocabulary(d, m))
+      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
+      Bpe.encodeIds(d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v)
         .select(col("doc_id"),
           posexplode(col("token_ids")).as(Seq("pos", "token_id")))
         .withColumn("pos", col("pos").cast("long"))
@@ -895,18 +895,18 @@ object PipelineEntries {
           Bpe.train(docs(s, dir), numMerges = 50)),
         tokenCol = "n_bpe_tokens")),
 
-    // the PRETRAINING tensor export: documents -> id arrays + EOS
-    // separator (id = vocabulary size) -> 512-token windows per shard ->
-    // one row per token (shard, seq_bin, pos, token_id) — the
+    // the PRETRAINING tensor export: documents -> id arrays + the EOS
+    // separator READ FROM THE ARTIFACT (the reserved <eos> row, id 2 —
+    // not a caller-computed vocab.count()) -> 512-token windows per
+    // shard -> one row per token (shard, seq_bin, pos, token_id) — the
     // document-level twin of p_sft_packed_ids; doc_id % 10 == 0 bounds
     // the oracle rows, merges/vocabulary from the full corpus
     "p_pack_ids" -> ((s, dir) => {
       val d = docs(s, dir)
-      val m = Bpe.train(d, numMerges = 50)
-      val v = Bpe.vocabulary(d, m)
+      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
       Corpus.packedSequenceIds(
         d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v,
-        seqLen = 512, shards = 4, eosId = Some(v.count()))
+        seqLen = 512, shards = 4)
     }),
 
     // context-window chunking: 64-token windows, 16-token overlap —
@@ -1148,10 +1148,10 @@ object PipelineEntries {
     // the full corpus
     "p_sft_packed_ids" -> ((s, dir) => {
       val d = docs(s, dir)
-      val m = Bpe.train(d, numMerges = 50)
+      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
       val turns = Sft.parseTurns(convDocs(s, dir))
         .filter(pmod(col("conv_id"), lit(5)) === 0)
-      val withIds = Bpe.withTokenIdsColumn(turns, m, Bpe.vocabulary(d, m))
+      val withIds = Bpe.withTokenIdsColumn(turns, m, v)
         .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
       Sft.packedExamples(
         Sft.truncateToBudget(withIds, maxTokens = 160,
@@ -2866,10 +2866,13 @@ object PipelineEntries {
 
   /** DuckDB mirror of [[graft.pipeline.Bpe.vocabulary]], as CTEs ending
     * in `vocab(token, token_id)` — assumes [[bpeTrainCtes]] in scope.
-    * Alphabet = distinct single characters of every corpus word (full
-    * corpus, not the training histogram), ids by sort order; then
-    * `</w>`; then merge outputs by FIRST rank (duplicate compositions
-    * keep their first id, exactly the Spark side's first-wins insert). */
+    * The four RESERVED special tokens take ids 0..3 (rows in the
+    * artifact — every consumer mirror reads UNK/EOS from `vocab`, never
+    * hard-codes a sentinel); then the alphabet = distinct single
+    * characters of every corpus word (full corpus, not the training
+    * histogram), ids by sort order from 4; then `</w>`; then merge
+    * outputs by FIRST rank (duplicate compositions keep their first id,
+    * exactly the Spark side's first-wins insert). */
   private def bpeVocabCtes(numMerges: Int): String = {
     val mergeUnion = (0 until numMerges).map(k =>
       s"SELECT $k AS r, lft, rgt FROM b$k").mkString("\nUNION ALL\n")
@@ -2883,15 +2886,19 @@ object PipelineEntries {
        |  FROM vw, unnest(range(1, length(word) + 1)) AS t(i)),
        |vbase AS (
        |  SELECT token,
-       |         CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+       |         CAST(row_number() OVER (ORDER BY token) + 3 AS BIGINT) AS token_id
        |  FROM vch),
-       |vnb AS (SELECT CAST(count(*) AS BIGINT) AS a FROM vbase),
+       |vnb AS (SELECT CAST(count(*) + 4 AS BIGINT) AS a FROM vbase),
        |vmo AS (
        |  SELECT token, min(r) AS r
        |  FROM (SELECT lft || rgt AS token, r FROM ($mergeUnion))
        |  WHERE token NOT IN (SELECT token FROM vbase) AND token <> '</w>'
        |  GROUP BY token),
        |vocab AS MATERIALIZED (
+       |  SELECT token, CAST(token_id AS BIGINT) AS token_id
+       |  FROM (VALUES ('<unk>', 0), ('<bos>', 1), ('<eos>', 2),
+       |               ('<pad>', 3)) sp(token, token_id)
+       |  UNION ALL
        |  SELECT token, token_id FROM vbase
        |  UNION ALL
        |  SELECT '</w>' AS token, (SELECT a FROM vnb) AS token_id
@@ -2938,23 +2945,28 @@ object PipelineEntries {
   /** DuckDB mirror of [[graft.pipeline.Bpe.encodeIds]] over the sampled
     * docs (vocab + merges still derive from the FULL corpus): the
     * shared [[bpeDocWordCtes]] machinery, then the vocabulary id lookup
-    * (LEFT JOIN + −1, mirroring the UNK convention). */
+    * (LEFT JOIN + the artifact's reserved `<unk>` row — the UNK id is
+    * READ FROM `vocab`, mirroring that it is artifact data, not a
+    * sentinel convention). */
   private def bpeIdsOracleSql(numMerges: Int = 50,
       sampleMod: Int = 10): String =
     s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
        |${bpeVocabCtes(numMerges)},
        |${bpeDocWordCtes(numMerges, sampleMod)}
        |SELECT f.doc_id, CAST(f.o + f.si - 1 AS BIGINT) AS pos,
-       |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+       |       CAST(coalesce(v.token_id,
+       |              (SELECT token_id FROM vocab WHERE token = '<unk>'))
+       |            AS BIGINT) AS token_id
        |FROM (SELECT doc_id, o, si, syms[si] AS token
        |      FROM off, unnest(range(1, len(syms) + 1)) AS t(si)) f
        |LEFT JOIN vocab v USING (token)""".stripMargin
 
   /** DuckDB mirror of the `p_pack_ids` pretraining tensor export over
     * the sampled docs: the [[bpeIdsOracleSql]] word/symbol/offset
-    * machinery, per-doc totals + the EOS separator (+1, id = vocabulary
-    * row count), the packSequences shard/bin window, then one row per
-    * token including the per-document EOS at position n−1. */
+    * machinery, per-doc totals + the EOS separator (+1, id = the
+    * artifact's reserved `<eos>` row, read from `vocab`), the
+    * packSequences shard/bin window, then one row per token including
+    * the per-document EOS at position n−1. */
   private def packIdsOracleSql(seqLen: Int = 512, shards: Int = 4,
       sampleMod: Int = 10, numMerges: Int = 50): String =
     s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
@@ -2982,11 +2994,14 @@ object PipelineEntries {
        |  FROM off, unnest(range(1, len(syms) + 1)) AS t(si)),
        |idrows AS (
        |  SELECT tok.doc_id, tok.tpos,
-       |         CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+       |         CAST(coalesce(v.token_id,
+       |                (SELECT token_id FROM vocab WHERE token = '<unk>'))
+       |              AS BIGINT) AS token_id
        |  FROM tok LEFT JOIN vocab v USING (token)
        |  UNION ALL
        |  SELECT doc_id, n - 1 AS tpos,
-       |         (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS token_id
+       |         (SELECT CAST(token_id AS BIGINT) FROM vocab
+       |          WHERE token = '<eos>') AS token_id
        |  FROM dn)
        |SELECT pb.shard, pb.seq_bin,
        |       CAST(pb.binoff + i.tpos AS BIGINT) AS pos, i.token_id
@@ -3201,7 +3216,9 @@ object PipelineEntries {
        |  FROM kwp, unnest(range(1, len(syms) + 1)) AS t(si))
        |SELECT pb.shard, pb.seq_bin,
        |       CAST(pb.binoff + ks.tstart + tok.tpos AS BIGINT) AS pos,
-       |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id,
+       |       CAST(coalesce(v.token_id,
+       |              (SELECT token_id FROM vocab WHERE token = '<unk>'))
+       |            AS BIGINT) AS token_id,
        |       CAST(CASE WHEN ks.role = 'assistant' THEN 1 ELSE 0 END
        |            AS BIGINT) AS train_mask
        |FROM tok

@@ -39,21 +39,47 @@ object Bpe {
     * "est" mid-word and "est</w>" word-final stay separate merges). */
   val EndOfWord = "</w>"
 
+  /** Reserved special tokens — PART OF THE PERSISTED TOKENIZER ARTIFACT,
+    * not caller conventions: a trainer's tokenizer config IS its
+    * special-token map, so the ids live as rows in [[vocabulary]] at
+    * FIXED positions 0..3 (the Llama/SentencePiece layout: specials
+    * before content ids, so they never drift as the merge count or
+    * corpus alphabet changes). [[encodeIds]]/[[withTokenIdsColumn]] emit
+    * [[Unk]]'s id (0) for out-of-vocabulary symbols — a valid embedding
+    * index, unlike the former −1 sentinel; [[Corpus.packedSequenceIds]]
+    * reads [[Eos]]'s id from the artifact instead of trusting a
+    * caller-computed `vocab.count()` (which collides with the first
+    * merge-output id the moment anything re-derives it off by one). */
+  val Unk = "<unk>"
+  val Bos = "<bos>"
+  val Eos = "<eos>"
+  val Pad = "<pad>"
+  val SpecialTokens: Seq[String] = Seq(Unk, Bos, Eos, Pad)
+
   /** Train `numMerges` BPE merges on the corpus word histogram.
     * Deterministic: the best pair is (max summed count, then
     * lexicographically smallest (left, right)); training stops early
     * when no adjacent pair occurs at least `minPairCount` times.
     * Returns (rank, left, right) — rank is merge priority, 0 first. */
   def train(docs: DataFrame, numMerges: Int = 100, topWords: Int = 30000,
-      minPairCount: Long = 2, textCol: String = "text"): DataFrame = {
+      minPairCount: Long = 2, textCol: String = "text"): DataFrame =
+    trainFromWordCounts(wordCounts(docs, textCol), numMerges, topWords,
+      minPairCount)
+
+  /** [[train]] over an already-computed (word, cnt) histogram frame —
+    * the shared back half, so callers that need BOTH the merge table and
+    * the [[vocabulary]] (the artifact rebuild, the gate entries) pay the
+    * corpus scan+shuffle ONCE instead of once per derivation (r16
+    * ADVICE). */
+  def trainFromWordCounts(wc: DataFrame, numMerges: Int = 100,
+      topWords: Int = 30000, minPairCount: Long = 2): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(topWords >= 1, s"topWords must be >= 1, got $topWords")
-    val spark = docs.sparkSession
+    val spark = wc.sparkSession
     import spark.implicits._
     // bounded driver pull: topWords rows, deterministic under count ties
     val hist: Array[(Array[String], Long)] =
-      wordCounts(docs, textCol)
-        .orderBy(col("cnt").desc, col("word").asc)
+      wc.orderBy(col("cnt").desc, col("word").asc)
         .limit(topWords)
         .collect()
         .map(r => (symbolize(r.getString(0)), r.getLong(1)))
@@ -270,14 +296,19 @@ object Bpe {
 
   /** The symbol → id vocabulary TABLE a trained merge table induces —
     * the artifact that turns token sequences into the `input_ids` a
-    * trainer consumes. Ids are deterministic: the corpus ALPHABET
-    * (distinct single-character symbols across every whitespace-lowered
-    * word — the full corpus, not the training histogram, so every
-    * corpus character is encodable) sorted ascending takes ids
-    * 0..A−1, [[EndOfWord]] takes id A, and merge OUTPUTS take
-    * A+1.. in rank order (first introduction wins when two merges
-    * compose the same string). Returns (token STRING, token_id BIGINT),
-    * ≤ alphabet + 1 + numMerges rows.
+    * trainer consumes. Ids are deterministic: the four [[SpecialTokens]]
+    * take RESERVED ids 0..3 (they are artifact rows, not caller
+    * conventions — see their scaladoc), the corpus ALPHABET (distinct
+    * single-character symbols across every whitespace-lowered word — the
+    * full corpus, not the training histogram, so every corpus character
+    * is encodable) sorted ascending takes ids 4..A+3, [[EndOfWord]]
+    * takes id A+4, and merge OUTPUTS take A+5.. in rank order (first
+    * introduction wins when two merges compose the same string). Returns
+    * (token STRING, token_id BIGINT), ≤ 4 + alphabet + 1 + numMerges
+    * rows. A merge output that equals a special-token STRING (the corpus
+    * literally contains the reserved sentinel as text) fails loudly —
+    * silently aliasing corpus text onto a control id is exactly the
+    * injection bug a tokenizer must not have.
     *
     * Scale: the alphabet reduces distributed to distinct symbols (one
     * shuffle over single characters — bounded by the corpus' codepoint
@@ -288,10 +319,17 @@ object Bpe {
     * CODE POINT so id order matches the SQL mirror's byte-wise UTF-8
     * ORDER BY for every Unicode character, astral included. */
   def vocabulary(docs: DataFrame, merges: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+      textCol: String = "text"): DataFrame =
+    vocabularyFromWordCounts(wordCounts(docs, textCol), merges)
+
+  /** [[vocabulary]] over an already-computed (word, cnt) histogram —
+    * the shared back half (see [[trainFromWordCounts]]): the alphabet
+    * only needs the distinct words, so the corpus scan is paid once. */
+  def vocabularyFromWordCounts(wc: DataFrame,
+      merges: DataFrame): DataFrame = {
+    val spark = wc.sparkSession
     import spark.implicits._
-    val alphabet: Array[String] = wordCounts(docs, textCol)
+    val alphabet: Array[String] = wc
       .select(explode(split(col("word"), "")).as("c"))
       .filter(col("c") =!= "")
       .distinct().as[String].collect()
@@ -299,10 +337,37 @@ object Bpe {
     val mergeOuts: Array[String] = merges.orderBy("rank").collect()
       .map(r => r.getString(1) + r.getString(2))
     val ids = scala.collection.mutable.LinkedHashMap[String, Long]()
+    SpecialTokens.foreach(t => ids(t) = ids.size.toLong)
+    // single-code-point alphabet symbols and the </w> marker can never
+    // equal a multi-char special string; merge outputs CAN — fail loudly
     alphabet.foreach(c => ids(c) = ids.size.toLong)
     ids(EndOfWord) = ids.size.toLong
-    mergeOuts.foreach(m => if (!ids.contains(m)) ids(m) = ids.size.toLong)
+    mergeOuts.foreach { m =>
+      require(!SpecialTokens.contains(m),
+        s"merge output '$m' collides with a reserved special token — " +
+          "the corpus contains the sentinel string as text")
+      if (!ids.contains(m)) ids(m) = ids.size.toLong
+    }
     ids.toSeq.toDF("token", "token_id")
+  }
+
+  /** Train the merge table AND induce its [[vocabulary]] from ONE
+    * corpus scan: the shared (word, cnt) histogram persists across the
+    * two bounded collects (topWords for the trainer, the alphabet for
+    * the id table) and is released before returning — the artifact
+    * rebuild and every fresh-derivation gate entry pay one shuffle, not
+    * two (r16 ADVICE). Returns (merges, vocabulary). */
+  def trainAndVocabulary(docs: DataFrame, numMerges: Int = 100,
+      topWords: Int = 30000, minPairCount: Long = 2,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val wc = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = trainFromWordCounts(wc, numMerges, topWords, minPairCount)
+      // both halves are driver-materialized (bounded collects), so the
+      // returned frames no longer reference wc and it can release now
+      (m, vocabularyFromWordCounts(wc, m))
+    } finally wc.unpersist(false)
   }
 
   /** Per-document `input_ids`: apply the trained merges ([[encodeWord]],
@@ -311,9 +376,10 @@ object Bpe {
     * bounded by construction). Returns (idCol, token_ids ARRAY<BIGINT>)
     * — the tensor content an SFT/pretraining trainer consumes; symbols
     * absent from the vocabulary (foreign characters on a corpus the
-    * vocabulary was not derived from) emit id −1, the documented UNK
-    * convention, so a vocabulary/corpus mismatch is visible instead of
-    * silently dropped.
+    * vocabulary was not derived from) emit the artifact's reserved
+    * [[Unk]] id — a VALID embedding index a trainer can actually
+    * consume, unlike a −1 sentinel (on a hand-built vocab table with no
+    * [[Unk]] row the legacy −1 convention applies, documented fallback).
     *
     * Scale: narrow mapPartitions over (id, text) with a per-partition
     * word → ids memo — no shuffle; the lowering rides the same SQL
@@ -323,8 +389,9 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bcRanks = broadcastRanks(merges)
-    val bcIds = spark.sparkContext.broadcast(
-      vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val idMap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unk = idMap.getOrElse(Unk, -1L)
+    val bcIds = spark.sparkContext.broadcast(idMap)
     docs.select(col(idCol).cast("long"), lower(trim(col(textCol))))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -338,7 +405,7 @@ object Bpe {
           val out = new scala.collection.mutable.ArrayBuffer[Long]()
           words.foreach { w =>
             out ++= memo.getOrElseUpdate(w,
-              encodeWord(w, ranks).map(s => ids.getOrElse(s, -1L)))
+              encodeWord(w, ranks).map(s => ids.getOrElse(s, unk)))
           }
           BpeTokenIds(id, out.toArray)
         }
@@ -349,7 +416,8 @@ object Bpe {
   /** Attach a token-id ARRAY column to any frame — the
     * schema-preserving twin of [[encodeIds]], like
     * [[withTokenCountColumn]] is for counts: per row, the `input_ids`
-    * of `textCol` under the trained merges + vocabulary (UNK = −1;
+    * of `textCol` under the trained merges + vocabulary (UNK = the
+    * artifact's reserved [[Unk]] id, [[encodeIds]]'s convention;
     * NULL text ⇒ empty array; `size(outCol)` always equals
     * [[withTokenCountColumn]]'s count — the spans/packing currency).
     * One deterministic UDF over the SQL-lowered text: narrow, no
@@ -358,8 +426,9 @@ object Bpe {
       vocab: DataFrame, textCol: String = "content",
       outCol: String = "token_ids"): DataFrame = {
     val bcRanks = broadcastRanks(merges)
-    val bcIds = df.sparkSession.sparkContext.broadcast(
-      vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val idMap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unk = idMap.getOrElse(Unk, -1L)
+    val bcIds = df.sparkSession.sparkContext.broadcast(idMap)
     val enc = udf { (txt: String) =>
       if (txt == null) Array.empty[Long]
       else {
@@ -367,7 +436,7 @@ object Bpe {
         val ids = bcIds.value
         val out = new scala.collection.mutable.ArrayBuffer[Long]()
         for (w <- txt.trim.split("\\s+") if w.nonEmpty)
-          out ++= encodeWord(w, ranks).map(s => ids.getOrElse(s, -1L))
+          out ++= encodeWord(w, ranks).map(s => ids.getOrElse(s, unk))
         out.toArray
       }
     }
@@ -410,20 +479,25 @@ object Bpe {
     // TERMINATED marker (ends with the closing brace), the
     // minhashSignaturesPersisted convention: every parameter is fenced so
     // the same corpus trained with different knobs can never serve stale
+    // "vocab":2 = the reserved-special-token id layout (ids 0..3) — the
+    // version bump retires any pre-r17 artifact, whose ids are all 4 low
     val marker = s""""fingerprint":"$fp","merges":$numMerges""" +
       s""","topWords":$topWords,"minPair":$minPairCount""" +
-      s""","textCol":"$textCol","vocab":1}"""
+      s""","textCol":"$textCol","vocab":2}"""
     val meta = Artifacts.readStringIfExists(spark, metaPath)
     if (!meta.exists(_.endsWith(marker))) {
       Artifacts.logRebuild(path,
         if (meta.isEmpty) "no meta"
         else "corpus fingerprint or train-params mismatch (full retrain)")
-      val m = train(docs, numMerges, topWords, minPairCount, textCol)
+      // ONE corpus scan rebuilds the whole artifact pair: the histogram
+      // persists across the trainer's and the alphabet's bounded
+      // collects (r16 ADVICE — this path used to scan+shuffle twice)
+      val (m, v) = trainAndVocabulary(docs, numMerges, topWords,
+        minPairCount, textCol)
       m.write.mode("overwrite").parquet(s"$path/merges")
       // the symbol → id table persists BESIDE the merges (same fence):
       // every id consumer reads the artifact pair, never re-derives
-      vocabulary(docs, m, textCol)
-        .write.mode("overwrite").parquet(s"$path/vocab")
+      v.write.mode("overwrite").parquet(s"$path/vocab")
       Artifacts.writeString(spark, metaPath, "{" + marker)
     }
     spark.read.parquet(s"$path/merges")

@@ -424,27 +424,37 @@ object Corpus {
     * documents fill `seqLen`-token windows per shard in id order
     * without splitting (the [[packSequences]] rule, but measured in the
     * TRAINER's currency: the bins count exactly the id arrays
-    * [[Bpe.withTokenIdsColumn]] emits, not whitespace words). `eosId`
-    * (a reserved id — conventionally the vocabulary size) appends a
-    * document-separator token to every document BEFORE packing, the
-    * standard pretraining shape so a trainer can mask attention across
-    * document boundaries.
+    * [[Bpe.withTokenIdsColumn]] emits, not whitespace words). With
+    * `appendEos` (the default), the document-separator token appended
+    * to every document BEFORE packing — the standard pretraining shape
+    * so a trainer can mask attention across document boundaries — is
+    * the ARTIFACT's reserved [[Bpe.Eos]] row, read from `vocab` itself:
+    * a caller-computed separator (the old `vocab.count()` convention)
+    * can collide with a merge-output id the moment anything re-derives
+    * it off by one, and the tokenizer config a trainer consumes IS its
+    * special-token map. A vocab table without the reserved row fails
+    * loudly rather than packing with an invented id.
     *
     * Scale: one narrow encode, the packer's distributed prefix-sum
     * ([[PrefixSum.groupedRunningSum]] — eager bounded collect, cache
     * tracked in [[PipelineCaches]]), and one posexplode: the
-    * corpus-sized data moves once, at the final explode. */
+    * corpus-sized data moves once, at the final explode. The EOS
+    * lookup is one action on the (bounded-by-construction) vocab. */
   def packedSequenceIds(docs: DataFrame, merges: DataFrame,
       vocab: DataFrame, seqLen: Int = 2048, shards: Int = 8,
-      eosId: Option[Long] = None, textCol: String = "text",
+      appendEos: Boolean = true, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val withIds0 = Bpe.withTokenIdsColumn(docs, merges, vocab,
       textCol, "__ids")
-    val withIds = eosId match {
-      case Some(e) =>
-        withIds0.withColumn("__ids", concat(col("__ids"), array(lit(e))))
-      case None => withIds0
-    }
+    val withIds = if (appendEos) {
+      val eosRows = vocab.filter(col("token") === lit(Bpe.Eos))
+        .select(col("token_id").cast("long")).collect()
+      require(eosRows.nonEmpty,
+        s"vocabulary has no reserved '${Bpe.Eos}' row — pass a " +
+          "Bpe.vocabulary artifact, or appendEos = false")
+      withIds0.withColumn("__ids",
+        concat(col("__ids"), array(lit(eosRows.head.getLong(0)))))
+    } else withIds0
     val t = withIds.select(col(idCol), col("__ids"),
       size(col("__ids")).cast("long").as("__n"),
       pmod(col(idCol), lit(shards.toLong)).as("shard"))

@@ -269,8 +269,8 @@ object Sft {
     * Separator tokens are deliberately NOT injected here: SFT templates
     * carry their own special tokens inside turn content (the chat
     * template is applied before tokenization), unlike the pretraining
-    * packer [[Corpus.packedSequenceIds]], whose `eosId` inserts the
-    * document separator because raw documents have none.
+    * packer [[Corpus.packedSequenceIds]], which inserts the artifact's
+    * [[Bpe.Eos]] document separator because raw documents have none.
     *
     * Scale: one narrow encode already on the input, one
     * per-conversation cumsum window, the packer's distributed

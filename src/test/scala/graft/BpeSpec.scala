@@ -110,22 +110,44 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
-  test("vocabulary: alphabet ids, </w>, then merge outputs in rank order") {
+  test("vocabulary: specials 0..3, alphabet, </w>, merge outputs in rank order") {
     val merges = Bpe.train(corpusDf, numMerges = 10)
     val v = Bpe.vocabulary(corpusDf, merges)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // alphabet of {low, lower, newest, widest} sorted: d e i l n o r s t w
     val expected = Map(
-      "d" -> 0L, "e" -> 1L, "i" -> 2L, "l" -> 3L, "n" -> 4L, "o" -> 5L,
-      "r" -> 6L, "s" -> 7L, "t" -> 8L, "w" -> 9L, "</w>" -> 10L,
+      // the four RESERVED rows — artifact data, fixed ids whatever the
+      // corpus or merge count
+      "<unk>" -> 0L, "<bos>" -> 1L, "<eos>" -> 2L, "<pad>" -> 3L,
+      // alphabet of {low, lower, newest, widest} sorted: d e i l n o r s t w
+      "d" -> 4L, "e" -> 5L, "i" -> 6L, "l" -> 7L, "n" -> 8L, "o" -> 9L,
+      "r" -> 10L, "s" -> 11L, "t" -> 12L, "w" -> 13L, "</w>" -> 14L,
       // the 10 hand-derived merges (see the train spec), outputs in order
-      "es" -> 11L, "est" -> 12L, "est</w>" -> 13L, "lo" -> 14L,
-      "low" -> 15L, "ew" -> 16L, "ewest</w>" -> 17L, "newest</w>" -> 18L,
-      "low</w>" -> 19L, "dest</w>" -> 20L)
+      "es" -> 15L, "est" -> 16L, "est</w>" -> 17L, "lo" -> 18L,
+      "low" -> 19L, "ew" -> 20L, "ewest</w>" -> 21L, "newest</w>" -> 22L,
+      "low</w>" -> 23L, "dest</w>" -> 24L)
     assert(v == expected)
   }
 
-  test("encodeIds: ids mirror encodeWord symbols; unknown chars emit -1") {
+  test("vocabulary: a merge output colliding with a special token fails loudly") {
+    import spark.implicits._
+    // corpus whose only high-frequency pair composes the literal '<eos>'
+    // string: first-wins insertion would silently alias corpus text onto
+    // a control id — the artifact must refuse instead
+    val df = Seq((0L, Seq.fill(5)("<eos>").mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(df, numMerges = 4)
+    // merges build '<e', 'os', '<eos' ... until some composition equals
+    // '<eos>'; whichever rank it lands at, vocabulary must throw
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.vocabulary(df, Bpe.train(df, numMerges = 10))
+    }
+    assert(ex.getMessage.contains("special token"), ex.getMessage)
+    // a prefix of the merge table that never composes the sentinel is fine
+    Bpe.vocabulary(df, merges.filter(org.apache.spark.sql.functions
+      .col("rank") < 1)).collect()
+  }
+
+  test("encodeIds: ids mirror encodeWord symbols; unknown chars emit <unk>") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)
     val vocab = Bpe.vocabulary(corpusDf, merges)
@@ -133,10 +155,11 @@ class BpeSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val got = Bpe.encodeIds(docs, merges, vocab)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
-    // low→[low</w>]=19, lowest→[low, est</w>]=[15,13], newest→[newest</w>]=18
-    assert(got(1L) == List(19L, 15L, 13L, 18L))
-    // foreign chars: UNK id -1, the word-final marker still resolves
-    assert(got(2L) == List(-1L, -1L, -1L, 10L))
+    // low→[low</w>]=23, lowest→[low, est</w>]=[19,17], newest→[newest</w>]=22
+    assert(got(1L) == List(23L, 19L, 17L, 22L))
+    // foreign chars: the artifact's reserved <unk> id (0) — a valid
+    // embedding index, not a −1 sentinel; the word-final marker resolves
+    assert(got(2L) == List(0L, 0L, 0L, 14L))
     // size(ids) == the schema-preserving count column — the spans /
     // budget currency IS positions in these arrays
     val counts = Bpe.withTokenCountColumn(docs, merges, textCol = "text")
@@ -154,12 +177,13 @@ class BpeSpec extends AnyFunSuite {
     val vocab = Bpe.vocabulary(docs, merges)
     val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the emoji is one vocabulary token (not two surrogate halves), and
-    // the alphabet sorts by CODE POINT: a < b < U+1F600
-    assert(v(emoji) == 2L && v("a") == 0L && v("b") == 1L)
-    // every id resolves — an in-corpus character never emits UNK
+    // the alphabet sorts by CODE POINT after the 4 reserved specials:
+    // a < b < U+1F600
+    assert(v(emoji) == 6L && v("a") == 4L && v("b") == 5L)
+    // every id resolves — an in-corpus character never emits UNK (id 0)
     val ids = Bpe.encodeIds(docs, merges, vocab)
       .collect().head.getSeq[Long](1)
-    assert(!ids.contains(-1L), ids.toString)
+    assert(!ids.contains(0L), ids.toString)
     // merge TIE-BREAKS are code-point order (== the SQL mirrors' UTF-8
     // byte ORDER BY), not UTF-16 code-unit order: U+FFFD (EF BF BD)
     // sorts BELOW U+1F600 (F0 9F 98 80) by bytes, though its UTF-16
@@ -209,8 +233,8 @@ class BpeSpec extends AnyFunSuite {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)
     val vocab = Bpe.vocabulary(corpusDf, merges)
-    // hand ids (see the vocabulary spec): low→[19], lowest→[15,13],
-    // newest→[18], widest→[9,2,20] (w, i, dest</w>)
+    // hand ids (see the vocabulary spec): low→[23], lowest→[19,17],
+    // newest→[22], widest→[13,6,24] (w, i, dest</w>)
     val turns = Seq(
       (0L, 0L, "user", "low lowest"),
       (0L, 1L, "assistant", "newest"),
@@ -232,37 +256,62 @@ class BpeSpec extends AnyFunSuite {
     // cum 4 -> bin 0, binOff 4, pos 4 then 5..10 (spillover past seqLen
     // is the documented packer semantic — conversations never split)
     val expected = Seq(
-      (0L, 0L, 0L, 19L, 0L), (0L, 0L, 1L, 15L, 0L), (0L, 0L, 2L, 13L, 0L),
-      (0L, 0L, 3L, 18L, 1L),
-      (0L, 0L, 4L, 19L, 0L),
-      (0L, 0L, 5L, 9L, 1L), (0L, 0L, 6L, 2L, 1L), (0L, 0L, 7L, 20L, 1L),
-      (0L, 0L, 8L, 9L, 1L), (0L, 0L, 9L, 2L, 1L), (0L, 0L, 10L, 20L, 1L))
+      (0L, 0L, 0L, 23L, 0L), (0L, 0L, 1L, 19L, 0L), (0L, 0L, 2L, 17L, 0L),
+      (0L, 0L, 3L, 22L, 1L),
+      (0L, 0L, 4L, 23L, 0L),
+      (0L, 0L, 5L, 13L, 1L), (0L, 0L, 6L, 6L, 1L), (0L, 0L, 7L, 24L, 1L),
+      (0L, 0L, 8L, 13L, 1L), (0L, 0L, 9L, 6L, 1L), (0L, 0L, 10L, 24L, 1L))
     assert(rows.toSeq == expected)
     graft.pipeline.PipelineCaches.clear()
   }
 
-  test("packedSequenceIds: pretraining rows with the EOS separator by hand") {
+  test("packedSequenceIds: pretraining rows with the artifact EOS by hand") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)
     val vocab = Bpe.vocabulary(corpusDf, merges)
-    // vocab has 21 tokens (ids 0..20) -> EOS = 21, appended per document
+    // EOS comes from the ARTIFACT's reserved <eos> row (id 2), not a
+    // caller-computed vocab size
     val docs = Seq((0L, "low lowest"), (2L, "widest"))
       .toDF("doc_id", "text")
     val rows = graft.pipeline.Corpus.packedSequenceIds(
-        docs, merges, vocab, seqLen = 6, shards = 2, eosId = Some(21L))
+        docs, merges, vocab, seqLen = 6, shards = 2)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2, t._3))
-    // doc 0: [19,15,13,21] fills bin 0 pos 0..3; doc 2: [9,2,20,21]
+    // doc 0: [23,19,17,2] fills bin 0 pos 0..3; doc 2: [13,6,24,2]
     // starts at cum 4 -> bin 0, binOff 4, pos 4..7 (spillover past
     // seqLen 6 — documents never split)
     val expected = Seq(
-      (0L, 0L, 0L, 19L), (0L, 0L, 1L, 15L), (0L, 0L, 2L, 13L),
-      (0L, 0L, 3L, 21L),
-      (0L, 0L, 4L, 9L), (0L, 0L, 5L, 2L), (0L, 0L, 6L, 20L),
-      (0L, 0L, 7L, 21L))
+      (0L, 0L, 0L, 23L), (0L, 0L, 1L, 19L), (0L, 0L, 2L, 17L),
+      (0L, 0L, 3L, 2L),
+      (0L, 0L, 4L, 13L), (0L, 0L, 5L, 6L), (0L, 0L, 6L, 24L),
+      (0L, 0L, 7L, 2L))
     assert(rows.toSeq == expected)
     graft.pipeline.PipelineCaches.clear()
+    // a vocab WITHOUT the reserved row fails loudly instead of packing
+    // with an invented separator id
+    val bare = Seq(("a", 0L)).toDF("token", "token_id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.Corpus.packedSequenceIds(docs, merges, bare)
+    }
+    assert(ex.getMessage.contains("<eos>"), ex.getMessage)
+    // appendEos = false: no separator row, nothing read from the vocab
+    val noEos = graft.pipeline.Corpus.packedSequenceIds(
+        docs, merges, vocab, seqLen = 6, shards = 2, appendEos = false)
+      .collect().map(r => r.getLong(3)).sorted.toSeq
+    assert(noEos == Seq(6L, 13L, 17L, 19L, 23L, 24L))
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("trainAndVocabulary: one histogram pass == separate train + vocabulary") {
+    val (m, v) = Bpe.trainAndVocabulary(corpusDf, numMerges = 10)
+    assert(m.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSet ==
+      Bpe.train(corpusDf, numMerges = 10).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    assert(v.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Bpe.vocabulary(corpusDf, Bpe.train(corpusDf, numMerges = 10))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
   test("trainPersistedIfStale: artifact serves, staleness-fence retrains") {

@@ -36,15 +36,19 @@ object PipelineEntries {
     * budget so every entry is verified against 10×-scale data with zero
     * timeouts (SURVEY §8).
     *
-    * `p_mm_dedup` / `p_mm_dedup_png` / `p_mm_dedup_gif` are the one exception to the
+    * `p_mm_dedup` / `p_mm_dedup_png` / `p_mm_dedup_gif` /
+    * `p_mm_dedup_jpeg` are the one exception to the
     * `doc_id % M == 0` shape: their image fixtures group by `doc_id / 4` with variant `doc_id % 4`,
     * so a modulus-aligned sample keeps exactly ONE member per group and
     * both engines emit zero pairs — a vacuously-green sweep (r14 ADVICE).
-    * That entry samples `doc_id % (2M) < 2` instead ([[mmSampleDocs]] /
+    * Those entries sample `doc_id % (2M) < 2` instead ([[mmSampleDocs]] /
     * [[mmSampleRel]]): the same 1/M corpus fraction, but kept ids arrive
     * in CONSECUTIVE pairs (8k, 8k+1), i.e. two variants of the same
     * image group, so within-group near-dup pairs survive sampling and
-    * the sweep checks real pair output. */
+    * the sweep checks real pair output. (The JPEG twin's oracle reads
+    * the same-JVM luma-grid dump, which the entry produces from the
+    * already-sampled input — the two sides can never disagree about
+    * the sample by construction.) */
   private[graft] def oracleSampleMod: Option[Long] =
     sys.env.get("SPARK_GRAFT_ORACLE_SAMPLE")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 2L)
@@ -97,6 +101,39 @@ object PipelineEntries {
       |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2""".stripMargin
+
+  /** Where `p_mm_dedup_jpeg` dumps its decoded 9×8 luma grid for the
+    * oracle (same-JVM evidence — lossy DCT decode has no SQL form;
+    * everything downstream of it does and is re-derived below).
+    * Overwritten by every run of the entry, so the oracle always reads
+    * the grid the very decode under test produced. */
+  private def jpegGridPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mm_jpeg_grid"
+
+  /** `p_mm_dedup_jpeg` oracle — the fixture-side-dump pattern: read the
+    * same-JVM decoded luma grid, re-derive the 64 gradient bits
+    * (`bit(r,c) = grid(r,c) < grid(r,c+1)` — exactly [[graft.pipeline
+    * .Multimodal.dhashOf]]'s definition, and grid == hash is
+    * spec-pinned in MultimodalSpec), brute-force every pairwise Hamming
+    * distance, keep dist ≤ 3 (the blocked mine's lossless ceiling). The
+    * codec is the ONLY link taken on trust; the hash formula and the
+    * pair mine — the operators under test — are derived independently. */
+  private def mmJpegDedupOracleSql: String =
+    s"""WITH g AS (
+      |  SELECT doc_id, r, c, luma
+      |  FROM read_parquet('$jpegGridPath/*.parquet')),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c, (a.luma < b.luma) AS bit
+      |  FROM g a JOIN g b
+      |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS dist
+      |  FROM bits x JOIN bits y
+      |    ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 3""".stripMargin
 
   /** The fixture text is separator-free word-soup, so the line-structured
     * entries (p_c4, p_boilerplate) synthesize deterministic line breaks
@@ -788,6 +825,25 @@ object PipelineEntries {
       Dedup.imageHashPairs(
         Multimodal.imageDHash(s,
           Multimodal.synthesizeGifMedia(s, mmSampleDocs(s, dir))))),
+
+    // and over real JPEGs — the LOSSY container that dominates crawls:
+    // same gradient through the JDK's own JPEG writer, decoded on
+    // executors via decodeImagePixels -> imageDHash -> the blocked
+    // Hamming mine. DCT quantization noise forbids the arithmetic
+    // mirror, so the oracle derives hash bits AND pair distances from
+    // the same-JVM decoded-luma-grid dump (imageLumaGrid — grid==hash
+    // consistency is spec-pinned); only the codec itself is trusted
+    // from the JVM. maxDist 3 (the block ceiling): measured codec
+    // drift is 0-4 bits/image (ProfileJpegDedup, DESIGN r17), so 3
+    // recovers ~69% of within-group near-dups vs 62% at 2
+    "p_mm_dedup_jpeg" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpegMedia(s, mmSampleDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.pipeline.PipelineCaches.track)
+      Multimodal.imageLumaGrid(s, media)
+        .coalesce(1).write.mode("overwrite").parquet(jpegGridPath)
+      Dedup.imageHashPairs(Multimodal.imageDHash(s, media), maxDist = 3)
+    }),
 
     // audio near-dup pairs: REAL RIFF/fmt/data chunk walk + PCM16 sample
     // read over synthesized waveform payloads → 64-block cyclic
@@ -4537,6 +4593,7 @@ object PipelineEntries {
     // the two codec containers share ONE arithmetic mirror — see
     // mmCodecDedupOracleSql
     "p_mm_dedup_png" -> mmCodecDedupOracleSql,
+    "p_mm_dedup_jpeg" -> mmJpegDedupOracleSql,
 
     "p_mm_dedup_gif" -> mmCodecDedupOracleSql,
 

@@ -351,6 +351,28 @@ object Multimodal {
     val raw = new Array[Byte](h * (w + 1)) // filter byte 0 + w samples/row
     for (y <- 0 until h; x <- 0 until w)
       raw(y * (w + 1) + 1 + x) = (px(x, y) & 0xFF).toByte
+    pngEncode(w, h, colorType = 0, raw)
+  }
+
+  /** Real 8-bit GRAY+ALPHA PNG (color type 4, 2 bytes/pixel) — the
+    * container variant whose decode lands on a 2-component
+    * gray-colorspace BufferedImage: the raster band-0 read must treat it
+    * exactly like pure gray (r16 ADVICE — getRGB's linear-gray → sRGB
+    * conversion would compress adjacent-pixel ties). Spec fixture. */
+  private[graft] def pngGrayAlphaBytes(w: Int, h: Int,
+      px: (Int, Int) => Int, alpha: Int = 255): Array[Byte] = {
+    val raw = new Array[Byte](h * (w * 2 + 1))
+    for (y <- 0 until h; x <- 0 until w) {
+      raw(y * (w * 2 + 1) + 1 + 2 * x) = (px(x, y) & 0xFF).toByte
+      raw(y * (w * 2 + 1) + 2 + 2 * x) = (alpha & 0xFF).toByte
+    }
+    pngEncode(w, h, colorType = 4, raw)
+  }
+
+  /** Shared PNG assembly: zlib-deflate the filter-0 scanlines, wrap in
+    * signature + IHDR(colorType) + IDAT + IEND. */
+  private def pngEncode(w: Int, h: Int, colorType: Int,
+      raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val out = new java.io.ByteArrayOutputStream()
@@ -359,7 +381,7 @@ object Multimodal {
     defl.end()
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
     val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 = grayscale
+      .put(8.toByte).put(colorType.toByte) // bit depth 8
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
       pngChunk("IEND", Array.emptyByteArray)
@@ -415,6 +437,70 @@ object Multimodal {
       .toDF()
   }
 
+  /** Fixture JPEGs: the same 27×16 gradient (and corrupt rule) as the
+    * BMP/PNG/GIF fixtures, encoded through the JDK's own JPEG writer —
+    * the LOSSY container that dominates real crawls. Unlike those three,
+    * the decoded pixels are NOT the formula's (DCT quantization noise),
+    * so the near-dup gate entry's oracle derives pairs from the same-JVM
+    * decoded-luma dump ([[imageLumaGrid]]) instead of the arithmetic
+    * mirror — the codec is the one link that cannot be re-derived in
+    * SQL, and everything downstream of it (grid sampling, gradient
+    * bits, Hamming distances, the blocked pair mine) is. `id % 17 = 0`
+    * payloads are a truncated SOI/APP0 prefix (corrupt) and must drop. */
+  def synthesizeJpegMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(BatchSize).flatMap(_.iterator.map { id =>
+          val media =
+            if (id % 17 == 0)
+              Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+            else {
+              val img = new java.awt.image.BufferedImage(27, 16,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              for (y <- 0 until 16; x <- 0 until 27)
+                raster.setSample(x, y,
+                  0, ((17 * (id / 4) + 7 * x + 13 * y + id % 4) % 256).toInt)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", out)
+              out.toByteArray
+            }
+          MediaRecord(id, media)
+        })
+      }
+      .toDF()
+  }
+
+  final case class LumaSample(doc_id: Long, r: Long, c: Long, luma: Long)
+
+  /** The 9×8 dHash SAMPLING GRID of every decodable image, one row per
+    * grid cell — the same-JVM evidence dump a LOSSY container's near-dup
+    * oracle derives pairs from: [[dhashOf]] reads exactly
+    * `grid(r, c) = luma(⌊c·w/9⌋, ⌊r·h/8⌋)` and emits
+    * `bit(r, c) = grid(r, c) < grid(r, c+1)`, so a SQL mirror over these
+    * rows re-derives the hash bits AND the pairwise Hamming mine without
+    * trusting either — only the codec decode itself (which has no SQL
+    * form) is taken from the JVM. Grid-vs-hash consistency is
+    * spec-pinned ([[imageDHash]] == bits folded from this frame).
+    * Corrupt payloads drop, like every decoder path here. */
+  def imageLumaGrid(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(BatchSize).flatMap(_.iterator.flatMap { rec =>
+          decodeImagePixels(rec.media).iterator.flatMap { case (w, h, luma) =>
+            for (r <- 0 until 8; c <- 0 until 9)
+              yield LumaSample(rec.doc_id, r.toLong, c.toLong,
+                luma(c * w / 9, r * h / 8).toLong)
+          }
+        })
+      }
+      .toDF()
+  }
+
   /** Codec-backed pixel decode via `javax.imageio` (public JDK API, no
     * added dependency; executors run it headless) — the path for the
     * container formats real crawls carry (PNG, JPEG, GIF). Undecodable
@@ -427,14 +513,19 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
-        // single-band non-palette images (grayscale PNG/JPEG): read the
-        // STORED sample from the raster — getRGB would push it through a
-        // linear-gray → sRGB color-space conversion (64 → 137), a
-        // monotone but wrong luma. Palette (GIF) and RGB images take the
-        // getRGB path, where the value is already the intended color.
-        val grayBand = !img.getColorModel
-          .isInstanceOf[java.awt.image.IndexColorModel] &&
-          img.getColorModel.getNumComponents == 1
+        // non-palette GRAY-COLORSPACE images (grayscale PNG/JPEG,
+        // including gray+ALPHA — color type 4 PNGs, numComponents 2 but
+        // one COLOR component): read the STORED sample from band 0 —
+        // getRGB would push it through a linear-gray → sRGB color-space
+        // conversion (64 → 137), a monotone but wrong luma that can
+        // collapse adjacent-pixel ties, so identical pixels carried in
+        // gray vs gray+alpha containers would hash apart (r16 ADVICE).
+        // Palette (GIF) and RGB images take the getRGB path, where the
+        // value is already the intended color.
+        val cm = img.getColorModel
+        val grayBand = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+          cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY &&
+          cm.getNumColorComponents == 1
         val luma =
           if (grayBand) {
             val raster = img.getRaster

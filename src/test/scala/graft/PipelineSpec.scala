@@ -1806,6 +1806,73 @@ class MultimodalSpec extends AnyFunSuite {
         3L * (5L % 4)).toInt)
     assert(fps(5L) == Multimodal.energyFingerprintOf(512, s(_)).get)
   }
+
+  test("JPEG fixture: corrupt drops, near-dup structure, drift bounded") {
+    import spark.implicits._
+    val d = (0L until 40L).toDF("doc_id")
+    val hashes = Multimodal.imageDHash(spark,
+        Multimodal.synthesizeJpegMedia(spark, d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id % 17 == 0 payloads are a truncated SOI/APP0 prefix -> dropped
+    assert(!hashes.contains(0L) && !hashes.contains(17L) &&
+      !hashes.contains(34L) && hashes.size == 37)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // lossy codec drift vs the arithmetic gradient stays small (measured
+    // 0..4 bits across 1000 fixture ids — ProfileJpegDedup / DESIGN r17),
+    // so within-group variants keep their near-dup structure
+    def formula(id: Long) = Multimodal.dhashOf(27, 16,
+      (x, y) => ((17 * (id / 4) + 7 * x + 13 * y + id % 4) % 256).toInt)
+    for (id <- hashes.keys)
+      assert(ham(hashes(id), formula(id)) <= 6, s"doc $id drifted")
+  }
+
+  test("imageLumaGrid: the dump re-derives imageDHash bit for bit") {
+    import spark.implicits._
+    // the consistency the p_mm_dedup_jpeg oracle rests on: folding the
+    // dumped 9×8 grid through dhashOf's bit rule reproduces the very
+    // hash imageDHash emitted for the same payloads
+    val d = (0L until 30L).toDF("doc_id")
+    val media = Multimodal.synthesizeJpegMedia(spark, d)
+    val hashes = Multimodal.imageDHash(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grid = Multimodal.imageLumaGrid(spark, media)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // corrupt ids appear in neither frame
+    assert(grid.keys.map(_._1).toSet == hashes.keySet)
+    for (id <- hashes.keys) {
+      var h = 0L
+      var k = 0
+      for (r <- 0 until 8; c <- 0 until 8) {
+        if (grid((id, r.toLong, c.toLong)) < grid((id, r.toLong, c + 1L)))
+          h |= (1L << k)
+        k += 1
+      }
+      assert(h == hashes(id), s"doc $id grid-derived hash mismatch")
+    }
+  }
+
+  test("gray+alpha PNG hashes like pure gray (raster band-0, not sRGB getRGB)") {
+    def px(x: Int, y: Int): Int = (7 * x + 13 * y + 3) % 256
+    val Some((w, h, luma)) = Multimodal.decodeImagePixels(
+      Multimodal.pngGrayAlphaBytes(27, 16, px))
+    assert(w == 27 && h == 16)
+    // STORED gray survives: getRGB's linear-gray -> sRGB conversion
+    // would read 64 back as 137 (r16 gotcha) and collapse adjacent ties
+    for (x <- 0 until 27; y <- 0 until 16 if (x + y) % 5 == 0)
+      assert(luma(x, y) == px(x, y), s"px($x,$y)")
+    // identical pixels in gray vs gray+alpha containers hash IDENTICALLY
+    val Some((_, _, pure)) = Multimodal.decodeImagePixels(
+      Multimodal.pngGrayBytes(27, 16, px))
+    assert(Multimodal.dhashOf(27, 16, luma) ==
+      Multimodal.dhashOf(27, 16, pure))
+    // a translucent alpha plane does not perturb the gray band read
+    val Some((_, _, halfA)) = Multimodal.decodeImagePixels(
+      Multimodal.pngGrayAlphaBytes(27, 16, px, alpha = 128))
+    assert(Multimodal.dhashOf(27, 16, halfA) ==
+      Multimodal.dhashOf(27, 16, pure))
+  }
 }
 
 class CorpusSpec extends AnyFunSuite {

@@ -72,10 +72,22 @@ object Snapshot {
     * JVMs and every persisted artifact silently rebuilt once per
     * session (found round 16: two identical Verify sessions both logged
     * ARTIFACT REBUILD). Strip it: the normalized numeric id is the
-    * entire identity canonicalization intends. */
+    * entire identity canonicalization intends.
+    *
+    * The match is ANCHORED to the ExprId serialization context
+    * (`"...expressions.ExprId","id":<n>,"jvmId":"<uuid>"` as one unit —
+    * probed against Spark 4.1's actual TreeNode JSON), not any
+    * uuid-shaped `jvmId` key anywhere: a USER STRING LITERAL containing
+    * a jvmId-shaped substring serializes with escaped quotes (`\"`), so
+    * it can never match the anchored form, and two plans differing only
+    * in such a literal keep distinct fingerprints (r16 ADVICE — the
+    * unanchored strip could conflate them and serve a stale artifact as
+    * fresh). */
   private[graft] def stripJvmIds(planJson: String): String =
     planJson.replaceAll(
-      "\"jvmId\":\"[0-9a-fA-F-]{36}\"", "\"jvmId\":\"\"")
+      "(\"org\\.apache\\.spark\\.sql\\.catalyst\\.expressions\\.ExprId\"" +
+        ",\"id\":\\d+,)\"jvmId\":\"[0-9a-fA-F-]{36}\"",
+      "$1\"jvmId\":\"\"")
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

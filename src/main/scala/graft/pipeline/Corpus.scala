@@ -46,10 +46,26 @@ object Corpus {
     * id and keep when `state mod den < num`. SQL-mirrorable (plain
     * integer arithmetic — DuckDB has no xxhash64); for production
     * sampling keyed on adversarial ids swap in `pmod(xxhash64(col), den)`
-    * via the `hash` parameter of [[stratifiedSample]]. */
-  def lcgBucket(id: Column, den: Int): Column =
-    pmod(pmod(pmod(id, lit(LcgM)) * lit(LcgA), lit(LcgM)) * lit(LcgA), lit(LcgM)) %
-      lit(den.toLong)
+    * via the `hash` parameter of [[stratifiedSample]].
+    *
+    * Non-negative ids ONLY, enforced per row: Spark's `pmod` would
+    * happily hash a negative id, but the documented engine-portable
+    * mirrors spell the first reduction with sign-following `%` (DuckDB/
+    * Trino), so a signed-id corpus would SILENTLY diverge from every
+    * LCG-derived artifact (samples, shards, splits) instead of failing —
+    * the DESIGN "id-sign contract" made loud (r16 verdict #5). One
+    * comparison per row; `raise_error` keeps the expression
+    * codegen-friendly and unprunable. */
+  def lcgBucket(id: Column, den: Int): Column = {
+    val checked = when(id < 0, raise_error(concat(
+        lit("lcgBucket: negative id "), id.cast("string"),
+        lit(" — the MINSTD² sampling/shard mirrors are defined for " +
+          "non-negative ids only (DESIGN: round-16 id-sign contract); " +
+          "remap or hash ids upstream"))))
+      .otherwise(id)
+    pmod(pmod(pmod(checked, lit(LcgM)) * lit(LcgA), lit(LcgM)) * lit(LcgA),
+      lit(LcgM)) % lit(den.toLong)
+  }
 
   /** Reproducible stratified sampling: keep a row iff its id-hash bucket
     * (out of `den`) falls below the stratum's numerator (`rates`, with
@@ -467,6 +483,62 @@ object Corpus {
         posexplode(col("__ids")).as(Seq("__i", "token_id")))
       .select(col("shard"), col("seq_bin"),
         (col("__binOff") + col("__i")).as("pos"), col("token_id"))
+  }
+
+  /** Per-shard manifest of a PACKED tensor frame ([[packedSequenceIds]]
+    * / [[Sft.packedExamples]] rows — (shard, seq_bin, pos, token_id
+    * [, train_mask])): token count, distinct bin count, and an
+    * ORDER-INDEPENDENT content hash (bit_xor of per-row xxhash64 over
+    * every column) — the record a loader validates a shard directory
+    * against. Same xor algebra as [[shardManifest]]: associative,
+    * commutative, self-inverse, so manifests COMPOSE — the manifest of
+    * a union is the per-shard xor of the parts' hashes with counts
+    * added (spec-pinned), which is what lets an incremental export
+    * append a delta without rescanning shipped shards.
+    *
+    * Scale: one narrow hash projection into a map-side-combinable
+    * aggregate; |shards| output rows (the distinct-bin count rides the
+    * same grouped aggregate). */
+  def packedManifest(packed: DataFrame): DataFrame =
+    packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("seq_bin")).as("n_bins"),
+        expr(s"bit_xor(xxhash64(${packed.columns.mkString(", ")}))")
+          .as("content_hash"))
+
+  /** Materialize a packed tensor frame as the TRAINING-READY on-disk
+    * layout a data loader consumes (r16 verdict #6 — the engine
+    * produced tensor CONTENT; this is its terminal): parquet
+    * partitioned by shard, rows WITHIN each file in (seq_bin, pos)
+    * order (spec-pinned file by file), plus a [[packedManifest]] row
+    * per shard persisted beside the data (`_packed_manifest` — the
+    * underscore keeps parquet readers out), derived from the rows as
+    * WRITTEN — re-reading what landed on disk, so the manifest also
+    * round-trip-checks the write. A loader streams each shard
+    * directory's files in name order and gets every window's tokens
+    * consecutively, no re-sort.
+    *
+    * Scale: one hash exchange on shard + per-partition sort (the
+    * [[Sampling.writeShards]] write path — shard count is the write
+    * parallelism, a dataset-layout choice); the manifest is one scan
+    * of the written output. Returns the manifest. */
+  def writePackedShards(packed: DataFrame, path: String): DataFrame = {
+    val spark = packed.sparkSession
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq_bin"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // manifest FROM THE FILES, not the input plan: proves the layout
+    // that actually landed (and costs one scan of the packed output).
+    // Partition discovery re-types the shard directory key (int32), so
+    // cast every column back to the input schema — xxhash64 is
+    // dtype-sensitive and the manifest must equal the pre-write one.
+    val m = packedManifest(
+      spark.read.parquet(path).select(
+        packed.schema.fields.map(f => col(f.name).cast(f.dataType))
+          .toIndexedSeq: _*))
+    m.coalesce(1).write.mode("overwrite").parquet(s"$path/_packed_manifest")
+    m
   }
 
   /** Dataset-release shard manifest — the reproducibility record a

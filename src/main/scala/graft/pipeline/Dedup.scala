@@ -468,6 +468,31 @@ object Dedup {
       .distinct()
   }
 
+  /** The buckets [[imageHashPairs]]' `maxBucketSize` cap DROPS — the
+    * no-silent-caps companion: one row per over-cap (chunk, cv) block
+    * with its population, so a caller can LOG what the cap cost
+    * (`drops.agg(sum("count"))` is the number of images whose candidacy
+    * that chunk stopped carrying) instead of discovering a recall hole
+    * later. Empty on healthy hash distributions; non-empty means the
+    * corpus has a degenerate hash class (solid-color images all hash 0,
+    * the classic case) and each listed block was about to cost
+    * count²/2 candidate pairs. Pairs inside a dropped block can still
+    * surface through the other 3 chunks (the block join needs only ONE
+    * surviving chunk match), so recall loss is bounded by pairs whose
+    * EVERY shared chunk is over cap — measured on the adversarially
+    * dense gradient fixture in `ProfileImageCap` (DESIGN r17). Same
+    * aggregate the miner itself computes; |dropped blocks| rows. */
+  def imageHashBucketDrops(
+      hashes: DataFrame, hashCol: String = "dhash",
+      idCol: String = "doc_id", maxBucketSize: Int = 10000): DataFrame = {
+    val prep = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    prep.select(col("id"), posexplode(chunks).as(Seq("chunk", "cv")))
+      .groupBy("chunk", "cv").count()
+      .filter(col("count") > maxBucketSize)
+  }
+
   // ---- exact n-gram Jaccard (prefix-filtered similarity join) ---------------
 
   /** EXACT all-pairs 3-word-shingle Jaccard >= threshold — the

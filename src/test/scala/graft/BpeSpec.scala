@@ -303,6 +303,86 @@ class BpeSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("writePackedShards: loader layout — in-file order, manifest, round trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    val docs = (0L until 40L).map(i =>
+      (i, Seq("low", "lower", "newest", "widest", "lowest")
+        .take(1 + (i % 5).toInt).mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = graft.pipeline.Corpus.packedSequenceIds(
+      docs, merges, vocab, seqLen = 8, shards = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_w").toString
+    try {
+      val manifest = graft.pipeline.Corpus.writePackedShards(packed, s"$dir/t")
+      // partition discovery re-types the shard directory key as int —
+      // cast back (exactly what writePackedShards' own manifest re-read
+      // does before hashing)
+      val back = spark.read.parquet(s"$dir/t")
+        .withColumn("shard", col("shard").cast("long"))
+      // round trip: the rows a loader reads are EXACTLY the packed rows
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(r.fieldIndex("shard")), r.getLong(r.fieldIndex("seq_bin")),
+          r.getLong(r.fieldIndex("pos")), r.getLong(r.fieldIndex("token_id")))
+      assert(back.collect().map(key).sorted.toSeq ==
+        packed.collect().map(key).sorted.toSeq)
+      // file-level ordering pin: within EVERY data file, rows are
+      // (seq_bin, pos)-sorted and belong to one shard — the no-re-sort
+      // loader contract
+      val byFile = back
+        .select(col("shard").cast("long"), col("seq_bin"), col("pos"),
+          input_file_name().as("f"))
+        .collect().groupBy(_.getString(3))
+      assert(byFile.nonEmpty)
+      for ((f, rows) <- byFile) {
+        assert(rows.map(_.getLong(0)).distinct.length == 1, s"$f mixes shards")
+        val order = rows.map(r => (r.getLong(1), r.getLong(2))).toSeq
+        assert(order == order.sorted, s"$f not (seq_bin, pos)-sorted")
+      }
+      // the persisted manifest equals the returned one AND a fresh
+      // packedManifest of the input — the write changed nothing
+      val mKey = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val persisted = spark.read.parquet(s"$dir/t/_packed_manifest")
+        .collect().map(mKey).sorted.toSeq
+      assert(persisted == manifest.collect().map(mKey).sorted.toSeq)
+      assert(persisted == graft.pipeline.Corpus.packedManifest(packed)
+        .collect().map(mKey).sorted.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("packedManifest composes: union == per-shard xor of the parts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 60L).map(i =>
+      (i % 3, i / 10, i % 10, i * 7 % 23)) // (shard, seq_bin, pos, token_id)
+      .toDF("shard", "seq_bin", "pos", "token_id")
+    val a = rows.filter(col("seq_bin") < 3)
+    val b = rows.filter(col("seq_bin") >= 3)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Corpus.packedManifest(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val (ma, mb, full) = (m(a), m(b), m(rows))
+    assert(full.keySet == ma.keySet ++ mb.keySet)
+    for (s <- full.keySet) {
+      val (na, _, ha) = ma.getOrElse(s, (0L, 0L, 0L))
+      val (nb, _, hb) = mb.getOrElse(s, (0L, 0L, 0L))
+      assert(full(s)._1 == na + nb, s"shard $s token count")
+      assert(full(s)._3 == (ha ^ hb), s"shard $s hash composition")
+    }
+    // distinct-bin counts compose only on bin-disjoint parts (this
+    // split is bin-disjoint, so they add here too)
+    for (s <- full.keySet)
+      assert(full(s)._2 == ma.getOrElse(s, (0L, 0L, 0L))._2 +
+        mb.getOrElse(s, (0L, 0L, 0L))._2)
+  }
+
   test("trainAndVocabulary: one histogram pass == separate train + vocabulary") {
     val (m, v) = Bpe.trainAndVocabulary(corpusDf, numMerges = 10)
     assert(m.collect().map(r => (r.getLong(0), r.getString(1),

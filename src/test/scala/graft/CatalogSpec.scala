@@ -168,9 +168,17 @@ class CatalogSpec extends AnyFunSuite {
     // derivation fingerprints differently in every JVM and every
     // persisted artifact rebuilds once per session (round-16 find:
     // back-to-back Verify sessions each logged ARTIFACT REBUILD)
-    assert(Snapshot.stripJvmIds(
-      """{"id":0,"jvmId":"47a39540-6812-46d6-b5f2-9e2d7051db56"},{"x":1}""")
-      == """{"id":0,"jvmId":""},{"x":1}""")
+    // the strip is ANCHORED to the ExprId product-class context —
+    // a bare jvmId-shaped fragment OUTSIDE that context is left alone
+    // (r16 ADVICE: an unanchored strip could conflate two plans
+    // differing only in a jvmId-shaped string literal)
+    val ctx = """"org.apache.spark.sql.catalyst.expressions.ExprId"""" +
+      ""","id":0,"jvmId":"47a39540-6812-46d6-b5f2-9e2d7051db56"}"""
+    assert(Snapshot.stripJvmIds(ctx) ==
+      """"org.apache.spark.sql.catalyst.expressions.ExprId"""" +
+        ""","id":0,"jvmId":""}""")
+    val bare = """{"id":0,"jvmId":"47a39540-6812-46d6-b5f2-9e2d7051db56"}"""
+    assert(Snapshot.stripJvmIds(bare) == bare)
     // on a real canonicalized plan: no UUID-shaped jvmId survives
     val dir = Files.createTempDirectory("graft_fp_jvm").toString
     Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
@@ -179,6 +187,17 @@ class CatalogSpec extends AnyFunSuite {
         .queryExecution.analyzed.canonicalized.toJSON)
     assert(!"\"jvmId\":\"[0-9a-fA-F-]{36}\"".r.findFirstIn(json).isDefined,
       "a per-JVM UUID survived into the fingerprint material")
+    // ...and two plans differing ONLY in a jvmId-shaped string literal
+    // keep DISTINCT fingerprints (the literal's quotes serialize
+    // escaped, so the anchored strip never touches it)
+    def withLit(u: String) = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.lit(
+        s""""jvmId":"$u"""").as("x"))
+    assert(Snapshot.fingerprint(
+        withLit("47a39540-6812-46d6-b5f2-9e2d7051db56")) !=
+      Snapshot.fingerprint(
+        withLit("0b47a219-f9ea-4967-91ab-e78bf583cd6e")),
+      "plans differing only in a jvmId-shaped literal share a fingerprint")
   }
 
   test("catalog save / load / version-poll refresh") {

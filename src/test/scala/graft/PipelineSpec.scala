@@ -522,6 +522,38 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.imageHashPairs(same, maxDist = 0, maxBucketSize = 3).count() == 0)
   }
 
+  test("bucket-cap drops are RETURNED, and single-chunk drops cost no recall") {
+    import TestSpark.spark.implicits._
+    // a degenerate chunk: every hash has chunks 2,3 == 0 (the
+    // solid-color-corpus shape the cap exists for), while chunks 0/1
+    // still separate the near-dup groups
+    val hashes = Seq(
+      (1L, 5L << 16), (2L, 5L << 16),     // dup pair A (chunk1 = 5)
+      (3L, 9L << 16), (4L, 9L << 16),     // dup pair B (chunk1 = 9)
+      (5L, 7L), (6L, 7L))                 // dup pair C (chunk0 = 7)
+      .toDF("doc_id", "dhash")
+    // cap 5: the two all-six blocks (chunk2=0, chunk3=0) are over cap
+    // and LISTED by the drops frame — no silent pruning
+    val drops = Dedup.imageHashBucketDrops(hashes, maxBucketSize = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(drops == Set((2, 0L, 6L), (3, 0L, 6L)), drops)
+    // ...and recall is UNTOUCHED: every pair still shares a surviving
+    // chunk (the block join needs only one), so capped == uncapped
+    val capped = Dedup.imageHashPairs(hashes, maxDist = 0, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    assert(capped == Dedup.imageHashPairs(hashes, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // a cap below every bucket: drops list ALL blocks, pairs go to zero —
+    // the recall bill is visible in the returned frame, never implicit
+    val allDropped = Dedup.imageHashBucketDrops(hashes, maxBucketSize = 1)
+    assert(allDropped.count() > 0)
+    assert(Dedup.imageHashPairs(hashes, maxDist = 0, maxBucketSize = 1)
+      .count() == 0)
+    // healthy distribution: drops frame is EMPTY at the default cap
+    assert(Dedup.imageHashBucketDrops(hashes).count() == 0)
+  }
+
   test("end-to-end image dedup: synthesized BMPs -> dHash -> blocked pairs") {
     import TestSpark.spark.implicits._
     val d = (1L until 8L).toDF("doc_id") // ids 1..7; no corrupt (id%17) ids
@@ -2280,6 +2312,36 @@ class SamplingSpec extends AnyFunSuite {
         if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
         s"src${i % 4}"))
       .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("negative ids fail LOUDLY on every LCG mirror path (id-sign contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the documented DuckDB mirrors spell the first LCG reduction with
+    // sign-following %, so a signed-id corpus would silently land in
+    // different shards/splits/samples than the mirror predicts — the
+    // shared entry points now raise per-row instead (r16 verdict #5)
+    val signed = Seq((-5L, "neg text", "en", "s0"), (7L, "pos", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    def loud(f: => Unit): Unit = {
+      val e = intercept[Exception] { f }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("negative id")), e.toString)
+    }
+    loud(Sampling.assignSplits(signed).collect())
+    loud(Sampling.seededShuffle(signed).collect())
+    loud(Sampling.weightedSample(
+      signed.withColumn("w", org.apache.spark.sql.functions.lit(1.0)),
+      k = 1, weightCol = "w").collect())
+    loud(graft.pipeline.Corpus.stratifiedSample(
+      signed, Map("en" -> 50), defaultNum = 50).collect())
+    loud(graft.pipeline.Corpus.mixtureSample(
+      signed, Map("s0" -> 1.0), defaultWeight = 1.0).collect())
+    // non-negative ids: untouched fast path, zero behavior change
+    assert(Sampling.assignSplits(signed.filter(col("doc_id") >= 0))
+      .count() == 1)
   }
 
   test("assignSplits: exhaustive, deterministic, append-stable, validated") {

@@ -18,10 +18,10 @@ object PipelineEntries {
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Deterministic input bound for the eleven heavyweight dedup /
+  /** Deterministic input bound for the twelve heavyweight dedup /
     * fingerprint mirrors (`p_dedup_keep_best/minhash/ngram/clusters/
     * contain/recall`, `p_split_leakage`, `p_fingerprint`, `p_mm_dedup`,
-    * `p_mm_dedup_png`, `p_mm_dedup_gif`),
+    * `p_mm_dedup_png`, `p_mm_dedup_gif`, `p_mm_dedup_jpeg`),
     * whose DuckDB oracles recompute 96-hash signatures / all-pairs
     * Jaccard / recursive closures / byte-loop XXH64 effectively
     * single-threaded and time out past gate scale. When

@@ -106,9 +106,13 @@ object PipelineEntries {
     * oracle (same-JVM evidence — lossy DCT decode has no SQL form;
     * everything downstream of it does and is re-derived below).
     * Overwritten by every run of the entry, so the oracle always reads
-    * the grid the very decode under test produced. */
+    * the grid the very decode under test produced; the sample suffix
+    * keeps the sf0.1 sweep's sampled dump from clobbering an unsampled
+    * gate/bench dump mid-flight (the [[samplePathSuffix]] convention
+    * the other persisted artifacts use). */
   private def jpegGridPath: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_mm_jpeg_grid"
+    s"${System.getProperty("java.io.tmpdir")}/graft_mm_jpeg_grid" +
+      samplePathSuffix
 
   /** `p_mm_dedup_jpeg` oracle — the fixture-side-dump pattern: read the
     * same-JVM decoded luma grid, re-derive the 64 gradient bits
@@ -841,7 +845,7 @@ object PipelineEntries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(graft.pipeline.PipelineCaches.track)
       Multimodal.imageLumaGrid(s, media)
-        .coalesce(1).write.mode("overwrite").parquet(jpegGridPath)
+        .write.mode("overwrite").parquet(jpegGridPath)
       Dedup.imageHashPairs(Multimodal.imageDHash(s, media), maxDist = 3)
     }),
 
@@ -3973,16 +3977,18 @@ object PipelineEntries {
     // artifact read == fresh retrain: one oracle pins both twins (the
     // p_span_persisted pattern)
     "p_bpe_persisted" -> bpeTokensOracleSql(numMerges = 50),
-    // the id table: alphabet scan + merge outputs over the same merge
-    // CTEs — first-rank dedup mirrors the first-wins insert
+    // the id table: reserved specials at 0..3, alphabet scan + merge
+    // outputs over the same merge CTEs — first-rank dedup mirrors the
+    // first-wins insert
     "p_bpe_vocab" -> bpeVocabOracleSql(numMerges = 50),
     // input_ids: apply chain to symbol lists, per-doc cumulative
-    // offsets, vocabulary lookup (LEFT JOIN + -1 = the UNK convention)
+    // offsets, vocabulary lookup (LEFT JOIN; misses coalesce to the
+    // artifact's reserved <unk> row — UNK is vocab data, not a sentinel)
     "p_bpe_ids" -> bpeIdsOracleSql(numMerges = 50),
     // persisted twin shares the fresh oracle: artifact == retrain
     "p_bpe_ids_persisted" -> bpeIdsOracleSql(numMerges = 50),
-    // pretraining tensor export: ids + EOS + the packSequences window,
-    // re-derived end to end — see packIdsOracleSql
+    // pretraining tensor export: ids + artifact-EOS + the packSequences
+    // window, re-derived end to end — see packIdsOracleSql
     "p_pack_ids" -> packIdsOracleSql(),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented

@@ -56,16 +56,24 @@ object Corpus {
     * the DESIGN "id-sign contract" made loud (r16 verdict #5). One
     * comparison per row; `raise_error` keeps the expression
     * codegen-friendly and unprunable. */
-  def lcgBucket(id: Column, den: Int): Column = {
-    val checked = when(id < 0, raise_error(concat(
-        lit("lcgBucket: negative id "), id.cast("string"),
-        lit(" — the MINSTD² sampling/shard mirrors are defined for " +
-          "non-negative ids only (DESIGN: round-16 id-sign contract); " +
-          "remap or hash ids upstream"))))
+  def lcgBucket(id: Column, den: Int): Column =
+    pmod(pmod(pmod(requireNonNegativeId(id, "lcgBucket"), lit(LcgM)) *
+      lit(LcgA), lit(LcgM)) * lit(LcgA), lit(LcgM)) % lit(den.toLong)
+
+  /** The shared per-row non-negative-id guard of both LCG entry points
+    * (this and [[Sampling.seededBucket]]): the documented DuckDB/Trino
+    * mirrors spell the first reduction with sign-following `%`, so a
+    * signed id would SILENTLY land in a different bucket than the
+    * mirror predicts — raise instead (DESIGN: round-16 id-sign
+    * contract, enforced r17). One codegen-friendly comparison/row. */
+  private[pipeline] def requireNonNegativeId(id: Column,
+      context: String): Column =
+    when(id < 0, raise_error(concat(
+        lit(s"$context: negative id "), id.cast("string"),
+        lit(" — the MINSTD² sampling/shard/split mirrors are defined " +
+          "for non-negative ids only (DESIGN: round-16 id-sign " +
+          "contract); remap or hash ids upstream"))))
       .otherwise(id)
-    pmod(pmod(pmod(checked, lit(LcgM)) * lit(LcgA), lit(LcgM)) * lit(LcgA),
-      lit(LcgM)) % lit(den.toLong)
-  }
 
   /** Reproducible stratified sampling: keep a row iff its id-hash bucket
     * (out of `den`) falls below the stratum's numerator (`rates`, with
@@ -500,11 +508,14 @@ object Corpus {
     * aggregate; |shards| output rows (the distinct-bin count rides the
     * same grouped aggregate). */
   def packedManifest(packed: DataFrame): DataFrame =
-    packed.groupBy("shard")
+    // hash via a projected column, not name interpolation into expr()
+    // — the shardManifest shape: robust to reserved-word/odd column
+    // names, and xxhash64 takes the typed Columns directly
+    packed.withColumn("__h", xxhash64(packed.columns.map(col).toIndexedSeq: _*))
+      .groupBy("shard")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("seq_bin")).as("n_bins"),
-        expr(s"bit_xor(xxhash64(${packed.columns.mkString(", ")}))")
-          .as("content_hash"))
+        expr("bit_xor(__h)").as("content_hash"))
 
   /** Materialize a packed tensor frame as the TRAINING-READY on-disk
     * layout a data loader consumes (r16 verdict #6 — the engine
@@ -530,13 +541,15 @@ object Corpus {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     // manifest FROM THE FILES, not the input plan: proves the layout
     // that actually landed (and costs one scan of the packed output).
-    // Partition discovery re-types the shard directory key (int32), so
-    // cast every column back to the input schema — xxhash64 is
-    // dtype-sensitive and the manifest must equal the pre-write one.
+    // The EXPLICIT read schema does two jobs: partition discovery would
+    // otherwise re-type the shard directory key (int32) and xxhash64 is
+    // dtype-sensitive, and an EMPTY write (zero part files, only
+    // _SUCCESS) has nothing to infer a schema from — with the schema
+    // supplied, an empty directory reads as an empty frame and the
+    // terminal yields an empty-but-valid manifest instead of throwing.
     val m = packedManifest(
-      spark.read.parquet(path).select(
-        packed.schema.fields.map(f => col(f.name).cast(f.dataType))
-          .toIndexedSeq: _*))
+      spark.read.schema(packed.schema).parquet(path)
+        .select(packed.columns.map(col).toIndexedSeq: _*))
     m.coalesce(1).write.mode("overwrite").parquet(s"$path/_packed_manifest")
     m
   }

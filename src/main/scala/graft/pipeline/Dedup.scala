@@ -445,16 +445,32 @@ object Dedup {
     * least one exact chunk — the equi-join is a complete candidate set,
     * enforced by the require. Same singleton-prune + bucket cap before
     * the self-join; candidates ∝ similar pairs, not corpus². */
+  /** The shared 16-bit 4-chunk decomposition of a 64-bit hash frame —
+    * ONE definition of the blocking scheme, so the miner
+    * ([[imageHashPairs]]) and the drops report
+    * ([[imageHashBucketDrops]]) can never disagree about what a bucket
+    * is. Returns (id, h, chunk, cv). */
+  private def hashChunked(hashes: DataFrame, hashCol: String,
+      idCol: String): DataFrame = {
+    val prep = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    prep.select(col("id"), col("h"),
+      posexplode(chunks).as(Seq("chunk", "cv")))
+  }
+
+  /** Per-(chunk, cv) block populations of [[hashChunked]] — the frame
+    * both the miner's cap filter and the drops report aggregate. */
+  private[graft] def hashChunkCounts(hashes: DataFrame,
+      hashCol: String = "dhash", idCol: String = "doc_id"): DataFrame =
+    hashChunked(hashes, hashCol, idCol).groupBy("chunk", "cv").count()
+
   def imageHashPairs(
       hashes: DataFrame, maxDist: Int = 2, hashCol: String = "dhash",
       idCol: String = "doc_id", maxBucketSize: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist $maxDist: the 4-chunk block is only lossless through 3")
-    val prep = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
-    val chunks = array((0 until 4).map(c =>
-      shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val chunked = prep.select(col("id"), col("h"),
-      posexplode(chunks).as(Seq("chunk", "cv")))
+    val chunked = hashChunked(hashes, hashCol, idCol)
     val okBuckets = chunked.groupBy("chunk", "cv").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
       .select("chunk", "cv")
@@ -484,14 +500,9 @@ object Dedup {
     * aggregate the miner itself computes; |dropped blocks| rows. */
   def imageHashBucketDrops(
       hashes: DataFrame, hashCol: String = "dhash",
-      idCol: String = "doc_id", maxBucketSize: Int = 10000): DataFrame = {
-    val prep = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
-    val chunks = array((0 until 4).map(c =>
-      shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    prep.select(col("id"), posexplode(chunks).as(Seq("chunk", "cv")))
-      .groupBy("chunk", "cv").count()
+      idCol: String = "doc_id", maxBucketSize: Int = 10000): DataFrame =
+    hashChunkCounts(hashes, hashCol, idCol)
       .filter(col("count") > maxBucketSize)
-  }
 
   // ---- exact n-gram Jaccard (prefix-filtered similarity join) ---------------
 

@@ -50,15 +50,9 @@ object Sampling {
     * non-negative seed below 2^31. */
   def seededBucket(id: Column, seed: Long): Column = {
     require(seed >= 0 && seed < LcgM, s"seed must be in [0, ${LcgM})")
-    // non-negative ids only, enforced per row like [[Corpus.lcgBucket]]:
-    // the documented DuckDB spelling uses sign-following %, so a signed
-    // id would silently land in a different shard/split than the mirror
-    // says — fail loudly instead (DESIGN: round-16 id-sign contract)
-    val checked = when(id < 0, raise_error(concat(
-        lit("seededBucket: negative id "), id.cast("string"),
-        lit(" — the seeded shuffle/split mirrors are defined for " +
-          "non-negative ids only; remap or hash ids upstream"))))
-      .otherwise(id)
+    // non-negative ids only, enforced per row — the ONE guard both LCG
+    // entry points share (see its scaladoc for the id-sign contract)
+    val checked = Corpus.requireNonNegativeId(id, "seededBucket")
     pmod(pmod((pmod(checked, lit(LcgM)) + lit(seed)) * lit(LcgA), lit(LcgM)) *
       lit(LcgA), lit(LcgM)) % lit(Buckets)
   }

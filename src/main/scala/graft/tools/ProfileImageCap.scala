@@ -66,12 +66,9 @@ object ProfileImageCap {
     for (cap <- Seq(Int.MaxValue, 10000, 2000, 500)) {
       val drops = Dedup.imageHashBucketDrops(hashes, maxBucketSize = cap)
         .collect().map(r => r.getLong(2))
-      // analytic candidate-join size the cap admits: Σ B² over kept blocks
-      val joinRows = hashes
-        .select(col("doc_id"), posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("dhash"), c * 16)
-            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "cv")))
-        .groupBy("chunk", "cv").count()
+      // analytic candidate-join size the cap admits: Σ B² over kept
+      // blocks — the SAME bucket definition the miner uses
+      val joinRows = Dedup.hashChunkCounts(hashes)
         .filter(col("count") > 1 && col("count") <= cap)
         .agg(coalesce(sum(col("count") * col("count")), lit(0L)))
         .head().getLong(0)

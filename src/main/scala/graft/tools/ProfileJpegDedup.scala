@@ -59,14 +59,15 @@ object ProfileJpegDedup {
     // miner output at candidate radii, vs the lossless PNG-path truth
     val jpegHashDf = jpegHashes.toSeq.toDF("doc_id", "dhash")
     for (d <- 1 to 5) {
-      val cnt = Dedup.imageHashPairs(jpegHashDf, maxDist = math.min(d, 3))
-        .count()
-      // maxDist > 3 exceeds the 4-chunk block guarantee; report the
-      // brute-force count instead for those radii
+      // maxDist > 3 exceeds the 4-chunk block guarantee: no mining job,
+      // only the brute-force reference for those radii
+      val mined =
+        if (d <= 3)
+          Dedup.imageHashPairs(jpegHashDf, maxDist = d).count().toString
+        else "n/a(block>3)"
       val brute = jpegHashes.toSeq.combinations(2)
         .count { case Seq((_, ha), (_, hb)) => ham(ha, hb) <= d }
-      println(s"[jpeg] maxDist=$d  minedPairs=${
-        if (d <= 3) cnt.toString else "n/a(block>3)"}  brutePairs=$brute")
+      println(s"[jpeg] maxDist=$d  minedPairs=$mined  brutePairs=$brute")
     }
     val lossless = (0L until n).filter(_ % 17 != 0)
       .map(id => id -> formulaHash(id))

@@ -356,6 +356,23 @@ class BpeSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("writePackedShards: an empty packed frame yields an empty manifest, no throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // zero part files land on disk (only _SUCCESS); the explicit read
+    // schema keeps the manifest re-read from dying on schema inference
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("shard", "seq_bin", "pos", "token_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_e").toString
+    try {
+      val m = graft.pipeline.Corpus.writePackedShards(empty, s"$dir/t")
+      assert(m.count() == 0)
+      assert(spark.read.parquet(s"$dir/t/_packed_manifest").count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("packedManifest composes: union == per-shard xor of the parts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

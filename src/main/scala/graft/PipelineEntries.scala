@@ -969,6 +969,22 @@ object PipelineEntries {
         seqLen = 512, shards = 4)
     }),
 
+    // the COLLATED form a loader feeds the model: exactly 512 rows per
+    // (shard, seq_bin) — real tokens attn_mask 1, tails filled with the
+    // artifact's reserved <pad> row (mask 0), straddle spill excluded
+    // with its bill RETURNED by packedWindowOverflow (the
+    // no-silent-caps companion, spec-pinned); oracle re-derives the
+    // window grid and PAD/mask over the shared p_pack_ids CTE chain
+    "p_pack_padded" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
+      Corpus.padPackedWindows(
+        Corpus.packedSequenceIds(
+          d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v,
+          seqLen = 512, shards = 4),
+        v, seqLen = 512)
+    }),
+
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)
     "p_chunk" -> ((s, dir) =>
@@ -3021,15 +3037,17 @@ object PipelineEntries {
        |      FROM off, unnest(range(1, len(syms) + 1)) AS t(si)) f
        |LEFT JOIN vocab v USING (token)""".stripMargin
 
-  /** DuckDB mirror of the `p_pack_ids` pretraining tensor export over
-    * the sampled docs: the [[bpeIdsOracleSql]] word/symbol/offset
-    * machinery, per-doc totals + the EOS separator (+1, id = the
-    * artifact's reserved `<eos>` row, read from `vocab`), the
-    * packSequences shard/bin window, then one row per token including
-    * the per-document EOS at position n−1. */
-  private def packIdsOracleSql(seqLen: Int = 512, shards: Int = 4,
+  /** The full `p_pack_ids` derivation over the sampled docs, as a CTE
+    * chain ending in `packed(shard, seq_bin, pos, token_id)`: the
+    * [[bpeIdsOracleSql]] word/symbol/offset machinery, per-doc totals +
+    * the EOS separator (+1, id = the artifact's reserved `<eos>` row,
+    * read from `vocab`), the packSequences shard/bin window, then one
+    * row per token including the per-document EOS at position n−1 —
+    * shared by the raw tensor-export mirror and the padded-window
+    * mirror. */
+  private def packIdsCtes(seqLen: Int = 512, shards: Int = 4,
       sampleMod: Int = 10, numMerges: Int = 50): String =
-    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+    s"""${bpeTrainCtes(numMerges, 30000, 2)},
        |${bpeVocabCtes(numMerges)},
        |${bpeDocWordCtes(numMerges, sampleMod)},
        |dn AS (
@@ -3062,10 +3080,40 @@ object PipelineEntries {
        |  SELECT doc_id, n - 1 AS tpos,
        |         (SELECT CAST(token_id AS BIGINT) FROM vocab
        |          WHERE token = '<eos>') AS token_id
-       |  FROM dn)
-       |SELECT pb.shard, pb.seq_bin,
-       |       CAST(pb.binoff + i.tpos AS BIGINT) AS pos, i.token_id
-       |FROM idrows i JOIN pb USING (doc_id)""".stripMargin
+       |  FROM dn),
+       |packed AS (
+       |  SELECT pb.shard, pb.seq_bin,
+       |         CAST(pb.binoff + i.tpos AS BIGINT) AS pos, i.token_id
+       |  FROM idrows i JOIN pb USING (doc_id))""".stripMargin
+
+  private def packIdsOracleSql(seqLen: Int = 512, shards: Int = 4,
+      sampleMod: Int = 10, numMerges: Int = 50): String =
+    s"""WITH ${packIdsCtes(seqLen, shards, sampleMod, numMerges)}
+       |SELECT shard, seq_bin, pos, token_id FROM packed""".stripMargin
+
+  /** DuckDB mirror of the `p_pack_padded` collated export: the shared
+    * [[packIdsCtes]] chain, the distinct (shard, seq_bin) window list ×
+    * `range(seqLen)` grid, LEFT JOIN of the kept (pos < seqLen) packed
+    * rows, PAD from the artifact's reserved row on misses, attn_mask
+    * 1/0 — straddle-spill rows (pos ≥ seqLen) excluded exactly as
+    * [[graft.pipeline.Corpus.padPackedWindows]] documents (their bill
+    * is the packedWindowOverflow companion, spec-pinned). */
+  private def packPaddedOracleSql(seqLen: Int = 512, shards: Int = 4,
+      sampleMod: Int = 10, numMerges: Int = 50): String =
+    s"""WITH ${packIdsCtes(seqLen, shards, sampleMod, numMerges)},
+       |wins AS (SELECT DISTINCT shard, seq_bin FROM packed),
+       |grid AS (
+       |  SELECT shard, seq_bin, CAST(t.p AS BIGINT) AS pos
+       |  FROM wins, unnest(range(0, $seqLen)) t(p))
+       |SELECT g.shard, g.seq_bin, g.pos,
+       |       CAST(coalesce(p.token_id,
+       |              (SELECT token_id FROM vocab WHERE token = '<pad>'))
+       |            AS BIGINT) AS token_id,
+       |       CAST(CASE WHEN p.token_id IS NULL THEN 0 ELSE 1 END
+       |            AS BIGINT) AS attn_mask
+       |FROM grid g
+       |LEFT JOIN (SELECT * FROM packed WHERE pos < $seqLen) p
+       |  USING (shard, seq_bin, pos)""".stripMargin
 
   private def bpeTrainOracleSql(numMerges: Int = 50, topWords: Int = 30000,
       minPairCount: Long = 2): String = {
@@ -3990,6 +4038,8 @@ object PipelineEntries {
     // pretraining tensor export: ids + artifact-EOS + the packSequences
     // window, re-derived end to end — see packIdsOracleSql
     "p_pack_ids" -> packIdsOracleSql(),
+    // collated fixed-length windows: PAD + attn_mask over the same chain
+    "p_pack_padded" -> packPaddedOracleSql(),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two

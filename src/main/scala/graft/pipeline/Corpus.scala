@@ -466,19 +466,30 @@ object Corpus {
     * lookup is one action on the (bounded-by-construction) vocab. */
   def packedSequenceIds(docs: DataFrame, merges: DataFrame,
       vocab: DataFrame, seqLen: Int = 2048, shards: Int = 8,
-      appendEos: Boolean = true, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      appendEos: Boolean = true, prependBos: Boolean = false,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def reserved(token: String, why: String): Long = {
+      val rows = vocab.filter(col("token") === lit(token))
+        .select(col("token_id").cast("long")).collect()
+      require(rows.nonEmpty,
+        s"vocabulary has no reserved '$token' row — pass a " +
+          s"Bpe.vocabulary artifact, or $why")
+      rows.head.getLong(0)
+    }
     val withIds0 = Bpe.withTokenIdsColumn(docs, merges, vocab,
       textCol, "__ids")
-    val withIds = if (appendEos) {
-      val eosRows = vocab.filter(col("token") === lit(Bpe.Eos))
-        .select(col("token_id").cast("long")).collect()
-      require(eosRows.nonEmpty,
-        s"vocabulary has no reserved '${Bpe.Eos}' row — pass a " +
-          "Bpe.vocabulary artifact, or appendEos = false")
-      withIds0.withColumn("__ids",
-        concat(col("__ids"), array(lit(eosRows.head.getLong(0)))))
+    // both separators come from the ARTIFACT's reserved rows: EOS after
+    // every document (the attention-boundary convention), BOS before it
+    // (the Llama-style per-document start marker, off by default — the
+    // two compose when a trainer wants both)
+    val withEos = if (appendEos) {
+      val eos = reserved(Bpe.Eos, "appendEos = false")
+      withIds0.withColumn("__ids", concat(col("__ids"), array(lit(eos))))
     } else withIds0
+    val withIds = if (prependBos) {
+      val bos = reserved(Bpe.Bos, "prependBos = false")
+      withEos.withColumn("__ids", concat(array(lit(bos)), col("__ids")))
+    } else withEos
     val t = withIds.select(col(idCol), col("__ids"),
       size(col("__ids")).cast("long").as("__n"),
       pmod(col(idCol), lit(shards.toLong)).as("shard"))
@@ -491,6 +502,71 @@ object Corpus {
         posexplode(col("__ids")).as(Seq("__i", "token_id")))
       .select(col("shard"), col("seq_bin"),
         (col("__binOff") + col("__i")).as("pos"), col("token_id"))
+  }
+
+  /** Fixed-length training windows from a packed tensor frame — the
+    * COLLATED form a data loader feeds the model: exactly `seqLen` rows
+    * per (shard, seq_bin), real tokens carrying `attn_mask` 1, empty
+    * tail positions filled with the ARTIFACT's reserved [[Bpe.Pad]] id
+    * (read from `vocab`, like [[packedSequenceIds]] reads EOS) and
+    * `attn_mask` 0. Positions at or past `seqLen` — the packer's
+    * documented straddle spill (a document never splits, so the last
+    * document of a window may run past it) — are DROPPED from the
+    * fixed windows, and per the no-silent-caps rule the bill is
+    * RETURNED, not implicit: [[packedWindowOverflow]] lists every
+    * (shard, seq_bin, overflow_tokens) this padding will cut, so a
+    * pipeline logs or re-bins before committing to the layout.
+    * `seqLen` must match the packer's — a smaller value cuts real
+    * tokens (visible in the overflow report), a larger one pads every
+    * window's tail.
+    *
+    * Scale: the (shard, seq_bin) window list is one aggregate over the
+    * packed frame (|windows| rows — corpus-tokens / seqLen, far
+    * smaller than the frame); the pad rows generate from ONE
+    * `sequence()` explode over that list joined against the packed
+    * rows — an anti-join-shaped LEFT join on the window grid, no
+    * corpus-sized shuffle beyond the one join on (shard, seq_bin,
+    * pos). Returns (shard, seq_bin, pos, token_id, attn_mask)
+    * [+ train_mask zeroed on pad rows when present]. */
+  def padPackedWindows(packed: DataFrame, vocab: DataFrame,
+      seqLen: Int = 2048): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val padRows = vocab.filter(col("token") === lit(Bpe.Pad))
+      .select(col("token_id").cast("long")).collect()
+    require(padRows.nonEmpty,
+      s"vocabulary has no reserved '${Bpe.Pad}' row — pass a " +
+        "Bpe.vocabulary artifact")
+    val padId = padRows.head.getLong(0)
+    val hasTrainMask = packed.columns.contains("train_mask")
+    val kept = packed.filter(col("pos") < seqLen)
+    val windows = packed.select(col("shard"), col("seq_bin")).distinct()
+    val grid = windows.select(col("shard"), col("seq_bin"),
+      explode(sequence(lit(0L), lit(seqLen - 1L))).as("pos"))
+    val joined = grid.join(kept, Seq("shard", "seq_bin", "pos"), "left_outer")
+    val base = joined.select(col("shard"), col("seq_bin"), col("pos"),
+      coalesce(col("token_id"), lit(padId)).as("token_id"),
+      when(col("token_id").isNotNull, 1L).otherwise(0L).as("attn_mask"))
+    if (hasTrainMask)
+      joined.select(col("shard"), col("seq_bin"), col("pos"),
+        coalesce(col("token_id"), lit(padId)).as("token_id"),
+        when(col("token_id").isNotNull, 1L).otherwise(0L).as("attn_mask"),
+        coalesce(col("train_mask"), lit(0L)).as("train_mask"))
+    else base
+  }
+
+  /** The tokens [[padPackedWindows]] CUTS — its no-silent-caps
+    * companion, like `Dedup.imageHashBucketDrops` for the bucket cap:
+    * one row per (shard, seq_bin) whose straddle spill runs past
+    * `seqLen`, with the dropped-token count. Empty when every window
+    * fits (the common case when documents are chunked below the window
+    * upstream — [[chunkDocuments]] exists for exactly that). One
+    * map-side-combinable aggregate over the spilled rows. */
+  def packedWindowOverflow(packed: DataFrame,
+      seqLen: Int = 2048): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    packed.filter(col("pos") >= seqLen)
+      .groupBy("shard", "seq_bin")
+      .agg(count(lit(1)).as("overflow_tokens"))
   }
 
   /** Per-shard manifest of a PACKED tensor frame ([[packedSequenceIds]]

@@ -303,6 +303,79 @@ class BpeSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("padPackedWindows: PAD tails, attn_mask, overflow RETURNED by hand") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    // one doc, ids [23,19,17,2(eos)] in a 6-window: pos 0..3 real,
+    // 4..5 PAD (artifact id 3) with attn_mask 0; no overflow
+    val one = Seq((0L, "low lowest")).toDF("doc_id", "text")
+    val p1 = graft.pipeline.Corpus.packedSequenceIds(
+      one, merges, vocab, seqLen = 6, shards = 2)
+    val padded = graft.pipeline.Corpus.padPackedWindows(p1, vocab, seqLen = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(padded == Seq(
+      (0L, 0L, 0L, 23L, 1L), (0L, 0L, 1L, 19L, 1L), (0L, 0L, 2L, 17L, 1L),
+      (0L, 0L, 3L, 2L, 1L), (0L, 0L, 4L, 3L, 0L), (0L, 0L, 5L, 3L, 0L)))
+    assert(graft.pipeline.Corpus.packedWindowOverflow(p1, 6).count() == 0)
+    graft.pipeline.PipelineCaches.clear()
+    // two docs: [23,19,17,2] then [13,6,24,2] starting at pos 4 —
+    // straddle spill past 6 (pos 6,7) is CUT from the fixed window and
+    // BILLED by the overflow companion, never silent
+    val two = Seq((0L, "low lowest"), (2L, "widest")).toDF("doc_id", "text")
+    val p2 = graft.pipeline.Corpus.packedSequenceIds(
+      two, merges, vocab, seqLen = 6, shards = 2)
+    val padded2 = graft.pipeline.Corpus.padPackedWindows(p2, vocab, seqLen = 6)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(padded2 == Seq((0L, 23L, 1L), (1L, 19L, 1L), (2L, 17L, 1L),
+      (3L, 2L, 1L), (4L, 13L, 1L), (5L, 6L, 1L)))
+    val ovf = graft.pipeline.Corpus.packedWindowOverflow(p2, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ovf == Seq((0L, 0L, 2L))) // the cut [24, 2]
+    graft.pipeline.PipelineCaches.clear()
+    // a vocab without the reserved <pad> row fails loudly
+    val bare = Seq(("a", 0L)).toDF("token", "token_id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.Corpus.padPackedWindows(p2, bare, seqLen = 6)
+    }
+    assert(ex.getMessage.contains("<pad>"), ex.getMessage)
+    // SFT frames carry train_mask: preserved on real rows, zeroed on pad
+    val sftish = Seq((0L, 0L, 0L, 23L, 1L), (0L, 0L, 1L, 19L, 0L))
+      .toDF("shard", "seq_bin", "pos", "token_id", "train_mask")
+    val sp = graft.pipeline.Corpus.padPackedWindows(sftish, vocab, seqLen = 4)
+      .collect()
+      .map(r => r.getLong(2) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(sp(0L) == ((23L, 1L, 1L)) && sp(1L) == ((19L, 1L, 0L)))
+    assert(sp(2L) == ((3L, 0L, 0L)) && sp(3L) == ((3L, 0L, 0L)))
+    graft.pipeline.PipelineCaches.clear()
+  }
+
+  test("packedSequenceIds prependBos: the artifact BOS opens every document") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    val docs = Seq((0L, "low lowest"), (2L, "widest")).toDF("doc_id", "text")
+    val rows = graft.pipeline.Corpus.packedSequenceIds(
+        docs, merges, vocab, seqLen = 16, shards = 2, prependBos = true)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    // doc 0: [1(bos),23,19,17,2(eos)]; doc 2 at cum 5: [1,13,6,24,2]
+    assert(rows == Seq((0L, 1L), (1L, 23L), (2L, 19L), (3L, 17L), (4L, 2L),
+      (5L, 1L), (6L, 13L), (7L, 6L), (8L, 24L), (9L, 2L)))
+    graft.pipeline.PipelineCaches.clear()
+    // BOS requires the reserved row like EOS does
+    val bare = Seq(("a", 0L)).toDF("token", "token_id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.Corpus.packedSequenceIds(
+        docs, merges, bare, appendEos = false, prependBos = true)
+    }
+    assert(ex.getMessage.contains("<bos>"), ex.getMessage)
+  }
+
   test("writePackedShards: loader layout — in-file order, manifest, round trip") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, input_file_name}

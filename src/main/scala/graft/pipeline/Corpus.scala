@@ -468,20 +468,26 @@ object Corpus {
       vocab: DataFrame, seqLen: Int = 2048, shards: Int = 8,
       appendEos: Boolean = true, prependBos: Boolean = false,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def reserved(token: String, why: String): Long = {
-      val rows = vocab.filter(col("token") === lit(token))
-        .select(col("token_id").cast("long")).collect()
-      require(rows.nonEmpty,
-        s"vocabulary has no reserved '$token' row — pass a " +
-          s"Bpe.vocabulary artifact, or $why")
-      rows.head.getLong(0)
-    }
-    val withIds0 = Bpe.withTokenIdsColumn(docs, merges, vocab,
-      textCol, "__ids")
     // both separators come from the ARTIFACT's reserved rows: EOS after
     // every document (the attention-boundary convention), BOS before it
     // (the Llama-style per-document start marker, off by default — the
-    // two compose when a trainer wants both)
+    // two compose when a trainer wants both). ONE collect fetches
+    // whichever of the two this call needs from the bounded vocab.
+    val wanted = (if (appendEos) Seq(Bpe.Eos) else Nil) ++
+      (if (prependBos) Seq(Bpe.Bos) else Nil)
+    val found: Map[String, Long] =
+      if (wanted.isEmpty) Map.empty
+      else vocab.filter(col("token").isin(wanted: _*))
+        .select(col("token"), col("token_id").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def reserved(token: String, why: String): Long = {
+      require(found.contains(token),
+        s"vocabulary has no reserved '$token' row — pass a " +
+          s"Bpe.vocabulary artifact, or $why")
+      found(token)
+    }
+    val withIds0 = Bpe.withTokenIdsColumn(docs, merges, vocab,
+      textCol, "__ids")
     val withEos = if (appendEos) {
       val eos = reserved(Bpe.Eos, "appendEos = false")
       withIds0.withColumn("__ids", concat(col("__ids"), array(lit(eos))))
@@ -537,21 +543,19 @@ object Corpus {
       s"vocabulary has no reserved '${Bpe.Pad}' row — pass a " +
         "Bpe.vocabulary artifact")
     val padId = padRows.head.getLong(0)
-    val hasTrainMask = packed.columns.contains("train_mask")
     val kept = packed.filter(col("pos") < seqLen)
     val windows = packed.select(col("shard"), col("seq_bin")).distinct()
     val grid = windows.select(col("shard"), col("seq_bin"),
       explode(sequence(lit(0L), lit(seqLen - 1L))).as("pos"))
     val joined = grid.join(kept, Seq("shard", "seq_bin", "pos"), "left_outer")
-    val base = joined.select(col("shard"), col("seq_bin"), col("pos"),
+    // one projection; SFT frames' train_mask rides along (zeroed on pad)
+    val cols = Seq(col("shard"), col("seq_bin"), col("pos"),
       coalesce(col("token_id"), lit(padId)).as("token_id"),
-      when(col("token_id").isNotNull, 1L).otherwise(0L).as("attn_mask"))
-    if (hasTrainMask)
-      joined.select(col("shard"), col("seq_bin"), col("pos"),
-        coalesce(col("token_id"), lit(padId)).as("token_id"),
-        when(col("token_id").isNotNull, 1L).otherwise(0L).as("attn_mask"),
-        coalesce(col("train_mask"), lit(0L)).as("train_mask"))
-    else base
+      when(col("token_id").isNotNull, 1L).otherwise(0L).as("attn_mask")) ++
+      (if (packed.columns.contains("train_mask"))
+        Seq(coalesce(col("train_mask"), lit(0L)).as("train_mask"))
+      else Nil)
+    joined.select(cols: _*)
   }
 
   /** The tokens [[padPackedWindows]] CUTS — its no-silent-caps

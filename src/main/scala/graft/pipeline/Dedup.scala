@@ -434,17 +434,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-duplicate IMAGE pairs by perceptual-hash (dHash) Hamming
-    * distance — the image counterpart of [[simhashPairs]], sharing its
-    * 16-bit chunk blocking: `hashes` is (id, 64-bit hash), e.g.
-    * [[Multimodal.imageDHash]] output.
-    *
-    * Unlike SimHash text blocking (probabilistic at distance 6), the
-    * 4-chunk block is LOSSLESS here: `maxDist` ≤ 3 differing bits can
-    * touch at most 3 of the 4 chunks, so every qualifying pair shares at
-    * least one exact chunk — the equi-join is a complete candidate set,
-    * enforced by the require. Same singleton-prune + bucket cap before
-    * the self-join; candidates ∝ similar pairs, not corpus². */
   /** The shared 16-bit 4-chunk decomposition of a 64-bit hash frame —
     * ONE definition of the blocking scheme, so the miner
     * ([[imageHashPairs]]) and the drops report
@@ -465,6 +454,17 @@ object Dedup {
       hashCol: String = "dhash", idCol: String = "doc_id"): DataFrame =
     hashChunked(hashes, hashCol, idCol).groupBy("chunk", "cv").count()
 
+  /** Near-duplicate IMAGE pairs by perceptual-hash (dHash) Hamming
+    * distance — the image counterpart of [[simhashPairs]], sharing its
+    * 16-bit chunk blocking: `hashes` is (id, 64-bit hash), e.g.
+    * [[Multimodal.imageDHash]] output.
+    *
+    * Unlike SimHash text blocking (probabilistic at distance 6), the
+    * 4-chunk block is LOSSLESS here: `maxDist` ≤ 3 differing bits can
+    * touch at most 3 of the 4 chunks, so every qualifying pair shares at
+    * least one exact chunk — the equi-join is a complete candidate set,
+    * enforced by the require. Same singleton-prune + bucket cap before
+    * the self-join; candidates ∝ similar pairs, not corpus². */
   def imageHashPairs(
       hashes: DataFrame, maxDist: Int = 2, hashCol: String = "dhash",
       idCol: String = "doc_id", maxBucketSize: Int = 10000): DataFrame = {

@@ -391,8 +391,8 @@ class BpeSpec extends AnyFunSuite {
     try {
       val manifest = graft.pipeline.Corpus.writePackedShards(packed, s"$dir/t")
       // partition discovery re-types the shard directory key as int —
-      // cast back (exactly what writePackedShards' own manifest re-read
-      // does before hashing)
+      // cast back (writePackedShards' own manifest re-read avoids this
+      // by supplying the input's explicit schema to the reader)
       val back = spark.read.parquet(s"$dir/t")
         .withColumn("shard", col("shard").cast("long"))
       // round trip: the rows a loader reads are EXACTLY the packed rows

@@ -985,6 +985,31 @@ object PipelineEntries {
         v, seqLen = 512)
     }),
 
+    // detokenize round trip: train -> vocabulary -> encode -> DECODE
+    // over the sampled docs; the oracle has NO tokenizer in it — the
+    // expected text derives from the raw corpus alone (lower +
+    // whitespace-normalize), so the hash match proves the whole chain
+    // is lossless (the independent-derivation oracle pattern)
+    "p_bpe_decode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
+      Bpe.decodeIds(
+        Bpe.encodeIds(d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v),
+        v, outCol = "decoded")
+    }),
+
+    // the window -> document provenance map of the pretraining tensor
+    // export: one row per doc, (shard, seq_bin, start_pos, end_pos) —
+    // the loader-side record for attention resets and data lineage;
+    // |documents| rows end to end (counts, not ids — the corpus-token
+    // explode never happens), same packing arithmetic as p_pack_ids
+    "p_pack_boundaries" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.packedWindowBoundaries(
+        d.filter(pmod(col("doc_id"), lit(10)) === 0),
+        Bpe.train(d, numMerges = 50), seqLen = 512, shards = 4)
+    }),
+
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)
     "p_chunk" -> ((s, dir) =>
@@ -3045,12 +3070,16 @@ object PipelineEntries {
     * row per token including the per-document EOS at position n−1 —
     * shared by the raw tensor-export mirror and the padded-window
     * mirror. */
-  private def packIdsCtes(seqLen: Int = 512, shards: Int = 4,
-      sampleMod: Int = 10, numMerges: Int = 50): String =
-    s"""${bpeTrainCtes(numMerges, 30000, 2)},
-       |${bpeVocabCtes(numMerges)},
-       |${bpeDocWordCtes(numMerges, sampleMod)},
-       |dn AS (
+  /** The DOC-level half of [[packIdsCtes]] — per-doc token totals
+    * (incl. the EOS separator), the per-shard running sum, and the
+    * window/offset assignment `pb(doc_id, shard, seq_bin, binoff, n)`.
+    * Split out so the provenance-map mirror ([[packBoundariesOracleSql]])
+    * can share ONE packing-arithmetic definition with the tensor mirrors
+    * without dragging in the per-token id CTEs it never reads (assumes
+    * [[bpeDocWordCtes]] in scope). */
+  private def packDocCtes(seqLen: Int = 512, shards: Int = 4,
+      sampleMod: Int = 10): String =
+    s"""dn AS (
        |  SELECT d.doc_id, CAST(coalesce(x.nb, 0) + 1 AS BIGINT) AS n
        |  FROM (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0) d
        |  LEFT JOIN (SELECT dwp.doc_id, sum(len(wtl.syms)) AS nb
@@ -3066,7 +3095,14 @@ object PipelineEntries {
        |         CAST(floor((cum - n) / ${seqLen}.0) AS BIGINT) AS seq_bin,
        |         (cum - n) - CAST(floor((cum - n) / ${seqLen}.0) AS BIGINT)
        |           * $seqLen AS binoff, n
-       |  FROM pk),
+       |  FROM pk)""".stripMargin
+
+  private def packIdsCtes(seqLen: Int = 512, shards: Int = 4,
+      sampleMod: Int = 10, numMerges: Int = 50): String =
+    s"""${bpeTrainCtes(numMerges, 30000, 2)},
+       |${bpeVocabCtes(numMerges)},
+       |${bpeDocWordCtes(numMerges, sampleMod)},
+       |${packDocCtes(seqLen, shards, sampleMod)},
        |tok AS (
        |  SELECT doc_id, o + si - 1 AS tpos, syms[si] AS token
        |  FROM off, unnest(range(1, len(syms) + 1)) AS t(si)),
@@ -3114,6 +3150,38 @@ object PipelineEntries {
        |FROM grid g
        |LEFT JOIN (SELECT * FROM packed WHERE pos < $seqLen) p
        |  USING (shard, seq_bin, pos)""".stripMargin
+
+  /** Oracle for `p_bpe_decode` — deliberately the ONLY mirror in the
+    * tokenizer family with NO tokenizer in it: decode is the inverse of
+    * encode, so the expected text derives from the raw corpus alone
+    * (lowercase, whitespace-split, re-join with single spaces — exactly
+    * the normalization [[graft.pipeline.Bpe.wordCounts]] defines). The
+    * entry runs the full train → vocabulary → encode → decode chain;
+    * this independent derivation matching it hash-for-hash proves the
+    * round trip is lossless end to end, the p_mm_dedup-pattern oracle
+    * (re-derive from first principles, never mirror the
+    * implementation). */
+  private def bpeDecodeOracleSql(sampleMod: Int = 10): String =
+    s"""SELECT doc_id,
+       |       array_to_string(
+       |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                     x -> x <> ''), ' ') AS decoded
+       |FROM documents WHERE doc_id % $sampleMod = 0""".stripMargin
+
+  /** DuckDB mirror of [[graft.pipeline.Corpus.packedWindowBoundaries]]:
+    * the shared trainer/apply CTEs down to [[packDocCtes]]' `pb` (ONE
+    * packing-arithmetic definition with the tensor mirrors — the
+    * per-token id CTEs never enter), then the per-document half-open
+    * span in its starting window. */
+  private def packBoundariesOracleSql(seqLen: Int = 512, shards: Int = 4,
+      sampleMod: Int = 10, numMerges: Int = 50): String =
+    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+       |${bpeDocWordCtes(numMerges, sampleMod)},
+       |${packDocCtes(seqLen, shards, sampleMod)}
+       |SELECT shard, seq_bin, doc_id,
+       |       CAST(binoff AS BIGINT) AS start_pos,
+       |       CAST(binoff + n AS BIGINT) AS end_pos
+       |FROM pb""".stripMargin
 
   private def bpeTrainOracleSql(numMerges: Int = 50, topWords: Int = 30000,
       minPairCount: Long = 2): String = {
@@ -4040,6 +4108,13 @@ object PipelineEntries {
     "p_pack_ids" -> packIdsOracleSql(),
     // collated fixed-length windows: PAD + attn_mask over the same chain
     "p_pack_padded" -> packPaddedOracleSql(),
+    // decode round trip: NO tokenizer in the oracle — expected text is
+    // the corpus' own whitespace-normalized lowercase (independent
+    // derivation; the hash match proves encode -> decode is lossless)
+    "p_bpe_decode" -> bpeDecodeOracleSql(),
+    // window -> document provenance map: same packing arithmetic as
+    // p_pack_ids down to the pb CTE, no per-token CTEs
+    "p_pack_boundaries" -> packBoundariesOracleSql(),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two

@@ -445,6 +445,63 @@ object Bpe {
     df.withColumn(outCol, enc(lower(col(textCol))))
   }
 
+  /** Detokenize `input_ids` back to text — the inverse of [[encodeIds]]
+    * and the other half of the tokenizer contract: a trainer's eval
+    * loop, sample inspection, and generation decoding all consume it.
+    * Per row, each id maps to its vocabulary token string (reverse of
+    * the same bounded artifact table), the symbols concatenate, and
+    * every [[EndOfWord]] marker becomes one space — so for any corpus
+    * the vocabulary's alphabet covers, `decodeIds(encodeIds(text)) ==
+    * ` the whitespace-normalized lowercase of `text` EXACTLY (words
+    * re-joined by single spaces: BPE merges never cross [[EndOfWord]],
+    * so the round trip is lossless — the gate entry pins precisely
+    * this, with the expected text derived from the raw corpus alone,
+    * no tokenizer in the oracle at all). An id absent from the
+    * vocabulary fails LOUDLY (decoding with a different artifact than
+    * encoded is corruption, not data); with `skipSpecials` the four
+    * reserved [[SpecialTokens]] rows render as nothing (the
+    * skip_special_tokens convention for displaying packed/padded
+    * windows), otherwise they render literally. NULL id arrays decode
+    * to NULL.
+    *
+    * Scale: the reverse id → token map is the collected vocabulary
+    * (bounded by construction: alphabet + merges + 5), broadcast; the
+    * decode is one deterministic UDF — narrow, no shuffle, no join,
+    * same shape as the encode side. */
+  def decodeIds(ids: DataFrame, vocab: DataFrame,
+      idsCol: String = "token_ids", idCol: String = "doc_id",
+      outCol: String = "text", skipSpecials: Boolean = false): DataFrame = {
+    val rev: Map[Long, String] =
+      vocab.select(col("token_id").cast("long"), col("token"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val specialIds: Set[Long] =
+      if (skipSpecials)
+        rev.collect { case (i, t) if SpecialTokens.contains(t) => i }.toSet
+      else Set.empty
+    val bcRev = ids.sparkSession.sparkContext.broadcast(rev)
+    val bcSkip = ids.sparkSession.sparkContext.broadcast(specialIds)
+    val dec = udf { (arr: Seq[Long]) =>
+      if (arr == null) null
+      else {
+        val r = bcRev.value
+        val skip = bcSkip.value
+        val sb = new StringBuilder
+        arr.foreach { id =>
+          if (!skip.contains(id))
+            sb.append(r.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"token id $id has no vocabulary row (${r.size} ids) — " +
+                  "decode requires the artifact that encoded")))
+        }
+        // </w> only ever ends a symbol (merges never cross it), so the
+        // global replace is exact; the last word's marker leaves one
+        // trailing space to strip
+        sb.toString.replace(EndOfWord, " ").stripSuffix(" ")
+      }
+    }
+    ids.select(col(idCol), dec(col(idsCol)).as(outCol))
+  }
+
   /** Read the vocabulary table persisted beside the merge artifact by
     * [[trainPersistedIfStale]]. */
   def persistedVocabulary(spark: SparkSession, path: String): DataFrame =

@@ -510,6 +510,51 @@ object Corpus {
         (col("__binOff") + col("__i")).as("pos"), col("token_id"))
   }
 
+  /** The window → document PROVENANCE map of [[packedSequenceIds]]'
+    * layout: one row per document, (shard, seq_bin, doc_id, start_pos,
+    * end_pos) — which window the document landed in and the half-open
+    * position span its tokens (incl. the EOS/BOS separators when
+    * enabled) occupy there. The packed tensor itself carries no
+    * document identity (a trainer doesn't need one), but the LOADER
+    * side does: attention-boundary resets, data lineage ("which
+    * documents are in the window that produced this loss spike"), and
+    * per-document exclusion lists all consume exactly this map.
+    * Documents never split across windows (the packer's rule: a doc
+    * keeps the bin it STARTS in, straddle rows run past `seqLen` in
+    * that same bin), so the map is one row per document; within a
+    * window the segments tile contiguously from the first document's
+    * offset, and only the LAST segment can extend past `seqLen` (the
+    * straddle spill [[packedWindowOverflow]] bills). Spec-pinned to
+    * the packed frame: per-window token conservation, contiguity, and
+    * overflow agreement.
+    *
+    * Token counts ride [[Bpe.withTokenCountColumn]] — the same trainer
+    * currency as the id arrays ([[Bpe]] pins `size(ids) == count`) —
+    * so this derivation never materializes the ids at all: a narrow
+    * count pass, the packer's own distributed prefix-sum
+    * ([[PrefixSum.groupedRunningSum]]), and per-row arithmetic. The
+    * corpus-sized token explode that makes [[packedSequenceIds]] the
+    * expensive entry never happens here — the provenance map costs
+    * |documents| rows end to end. */
+  def packedWindowBoundaries(docs: DataFrame, merges: DataFrame,
+      seqLen: Int = 2048, shards: Int = 8, appendEos: Boolean = true,
+      prependBos: Boolean = false, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val extra = (if (appendEos) 1L else 0L) + (if (prependBos) 1L else 0L)
+    val t = Bpe.withTokenCountColumn(docs, merges, textCol, "__nb")
+      .select(col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        (col("__nb") + lit(extra)).as("__n"))
+    PrefixSum.groupedRunningSum(t, "shard", idCol, "__n", "__cum")
+      .withColumn("__o", col("__cum") - col("__n"))
+      .withColumn("seq_bin", floor(col("__o") / lit(seqLen)))
+      .select(col("shard"), col("seq_bin"), col(idCol),
+        (col("__o") - col("seq_bin") * lit(seqLen.toLong)).as("start_pos"),
+        (col("__o") - col("seq_bin") * lit(seqLen.toLong) + col("__n"))
+          .as("end_pos"))
+  }
+
   /** Fixed-length training windows from a packed tensor frame — the
     * COLLATED form a data loader feeds the model: exactly `seqLen` rows
     * per (shard, seq_bin), real tokens carrying `attn_mask` 1, empty

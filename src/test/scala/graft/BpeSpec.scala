@@ -522,4 +522,96 @@ class BpeSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("decodeIds: lossless round trip; specials render or skip; loud on bad id") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    // mixed case + mixed whitespace collapse to exactly the wordCounts
+    // normalization: lowercase words joined by single spaces
+    val docs = Seq((1L, "  Low\tLOWEST\nnewest "), (2L, "widest low low"))
+      .toDF("doc_id", "text")
+    val dec = Bpe.decodeIds(Bpe.encodeIds(docs, merges, vocab), vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(1L) == "low lowest newest")
+    assert(dec(2L) == "widest low low")
+    // out-of-alphabet characters round-trip THROUGH the reserved UNK id
+    // as its literal token string (the </w> still resolves to the word
+    // break)
+    val unk = Bpe.decodeIds(
+        Bpe.encodeIds(Seq((3L, "xyz ab")).toDF("doc_id", "text"),
+          merges, vocab), vocab)
+      .collect().head.getString(1)
+    assert(unk == s"${Bpe.Unk}${Bpe.Unk}${Bpe.Unk} ${Bpe.Unk}${Bpe.Unk}")
+    // specials render literally by default (ids 2=<eos>, 3=<pad> after
+    // 23=low</w>), and vanish under skipSpecials — the display form for
+    // packed/padded windows
+    val win = Seq((4L, Seq(23L, 2L, 3L, 3L))).toDF("doc_id", "token_ids")
+    assert(Bpe.decodeIds(win, vocab).collect().head.getString(1)
+      == s"low ${Bpe.Eos}${Bpe.Pad}${Bpe.Pad}")
+    assert(Bpe.decodeIds(win, vocab, skipSpecials = true)
+      .collect().head.getString(1) == "low")
+    // an id with no vocabulary row fails LOUDLY — decoding with a
+    // different artifact than encoded is corruption, not data
+    val bad = Seq((5L, Seq(23L, 9999L))).toDF("doc_id", "token_ids")
+    val ex = intercept[Exception] {
+      Bpe.decodeIds(bad, vocab).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("no vocabulary row"), messages(ex))
+  }
+
+  test("packedWindowBoundaries: per-doc spans tile the packed windows by hand") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    // hand token totals (ids spec + EOS): doc0 [23,19,17]+eos n=4 —
+    // bin 0, span [0,4); doc2 [13,6,24]+eos n=4 — starts at cum 4, bin 0,
+    // span [4,8) (STRADDLES past seqLen 6 in its starting bin: documents
+    // never split); doc4 [23]+eos n=2 — starts at 8, bin 1, span [2,4)
+    val docs = Seq((0L, "low lowest"), (2L, "widest"), (4L, "low"))
+      .toDF("doc_id", "text")
+    val b = graft.pipeline.Corpus.packedWindowBoundaries(
+        docs, merges, seqLen = 6, shards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._3).toSeq
+    assert(b == Seq((0L, 0L, 0L, 0L, 4L), (0L, 0L, 2L, 4L, 8L),
+      (0L, 1L, 4L, 2L, 4L)))
+    // conservation: per window, segment lengths sum to the packed row
+    // count — the provenance map accounts for every tensor row
+    val packed = graft.pipeline.Corpus.packedSequenceIds(
+      docs, merges, vocab, seqLen = 6, shards = 2)
+    val perWin = packed.groupBy("shard", "seq_bin").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val segSum = b.groupBy(t => (t._1, t._2))
+      .map { case (k, ss) => k -> ss.map(s => s._5 - s._4).sum }
+    assert(segSum == perWin)
+    // contiguity within a window: each segment starts where the previous
+    // ended (the bin's positions tile with no gaps)
+    b.groupBy(t => (t._1, t._2)).values.foreach { ss =>
+      ss.sortBy(_._4).sliding(2).foreach {
+        case Seq(a, c) => assert(a._5 == c._4, s"gap between $a and $c")
+        case _ =>
+      }
+    }
+    // overflow agreement: a segment's run past seqLen IS the window's
+    // packedWindowOverflow bill
+    val ovf = graft.pipeline.Corpus.packedWindowOverflow(packed, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val segOvf = b.filter(_._5 > 6L)
+      .map(t => (t._1, t._2) -> (t._5 - 6L)).toMap
+    assert(segOvf == ovf)
+    // separator options shift every span by the same arithmetic the
+    // packer uses: no EOS drops one token per doc
+    val noEos = graft.pipeline.Corpus.packedWindowBoundaries(
+        docs, merges, seqLen = 6, shards = 2, appendEos = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._3).toSeq
+    assert(noEos == Seq((0L, 0L, 0L, 0L, 3L), (0L, 0L, 2L, 3L, 6L),
+      (0L, 1L, 4L, 0L, 1L)))
+    graft.pipeline.PipelineCaches.clear()
+  }
 }

@@ -1260,6 +1260,26 @@ object PipelineEntries {
         seqLen = 256, shards = 4)
     }),
 
+    // the collated form of the SFT capstone: exactly 256 rows per
+    // window, PAD/attn_mask from the artifact's reserved rows,
+    // train_mask zeroed on pad — the loader-facing twin p_pack_padded
+    // is for the document path, completing padPackedWindows' train_mask
+    // branch under a gate oracle (it was spec-only before)
+    "p_sft_pack_padded" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
+      val turns = Sft.parseTurns(convDocs(s, dir))
+        .filter(pmod(col("conv_id"), lit(5)) === 0)
+      val withIds = Bpe.withTokenIdsColumn(turns, m, v)
+        .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+      Corpus.padPackedWindows(
+        Sft.packedExamples(
+          Sft.truncateToBudget(withIds, maxTokens = 160,
+            tokenCol = "n_bpe_tokens"),
+          seqLen = 256, shards = 4),
+        v, seqLen = 256)
+    }),
+
     // the composed SFT pipeline a user actually runs: parse -> structure
     // gate (valid conversations only) -> budgeted truncation (48) ->
     // loss-mask spans, one lazy plan end to end — the p_span_pipeline
@@ -3137,19 +3157,7 @@ object PipelineEntries {
   private def packPaddedOracleSql(seqLen: Int = 512, shards: Int = 4,
       sampleMod: Int = 10, numMerges: Int = 50): String =
     s"""WITH ${packIdsCtes(seqLen, shards, sampleMod, numMerges)},
-       |wins AS (SELECT DISTINCT shard, seq_bin FROM packed),
-       |grid AS (
-       |  SELECT shard, seq_bin, CAST(t.p AS BIGINT) AS pos
-       |  FROM wins, unnest(range(0, $seqLen)) t(p))
-       |SELECT g.shard, g.seq_bin, g.pos,
-       |       CAST(coalesce(p.token_id,
-       |              (SELECT token_id FROM vocab WHERE token = '<pad>'))
-       |            AS BIGINT) AS token_id,
-       |       CAST(CASE WHEN p.token_id IS NULL THEN 0 ELSE 1 END
-       |            AS BIGINT) AS attn_mask
-       |FROM grid g
-       |LEFT JOIN (SELECT * FROM packed WHERE pos < $seqLen) p
-       |  USING (shard, seq_bin, pos)""".stripMargin
+       |${padWindowsSql("packed", seqLen, withTrainMask = false)}""".stripMargin
 
   /** Oracle for `p_bpe_decode` — deliberately the ONLY mirror in the
     * tokenizer family with NO tokenizer in it: decode is the inverse of
@@ -3307,16 +3315,18 @@ object PipelineEntries {
        |            AS BIGINT) AS train_mask
        |FROM bt""".stripMargin
 
-  /** DuckDB mirror of the `p_sft_packed_ids` capstone: merge table +
+  /** The `p_sft_packed_ids` capstone as a CTE chain ending in
+    * `spacked(shard, seq_bin, pos, token_id, train_mask)`: merge table +
     * vocabulary, per-turn word symbol lists via the shared apply chain,
     * per-turn BPE counts, the budget-160 truncation, conversation
     * totals → shard/bin/bin-offset (the p_sft_pack window), per-word
     * and per-turn running offsets, then one row per token with the
     * vocabulary id lookup — the full tensor-export composition derived
-    * independently in SQL. */
-  private def sftPackedIdsOracleSql(budget: Long = 160, seqLen: Int = 256,
+    * independently in SQL. Shared by the raw-rows mirror and the
+    * collated-window mirror ([[padWindowsSql]] over it). */
+  private def sftPackedCtes(budget: Long = 160, seqLen: Int = 256,
       shards: Int = 4, sampleMod: Int = 5, numMerges: Int = 50): String =
-    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+    s"""${bpeTrainCtes(numMerges, 30000, 2)},
        |$sftTurnsCtes,
        |${bpeVocabCtes(numMerges)},
        |tt2 AS (SELECT * FROM tt WHERE conv_id % $sampleMod = 0),
@@ -3389,18 +3399,62 @@ object PipelineEntries {
        |  JOIN kept k ON k.conv_id = w.conv_id AND k.turn_idx = w.turn_idx),
        |tok AS (
        |  SELECT conv_id, turn_idx, woff + si - 1 AS tpos, syms[si] AS token
-       |  FROM kwp, unnest(range(1, len(syms) + 1)) AS t(si))
-       |SELECT pb.shard, pb.seq_bin,
-       |       CAST(pb.binoff + ks.tstart + tok.tpos AS BIGINT) AS pos,
-       |       CAST(coalesce(v.token_id,
-       |              (SELECT token_id FROM vocab WHERE token = '<unk>'))
+       |  FROM kwp, unnest(range(1, len(syms) + 1)) AS t(si)),
+       |spacked AS (
+       |  SELECT pb.shard, pb.seq_bin,
+       |         CAST(pb.binoff + ks.tstart + tok.tpos AS BIGINT) AS pos,
+       |         CAST(coalesce(v.token_id,
+       |                (SELECT token_id FROM vocab WHERE token = '<unk>'))
+       |              AS BIGINT) AS token_id,
+       |         CAST(CASE WHEN ks.role = 'assistant' THEN 1 ELSE 0 END
+       |              AS BIGINT) AS train_mask
+       |  FROM tok
+       |  JOIN ks ON ks.conv_id = tok.conv_id AND ks.turn_idx = tok.turn_idx
+       |  JOIN pb ON pb.conv_id = tok.conv_id
+       |  LEFT JOIN vocab v USING (token))""".stripMargin
+
+  private def sftPackedIdsOracleSql(budget: Long = 160, seqLen: Int = 256,
+      shards: Int = 4, sampleMod: Int = 5, numMerges: Int = 50): String =
+    s"""WITH ${sftPackedCtes(budget, seqLen, shards, sampleMod, numMerges)}
+       |SELECT shard, seq_bin, pos, token_id, train_mask FROM spacked""".stripMargin
+
+  /** The collated-window SELECT over an in-scope packed CTE — the
+    * [[graft.pipeline.Corpus.padPackedWindows]] mirror: distinct
+    * (shard, seq_bin) × range(seqLen) grid, LEFT JOIN of the kept
+    * (pos < seqLen) rows, PAD from the artifact's reserved row on
+    * misses, attn_mask 1/0 (+ train_mask zeroed on pad when the packed
+    * rows carry one). ONE definition for both the document-path and
+    * SFT-path padded mirrors, exactly as the Scala side has one
+    * padPackedWindows. Assumes `vocab` in scope. */
+  private def padWindowsSql(packedCte: String, seqLen: Int,
+      withTrainMask: Boolean): String = {
+    val tm =
+      if (withTrainMask)
+        ",\n       CAST(coalesce(p.train_mask, 0) AS BIGINT) AS train_mask"
+      else ""
+    s"""wins AS (SELECT DISTINCT shard, seq_bin FROM $packedCte),
+       |grid AS (
+       |  SELECT shard, seq_bin, CAST(t.p AS BIGINT) AS pos
+       |  FROM wins, unnest(range(0, $seqLen)) t(p))
+       |SELECT g.shard, g.seq_bin, g.pos,
+       |       CAST(coalesce(p.token_id,
+       |              (SELECT token_id FROM vocab WHERE token = '<pad>'))
        |            AS BIGINT) AS token_id,
-       |       CAST(CASE WHEN ks.role = 'assistant' THEN 1 ELSE 0 END
-       |            AS BIGINT) AS train_mask
-       |FROM tok
-       |JOIN ks ON ks.conv_id = tok.conv_id AND ks.turn_idx = tok.turn_idx
-       |JOIN pb ON pb.conv_id = tok.conv_id
-       |LEFT JOIN vocab v USING (token)""".stripMargin
+       |       CAST(CASE WHEN p.token_id IS NULL THEN 0 ELSE 1 END
+       |            AS BIGINT) AS attn_mask$tm
+       |FROM grid g
+       |LEFT JOIN (SELECT * FROM $packedCte WHERE pos < $seqLen) p
+       |  USING (shard, seq_bin, pos)""".stripMargin
+  }
+
+  /** DuckDB mirror of the `p_sft_pack_padded` collated SFT export:
+    * the shared [[sftPackedCtes]] chain under the shared
+    * [[padWindowsSql]] grid — train_mask rides the windows, zeroed on
+    * pad rows. */
+  private def sftPackPaddedOracleSql(budget: Long = 160, seqLen: Int = 256,
+      shards: Int = 4, sampleMod: Int = 5, numMerges: Int = 50): String =
+    s"""WITH ${sftPackedCtes(budget, seqLen, shards, sampleMod, numMerges)},
+       |${padWindowsSql("spacked", seqLen, withTrainMask = true)}""".stripMargin
 
   private def sftBpeTruncateOracleSql(budget: Long, numMerges: Int = 50,
       topWords: Int = 30000, minPairCount: Long = 2): String = {
@@ -5156,6 +5210,9 @@ object PipelineEntries {
     // the tensor export capstone: ids + truncation + packing composed
     // and re-derived independently — see sftPackedIdsOracleSql
     "p_sft_packed_ids" -> sftPackedIdsOracleSql(),
+    // collated SFT windows: the shared spacked chain under the shared
+    // pad-grid SELECT (train_mask rides, zeroed on pad)
+    "p_sft_pack_padded" -> sftPackPaddedOracleSql(),
 
     // the composed pipeline: structure gate -> truncation (48) -> spans,
     // all over the shared turn CTEs (the p_span_pipeline pattern)

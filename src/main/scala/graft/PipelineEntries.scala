@@ -1010,6 +1010,14 @@ object PipelineEntries {
         Bpe.train(d, numMerges = 50), seqLen = 512, shards = 4)
     }),
 
+    // length-bucket histogram in trainer tokens: the padding-waste
+    // diagnostic for bucketed dynamic batching (read against
+    // p_pack_stats to pick packing vs bucketing); integer-only bucket
+    // arithmetic so the mirror can't diverge at a boundary
+    "p_length_buckets" -> ((s, dir) =>
+      Corpus.lengthBuckets(docs(s, dir),
+        Bpe.train(docs(s, dir), numMerges = 50), width = 64)),
+
     // context-window chunking: 64-token windows, 16-token overlap —
     // narrow + one explode, no shuffle (oracle: range()-start mirror)
     "p_chunk" -> ((s, dir) =>
@@ -3209,11 +3217,13 @@ object PipelineEntries {
     * reappear once passed. Hence the same separator-replace chain as
     * training, over the corpus's DISTINCT words (counts join back per
     * doc — corpora repeat words, exactly the memo in tokenCounts). */
-  private def bpeTokensOracleSql(numMerges: Int = 50, topWords: Int = 30000,
-      minPairCount: Long = 2): String = {
-    val applySteps = bpeApplyStepsSql(numMerges)
-    s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
-       |dw AS MATERIALIZED (
+  /** Per-document BPE token counts as a CTE chain ending in
+    * `dcnt(doc_id, nws, nbpe)` — the whole-corpus (word, per-doc count)
+    * histogram through the shared apply chain (assumes
+    * [[bpeTrainCtes]] in scope). Shared by the token-count mirror and
+    * the length-bucket mirror so one counting definition feeds both. */
+  private def bpeDocCountCtes(numMerges: Int): String =
+    s"""dw AS MATERIALIZED (
        |  SELECT doc_id, word, count(*) AS c
        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
        |        FROM documents)
@@ -3221,18 +3231,44 @@ object PipelineEntries {
        |e0 AS MATERIALIZED (
        |  SELECT word, ${bpeEncExpr("word")} AS enc
        |  FROM (SELECT DISTINCT word FROM dw)),
-       |$applySteps,
+       |${bpeApplyStepsSql(numMerges)},
        |wl AS MATERIALIZED (
        |  SELECT word, CAST(len(string_split(trim(enc, chr(1)), chr(1) || chr(1))) AS BIGINT) AS bl
-       |  FROM e$numMerges)
-       |SELECT d.doc_id,
-       |       CAST(coalesce(t.nws, 0) AS BIGINT) AS n_ws_tokens,
-       |       CAST(coalesce(t.nbpe, 0) AS BIGINT) AS n_bpe_tokens
-       |FROM (SELECT doc_id FROM documents) d
-       |LEFT JOIN (SELECT dw.doc_id, sum(dw.c) AS nws, sum(dw.c * wl.bl) AS nbpe
-       |           FROM dw JOIN wl USING (word) GROUP BY dw.doc_id) t
-       |USING (doc_id)""".stripMargin
-  }
+       |  FROM e$numMerges),
+       |dcnt AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(t.nws, 0) AS BIGINT) AS nws,
+       |         CAST(coalesce(t.nbpe, 0) AS BIGINT) AS nbpe
+       |  FROM (SELECT doc_id FROM documents) d
+       |  LEFT JOIN (SELECT dw.doc_id, sum(dw.c) AS nws, sum(dw.c * wl.bl) AS nbpe
+       |             FROM dw JOIN wl USING (word) GROUP BY dw.doc_id) t
+       |  USING (doc_id))""".stripMargin
+
+  private def bpeTokensOracleSql(numMerges: Int = 50, topWords: Int = 30000,
+      minPairCount: Long = 2): String =
+    s"""WITH ${bpeTrainCtes(numMerges, topWords, minPairCount)},
+       |${bpeDocCountCtes(numMerges)}
+       |SELECT doc_id, nws AS n_ws_tokens, nbpe AS n_bpe_tokens
+       |FROM dcnt""".stripMargin
+
+  /** DuckDB mirror of [[graft.pipeline.Corpus.lengthBuckets]] — the
+    * shared per-doc count chain, then pure INTEGER bucket arithmetic
+    * (ceil to the next `width` multiple, floor `width`): no floats
+    * anywhere, so the two engines cannot disagree at a boundary. */
+  private def lengthBucketsOracleSql(width: Int = 64,
+      numMerges: Int = 50): String =
+    s"""WITH ${bpeTrainCtes(numMerges, 30000, 2)},
+       |${bpeDocCountCtes(numMerges)},
+       |bk AS (
+       |  SELECT doc_id, nbpe,
+       |         greatest($width, ((nbpe + ${width - 1}) // $width) * $width)
+       |           AS bucket_len
+       |  FROM dcnt)
+       |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nbpe) AS BIGINT) AS total_tokens,
+       |       CAST(sum(bucket_len - nbpe) AS BIGINT) AS pad_tokens
+       |FROM bk GROUP BY bucket_len""".stripMargin
 
   /** Full-corpus manifest from the from-spec XXH64 — shared by
     * `p_manifest` (direct) and `p_manifest_delta` (the Spark side
@@ -4169,6 +4205,8 @@ object PipelineEntries {
     // window -> document provenance map: same packing arithmetic as
     // p_pack_ids down to the pb CTE, no per-token CTEs
     "p_pack_boundaries" -> packBoundariesOracleSql(),
+    // length buckets: shared per-doc count chain + integer bucket math
+    "p_length_buckets" -> lengthBucketsOracleSql(),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two

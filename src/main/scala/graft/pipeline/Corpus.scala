@@ -818,6 +818,35 @@ object Corpus {
     * BROADCASTS into the filter, so the corpus pays one narrow pass plus
     * the percentile aggregation. Keeps docs AT the boundary (closed
     * band). Returns the surviving docs with `n_tokens` attached. */
+  /** Length-bucket histogram in TRAINER tokens — the padding-waste
+    * diagnostic for BUCKETED dynamic batching (the alternative to
+    * packing: batch same-length-bucket documents, pad to the bucket
+    * ceiling): per bucket (next `width` multiple ≥ the doc's BPE token
+    * count, floor `width`), the document count, real-token total, and
+    * the pad tokens the bucket ceiling would burn. Reading this against
+    * [[packingStats]] is how a pipeline picks packing vs bucketing for
+    * a corpus. Bucket arithmetic is pure INTEGER (ceil-to-multiple via
+    * `div`) — no float log/pow, so the SQL mirror cannot diverge at a
+    * power boundary.
+    *
+    * Scale: one narrow count pass ([[Bpe.withTokenCountColumn]] — the
+    * same trainer currency as the packers) into a map-side-combinable
+    * aggregate; output is |buckets| rows (max corpus doc length /
+    * width). */
+  def lengthBuckets(docs: DataFrame, merges: DataFrame, width: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    Bpe.withTokenCountColumn(docs, merges, textCol, "__n")
+      .select(col("__n"),
+        greatest(lit(width.toLong),
+          expr(s"((__n + ${width - 1}) div $width) * $width"))
+          .as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        sum(col("bucket_len") - col("__n")).as("pad_tokens"))
+  }
+
   def trimOutliers(docs: DataFrame, pLo: Double = 0.05, pHi: Double = 0.95,
       textCol: String = "text", strataCol: String = "lang"): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")

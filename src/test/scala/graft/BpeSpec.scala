@@ -523,6 +523,25 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBuckets: hand-computed buckets, integer ceil-to-multiple") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    // hand BPE counts (ids spec): "low lowest" -> 3, "widest" -> 3,
+    // "low lowest newest widest widest" -> 3+1+3+3... recompute: low=1,
+    // lowest=2, newest=1, widest=3 => 1+2+1+3+3 = 10; empty -> 0
+    val docs = Seq((0L, "low lowest"), (1L, "widest"),
+      (2L, "low lowest newest widest widest"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Corpus.lengthBuckets(docs, merges, width = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // width 4: counts {3, 3, 10, 0} -> buckets {4, 4, 12, 4(floor)}
+    assert(got == Map(
+      4L -> ((3L, 6L, 6L)),   // docs 0,1,3: tokens 3+3+0=6, pad 1+1+4=6
+      12L -> ((1L, 10L, 2L))))
+  }
+
   test("decodeIds: lossless round trip; specials render or skip; loud on bad id") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)

@@ -484,6 +484,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(12L) == ((0L, Nil))) // empty doc: 0 tokens, [] ids
   }
 
+  test("detokenize on a stream equals the batch decode (stateless twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // decode is the same narrow-UDF shape as the id emission above:
+    // stateless, so encode -> decode composes on a stream with no
+    // watermark and equals the batch form row for row
+    val train = Seq(
+      SDoc(1L, "low low low lower newest newest"),
+      SDoc(2L, "newest widest lowest low"))
+    val merges = graft.pipeline.Bpe.train(train.toDF(), numMerges = 5)
+    val vocab = graft.pipeline.Bpe.vocabulary(train.toDF(), merges)
+    val arriving = Seq(
+      SDoc(10L, "low lowest arriving later"), // a/v/g are OOV -> <unk>
+      SDoc(11L, "  Widest  NEWEST "))
+    val mem = MemoryStream[SDoc]
+    mem.addData(arriving.take(1): _*)
+    val q = graft.pipeline.Bpe.decodeIds(
+        graft.pipeline.Bpe.withTokenIdsColumn(
+          mem.toDF(), merges, vocab, textCol = "text"),
+        vocab, idsCol = "token_ids", outCol = "rt")
+      .writeStream.format("memory").queryName("decode_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(arriving.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("decode_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.pipeline.Bpe.decodeIds(
+        graft.pipeline.Bpe.withTokenIdsColumn(
+          arriving.toDF(), merges, vocab, textCol = "text"),
+        vocab, idsCol = "token_ids", outCol = "rt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    // in-alphabet text round-trips to its normalized form on the stream
+    assert(streamed(11L) == "widest newest")
+    // OOV characters surface as the reserved UNK's literal token
+    assert(streamed(10L).contains(graft.pipeline.Bpe.Unk))
+  }
+
   test("streaming vocab sketch: update-mode KMV state converges to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -245,6 +245,37 @@ object PipelineEntries {
     s"${System.getProperty("java.io.tmpdir")}/graft_bpe_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
+  /** The p_pack_ids tensor frame + its vocabulary — ONE builder for the
+    * raw-rows entry and its collated twin (`p_pack_padded`), so the two
+    * entries can never drift in sampling mod, merge count, seqLen, or
+    * shard count (their oracles already share packIdsCtes the same
+    * way). */
+  private def packedIdsFrame(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
+    (Corpus.packedSequenceIds(
+      d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v,
+      seqLen = 512, shards = 4), v)
+  }
+
+  /** The p_sft_packed_ids tensor frame + its vocabulary — the SFT-path
+    * twin of [[packedIdsFrame]], shared by the raw-rows entry and
+    * `p_sft_pack_padded` (oracle side: sftPackedCtes). */
+  private def sftPackedFrame(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
+    val turns = Sft.parseTurns(convDocs(s, dir))
+      .filter(pmod(col("conv_id"), lit(5)) === 0)
+    val withIds = Bpe.withTokenIdsColumn(turns, m, v)
+      .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+    (Sft.packedExamples(
+      Sft.truncateToBudget(withIds, maxTokens = 160,
+        tokenCol = "n_bpe_tokens"),
+      seqLen = 256, shards = 4), v)
+  }
+
   /** Build (or freshness-check) the persisted BPE vocabulary the
     * p_bpe_persisted entry reads — tokenizer training is corpus SETUP
     * like the IVF/minhash artifacts above, so Bench prewarms it untimed
@@ -961,13 +992,7 @@ object PipelineEntries {
     // shard -> one row per token (shard, seq_bin, pos, token_id) — the
     // document-level twin of p_sft_packed_ids; doc_id % 10 == 0 bounds
     // the oracle rows, merges/vocabulary from the full corpus
-    "p_pack_ids" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
-      Corpus.packedSequenceIds(
-        d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v,
-        seqLen = 512, shards = 4)
-    }),
+    "p_pack_ids" -> ((s, dir) => packedIdsFrame(s, dir)._1),
 
     // the COLLATED form a loader feeds the model: exactly 512 rows per
     // (shard, seq_bin) — real tokens attn_mask 1, tails filled with the
@@ -976,13 +1001,8 @@ object PipelineEntries {
     // no-silent-caps companion, spec-pinned); oracle re-derives the
     // window grid and PAD/mask over the shared p_pack_ids CTE chain
     "p_pack_padded" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
-      Corpus.padPackedWindows(
-        Corpus.packedSequenceIds(
-          d.filter(pmod(col("doc_id"), lit(10)) === 0), m, v,
-          seqLen = 512, shards = 4),
-        v, seqLen = 512)
+      val (packed, v) = packedIdsFrame(s, dir)
+      Corpus.padPackedWindows(packed, v, seqLen = 512)
     }),
 
     // detokenize round trip: train -> vocabulary -> encode -> DECODE
@@ -1255,18 +1275,7 @@ object PipelineEntries {
     // a trainer's data loader reads; conv_id % 5 == 0 bounds the
     // oracle's token rows while merges/vocabulary still derive from
     // the full corpus
-    "p_sft_packed_ids" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
-      val turns = Sft.parseTurns(convDocs(s, dir))
-        .filter(pmod(col("conv_id"), lit(5)) === 0)
-      val withIds = Bpe.withTokenIdsColumn(turns, m, v)
-        .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
-      Sft.packedExamples(
-        Sft.truncateToBudget(withIds, maxTokens = 160,
-          tokenCol = "n_bpe_tokens"),
-        seqLen = 256, shards = 4)
-    }),
+    "p_sft_packed_ids" -> ((s, dir) => sftPackedFrame(s, dir)._1),
 
     // the collated form of the SFT capstone: exactly 256 rows per
     // window, PAD/attn_mask from the artifact's reserved rows,
@@ -1274,18 +1283,8 @@ object PipelineEntries {
     // is for the document path, completing padPackedWindows' train_mask
     // branch under a gate oracle (it was spec-only before)
     "p_sft_pack_padded" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val (m, v) = Bpe.trainAndVocabulary(d, numMerges = 50)
-      val turns = Sft.parseTurns(convDocs(s, dir))
-        .filter(pmod(col("conv_id"), lit(5)) === 0)
-      val withIds = Bpe.withTokenIdsColumn(turns, m, v)
-        .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
-      Corpus.padPackedWindows(
-        Sft.packedExamples(
-          Sft.truncateToBudget(withIds, maxTokens = 160,
-            tokenCol = "n_bpe_tokens"),
-          seqLen = 256, shards = 4),
-        v, seqLen = 256)
+      val (packed, v) = sftPackedFrame(s, dir)
+      Corpus.padPackedWindows(packed, v, seqLen = 256)
     }),
 
     // the composed SFT pipeline a user actually runs: parse -> structure
@@ -3178,10 +3177,12 @@ object PipelineEntries {
     * (re-derive from first principles, never mirror the
     * implementation). */
   private def bpeDecodeOracleSql(sampleMod: Int = 10): String =
+    // coalesce: a NULL text encodes to [] and decodes to '' on the Spark
+    // side — the mirror must say '' too, like every NULL-robust sibling
     s"""SELECT doc_id,
-       |       array_to_string(
+       |       coalesce(array_to_string(
        |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-       |                     x -> x <> ''), ' ') AS decoded
+       |                     x -> x <> ''), ' '), '') AS decoded
        |FROM documents WHERE doc_id % $sampleMod = 0""".stripMargin
 
   /** DuckDB mirror of [[graft.pipeline.Corpus.packedWindowBoundaries]]:

@@ -346,6 +346,15 @@ object Bpe {
       require(!SpecialTokens.contains(m),
         s"merge output '$m' collides with a reserved special token — " +
           "the corpus contains the sentinel string as text")
+      // same injection guard for the word-break marker: an EXACT '</w>'
+      // composition can only come from the corpus containing the marker
+      // characters as text (legit word-final merges strictly CONTAIN the
+      // marker), and first-wins would silently alias it onto the
+      // marker's own id — the one collision decodeIds cannot survive
+      require(m != EndOfWord,
+        s"merge output composes the literal '$EndOfWord' word-break " +
+          "marker from corpus text — refusing to alias it onto the " +
+          "marker's id")
       if (!ids.contains(m)) ids(m) = ids.size.toLong
     }
     ids.toSeq.toDF("token", "token_id")
@@ -449,20 +458,30 @@ object Bpe {
     * and the other half of the tokenizer contract: a trainer's eval
     * loop, sample inspection, and generation decoding all consume it.
     * Per row, each id maps to its vocabulary token string (reverse of
-    * the same bounded artifact table), the symbols concatenate, and
-    * every [[EndOfWord]] marker becomes one space — so for any corpus
-    * the vocabulary's alphabet covers, `decodeIds(encodeIds(text)) ==
-    * ` the whitespace-normalized lowercase of `text` EXACTLY (words
-    * re-joined by single spaces: BPE merges never cross [[EndOfWord]],
-    * so the round trip is lossless — the gate entry pins precisely
-    * this, with the expected text derived from the raw corpus alone,
-    * no tokenizer in the oracle at all). An id absent from the
-    * vocabulary fails LOUDLY (decoding with a different artifact than
-    * encoded is corruption, not data); with `skipSpecials` the four
-    * reserved [[SpecialTokens]] rows render as nothing (the
-    * skip_special_tokens convention for displaying packed/padded
-    * windows), otherwise they render literally. NULL id arrays decode
-    * to NULL.
+    * the same bounded artifact table) and word breaks resolve at the
+    * SYMBOL level: a symbol ENDING with the [[EndOfWord]] marker closes
+    * a word (the marker strips, one space follows) — never a string
+    * scan over the concatenation, so text that literally CONTAINS the
+    * marker characters round-trips verbatim (its '<','/','w','>' come
+    * back as ordinary alphabet symbols, or inside a merged symbol that
+    * doesn't END with the marker). Hence for any corpus the
+    * vocabulary's alphabet covers, `decodeIds(encodeIds(text)) ==` the
+    * whitespace-normalized lowercase of `text` EXACTLY (words re-joined
+    * by single spaces: BPE merges never cross [[EndOfWord]], so the
+    * round trip is lossless — the gate entry pins precisely this, with
+    * the expected text derived from the raw corpus alone, no tokenizer
+    * in the oracle at all). One residual ambiguity is documented, not
+    * silent: a LEARNED merge whose output ends with the literal marker
+    * characters composed from text (e.g. `a</w` + `>`) is
+    * indistinguishable from a word-final subword at the string level —
+    * and [[vocabulary]] already rejects the exact-`</w>` composition
+    * loudly, the one case that would alias the marker's own id. An id
+    * absent from the vocabulary fails LOUDLY (decoding with a different
+    * artifact than encoded is corruption, not data); with
+    * `skipSpecials` the four reserved [[SpecialTokens]] rows render as
+    * nothing (the skip_special_tokens convention for displaying
+    * packed/padded windows), otherwise they render literally. NULL id
+    * arrays decode to NULL.
     *
     * Scale: the reverse id → token map is the collected vocabulary
     * (bounded by construction: alphabet + merges + 5), broadcast; the
@@ -487,16 +506,21 @@ object Bpe {
         val skip = bcSkip.value
         val sb = new StringBuilder
         arr.foreach { id =>
-          if (!skip.contains(id))
-            sb.append(r.getOrElse(id,
+          if (!skip.contains(id)) {
+            val tok = r.getOrElse(id,
               throw new IllegalArgumentException(
                 s"token id $id has no vocabulary row (${r.size} ids) — " +
-                  "decode requires the artifact that encoded")))
+                  "decode requires the artifact that encoded"))
+            // word break at the SYMBOL level (see scaladoc): a symbol
+            // ending with the marker closes a word; marker characters
+            // EMBEDDED elsewhere in a symbol are corpus text, untouched
+            if (tok.endsWith(EndOfWord)) {
+              sb.append(tok.substring(0, tok.length - EndOfWord.length))
+              sb.append(' ')
+            } else sb.append(tok)
+          }
         }
-        // </w> only ever ends a symbol (merges never cross it), so the
-        // global replace is exact; the last word's marker leaves one
-        // trailing space to strip
-        sb.toString.replace(EndOfWord, " ").stripSuffix(" ")
+        sb.toString.stripSuffix(" ")
       }
     }
     ids.select(col(idCol), dec(col(idsCol)).as(outCol))

@@ -432,15 +432,31 @@ object Corpus {
     * contract). */
   def packSequences(docs: DataFrame, seqLen: Int = 2048, shards: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    PrefixSum.groupedRunningSum(
+    binAssign(PrefixSum.groupedRunningSum(
         docs.select(col(idCol),
           pmod(col(idCol), lit(shards.toLong)).as("shard"),
           size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens")),
-        "shard", idCol, "n_tokens", "cum_tokens")
-      .withColumn("seq_bin",
-        floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
+        "shard", idCol, "n_tokens", "cum_tokens"),
+        seqLen, "n_tokens", "cum_tokens", "__off")
       .select(col(idCol), col("shard"), col("n_tokens"),
         col("cum_tokens"), col("seq_bin"))
+
+  /** The packers' ONE window-assignment rule over a grouped running
+    * sum: an item keeps the bin it STARTS in (`seq_bin =
+    * floor((cum − n) / seqLen)`), and its start offset there
+    * (`binOffCol = (cum − n) − seq_bin·seqLen`) may run past `seqLen`
+    * — the straddle rule ([[packedWindowOverflow]] bills it; items
+    * never split). One definition shared by both packers, the tensor
+    * exports, and the provenance map ([[packedWindowBoundaries]]), so
+    * a bin-rule change cannot drift between the layout and its
+    * description — the SQL mirrors share theirs the same way
+    * (packDocCtes). */
+  private[pipeline] def binAssign(df: DataFrame, seqLen: Int,
+      nCol: String, cumCol: String, binOffCol: String): DataFrame =
+    df.withColumn("seq_bin",
+        floor((col(cumCol) - col(nCol)) / lit(seqLen)))
+      .withColumn(binOffCol,
+        col(cumCol) - col(nCol) - col("seq_bin") * lit(seqLen.toLong))
 
   /** Packed PRETRAINING examples — the document-level twin of
     * [[Sft.packedExamples]] and the engine's pretraining tensor export:
@@ -499,12 +515,9 @@ object Corpus {
     val t = withIds.select(col(idCol), col("__ids"),
       size(col("__ids")).cast("long").as("__n"),
       pmod(col(idCol), lit(shards.toLong)).as("shard"))
-    PrefixSum.groupedRunningSum(t, "shard", idCol, "__n", "__cum")
-      .withColumn("seq_bin",
-        floor((col("__cum") - col("__n")) / lit(seqLen)))
-      .select(col("shard"), col("seq_bin"),
-        (col("__cum") - col("__n") -
-          col("seq_bin") * lit(seqLen.toLong)).as("__binOff"),
+    binAssign(PrefixSum.groupedRunningSum(t, "shard", idCol, "__n", "__cum"),
+        seqLen, "__n", "__cum", "__binOff")
+      .select(col("shard"), col("seq_bin"), col("__binOff"),
         posexplode(col("__ids")).as(Seq("__i", "token_id")))
       .select(col("shard"), col("seq_bin"),
         (col("__binOff") + col("__i")).as("pos"), col("token_id"))
@@ -546,13 +559,11 @@ object Corpus {
       .select(col(idCol),
         pmod(col(idCol), lit(shards.toLong)).as("shard"),
         (col("__nb") + lit(extra)).as("__n"))
-    PrefixSum.groupedRunningSum(t, "shard", idCol, "__n", "__cum")
-      .withColumn("__o", col("__cum") - col("__n"))
-      .withColumn("seq_bin", floor(col("__o") / lit(seqLen)))
+    binAssign(PrefixSum.groupedRunningSum(t, "shard", idCol, "__n", "__cum"),
+        seqLen, "__n", "__cum", "start_pos")
       .select(col("shard"), col("seq_bin"), col(idCol),
-        (col("__o") - col("seq_bin") * lit(seqLen.toLong)).as("start_pos"),
-        (col("__o") - col("seq_bin") * lit(seqLen.toLong) + col("__n"))
-          .as("end_pos"))
+        col("start_pos"),
+        (col("start_pos") + col("__n")).as("end_pos"))
   }
 
   /** Fixed-length training windows from a packed tensor frame — the
@@ -810,14 +821,6 @@ object Corpus {
   /** Per-language corpus length statistics over whitespace token counts:
     * doc count, mean (6 dp), and exact p50/p95/p99 (linear interpolation —
     * matches DuckDB `quantile_cont` for the oracle). */
-  /** Percentile-band outlier trim: keep only docs whose token count lies
-    * inside the per-stratum exact interpolated [pLo, pHi] band — the
-    * standard "drop truncated fragments and merged-page monsters"
-    * curation cut, bounded per language so verbose and terse languages
-    * each keep their own center. The bounds frame is |strata|-sized and
-    * BROADCASTS into the filter, so the corpus pays one narrow pass plus
-    * the percentile aggregation. Keeps docs AT the boundary (closed
-    * band). Returns the surviving docs with `n_tokens` attached. */
   /** Length-bucket histogram in TRAINER tokens — the padding-waste
     * diagnostic for BUCKETED dynamic batching (the alternative to
     * packing: batch same-length-bucket documents, pad to the bucket
@@ -847,6 +850,14 @@ object Corpus {
         sum(col("bucket_len") - col("__n")).as("pad_tokens"))
   }
 
+  /** Percentile-band outlier trim: keep only docs whose token count lies
+    * inside the per-stratum exact interpolated [pLo, pHi] band — the
+    * standard "drop truncated fragments and merged-page monsters"
+    * curation cut, bounded per language so verbose and terse languages
+    * each keep their own center. The bounds frame is |strata|-sized and
+    * BROADCASTS into the filter, so the corpus pays one narrow pass plus
+    * the percentile aggregation. Keeps docs AT the boundary (closed
+    * band). Returns the surviving docs with `n_tokens` attached. */
   def trimOutliers(docs: DataFrame, pLo: Double = 0.05, pHi: Double = 0.95,
       textCol: String = "text", strataCol: String = "lang"): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")

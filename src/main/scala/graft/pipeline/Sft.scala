@@ -242,13 +242,12 @@ object Sft {
   def packConversations(turns: DataFrame, seqLen: Int = 2048,
       shards: Int = 8, convIdCol: String = "conv_id",
       tokenCol: String = "n_tokens"): DataFrame =
-    PrefixSum.groupedRunningSum(
+    Corpus.binAssign(PrefixSum.groupedRunningSum(
         turns.groupBy(col(convIdCol))
           .agg(sum(col(tokenCol)).as("n_tokens"))
           .withColumn("shard", pmod(col(convIdCol), lit(shards.toLong))),
-        "shard", convIdCol, "n_tokens", "cum_tokens")
-      .withColumn("seq_bin",
-        floor((col("cum_tokens") - col("n_tokens")) / lit(seqLen)))
+        "shard", convIdCol, "n_tokens", "cum_tokens"),
+        seqLen, "n_tokens", "cum_tokens", "__off")
       .select(col(convIdCol), col("shard"), col("n_tokens"),
         col("cum_tokens"), col("seq_bin"))
 
@@ -281,10 +280,10 @@ object Sft {
       shards: Int = 8, convIdCol: String = "conv_id",
       idsCol: String = "token_ids"): DataFrame = {
     val t = turns.withColumn("__n", size(col(idsCol)).cast("long"))
-    val pack = packConversations(t, seqLen, shards, convIdCol, "__n")
-      .select(col(convIdCol), col("shard"), col("seq_bin"),
-        (col("cum_tokens") - col("n_tokens") -
-          col("seq_bin") * lit(seqLen.toLong)).as("__binOff"))
+    val pack = Corpus.binAssign(
+        packConversations(t, seqLen, shards, convIdCol, "__n"),
+        seqLen, "n_tokens", "cum_tokens", "__binOff")
+      .select(col(convIdCol), col("shard"), col("seq_bin"), col("__binOff"))
     val w = Window.partitionBy(convIdCol).orderBy("turn_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("__start", sum(col("__n")).over(w) - col("__n"))

@@ -523,6 +523,33 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeIds: text containing the literal marker round-trips verbatim") {
+    import spark.implicits._
+    // 'x</w>y' appears once, so no merges touch its characters; its
+    // '<','/','w','>' encode as ordinary alphabet symbols and the
+    // SYMBOL-level word break must NOT treat the embedded marker string
+    // as a word end (the old global string replace did)
+    val docs = Seq((1L, "x</w>y low low")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 3)
+    val vocab = Bpe.vocabulary(docs, merges)
+    val rt = Bpe.decodeIds(Bpe.encodeIds(docs, merges, vocab), vocab)
+      .collect().head.getString(1)
+    assert(rt == "x</w>y low low")
+  }
+
+  test("vocabulary: a merge output composing the literal '</w>' fails loudly") {
+    import spark.implicits._
+    // hand-built merge table (trainers can't easily be steered into the
+    // exact composition, but nothing forbids it): '</w' + '>' == the
+    // word-break marker — first-wins would silently alias it onto the
+    // marker's own id, the one collision decode cannot survive
+    val m = Seq((0L, "</w", ">")).toDF("rank", "left", "right")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.vocabulary(corpusDf, m)
+    }
+    assert(ex.getMessage.contains("word-break"), ex.getMessage)
+  }
+
   test("lengthBuckets: hand-computed buckets, integer ceil-to-multiple") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)

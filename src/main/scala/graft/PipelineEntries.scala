@@ -1030,6 +1030,26 @@ object PipelineEntries {
         Bpe.train(d, numMerges = 50), seqLen = 512, shards = 4)
     }),
 
+    // render the padded training windows as TEXT — the inspect-a-batch
+    // op a trainer's debugging loop runs (which documents ended up in
+    // this window?): collate each window's ids in pos order from the
+    // loader-facing padded frame, decode with specials skipped (EOS
+    // and PAD vanish, document texts join on the word breaks); a
+    // straddle-cut window renders the last document's PREFIX, exactly
+    // what the fixed window will train on
+    "p_decode_windows" -> ((s, dir) => {
+      val (packed, v) = packedIdsFrame(s, dir)
+      val padded = Corpus.padPackedWindows(packed, v, seqLen = 512)
+      Bpe.withDecodedColumn(
+        padded.groupBy("shard", "seq_bin")
+          .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
+            .as("__s"))
+          .withColumn("token_ids", expr("transform(__s, x -> x.token_id)")),
+        v, idsCol = "token_ids", outCol = "window_text",
+        skipSpecials = true)
+        .select(col("shard"), col("seq_bin"), col("window_text"))
+    }),
+
     // length-bucket histogram in trainer tokens: the padding-waste
     // diagnostic for bucketed dynamic batching (read against
     // p_pack_stats to pick packing vs bucketing); integer-only bucket
@@ -3200,6 +3220,31 @@ object PipelineEntries {
        |       CAST(binoff + n AS BIGINT) AS end_pos
        |FROM pb""".stripMargin
 
+  /** DuckDB mirror of `p_decode_windows`: the shared [[packIdsCtes]]
+    * chain, each window's kept (pos < seqLen) non-special tokens
+    * re-joined to their vocabulary STRINGS in pos order, `</w>` →
+    * space (no literal marker exists in this corpus — the Scala side's
+    * symbol-level break and the string replace coincide; the
+    * divergence case is pinned Spark-side in BpeSpec). Windows whose
+    * kept tokens are all specials still emit their (empty) row via the
+    * wins LEFT JOIN, matching the padded grid the entry groups on. */
+  private def decodeWindowsOracleSql(seqLen: Int = 512, shards: Int = 4,
+      sampleMod: Int = 10, numMerges: Int = 50): String =
+    s"""WITH ${packIdsCtes(seqLen, shards, sampleMod, numMerges)},
+       |wtok AS (
+       |  SELECT p.shard, p.seq_bin, p.pos, v.token
+       |  FROM packed p JOIN vocab v ON v.token_id = p.token_id
+       |  WHERE p.pos < $seqLen
+       |    AND v.token NOT IN ('<unk>', '<bos>', '<eos>', '<pad>')),
+       |wagg AS (
+       |  SELECT shard, seq_bin,
+       |         rtrim(replace(string_agg(token, '' ORDER BY pos),
+       |                       '</w>', ' ')) AS wt
+       |  FROM wtok GROUP BY shard, seq_bin),
+       |wins AS (SELECT DISTINCT shard, seq_bin FROM packed)
+       |SELECT w.shard, w.seq_bin, coalesce(a.wt, '') AS window_text
+       |FROM wins w LEFT JOIN wagg a USING (shard, seq_bin)""".stripMargin
+
   private def bpeTrainOracleSql(numMerges: Int = 50, topWords: Int = 30000,
       minPairCount: Long = 2): String = {
     val unions = (0 until numMerges).map { k =>
@@ -4208,6 +4253,9 @@ object PipelineEntries {
     "p_pack_boundaries" -> packBoundariesOracleSql(),
     // length buckets: shared per-doc count chain + integer bucket math
     "p_length_buckets" -> lengthBucketsOracleSql(),
+    // window renders: kept non-special tokens re-joined to vocabulary
+    // strings per window over the shared packed chain
+    "p_decode_windows" -> decodeWindowsOracleSql(),
 
     // xxhash64 is NOT missing from DuckDB after all — reimplemented
     // from the public XXH64 spec in SQL (see xxh64Ctes); these two

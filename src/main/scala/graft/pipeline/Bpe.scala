@@ -489,7 +489,28 @@ object Bpe {
     * same shape as the encode side. */
   def decodeIds(ids: DataFrame, vocab: DataFrame,
       idsCol: String = "token_ids", idCol: String = "doc_id",
-      outCol: String = "text", skipSpecials: Boolean = false): DataFrame = {
+      outCol: String = "text", skipSpecials: Boolean = false): DataFrame =
+    ids.select(col(idCol),
+      decodeUdf(ids.sparkSession, vocab, skipSpecials)(col(idsCol))
+        .as(outCol))
+
+  /** Attach the decoded text as a COLUMN, keeping every other column —
+    * the schema-preserving twin of [[decodeIds]] (the
+    * [[withTokenIdsColumn]] pattern), for frames whose key is not a
+    * single id column: per-window renders of the packed exports, turn
+    * frames, anything mid-pipeline. Same UDF, same contract. */
+  def withDecodedColumn(df: DataFrame, vocab: DataFrame,
+      idsCol: String = "token_ids", outCol: String = "text",
+      skipSpecials: Boolean = false): DataFrame =
+    df.withColumn(outCol,
+      decodeUdf(df.sparkSession, vocab, skipSpecials)(col(idsCol)))
+
+  /** The shared decode UDF of [[decodeIds]]/[[withDecodedColumn]]:
+    * reverse vocab map broadcast, symbol-level word breaks, loud on an
+    * unknown id (see [[decodeIds]]'s scaladoc for the contract). */
+  private def decodeUdf(spark: SparkSession, vocab: DataFrame,
+      skipSpecials: Boolean)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val rev: Map[Long, String] =
       vocab.select(col("token_id").cast("long"), col("token"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -497,9 +518,9 @@ object Bpe {
       if (skipSpecials)
         rev.collect { case (i, t) if SpecialTokens.contains(t) => i }.toSet
       else Set.empty
-    val bcRev = ids.sparkSession.sparkContext.broadcast(rev)
-    val bcSkip = ids.sparkSession.sparkContext.broadcast(specialIds)
-    val dec = udf { (arr: Seq[Long]) =>
+    val bcRev = spark.sparkContext.broadcast(rev)
+    val bcSkip = spark.sparkContext.broadcast(specialIds)
+    udf { (arr: Seq[Long]) =>
       if (arr == null) null
       else {
         val r = bcRev.value
@@ -511,9 +532,10 @@ object Bpe {
               throw new IllegalArgumentException(
                 s"token id $id has no vocabulary row (${r.size} ids) — " +
                   "decode requires the artifact that encoded"))
-            // word break at the SYMBOL level (see scaladoc): a symbol
-            // ending with the marker closes a word; marker characters
-            // EMBEDDED elsewhere in a symbol are corpus text, untouched
+            // word break at the SYMBOL level (see decodeIds scaladoc):
+            // a symbol ending with the marker closes a word; marker
+            // characters EMBEDDED elsewhere in a symbol are corpus
+            // text, untouched
             if (tok.endsWith(EndOfWord)) {
               sb.append(tok.substring(0, tok.length - EndOfWord.length))
               sb.append(' ')
@@ -523,7 +545,6 @@ object Bpe {
         sb.toString.stripSuffix(" ")
       }
     }
-    ids.select(col(idCol), dec(col(idsCol)).as(outCol))
   }
 
   /** Read the vocabulary table persisted beside the merge artifact by

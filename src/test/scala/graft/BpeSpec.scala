@@ -537,6 +537,34 @@ class BpeSpec extends AnyFunSuite {
     assert(rt == "x</w>y low low")
   }
 
+  test("withDecodedColumn renders padded windows: specials vanish, cut prefix shows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array,
+      struct, expr}
+    val merges = Bpe.train(corpusDf, numMerges = 10)
+    val vocab = Bpe.vocabulary(corpusDf, merges)
+    // the padPackedWindows fixture: ids [23,19,17,eos] + [13,6,24,eos]
+    // in a 6-window — padded keeps pos 0..5 = [23,19,17,2,13,6], the
+    // straddle [24,2] is cut; decode with skipSpecials drops the EOS
+    // and renders the SECOND doc's cut prefix "wi" (w, i — no marker)
+    val docs = Seq((0L, "low lowest"), (2L, "widest")).toDF("doc_id", "text")
+    val padded = graft.pipeline.Corpus.padPackedWindows(
+      graft.pipeline.Corpus.packedSequenceIds(
+        docs, merges, vocab, seqLen = 6, shards = 2),
+      vocab, seqLen = 6)
+    val rendered = Bpe.withDecodedColumn(
+        padded.groupBy("shard", "seq_bin")
+          .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
+            .as("__s"))
+          .withColumn("token_ids", expr("transform(__s, x -> x.token_id)")),
+        vocab, idsCol = "token_ids", outCol = "window_text",
+        skipSpecials = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4))
+      .toMap
+    assert(rendered == Map((0L, 0L) -> "low lowest wi"))
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("vocabulary: a merge output composing the literal '</w>' fails loudly") {
     import spark.implicits._
     // hand-built merge table (trainers can't easily be steered into the

@@ -547,6 +547,53 @@ object Bpe {
     }
   }
 
+  /** Write the merge table in the de-facto INTERCHANGE text format
+    * (GPT-2 `merges.txt`: a `#version` comment line, then one
+    * `left right` pair per line in rank order) so a tokenizer trained
+    * here can be consumed by external BPE tooling — and a tokenizer
+    * trained elsewhere can be applied here via [[importMergesText]]
+    * (the id table then re-derives with [[vocabulary]], which is a
+    * function of corpus + merges). The format is line- and
+    * space-delimited, so a symbol containing whitespace cannot be
+    * represented — impossible for merges trained here (words are
+    * whitespace-split before symbolization), and REJECTED loudly for a
+    * hand-built table rather than written corruptly. Driver-side and
+    * bounded: ≤ numMerges rows by construction. */
+  def exportMergesText(merges: DataFrame, path: String): Unit = {
+    val rows = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    rows.foreach { case (l, r) =>
+      require(!(l + r).exists(_.isWhitespace),
+        s"merge ('$l', '$r') contains whitespace — not representable " +
+          "in the line-delimited merges.txt interchange format")
+    }
+    Artifacts.writeString(merges.sparkSession, path,
+      "#version: 0.2\n" +
+        rows.map { case (l, r) => s"$l $r" }.mkString("\n") + "\n")
+  }
+
+  /** Read a merges.txt interchange file back as the (rank, left,
+    * right) merge table [[train]] produces — `#`-comment and blank
+    * lines skipped, rank by line order. A line without exactly one
+    * space fails loudly (a malformed file silently dropping merges
+    * would corrupt every downstream id). */
+  def importMergesText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val body = Artifacts.readStringIfExists(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no merges file at $path"))
+    body.split("\n", -1).iterator
+      .map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .map { case (line, i) =>
+        val parts = line.split(" ", -1)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"malformed merges line ${i + 1}: '$line' (want 'left right')")
+        (i.toLong, parts(0), parts(1))
+      }
+      .toSeq.toDF("rank", "left", "right")
+  }
+
   /** Read the vocabulary table persisted beside the merge artifact by
     * [[trainPersistedIfStale]]. */
   def persistedVocabulary(spark: SparkSession, path: String): DataFrame =

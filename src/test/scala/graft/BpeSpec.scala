@@ -578,6 +578,49 @@ class BpeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("word-break"), ex.getMessage)
   }
 
+  test("merges.txt interchange: round trip, header/CRLF tolerance, loud rejects") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtx").toString
+    try {
+      val merges = Bpe.train(corpusDf, numMerges = 10)
+      val path = s"$dir/merges.txt"
+      Bpe.exportMergesText(merges, path)
+      // round trip: identical (rank, left, right) table — ids derived
+      // from an imported table equal the original artifact's
+      def t(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq
+      assert(t(Bpe.importMergesText(spark, path)) == t(merges))
+      // the file IS the GPT-2 shape: version comment + 'left right' lines
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      assert(txt.startsWith("#version:") && txt.contains("\ne s\n"))
+      // CRLF and blank-line tolerance on import
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/crlf.txt"),
+        "#version: 0.2\r\ne s\r\n\r\nes t\r\n".getBytes("UTF-8"))
+      assert(t(Bpe.importMergesText(spark, s"$dir/crlf.txt"))
+        == Seq((0L, "e", "s"), (1L, "es", "t")))
+      // a whitespace-bearing symbol cannot be represented — export
+      // refuses instead of writing a file that re-imports differently
+      val bad = Seq((0L, "a b", "c")).toDF("rank", "left", "right")
+      val ex = intercept[IllegalArgumentException] {
+        Bpe.exportMergesText(bad, s"$dir/bad.txt")
+      }
+      assert(ex.getMessage.contains("whitespace"), ex.getMessage)
+      // a malformed line fails loudly, not by dropping merges
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/mal.txt"),
+        "e s\nnot-a-pair\n".getBytes("UTF-8"))
+      val ex2 = intercept[IllegalArgumentException] {
+        Bpe.importMergesText(spark, s"$dir/mal.txt")
+      }
+      assert(ex2.getMessage.contains("malformed"), ex2.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("lengthBuckets: hand-computed buckets, integer ceil-to-multiple") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)

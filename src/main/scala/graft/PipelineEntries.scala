@@ -1039,12 +1039,9 @@ object PipelineEntries {
     // what the fixed window will train on
     "p_decode_windows" -> ((s, dir) => {
       val (packed, v) = packedIdsFrame(s, dir)
-      val padded = Corpus.padPackedWindows(packed, v, seqLen = 512)
       Bpe.withDecodedColumn(
-        padded.groupBy("shard", "seq_bin")
-          .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
-            .as("__s"))
-          .withColumn("token_ids", expr("transform(__s, x -> x.token_id)")),
+        Corpus.collateWindowIds(
+          Corpus.padPackedWindows(packed, v, seqLen = 512)),
         v, idsCol = "token_ids", outCol = "window_text",
         skipSpecials = true)
         .select(col("shard"), col("seq_bin"), col("window_text"))

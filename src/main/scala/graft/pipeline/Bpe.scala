@@ -557,8 +557,11 @@ object Bpe {
     * space-delimited, so a symbol containing whitespace cannot be
     * represented — impossible for merges trained here (words are
     * whitespace-split before symbolization), and REJECTED loudly for a
-    * hand-built table rather than written corruptly. Driver-side and
-    * bounded: ≤ numMerges rows by construction. */
+    * hand-built table rather than written corruptly. `#`-leading
+    * symbols are fine: only the FIRST `#version` line is a header, so
+    * a merge like `('#', 't')` round-trips as data (see
+    * [[importMergesText]]). Driver-side and bounded: ≤ numMerges rows
+    * by construction. */
   def exportMergesText(merges: DataFrame, path: String): Unit = {
     val rows = merges.orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
@@ -573,25 +576,35 @@ object Bpe {
   }
 
   /** Read a merges.txt interchange file back as the (rank, left,
-    * right) merge table [[train]] produces — `#`-comment and blank
-    * lines skipped, rank by line order. A line without exactly one
-    * space fails loudly (a malformed file silently dropping merges
+    * right) merge table [[train]] produces. ONLY the leading
+    * `#version` header line is skipped (the reference readers'
+    * behavior) — a merge whose left symbol begins with `#` (hashtag
+    * corpora, byte-level external tokenizers) is DATA, so a
+    * treat-all-`#`-as-comments reader would silently drop merges and
+    * shift every later rank; blank lines are tolerated; a line without
+    * exactly one single-space-separated pair fails loudly with its
+    * FILE line number (a malformed file silently dropping merges
     * would corrupt every downstream id). */
   def importMergesText(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val body = Artifacts.readStringIfExists(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no merges file at $path"))
-    body.split("\n", -1).iterator
+    val pairs = body.split("\n", -1).iterator
       .map(_.stripSuffix("\r"))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .zipWithIndex
-      .map { case (line, i) =>
+      .filterNot { case (l, i) =>
+        l.isEmpty || (i == 0 && l.startsWith("#version"))
+      }
+      .map { case (line, lineNo) =>
         val parts = line.split(" ", -1)
         require(parts.length == 2 && parts.forall(_.nonEmpty),
-          s"malformed merges line ${i + 1}: '$line' (want 'left right')")
-        (i.toLong, parts(0), parts(1))
+          s"malformed merges line ${lineNo + 1}: '$line' (want 'left right')")
+        (parts(0), parts(1))
       }
-      .toSeq.toDF("rank", "left", "right")
+      .toSeq
+    pairs.zipWithIndex
+      .map { case ((l, r), rank) => (rank.toLong, l, r) }
+      .toDF("rank", "left", "right")
   }
 
   /** Read the vocabulary table persisted beside the merge artifact by

@@ -614,6 +614,20 @@ object Corpus {
     joined.select(cols: _*)
   }
 
+  /** Collate a packed/padded tensor frame back to ONE id array per
+    * window in pos order — the bridge from the row-per-token exports
+    * to array consumers ([[Bpe.withDecodedColumn]] renders, loaders
+    * that want per-window arrays). `sort_array` over (pos, token_id)
+    * structs makes the collected order deterministic whatever the
+    * shuffle delivered. One exchange on (shard, seq_bin); output is
+    * |windows| rows. */
+  def collateWindowIds(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "seq_bin")
+      .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
+        .as("__s"))
+      .withColumn("token_ids", expr("transform(__s, x -> x.token_id)"))
+      .drop("__s")
+
   /** The tokens [[padPackedWindows]] CUTS — its no-silent-caps
     * companion, like `Dedup.imageHashBucketDrops` for the bucket cap:
     * one row per (shard, seq_bin) whose straddle spill runs past

@@ -553,13 +553,10 @@ class BpeSpec extends AnyFunSuite {
         docs, merges, vocab, seqLen = 6, shards = 2),
       vocab, seqLen = 6)
     val rendered = Bpe.withDecodedColumn(
-        padded.groupBy("shard", "seq_bin")
-          .agg(sort_array(collect_list(struct(col("pos"), col("token_id"))))
-            .as("__s"))
-          .withColumn("token_ids", expr("transform(__s, x -> x.token_id)")),
+        graft.pipeline.Corpus.collateWindowIds(padded),
         vocab, idsCol = "token_ids", outCol = "window_text",
         skipSpecials = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
       .toMap
     assert(rendered == Map((0L, 0L) -> "low lowest wi"))
     graft.pipeline.PipelineCaches.clear()
@@ -601,6 +598,14 @@ class BpeSpec extends AnyFunSuite {
         "#version: 0.2\r\ne s\r\n\r\nes t\r\n".getBytes("UTF-8"))
       assert(t(Bpe.importMergesText(spark, s"$dir/crlf.txt"))
         == Seq((0L, "e", "s"), (1L, "es", "t")))
+      // a '#'-leading merge is DATA, not a comment: ONLY the first
+      // #version line is a header, so hashtag-corpus merges round-trip
+      // instead of being silently dropped with every later rank shifted
+      val hashy = Seq((0L, "#", "t"), (1L, "#t", "ag"))
+        .toDF("rank", "left", "right")
+      Bpe.exportMergesText(hashy, s"$dir/hashy.txt")
+      assert(t(Bpe.importMergesText(spark, s"$dir/hashy.txt"))
+        == Seq((0L, "#", "t"), (1L, "#t", "ag")))
       // a whitespace-bearing symbol cannot be represented — export
       // refuses instead of writing a file that re-imports differently
       val bad = Seq((0L, "a b", "c")).toDF("rank", "left", "right")
@@ -608,14 +613,16 @@ class BpeSpec extends AnyFunSuite {
         Bpe.exportMergesText(bad, s"$dir/bad.txt")
       }
       assert(ex.getMessage.contains("whitespace"), ex.getMessage)
-      // a malformed line fails loudly, not by dropping merges
+      // a malformed line fails loudly with its FILE line number (the
+      // header and blank lines above it still count toward the number)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/mal.txt"),
-        "e s\nnot-a-pair\n".getBytes("UTF-8"))
+        "#version: 0.2\ne s\n\nnot-a-pair\n".getBytes("UTF-8"))
       val ex2 = intercept[IllegalArgumentException] {
         Bpe.importMergesText(spark, s"$dir/mal.txt")
       }
-      assert(ex2.getMessage.contains("malformed"), ex2.getMessage)
+      assert(ex2.getMessage.contains("malformed merges line 4"),
+        ex2.getMessage)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

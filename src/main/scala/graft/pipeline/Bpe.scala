@@ -607,6 +607,59 @@ object Bpe {
       .toDF("rank", "left", "right")
   }
 
+  /** Write the symbol → id table in the `vocab.json` interchange shape
+    * (one JSON object, token string → integer id — the other half of
+    * the GPT-2/HF tokenizer pair beside [[exportMergesText]]). Jackson
+    * (on the Spark classpath) does the string escaping, so quotes,
+    * backslashes, control characters, and astral symbols all survive;
+    * entries are written in id order for a stable, diffable file.
+    * Driver-side and bounded: the vocabulary is alphabet + merges + 5
+    * rows by construction. */
+  def exportVocabJson(vocab: DataFrame, path: String): Unit = {
+    val rows = vocab
+      .select(col("token"), col("token_id").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._2)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    rows.foreach { case (tok, id) => root.put(tok, id) }
+    Artifacts.writeString(vocab.sparkSession, path,
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
+  }
+
+  /** Read a `vocab.json` interchange file back as the (token,
+    * token_id) table every id consumer takes. This is what makes an
+    * EXTERNALLY-trained tokenizer faithfully applicable here: its ids
+    * are its own (a different alphabet order, different specials) —
+    * re-deriving them via [[vocabulary]] would renumber the embedding
+    * space, so the pair to import is (merges.txt, vocab.json), both
+    * verbatim. Duplicate tokens or non-integer ids fail loudly. */
+  def importVocabJson(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val body = Artifacts.readStringIfExists(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no vocab file at $path"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body)
+    require(root != null && root.isObject,
+      s"vocab.json at $path is not a JSON object")
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      require(e.getValue.isIntegralNumber,
+        s"vocab.json id for token '${e.getKey}' is not an integer: " +
+          e.getValue.toString)
+      out += ((e.getKey, e.getValue.asLong()))
+    }
+    // a JSON object cannot carry duplicate keys past the parser, but
+    // two tokens mapping to ONE id silently merges embedding rows —
+    // reject, like every other artifact-integrity guard
+    val dupIds = out.groupBy(_._2).filter(_._2.size > 1).keys
+    require(dupIds.isEmpty,
+      s"vocab.json maps multiple tokens to id(s) ${dupIds.mkString(",")}")
+    out.toSeq.toDF("token", "token_id")
+  }
+
   /** Read the vocabulary table persisted beside the merge artifact by
     * [[trainPersistedIfStale]]. */
   def persistedVocabulary(spark: SparkSession, path: String): DataFrame =

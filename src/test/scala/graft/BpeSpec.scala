@@ -628,6 +628,62 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab.json interchange: round trip, escaping, external-id apply, rejects") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vjs").toString
+    try {
+      def t(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // round trip of a REAL artifact, specials and all
+      val merges = Bpe.train(corpusDf, numMerges = 10)
+      val vocab = Bpe.vocabulary(corpusDf, merges)
+      Bpe.exportVocabJson(vocab, s"$dir/vocab.json")
+      assert(t(Bpe.importVocabJson(spark, s"$dir/vocab.json")) == t(vocab))
+      // escaping-hostile tokens survive: quote, backslash, emoji
+      val hostile = Seq(("\"", 0L), ("\\", 1L),
+        (new String(Character.toChars(0x1F600)), 2L))
+        .toDF("token", "token_id")
+      Bpe.exportVocabJson(hostile, s"$dir/hostile.json")
+      assert(t(Bpe.importVocabJson(spark, s"$dir/hostile.json"))
+        == t(hostile))
+      // the point of importing BOTH halves verbatim: an external
+      // tokenizer's ids are its own — encode must emit THE FILE's ids,
+      // not a re-derived numbering
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/ext_merges.txt"),
+        "#version: 0.2\ne s\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/ext_vocab.json"),
+        """{"<unk>": 7, "e": 40, "s": 41, "es": 99, "</w>": 50}"""
+          .getBytes("UTF-8"))
+      val ids = Bpe.encodeIds(
+          Seq((1L, "es zz")).toDF("doc_id", "text"),
+          Bpe.importMergesText(spark, s"$dir/ext_merges.txt"),
+          Bpe.importVocabJson(spark, s"$dir/ext_vocab.json"))
+        .collect().head.getSeq[Long](1).toList
+      // 'es' -> merged symbol id 99 + </w> 50; 'zz' -> external UNK 7 ×2
+      assert(ids == List(99L, 50L, 7L, 7L, 50L))
+      // two tokens on one id silently merges embedding rows — reject
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/dup.json"),
+        """{"a": 1, "b": 1}""".getBytes("UTF-8"))
+      val ex = intercept[IllegalArgumentException] {
+        Bpe.importVocabJson(spark, s"$dir/dup.json")
+      }
+      assert(ex.getMessage.contains("multiple tokens"), ex.getMessage)
+      // a non-integer id fails loudly
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/flt.json"),
+        """{"a": 1.5}""".getBytes("UTF-8"))
+      val ex2 = intercept[IllegalArgumentException] {
+        Bpe.importVocabJson(spark, s"$dir/flt.json")
+      }
+      assert(ex2.getMessage.contains("not an integer"), ex2.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("lengthBuckets: hand-computed buckets, integer ceil-to-multiple") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)

@@ -2662,8 +2662,13 @@ object PipelineEntries {
     s"""WITH RECURSIVE
        |$classifierCtes
        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |       -- + 0.0 folds DuckDB's -0.0 rounding artifact to +0.0
-       |       round(lg, 6) + 0.0 AS logit,
+       |       -- RAW logit: the sorted fold makes the double
+       |       -- bit-identical across engines, and the compare tool
+       |       -- rounds both sides with ONE function — while SQL-side
+       |       -- round(lg, 6) is engine-specific at decimal .5
+       |       -- boundaries (a sf0.001 doc flipped 0.065063/0.065062
+       |       -- between Spark HALF_UP and DuckDB float rounding, r17)
+       |       lg AS logit,
        |       (lg >= $ClassifierThreshold) AS passes
        |FROM r""".stripMargin
 
@@ -2727,13 +2732,15 @@ object PipelineEntries {
        |GROUP BY top.tok, top.exact_cnt""".stripMargin
 
   /** PR sweep over the classifier logits, lang='en' as ground truth:
-    * 2-dp-quantized thresholds (double-rounded through the 6-dp logit,
-    * exactly like the Spark path), cumulative tp/fp descending. */
+    * FLOOR-quantized 2-dp thresholds over the RAW logit (pure IEEE
+    * ops on the bit-identical double — exactly like the Spark path;
+    * round() is engine-specific at .5 boundaries), cumulative tp/fp
+    * descending. */
   private def prCurveOracleSql: String =
     s"""WITH RECURSIVE
        |$classifierCtes,
        |lab AS (
-       |  SELECT round(round(lg, 6) + 0.0, 2) + 0.0 AS threshold,
+       |  SELECT floor(lg * 100) / 100 + 0.0 AS threshold,
        |         (d.lang = 'en') AS y
        |  FROM r JOIN documents d USING (doc_id)),
        |g AS (

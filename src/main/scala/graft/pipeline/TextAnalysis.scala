@@ -172,13 +172,19 @@ object TextAnalysis {
     * `logit = bias + (Σ_tokens w[xxhash64(token) mod |w|]) / n_tokens`
     * — a bag-of-hashed-unigrams linear model whose weight vector the
     * caller trained offline — plus a raw-comparison `passes = logit ≥
-    * threshold` verdict. Returns (doc_id, n_tokens, logit 6-dp, passes);
+    * threshold` verdict. Returns (doc_id, n_tokens, logit RAW, passes);
     * token-free docs score the bias alone.
     *
     * Engine-portability of the float math: contributions fold over the
     * SORTED weight list (ascending), so the addition order — and with
     * IEEE doubles, the exact sum — is identical on any engine; `passes`
-    * compares the UNROUNDED sum (the p_curate lesson). `weights.size`
+    * compares the UNROUNDED sum (the p_curate lesson), and the logit is
+    * emitted UNROUNDED too: the bit-identical double is the portable
+    * value, while `round(x, 6)` is engine-specific at decimal .5
+    * boundaries (Spark rounds the decimal expansion HALF_UP, DuckDB
+    * rounds in float arithmetic — a corpus doc whose mean lands on
+    * ...x5 at the 7th place flips between them; found at sf0.001,
+    * round-17). Callers wanting display precision round downstream. `weights.size`
     * must be a power of two so `pmod(signed hash, size)` equals the
     * unsigned-hash residue (2⁶⁴ is then divisible by the modulus).
     *
@@ -206,7 +212,7 @@ object TextAnalysis {
         .otherwise(lit(bias)))
       .select(col(idCol).as("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
-        round(col("__logit"), 6).as("logit"),
+        col("__logit").as("logit"),
         (col("__logit") >= threshold).as("passes"))
   }
 
@@ -291,8 +297,17 @@ object TextAnalysis {
   def prCurve(scored: DataFrame, labelCol: Column,
       scoreCol: String = "logit", scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // FLOOR-quantized threshold grid (each score's bucket left edge at
+    // 10^-scale granularity): floor(x·10^s)/10^s is pure IEEE ops, so
+    // bit-identical scores quantize identically on every engine —
+    // round(x, s) is NOT engine-portable at decimal .5 boundaries
+    // (Spark rounds the decimal expansion HALF_UP, DuckDB rounds in
+    // float arithmetic; a boundary doc flipped the fp counts at
+    // sf0.01, round-17). `+ 0.0` folds -0.0 to +0.0.
+    val q = math.pow(10.0, scale)
     val g = scored
-      .select((round(col(scoreCol), scale) + lit(0.0)).as("threshold"),
+      .select((floor(col(scoreCol) * lit(q)) / lit(q) + lit(0.0))
+          .as("threshold"),
         labelCol.cast("boolean").as("__y"))
       .filter(col("__y").isNotNull)
       .groupBy("threshold")

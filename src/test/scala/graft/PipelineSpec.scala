@@ -1089,15 +1089,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     val got = TextAnalysis.prCurve(scored, col("y")).collect().map(r =>
       (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5)))
-    // 2dp quantization: 0.304→0.3, 0.296→0.3, 0.104→0.1, -0.001→-0.0→0.0
-    // thresholds desc: 0.3 (1T,1F), 0.2 (1T), 0.1 (1T,1F), 0.0 (1F)
+    // FLOOR 2dp quantization (bucket left edges — engine-exact IEEE,
+    // unlike round): 0.304→0.30, 0.296→0.29, 0.104→0.10,
+    // -0.001→-0.01 (floor goes down for negatives)
     assert(got.toSeq == Seq(
-      (0.3, 1L, 1L, 2L, 0.5, 0.333333),
+      (0.3, 1L, 0L, 2L, 1.0, 0.333333),
+      (0.29, 1L, 1L, 2L, 0.5, 0.333333),
       (0.2, 2L, 1L, 1L, 0.666667, 0.666667),
       (0.1, 3L, 2L, 0L, 0.6, 1.0),
-      (0.0, 3L, 3L, 0L, 0.5, 1.0)))
-    // the -0.0 corner quantized into the +0.0 threshold row (not a fifth)
-    assert(got.length == 4)
+      (-0.01, 3L, 3L, 0L, 0.5, 1.0)))
+    assert(got.length == 5)
     // no positives anywhere -> recall NULL, precision still counts
     val neg = TextAnalysis.prCurve(
       Seq((0.5, false), (0.1, false)).toDF("logit", "y"), col("y")).collect()
@@ -1214,8 +1215,9 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().groupBy(_.getLong(0))
     val expected = hashed.map { case (id, rows) =>
       val contribs = rows.map(r => w(r.getLong(1).toInt)).sorted
-      id -> BigDecimal(contribs.foldLeft(0.0)(_ + _) / rows.length)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // RAW logit (no rounding): the sorted fold is the determinism
+      // contract, bit-for-bit
+      id -> contribs.foldLeft(0.0)(_ + _) / rows.length
     }
     assert(got == expected)
     // model size must be a power of two (pmod-vs-unsigned-residue safety)

@@ -2758,8 +2758,10 @@ object PipelineEntries {
        |tot AS (SELECT sum(pos) AS p FROM g)
        |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        |       CAST(p - tp AS BIGINT) AS fn,
-       |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
-       |       CASE WHEN p > 0 THEN round(CAST(tp AS DOUBLE) / p, 6) END AS recall
+       |       -- RAW ratios of identical integers — bit-identical on
+       |       -- both engines; round() would reintroduce the boundary
+       |       CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+       |       CASE WHEN p > 0 THEN CAST(tp AS DOUBLE) / p END AS recall
        |FROM cum CROSS JOIN tot""".stripMargin
 
   private def fingerprintOracleSql: String =

@@ -287,8 +287,12 @@ object TextAnalysis {
     * corpus-sized). Returns one row per distinct threshold t descending:
     * tp/fp/fn counting `score ≥ t` as predicted-positive over the
     * quantized scores, precision = tp/(tp+fp), recall = tp/P (NULL when
-    * the frame has no positives). Double-rounds via the already-rounded
-    * score column so engine mirrors agree; + 0.0 folds -0.0.
+    * the frame has no positives). Every float here is engine-exact by
+    * construction: thresholds FLOOR-quantize (`floor(x·10^scale)/10^
+    * scale` — pure IEEE ops; `round()` is engine-specific at decimal
+    * .5 boundaries, the round-17 lesson), and precision/recall emit
+    * RAW — they are divisions of identical integers, bit-identical on
+    * any engine.
     *
     * Rows whose label is NULL (or casts to NULL) are EXCLUDED from the
     * sweep — an unlabeled doc is neither a positive nor a negative, and
@@ -302,8 +306,11 @@ object TextAnalysis {
     // bit-identical scores quantize identically on every engine —
     // round(x, s) is NOT engine-portable at decimal .5 boundaries
     // (Spark rounds the decimal expansion HALF_UP, DuckDB rounds in
-    // float arithmetic; a boundary doc flipped the fp counts at
-    // sf0.01, round-17). `+ 0.0` folds -0.0 to +0.0.
+    // float arithmetic; a boundary doc flipped the fp counts in the
+    // sf0.01 gate, round-17). `+ 0.0` folds -0.0 to +0.0 — dead on
+    // this side (Spark floor() yields LONG, and long/double can't make
+    // -0.0) but load-bearing in the DuckDB mirror, whose floor()
+    // returns DOUBLE and preserves -0.0; kept textually parallel.
     val q = math.pow(10.0, scale)
     val g = scored
       .select((floor(col(scoreCol) * lit(q)) / lit(q) + lit(0.0))
@@ -321,10 +328,14 @@ object TextAnalysis {
     cum.crossJoin(broadcast(tot))
       .select(col("threshold"), col("tp"), col("fp"),
         (col("__p") - col("tp")).as("fn"),
-        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+        // RAW ratios: tp/fp/P are identical BIGINTs on both engines,
+        // so these divisions are bit-identical doubles — emitting them
+        // through round(x, 6) would reintroduce the engine-specific
+        // .5-boundary hazard this operator just shed (see scaladoc)
+        (col("tp").cast("double") / (col("tp") + col("fp")))
           .as("precision"),
         when(col("__p") > 0,
-          round(col("tp").cast("double") / col("__p"), 6)).as("recall"))
+          col("tp").cast("double") / col("__p")).as("recall"))
   }
 
   def trainNaiveBayes(docs: DataFrame, labelCol: Column,

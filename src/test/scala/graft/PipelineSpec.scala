@@ -1084,21 +1084,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     import spark.implicits._
     val scored = Seq(
       (0.304, true), (0.296, false), (0.2, true),
-      (0.1, false), (0.104, true), (-0.001, false))
+      (0.1, false), (0.104, true), (-0.001, false), (-0.0, false))
       .toDF("logit", "y")
     val got = TextAnalysis.prCurve(scored, col("y")).collect().map(r =>
       (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5)))
     // FLOOR 2dp quantization (bucket left edges — engine-exact IEEE,
     // unlike round): 0.304→0.30, 0.296→0.29, 0.104→0.10,
-    // -0.001→-0.01 (floor goes down for negatives)
+    // -0.001→-0.01 (floor goes down for negatives); a -0.0 score lands
+    // in the +0.0 threshold row (never a -0.0 row); precision/recall
+    // are RAW ratios of the integer counts
     assert(got.toSeq == Seq(
-      (0.3, 1L, 0L, 2L, 1.0, 0.333333),
-      (0.29, 1L, 1L, 2L, 0.5, 0.333333),
-      (0.2, 2L, 1L, 1L, 0.666667, 0.666667),
+      (0.3, 1L, 0L, 2L, 1.0, 1.0 / 3),
+      (0.29, 1L, 1L, 2L, 0.5, 1.0 / 3),
+      (0.2, 2L, 1L, 1L, 2.0 / 3, 2.0 / 3),
       (0.1, 3L, 2L, 0L, 0.6, 1.0),
-      (-0.01, 3L, 3L, 0L, 0.5, 1.0)))
-    assert(got.length == 5)
+      (0.0, 3L, 3L, 0L, 0.5, 1.0),
+      (-0.01, 3L, 4L, 0L, 3.0 / 7, 1.0)))
+    // the +0.0 row really is positive zero (no -0.0 leaks to output)
+    assert(got(4)._1.compareTo(0.0) == 0)
     // no positives anywhere -> recall NULL, precision still counts
     val neg = TextAnalysis.prCurve(
       Seq((0.5, false), (0.1, false)).toDF("logit", "y"), col("y")).collect()

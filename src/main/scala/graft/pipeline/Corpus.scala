@@ -599,19 +599,67 @@ object Corpus {
       s"vocabulary has no reserved '${Bpe.Pad}' row — pass a " +
         "Bpe.vocabulary artifact")
     val padId = padRows.head.getLong(0)
+    val hasTrain = packed.columns.contains("train_mask")
     val kept = packed.filter(col("pos") < seqLen)
-    val windows = packed.select(col("shard"), col("seq_bin")).distinct()
-    val grid = windows.select(col("shard"), col("seq_bin"),
-      explode(sequence(lit(0L), lit(seqLen - 1L))).as("pos"))
-    val joined = grid.join(kept, Seq("shard", "seq_bin", "pos"), "left_outer")
-    // one projection; SFT frames' train_mask rides along (zeroed on pad)
-    val cols = Seq(col("shard"), col("seq_bin"), col("pos"),
-      coalesce(col("token_id"), lit(padId)).as("token_id"),
-      when(col("token_id").isNotNull, 1L).otherwise(0L).as("attn_mask")) ++
-      (if (packed.columns.contains("train_mask"))
-        Seq(coalesce(col("train_mask"), lit(0L)).as("train_mask"))
-      else Nil)
-    joined.select(cols: _*)
+    // ONE pass and ONE exchange: collate each window's kept rows into a
+    // pos-sorted array, build the padded seqLen-length window as a
+    // per-window transform with O(1) array lookups, posexplode it back.
+    // The previous shape LEFT-JOINED an exploded (shard, seq_bin) ×
+    // [0, seqLen) grid against the kept rows — which referenced `packed`
+    // TWICE (grid distinct + join input), so the whole upstream chain
+    // (parse → encode UDF → prefix-sum → posexplode) executed twice per
+    // run (r17 plan audit: two full subtrees, no exchange reuse), and
+    // the join shuffled both corpus-sized sides. Every (shard, seq_bin)
+    // present in `packed` survives the kept filter — binAssign starts
+    // each item at an offset < seqLen inside its own bin — so collating
+    // `kept` alone loses no window.
+    //
+    // Windows are pos-CONTIGUOUS by the binAssign rule (a bin's rows
+    // tile from its first item's offset; only the leading shadow of a
+    // previous bin's straddle cut is absent), which the array lookup
+    // relies on — checked loudly per window below, never assumed: a
+    // gapped or duplicated pos would otherwise silently misplace
+    // tokens. (The old join form tolerated interior gaps; no packer
+    // produces them, and a padded window with interior holes is
+    // malformed input.)
+    val entry =
+      if (hasTrain) struct(col("pos"), col("token_id"), col("train_mask"))
+      else struct(col("pos"), col("token_id"))
+    val perWin = kept.groupBy("shard", "seq_bin")
+      .agg(min(col("pos")).as("__lo"), max(col("pos")).as("__hi"),
+        count(lit(1)).as("__cnt"),
+        sort_array(collect_list(entry)).as("__s"))
+    val contiguous = col("__hi") - col("__lo") + 1 === col("__cnt")
+    val guarded = when(contiguous, col("__s")).otherwise(raise_error(
+      concat(lit("padPackedWindows: window ("), col("shard"), lit(","),
+        col("seq_bin"),
+        lit(") has non-contiguous or duplicate pos values"))))
+    def winStruct(p: Column): Column = {
+      // get() is 0-based and null-safe on both sides of the range, so
+      // positions before __lo (the straddle shadow) and past the last
+      // kept token both read null ⇒ the PAD branch
+      val e = get(guarded, (p - col("__lo")).cast("int"))
+      val tid = e.getField("token_id")
+      struct((Seq(
+        coalesce(tid, lit(padId)).as("token_id"),
+        when(tid.isNotNull, lit(1L)).otherwise(lit(0L)).as("attn_mask")) ++
+        (if (hasTrain)
+          Seq(coalesce(e.getField("train_mask"), lit(0L)).as("train_mask"))
+        else Nil)): _*)
+    }
+    val windows = perWin.select(col("shard"), col("seq_bin"),
+      transform(sequence(lit(0L), lit(seqLen - 1L)), winStruct(_)).as("__w"))
+    // posexplodeNoInfer: __w's elements are never null (winStruct always
+    // builds a struct), and the inferred size(__w) > 0 filter would
+    // re-derive the whole transform per row (see Explodes)
+    Explodes.posexplodeNoInfer(windows,
+        Seq(col("shard"), col("seq_bin")), col("__w"), "__i", "__e")
+      .select((Seq(col("shard"), col("seq_bin"),
+        col("__i").cast("long").as("pos"),
+        col("__e.token_id").as("token_id"),
+        col("__e.attn_mask").as("attn_mask")) ++
+        (if (hasTrain) Seq(col("__e.train_mask").as("train_mask"))
+        else Nil)): _*)
   }
 
   /** Collate a packed/padded tensor frame back to ONE id array per

@@ -470,7 +470,18 @@ object Dedup {
       idCol: String = "doc_id", maxBucketSize: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist $maxDist: the 4-chunk block is only lossless through 3")
-    val chunked = hashChunked(hashes, hashCol, idCol)
+    // persisted: the (id, hash) frame feeds the bucket-population
+    // aggregate AND the self-join input, whose plan shapes share no
+    // exchange — without the persist the upstream hash computation (for
+    // [[Multimodal.imageDHash]] inputs, a full codec decode of every
+    // image) executed twice per run (r17 plan audit: two decode
+    // mapPartitions subtrees; the x/y join sides already shared one via
+    // exchange reuse). 16 bytes per image, orders of magnitude below
+    // the payload. Tracked in [[PipelineCaches]], callers clear.
+    val prep = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(PipelineCaches.track)
+    val chunked = hashChunked(prep, "h", "id")
     val okBuckets = chunked.groupBy("chunk", "cv").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
       .select("chunk", "cv")

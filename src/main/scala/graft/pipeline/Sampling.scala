@@ -201,6 +201,15 @@ object Sampling {
       case Some(b) => grams.withColumn("f", pmod(xxhash64(col("gram")), lit(b.toLong)))
       case None    => grams.withColumn("f", col("gram"))
     }
+    // dg feeds BOTH the feature-stats branch (→ vocab → λ model) and the
+    // per-doc scoring join, and the STATIC plan shows the whole
+    // tokenize → gram explode → (doc, f) aggregate twice — but both
+    // copies end in the IDENTICAL Exchange, which AQE's runtime stage
+    // reuse dedupes to one shuffle-map execution. An r17 A/B that
+    // persisted dg here measured 1.6× SLOWER (min-of-10 at sf0.1: 1.57
+    // → 2.52 s): the InMemoryRelation build is pure overhead on top of
+    // an already-shared stage. Do not cache exchange-terminated shared
+    // subtrees.
     val dg = feat.groupBy("doc_id", "__tgt", "f").agg(count(lit(1)).as("c"))
     val stats = dg.groupBy("f").agg(sum("c").as("r"),
       sum(when(col("__tgt"), col("c")).otherwise(lit(0L))).as("t"))

@@ -279,6 +279,15 @@ object Sft {
   def packedExamples(turns: DataFrame, seqLen: Int = 2048,
       shards: Int = 8, convIdCol: String = "conv_id",
       idsCol: String = "token_ids"): DataFrame = {
+    // `t` feeds both the conversation-total aggregate (via
+    // packConversations) and the per-turn join side below with no shared
+    // exchange, so the parse → encode → truncate prefix runs twice — an
+    // r17 A/B that persisted `t` here measured NEUTRAL at the gate
+    // (min-of-10 at sf0.1: 2.05 → 2.17 s on p_sft_packed_ids): the
+    // cache build of the id-array rows costs what the second encode
+    // pass costs. Left uncached — at 100 TB the recompute is narrow
+    // CPU while the cache would spill corpus-sized id arrays to disk;
+    // callers that want the trade can persist their input themselves.
     val t = turns.withColumn("__n", size(col(idsCol)).cast("long"))
     val pack = Corpus.binAssign(
         packConversations(t, seqLen, shards, convIdCol, "__n"),

@@ -666,6 +666,13 @@ object Similarity {
       orderCol: String = "doc_id", vecCol: String = "vec",
       dim: Int = DefaultDim): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
+    // means appears on both sides of the pairwise non-equi self-join
+    // below, but its expensive prefix (for hashedTfidf inputs the whole
+    // tokenize → tf → assemble chain) ends in identical Exchanges that
+    // AQE's runtime stage reuse already shares; an r17 A/B that
+    // persisted means here measured neutral-to-slower (min-of-10 at
+    // sf0.1: 2.30 → 2.43 s), so no cache — only the post-exchange final
+    // aggregates run twice, and they are |groups|-bounded.
     val means = meanPool(vectors.filter(col(vecCol).isNotNull),
       groupCol, orderCol, vecCol)
     val a = means.select(col(groupCol).as("src_a"), col("vec").as("__va"))

@@ -355,6 +355,33 @@ class BpeSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
+  test("padPackedWindows: straddle-shadow window PADs its missing prefix," +
+      " non-contiguous pos fails loudly") {
+    import spark.implicits._
+    // a bin whose first kept token starts past 0 — the shape binAssign
+    // produces right after a straddle cut (the previous doc's spill owns
+    // the shadow positions but bills them to ITS bin): positions 0..1 of
+    // this window exist in no input row and must come back as PAD
+    val shadow = Seq((0L, 1L, 2L, 23L), (0L, 1L, 3L, 19L), (0L, 1L, 4L, 17L))
+      .toDF("shard", "seq_bin", "pos", "token_id")
+    val vocab = Seq(("<pad>", 3L)).toDF("token", "token_id")
+    val rows = graft.pipeline.Corpus.padPackedWindows(shadow, vocab, seqLen = 6)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(rows == Seq((0L, 3L, 0L), (1L, 3L, 0L), (2L, 23L, 1L),
+      (3L, 19L, 1L), (4L, 17L, 1L), (5L, 3L, 0L)))
+    // an INTERIOR gap (pos 2 then 4) is malformed input under the
+    // array-lookup shape: loud per-window error, never silent misplacement
+    val gapped = Seq((0L, 0L, 2L, 23L), (0L, 0L, 4L, 19L))
+      .toDF("shard", "seq_bin", "pos", "token_id")
+    val ex2 = intercept[Exception] {
+      graft.pipeline.Corpus.padPackedWindows(gapped, vocab, seqLen = 6)
+        .collect()
+    }
+    assert(ex2.getMessage.contains("non-contiguous"), ex2.getMessage)
+    graft.pipeline.PipelineCaches.clear()
+  }
+
   test("packedSequenceIds prependBos: the artifact BOS opens every document") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, numMerges = 10)

@@ -571,7 +571,18 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("cnt"), col("h")))).as("ordered"))
       .withColumn("sz", size(col("ordered")))
 
-    // prefix length L = sz − ⌈t·sz⌉ + 1 (per row, at the pruning threshold)
+    // prefix length L = sz − ⌈t·sz⌉ + 1 (per row, at the pruning threshold).
+    // The self-join below references this subtree twice, and at gate scale
+    // the planner broadcasts one side, so the rarest-first chain (window
+    // count → per-doc collect → prefix explode) above the persisted prep
+    // executes twice. An r17 probe repartitioned it by `p` to share one
+    // exchange: measured ~neutral-to-slower at sf0.1 (the shuffle of all
+    // prefix rows costs what the duplicated above-cache chain costs, and
+    // the planner still broadcast one side of the repartitioned stream —
+    // 8 → 11 Exchanges). Left as is because the naive form SELF-HEALS at
+    // scale: past broadcast size both sides plan SMJ with IDENTICAL
+    // Exchange(p) subtrees, which AQE's runtime stage cache deduplicates —
+    // the chain only duplicates in the regime where it is cheap.
     val prefix = ordered.select(col("id"), col("sz"),
       explode(slice(col("ordered"), lit(1),
         (col("sz") - ceil(col("sz") * lit(tPrune)) + 1).cast("int"))).as("p"))
@@ -938,17 +949,26 @@ object Dedup {
       toksDf.withColumn("__grams", gramArr),
       Seq(col(idCol), col("n_tokens")), col("__grams"), "pos", "gram")
       .withColumn("pos", col("pos").cast("long"))
-    // one shuffle, not two: distinct-on-(id,gram) THEN groupBy(gram)
-    // moves the full gram set across the wire twice (once partitioned by
-    // the pair, once by gram); count_distinct partially dedups (gram,id)
-    // map-side and ships each gram once — at corpus scale shuffle volume
-    // halves, and the gram-key skew profile is identical to the second
-    // shuffle the old form already paid
-    val dupGrams = pos.groupBy("gram")
+    // ONE gram-keyed exchange feeds BOTH consumers: `pos` used to flow
+    // into the doc-freq aggregate AND (separately) into the join probe —
+    // the aggregate's exchange carries partially-aggregated rows, so the
+    // probe side shared nothing with it and the whole tokenize → 5-gram
+    // explode chain executed twice per run (the probe of a broadcast
+    // join has no exchange of its own for stage reuse to deduplicate).
+    // Repartitioning by gram FIRST makes both consumers read the same
+    // shuffle output (ReuseExchange/AQE stage cache): the aggregate's
+    // required distribution is satisfied (no second exchange), and the
+    // join keeps its gram-partitioned probe. Trade: the exchange now
+    // carries raw positions instead of count_distinct's map-side-deduped
+    // (gram, id) pairs — a few extra longs per row — against a full
+    // corpus re-tokenization saved; the gram-key skew profile is the one
+    // the aggregate already paid.
+    val posR = pos.repartition(col("gram"))
+    val dupGrams = posR.groupBy("gram")
       .agg(count_distinct(col(idCol)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
       .select("gram")
-    (toksDf, pos.join(dupGrams, "gram"))
+    (toksDf, posR.join(dupGrams, "gram"))
   }
 
   /** Duplicated-span REMOVAL — the mutation half of [[dupSpanCoverage]]

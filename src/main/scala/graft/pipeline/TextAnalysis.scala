@@ -585,12 +585,26 @@ object TextAnalysis {
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     }
     val train = modelDocs.getOrElse(docs)
-    val cb = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // Self-scoring (modelDocs empty) reuses ONE bigram stream for both the
+    // count model and the scoring probe: repartitioned by the join key, the
+    // model aggregate and the probe read the same exchange (ReuseExchange),
+    // where the naive form ran the tokenize → pair-struct transform →
+    // explode chain twice — the model side fed an exchange-terminated
+    // aggregate but the probe side of the broadcast join shared nothing.
+    // Trade: the shared exchange carries doc_id per occurrence and the
+    // count aggregate loses its map-side combine; one full corpus
+    // re-tokenization is saved. With an EXTERNAL model corpus the two
+    // streams differ and the original two-chain shape stands.
+    val scoreBg =
+      if (modelDocs.isEmpty) bigrams(docs).repartition(col("w1"), col("w2"))
+      else bigrams(docs)
+    val trainBg = if (modelDocs.isEmpty) scoreBg else bigrams(train)
+    val cb = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
     val vocab = train
       .select(explode(Dedup.tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    bigrams(docs)
+    scoreBg
       .join(cb, Seq("w1", "w2"), "left")
       .join(cu, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))

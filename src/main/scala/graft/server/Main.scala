@@ -56,6 +56,7 @@ object Main {
     val spark = SparkSession.builder()
       .appName("graft-server")
       .master(master)
+      .config(graft.SparkTuning.kryoConf())
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract: the compact one-line JSON that graft.Bench
+// prints must be the FINAL, UNPREFIXED stdout line of `sbt "runMain ..."`.
+// With the default LoggedOutput strategy sbt re-logs every forked-process
+// line with an "[info] " prefix and then appends its own
+// "[success] Total time: ..." footer — so the driver's last-line JSON parse
+// recorded parsed:null in BENCH_r14..r17. StdoutOutput makes the forked JVM
+// inherit stdout directly (no prefix); showSuccess := false drops the footer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -279,31 +279,53 @@ object Sft {
   def packedExamples(turns: DataFrame, seqLen: Int = 2048,
       shards: Int = 8, convIdCol: String = "conv_id",
       idsCol: String = "token_ids"): DataFrame = {
-    // `t` feeds both the conversation-total aggregate (via
-    // packConversations) and the per-turn join side below with no shared
-    // exchange, so the parse → encode → truncate prefix runs twice — an
-    // r17 A/B that persisted `t` here measured NEUTRAL at the gate
-    // (min-of-10 at sf0.1: 2.05 → 2.17 s on p_sft_packed_ids): the
-    // cache build of the id-array rows costs what the second encode
-    // pass costs. Left uncached — at 100 TB the recompute is narrow
-    // CPU while the cache would spill corpus-sized id arrays to disk;
-    // callers that want the trade can persist their input themselves.
+    // ONE encode subtree (r18): `turns` used to feed BOTH the
+    // conversation-total aggregate (whose prefix-sum runs an EAGER
+    // offsets collect in its own job) and the per-turn window/join side
+    // of the main query. Exchange/stage reuse can never share work
+    // across two JOBS, so the whole upstream parse → encode → truncate
+    // chain executed twice per run; an r17 probe that persisted the
+    // turn rows separately measured neutral (the extra cache build ≈
+    // the second encode). Instead, collate each conversation's turn
+    // payload (turn order, loss mask, id arrays) INTO the same
+    // aggregate whose prefix-sum output the packer already persists
+    // (PrefixSum's ranged intermediate): the eager job computes the
+    // encode once, and the main query derives the per-turn rows by
+    // flattening the cached arrays — no second encode, no per-turn
+    // conv_id exchange, no cumsum window. Per-group state is one
+    // conversation (callers run truncateToBudget first by contract),
+    // and the flat index inside the concatenated conversation IS the
+    // turn-start prefix sum + within-turn position the old window +
+    // per-turn posexplode computed.
     val t = turns.withColumn("__n", size(col(idsCol)).cast("long"))
-    val pack = Corpus.binAssign(
-        packConversations(t, seqLen, shards, convIdCol, "__n"),
+    // struct sort orders by the FIRST field; turn_idx is unique per
+    // conversation, so the collated array is in turn order
+    val perConv = t.groupBy(col(convIdCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sort_array(collect_list(struct(col("turn_idx"),
+          when(col("role") === "assistant", 1L).otherwise(0L).as("m"),
+          col(idsCol).as("ids")))).as("__turns"))
+      .withColumn("shard", pmod(col(convIdCol), lit(shards.toLong)))
+    // one binAssign yields BOTH seq_bin and the within-bin offset (the
+    // old packConversations + re-binAssign pair computed them in two
+    // passes because packConversations' public schema drops the offset)
+    val packed = Corpus.binAssign(PrefixSum.groupedRunningSum(
+        perConv, "shard", convIdCol, "n_tokens", "cum_tokens"),
         seqLen, "n_tokens", "cum_tokens", "__binOff")
-      .select(col(convIdCol), col("shard"), col("seq_bin"), col("__binOff"))
-    val w = Window.partitionBy(convIdCol).orderBy("turn_idx")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.withColumn("__start", sum(col("__n")).over(w) - col("__n"))
-      .join(pack, convIdCol)
+    // token stream + parallel per-token loss mask; __turns is a
+    // materialized attribute (no CSE inside HOF lambdas)
+    val flat = packed
+      .withColumn("__ids",
+        flatten(transform(col("__turns"), x => x.getField("ids"))))
+      .withColumn("__mask", flatten(transform(col("__turns"),
+        x => transform(x.getField("ids"), _ => x.getField("m")))))
+    Explodes.posexplodeNoInfer(flat,
+        Seq(col("shard"), col("seq_bin"), col("__binOff"), col("__mask")),
+        col("__ids"), "__i", "token_id")
       .select(col("shard"), col("seq_bin"),
-        (col("__binOff") + col("__start")).as("__base"),
-        when(col("role") === "assistant", 1L).otherwise(0L).as("train_mask"),
-        posexplode(col(idsCol)).as(Seq("__i", "token_id")))
-      .select(col("shard"), col("seq_bin"),
-        (col("__base") + col("__i")).as("pos"),
-        col("token_id"), col("train_mask"))
+        (col("__binOff") + col("__i")).as("pos"),
+        col("token_id"),
+        element_at(col("__mask"), col("__i") + 1).as("train_mask"))
   }
 
   /** Quality-contrast preference pairs: within each group (e.g.

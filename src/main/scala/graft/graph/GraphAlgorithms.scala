@@ -144,8 +144,6 @@ object GraphAlgorithms {
     val r = gs.catalog.rel(relLabel)
     val spark = gs.spark
     import spark.implicits._
-    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 4)
-    val part = new org.apache.spark.HashPartitioner(parts)
     def trackRdd[T](x: RDD[T]): RDD[T] = {
       val p = x.persist(StorageLevel.MEMORY_AND_DISK)
       graft.pipeline.PipelineCaches.onClear(p)(_.unpersist(blocking = false))
@@ -170,14 +168,27 @@ object GraphAlgorithms {
     }
     var edges: RDD[(Long, Long)] = null
     var edgeCount = 0L
+    // scale-adaptive round partitioning (guide §2): derive the loop's
+    // partition count from the EDGE COUNT, not the core count. Every
+    // trim/color/mark round schedules tasks per partition across several
+    // stages, so a tiny condensation on the old defaultParallelism/2
+    // default (16 partitions for a 25-vertex fixture) paid ~10× pure
+    // scheduling overhead per round; past ~50k edges/partition the count
+    // climbs back to the old cap and behavior at scale is unchanged.
+    // The count job reads the persisted raw edges that seed the loop.
+    val e0raw = trackRdd(gs.table(r.tableName)
+      .select(col(r.fromColumn).cast("long").as("s"),
+        col(r.toColumn).cast("long").as("d"))
+      .distinct()
+      .as[(Long, Long)].rdd)
+    val maxParts = math.max(spark.sparkContext.defaultParallelism / 2, 4)
+    val parts = math.max(2,
+      math.min(maxParts, (e0raw.count() / 50000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
     locally {
-      val e0 = gs.table(r.tableName)
-        .select(col(r.fromColumn).cast("long").as("s"),
-          col(r.toColumn).cast("long").as("d"))
-        .distinct()
-        .as[(Long, Long)].rdd.partitionBy(part)
-      val (p, n) = mat(e0)
+      val (p, n) = mat(e0raw.partitionBy(part))
       edges = p; edgeCount = n
+      e0raw.unpersist(blocking = false)
     }
     def trimToFixpoint(): Unit = {
       var stable = edgeCount == 0
@@ -209,8 +220,9 @@ object GraphAlgorithms {
       // ---- forward-min coloring to fixpoint --------------------------
       val verts = trackRdd(edges.flatMap { case (s, d) => Iterator(s, d) }
         .distinct(parts).map(v => (v, v)).partitionBy(part))
-      verts.count()
       var color = verts
+      // the fold below is the materializing action for verts too — a
+      // separate count() was one redundant job per outer iteration
       var colorTotal = color.values.fold(0L)(_ + _)
       var stable = false
       while (!stable) {
@@ -220,7 +232,13 @@ object GraphAlgorithms {
           .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
         val next = color.leftOuterJoin(msgs, part)
           .mapValues { case (c, m) => math.min(c, m.getOrElse(c)) }
-        val (p, _) = mat(next)
+        // ONE action per color round (was two: a materializing count +
+        // this fold — at condensation sizes the round cost IS job
+        // latency). The fold both materializes the persisted round and
+        // yields the fixpoint detector: colors only ever decrease under
+        // the min-fold, so the value sum is stationary iff no color moved.
+        val p = trackRdd(next)
+        if (rounds % SccTruncateEvery == 0) p.localCheckpoint()
         val nextTotal = p.values.fold(0L)(_ + _)
         stable = nextTotal == colorTotal
         colorTotal = nextTotal
@@ -1751,9 +1769,22 @@ object GraphAlgorithms {
       graft.pipeline.PipelineCaches.onClear(p)(_.unpersist(blocking = false))
       p
     }
-    val canonRdd = canon.select("a", "b", "w").as[(Long, Long, Long)].rdd
-    val parts = math.max(1, math.min(canonRdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism))
+    // persisted: self (via strength) and cross (via symByB) each branch
+    // off this RDD, and unpersisted each branch re-executed the whole
+    // upstream canonical-edge DataFrame chain (distinct shuffle included)
+    val canonRdd = trackRdd(
+      canon.select("a", "b", "w").as[(Long, Long, Long)].rdd)
+    // scale-adaptive round partitioning (guide §2): size to the edge
+    // count, not the core count — every local-moving round schedules
+    // tasks per partition over several co-partitioned joins, and the old
+    // min(inputParts, defaultParallelism) put 32 partitions under a
+    // 25-vertex gate fixture. The count doubles as the persist's
+    // materializing action; at ≥50k edges/partition the cap is the old
+    // value and scale behavior is unchanged.
+    val parts = math.max(1, math.min(
+      math.min(math.max(1, canonRdd.getNumPartitions),
+        spark.sparkContext.defaultParallelism),
+      (canonRdd.count() / 50000L + 1L).toInt))
     val part = new org.apache.spark.HashPartitioner(parts)
     val self = canonRdd.filter(t => t._1 == t._2).map(t => (t._1, t._3))
     val cross = canonRdd.filter(t => t._1 != t._2)

@@ -572,17 +572,27 @@ object Dedup {
       .withColumn("sz", size(col("ordered")))
 
     // prefix length L = sz − ⌈t·sz⌉ + 1 (per row, at the pruning threshold).
-    // The self-join below references this subtree twice, and at gate scale
-    // the planner broadcasts one side, so the rarest-first chain (window
-    // count → per-doc collect → prefix explode) above the persisted prep
-    // executes twice. An r17 probe repartitioned it by `p` to share one
-    // exchange: measured ~neutral-to-slower at sf0.1 (the shuffle of all
-    // prefix rows costs what the duplicated above-cache chain costs, and
-    // the planner still broadcast one side of the repartitioned stream —
-    // 8 → 11 Exchanges). Left as is because the naive form SELF-HEALS at
-    // scale: past broadcast size both sides plan SMJ with IDENTICAL
-    // Exchange(p) subtrees, which AQE's runtime stage cache deduplicates —
-    // the chain only duplicates in the regime where it is cheap.
+    // The self-join below references this subtree twice with no shared
+    // exchange in EITHER regime: at gate scale the planner broadcasts one
+    // side, and past broadcast size (probed r18 with
+    // autoBroadcastJoinThreshold=-1, tools/ProfileNgramSelfHeal) the two
+    // SMJ sides do NOT get runtime-deduplicated — the final adaptive plan
+    // shows each side executing its own Exchange(h) → window → Exchange
+    // (id) → collect → Exchange(p) chain (stage census: only the cached
+    // prep's stage reused, every prefix-chain stage distinct), refuting
+    // the r17 "self-heals at scale" note recorded here. The chain above
+    // the persisted prep therefore executes twice at any scale — but
+    // BOTH local mitigations measured as losses at gate scale
+    // (min-of-7 back-to-back A/Bs, sentinels flat): repartition by `p`
+    // ~1.12× normalized (r17 — the shuffle costs what the chain costs
+    // and the planner still broadcast one side on top of it), and an
+    // r18 persist of this exploded prefix 1.07× on p_dedup_ngram /
+    // 1.06× on p_dedup_contain (the cache build ≈ the saved chain over
+    // the already-cached prep). Left duplicated: at gate scale the
+    // re-derivation over cached prep is the cheap regime; in the
+    // past-broadcast regime the repartition form is the structurally
+    // right fix (one exchange both SMJ sides consume directly), worth
+    // re-probing only when network shuffle is the measured bottleneck.
     val prefix = ordered.select(col("id"), col("sz"),
       explode(slice(col("ordered"), lit(1),
         (col("sz") - ceil(col("sz") * lit(tPrune)) + 1).cast("int"))).as("p"))
@@ -961,9 +971,30 @@ object Dedup {
     // join keeps its gram-partitioned probe. Trade: the exchange now
     // carries raw positions instead of count_distinct's map-side-deduped
     // (gram, id) pairs — a few extra longs per row — against a full
-    // corpus re-tokenization saved; the gram-key skew profile is the one
-    // the aggregate already paid.
-    val posR = pos.repartition(col("gram"))
+    // corpus re-tokenization saved.
+    //
+    // Skew bound (r18 probe, DESIGN §r18): the shared exchange moves RAW
+    // occurrences on the gram key, so a Zipfian hot gram concentrates on
+    // one partition and AQE skew-split does not apply to repartition-fed
+    // aggregates. Measured on the sf0.1 fixture: top gram 4 occurrences
+    // of 250 704 positions = 0.0005× a 32-partition mean — no local
+    // skew. The regime where it bites is extreme partition counts
+    // (top-5-gram share of real web text ~1e-5, so P ≳ 10⁵ partitions
+    // before one gram fills a partition); for that regime the salt knob
+    // below splits every gram's rows across k id-derived buckets
+    // (pmod(xxhash64(id), k) is a function of id, so every (gram, id)
+    // pair stays intact within one bucket). The trade is one extra
+    // deduped (gram, id) exchange for the doc-freq aggregate (its
+    // required clustering is no longer syntactically satisfied), which
+    // is why the default stays 0 — the unsalted shape is strictly
+    // better until the hot partition exceeds a few× the mean.
+    val saltBuckets = pos.sparkSession.conf
+      .get("spark.graft.spanGramSaltBuckets", "0").toInt
+    val posR =
+      if (saltBuckets > 1)
+        pos.repartition(col("gram"),
+          pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)))
+      else pos.repartition(col("gram"))
     val dupGrams = posR.groupBy("gram")
       .agg(count_distinct(col(idCol)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)

@@ -219,6 +219,26 @@ class DedupSpec extends AnyFunSuite {
       .forall(_.getDouble(4) == 1.0))
   }
 
+  test("salted span-gram exchange (spark.graft.spanGramSaltBuckets) is result-identical") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c d z"), (3L, "p q r s t u"),
+      (4L, "a b c d e f"), (5L, "b c d e f g h"))
+      .toDF("doc_id", "text")
+    def cov(df: DataFrame) = Dedup.dupSpanCoverage(df, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def rem(df: DataFrame) = Dedup.removeDupSpans(df, n = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val (c0, r0) = (cov(d), rem(d))
+    spark.conf.set("spark.graft.spanGramSaltBuckets", "4")
+    try {
+      assert(cov(d) == c0)
+      assert(rem(d) == r0)
+    } finally spark.conf.unset("spark.graft.spanGramSaltBuckets")
+  }
+
   test("persisted span artifact: equals fresh mine, rereads, rebuilds on param change") {
     import spark.implicits._
     val d = Seq(

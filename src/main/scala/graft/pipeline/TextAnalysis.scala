@@ -646,48 +646,25 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0,
       s"dim must be a positive power of two (bucket = low hash bits), got $dim")
-    GraftFunctions.register(docs.sparkSession)
-    val logDim = java.lang.Integer.numberOfTrailingZeros(dim)
-    val toksDf = docs.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("__toks"))
-    val terms =
-      Explodes.explodeNoInfer(toksDf, Seq(col("doc_id")), col("__toks"), "term")
-    val h = xxhash64(col("term"))
-    // bucket = low log2(dim) bits (pmod == bit-mask for a power of two);
-    // sign = the NEXT bit, independent of every bucket bit
-    val hashed = terms.select(col("doc_id"),
-      pmod(h, lit(dim.toLong)).cast("int").as("bucket"),
-      when(shiftright(h, logDim).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L)).as("sgn"))
-    // persisted: df derives FROM tf, and an unmaterialized tf would make
-    // Spark re-tokenize the whole corpus for the broadcast branch (plan
-    // audited — the Generate subtree appeared twice). tf is OUTPUT-bounded
-    // (ndocs · ≤dim rows), orders of magnitude smaller than the corpus.
-    val tf = hashed.groupBy("doc_id", "bucket").agg(sum("sgn").as("w0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(PipelineCaches.track)
-    val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val w = tf.join(broadcast(dfreq), "bucket").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("bucket"),
-        (col("w0").cast("double") *
-          log(col("n").cast("double") / col("df"))).as("w"))
-    // dense assembly in bucket order: map lookup kills collect_list's
-    // order-nondeterminism, and the fixed-order norm fold over the
-    // materialized array keeps the norm engine-exact (see normalizeL2)
-    val assembled = w.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w"))))
-        .as("__m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          b => coalesce(element_at(col("__m"), b.cast("int")), lit(0.0)))
-          .as("__v"))
-    assembled
-      .withColumn("__n", Similarity.normFixed(col("__v"), dim))
-      .select(col("doc_id"),
-        when(col("__n") === 0.0, lit(null))
-          .otherwise(transform(col("__v"), x => round(x / col("__n"), 6)))
-          .as("vec"))
+    // r18: the batch chain this used to spell out (token explode →
+    // persisted (doc, bucket) tf aggregate → idf broadcast joins →
+    // per-doc map_from_entries collect → dense re-assembly) measured
+    // 3× the cost of its own train/apply split ON THE SAME CORPUS
+    // (p_hash_embed 1.49 s vs p_hash_embed_apply 0.50 s min-of-7 at
+    // sf0.1 — and the apply number already INCLUDES the df-model
+    // train), while the split is bit-exact with the batch form by the
+    // TextAnalysisSpec pin and shares its DuckDB oracle. Route the
+    // batch form through the split: one corpus pass for the ≤dim-row
+    // bucket-df model, a driver collect of dim doubles, and the fused
+    // per-row [[graft.functions.HashEmbed]] projection. The second
+    // tokenize rides inside the compiled expression and is cheaper at
+    // every scale than the aggregate machinery it replaces — the tf
+    // exchange (ndocs·≤dim rows), the tf cache, and the per-doc map
+    // assembly all disappear; the only shuffle left is the df model's
+    // map-side-combinable partial aggregate.
+    hashedTfidfApply(docs,
+      hashedTfidfIdfValues(hashedTfidfIdf(docs, dim, textCol, idCol), dim),
+      textCol, idCol)
   }
 
   /** The frozen model side of [[hashedTfidf]]'s train/apply split:

@@ -1160,68 +1160,105 @@ object GraphAlgorithms {
       // the vertex set, never an all-vertices O(V·E) schedule by accident
       else v.orderBy(col("id")).limit(64).select(col("id").as("src"))
 
-    // ---- forward: per-level (src, v, sigma) frames -----------------------
-    val (lev0, lev0Rdd, _) = rebaseRows(
-      srcFrame.select(col("src"), col("src").as("v"), lit(1.0).as("sigma")))
+    // ---- RDD rounds (r18) -------------------------------------------------
+    // The sweeps used to run as per-level DataFrame plans re-based through
+    // rebaseRows — 2 planned jobs per forward level + 1 per backward level,
+    // each paying Catalyst planning + codegen + 32-partition stages for
+    // level frames of |sources|·|V| rows at most. The HITS/Louvain/SCC
+    // rationale applies unchanged: a round-based algorithm wants RDD
+    // rounds (~tens of ms) — and the arithmetic is the same: σ sums are
+    // integer-valued doubles (exact under any combine order), δ sums are
+    // the same unordered float adds the DataFrame sum() performed, nine
+    // orders below the 6-dp rounding quantum. Partitioning is sized to
+    // the edge count (the SCC rule); every level RDD is persisted,
+    // lineage-truncated, and the predecessor released.
+    def trackRdd[T](x: RDD[T]): RDD[T] = {
+      val p = x.persist(StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.PipelineCaches.onClear(p)(_.unpersist(blocking = false))
+      p
+    }
+    val symRdd = trackRdd(sym.as[(Long, Long)].rdd)
+    val parts = math.max(1, math.min(
+      math.max(spark.sparkContext.defaultParallelism / 2, 4),
+      (symRdd.count() / 50000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val symP = trackRdd(symRdd.partitionBy(part))
+
+    // ---- forward: per-level ((src, v) -> sigma) RDDs ----------------------
+    def matLevel(x: RDD[((Long, Long), Double)])
+        : (RDD[((Long, Long), Double)], Long) = {
+      val p = trackRdd(x.partitionBy(part))
+      p.localCheckpoint()
+      (p, p.count())
+    }
+    val (lev0, _) = matLevel(
+      srcFrame.as[Long].rdd.map(s => ((s, s), 1.0)))
     var settled = lev0
-    var settledRdd = lev0Rdd
     val levels = scala.collection.mutable.ArrayBuffer(lev0)
     var frontier = lev0
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {
-      val expanded = frontier.join(sym, col("v") === col("a"))
-        .groupBy(col("src"), col("b").as("__nv"))
-        .agg(sum("sigma").as("sigma"))
-      val (nxt, nxtRdd, n) = rebaseRows(expanded
-        .join(settled.select(col("src").as("__ss"), col("v").as("__sv")),
-          col("src") === col("__ss") && col("__nv") === col("__sv"),
-          "left_anti")
-        .select(col("src"), col("__nv").as("v"), col("sigma")))
-      if (n == 0) { nxtRdd.unpersist(blocking = false); done = true }
+      val expanded = frontier
+        .map { case ((src, vv), sig) => (vv, (src, sig)) }
+        .join(symP, part)
+        .map { case (_, ((src, sig), b)) => ((src, b), sig) }
+        .reduceByKey(part, _ + _)
+      val (nxt, n) = matLevel(expanded.subtractByKey(settled, part))
+      if (n == 0) { nxt.unpersist(blocking = false); done = true }
       else {
-        val (st, stRdd, _) = rebaseRows(settled.unionByName(nxt))
-        // the first settled IS level 0, which the backward sweep still
-        // reads — never unpersist a frame that lives on in `levels`
-        // (rebased RDDs are lineage-truncated: unpersist = unrecomputable)
-        if (!(settledRdd eq lev0Rdd)) settledRdd.unpersist(blocking = false)
-        settled = st; settledRdd = stRdd
+        val st = trackRdd(settled.union(nxt).partitionBy(part))
+        st.localCheckpoint()
+        st.count()
+        // level 0 IS the first settled, which the backward sweep still
+        // reads — never unpersist an RDD that lives on in `levels`
+        if (!(settled eq lev0)) settled.unpersist(blocking = false)
+        settled = st
         levels += nxt
         frontier = nxt
         depth += 1
       }
     }
+    if (!(settled eq lev0)) settled.unpersist(blocking = false)
 
     // ---- backward: dependency accumulation, deepest level first ----------
-    var deeper = levels.last.withColumn("delta", lit(0.0))
-    val perSourceDeps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // deeper: (src, v) -> (sigma, delta)
+    var deeper = trackRdd(levels.last.mapValues(s => (s, 0.0)))
+    val perSourceDeps =
+      scala.collection.mutable.ArrayBuffer[RDD[(Long, Double)]]()
     if (levels.size > 1)
-      perSourceDeps += deeper.select(col("src"), col("v"), col("delta"))
+      perSourceDeps += deeper.map { case ((_, vv), (_, del)) => (vv, del) }
     for (l <- (levels.size - 2) to 0 by -1) {
       val cur = levels(l)
-      val contrib = cur.join(sym, col("v") === col("a"))
-        .join(deeper.select(col("src").as("__ds"), col("v").as("__dv"),
-            col("sigma").as("__dsig"), col("delta").as("__ddel")),
-          col("src") === col("__ds") && col("b") === col("__dv"))
-        .groupBy(col("src"), col("v"))
-        .agg(sum(col("sigma") / col("__dsig")
-          * (lit(1.0) + col("__ddel"))).as("__c"))
-      val (d, _, _) = rebaseRows(cur
-        .join(contrib.select(col("src").as("__cs"), col("v").as("__cv"),
-            col("__c")),
-          col("src") === col("__cs") && col("v") === col("__cv"), "left")
-        .select(col("src"), col("v"), col("sigma"),
-          coalesce(col("__c"), lit(0.0)).as("delta")))
-      if (l > 0) perSourceDeps += d.select(col("src"), col("v"), col("delta"))
+      val contrib = cur
+        .map { case ((src, vv), sig) => (vv, (src, sig)) }
+        .join(symP, part)
+        .map { case (vv, ((src, sig), b)) => ((src, b), (vv, sig)) }
+        .join(deeper, part)
+        .map { case ((src, _), ((vv, sig), (dsig, ddel))) =>
+          ((src, vv), sig / dsig * (1.0 + ddel)) }
+        .reduceByKey(part, _ + _)
+      val d = trackRdd(cur.leftOuterJoin(contrib, part)
+        .mapValues { case (sig, c) => (sig, c.getOrElse(0.0)) })
+      d.localCheckpoint()
+      d.count()
+      // deeper is NOT unpersisted here: perSourceDeps holds a map() view
+      // of it, and a localCheckpointed RDD is unrecomputable once its
+      // blocks are dropped — PipelineCaches.clear frees the whole chain
+      if (l > 0)
+        perSourceDeps += d.map { case ((_, vv), (_, del)) => (vv, del) }
       deeper = d
     }
 
     val acc =
       if (perSourceDeps.isEmpty)
         v.select(col("id"), lit(0.0).as("betweenness"))
-      else perSourceDeps.reduce(_ unionByName _)
-        .groupBy(col("v").as("id"))
-        .agg(sum("delta").as("betweenness"))
+      else spark.createDataset(
+          perSourceDeps.reduce(_ union _).reduceByKey(part, _ + _))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaDouble))
+        .toDF("id", "betweenness")
     v.join(acc.withColumnRenamed("id", "__bid"),
         col("id") === col("__bid"), "left")
       .select(col("id"),

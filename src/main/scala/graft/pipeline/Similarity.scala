@@ -719,7 +719,14 @@ object Similarity {
       groupCol, orderCol, vecCol)
     val a = means.select(col(groupCol).as("src_a"), col("vec").as("__va"))
     val b = means.select(col(groupCol).as("src_b"), col("vec").as("__vb"))
-    a.join(b, col("src_a") < col("src_b"))
+    // explicit broadcast: means is |groups| rows BY CONSTRUCTION (the
+    // scaladoc's "broadcast-sized frame however large the corpus"), but
+    // Spark's size ESTIMATE of the aggregate depends on the upstream
+    // chain — the r18 hashedTfidf reshape flipped the estimate past the
+    // auto-broadcast threshold and this non-equi join degraded from
+    // BroadcastNestedLoopJoin to CartesianProduct (caught by PlanSpec's
+    // no-CartesianProduct census). Pin the strategy to the construction.
+    a.join(broadcast(b), col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         round(dotFixed(col("__va"), col("__vb"), dim) /
           (normFixed(col("__va"), dim) * normFixed(col("__vb"), dim)), 6)

@@ -409,25 +409,19 @@ class PlanSpec extends AnyFunSuite {
     graft.pipeline.PipelineCaches.clear()
   }
 
-  test("hashedTfidf: one corpus tokenize, broadcast idf, no Window") {
+  test("hashedTfidf: fused shuffle-free embed projection (train/apply split)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.pipeline.TextAnalysis.hashedTfidf(docs)
     val plan = df.queryExecution.executedPlan.toString
-    // the token Generate lives ONCE inside the persisted tf relation; the
-    // df branch must READ that cache, not re-tokenize. Each cache READ
-    // re-prints the cached subtree, so count parity is the check: every
-    // Generate print sits under an InMemoryRelation print (an un-cached
-    // second tokenize would print a Generate with no relation of its own).
-    val generates = "Generate explode".r.findAllIn(plan).size
-    val cachedRels = "InMemoryRelation".r.findAllIn(plan).size
-    assert(generates >= 1 && generates == cachedRels,
-      s"corpus tokenized outside the persisted tf cache " +
-        s"($generates generates, $cachedRels cached relations):\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$plan")
-    // each cached-relation print re-prints the tf exchange; beyond those,
-    // only the dim-bounded df agg and the per-doc assembly may shuffle
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2 + cachedRels,
-      s"unexpected shuffles:\n$plan")
+    // r18: the batch form routes through its own train/apply split (the
+    // ≤dim-row df model trains in a separate eager job; bit-exact by the
+    // TextAnalysisSpec pin), so the EMBED plan is a pure fused projection:
+    // one parquet scan into graft_hash_embed — no token Generate, no tf
+    // cache, no exchange, no Window. The old shape (explode → persisted tf
+    // aggregate → idf broadcast joins → map re-assembly) measured 3× this.
+    assert(plan.contains("graft_hash_embed"), s"fused embed missing:\n$plan")
+    assert(!plan.contains("Generate"), s"unexpected corpus explode:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(!plan.contains("Window"), plan)
     graft.pipeline.PipelineCaches.clear()
   }
